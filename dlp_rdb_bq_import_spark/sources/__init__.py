@@ -1,0 +1,27 @@
+"""Source registry.
+
+The reference switches on a ``"TEST_HOST"`` sentinel inside production
+DoFns (common/CreateTableMapDoFn.java:75,99,128-131;
+common/TableToDbRowFn.java:74,122-130) — mock data baked into prod code.
+We replace that with a scheme-dispatched registry: ``mock://`` /
+``jdbc:...`` / a parquet directory, each a clean Source implementation.
+"""
+
+from __future__ import annotations
+
+from .base import Source
+from .jdbc_source import JdbcSource
+from .mock_source import MockSource
+from .parquet_source import ParquetDirSource
+
+
+def get_source(spec: str, **kwargs) -> Source:
+    """Dispatch a connection spec to a Source (P6 parity, clean design)."""
+    if spec.startswith("mock://") or spec == "TEST_HOST":
+        return MockSource()
+    if spec.startswith("jdbc:"):
+        return JdbcSource(spec, **kwargs)
+    return ParquetDirSource(spec)
+
+
+__all__ = ["Source", "MockSource", "JdbcSource", "ParquetDirSource", "get_source"]
