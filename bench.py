@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the flagship aggregation, two multiway joins, window/
+session analytics, and the LLM-data operators (minhash near-dup, knn,
+text analysis) — the mix a 100 TB training-data pipeline actually runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dlp_rdb_bq_import_spark import harness
+from dlp_rdb_bq_import_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "topk_per_group",
+    "sessionize",
+    "batch_window_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_topk",
+    "text_analysis",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = harness.queries()
+
+    # warm the JVM/codegen path once (not counted)
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize fully
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1219 @@
+"""Query/oracle registry — the correctness-gate contract.
+
+Every operator from SURVEY.md §2 (plus the LLM-data extension ops) gets:
+- a Spark implementation ``(spark, sf_dir) -> DataFrame``, and
+- where SQL-expressible, a DuckDB oracle producing identical columns.
+
+Determinism rules used throughout (so value-hashes match bit-for-bit):
+- money/double aggregation: per-row double arithmetic (IEEE —
+  deterministic and engine-identical), then CAST to DECIMAL(30,6) and
+  SUM (exact, order-independent), then CAST back to DOUBLE. Written as
+  the same expression tree on both sides.
+- embedding math: components quantized to int64 (round(x*1e7)), dot
+  products/norms in exact integer arithmetic (see operators/similarity).
+- LIMIT/top-k: always ordered by a unique key suffix.
+- derived integers (year/rank/…): cast to BIGINT on both sides.
+- timestamps in outputs: formatted to strings or cast to DATE.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.tokenize import (
+    DeidTemplate,
+    FieldTransform,
+    InfoTypeTransform,
+    deidentify,
+    reidentify,
+)
+from .operators import dedup, similarity, text as text_ops
+from .operators.multimodal import attach_payload, payload_stats
+from .streaming.jobs import windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+HARNESS_KEY = b"spark-graft-harness-key-32bytes!"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table; events' TIMESTAMP(NANOS) column arrives as
+    long (session sets nanosAsLong) and is converted to a µs timestamp."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dsum(col, alias: str, scale: int = 6):
+    """Exact order-independent money sum → double."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / SQL surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_count",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem",
+)
+def q_scan_count(spark, sf_dir):
+    """A1/S4 — the reference's IT verification query
+    (DBImportPipelineIT.java:79-89) and scan-sizing probe
+    (ServerUtil.java:136-155)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("total"))
+
+
+@query(
+    "pushdown_scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00'
+  AND l_discount > 0.08
+""",
+)
+def q_pushdown_scan(spark, sf_dir):
+    """S5/S11 — projection+filter reaching the parquet scan (Catalyst
+    pushdown replaces the reference's hand-built OFFSET paging,
+    TableToDbRowFn.java:80-89)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.08)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity', 'sum_qty')},
+       {_dsum_sql('l_extendedprice', 'sum_base_price')},
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_dsum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark, sf_dir):
+    """S7 — the flagship aggregation query run natively by Catalyst (the
+    reference delegates its SQL to BigQuery,
+    BQReidentificationPipeline.java:100-105)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(30,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_volume",
+    oracle=f"""
+SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_tpch_q5(spark, sf_dir):
+    """J-family — multiway join; small dims broadcast, big join keys
+    shuffle-hashed by Catalyst/AQE."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exclusion_filter",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+""",
+)
+def q_exclusion_filter(spark, sf_dir):
+    """P1 — anti-membership filter (the data-scale analogue of the
+    catalog exclusion list, ServerUtil.java:126-134)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .where(~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "cast_filter_groupby_dedup",
+    oracle="""
+SELECT user_id, event_type FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY user_id, event_type
+""",
+)
+def q_cast_filter(spark, sf_dir):
+    """P3+P4+A2+F6 — the reid default-query shape: projection, CAST
+    predicate, GROUP BY dedup
+    (common/BQReIdentificationPipelineOptions.java:15-17)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.where(F.get_json_object("props", "$.k").cast("long") > 50)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+
+
+@query(
+    "null_value_rules",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN lower(lang) = 'null' THEN NULL
+            WHEN lang = 'es' THEN NULL ELSE lang END AS lang_clean,
+       COALESCE(CASE WHEN lang = 'es' THEN NULL ELSE lang END, '') AS lang_compat
+FROM documents
+""",
+)
+def q_null_rules(spark, sf_dir):
+    """P5/F4 — the 'null'-string drop (BigQueryTableRowDoFn.java:48) and
+    null→'' coalesce (DLPTokenizationDoFn.java:84-87) as explicit
+    column rules."""
+    d = t(spark, sf_dir, "documents")
+    nulled = F.when(F.col("lang") == "es", F.lit(None)).otherwise(F.col("lang"))
+    return d.select(
+        "doc_id",
+        F.when(F.lower(F.col("lang")) == "null", F.lit(None))
+        .otherwise(nulled)
+        .alias("lang_clean"),
+        F.coalesce(nulled, F.lit("")).alias("lang_compat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "broadcast_lookup_join",
+    oracle=f"""
+SELECT p_brand, {_dsum_sql('l_extendedprice', 'revenue')}, CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q_broadcast_join(spark, sf_dir):
+    """J1 — broadcast lookup join (the reference's driver-side
+    stream().filter().findFirst() config lookup, ServerUtil.java:274-286,
+    at data scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice"), "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+""",
+)
+def q_semi_join(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.09)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_anti_join(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@query(
+    "outer_join_coalesce",
+    oracle=f"""
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       COALESCE({_dsum_sql('o_totalprice', 'x').replace(' AS x', '')}, 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def q_outer_join(spark, sf_dir):
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "asof_prev_signup",
+    oracle="""
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_id
+FROM events
+""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one): most recent prior 'signup'
+    event per user, expressed as last_value IGNORE NULLS over a
+    preceding frame — shuffle-once, no pairwise join at any scale."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("prev_signup_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "header_group_batch",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(max(event_id) AS BIGINT) AS last_id,
+       {_dsum_sql('value', 'total_value')}
+FROM events GROUP BY event_type
+""",
+)
+def q_header_group(spark, sf_dir):
+    """A3 — GroupByKey on a signature column (the reid header grouping,
+    BQReidentificationPipeline.java:106-107, generalized)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query("approx_count_distinct")  # approximate — rows-only check by design
+def q_approx_distinct(spark, sf_dir):
+    """A5 — sketch-based distinct (the 100 TB path where exact distinct
+    would shuffle every key)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+    )
+
+
+@query(
+    "cube_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {_dsum_sql('l_quantity', 'sum_qty')},
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "pivot_conditional_agg",
+    oracle=f"""
+SELECT l_returnflag,
+       {_dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_open')},
+       {_dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_fulfilled')}
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_open"),
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_fulfilled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "lag_lead_gaps",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+FROM orders
+""",
+)
+def q_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        )
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def q_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "rank_dense_rank",
+    oracle="""
+SELECT s_suppkey, s_name,
+       CAST(rank() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank,
+       CAST(dense_rank() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS bal_dense_rank
+FROM supplier
+""",
+)
+def q_rank(spark, sf_dir):
+    w = Window.orderBy(F.col("s_acctbal").desc())
+    return t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session. NOTE: event_id
+    order coincides with ts order per user in the fixture, letting the
+    cumulative sum window key on event_id alone on both sides."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits  +  §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orderby_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_top10(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "offset_fetch",
+    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+)
+def q_offset_fetch(spark, sf_dir):
+    """O2 — OFFSET/FETCH pagination (the reference's scan idiom,
+    TableToDbRowFn.java:82-89) as a declarative query."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "union_dead_letters",
+    oracle="""
+SELECT o_orderkey, 'high_value_fail' AS reason FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'stale_open' AS reason FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+""",
+)
+def q_union(spark, sf_dir):
+    """U1 — dead-letter union (DBImportPipeline.java:148-162)."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).select("o_orderkey", F.lit("high_value_fail").alias("reason"))
+    b = orders.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).select("o_orderkey", F.lit("stale_open").alias("reason"))
+    return a.unionByName(b)
+
+
+@query(
+    "intersect_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_intersect(spark, sf_dir):
+    rich = t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select("c_custkey")
+    open_cust = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.intersect(open_cust)
+
+
+@query(
+    "except_distinct",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def q_except(spark, sf_dir):
+    all_cust = t(spark, sf_dir, "customer").select("c_custkey")
+    with_orders = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return all_cust.subtract(with_orders)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+SELECT c_custkey, lower(c_name) AS name_lower, substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS tagged,
+       replace(c_name, 'Customer', 'Cst') AS renamed,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       regexp_replace(c_name, '[0-9]+', '#') AS name_masked
+FROM customer
+""",
+)
+def q_strings(spark, sf_dir):
+    """F1/F3/F5 family — sanitation-style string ops as query functions."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cst")).alias("renamed"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_day,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start
+FROM orders
+""",
+)
+def q_dates(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_day"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month_start"),
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 80
+""",
+)
+def q_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") >= 80)
+
+
+@query(
+    "binary_base64_md5",
+    oracle="""
+SELECT c_custkey, to_base64(encode(c_name)) AS name_b64, md5(c_name) AS name_md5,
+       CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+FROM customer
+""",
+)
+def q_binary(spark, sf_dir):
+    """F2 — base64 (the IMAGE-column rule, BigQueryTableRowDoFn.java:42-46)
+    + digest + byte length on binary payloads."""
+    c = t(spark, sf_dir, "customer")
+    payload = F.encode(F.col("c_name"), "UTF-8")
+    return c.select(
+        "c_custkey",
+        F.base64(payload).alias("name_b64"),
+        F.md5(payload).alias("name_md5"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "case_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount >= 0.08 THEN 'deep' WHEN l_discount >= 0.04 THEN 'mid' ELSE 'low' END AS disc_band,
+       CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT) / 100.0 AS discount_amt,
+       CAST(l_orderkey % 7 AS BIGINT) AS bucket7,
+       ABS(l_extendedprice - 50000.0) AS dist_from_50k
+FROM lineitem
+""",
+)
+def q_case_arith(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.08, "deep")
+        .when(F.col("l_discount") >= 0.04, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        # ROUND-to-2-decimals via integer quantization: round(x*100) is
+        # the same double op on both engines, and the integer divide by
+        # 100.0 is deterministic — unlike decimal downscale casts, whose
+        # tie handling differs across engines.
+        (
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast("long")
+            / 100.0
+        ).alias("discount_amt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("bucket7"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 tokenization (T1-T4) — round-trip + format-preservation oracles
+# ---------------------------------------------------------------------------
+
+_FIELD_TEMPLATE = DeidTemplate(
+    name="harness_field",
+    key=HARNESS_KEY,
+    field_transforms=(FieldTransform(fields=("c_name",), alphabet="ALPHA_NUMERIC"),),
+)
+
+_INSPECT_TEMPLATE = DeidTemplate(
+    name="harness_inspect",
+    key=HARNESS_KEY,
+    info_type_transforms=(
+        InfoTypeTransform(fields=("text2",), info_types=("PHONE_NUMBER",), surrogate="PHONE"),
+    ),
+)
+
+
+@query(
+    "tokenize_roundtrip",
+    oracle="SELECT c_custkey, c_name AS name_rt FROM customer",
+)
+def q_tokenize_roundtrip(spark, sf_dir):
+    """T1→T2 — deidentify then reidentify restores the source exactly
+    (the invertibility contract, SURVEY.md §7.4.1)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    tokenized = deidentify(c, _FIELD_TEMPLATE)
+    restored = reidentify(tokenized, _FIELD_TEMPLATE)
+    return restored.select("c_custkey", F.col("c_name").alias("name_rt"))
+
+
+@query(
+    "tokenize_format_preserved",
+    oracle="""
+SELECT c_custkey, CAST(length(c_name) AS BIGINT) AS tok_len FROM customer
+""",
+)
+def q_tokenize_format(spark, sf_dir):
+    """FPE format preservation: token length == source length, provable
+    via oracle without revealing tokens."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    tokenized = deidentify(c, _FIELD_TEMPLATE)
+    return tokenized.select("c_custkey", F.length("c_name").cast("long").alias("tok_len"))
+
+
+@query(
+    "inspect_surrogate_roundtrip",
+    oracle="SELECT doc_id, text || ' call 647-780-3777 now' AS text2 FROM documents",
+)
+def q_inspect_roundtrip(spark, sf_dir):
+    """T4 — infoType inspect transform: PHONE_NUMBER found in free text,
+    FPE'd under a surrogate annotation, then re-identified back
+    (README.md:283-339 flow with the planted-PII fixture shape)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" call 647-780-3777 now")).alias("text2")
+    )
+    deid = deidentify(d, _INSPECT_TEMPLATE)
+    reid = reidentify(deid, _INSPECT_TEMPLATE)
+    return reid.select("doc_id", "text2")
+
+
+@query(
+    "compat_stringify",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name AS c_name,
+       CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+       CAST(c_acctbal AS VARCHAR) AS c_acctbal, c_mktsegment AS c_mktsegment
+FROM customer
+""",
+)
+def q_compat_stringify(spark, sf_dir):
+    """F3 compat mode — every value stringified
+    (BigQueryTableRowDoFn.java:40; SURVEY.md §1.2 quirk table)."""
+    from .functions.rowshape import stringify_compat
+
+    return stringify_compat(t(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10/§2.12 streaming + batch windowed aggregation
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n, {_dsum_sql('value', 'total_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("batch_window_agg", oracle=_WINDOW_ORACLE)
+def q_batch_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query("streaming_window_agg", oracle=_WINDOW_ORACLE)
+def q_streaming_window(spark, sf_dir):
+    """W-EXT — the same aggregation executed as a real Structured
+    Streaming query (watermark + tumbling window + memory sink);
+    deterministic, so it shares the batch oracle."""
+    return windowed_event_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# §2.12 LLM-data ops: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, keys=["text"], id_col="doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    d = dedup.content_fingerprint(t(spark, sf_dir, "documents"), ["text"])
+    return d.groupBy("fingerprint").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(g.i AS INTEGER), 5) AS shingle
+  FROM docs d JOIN generate_series(1, 4000) g(i) ON g.i <= length(d.text) - 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.35
+""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (restricted to doc_id<200 so
+    the quadratic oracle stays cheap; the engine path itself is the
+    inverted-index join that scales)."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.35)
+
+
+@query("dedup_minhash_lsh")  # LSH recall < 1 by construction — rows-only
+def q_minhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35)
+
+
+@query("dedup_simhash")  # banded Hamming candidates — rows-only
+def q_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+_EMB_EX = """
+ex AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000, 0) AS BIGINT) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM ex GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+WITH {_EMB_EX},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 9) AS cosine
+FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 9) >= 0.35
+""",
+)
+def q_embedding_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.35)
+
+
+@query(
+    "knn_bruteforce_topk",
+    oracle=f"""
+WITH {_EMB_EX},
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+  FROM ex q JOIN ex c ON q.i = c.i
+  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, ROUND(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(queries_df, e, k=5)
+
+
+@query("knn_lsh_topk")  # approximate — recall tested vs brute force in pytest
+def q_knn_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(queries_df, e, k=5, bits=8)
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {n} AS BIGINT)"
+
+
+def _word_occ_sql(word: str) -> str:
+    return _occ_sql("(' ' || text || ' ')", f" {word} ")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = text_ops.LANG_MARKERS[lang]
+    return "(" + " + ".join(_word_occ_sql(w) for w in words) + ")"
+
+
+def _lang_case_sql() -> str:
+    langs = list(text_ops.LANG_MARKERS)
+    hits = {lg: _lang_hits_sql(lg) for lg in langs}
+    expr = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hits[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"{hits[lang]} {op} {hits[other]}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+_QUALITY_SQL = (
+    "ROUND("
+    "LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4 + "
+    "LEAST(CAST(("
+    + " + ".join(_word_occ_sql(w) for w in text_ops.STOPWORDS)
+    + ") AS DOUBLE) / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) * 4.0, 1.0) * 0.4 + "
+    "(1.0 - LEAST(CAST(("
+    + " + ".join(_occ_sql("text", ch) for ch in [".", ",", "!"])
+    + ") AS DOUBLE) / GREATEST(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0), 1.0)) * 0.2"
+    ", 9)"
+)
+
+
+@query(
+    "text_analysis",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       {_QUALITY_SQL} AS quality,
+       {_lang_case_sql()} AS lang_pred,
+       md5(text) AS fingerprint
+FROM documents
+""",
+)
+def q_text_analysis(spark, sf_dir):
+    return text_ops.analyze_documents(t(spark, sf_dir, "documents"))
+
+
+@query("winnow_fingerprints")  # array output — rows-only
+def q_winnow(spark, sf_dir):
+    return text_ops.winnowing_fingerprints(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, md5(text) AS payload_md5
+FROM documents
+""",
+)
+def q_multimodal_stats(spark, sf_dir):
+    """Binary-payload plumbing: pack → metadata-only stats (JVM-side);
+    decode stages are stubbed per environment but share this schema."""
+    d = attach_payload(t(spark, sf_dir, "documents"), "text")
+    return payload_stats(d).select("doc_id", "byte_len", "payload_md5")
+
+
+@query("multimodal_features")  # stubbed fake decoder — rows-only
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    d = attach_payload(t(spark, sf_dir, "documents"), "text")
+    return extract_features(d).select("doc_id", "byte_len", "mean_px")
+
+
+# ---------------------------------------------------------------------------
+# public contract
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q_tpch_q1(spark, sf_dir)

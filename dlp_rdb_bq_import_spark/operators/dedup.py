@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Families (BASELINE.json north star; designed for 100 TB):
+- exact dedup: hash-groupBy — one shuffle on the dedup key, map-side
+  partial aggregation; at scale the key is a fixed-width digest, not the
+  document body, so shuffle bytes stay small.
+- n-gram Jaccard: exact pairwise similarity via shingle inverted index —
+  the *verifier* for near-dup candidates; quadratic blowup is bounded by
+  a document-frequency cap on hot shingles (stopword shingles are where
+  inverted-index joins explode at scale).
+- MinHash + LSH: per-document signatures via an affine hash family over
+  one base 64-bit hash (k aggregate expressions — no k× row blowup),
+  banded into buckets; only same-bucket pairs are candidates. This is
+  the 100 TB path: cost ≈ docs × shingles + candidates, never docs².
+- SimHash: 64-bit weighted-bit fingerprint via a vectorized Pandas UDF,
+  near-dup = small Hamming distance; banding on 16-bit chunks makes the
+  pair search an equi-join (a Hamming-≤3 pair must agree on ≥1 chunk).
+
+Everything is DataFrame-native (explode/groupBy/join) so Catalyst
+handles pushdown and AQE handles skew; Python appears only in the
+SimHash bit-packing UDF (Arrow-vectorized).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus — affine
+# family (a_i * h + b_i) mod P over a single xxhash64 base hash.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct key set (hash-groupBy dedup)."""
+    return df.groupBy(*keys).agg(F.min(id_col).alias(id_col)).select(id_col, *keys)
+
+
+def content_fingerprint(df: DataFrame, cols: list[str], out: str = "fingerprint") -> DataFrame:
+    """Stable content hash over selected columns (md5 of a canonical
+    concatenation) — the fixed-width dedup key that keeps 100 TB shuffles
+    small."""
+    return df.withColumn(out, F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per document: (id, shingle).
+
+    Pure built-ins: sequence → explode → substring; stays in
+    whole-stage codegen, no Python.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))).alias("_pos"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), n).alias("shingle"))
+        .where(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    documents before the self-join — the skew guard that keeps the
+    inverted index from exploding on stopword shingles at scale (changes
+    semantics slightly; leave None for exact verification runs).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    decimals (integer-ratio division in double — deterministic and
+    oracle-comparable).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_doc_freq).select("shingle"), "shingle")
+    sh = sh.select(F.col(id_col).alias("_id"), "shingle").cache()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` columns.
+
+    One xxhash64 per shingle, then an affine family
+    ``(a_i * h + b_i) mod (2^61-1)`` expands it to k hashes as k
+    aggregate expressions — no k-fold row multiplication, one shuffle.
+    Deterministic: coefficients derive from the index i, not RNG state.
+    """
+    sh = shingles(df, text_col, id_col, shingle_n)
+    # 32-bit base hash keeps a*h+b within int64 under ANSI arithmetic
+    # (a < 2^8, h < 2^32, b < 2^61 → sum < 2^63).
+    base = sh.withColumn("_h", F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multipliers; fixed, citable, deterministic
+        b = 0x9E3779B97F4A7C15 * (i + 1) % _MERSENNE_P
+        aggs.append(
+            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % _MERSENNE_P).alias(f"mh_{i}")
+        )
+    return base.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature into ``bands`` buckets; same-bucket pairs are
+    candidates. Join key is (band_index, band_hash) — an equi-join AQE
+    can handle, never a cross join."""
+    k = len([c for c in signatures.columns if c.startswith("mh_")])
+    rows_per_band = k // bands
+    band_cols = []
+    for bidx in range(bands):
+        cols = [f"mh_{i}" for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"), F.xxhash64(*cols).alias("sig")).alias(f"_b{bidx}")
+        )
+    banded = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verification of candidates only (the scale path: candidate count,
+    not docs², bounds the exact work)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    sh = shingles(df, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("_id"), "shingle"
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (token-hash bit voting), vectorized
+    with numpy inside mapInPandas. Output: (id, simhash int64)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tokens = (text or "").split()
+                if not tokens:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                # deterministic 64-bit token hashes via python hashlib-free FNV-1a
+                hashes = np.empty(len(tokens), dtype=np.uint64)
+                for j, tok in enumerate(tokens):
+                    h = np.uint64(0xCBF29CE484222325)
+                    for ch in tok.encode("utf-8"):
+                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                    hashes[j] = h
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sig = int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out_ids.append(doc_id)
+                out_hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"_id": out_ids, "simhash": out_hashes})
+
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+        .mapInPandas(compute, schema=_SIMHASH_SCHEMA)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Pigeonhole banding: split the 64-bit signature into ``max_hamming+1``
+    chunks; any pair within distance k agrees on ≥1 chunk → equi-join on
+    (chunk_index, chunk_value), then exact Hamming filter via
+    bit_count(xor). No cross join at any scale.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash(df, text_col, id_col)
+    pieces = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        ).alias(f"_c{i}")
+        for i in range(chunks)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*pieces)).alias("c")
+    ).select(F.col(id_col), "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "val")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "val")
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,159 @@
+"""Text-analysis operators over document tables.
+
+All the hot-path scoring is built-in-function arithmetic (JVM-side,
+codegen'd, oracle-exact); Python appears only in the winnowing
+fingerprint UDF. Formulas deliberately use engine-portable primitives
+(split/length/replace) so the DuckDB oracle can state the identical
+expression — regex dialect differences are avoided by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tiny deterministic marker-word lists per language for the n-gram/
+# stopword language-ID heuristic. The point is a deterministic,
+# SQL-expressible scorer, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "es": ("el", "la", "que", "de", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via length arithmetic —
+    identical semantics in Spark and ANSI SQL (no regex dialects)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split on single spaces; fixture text is
+    single-spaced word soup)."""
+    return F.size(F.split(text, " ")).cast("long")
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Occurrences of a word with space padding (cheap stopword counter)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return _occurrences(padded, f" {word} ")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, ~1]: length band +
+    stopword presence + punctuation sparsity. Pure double arithmetic —
+    per-row deterministic, oracle-exact."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count(text).cast("double")
+    stop_hits = sum((word_occurrences(text, w) for w in STOPWORDS), F.lit(0)).cast("double")
+    punct = _occurrences(text, ".") + _occurrences(text, ",") + _occurrences(text, "!")
+    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    stop_ratio = F.least(stop_hits / F.greatest(n_tokens, F.lit(1.0)) * F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.least(punct.cast("double") / F.greatest(n_tokens, F.lit(1.0)), F.lit(1.0))
+    return F.round(len_score * F.lit(0.4) + stop_ratio * F.lit(0.4) + (F.lit(1.0) - punct_penalty) * F.lit(0.2), 9)
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Total marker-word occurrences for one language."""
+    return sum((word_occurrences(text, w) for w in LANG_MARKERS[lang]), F.lit(0)).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language scorer: first language (in declaration
+    order) whose hit count equals the max and is > 0, else 'und'.
+
+    Deliberately a CASE-cascade (not greatest-over-structs) so the
+    DuckDB oracle can state the byte-identical expression.
+    """
+    langs = list(LANG_MARKERS)
+    hits = {lang: lang_hits(text, lang) for lang in langs}
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = hits[lang] > 0
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The combined text-analysis projection: token/char counts, quality
+    score, predicted language, exact fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_obs"),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        F.md5(t).alias("fingerprint"),
+    )
+
+
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("winnow_fingerprints", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    public algorithm): rolling k-gram hashes, keep the minimum in each
+    sliding window, dedup consecutive picks. Python (Arrow-batched) —
+    rows-only correctness check; the per-doc loop is O(len)."""
+
+    B, M = 257, (1 << 61) - 1
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = (text or "").encode("utf-8")
+                if len(s) < k:
+                    ids.append(doc_id)
+                    fps.append([])
+                    continue
+                power = pow(B, k - 1, M)
+                h = 0
+                hashes = []
+                for i, ch in enumerate(s):
+                    h = (h * B + ch) % M
+                    if i >= k:
+                        h = (h - s[i - k] * power * B) % M  # slide left edge
+                    if i >= k - 1:
+                        hashes.append(h)
+                picks = []
+                for w0 in range(0, max(1, len(hashes) - window + 1)):
+                    m = min(hashes[w0 : w0 + window])
+                    if not picks or picks[-1] != m:
+                        picks.append(m)
+                ids.append(doc_id)
+                fps.append(picks)
+            yield pd.DataFrame({"doc_id": ids, "winnow_fingerprints": fps})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
+        compute, schema=_WINNOW_SCHEMA
+    )

@@ -43,6 +43,9 @@ def get_spark(
         # Parquet scans: 128 MB split targets; vectorized reader on.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture `events` stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert (values are µs-precision).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
