@@ -29,8 +29,12 @@ BENCH_QUERIES = [
     "batch_window_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
     "knn_bruteforce_topk",
+    "knn_lsh_topk",
     "text_analysis",
+    "winnow_fingerprints",
 ]
 
 

@@ -1039,8 +1039,17 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @query("dedup_minhash_lsh")  # LSH recall < 1 by construction — rows-only
 def q_minhash(spark, sf_dir):
+    """Production near-dup config: MinHash over word 3-shingles (Broder
+    w-shingling), 64 hashes, 16 bands. Word shingles keep background
+    similarity between unrelated documents near 0, so the banded
+    equi-join passes ~true-near-dup candidates, not a quadratic soup
+    (char 5-grams over this word-soup corpus give unrelated pairs
+    Jaccard ≈0.3, which no banding can separate from a 0.35 threshold).
+    Containment vs exact Jaccard is pinned in tests/test_llm_ops.py."""
     d = t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.35)
+    return dedup.minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.35, shingle_n=3, shingle_unit="word"
+    )
 
 
 @query("dedup_simhash")  # banded Hamming candidates — rows-only
@@ -1078,8 +1087,24 @@ WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 9) >= 0.35
 """,
 )
 def q_embedding_neardup(spark, sf_dir):
+    """Oracle-checked EXACT path (the all-pairs verification oracle);
+    the production scale path is `embedding_neardup_lsh` below."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.35)
+    return similarity.embedding_neardup_pairs_exact(e, threshold=0.35)
+
+
+@query("embedding_neardup_lsh")  # sign-LSH candidates — recall pinned in pytest
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Production near-dup path: banded sign-LSH bucket join + exact
+    rerank — no cross join at any scale. Output ⊆ the exact path by
+    construction (candidates are exactly verified), so precision is 1.0.
+    Recall on THIS fixture is bounded by the data, not the engine: the
+    embeddings are isotropic random vectors, where threshold-0.35 pairs
+    are statistically indistinguishable from noise for any sublinear
+    scheme; recall ≥0.95 in LSH's actual operating regime (high-cosine
+    near-dup clusters) is asserted in tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.35, bands=16, bits_per_band=8)
 
 
 @query(
@@ -1114,7 +1139,7 @@ def q_knn(spark, sf_dir):
 def q_knn_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     queries_df = e.where(F.col("vec_id") < 20)
-    return similarity.lsh_topk(queries_df, e, k=5, bits=8)
+    return similarity.lsh_topk(queries_df, e, k=5, bands=16, bits_per_band=8)
 
 
 def _occ_sql(padded: str, needle: str) -> str:
@@ -1175,9 +1200,11 @@ def q_text_analysis(spark, sf_dir):
     return text_ops.analyze_documents(t(spark, sf_dir, "documents"))
 
 
-@query("winnow_fingerprints")  # array output — rows-only
+@query("winnow_fingerprints")  # Python rolling-hash algorithm — rows-only
 def q_winnow(spark, sf_dir):
-    return text_ops.winnowing_fingerprints(t(spark, sf_dir, "documents"))
+    """Exploded (doc_id, pos, fingerprint) rows — scalar-sortable for
+    the driver's canonicalizer; the array form stays an internal API."""
+    return text_ops.winnowing_fingerprint_rows(t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -12,29 +12,30 @@ Families (BASELINE.json north star; designed for 100 TB):
   one base 64-bit hash (k aggregate expressions — no k× row blowup),
   banded into buckets; only same-bucket pairs are candidates. This is
   the 100 TB path: cost ≈ docs × shingles + candidates, never docs².
-- SimHash: 64-bit weighted-bit fingerprint via a vectorized Pandas UDF,
-  near-dup = small Hamming distance; banding on 16-bit chunks makes the
-  pair search an equi-join (a Hamming-≤3 pair must agree on ≥1 chunk).
+- SimHash: 64-bit weighted-bit fingerprint via JVM-side token hashing
+  and bit-vote aggregates; near-dup = small Hamming distance; banding
+  on 16-bit chunks makes the pair search an equi-join (a Hamming-≤3
+  pair must agree on ≥1 chunk).
 
 Everything is DataFrame-native (explode/groupBy/join) so Catalyst
-handles pushdown and AQE handles skew; Python appears only in the
-SimHash bit-packing UDF (Arrow-vectorized).
+handles pushdown and AQE handles skew; no Python appears in any path.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # Mersenne prime 2^61-1: the classic universal-hash modulus — affine
 # family (a_i * h + b_i) mod P over a single xxhash64 base hash.
 _MERSENNE_P = (1 << 61) - 1
+
+# Skew guard: shingles appearing in more than this many documents are
+# dropped from inverted-index joins by default. A stopword-like shingle
+# shared by k docs contributes k² join rows — at 100 TB one hot shingle
+# is the whole job. Uncapped mode (None) is reserved for oracle /
+# verification runs at small scale.
+DEFAULT_MAX_DOC_FREQ = 1000
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -49,14 +50,26 @@ def content_fingerprint(df: DataFrame, cols: list[str], out: str = "fingerprint"
     return df.withColumn(out, F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Distinct character n-gram shingles per document: (id, shingle).
 
     Pure built-ins: sequence → explode → substring; stays in
-    whole-stage codegen, no Python.
+    whole-stage codegen, no Python. ``num_partitions`` repartitions the
+    *input* by id before the explode — a single-row-group parquet file
+    otherwise turns the whole shingle stage into one task regardless of
+    cluster size.
     """
+    base = df.select(F.col(id_col), F.col(text_col))
+    if num_partitions:
+        base = base.repartition(num_partitions, id_col)
     return (
-        df.select(
+        base.select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))).alias("_pos"),
             F.col(text_col),
@@ -67,26 +80,76 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     )
 
 
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_partitions: int | None = None,
+    unit: str = "char",
+) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs: ``xxhash64`` of each n-gram
+    replaces the string shingle, so every downstream shuffle/join key is
+    a fixed 8 bytes instead of an n-byte string — the 100 TB shuffle
+    posture. Collision odds at 64 bits are negligible and deterministic.
+
+    ``unit='char'`` → character n-grams (matches the exact-Jaccard
+    oracle); ``unit='word'`` → word n-grams (Broder w-shingling — the
+    production MinHash unit: word n-grams are far more selective than
+    character n-grams over natural/templated text, so background
+    similarity between unrelated documents stays near 0 and LSH banding
+    actually separates near-dups from noise)."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    if num_partitions:
+        base = base.repartition(num_partitions, id_col)
+    if unit == "word":
+        toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return (
+            base.where(F.size(toks) >= n)
+            .select(F.col(id_col), F.explode(grams).alias("_sh"))
+            .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+            .distinct()
+        )
+    return (
+        base.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))).alias("_pos"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), n).alias("_sh"))
+        .where(F.length("_sh") == n)
+        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 5,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index.
 
     ``max_doc_freq`` drops shingles occurring in more than that many
     documents before the self-join — the skew guard that keeps the
-    inverted index from exploding on stopword shingles at scale (changes
-    semantics slightly; leave None for exact verification runs).
+    inverted index from exploding on stopword shingles at scale. The
+    production default is a finite cap (DEFAULT_MAX_DOC_FREQ); pass
+    ``None`` only for exact verification runs at small scale, where the
+    quadratic blowup is affordable.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
     decimals (integer-ratio division in double — deterministic and
     oracle-comparable).
     """
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n, num_partitions)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = sh.join(freq.where(F.col("_df") <= max_doc_freq).select("shingle"), "shingle")
@@ -125,6 +188,9 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 64,
     shingle_n: int = 5,
+    shingle_df: DataFrame | None = None,
+    num_partitions: int | None = None,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` columns.
 
@@ -132,17 +198,23 @@ def minhash_signatures(
     ``(a_i * h + b_i) mod (2^61-1)`` expands it to k hashes as k
     aggregate expressions — no k-fold row multiplication, one shuffle.
     Deterministic: coefficients derive from the index i, not RNG state.
+
+    ``shingle_df`` lets callers pass a precomputed (and cached)
+    ``hashed_shingles`` result so the shingle explode runs once per
+    pipeline, not once per consumer.
     """
-    sh = shingles(df, text_col, id_col, shingle_n)
+    sh = shingle_df if shingle_df is not None else hashed_shingles(
+        df, text_col, id_col, shingle_n, num_partitions, shingle_unit
+    )
     # 32-bit base hash keeps a*h+b within int64 under ANSI arithmetic
     # (a < 2^8, h < 2^32, b < 2^61 → sum < 2^63).
-    base = sh.withColumn("_h", F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)))
+    base = sh.withColumn("_h32", F.col("_h").bitwiseAND(F.lit(0xFFFFFFFF)))
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers; fixed, citable, deterministic
         b = 0x9E3779B97F4A7C15 * (i + 1) % _MERSENNE_P
         aggs.append(
-            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % _MERSENNE_P).alias(f"mh_{i}")
+            F.min((F.col("_h32") * F.lit(a) + F.lit(b)) % _MERSENNE_P).alias(f"mh_{i}")
         )
     return base.groupBy(F.col(id_col)).agg(*aggs)
 
@@ -185,21 +257,38 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    num_partitions: int | None = None,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
     verification of candidates only (the scale path: candidate count,
-    not docs², bounds the exact work)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    not docs², bounds the exact work).
+
+    Scale posture: the input is repartitioned by id before shingling
+    (a single-row-group file would otherwise make the explode stage one
+    serial task), and the hashed-shingle set is computed ONCE and cached
+    — reused by the signature aggregation and both sides of the
+    verification join. Shuffle/join keys are 8-byte hashes throughout.
+
+    Default shingle unit is WORD n-grams (Broder w-shingling). Character
+    n-grams over natural/templated text give unrelated documents a
+    background Jaccard only slightly below any useful threshold, so LSH
+    banding passes a near-quadratic candidate set; word n-grams keep
+    background similarity near 0 and candidates ≈ true near-dups. Use
+    ``shingle_unit='char'`` only for verification against the
+    char-n-gram oracle at small scale.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    sh = hashed_shingles(df, text_col, id_col, shingle_n, num_partitions, shingle_unit).cache()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh)
     cand = minhash_lsh_candidates(sigs, id_col, bands)
-    sh = shingles(df, text_col, id_col, shingle_n).select(
-        F.col(id_col).alias("_id"), "shingle"
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    sizes = sh.groupBy(F.col(id_col).alias("_id")).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
@@ -219,45 +308,46 @@ def minhash_dedup_pairs(
     )
 
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document (token-hash bit voting), vectorized
-    with numpy inside mapInPandas. Output: (id, simhash int64)."""
+    """64-bit SimHash per document (token-hash bit voting), entirely
+    JVM-side: split → explode → xxhash64(token) → 64 bit-vote aggregates
+    → sign reassembly. No Python in the path, whole-stage codegen
+    end-to-end. Output: (id, simhash int64); empty/null text → 0.
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                tokens = (text or "").split()
-                if not tokens:
-                    out_ids.append(doc_id)
-                    out_hashes.append(0)
-                    continue
-                # deterministic 64-bit token hashes via python hashlib-free FNV-1a
-                hashes = np.empty(len(tokens), dtype=np.uint64)
-                for j, tok in enumerate(tokens):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for ch in tok.encode("utf-8"):
-                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                    hashes[j] = h
-                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = int(((votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out_ids.append(doc_id)
-                out_hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({"_id": out_ids, "simhash": out_hashes})
-
+    Duplicate tokens vote once per occurrence (weighted SimHash with
+    unit weights), matching the classic Charikar construction.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    toks = (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("_tok"),
+        )
+        .where(F.length("_tok") > 0)
+        .select(F.col(id_col), F.xxhash64("_tok").alias("_th"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_th"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    # Reassemble: bit i set iff vote >= 0. Bits are disjoint, so the sum
+    # is a bitwise OR; bit 63's term is Long.MIN_VALUE, and the running
+    # sum never leaves the int64 range (bits 0..62 sum to < 2^63).
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"_v{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    sig_df = agg.select(F.col(id_col), sig.alias("simhash"))
+    # Docs with no tokens produce no vote rows; restore them with sig 0.
     return (
-        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
-        .mapInPandas(compute, schema=_SIMHASH_SCHEMA)
-        .withColumnRenamed("_id", id_col)
+        ids.join(sig_df, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
     )
 
 

@@ -102,13 +102,17 @@ def brute_force_topk(
     )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t)."""
+    """Exact all-pairs embedding-cosine near-duplicates (id_a < id_b,
+    cosine ≥ t) via cross join — O(n²), the ORACLE/verification path
+    only. The production path is ``embedding_neardup_pairs`` (sign-LSH
+    bucketed candidates + exact rerank), which this one exists to
+    measure recall against."""
     a = with_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"), F.col("_norm").alias("_na")
     )
@@ -118,6 +122,56 @@ def embedding_neardup_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _int_dot(F.col("_va"), F.col("_vb")).cast("double")
+                / (F.col("_na") * F.col("_nb")),
+                9,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 16,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, scale path: banded sign-LSH
+    candidates (equi-join on (band, value) — a pair is a candidate if it
+    agrees on ANY band) + exact integer-cosine rerank of candidates only.
+
+    Cost is docs × bands signature rows plus the candidate set — never
+    docs². Recall rises with ``bands`` and falls with ``bits_per_band``;
+    the defaults give >0.99 per-pair candidate probability at cosine 0.9
+    ((1-(1-(1-θ/π)^8)) per band, θ=acos(0.9), unioned over 16 bands).
+    Exact recall is pinned against ``embedding_neardup_pairs_exact`` in
+    tests; candidates are verified exactly, so precision is 1.0 — output
+    pairs are always true pairs.
+    """
+    sig = sign_lsh_bands(df, vec_col, id_col, bands, bits_per_band)
+    cand = (
+        sig.select(F.col(id_col).alias("id_a"), "band", "val")
+        .join(sig.select(F.col(id_col).alias("id_b"), "band", "val"), ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("_qv").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "cosine",
             F.round(
@@ -150,28 +204,48 @@ def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     return (z.astype(np.float64) / 2**64) - 0.5
 
 
-def sign_lsh_signatures(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", bits: int = 16
+def sign_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 16,
+    bits_per_band: int = 8,
 ) -> DataFrame:
-    """b-bit sign signature per vector (vectorized numpy matmul in Arrow
-    batches)."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    planes = _hyperplanes(dim, bits)
+    """Banded sign-LSH signatures: ``bands`` rows per vector of
+    (id, band, val) where ``val`` packs ``bits_per_band`` hyperplane
+    signs. Vectorized numpy matmul in Arrow batches; hyperplanes derive
+    deterministically from (bit, dim) integer mixes, and the embedding
+    dimension is read from each batch executor-side — no driver action
+    at plan-build time, and an empty input yields an empty result."""
+    total_bits = bands * bits_per_band
 
     schema = T.StructType(
-        [T.StructField("_id", T.LongType()), T.StructField("bucket", T.LongType())]
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("val", T.LongType()),
+        ]
     )
 
     def sig(batches):
+        planes = None
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"_id": [], "bucket": []})
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            proj = mat @ planes.T  # (n, bits)
-            buckets = ((proj >= 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(axis=1)
-            yield pd.DataFrame({"_id": pdf[id_col].astype("int64"), "bucket": buckets.astype("int64")})
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], total_bits)
+            proj = mat @ planes.T  # (n, total_bits)
+            bits = (proj >= 0).astype(np.uint64).reshape(len(pdf), bands, bits_per_band)
+            weights = np.left_shift(np.uint64(1), np.arange(bits_per_band, dtype=np.uint64))
+            vals = (bits * weights).sum(axis=2)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf[id_col].to_numpy().astype("int64"), bands),
+                    "band": np.tile(np.arange(bands, dtype="int32"), len(pdf)),
+                    "val": vals.reshape(-1).astype("int64"),
+                }
+            )
 
     return (
         df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
@@ -180,20 +254,37 @@ def sign_lsh_signatures(
     )
 
 
+def sign_lsh_signatures(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", bits: int = 16
+) -> DataFrame:
+    """Single b-bit sign signature per vector (one band) — kept as the
+    simple bucketing API; ``sign_lsh_bands`` is the recall-tunable form."""
+    return sign_lsh_bands(df, vec_col, id_col, bands=1, bits_per_band=bits).select(
+        F.col(id_col), F.col("val").alias("bucket")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    bits: int = 12,
+    bands: int = 16,
+    bits_per_band: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same-bucket vectors, then exact
-    cosine rerank of candidates only. Equi-join on bucket replaces the
-    cross join; recall measured against ``brute_force_topk`` in tests."""
-    qs = sign_lsh_signatures(queries, vec_col, id_col, bits).withColumnRenamed(id_col, "qid")
-    cs = sign_lsh_signatures(corpus, vec_col, id_col, bits).withColumnRenamed(id_col, "nid")
-    cand = qs.join(cs, "bucket").where(F.col("qid") != F.col("nid")).select("qid", "nid")
+    """Approximate top-k: candidates = vectors agreeing with the query
+    on any LSH band, then exact cosine rerank of candidates only. The
+    (band, val) equi-join replaces the cross join; recall is measured
+    against ``brute_force_topk`` in tests/test_llm_ops.py."""
+    qs = sign_lsh_bands(queries, vec_col, id_col, bands, bits_per_band).withColumnRenamed(id_col, "qid")
+    cs = sign_lsh_bands(corpus, vec_col, id_col, bands, bits_per_band).withColumnRenamed(id_col, "nid")
+    cand = (
+        qs.join(cs, ["band", "val"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
 
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("qid"), F.col("_qv").alias("_qvq"), F.col("_norm").alias("_qn")

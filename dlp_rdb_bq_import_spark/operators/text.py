@@ -157,3 +157,22 @@ def winnowing_fingerprints(
     return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
         compute, schema=_WINNOW_SCHEMA
     )
+
+
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints as scalar-sortable exploded rows
+    (doc_id, pos, fingerprint) — the harness/sink-facing shape (array
+    columns defeat canonical row sorting downstream). Docs shorter than
+    k keep one row with null pos/fingerprint so every input id appears.
+    """
+    arr = winnowing_fingerprints(df, text_col, id_col, k, window)
+    return arr.select(
+        F.col("doc_id"),
+        F.posexplode_outer("winnow_fingerprints").alias("pos", "fingerprint"),
+    ).select(F.col("doc_id"), F.col("pos").cast("long").alias("pos"), F.col("fingerprint"))

@@ -68,7 +68,6 @@ def run_import(
     configs = load_dlp_configs(options.dlp_config) if options.dlp_config else None
     tables = attach_dlp_configs(tables, configs)
 
-    dead_letters: list[dict] = []
     results: list[WriteResult] = []
 
     def import_one(table: SqlTable) -> WriteResult:
@@ -81,14 +80,13 @@ def run_import(
         for fut, table in futures.items():
             try:
                 results.append(fut.result())
-            except Exception as e:  # catalog/read errors → dead letter
-                dead_letters.append({"table": table.qualified_name, "error": str(e)})
-                results.append(
-                    WriteResult(table.full_name, "", "failed", str(e))
-                )
+            except Exception as e:  # catalog/read errors → failed result
+                results.append(WriteResult(table.full_name, "", "failed", str(e)))
 
-    dead_letters.extend(
+    # Single dead-letter channel: every failure (read/shape exceptions and
+    # failed writes alike) is quarantined exactly once, keyed by full_name.
+    dead_letters = [
         {"table": r.table, "error": r.error} for r in results if r.status == "failed"
-    )
+    ]
     warehouse.quarantine(options.dataset, dead_letters)
     return results

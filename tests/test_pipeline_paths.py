@@ -1,0 +1,238 @@
+"""Failure-path and binding tests for the import/reid pipelines —
+closes the untested rows from round 1: S9 (quarantine/dead-letter),
+S10 (batched message sink limits), J3 (column-rename map), T5
+(per-table transform binding e2e).
+
+Reference behaviors exercised:
+- dead-letter capture instead of job failure — DBImportPipeline.java:134-162;
+- Pub/Sub batch limits ≤1000 msgs / ≤10,000 bytes —
+  BQReidentificationPipeline.java:70-72,126-128;
+- column map tolerating missing keys — BQReidentificationPipeline.java:288-300;
+- per-table deid template binding — sqlserver/dlp_config.json:15-31,
+  common/DLPProperties.java:21-26.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from dlp_rdb_bq_import_spark.config import ImportJobOptions, ReidJobOptions
+from dlp_rdb_bq_import_spark.functions.tokenize import (
+    DeidTemplate,
+    FieldTransform,
+    TemplateRegistry,
+    deidentify,
+    reidentify,
+)
+from dlp_rdb_bq_import_spark.plans.import_job import run_import
+from dlp_rdb_bq_import_spark.plans.reid_job import run_reid
+from dlp_rdb_bq_import_spark.sinks.messages import publish_json
+from dlp_rdb_bq_import_spark.sinks.warehouse import Warehouse
+
+KEY = b"pipeline-paths-test-key-32bytes!"
+
+
+def _write_parquet(path: str, pdf: pd.DataFrame) -> None:
+    pdf.to_parquet(path, index=False)
+
+
+# ---------------------------------------------------------------------------
+# S9 — poisoned table → dead-letter quarantine, healthy tables unaffected
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_on_poisoned_table(spark, tmp_path):
+    """One table with an unsanitizable column name (F1 validation throws,
+    ServerUtil.java:303-313) must dead-letter WITHOUT failing the job or
+    the healthy table, and produce exactly ONE quarantine record
+    (regression: the failure used to be recorded twice)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_parquet(str(src / "good.parquet"), pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}))
+    # '123 bad' sanitizes to '123_bad' which fails ^[A-Za-z_]... validation
+    _write_parquet(str(src / "poison.parquet"), pd.DataFrame({"123 bad": [1], "v": ["x"]}))
+
+    wh_dir = str(tmp_path / "wh")
+    options = ImportJobOptions(jdbc_spec=str(src), dataset="DS", warehouse_dir=wh_dir)
+    results = run_import(spark, options)
+
+    by_status = {r.table: r.status for r in results}
+    assert by_status["main_good"] == "ok"
+    assert by_status["main_poison"] == "failed"
+
+    wh = Warehouse(wh_dir)
+    assert wh.read(spark, "DS", "main_good").count() == 2
+
+    qdir = os.path.join(wh_dir, "DS", "_quarantine")
+    records = []
+    for fname in os.listdir(qdir):
+        with open(os.path.join(qdir, fname)) as f:
+            records.extend(json.loads(line) for line in f)
+    assert len(records) == 1  # exactly once, not double-recorded
+    assert records[0]["table"] == "main_poison"
+    assert "123_bad" in records[0]["error"]
+
+
+def test_no_quarantine_dir_when_all_ok(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_parquet(str(src / "t.parquet"), pd.DataFrame({"id": [1], "v": ["a"]}))
+    wh_dir = str(tmp_path / "wh")
+    run_import(spark, ImportJobOptions(jdbc_spec=str(src), dataset="DS", warehouse_dir=wh_dir))
+    assert not os.path.exists(os.path.join(wh_dir, "DS", "_quarantine"))
+
+
+# ---------------------------------------------------------------------------
+# S10 — batched message sink limits
+# ---------------------------------------------------------------------------
+
+
+def _read_batches(out_dir: str) -> list[list[str]]:
+    batches = []
+    for fname in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, fname)) as f:
+            batches.append([ln for ln in f.read().splitlines() if ln])
+    return batches
+
+
+def test_publish_json_message_count_limit(spark, tmp_path):
+    """2500 tiny rows in one partition → batches of ≤1000 messages, every
+    row delivered exactly once (BQReidentificationPipeline.java:70-72)."""
+    out = str(tmp_path / "msgs")
+    df = spark.range(2500).withColumnRenamed("id", "k").repartition(1)
+    publish_json(df, out, max_messages=1000, max_bytes=10_000_000)
+    batches = _read_batches(out)
+    assert all(len(b) <= 1000 for b in batches)
+    assert sum(len(b) for b in batches) == 2500
+    keys = sorted(json.loads(m)["k"] for b in batches for m in b)
+    assert keys == list(range(2500))
+
+
+def test_publish_json_byte_limit(spark, tmp_path):
+    """Rows of ~2 KB against a 10 KB cap → ≤5 messages per batch, and no
+    batch (beyond a single oversized message) exceeds the byte cap."""
+    out = str(tmp_path / "msgs")
+    big = "x" * 2000
+    df = spark.createDataFrame([(i, big) for i in range(20)], ["k", "pad"]).repartition(1)
+    publish_json(df, out, max_messages=1000, max_bytes=10_000)
+    batches = _read_batches(out)
+    assert sum(len(b) for b in batches) == 20
+    for b in batches:
+        assert len(b) <= 5
+        if len(b) > 1:
+            assert sum(len(m.encode()) for m in b) <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# J3 — column-rename map through the reid pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_reid_column_map_renames_and_tolerates_missing(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "4111111111111111", "ALICE"), (2, "5500005555555559", "BOB")],
+        ["id", "card_number", "Card_Holders_Name"],
+    ).createOrReplaceTempView("cards")
+    out = run_reid(
+        spark,
+        ReidJobOptions(
+            query="SELECT id, card_number, Card_Holders_Name FROM cards",
+            column_map={
+                "card_number": "cardNumber",
+                "not_a_column": "whatever",  # must be tolerated (ref :288-300)
+            },
+        ),
+    )
+    assert out.columns == ["id", "cardNumber", "Card_Holders_Name"]
+    assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# T5 — per-table transform binding, import → warehouse → reid roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_transform_binding_end_to_end(spark, tmp_path):
+    """dlp_config binds a deid template to ONE table by name; that
+    table's configured column is tokenized in the warehouse, the other
+    table passes through untouched, and reidentify restores the
+    original values (T1/T2/T5 + dlp_config.json:15-31 shape)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_parquet(
+        str(src / "patient.parquet"),
+        pd.DataFrame({"patient_id": [1, 2], "name": ["AliceSmith", "BobJones"], "age": [30, 40]}),
+    )
+    _write_parquet(
+        str(src / "visit.parquet"),
+        pd.DataFrame({"visit_id": [10], "note": ["routine"]}),
+    )
+    cfg_path = str(tmp_path / "dlp_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            [{"tableName": "patient", "batchSize": 500, "deidTemplate": "deid-patient"}], f
+        )
+
+    registry = TemplateRegistry()
+    template = DeidTemplate(
+        name="deid-patient", key=KEY, field_transforms=(FieldTransform(fields=("name",)),)
+    )
+    registry.register(template)
+
+    wh_dir = str(tmp_path / "wh")
+    results = run_import(
+        spark,
+        ImportJobOptions(
+            jdbc_spec=str(src), dataset="DS", dlp_config=cfg_path, warehouse_dir=wh_dir
+        ),
+        templates=registry,
+    )
+    assert {r.table: r.status for r in results} == {"main_patient": "ok", "main_visit": "ok"}
+
+    wh = Warehouse(wh_dir)
+    tokenized = {r["patient_id"]: r["name"] for r in wh.read(spark, "DS", "main_patient").collect()}
+    assert tokenized[1] != "AliceSmith" and tokenized[2] != "BobJones"
+
+    untouched = wh.read(spark, "DS", "main_visit").collect()
+    assert untouched[0]["note"] == "routine"
+
+    restored = {
+        r["patient_id"]: r["name"]
+        for r in reidentify(wh.read(spark, "DS", "main_patient"), template).collect()
+    }
+    assert restored == {1: "AliceSmith", 2: "BobJones"}
+
+
+def test_reid_pipeline_publishes_detokenized_json(spark, tmp_path):
+    """Full reid path: tokenized view → run_reid(template + column_map +
+    output_dir) → JSON batches contain the ORIGINAL values under the
+    RENAMED headers (BQReidentificationPipeline.java:106-129 shape)."""
+    registry = TemplateRegistry()
+    template = DeidTemplate(
+        name="deid-cards", key=KEY, field_transforms=(FieldTransform(fields=("card_number",)),)
+    )
+    registry.register(template)
+
+    plain = spark.createDataFrame(
+        [(1, "4111111111111111"), (2, "5500005555555559")], ["id", "card_number"]
+    )
+    deidentify(plain, template).createOrReplaceTempView("tokenized_cards")
+
+    out = str(tmp_path / "msgs")
+    run_reid(
+        spark,
+        ReidJobOptions(
+            query="SELECT id, card_number FROM tokenized_cards",
+            deid_template="deid-cards",
+            column_map={"card_number": "cardNumber"},
+            output_dir=out,
+        ),
+        templates=registry,
+    )
+    msgs = [json.loads(m) for b in _read_batches(out) for m in b]
+    by_id = {m["id"]: m["cardNumber"] for m in msgs}
+    assert by_id == {1: "4111111111111111", 2: "5500005555555559"}
