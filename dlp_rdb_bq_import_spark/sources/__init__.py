@@ -16,10 +16,20 @@ from .parquet_source import ParquetDirSource
 
 
 def get_source(spec: str, **kwargs) -> Source:
-    """Dispatch a connection spec to a Source (P6 parity, clean design)."""
+    """Dispatch a connection spec to a Source (P6 parity, clean design).
+
+    JDBC catalog strategy defaults by dialect: SQL Server URLs use the
+    reference's INFORMATION_SCHEMA queries (ServerUtil.java:47-52);
+    other engines use the portable java.sql.DatabaseMetaData API.
+    Callers can override via ``catalog_strategy=``.
+    """
     if spec.startswith("mock://") or spec == "TEST_HOST":
         return MockSource()
     if spec.startswith("jdbc:"):
+        kwargs.setdefault(
+            "catalog_strategy",
+            "information_schema" if spec.startswith("jdbc:sqlserver:") else "metadata",
+        )
         return JdbcSource(spec, **kwargs)
     return ParquetDirSource(spec)
 

@@ -56,9 +56,25 @@ def num_partitions_for(row_count: int, offset_count: int) -> int:
 
 
 class JdbcSource(Source):
-    def __init__(self, url: str, properties: dict[str, str] | None = None):
+    """``catalog_strategy``:
+
+    - ``"information_schema"`` (default) — the reference's SQL Server
+      dialect queries above (ServerUtil.java:47-52 parity);
+    - ``"metadata"`` — the standard ``java.sql.DatabaseMetaData``
+      catalog API (getTables/getColumns/getPrimaryKeys), which works
+      across JDBC engines (Derby/H2/Postgres/...) and is what lets the
+      catalog path run against a live in-process database in tests.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        properties: dict[str, str] | None = None,
+        catalog_strategy: str = "information_schema",
+    ):
         self.url = url
         self.properties = dict(properties or {})
+        self.catalog_strategy = catalog_strategy
 
     def _read_query(self, spark: SparkSession, query: str) -> DataFrame:
         return (
@@ -70,6 +86,65 @@ class JdbcSource(Source):
         )
 
     def list_tables(self, spark: SparkSession) -> list[SqlTable]:
+        if self.catalog_strategy == "metadata":
+            return self.list_tables_via_metadata(spark)
+        return self._list_tables_information_schema(spark)
+
+    def list_tables_via_metadata(self, spark: SparkSession) -> list[SqlTable]:
+        """Catalog discovery through ``java.sql.DatabaseMetaData`` — the
+        engine-portable analogue of the reference's INFORMATION_SCHEMA
+        queries (ServerUtil.java:103-204). Driver-side and tiny (catalog
+        rows only); the data scan itself stays a distributed
+        ``spark.read.jdbc``."""
+        jvm = spark._jvm
+        gateway = spark.sparkContext._gateway
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            if k != "driver":
+                props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            meta = conn.getMetaData()
+            types_arr = gateway.new_array(jvm.java.lang.String, 1)
+            types_arr[0] = "TABLE"
+            tables: list[SqlTable] = []
+            rs = meta.getTables(None, None, "%", types_arr)
+            found: list[tuple[str, str]] = []
+            while rs.next():
+                found.append((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+            rs.close()
+            for i, (schema, name) in enumerate(found):
+                pk_rs = meta.getPrimaryKeys(None, schema, name)
+                pks = set()
+                while pk_rs.next():
+                    pks.add(pk_rs.getString("COLUMN_NAME"))
+                pk_rs.close()
+                col_rs = meta.getColumns(None, schema, name, "%")
+                cols = []
+                while col_rs.next():
+                    cols.append(
+                        SqlColumn(
+                            name=col_rs.getString("COLUMN_NAME"),
+                            ordinal_position=int(col_rs.getInt("ORDINAL_POSITION")),
+                            default_value=col_rs.getString("COLUMN_DEF"),
+                            nullable=(col_rs.getString("IS_NULLABLE") or "").upper() == "YES",
+                            data_type=col_rs.getString("TYPE_NAME"),
+                            primary_key=col_rs.getString("COLUMN_NAME") in pks,
+                        )
+                    )
+                col_rs.close()
+                cols.sort(key=lambda c: c.ordinal_position)
+                tables.append(
+                    SqlTable(
+                        schema=schema, name=name, table_type="BASE TABLE", key=i,
+                        columns=tuple(cols),
+                    )
+                )
+            return tables
+        finally:
+            conn.close()
+
+    def _list_tables_information_schema(self, spark: SparkSession) -> list[SqlTable]:
         tables: list[SqlTable] = []
         rows = self._read_query(spark, TABLES_QUERY).collect()  # catalog: tiny
         for i, r in enumerate(rows):

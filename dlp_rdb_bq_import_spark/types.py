@@ -58,7 +58,26 @@ _FLOAT_TYPES = {"FLOAT", "REAL"}
 _BINARY_TYPES = {"BINARY", "VARBINARY", "IMAGE"}
 _NTZ_TYPES = {"DATETIME", "DATETIME2", "SMALLDATETIME"}
 
-_TYPE_DECL = re.compile(r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?:\(\s*([0-9]+)\s*(?:,\s*([0-9]+)\s*)?\))?\s*$")
+_TYPE_DECL = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*(?:\s+[A-Za-z_]+)?)\s*"
+    r"(?:\(\s*([0-9]+)\s*(?:,\s*([0-9]+)\s*)?\))?\s*$"
+)
+
+# ANSI/portable type names (reported by DatabaseMetaData on non-SQL-Server
+# engines, e.g. Derby/H2/Postgres) normalized onto the reference's SQL
+# Server enum. Names outside BOTH sets still throw — parity with the
+# reference's hard failure on unknown names (ServerUtil.java:216-221).
+_ANSI_ALIASES = {
+    "INTEGER": "INT",
+    "DOUBLE": "FLOAT",
+    "DOUBLE PRECISION": "FLOAT",
+    "BOOLEAN": "BIT",
+    "CLOB": "TEXT",
+    "BLOB": "VARBINARY",
+    "CHARACTER": "CHAR",
+    "CHARACTER VARYING": "VARCHAR",
+    "CHAR VARYING": "VARCHAR",
+}
 
 
 class UnknownSourceType(ValueError):
@@ -74,7 +93,8 @@ def parse_type_decl(decl: str) -> tuple[str, int | None, int | None]:
     m = _TYPE_DECL.match(decl)
     if not m:
         raise UnknownSourceType(f"unparseable type declaration: {decl!r}")
-    name = m.group(1).upper()
+    name = " ".join(m.group(1).upper().split())
+    name = _ANSI_ALIASES.get(name, name)
     p = int(m.group(2)) if m.group(2) else None
     s = int(m.group(3)) if m.group(3) else None
     return name, p, s

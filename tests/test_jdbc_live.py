@@ -1,0 +1,95 @@
+"""Live JDBC tests against an in-process Apache Derby database (the
+Derby embedded driver ships with Spark's jars — a public driver, no
+network). Turns the S1-S5 rows from "untested, no live DB" into
+exercised paths:
+
+- S1/S2/S3 — catalog discovery, ordered column schemas, PK probe via
+  the engine-portable DatabaseMetaData strategy (the reference's
+  INFORMATION_SCHEMA SQL strings are SQL Server dialect,
+  ServerUtil.java:47-52; their construction stays unit-tested);
+- S4 — COUNT(*) row-count probe through a real JDBC round trip
+  (ServerUtil.java:136-155);
+- S5 — range-partitioned parallel scan: numPartitions =
+  ceil(count/offset_count) (TableToDbRowFn.java:150-167 split
+  arithmetic) with range predicates instead of OFFSET paging; asserts
+  no row is skipped or duplicated — the hazard the reference's
+  OFFSET-on-nonunique-key pagination carries (SURVEY.md §7.4.3).
+
+Derby's in-memory DB lives in the driver JVM; Spark local-mode
+executors share that JVM, so distributed reads see the same database.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dlp_rdb_bq_import_spark.sources.jdbc_source import JdbcSource, num_partitions_for
+
+URL = "jdbc:derby:memory:livetest;create=true"
+N_ROWS = 100
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE PATIENT ("
+        "PATIENT_ID INT PRIMARY KEY, NAME VARCHAR(50), AGE INT)"
+    )
+    st.executeUpdate("CREATE TABLE MEDICATION (RECORD_ID INT PRIMARY KEY, DRUG VARCHAR(50))")
+    ps = conn.prepareStatement("INSERT INTO PATIENT VALUES (?, ?, ?)")
+    for i in range(1, N_ROWS + 1):
+        ps.setInt(1, i)
+        ps.setString(2, f"patient_{i}")
+        ps.setInt(3, 20 + (i % 60))
+        ps.addBatch()
+    ps.executeBatch()
+    ps.close()
+    st.close()
+    conn.close()
+    yield JdbcSource(URL, catalog_strategy="metadata")
+
+
+def test_catalog_discovery(spark, derby):
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    assert set(tables) >= {"PATIENT", "MEDICATION"}
+    patient = tables["PATIENT"]
+    assert [c.name for c in patient.columns] == ["PATIENT_ID", "NAME", "AGE"]
+    assert [c.ordinal_position for c in patient.columns] == [1, 2, 3]
+    assert [c.data_type for c in patient.columns] == ["INTEGER", "VARCHAR", "INTEGER"]
+
+
+def test_primary_key_probe(spark, derby):
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    assert tables["PATIENT"].primary_key_column == "PATIENT_ID"
+    assert tables["MEDICATION"].primary_key_column == "RECORD_ID"
+    # PK column is NOT NULL in the discovered schema
+    pk_col = next(c for c in tables["PATIENT"].columns if c.primary_key)
+    assert pk_col.nullable is False
+
+
+def test_row_count_probe(spark, derby):
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    assert derby.row_count(spark, tables["PATIENT"]) == N_ROWS
+    assert derby.row_count(spark, tables["MEDICATION"]) == 0
+
+
+def test_partitioned_read_exact_and_parallel(spark, derby):
+    """offset_count=25 over 100 rows → 4 range partitions; every row
+    arrives exactly once (range predicates cannot skip/duplicate, unlike
+    OFFSET pagination over a non-unique sort key)."""
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    df = derby.read_table(spark, tables["PATIENT"], offset_count=25)
+    assert df.rdd.getNumPartitions() == num_partitions_for(N_ROWS, 25) == 4
+    ids = sorted(r["PATIENT_ID"] for r in df.collect())
+    assert ids == list(range(1, N_ROWS + 1))
+
+
+def test_partitioned_read_empty_table(spark, derby):
+    """Empty table: bounds are NULL → single-partition read, 0 rows, no
+    crash."""
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    df = derby.read_table(spark, tables["MEDICATION"], offset_count=25)
+    assert df.count() == 0
