@@ -51,10 +51,24 @@ class DLPProperties:
 
 
 def load_dlp_configs(path_or_json: str) -> list[DLPProperties]:
-    """Read the config array (reference reads it from GCS,
-    ServerUtil.java:252-272; we read a local path or a JSON literal)."""
+    """Read the config array from a JSON literal, a local path, or a
+    URL-scheme path (``gs://`` / ``s3://`` / ...) — the reference's
+    actual interface is a GCS object (ServerUtil.java:252-272). Remote
+    schemes go through ``fsspec`` (the standard pluggable-filesystem
+    interface; gcsfs/s3fs register themselves with it) when installed,
+    with a clear error otherwise."""
     if path_or_json.lstrip().startswith("["):
         raw = json.loads(path_or_json)
+    elif "://" in path_or_json:
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise RuntimeError(
+                f"reading {path_or_json!r} requires fsspec (plus the scheme's "
+                "driver, e.g. gcsfs for gs://); install it or pass a local path"
+            ) from e
+        with fsspec.open(path_or_json, "r") as f:
+            raw = json.load(f)
     else:
         with open(path_or_json) as f:
             raw = json.load(f)

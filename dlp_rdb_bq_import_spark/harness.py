@@ -617,14 +617,14 @@ def q_rank(spark, sf_dir):
     "sessionize",
     oracle="""
 WITH g AS (
-  SELECT user_id, event_id,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
               OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM g
 )
@@ -635,12 +635,13 @@ FROM s GROUP BY user_id, session_id
 """,
 )
 def q_sessionize(spark, sf_dir):
-    """Sessionization: gap > 30 min starts a new session. NOTE: event_id
-    order coincides with ts order per user in the fixture, letting the
-    cumulative sum window key on event_id alone on both sides."""
+    """Sessionization: gap > 30 min starts a new session. Both window
+    passes order by (ts, event_id) — keying the cumulative sum on
+    event_id alone would silently depend on ids arriving in time order,
+    a trap on real data even though this fixture happens to satisfy it."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
