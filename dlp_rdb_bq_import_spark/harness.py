@@ -32,7 +32,7 @@ from .functions.tokenize import (
     deidentify,
     reidentify,
 )
-from .operators import dedup, similarity, text as text_ops
+from .operators import dedup, sampling, similarity, text as text_ops
 from .operators.multimodal import attach_payload, payload_stats
 from .streaming.jobs import windowed_event_counts
 
@@ -1199,6 +1199,81 @@ FROM documents
 )
 def q_text_analysis(spark, sf_dir):
     return text_ops.analyze_documents(t(spark, sf_dir, "documents"))
+
+
+@query("dedup_clusters")  # iterative connected components — rows-only
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive duplicate clusters (min-id label).
+    Iterative label propagation is not SQL-expressible (the oracle
+    cannot state a fixpoint); correctness is pinned against a union-find
+    reference in tests/test_llm_ops.py."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.35, shingle_n=3, shingle_unit="word"
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+@query("curation_pipeline")  # composition over iterative clustering — rows-only
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation shape a training-data run executes:
+    near-dup pairs → keep one representative per cluster → quality
+    filter → deterministic subsample. Each stage is individually
+    verified (minhash containment, cluster union-find, sample oracle);
+    this query checks they compose."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.35, shingle_n=3, shingle_unit="word"
+    )
+    kept = dedup.dedup_keep_representative(d, pairs, "doc_id")
+    kept = kept.where(text_ops.quality_score(F.col("text")) >= 0.5)
+    return sampling.deterministic_sample(kept, "doc_id", 0.5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {sampling.sample_predicate_sql('doc_id', 0.25)}
+""",
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-based sampling: same rows on every engine and every
+    partitioning (seeded df.sample is neither)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.deterministic_sample(d, "doc_id", 0.25)
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en' THEN {sampling.sample_predicate_sql('doc_id', 0.5)}
+           WHEN lang = 'de' THEN {sampling.sample_predicate_sql('doc_id', 0.25)}
+           ELSE FALSE END
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (portable sampleBy)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(d, "doc_id", "lang", {"en": 0.5, "de": 0.25})
+
+
+@query(
+    "subword_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text_ops.SUBWORD_PATTERN}')) AS BIGINT) AS n_subtokens
+FROM documents
+""",
+)
+def q_subword_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text_ops.subword_token_count(F.col("text")).alias("n_subtokens")
+    )
 
 
 @query("winnow_fingerprints")  # Python rolling-hash algorithm — rows-only

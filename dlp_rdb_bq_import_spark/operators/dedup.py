@@ -351,6 +351,93 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id is the minimum doc id in the component. Pair lists
+    alone don't dedup a corpus — transitive closure does (a~b, b~c must
+    collapse to ONE keeper even when a~c was never emitted).
+
+    Iterative min-label propagation as a driver-side loop of DataFrame
+    joins (the standard Spark pattern for iterative graph algorithms):
+    each round every node takes the min of its own and its neighbors'
+    labels; converges in O(component diameter) rounds — near-dup
+    components are shallow (stars around a few templates), so a handful
+    of rounds suffices at any scale. ``localCheckpoint`` cuts the plan
+    lineage each round, keeping the job DAG flat; convergence is
+    detected with a changed-label count, so no extra rounds run.
+
+    Only ids that appear in some pair are emitted; singletons are their
+    own implicit cluster (callers: see ``dedup_keep_representative``).
+    """
+    # Materialize the edge list ONCE (localCheckpoint is eager): pairs
+    # may be the tail of an expensive pipeline (minhash → LSH → verify),
+    # and the loop below references edges every round — without this,
+    # each iteration would recompute the entire upstream pipeline.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup removal: keep one representative (minimum
+    id) per duplicate cluster, pass singletons through untouched. This
+    is the operator a curation pipeline actually calls — pairs and
+    clusters are its internals."""
+    clusters = duplicate_clusters(pairs, id_a, id_b).withColumnRenamed("doc_id", id_col)
+    return (
+        df.join(clusters, id_col, "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
+        .drop("cluster_id")
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data curation.
+
+Engine-portable by construction: the sampling predicate is a comparison
+on an md5-hex prefix of the key — md5 of the same string is identical in
+every engine, and hex-string comparison is lexicographic everywhere, so
+the SAME rows are selected by Spark and by the ANSI-SQL oracle, with no
+RNG state and no seed-propagation machinery. (Built-in ``df.sample`` is
+seed-deterministic only within one engine AND one partitioning — a
+re-partitioned input silently changes the sample; hash-based sampling is
+partitioning-independent, the property that matters when the same
+curation run executes on 10 executors today and 1000 tomorrow.)
+
+Granularity: the predicate compares the first 4 hex chars (16 bits), so
+fractions are quantized to 1/65536 steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 4  # hex chars compared → 16-bit resolution
+
+
+def _bucket_bound(fraction: float) -> str:
+    """The md5-prefix upper bound selecting ≈``fraction`` of keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = int(round(fraction * (16 ** _PREFIX_LEN)))
+    return format(min(bound, 16 ** _PREFIX_LEN - 1), f"0{_PREFIX_LEN}x")
+
+
+def sample_predicate(key: Column, fraction: float) -> Column:
+    """Boolean column: md5-prefix(key) < bound. Portable to ANSI SQL as
+    ``substr(md5(CAST(key AS VARCHAR)), 1, 4) < '<bound>'``."""
+    return F.substring(F.md5(key.cast("string")), 1, _PREFIX_LEN) < F.lit(
+        _bucket_bound(fraction)
+    )
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by key hash — same rows on
+    every engine, every partitioning, every cluster size."""
+    return df.where(sample_predicate(F.col(key_col), fraction))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the portable analogue of
+    ``df.sampleBy``): each stratum keeps its own fraction; strata absent
+    from ``fractions`` are dropped."""
+    pred = F.lit(False)
+    for stratum, frac in fractions.items():
+        pred = F.when(
+            F.col(strata_col) == stratum, sample_predicate(F.col(key_col), frac)
+        ).otherwise(pred)
+    return df.where(pred)
+
+
+def sample_predicate_sql(key_expr: str, fraction: float) -> str:
+    """The oracle-side rendering of ``sample_predicate`` (DuckDB/ANSI)."""
+    return f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_LEN}) < '{_bucket_bound(fraction)}'"

@@ -51,6 +51,19 @@ def word_occurrences(text: Column, word: str) -> Column:
     return _occurrences(padded, f" {word} ")
 
 
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# non-alphanumeric marks — the classic subword pre-split shape. Pure
+# character-class alternation, so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+SUBWORD_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def subword_token_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (a proxy for LLM token cost that,
+    unlike whitespace counts, bills digits and punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_PATTERN), 0)).cast("long")
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0, ~1]: length band +
     stopword presence + punctuation sparsity. Pure double arithmetic —

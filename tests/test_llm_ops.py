@@ -27,7 +27,12 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dlp_rdb_bq_import_spark.operators import dedup, similarity, text as text_ops
+from dlp_rdb_bq_import_spark.operators import (
+    dedup,
+    sampling,
+    similarity,
+    text as text_ops,
+)
 from dlp_rdb_bq_import_spark.operators.multimodal import attach_payload
 from dlp_rdb_bq_import_spark.harness import t as load_table
 
@@ -188,6 +193,96 @@ def test_minhash_word_unit_finds_planted_dups(spark):
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert found.get((0, 100)) == 1.0
     assert len(found) <= 3  # no quadratic candidate soup from noise
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components) vs union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent reference: classic union-find, min element as label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Chains, stars, disjoint components — transitive closure must
+    match union-find even for pairs never directly emitted (a~b, b~c
+    ⇒ a,c share a cluster)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),  # 5-chain: needs propagation depth
+             (10, 11), (10, 12), (10, 13),    # star
+             (20, 21)]                         # pair
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pdf).collect()
+    }
+    assert got == _union_find_clusters(pairs)
+
+
+def test_dedup_keep_representative(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 10, 11, 50]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_representative(docs, pairs, "doc_id").collect()
+    )
+    # one representative (min id) per cluster; singleton 50 passes through
+    assert kept == [1, 10, 50]
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartitioning(spark):
+    """The same rows must be selected regardless of partitioning — the
+    property seeded df.sample does NOT have, and the one that matters
+    when a job moves between cluster sizes."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sampling.deterministic_sample(df, "k", 0.3).collect())
+    b = sorted(
+        r["k"]
+        for r in sampling.deterministic_sample(df.repartition(17), "k", 0.3).collect()
+    )
+    assert a == b
+    assert 0.25 <= len(a) / 5000 <= 0.35  # fraction lands near target
+
+
+def test_stratified_sample_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = sampling.stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}).collect()
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    n_de = sum(1 for r in out if r["lang"] == "de")
+    assert 0.4 <= n_en / 2000 <= 0.6
+    assert 0.05 <= n_de / 2000 <= 0.16
+    # dropped stratum: absent from fractions ⇒ absent from output
+    out2 = sampling.stratified_sample(df, "k", "lang", {"en": 0.5}).collect()
+    assert all(r["lang"] == "en" for r in out2)
+
+
+def test_sample_fraction_edges(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
+    assert sampling.deterministic_sample(df, "k", 1.0).count() >= 99  # top bucket quantization
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(df, "k", 1.5)
 
 
 # ---------------------------------------------------------------------------
