@@ -351,36 +351,66 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Classic union-find with path compression; min element labels the
+    component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     where cluster_id is the minimum doc id in the component. Pair lists
     alone don't dedup a corpus — transitive closure does (a~b, b~c must
     collapse to ONE keeper even when a~c was never emitted).
 
-    Iterative min-label propagation as a driver-side loop of DataFrame
-    joins (the standard Spark pattern for iterative graph algorithms):
-    each round every node takes the min of its own and its neighbors'
-    labels; converges in O(component diameter) rounds — near-dup
-    components are shallow (stars around a few templates), so a handful
-    of rounds suffices at any scale. ``localCheckpoint`` cuts the plan
-    lineage each round, keeping the job DAG flat; convergence is
-    detected with a changed-label count, so no extra rounds run.
+    Adaptive strategy, same spirit as AQE's broadcast decision: the pair
+    set is orders of magnitude smaller than the corpus (it's the near-
+    dup graph, not the data), so up to ``driver_threshold`` pairs it is
+    collected and solved with union-find in milliseconds driver-side —
+    one Spark job instead of one per propagation round. Above the
+    threshold, iterative min-label propagation runs as a driver-side
+    loop of DataFrame joins: each round every node takes the min of its
+    own and its neighbors' labels, converging in O(component diameter)
+    rounds (near-dup components are shallow stars). ``localCheckpoint``
+    cuts plan lineage each round; a changed-label count is the early
+    exit.
 
     Only ids that appear in some pair are emitted; singletons are their
     own implicit cluster (callers: see ``dedup_keep_representative``).
     """
     # Materialize the edge list ONCE (localCheckpoint is eager): pairs
     # may be the tail of an expensive pipeline (minhash → LSH → verify),
-    # and the loop below references edges every round — without this,
-    # each iteration would recompute the entire upstream pipeline.
+    # and everything below references it repeatedly — without this the
+    # upstream pipeline would recompute per action.
+    plain = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    ).localCheckpoint()
+    if plain.count() <= driver_threshold:
+        labels = _union_find_labels([(r["src"], r["dst"]) for r in plain.collect()])
+        return plain.sparkSession.createDataFrame(
+            list(labels.items()), "doc_id long, cluster_id long"
+        )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        plain.union(plain.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
@@ -397,23 +427,21 @@ def duplicate_clusters(
             .agg(F.min("dst_label").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
-        new_labels = (
+        joined = (
             labels.join(nbr, "id", "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check reads the just-materialized checkpoint — no
+        # extra join against the previous labels
+        changed = joined.where(F.col("label") != F.col("_old")).count()
+        labels = joined.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

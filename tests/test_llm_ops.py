@@ -218,16 +218,20 @@ def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def test_duplicate_clusters_matches_union_find(spark):
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_duplicate_clusters_matches_union_find(spark, driver_threshold):
     """Chains, stars, disjoint components — transitive closure must
     match union-find even for pairs never directly emitted (a~b, b~c
-    ⇒ a,c share a cluster)."""
+    ⇒ a,c share a cluster). Both strategies checked: driver-side
+    union-find (small pair sets) and distributed label propagation
+    (threshold forced to 0)."""
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5),  # 5-chain: needs propagation depth
              (10, 11), (10, 12), (10, 13),    # star
              (20, 21)]                         # pair
     pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
     got = {
-        r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pdf).collect()
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pdf, driver_threshold=driver_threshold).collect()
     }
     assert got == _union_find_clusters(pairs)
 
