@@ -1,0 +1,104 @@
+"""Plan-shape tests for the shuffle-discipline join utilities: the
+bucketed join must contain NO exchange in its physical plan, and the
+salted join must return exactly the plain-join result while spreading
+hot keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dlp_rdb_bq_import_spark.operators.joins import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("bucketed_wh")
+    orders = spark.range(0, 10_000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_flag")
+    )
+    items = spark.range(0, 30_000).select(
+        (F.col("id") % 10_000).alias("o_key"), F.col("id").alias("item_id")
+    )
+    write_bucketed(
+        orders, "b_orders", ["o_key"], num_buckets=8, sort_cols=["o_key"],
+        path=str(wh / "b_orders"),
+    )
+    write_bucketed(
+        items, "b_items", ["o_key"], num_buckets=8, sort_cols=["o_key"],
+        path=str(wh / "b_items"),
+    )
+    yield "b_orders", "b_items"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """With broadcast ruled out (the 100 TB case: both sides too big),
+    the bucketed sort-merge join must read bucket i against bucket i
+    with no shuffle exchange on either side."""
+    left, right = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, left, right, ["o_key"])
+        assert joined.count() == 30_000  # every item matches exactly one order
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan[:2000]}"
+    )
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    left, right = bucketed_tables
+    joined = bucketed_join(spark, left, right, ["o_key"])
+    agg = joined.groupBy("o_flag").count().collect()
+    assert {r["o_flag"]: r["count"] for r in agg} == {
+        i: sum(3 for k in range(10_000) if k % 7 == i) for i in range(7)
+    }
+
+
+def test_salted_join_exact_result_under_skew(spark):
+    """90% of fact rows share ONE key; the salted join must return
+    byte-identical results to the plain join."""
+    facts = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (20, "cold20"), (30, "cold30")], ["k", "label"]
+    )
+    plain = facts.join(dim, "k").select("fact_id", "label")
+    salted = salted_join(facts, dim, "k", salt=8).select("fact_id", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple salt groups (the whole
+    point: no single straggler partition)."""
+    facts = spark.range(0, 8_000).select(F.lit(1).alias("k"), F.col("id").alias("fact_id"))
+    salted = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(8)).cast("int")
+    )
+    n_groups = salted.select("_salt").distinct().count()
+    assert n_groups == 8
+
+
+def test_salted_join_outer_semantics(spark):
+    """Left join: unmatched fact rows survive with null labels."""
+    facts = spark.createDataFrame([(1, 100), (2, 200)], ["k", "fact_id"])
+    dim = spark.createDataFrame([(1, "one")], ["k", "label"])
+    out = {
+        (r["fact_id"], r["label"])
+        for r in salted_join(facts, dim, "k", salt=4, how="left").collect()
+    }
+    assert out == {(100, "one"), (200, None)}
