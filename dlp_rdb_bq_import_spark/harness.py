@@ -1201,6 +1201,61 @@ def q_text_analysis(spark, sf_dir):
     return text_ops.analyze_documents(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "interval_join",
+    oracle="""
+SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(b.value AS DECIMAL(30,6))) AS DOUBLE) AS attributed_value
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+GROUP BY a.event_id
+""",
+)
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join: purchases attributed to a same-user click
+    in the preceding 30 minutes. Planned as an equi-join on user_id with
+    the time range as a join-time residual — the scale-correct shape
+    (the range alone would be a nested loop; the equi component keeps it
+    a hash/merge join that partitions by user)."""
+    e = t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("ts_b"), F.col("value")
+    )
+    cond = (
+        (a["user_id"] == b["user_id"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_purchases"), dsum(F.col("value"), "attributed_value"))
+    )
+
+
+@query("hll_sketch_rollup")  # mergeable-sketch rollup — rel-error pinned in pytest
+def q_hll_sketch_rollup(spark, sf_dir):
+    """Two-level distinct counting with mergeable HLL sketch state: a
+    sketch per nation, then a union-merge to the global estimate —
+    the shape that lets 100 TB distinct-counts pre-aggregate per
+    partition/day and combine later without rescanning. Estimates are
+    deterministic (no RNG) but engine-specific, so the bound vs exact
+    countDistinct lives in tests/test_llm_ops.py."""
+    c = t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers_est")
+    )
+
+
 @query("dedup_clusters")  # iterative connected components — rows-only
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive duplicate clusters (min-id label).

@@ -337,6 +337,33 @@ def test_simhash_empty_text(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_hll_sketch_rollup_rel_error(spark, sf_dir):
+    """Merged per-nation sketches must estimate the global distinct
+    count within HLL's error envelope, and per-nation estimates must
+    each be near their exact counts."""
+    c = load_table(spark, sf_dir, "customer")
+    exact = c.select(F.countDistinct("c_custkey").alias("n")).collect()[0]["n"]
+    per_nation = c.groupBy("c_nationkey").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    est = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).collect()[0]["n"]
+    assert abs(est - exact) / exact <= 0.05
+    nation_exact = {
+        r["c_nationkey"]: r["n"]
+        for r in c.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    nation_est = {
+        r["c_nationkey"]: r["n"]
+        for r in per_nation.select(
+            "c_nationkey", F.hll_sketch_estimate("sk").alias("n")
+        ).collect()
+    }
+    for k, n in nation_exact.items():
+        assert abs(nation_est[k] - n) / max(n, 1) <= 0.1
+
+
 def test_approx_count_distinct_rel_error(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.select(F.countDistinct("l_orderkey").alias("n")).collect()[0]["n"]
