@@ -93,6 +93,7 @@ def main() -> int:
 
     failures = 0
     for name in names:
+        spark.catalog.clearCache()  # isolate queries' cached intermediates
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
