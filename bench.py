@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
     "topk_per_group",
     "sessionize",
     "batch_window_agg",

@@ -1361,6 +1361,592 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.1-ext TPC-H-adapted SQL pack
+#
+# The reference pushes its analytical SQL to BigQuery
+# (BQReidentificationPipeline.java:100-105); here the same query class
+# runs natively on Catalyst. Each query is adapted to the fixture
+# schema (no partsupp / ship-mode / commit-receipt columns) while
+# keeping the SQL feature it exists to exercise: correlated scalar
+# subqueries (q2, q17), EXISTS / NOT EXISTS (q4, q21, q22), IN +
+# HAVING subqueries (q18, q20), NOT IN (q16), CTE + scalar max (q15),
+# CASE aggregation (q8, q12, q14), disjunctive pushdown (q19), and
+# multiway broadcast joins (q7–q10).
+#
+# Queries whose point IS the nested-SQL shape run through spark.sql
+# over temp views — the same string is the DuckDB oracle, so the text
+# must stay engine-portable (shared subset: TIMESTAMP literals,
+# INTERVAL n DAY, year(), right(), CAST ... AS DECIMAL/BIGINT). The
+# rest are DataFrame-API implementations: subqueries decorrelated by
+# hand into agg+join, NOT IN as anti join, IN as semi join — the plans
+# Catalyst would rewrite to, stated explicitly.
+# ---------------------------------------------------------------------------
+
+_TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql_text: str) -> DataFrame:
+    """Register the fixture tables as temp views and run a native SQL
+    query (S7 — the spark.sql surface)."""
+    for name in _TPCH_TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql_text)
+
+
+_Q2_SQL = """
+SELECT DISTINCT p_partkey, p_brand, s_name, l_extendedprice AS min_price
+FROM part JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_type = 'SMALL' AND p_size <= 10
+  AND l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@query("tpch_q2_min_price_supplier", oracle=_Q2_SQL)
+def q_tpch_q2(spark, sf_dir):
+    """Correlated scalar subquery (min per part), run natively by
+    Catalyst's decorrelation — one string serves engine and oracle."""
+    return _sql(spark, sf_dir, _Q2_SQL)
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark, sf_dir):
+    """EXISTS → left-semi join with a mixed equi + range condition (the
+    equi key still drives the shuffle; the range is a post-probe
+    filter)."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark, sf_dir):
+    """All four predicates push to the parquet scan; the agg is a
+    single partial+final sum with no shuffle of data rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {_dsum_sql('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_tpch_q7(spark, sf_dir):
+    """Bi-directional nation pair: both nation copies broadcast; the
+    disjunctive pair filter lands after the joins, where each side is
+    already reduced to the two nations' rows."""
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark, sf_dir):
+    """Market-share ratio: both operands are exact decimal sums, so the
+    final double division is deterministic cross-engine."""
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(dec(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0)))
+                .cast("double")
+                / F.sum(dec(volume)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity', 'sum_profit')}
+FROM part JOIN lineitem ON p_partkey = l_partkey
+     JOIN supplier ON s_suppkey = l_suppkey
+     JOIN orders ON o_orderkey = l_orderkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def q_tpch_q9(spark, sf_dir):
+    """Profit by nation/year; retail price stands in for the missing
+    ps_supplycost. The LIKE filter prunes part before the join."""
+    part = t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark, sf_dir):
+    """Top returned-revenue customers; unique-key tie-break keeps the
+    LIMIT deterministic cross-engine."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority_lines",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def q_tpch_q12(spark, sf_dir):
+    """CASE pivot-aggregation (line status stands in for the missing
+    ship-mode column)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT (100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE))
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark, sf_dir):
+    """Conditional-revenue ratio over a broadcast part join."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (
+                    F.lit(100.0)
+                    * F.sum(dec(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)))
+                    .cast("double")
+                )
+                / F.sum(dec(volume)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_SQL)
+def q_tpch_q15(spark, sf_dir):
+    """CTE reused twice (join input + scalar max); exact decimal sums
+    make the max comparison safe on doubles."""
+    return _sql(spark, sf_dir, _Q15_SQL)
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16(spark, sf_dir):
+    """NOT IN over a non-null key → broadcast anti join; lineitem is
+    the part-supplier relation the fixture's missing partsupp would
+    provide."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(*range(1, 9))
+    )
+    bad_supp = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q_tpch_q17(spark, sf_dir):
+    """Correlated avg decorrelated by hand: per-part mean computed once
+    and broadcast back (quantities are integral doubles, so the avg is
+    exact in any order)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, {_dsum_sql('l_quantity', 'sum_qty')}
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_q18(spark, sf_dir):
+    """IN + HAVING subquery → semi join against the aggregated key set."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("o_orderkey")
+    )
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def q_tpch_q19(spark, sf_dir):
+    """Disjunction mixing both join sides: Catalyst extracts the
+    common l_quantity bounds below the join and keeps the cross-side
+    OR as the post-join filter."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#2") & s.between(1, 25) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#3") & s.between(1, 35) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 300
+)
+"""
+
+
+@query("tpch_q20_promo_suppliers", oracle=_Q20_SQL)
+def q_tpch_q20(spark, sf_dir):
+    """Nested IN with join + HAVING inside the subquery, run natively."""
+    return _sql(spark, sf_dir, _Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+     JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=_Q21_SQL)
+def q_tpch_q21(spark, sf_dir):
+    """Correlated EXISTS + NOT EXISTS against the same fact table (the
+    last-to-ship supplier on multi-supplier finished orders)."""
+    return _sql(spark, sf_dir, _Q21_SQL)
+
+
+_Q22_SQL = f"""
+SELECT right(c_name, 1) AS name_digit, CAST(count(*) AS BIGINT) AS numcust,
+       {_dsum_sql('c_acctbal', 'totacctbal')}
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY name_digit
+"""
+
+
+@query("tpch_q22_dormant_customers", oracle=_Q22_SQL)
+def q_tpch_q22(spark, sf_dir):
+    """Scalar-subquery threshold + anti-join NOT EXISTS; the name's
+    last digit stands in for the missing phone country code."""
+    return _sql(spark, sf_dir, _Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 
