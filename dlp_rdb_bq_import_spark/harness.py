@@ -982,6 +982,56 @@ def q_streaming_window(spark, sf_dir):
     return windowed_event_counts(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "streaming_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_streaming_sessionize(spark, sf_dir):
+    """W-EXT — custom stateful streaming operator: gap sessionization
+    via applyInPandasWithState with event-time timeouts. Deterministic
+    (same sessions regardless of micro-batching), so it hash-checks
+    against the batch window-function oracle."""
+    from .streaming.jobs import stateful_sessionize
+
+    return stateful_sessionize(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+SELECT p.user_id, CAST(c.event_id AS BIGINT) AS left_event,
+       CAST(p.event_id AS BIGINT) AS right_event, p.value AS right_value
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """W-EXT — watermarked stream-stream interval join (clicks to the
+    purchases they convert to within the hour); the inner join emits
+    exactly the batch join's pairs, so it shares a plain SQL oracle."""
+    from .streaming.jobs import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # §2.12 LLM-data ops: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------

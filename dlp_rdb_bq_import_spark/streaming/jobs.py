@@ -12,10 +12,43 @@ tumbling window, the thing the reference *cannot* do.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """readStream over the events fixture (file or directory), with the
+    TIMESTAMP(NANOS)-as-long conversion the batch reader applies."""
+    batch_df = spark.read.parquet(source_dir)
+    schema = batch_df.schema
+    if source_dir.endswith(".parquet"):
+        directory, fname = os.path.split(source_dir)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(directory)
+        )
+    else:
+        raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a finite file stream to completion into a memory sink and
+    return the result table."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = stream.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        return stream.sparkSession.table(name)
+    finally:
+        q.stop()
 
 
 def windowed_event_counts(
@@ -32,20 +65,7 @@ def windowed_event_counts(
     (window_start string, event_type, n, total_value) — deterministic,
     so it oracle-checks against a plain GROUP BY date_trunc.
     """
-    batch_df = spark.read.parquet(source_dir)
-    schema = batch_df.schema
-    name = f"win_{uuid.uuid4().hex[:12]}"
-    # The parquet stream source requires a directory; accept a file path
-    # by streaming its parent with a glob filter.
-    if source_dir.endswith(".parquet"):
-        directory, fname = os.path.split(source_dir)
-        reader = spark.readStream.schema(schema).option("pathGlobFilter", fname)
-        raw = reader.parquet(directory)
-    else:
-        raw = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(raw.dtypes).get("ts") in ("bigint", "long"):
-        # TIMESTAMP(NANOS) parquet read as long (see session config)
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = _event_stream(spark, source_dir)
     stream = (
         raw.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
@@ -60,17 +80,7 @@ def windowed_event_counts(
             F.col("_tv").cast("double").alias("total_value"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        return spark.table(name)
-    finally:
-        q.stop()
+    return _run_to_memory(stream, "complete")
 
 
 def chunked_ingest(
@@ -86,3 +96,190 @@ def chunked_ingest(
         .foreachBatch(lambda batch_df, epoch_id: write_fn(batch_df, epoch_id))
         .start()
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: for every *left_type* event,
+    the *right_type* events by the same user within ``within`` after it.
+
+    Both sides carry a watermark and the join condition bounds
+    right.ts in [left.ts, left.ts + within], so the state store can
+    evict rows once the watermark passes — the property that makes the
+    join runnable forever on an unbounded stream. Columns are
+    projected/renamed BEFORE the join (stream-stream joins reject
+    ambiguous attribute references after the fact).
+    """
+    raw = _event_stream(spark, source_dir)
+    left = (
+        raw.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_event"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        raw.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("right_event"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("user_id", "left_event", "right_event", "right_value")
+    return _run_to_memory(joined, "append")
+
+
+def session_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows via the built-in ``session_window`` streaming
+    aggregation: per (user, session) event count and first event id.
+
+    Boundary semantics: an event extends the session while
+    ts < last_ts + gap (the batch sessionize query uses gap <= 1800 s —
+    the two differ only for gaps of exactly ``gap``, which the
+    microsecond-resolution fixture never produces).
+    """
+    raw = _event_stream(spark, source_dir)
+    stream = (
+        raw.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+        .select("user_id", "n_events", "first_event")
+    )
+    return _run_to_memory(stream, "complete")
+
+
+def stateful_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the extension hook for operators the
+    built-ins can't express — this one also tracks the session's first
+    event id, which session_window aggregation can do but, e.g.,
+    per-session event-sequence features cannot).
+
+    Per user the state holds the open session (start/last micros,
+    count, first event id). Each micro-batch merges its rows in
+    (ts, event_id) order, emitting sessions closed by a gap >
+    ``gap_seconds`` and keeping the open one in state with an
+    event-time timeout at last_ts + gap; when the watermark passes
+    that, the timeout path emits the final session. Matches the batch
+    ``sessionize`` query's boundary exactly (new session iff gap >
+    gap_seconds).
+
+    A finite file stream never advances the watermark past the last
+    event, so open sessions would sit in state forever; the input is
+    staged to a temp dir with one far-future sentinel event (user -1,
+    filtered from the output) whose arrival flushes every timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch = spark.read.parquet(source_dir)
+    if dict(batch.dtypes).get("ts") in ("bigint", "long"):
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    stage = os.path.join(
+        tempfile.mkdtemp(prefix="sessionize_stream_"), "staged"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + pd.Timedelta(days=3650), -1)], "event_id long, ts timestamp, user_id long"
+    )
+    # One flat parquet dir (file stream sources don't recurse); the
+    # sentinel lands in the same single micro-batch as the data, and the
+    # watermark jump after that batch fires every session's timeout in
+    # the engine's no-data batch.
+    batch.select("event_id", "ts", "user_id").unionByName(sentinel).write.parquet(stage)
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, first_event long"
+    )
+    state_schema = "start long, last long, n long, first_ev long"
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+
+        def emit(start_us, last_us, n, first_ev):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "first_event": [first_ev],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, first_ev = state.get
+            state.remove()
+            yield emit(start, last, n, first_ev)
+            return
+
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        # normalize to µs regardless of the Arrow batch's time unit
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ev_ids = pdf["event_id"].to_numpy()
+        if state.exists:
+            cur = list(state.get)
+        else:
+            cur = None
+        for t_us, ev in zip(ts_us.tolist(), ev_ids.tolist()):
+            if cur is None:
+                cur = [t_us, t_us, 1, int(ev)]
+            elif t_us - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = [t_us, t_us, 1, int(ev)]
+            else:
+                cur[1] = t_us
+                cur[2] += 1
+        # state values must be plain Python ints (JSON-serialized)
+        state.update(tuple(int(v) for v in cur))
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+
+    raw = _event_stream(spark, stage).select("event_id", "ts", "user_id")
+    stream = (
+        raw.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    try:
+        result = _run_to_memory(stream, "append")
+        return (
+            result.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events",
+                "first_event",
+            )
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)

@@ -81,3 +81,70 @@ def test_load_dlp_configs_url_scheme_uses_fsspec(tmp_path, monkeypatch):
     assert cfgs[0].table_name == "patient"
     assert cfgs[0].batch_size == 250
     assert cfgs[0].deid_template == "d1"
+
+
+def test_stateful_sessionize_matches_batch_windows(spark):
+    """The applyInPandasWithState sessionizer must produce exactly the
+    batch window-function sessions (same gap boundary, same first-event
+    labels) — micro-batching and timeouts are implementation detail."""
+    from dlp_rdb_bq_import_spark import harness
+    from dlp_rdb_bq_import_spark.streaming.jobs import stateful_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stateful_sessionize(spark, f"{sf}/events.parquet")
+    batch = harness.queries()["sessionize"](spark, sf)
+    got = {(r["user_id"], r["first_event"]): r["n_events"] for r in streamed.collect()}
+    want = {(r["user_id"], r["first_event"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 100  # real sessions, not a trivial pass
+
+
+def test_session_window_builtin_agrees_with_stateful(spark):
+    """Built-in session_window aggregation and the custom stateful
+    operator sessionize identically on microsecond-resolution data."""
+    from dlp_rdb_bq_import_spark.streaming.jobs import (
+        session_window_counts,
+        stateful_sessionize,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    builtin = {
+        (r["user_id"], r["first_event"]): r["n_events"]
+        for r in session_window_counts(spark, src).collect()
+    }
+    custom = {
+        (r["user_id"], r["first_event"]): r["n_events"]
+        for r in stateful_sessionize(spark, src).collect()
+    }
+    assert builtin == custom
+
+
+def test_stream_stream_join_pairs(spark, tmp_path):
+    """Watermarked stream-stream interval join on a hand-built stream:
+    only purchases within the hour after a click by the same user pair
+    up."""
+    import pandas as pd
+
+    from dlp_rdb_bq_import_spark.streaming.jobs import stream_stream_interval_join
+
+    rows = [
+        # user 1: click 10:00 → purchase 10:30 (pairs), purchase 11:30 (too late)
+        (1, pd.Timestamp("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+        (2, pd.Timestamp("2024-01-01 10:30:00"), 1, "purchase", 9.5, "{}"),
+        (3, pd.Timestamp("2024-01-01 11:30:00"), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase before the click — no pair
+        (4, pd.Timestamp("2024-01-01 09:00:00"), 2, "purchase", 5.0, "{}"),
+        (5, pd.Timestamp("2024-01-01 09:30:00"), 2, "click", 0.0, "{}"),
+        # user 3: two clicks share one purchase
+        (6, pd.Timestamp("2024-01-01 12:00:00"), 3, "click", 0.0, "{}"),
+        (7, pd.Timestamp("2024-01-01 12:10:00"), 3, "click", 0.0, "{}"),
+        (8, pd.Timestamp("2024-01-01 12:40:00"), 3, "purchase", 2.5, "{}"),
+    ]
+    src = tmp_path / "events"
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(src / "part.parquet" if src.mkdir() else src / "part.parquet", index=False)
+
+    out = stream_stream_interval_join(spark, str(src))
+    pairs = {(r["left_event"], r["right_event"]) for r in out.collect()}
+    assert pairs == {(1, 2), (6, 8), (7, 8)}
