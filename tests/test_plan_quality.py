@@ -1,0 +1,101 @@
+"""Plan-quality regression tests for the headline queries: the things
+`.explain` must keep showing for the 100 TB posture to hold — dims
+broadcast, filters/projections reaching the parquet scan, whole-stage
+codegen on the hot aggregations, and NO cartesian product in any
+production near-dup path (the all-pairs shapes are oracle-only).
+
+These tests pin the *plan*, not the result; the oracle gate pins
+results. A refactor that silently turns a broadcast join into a
+shuffle join, or un-pushes a scan filter, fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dlp_rdb_bq_import_spark import harness
+
+SF = "/root/testdata/sf0.001"
+
+
+def final_plan(df) -> str:
+    """Materialize (so AQE settles on the final plan) and render the
+    formatted physical plan — unlike executedPlan().toString(), the
+    formatted mode prints scan metadata (PushedFilters/ReadSchema)
+    untruncated."""
+    df.collect()  # count() would execute a different plan; collect
+    # drives THIS DataFrame's queryExecution so AQE finalizes it
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return harness.queries()
+
+
+def test_tpch_q3_broadcasts_customer_dim(spark, qs):
+    plan = final_plan(qs["tpch_q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q5_broadcasts_nation_and_region(spark, qs):
+    plan = final_plan(qs["tpch_q5_local_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_filter_pushed_and_codegen(spark, qs):
+    plan = final_plan(qs["tpch_q1"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan  # scan-level filter
+    assert "[codegen id :" in plan  # whole-stage codegen spans present
+    # column pruning: orderkey/partkey/suppkey are never read
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert readschema and "l_orderkey" not in readschema[0]
+
+
+def test_pushdown_scan_prunes_columns_and_pushes_filters(spark, qs):
+    plan = final_plan(qs["pushdown_scan"](spark, SF))
+    assert "GreaterThan(l_discount,0.08)" in plan  # filter reached the scan
+    # projection pruned to the 4 referenced columns — wide columns like
+    # l_extendedprice/l_tax must not be read
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert readschema and "l_extendedprice" not in readschema[0]
+    assert "l_shipdate" in readschema[0]
+
+
+def test_tpch_q9_prunes_part_before_join(spark, qs):
+    """The LIKE filter must reach the part scan, not run post-join."""
+    plan = final_plan(qs["tpch_q9_product_profit"](spark, SF))
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_production_neardup_paths_have_no_cartesian_product(spark, qs):
+    """The scale paths must be banded equi-joins; only the small oracle
+    queries may cross-join. BroadcastNestedLoopJoin is the other
+    all-pairs spelling and is equally banned."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup_lsh"):
+        plan = final_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} degenerated to all-pairs"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated to all-pairs"
+
+
+def test_text_analysis_stays_jvm_side(spark, qs):
+    """No row-at-a-time Python in the text-analysis path: the scalars
+    are built-in expressions, so the plan must contain no Python eval
+    operator of any flavor."""
+    plan = final_plan(qs["text_analysis"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, qs):
+    """Exact dedup is one hash aggregation: exactly one exchange (on
+    the dedup key), partial aggregation before it."""
+    plan = final_plan(qs["dedup_exact"](spark, SF))
+    # AQE prints final + initial trees; count exchanges in the final one
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Exchange (") == 1
+    assert "partial_min" in plan  # map-side combine before the shuffle
