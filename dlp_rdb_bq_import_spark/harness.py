@@ -1193,6 +1193,17 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.lsh_topk(queries_df, e, k=5, bands=16, bits_per_band=8)
 
 
+@query("knn_ivf_topk")  # approximate — recall tested vs brute force in pytest
+def q_knn_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF — k-means coarse quantizer trained on a
+    deterministic sample, cell equi-join + exact rerank. Deterministic
+    end-to-end (hash-picked training sample, seeded init, stable tie-
+    breaks), so the rows-only gate check is stable across runs."""
+    e = t(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(queries_df, e, k=5, n_cells=32, nprobe=8)
+
+
 def _occ_sql(padded: str, needle: str) -> str:
     n = len(needle)
     return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {n} AS BIGINT)"

@@ -310,3 +310,149 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate path: IVF (inverted-file index, coarse k-means quantizer)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids for an IVF index, trained driver-side
+    on a deterministic sample — the standard IVF recipe: the quantizer
+    is tiny (cells × dim floats) and trains on a bounded sample no
+    matter the corpus size; only the ASSIGNMENT pass scales with data.
+
+    The sample is the ``sample_size`` vectors with the smallest
+    xxhash64(id) — partitioning-independent and stable across runs, so
+    the index is reproducible (same property as
+    operators/sampling.deterministic_sample). TakeOrdered keeps the
+    collect bounded at any corpus size.
+    """
+    sample = (
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    if not sample:
+        raise ValueError("cannot train an IVF quantizer on an empty corpus")
+    X = np.array([r["_v"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, len(X))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[j] = v / n
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``nprobe`` nearest cells by
+    cosine. Vectorized matmul per Arrow batch; the centroid matrix
+    ships in the task closure (cells × dim — kilobytes). Ties break to
+    the lowest cell id (stable argsort), so assignment is
+    deterministic."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf[id_col].to_numpy().astype("int64"), order.shape[1]),
+                    "cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+        .mapInPandas(assign, schema=schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus vectors live in their
+    single nearest cell, queries probe their ``nprobe`` nearest cells,
+    and only same-cell candidates are exactly reranked (integer-exact
+    cosine, same metric as the brute-force oracle).
+
+    The cell equi-join replaces the docs × queries cross product;
+    recall is recall(nprobe/n_cells) and is pinned on planted clusters
+    in tests/test_llm_ops.py. Each corpus vector has exactly one cell,
+    so candidate pairs are already unique — no dedup shuffle."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col, id_col)
+    cq = ivf_assign(queries, centroids, nprobe, vec_col, id_col).withColumnRenamed(
+        id_col, "qid"
+    )
+    cc = ivf_assign(corpus, centroids, 1, vec_col, id_col).withColumnRenamed(
+        id_col, "nid"
+    )
+    cand = cq.join(cc, "cell").where(F.col("qid") != F.col("nid")).select("qid", "nid")
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("_qv").alias("_qvq"), F.col("_norm").alias("_qn")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nid"), F.col("_qv").alias("_cvq"), F.col("_norm").alias("_cn")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "nid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _int_dot(F.col("_qvq"), F.col("_cvq")).cast("double")
+                / (F.col("_qn") * F.col("_cn")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )

@@ -92,6 +92,36 @@ def test_lsh_topk_recall_planted(spark, planted_embeddings):
     assert recall >= 0.9, f"planted-cluster LSH recall {recall:.3f} < 0.9"
 
 
+def test_ivf_topk_recall_planted(spark, planted_embeddings):
+    """IVF with a healthy probe ratio must also recover the planted
+    top-3: cluster members land in the same k-means cell as their base
+    vector, so probing the query's nearest cells finds them."""
+    e = planted_embeddings
+    queries = e.where(F.col("vec_id") < 80)
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.brute_force_topk(queries, e, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in similarity.ivf_topk(queries, e, k=3, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"planted-cluster IVF recall {recall:.3f} < 0.9"
+
+
+def test_ivf_deterministic_across_runs(spark, planted_embeddings):
+    """The whole IVF path (sample → k-means → assign → rerank) must be
+    a pure function of the data: two independent runs give identical
+    rows."""
+    e = planted_embeddings
+    queries = e.where(F.col("vec_id") < 20)
+    a = sorted(map(tuple, similarity.ivf_topk(queries, e, k=3, n_cells=16, nprobe=4).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(queries, e, k=3, n_cells=16, nprobe=4).collect()))
+    assert a == b
+
+
+
 def test_lsh_topk_fixture_containment(spark, sf_dir):
     """On the (isotropic random) fixture: every LSH-reported cosine must
     equal the exact cosine for that pair — precision 1.0 by exact
