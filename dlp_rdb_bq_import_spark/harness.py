@@ -1984,6 +1984,93 @@ def q_tpch_q21(spark, sf_dir):
     return _sql(spark, sf_dir, _Q21_SQL)
 
 
+_STOP_HITS_SQL = " + ".join(_word_occ_sql(w) for w in text_ops.STOPWORDS)
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({_STOP_HITS_SQL} AS BIGINT) AS stop_hits
+  FROM documents
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents)
+    GROUP BY doc_id, wd
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id, n_words,
+       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 9) AS mean_word_len,
+       ROUND(CAST(n_distinct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 9) AS distinct_ratio,
+       ROUND(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 9) AS top_word_ratio,
+       stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+              AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) BETWEEN 2.0 AND 12.0
+              AND stop_hits > 0
+              AND ROUND(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 9) <= 0.2
+              AND ROUND(CAST(n_distinct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE), 9) >= 0.3
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w JOIN top ON w.doc_id = top.doc_id
+""",
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gate over the corpus: repetition ratios are
+    the only shuffled stat (doc×word partial counts); everything else
+    is scan-local arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    out = text_ops.gopher_quality_flags(d)
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_percentile_summary(spark, sf_dir):
+    """Exact distribution summary: Spark's percentile aggregate and
+    DuckDB's quantile_cont share the linear-interpolation (R-7)
+    definition, so the doubles match bit-for-bit. (At 100 TB the
+    approximate twin is percentile_approx — same plan shape, bounded
+    state; the exact form is the oracle.)"""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {_dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("grouping_sets_agg", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (cube/rollup's general form) through the
+    native SQL surface — one shuffle, expand-node fan-out, no
+    re-aggregation of the base table per set."""
+    return _sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
 _Q22_SQL = f"""
 SELECT right(c_name, 1) AS name_digit, CAST(count(*) AS BIGINT) AS numcust,
        {_dsum_sql('c_acctbal', 'totacctbal')}

@@ -189,3 +189,117 @@ def winnowing_fingerprint_rows(
         F.col("doc_id"),
         F.posexplode_outer("winnow_fingerprints").alias("pos", "fingerprint"),
     ).select(F.col("doc_id"), F.col("pos").cast("long").alias("pos"), F.col("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality rules (Gopher/C4-style) and repetition stats
+# ---------------------------------------------------------------------------
+
+
+def word_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals: word count, distinct-word ratio
+    and top-word ratio (most frequent word's share). The distinct ratio
+    is a pure array expression; the top-word share aggregates the
+    exploded words — one shuffle keyed by (doc, word), partial counts
+    map-side."""
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(F.size(words), F.lit(1)).cast("double"),
+            9,
+        ).alias("distinct_ratio"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(words).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"))
+    )
+    return base.join(top, id_col).select(
+        id_col,
+        "n_words",
+        "distinct_ratio",
+        F.round(F.col("_top").cast("double") / F.col("n_words").cast("double"), 9).alias(
+            "top_word_ratio"
+        ),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_top_word_ratio: float = 0.2,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style quality gate: per-doc stats plus a single ``keep``
+    verdict. Mean word length uses the single-spaced identity
+    (chars - (words-1)) / words, so every stat except the top-word
+    share is scan-local arithmetic; stopword presence reuses the
+    quality_score machinery."""
+    stats = word_repetition_stats(df, text_col, id_col)
+    t = F.col(text_col)
+    scan = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        sum((word_occurrences(t, w) for w in STOPWORDS), F.lit(0))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    joined = stats.join(scan, id_col)
+    mean_wl = (
+        (F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+        / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (F.col("stop_hits") > 0)
+        & (F.col("top_word_ratio") <= max_top_word_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
+    return joined.select(
+        id_col,
+        "n_words",
+        F.round(mean_wl, 9).alias("mean_word_len"),
+        "distinct_ratio",
+        "top_word_ratio",
+        "stop_hits",
+        keep.alias("keep"),
+    )
+
+
+def redact_text(
+    df: DataFrame,
+    text_col: str = "text",
+    info_types: tuple[str, ...] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-scale PII redaction: replace every InfoType detector match
+    with ``[INFO_TYPE]``. Reuses the detector registry the tokenization
+    surface uses (functions/tokenize.INFO_TYPE_DETECTORS — the
+    deterministic stand-ins for DLP's detectors, README.md:195-279),
+    but runs entirely JVM-side as a regexp_replace chain: no Python in
+    the path, codegen keeps it inside the scan stage.
+
+    Detector order is registry order; earlier redactions mask their
+    span from later detectors (DLP resolves overlaps by likelihood —
+    a fixed precedence is a deterministic engine's equivalent).
+    """
+    from ..functions.tokenize import INFO_TYPE_DETECTORS
+
+    names = info_types if info_types is not None else tuple(INFO_TYPE_DETECTORS)
+    col = F.col(text_col)
+    for name in names:
+        col = F.regexp_replace(col, INFO_TYPE_DETECTORS[name], f"[{name}]")
+    return df.withColumn(out_col or text_col, col)

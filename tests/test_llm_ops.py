@@ -479,3 +479,36 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert len(a) == 100
     for r in a:
         assert 0.0 <= r["mean_px"] <= 255.0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus-scale regexp_replace chain over the InfoType
+# detector registry)
+# ---------------------------------------------------------------------------
+
+
+def test_redact_text_planted_pii(spark):
+    from dlp_rdb_bq_import_spark.operators.text import redact_text
+
+    rows = [
+        (1, "call 415-555-0143 or mail bob@example.com today"),
+        (2, "card 4111-1111-1111-1111 ssn 078-05-1120 host 10.0.0.1"),
+        (3, "nothing sensitive here, just 42 words"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in redact_text(df).collect()}
+    assert got[1] == "call [PHONE_NUMBER] or mail [EMAIL_ADDRESS] today"
+    assert got[2] == "card [CREDIT_CARD_NUMBER] ssn [US_SOCIAL_SECURITY_NUMBER] host [IP_ADDRESS]"
+    assert got[3] == "nothing sensitive here, just 42 words"  # untouched
+    assert got[4] is None  # null propagates
+
+
+def test_redact_text_plan_stays_jvm_side(spark):
+    """The redaction chain must be pure regexp_replace expressions —
+    no Python eval operator in the plan."""
+    from dlp_rdb_bq_import_spark.operators.text import redact_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = redact_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
