@@ -190,6 +190,17 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a vector table by id before per-batch Python work iff
+    it arrives under-partitioned (the fixtures are single-row-group
+    parquet → one task; at 100 TB an under-split scan would serialize
+    the signature stage no matter the cluster size)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, id_col)
+
+
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: entry (i, j) from a
     splitmix64-style integer mix of (i, j) — no RNG state, same planes on
@@ -248,7 +259,7 @@ def sign_lsh_bands(
             )
 
     return (
-        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+        _spread(df.select(F.col(id_col).cast("long").alias(id_col), vec_col), id_col)
         .mapInPandas(sig, schema=schema)
         .withColumnRenamed("_id", id_col)
     )
@@ -397,7 +408,7 @@ def ivf_assign(
             )
 
     return (
-        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+        _spread(df.select(F.col(id_col).cast("long").alias(id_col), vec_col), id_col)
         .mapInPandas(assign, schema=schema)
         .withColumnRenamed("_id", id_col)
     )
