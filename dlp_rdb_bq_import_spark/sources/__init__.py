@@ -10,6 +10,7 @@ We replace that with a scheme-dispatched registry: ``mock://`` /
 from __future__ import annotations
 
 from .base import Source
+from .file_source import FileDirSource
 from .jdbc_source import JdbcSource
 from .mock_source import MockSource
 from .parquet_source import ParquetDirSource
@@ -31,7 +32,16 @@ def get_source(spec: str, **kwargs) -> Source:
             "information_schema" if spec.startswith("jdbc:sqlserver:") else "metadata",
         )
         return JdbcSource(spec, **kwargs)
+    if spec.startswith("files://"):
+        return FileDirSource(spec[len("files://"):], **kwargs)
     return ParquetDirSource(spec)
 
 
-__all__ = ["Source", "MockSource", "JdbcSource", "ParquetDirSource", "get_source"]
+__all__ = [
+    "Source",
+    "MockSource",
+    "JdbcSource",
+    "ParquetDirSource",
+    "FileDirSource",
+    "get_source",
+]
