@@ -1032,6 +1032,24 @@ def q_streaming_stream_join(spark, sf_dir):
     return stream_stream_interval_join(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@query(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def q_streaming_dedup(spark, sf_dir):
+    """W-EXT — exactly-once over at-least-once delivery: the stream is
+    staged with every event delivered twice; streaming dropDuplicates
+    on event_id restores exactly the original set, so the oracle is the
+    plain table."""
+    from .streaming.jobs import streaming_dedup_events
+
+    return streaming_dedup_events(
+        spark, os.path.join(sf_dir, "events.parquet"), replays=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.12 LLM-data ops: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -2051,6 +2069,105 @@ def q_percentile_summary(spark, sf_dir):
             F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@query(
+    "table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count({c}) AS BIGINT) AS n_non_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark, sf_dir):
+    """Data-profiling pass: one aggregation, melted to long format —
+    the pre/post-load introspection the reference's row-count probe
+    (ServerUtil.java:136-155) only hints at."""
+    from .operators.profiling import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey < 100
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 10
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+UNION ALL
+SELECT * FROM updates
+"""
+
+
+@query("merge_upsert", oracle=_MERGE_ORACLE)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE semantics as DataFrame algebra: a change batch that
+    updates 100 rows and inserts 10 new keys; matched keys take the
+    update, everything else passes through."""
+    from .operators.cdc import merge_upsert
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") < 100)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.where(F.col("o_orderkey") < 10).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+_CDC_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100
+UNION ALL
+SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+FROM orders WHERE o_orderkey >= 50 AND o_orderkey < 100
+"""
+
+
+@query("cdc_apply_changes", oracle=_CDC_ORACLE)
+def q_cdc_apply_changes(spark, sf_dir):
+    """CDC apply with latest-wins ordering: keys < 50 get an upsert at
+    seq 0 AND a delete at seq 1 (the delete must win), keys 50-99 an
+    upsert at seq 2. The oracle states the net effect."""
+    from .operators.cdc import apply_changes
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    low = orders.where(F.col("o_orderkey") < 50)
+    mid = orders.where((F.col("o_orderkey") >= 50) & (F.col("o_orderkey") < 100))
+    changes = (
+        low.select("o_orderkey", "o_totalprice", F.lit("upsert").alias("_op"), F.lit(0).alias("_seq"))
+        .unionByName(
+            low.select("o_orderkey", "o_totalprice", F.lit("delete").alias("_op"), F.lit(1).alias("_seq"))
+        )
+        .unionByName(
+            mid.select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+                F.lit("upsert").alias("_op"),
+                F.lit(2).alias("_seq"),
+            )
+        )
+    )
+    return apply_changes(orders, changes, ["o_orderkey"])
 
 
 _GROUPING_SETS_SQL = f"""

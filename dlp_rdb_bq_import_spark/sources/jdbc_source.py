@@ -200,3 +200,55 @@ class JdbcSource(Source):
                     .option("numPartitions", str(num_partitions_for(n, offset_count)))
                 )
         return reader.load()
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: SqlTable,
+        watermark_col: str,
+        last_value,
+        offset_count: int = 500,
+    ) -> DataFrame:
+        """Incremental scan: rows with ``watermark_col > last_value``
+        only — the change-capture read the reference lacks (it reloads
+        every table in full each run, DBImportPipeline.java:97-113).
+
+        The predicate is part of the pushed-down dbtable subquery, so
+        the database evaluates it (index range scan on the watermark
+        column), and the range partitioning applies on top of the
+        filtered set — an incremental batch of any size still splits
+        across executors. String values are quoted; numeric/temporal
+        values pass through str().
+        """
+        if isinstance(last_value, str):
+            lit = "'" + last_value.replace("'", "''") + "'"
+        else:
+            lit = str(last_value)
+        filtered = (
+            f"(SELECT * FROM {table.schema}.{table.name} "
+            f"WHERE {watermark_col} > {lit}) incr"
+        )
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", filtered)
+            .options(**self.properties)
+        )
+        pk = table.primary_key_column
+        if pk is not None:
+            bounds = self._read_query(
+                spark,
+                f"SELECT MIN({pk}) AS lo, MAX({pk}) AS hi, COUNT(*) AS n "
+                f"FROM {table.schema}.{table.name} WHERE {watermark_col} > {lit}",
+            ).collect()[0]
+            if bounds[0] is not None:
+                reader = (
+                    reader.option("partitionColumn", pk)
+                    .option("lowerBound", str(bounds[0]))
+                    .option("upperBound", str(bounds[1]))
+                    .option(
+                        "numPartitions",
+                        str(num_partitions_for(int(bounds[2]), offset_count)),
+                    )
+                )
+        return reader.load()

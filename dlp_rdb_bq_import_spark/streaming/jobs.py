@@ -283,3 +283,29 @@ def stateful_sessionize(
         )
     finally:
         shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+
+
+def streaming_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    key: str = "event_id",
+    replays: int = 2,
+) -> DataFrame:
+    """Exactly-once semantics over an at-least-once stream: the events
+    file is staged ``replays`` times (simulating redelivery), streamed,
+    and deduplicated on ``key`` with streaming dropDuplicates — state
+    keyed by event id, the idiom a replayed ingest pipeline runs.
+
+    Returns (event_id, user_id, event_type) — one row per original
+    event regardless of delivery count.
+    """
+    batch = spark.read.parquet(source_dir).select(key, "user_id", "event_type")
+    stage = os.path.join(tempfile.mkdtemp(prefix="dedup_stream_"), "staged")
+    for _ in range(replays):
+        batch.write.parquet(stage, mode="append")
+    try:
+        raw = spark.readStream.schema(batch.schema).parquet(stage)
+        deduped = raw.dropDuplicates([key])
+        return _run_to_memory(deduped, "append")
+    finally:
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)

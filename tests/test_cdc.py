@@ -1,0 +1,51 @@
+"""CDC/merge semantics: latest-wins ordering, delete precedence, and
+the no-shuffle-of-base plan shape for broadcast-sized change batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dlp_rdb_bq_import_spark.operators.cdc import apply_changes, merge_upsert
+
+
+def test_merge_upsert_update_and_insert(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {(r["k"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_apply_changes_latest_wins_and_delete(spark):
+    base = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    changes = spark.createDataFrame(
+        [
+            (1, 11, "upsert", 1),   # stale — superseded by seq 2
+            (1, 12, "upsert", 2),   # latest for key 1
+            (2, 0, "delete", 1),    # key 2 removed
+            (4, 40, "upsert", 1),   # brand-new key
+        ],
+        "k long, v long, _op string, _seq long",
+    )
+    got = {(r["k"], r["v"]) for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {(1, 12), (3, 30), (4, 40)}
+
+
+def test_apply_changes_delete_beats_same_seq_upsert(spark):
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    changes = spark.createDataFrame(
+        [(1, 99, "upsert", 5), (1, 0, "delete", 5)],
+        "k long, v long, _op string, _seq long",
+    )
+    assert apply_changes(base, changes, ["k"]).count() == 0
+
+
+def test_merge_upsert_base_does_not_shuffle(spark):
+    """With a broadcast change batch the base side must join without an
+    exchange — the property that lets MERGE scale to a 100 TB base."""
+    base = spark.range(0, 10_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    updates = spark.createDataFrame([(1, "y")], "k long, v string")
+    merged = merge_upsert(base, updates, ["k"])
+    merged.collect()
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan

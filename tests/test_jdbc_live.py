@@ -93,3 +93,32 @@ def test_partitioned_read_empty_table(spark, derby):
     tables = {t.name: t for t in derby.list_tables(spark)}
     df = derby.read_table(spark, tables["MEDICATION"], offset_count=25)
     assert df.count() == 0
+
+
+def test_incremental_read(spark, derby):
+    """Change-capture read: only rows past the watermark come back, the
+    predicate runs database-side (it is part of the pushed subquery),
+    and the incremental batch still range-partitions by PK."""
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    df = derby.read_incremental(
+        spark, tables["PATIENT"], watermark_col="PATIENT_ID", last_value=90,
+        offset_count=5,
+    )
+    got = sorted(r["PATIENT_ID"] for r in df.collect())
+    assert got == list(range(91, N_ROWS + 1))
+    assert df.rdd.getNumPartitions() == 2  # ceil(10/5) splits
+
+    none_new = derby.read_incremental(
+        spark, tables["PATIENT"], watermark_col="PATIENT_ID", last_value=N_ROWS
+    )
+    assert none_new.count() == 0
+
+
+def test_incremental_read_string_watermark(spark, derby):
+    """String watermarks are quoted/escaped into the pushed predicate."""
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    df = derby.read_incremental(
+        spark, tables["PATIENT"], watermark_col="NAME", last_value="patient_98"
+    )
+    # lexicographic: only 'patient_99' sorts above 'patient_98'
+    assert sorted(r["NAME"] for r in df.collect()) == ["patient_99"]
