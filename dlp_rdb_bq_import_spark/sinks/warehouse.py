@@ -22,10 +22,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import traceback
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -75,3 +77,65 @@ class Warehouse:
         with open(path, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")
+
+    def write_partitioned(
+        self,
+        df: DataFrame,
+        dataset: str,
+        full_name: str,
+        partition_cols: list[str],
+        mode: str = "append",
+        files_per_partition: int = 1,
+    ) -> WriteResult:
+        """Hive-style partitioned layout (``col=value/`` directories) —
+        the property that turns a date/tenant filter into partition
+        PRUNING at read time instead of a full scan. Rows are
+        repartitioned by the partition columns first, so each dynamic
+        partition is written by ``files_per_partition`` tasks instead of
+        every task appending a sliver to every partition — the classic
+        small-file explosion (tasks × partitions files per load)."""
+        path = self.table_path(dataset, full_name)
+        try:
+            shuffled = df.repartition(
+                *([F.col(c) for c in partition_cols])
+            ) if files_per_partition == 1 else df.repartition(
+                files_per_partition, *[F.col(c) for c in partition_cols]
+            )
+            shuffled.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+            return WriteResult(full_name, path, "ok")
+        except Exception as e:
+            return WriteResult(full_name, path, "failed", f"{e}\n{traceback.format_exc()}")
+
+    def compact(
+        self,
+        spark: SparkSession,
+        dataset: str,
+        full_name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite a table to ~``target_file_bytes`` files (the
+        maintenance pass every incrementally-appended table needs: each
+        micro-batch/merge leaves small files; scans then pay per-file
+        open cost and lose row-group locality). Returns the new file
+        count. The rewrite stages to a sibling directory and swaps via
+        rename, so readers see the old or the new layout, never a
+        partial mix. (Flat tables; a Hive-partitioned table compacts
+        per partition directory instead.)"""
+        path = self.table_path(dataset, full_name)
+        df = spark.read.parquet(path)
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-size // target_file_bytes))  # ceil
+        staged = path + "._compacting"
+        df.repartition(n_files).write.mode("overwrite").parquet(staged)
+        backup = path + "._old"
+        os.rename(path, backup)
+        os.rename(staged, path)
+        shutil.rmtree(backup)
+        return len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )

@@ -255,3 +255,41 @@ def test_reid_pipeline_publishes_detokenized_json(spark, tmp_path):
     msgs = [json.loads(m) for b in _read_batches(out) for m in b]
     by_id = {m["id"]: m["cardNumber"] for m in msgs}
     assert by_id == {1: "4111111111111111", 2: "5500005555555559"}
+
+
+def test_write_partitioned_prunes_at_read(spark, tmp_path):
+    """Hive-partitioned warehouse layout: one file per dynamic
+    partition (no small-file fan-out) and a partition filter reaches
+    the scan as PartitionFilters, reading only that directory."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    res = wh.write_partitioned(df, "DS", "t", ["bucket"])
+    assert res.status == "ok"
+    root = wh.table_path("DS", "t")
+    for b in range(4):
+        pdir = os.path.join(root, f"bucket={b}")
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1  # repartition-before-write collapsed the fan-out
+
+    read = spark.read.parquet(root).where(F.col("bucket") == "2")
+    assert read.count() == 250
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Ten tiny appends → one compacted file, same rows."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    for i in range(10):
+        wh.write(spark.range(i * 10, (i + 1) * 10), "DS", "t")
+    root = wh.table_path("DS", "t")
+    before = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert len(before) >= 10
+    n_files = wh.compact(spark, "DS", "t")
+    assert n_files == 1
+    got = sorted(r["id"] for r in wh.read(spark, "DS", "t").collect())
+    assert got == list(range(100))
