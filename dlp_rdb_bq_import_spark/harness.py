@@ -1439,6 +1439,19 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(d).select("doc_id", "byte_len", "mean_px")
 
 
+@query("multimodal_frame_sample")  # stubbed decode — rows-only
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: payload length stands in for the video
+    duration (fixtures carry no real media), one digest row per sampled
+    timestamp. Deterministic, so the rows-only check is stable."""
+    from .operators.multimodal import sample_frames
+
+    d = attach_payload(t(spark, sf_dir, "documents"), "text").withColumn(
+        "duration_ms", F.length("payload").cast("long") * 10
+    )
+    return sample_frames(d, every_ms=1000)
+
+
 # ---------------------------------------------------------------------------
 # §2.1-ext TPC-H-adapted SQL pack
 #

@@ -512,3 +512,22 @@ def test_redact_text_plan_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = redact_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_frames_counts_and_determinism(spark):
+    from dlp_rdb_bq_import_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh", 2500), (2, b"xy", 0), (3, None, 1000)],
+        "doc_id long, payload binary, duration_ms long",
+    )
+    out = sample_frames(df, every_ms=1000).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    # one frame per whole second, inclusive of t=0
+    assert sorted(per_doc[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert sorted(per_doc[2]) == [(0, 0)]
+    assert sorted(per_doc[3]) == [(0, 0), (1, 1000)]  # null payload still planned
+    again = sample_frames(df, every_ms=1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
