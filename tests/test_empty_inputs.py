@@ -1,0 +1,59 @@
+"""Empty-input robustness: every operator must plan and execute on a
+zero-row DataFrame (the failure mode that bites at 3 a.m. when one
+incremental batch is empty — driver actions at plan time and
+first()-based dimension sniffing both die here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dlp_rdb_bq_import_spark.operators import dedup, sampling, similarity
+from dlp_rdb_bq_import_spark.operators import text as text_ops
+from dlp_rdb_bq_import_spark.operators.cdc import apply_changes, merge_upsert
+from dlp_rdb_bq_import_spark.operators.profiling import profile_table
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture()
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    assert dedup.minhash_dedup_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.simhash_neardup_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, "text", "doc_id").count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_clusters(pairs).count() == 0
+    assert dedup.dedup_keep_representative(empty_docs, pairs, "doc_id").count() == 0
+
+
+def test_similarity_ops_on_empty(spark, empty_vecs):
+    assert similarity.sign_lsh_bands(empty_vecs).count() == 0
+    assert similarity.embedding_neardup_pairs(empty_vecs).count() == 0
+    assert similarity.lsh_topk(empty_vecs, empty_vecs).count() == 0
+    # IVF cannot train a quantizer on nothing — a clear error, not a crash
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.train_ivf_centroids(empty_vecs)
+
+
+def test_text_and_sampling_on_empty(spark, empty_docs):
+    assert text_ops.analyze_documents(empty_docs).count() == 0
+    assert text_ops.gopher_quality_flags(empty_docs).count() == 0
+    assert text_ops.winnowing_fingerprint_rows(empty_docs).count() == 0
+    assert sampling.deterministic_sample(empty_docs, "doc_id", 0.5).count() == 0
+
+
+def test_cdc_and_profile_on_empty(spark):
+    base = spark.createDataFrame([], "k long, v long")
+    changes = spark.createDataFrame([], "k long, v long, _op string, _seq long")
+    assert merge_upsert(base, base.drop("v").limit(0).withColumn("v", F.lit(0)), ["k"]).count() == 0
+    assert apply_changes(base, changes, ["k"]).count() == 0
+    prof = {r["col_name"]: r for r in profile_table(base).collect()}
+    assert prof["k"]["n_rows"] == 0 and prof["k"]["n_distinct"] == 0
