@@ -1211,6 +1211,19 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.lsh_topk(queries_df, e, k=5, bands=16, bits_per_band=8)
 
 
+@query("knn_pq_topk")  # approximate (quantization error) — recall in pytest
+def q_knn_pq(spark, sf_dir):
+    """ANN scale path #3: product quantization — the corpus compressed
+    to 8 one-byte codes per vector, queries scanned against the code
+    table with ADC lookup tables. Fully deterministic (seeded per-
+    subspace k-means, stable tie-breaks)."""
+    e = t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(e, n_subspaces=8, n_centroids=64)
+    codes = similarity.pq_encode(e, books)
+    queries_df = e.where(F.col("vec_id") < 20)
+    return similarity.pq_topk(queries_df, codes, books, k=5)
+
+
 @query("knn_ivf_topk")  # approximate — recall tested vs brute force in pytest
 def q_knn_ivf(spark, sf_dir):
     """ANN scale path #2: IVF — k-means coarse quantizer trained on a

@@ -467,3 +467,167 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric-distance scan
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks for product quantization: the
+    dim-D space splits into ``n_subspaces`` contiguous slices, each
+    quantized independently to ``n_centroids`` centroids. Codebooks are
+    (m, k, D/m) floats — kilobytes — trained driver-side on the same
+    deterministic hash-picked sample the IVF quantizer uses; encoding a
+    100 TB corpus to m bytes/vector is the part that scales.
+    """
+    sample = (
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    if not sample:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    X = np.array([r["_v"] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, k, sub), dtype=np.float64)
+    for m in range(n_subspaces):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        cent = Xm[rng.choice(len(Xm), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = Xm[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) rows: each vector as m small ints —
+    scalar columns, so the code table parquet-compresses and the gate
+    canonicalizer sorts it. Vectorized nearest-centroid per subspace in
+    Arrow batches; ties break to the lowest code (argmin)."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    schema = T.StructType(
+        [T.StructField("_id", T.LongType())]
+        + [T.StructField(f"code_{i}", T.IntegerType()) for i in range(m)]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {"_id": pdf[id_col].to_numpy().astype("int64")}
+            for i in range(m):
+                Xm = mat[:, i * sub : (i + 1) * sub]
+                d2 = ((Xm[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+                out[f"code_{i}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return (
+        _spread(df.select(F.col(id_col).cast("long").alias(id_col), vec_col), id_col)
+        .mapInPandas(enc, schema=schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query builds an (m, k)
+    distance table against the codebooks driver-side-free — the tables
+    ship with the task — and the compressed corpus is scanned with
+    per-code lookups, no original vectors touched. The scan is a
+    mapInPandas over the code table joined to nothing: at 100 TB the
+    working set is the m-byte codes, 16-64× smaller than the floats.
+
+    Approximation error is the quantization error; recall vs the exact
+    metric is pinned on planted clusters in tests."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kk, sub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("_v")
+    ).collect()
+    if not q_rows:
+        return corpus_codes.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank long, adc_dist double"
+        )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["_v"] for r in q_rows], dtype=np.float64)
+    # (n_q, m, k) lookup tables: squared distance of each query slice to
+    # every centroid of that subspace
+    tables = np.empty((len(qids), m, kk), dtype=np.float64)
+    for i in range(m):
+        Qm = Q[:, i * sub : (i + 1) * sub]
+        tables[:, i, :] = ((Qm[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    code_cols = [f"code_{i}" for i in range(m)]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = pdf[code_cols].to_numpy()  # (n_c, m)
+            n_c = len(pdf)
+            # dist[q, c] = sum_i tables[q, i, codes[c, i]]
+            dist = np.zeros((len(qids), n_c), dtype=np.float64)
+            for i in range(m):
+                dist += tables[:, i, :][:, codes[:, i]]
+            nid = pdf[id_col].to_numpy().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n_c),
+                    "nid": np.tile(nid, len(qids)),
+                    "adc_dist": dist.reshape(-1),
+                }
+            )
+
+    scored = corpus_codes.mapInPandas(scan, schema=schema).where(
+        F.col("qid") != F.col("nid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("adc_dist", 9).alias("adc_dist"))
+    )

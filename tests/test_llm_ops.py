@@ -531,3 +531,33 @@ def test_sample_frames_counts_and_determinism(spark):
     assert sorted(per_doc[3]) == [(0, 0), (1, 1000)]  # null payload still planned
     again = sample_frames(df, every_ms=1000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_recall_planted(spark, planted_embeddings):
+    """PQ-ADC top-k on clustered data: quantization error is far below
+    the cluster separation, so the planted top-3 survives compression
+    to 8 bytes per vector."""
+    e = planted_embeddings
+    queries = e.where(F.col("vec_id") < 80)
+    books = similarity.train_pq_codebooks(e, n_subspaces=8, n_centroids=32)
+    codes = similarity.pq_encode(e, books)
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.brute_force_topk(queries, e, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in similarity.pq_topk(queries, codes, books, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"planted-cluster PQ recall {recall:.3f} < 0.9"
+
+
+def test_pq_codes_shape_and_determinism(spark, planted_embeddings):
+    e = planted_embeddings
+    books = similarity.train_pq_codebooks(e, n_subspaces=8, n_centroids=32)
+    assert books.shape == (8, 32, 4)  # dim 32 → 4 dims per subspace
+    a = sorted(map(tuple, similarity.pq_encode(e, books).collect()))
+    b = sorted(map(tuple, similarity.pq_encode(e, books).collect()))
+    assert a == b
+    assert all(0 <= v < 32 for row in a for v in row[1:])
