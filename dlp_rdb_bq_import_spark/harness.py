@@ -2097,6 +2097,70 @@ def q_percentile_summary(spark, sf_dir):
     )
 
 
+@query(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume
+FROM orders
+WHERE o_orderkey < 1000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions: rank arithmetic over exact
+    integer positions, so the doubles agree cross-engine. The unique-
+    key order suffix keeps ntile deterministic under ties."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance near-dup with blocking: the nation key is the
+    block (an equi-join), levenshtein runs only within blocks — the
+    classic record-linkage shape that keeps a quadratic metric off the
+    full corpus. Spark and DuckDB share levenshtein semantics."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_nk"),
+    )
+    return (
+        a.join(b, "_nk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_na", "_nb").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
