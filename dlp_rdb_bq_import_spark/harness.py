@@ -1379,6 +1379,27 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0' AND {sampling.sample_predicate_sql('doc_id', 1.0)})
+   OR (source = 'src1' AND {sampling.sample_predicate_sql('doc_id', 0.5)})
+   OR (source = 'src2' AND {sampling.sample_predicate_sql('doc_id', 0.25)})
+   OR (source NOT IN ('src0', 'src1', 'src2') AND {sampling.sample_predicate_sql('doc_id', 0.1)})
+""",
+)
+def q_corpus_mixture(spark, sf_dir):
+    """Training-mix assembly: per-source rates with a default for
+    unlisted sources — deterministic hash sampling, so the mix is
+    reproducible across engines and cluster sizes."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(d, "doc_id", "source", _MIX_WEIGHTS, default_weight=0.1)
+
+
 @query(
     "deterministic_sample",
     oracle=f"""

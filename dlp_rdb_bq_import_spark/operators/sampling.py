@@ -61,3 +61,29 @@ def stratified_sample(
 def sample_predicate_sql(key_expr: str, fraction: float) -> str:
     """The oracle-side rendering of ``sample_predicate`` (DuckDB/ANSI)."""
     return f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_LEN}) < '{_bucket_bound(fraction)}'"
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Training-data mixture: each source sampled at its own rate (the
+    up/down-weighting step that turns a raw corpus into a training mix).
+    Same hash-predicate machinery as ``stratified_sample`` but with a
+    default rate for unlisted sources, so a new source appearing
+    upstream degrades to the default instead of silently vanishing
+    (or set default_weight=0.0 to quarantine unknowns by omission,
+    which is the conservative default)."""
+    pred = (
+        sample_predicate(F.col(key_col), default_weight)
+        if default_weight > 0.0
+        else F.lit(False)
+    )
+    for source, w in weights.items():
+        pred = F.when(
+            F.col(source_col) == source, sample_predicate(F.col(key_col), w)
+        ).otherwise(pred)
+    return df.where(pred)
