@@ -1818,6 +1818,32 @@ def q_tpch_q12(spark, sf_dir):
 
 
 @query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count histogram: outer join so zero-order
+    customers keep a 0 bucket, then a second aggregation over the
+    first's output — two shuffles, the second tiny."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
     "tpch_q14_promo_revenue",
     oracle="""
 SELECT (100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE))
