@@ -148,3 +148,66 @@ def test_stream_stream_join_pairs(spark, tmp_path):
     out = stream_stream_interval_join(spark, str(src))
     pairs = {(r["left_event"], r["right_event"]) for r in out.collect()}
     assert pairs == {(1, 2), (6, 8), (7, 8)}
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Event-time correctness under out-of-order delivery: batch 1
+    carries window-A events plus a later event that advances the
+    watermark past window A's end. The watermark used to filter late
+    rows in batch N is the one committed at the end of batch N-1, so
+    the straggler is staged TWO batches after the advancing event; it
+    must be DROPPED (window A already finalized) while later in-time
+    events still count."""
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "events"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = [
+        (1, pd.Timestamp("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),  # window A (00:00)
+        (2, pd.Timestamp("2024-01-01 00:20:00"), 1, "click", 1.0, "{}"),  # window A
+        (3, pd.Timestamp("2024-01-01 03:00:00"), 1, "click", 1.0, "{}"),  # advances watermark to 02:00
+    ]
+    batch2 = [
+        (4, pd.Timestamp("2024-01-01 03:10:00"), 1, "click", 1.0, "{}"),  # in time (window 03:00)
+    ]
+    batch3 = [
+        (5, pd.Timestamp("2024-01-01 00:40:00"), 1, "click", 1.0, "{}"),  # LATE: window A closed
+        (6, pd.Timestamp("2024-01-01 06:00:00"), 1, "click", 1.0, "{}"),  # flushes window 03:00
+    ]
+    # µs timestamps: the session reads parquet TIMESTAMP(NANOS) as long
+    for i, rows in enumerate([batch1, batch2, batch3]):
+        d = pd.DataFrame(rows, columns=cols).astype({"ts": "datetime64[us]"})
+        d.to_parquet(src / f"batch{i}.parquet", index=False)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    schema = spark.read.parquet(str(src)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    # watermarks need TIMESTAMP (tz); pandas wrote TIMESTAMP_NTZ
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "HH:mm").alias("w"), "n"
+        )
+    )
+    name = "late_data_test"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        got = {r["w"]: r["n"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got.get("00:00") == 2, f"late straggler leaked into a closed window: {got}"
+    assert got.get("03:00") == 2, f"in-time batch-2 events lost: {got}"
