@@ -2348,6 +2348,34 @@ def q_tpch_q22(spark, sf_dir):
     return _sql(spark, sf_dir, _Q22_SQL)
 
 
+_Q11_SQL = f"""
+SELECT l_partkey,
+       {_dsum_sql('l_extendedprice * l_quantity', 'part_value')}
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+     > (
+    SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE) * 0.0004
+    FROM lineitem l2 JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name = 'NATION_7'
+)
+"""
+
+
+@query("tpch_q11_important_stock", oracle=_Q11_SQL)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H q11 adapted (fixtures carry no partsupp, so lineitem
+    value per part stands in for supply cost; NATION_7 for GERMANY): grouped HAVING against
+    an uncorrelated scalar subquery over the same three-way join.
+    Catalyst evaluates the subquery once (broadcast scalar), not per
+    group; the decimal-sum-then-double recipe keeps the threshold
+    comparison bit-identical across engines."""
+    return _sql(spark, sf_dir, _Q11_SQL)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
