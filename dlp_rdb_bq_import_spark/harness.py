@@ -1127,6 +1127,41 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
+@query(
+    "decontaminate_overlap",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
+  FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws) - 2
+),
+tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+be AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+ov AS (
+  SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+         CAST(count(*) AS BIGINT) AS overlap_ngrams
+  FROM tr JOIN be ON tr.g = be.g GROUP BY 1, 2
+)
+SELECT train_id, bench_id, overlap_ngrams FROM ov WHERE overlap_ngrams >= 3
+""",
+)
+def q_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style exact n-gram overlap):
+    every 20th document plays the held-out benchmark; training docs
+    sharing >=3 distinct word 3-grams with a benchmark doc are flagged.
+    The benchmark n-gram set broadcasts, so the training corpus is
+    scanned once and never shuffled before the per-pair count."""
+    from .operators.decontam import contamination_pairs
+
+    d = t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(
+        train, bench, "text", "doc_id", n=3, min_hits=3, num_partitions=32
+    )
+
+
 _EMB_EX = """
 ex AS (
   SELECT vec_id,

@@ -561,3 +561,44 @@ def test_pq_codes_shape_and_determinism(spark, planted_embeddings):
     b = sorted(map(tuple, similarity.pq_encode(e, books).collect()))
     assert a == b
     assert all(0 <= v < 32 for row in a for v in row[1:])
+
+
+def test_decontaminate_drops_planted_contamination(spark):
+    """A train doc that copies a benchmark doc's text must be removed;
+    a disjoint-vocabulary doc must survive; a doc sharing fewer than
+    min_hits n-grams must survive."""
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, bench_text),  # verbatim copy → contaminated
+            (2, "one two three four five six seven eight"),  # disjoint
+            (3, "alpha beta gamma nine ten eleven twelve"),  # 1 shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    pairs = contamination_pairs(train, bench, "text", "doc_id", n=3, min_hits=3)
+    got = {(r["train_id"], r["bench_id"]): r["overlap_ngrams"] for r in pairs.collect()}
+    assert got == {(1, 100): 6}  # 8 words → 6 distinct 3-grams
+
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, "text", "doc_id", n=3, min_hits=3).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_decontaminate_empty_bench_keeps_everything(spark):
+    from dlp_rdb_bq_import_spark.operators.decontam import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(train, bench, "text", "doc_id").count() == 2
