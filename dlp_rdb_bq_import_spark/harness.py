@@ -1211,6 +1211,19 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return similarity.embedding_neardup_pairs(e, threshold=0.35, bands=16, bits_per_band=8)
 
 
+@query("semantic_dedup")  # k-means cells are not SQL-expressible — rows-only
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means-cell the embedding space, compare only
+    within-cell pairs exactly, keep one representative per connected
+    component. Quadratic cost shrinks to n²/k; recall on planted
+    clusters and pair-subset-of-exact are pinned in
+    tests/test_llm_ops.py. Gate output is the kept id set (the corpus
+    row minus its array column — scalar-sortable)."""
+    e = t(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_dedup(e, threshold=0.35, n_cells=32)
+    return kept.select("vec_id")
+
+
 @query(
     "knn_bruteforce_topk",
     oracle=f"""

@@ -163,6 +163,20 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return _rerank_candidate_pairs(df, cand, threshold, vec_col, id_col)
+
+
+def _rerank_candidate_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact integer-cosine verification of a candidate (id_a, id_b)
+    set: joins vectors back, keeps pairs >= threshold. Shared by every
+    bucketed near-dup path, so precision is 1.0 by construction no
+    matter how sloppy the candidate generator was."""
     a = with_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"), F.col("_norm").alias("_na")
     )
@@ -183,6 +197,50 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 64,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, arXiv 2303.09540): k-means-cluster the embedding space, then
+    compare ONLY within-cell pairs exactly. Cost is Σ|cell|² ≈ n²/k —
+    the quadratic term shrinks linearly with cell count — and the cell
+    equi-join shuffles each vector once. Pairs straddling a cell
+    boundary are missed by construction (recall pinned on planted
+    clusters in tests/test_llm_ops.py); emitted pairs are exact."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells, vec_col, id_col)
+    asg = ivf_assign(df, centroids, nprobe=1, vec_col=vec_col, id_col=id_col)
+    cand = (
+        asg.select(F.col(id_col).alias("id_a"), "cell")
+        .join(asg.select(F.col(id_col).alias("id_b"), "cell"), "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return _rerank_candidate_pairs(df, cand, threshold, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 64,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus after SemDeDup: within-cell near-dup pairs → connected
+    components → one representative (minimum id — deterministic; the
+    paper's lowest-centroid-similarity keeper is a diversity heuristic,
+    not a semantics requirement) per cluster, singletons untouched."""
+    from .dedup import dedup_keep_representative
+
+    pairs = semantic_dedup_pairs(df, threshold, n_cells, centroids, vec_col, id_col)
+    return dedup_keep_representative(df, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -602,3 +602,39 @@ def test_decontaminate_empty_bench_keeps_everything(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(train, bench, "text", "doc_id").count() == 2
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, planted_embeddings):
+    """Within-cell pairs are exactly verified, so every emitted pair
+    must appear in the exact all-pairs set with the identical cosine."""
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(
+            planted_embeddings, threshold=0.9, n_cells=8
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_exact(
+            planted_embeddings, threshold=0.9
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    # operating regime: tight clusters land in one cell → near-full recall
+    assert len(got) >= 0.9 * len(exact)
+
+
+def test_semantic_dedup_collapses_planted_clusters(spark, planted_embeddings):
+    """Each planted 4-member cluster keeps exactly its min-id member;
+    the 120 isotropic random vectors all survive (no cosine-0.9 pairs
+    among random 32-dim vectors)."""
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            planted_embeddings, threshold=0.9, n_cells=8
+        ).collect()
+    )
+    planted_keepers = [c * 4 for c in range(20)]
+    randoms = list(range(80, 200))
+    assert kept == planted_keepers + randoms
