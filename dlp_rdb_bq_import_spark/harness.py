@@ -2413,6 +2413,83 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 """
 
 
+@query(
+    "sequence_packing",
+    oracle="""
+WITH tc AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM tc
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(before / 2048.0) AS BIGINT) AS seq_id,
+       CAST(before % 2048 AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style contiguous sequence packing: per source stream, docs
+    concatenate in doc_id order and cut every 2048 tokens; each doc's
+    (sequence, offset) assignment is a running-sum window — one shuffle
+    on the stream key, pure integer arithmetic, bit-identical across
+    engines."""
+    from .operators.packing import pack_sequences
+    from .operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, token_count(F.col("text")), budget=2048, stream_col="source", order_col="doc_id"
+    ).select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+newb AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id = 300
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM newb GROUP BY text),
+kept AS (SELECT n.* FROM newb n JOIN keep k ON n.doc_id = k.doc_id)
+SELECT doc_id, lang, source, n_chars
+FROM kept
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = kept.text)
+""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-crawl incremental dedup: the new batch carries re-keyed
+    copies of 50 corpus docs (must drop — already seen) and one
+    within-batch duplicate (lowest id wins); the standing corpus ships
+    as a distinct fingerprint set, not full rows."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 250)
+    new = (
+        d.where(F.col("doc_id") >= 250)
+        .unionByName(
+            d.where(F.col("doc_id") < 50).withColumn(
+                "doc_id", F.col("doc_id") + 10000
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") == 300).withColumn(
+                "doc_id", F.col("doc_id") + 20000
+            )
+        )
+    )
+    return dedup.incremental_dedup(new, corpus, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @query("tpch_q11_important_stock", oracle=_Q11_SQL)
 def q_tpch_q11(spark, sf_dir):
     """TPC-H q11 adapted (fixtures carry no partsupp, so lineitem

@@ -50,6 +50,33 @@ def content_fingerprint(df: DataFrame, cols: list[str], out: str = "fingerprint"
     return df.withColumn(out, F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])))
 
 
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    cols: list[str],
+    id_col: str,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Daily-crawl dedup: rows of the NEW batch whose content already
+    exists in the standing corpus are dropped, and the batch is also
+    deduped against itself (lowest id wins). The corpus side reduces to
+    its distinct fingerprint set before the anti-join, so the 100 TB
+    corpus ships as fixed-width hashes — broadcastable when the
+    fingerprint set fits (``broadcast_corpus``), a fingerprint-keyed
+    shuffle otherwise. Output keeps the new batch's full rows.
+    """
+    seen = content_fingerprint(corpus, cols).select("fingerprint").distinct()
+    if broadcast_corpus:
+        seen = F.broadcast(seen)
+    fresh = content_fingerprint(new, cols)
+    keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(keep, ["fingerprint", id_col], "left_semi")
+        .join(seen, "fingerprint", "left_anti")
+        .drop("fingerprint")
+    )
+
+
 def shingles(
     df: DataFrame,
     text_col: str,

@@ -638,3 +638,44 @@ def test_semantic_dedup_collapses_planted_clusters(spark, planted_embeddings):
     planted_keepers = [c * 4 for c in range(20)]
     randoms = list(range(80, 200))
     assert kept == planted_keepers + randoms
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    """Docs pack contiguously per stream: a doc starting exactly at the
+    budget boundary opens the next sequence; an over-budget doc spans
+    (its start assignment is still the sequence it begins in)."""
+    from dlp_rdb_bq_import_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "s", 60),   # before=0   → seq 0, off 0
+        (2, "s", 40),   # before=60  → seq 0, off 60
+        (3, "s", 150),  # before=100 → seq 1, off 0 (exact boundary)
+        (4, "s", 10),   # before=250 → seq 2, off 50 (after the spanner)
+        (5, "t", 10),   # independent stream
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, "toks", budget=100).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 60), 3: (1, 0), 4: (2, 50), 5: (0, 0)}
+
+
+def test_incremental_dedup_broadcast_and_empty_corpus(spark):
+    from dlp_rdb_bq_import_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(1, "seen")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "seen"), (11, "fresh"), (12, "fresh"), (13, "other")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(
+            new, corpus, ["text"], "doc_id", broadcast_corpus=True
+        ).collect()
+    )
+    assert kept == [11, 13]  # 10 seen already; 12 loses to 11 in-batch
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_dedup(new, empty, ["text"], "doc_id").count() == 3
