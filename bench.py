@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "sessionize",
     "batch_window_agg",
     "dedup_exact",
+    "dedup_incremental",
+    "decontaminate_overlap",
+    "sequence_packing",
+    "semantic_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup_lsh",
