@@ -99,3 +99,35 @@ def test_exact_dedup_single_shuffle(spark, qs):
     tree = plan.split("== Initial Plan ==")[0]
     assert tree.count("Exchange (") == 1
     assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, qs):
+    """The benchmark n-gram set must broadcast (training side never
+    shuffles before the per-pair count), and the training scan must not
+    read text into the join key — n-grams travel as xxhash64."""
+    plan = final_plan(qs["decontaminate_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_exchange_no_python(spark, qs):
+    """Packing is one window over the stream key: exactly one exchange
+    in the final plan, all-JVM expressions."""
+    plan = final_plan(qs["sequence_packing"](spark, SF))
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Exchange (") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, qs):
+    """SemDeDup candidates come from the cell equi-join — a cross join
+    anywhere means the cell bucketing silently degenerated."""
+    plan = final_plan(qs["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_on_fingerprint(spark, qs):
+    plan = final_plan(qs["dedup_incremental"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
