@@ -2414,6 +2414,34 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "higher_order_array_functions",
+    oracle="""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS long_words,
+  CAST(list_aggregate(list_transform(string_split(text, ' '), w -> len(w)), 'sum') AS BIGINT) AS sum_word_chars,
+  CAST(list_aggregate(list_transform(string_split(text, ' '), w -> len(w)), 'max') AS BIGINT) AS max_word_len
+FROM documents
+""",
+)
+def q_higher_order_array_functions(spark, sf_dir):
+    """Array higher-order functions (§2.8's lambda-expression family —
+    absent from the reference, free in Spark): filter / transform /
+    aggregate / array_max over the split word array, all inside
+    whole-stage codegen, reduced back to scalars for the gate."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lens = F.transform(words, lambda w: F.length(w))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).cast("long").alias("long_words"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "sum_word_chars"
+        ),
+        F.array_max(lens).cast("long").alias("max_word_len"),
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
 WITH tc AS (
