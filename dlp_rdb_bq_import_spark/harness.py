@@ -2414,6 +2414,31 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "corpus_heavy_hitters",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word)
+SELECT word, n FROM c ORDER BY n DESC, word LIMIT 25
+""",
+)
+def q_corpus_heavy_hitters(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: explode → count → top-k. The
+    explode's partial aggregation combines map-side, so the shuffle
+    carries one row per distinct word per partition, not one per token;
+    the top-k is a TakeOrderedAndProject, never a full sort. (The
+    sketch-based cousin for true streaming-scale cardinality is
+    `hll_sketch_rollup`.)"""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(25)
+    )
+
+
+@query(
     "higher_order_array_functions",
     oracle="""
 SELECT doc_id,
