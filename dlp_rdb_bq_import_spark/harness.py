@@ -1050,6 +1050,30 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+_STREAM_STATIC_SQL = f"""
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       {_dsum_sql('value', 'total_value')}
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+@query("streaming_static_join", oracle=_STREAM_STATIC_SQL)
+def q_streaming_static_join(spark, sf_dir):
+    """W-EXT — stream-static enrichment join: micro-batches of the
+    event stream join a static customer dimension (broadcast,
+    re-planned per batch, no state), rolled up per market segment in
+    complete mode. Oracle is the identical batch LEFT JOIN."""
+    from .streaming.jobs import stream_static_segment_rollup
+
+    return stream_static_segment_rollup(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        t(spark, sf_dir, "customer"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.12 LLM-data ops: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------

@@ -98,6 +98,42 @@ def chunked_ingest(
     )
 
 
+def stream_static_segment_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static join: every micro-batch of the event stream joins
+    against a static dimension table — the streaming spelling of the
+    reference's config-lookup join (`ServerUtil.java:274-286`), and the
+    third Structured Streaming join flavor next to the batch and
+    stream-stream paths. The static side needs no watermark or state:
+    Spark re-plans it per micro-batch, broadcasting when small. Output
+    is a complete-mode rollup per segment (unmatched users roll up as
+    'UNKNOWN'), so the finished table oracle-checks against the plain
+    batch LEFT JOIN + GROUP BY."""
+    raw = _event_stream(spark, source_dir)
+    joined = raw.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(key), segment_col)),
+        key,
+        "left",
+    )
+    stream = (
+        joined.groupBy(
+            F.coalesce(F.col(segment_col), F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_tv"),
+        )
+        .select("segment", "n", F.col("_tv").cast("double").alias("total_value"))
+    )
+    return _run_to_memory(stream, "complete")
+
+
 def stream_stream_interval_join(
     spark: SparkSession,
     source_dir: str,

@@ -211,3 +211,40 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         q.stop()
     assert got.get("00:00") == 2, f"late straggler leaked into a closed window: {got}"
     assert got.get("03:00") == 2, f"in-time batch-2 events lost: {got}"
+
+
+def test_stream_static_join_unmatched_rolls_up_unknown(spark, sf_dir):
+    """Events whose user is absent from the static dim must roll up
+    under 'UNKNOWN', and totals must equal the batch equivalent."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.streaming.jobs import stream_static_segment_rollup
+
+    import os
+
+    from pyspark.sql import functions as F
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    dim = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 5)
+    got = {
+        r["segment"]: (r["n"], r["total_value"])
+        for r in stream_static_segment_rollup(spark, events_path, dim).collect()
+    }
+    assert "UNKNOWN" in got
+
+    ev = spark.read.parquet(events_path)
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = (
+        ev.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("tv"),
+        )
+    )
+    expected = {r["segment"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert got == expected
