@@ -2438,6 +2438,30 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "train_val_test_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split by key hash — the same row
+    lands in the same split on every engine, partitioning, and cluster
+    size, so re-runs never leak eval rows into train. The oracle states
+    the identical md5-prefix CASE (bounds cccd = 0.8, e666 = 0.9 of the
+    16-bit prefix space)."""
+    from .operators.sampling import train_val_test_split
+
+    d = t(spark, sf_dir, "documents")
+    return train_val_test_split(d, "doc_id", train=0.8, val=0.1).select(
+        "doc_id", "split"
+    )
+
+
+@query(
     "corpus_heavy_hitters",
     oracle="""
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

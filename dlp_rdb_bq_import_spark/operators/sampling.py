@@ -87,3 +87,34 @@ def mixture_sample(
             F.col(source_col) == source, sample_predicate(F.col(key_col), w)
         ).otherwise(pred)
     return df.where(pred)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic three-way corpus split by key hash: the same row
+    lands in the same split on every engine, partitioning, and cluster
+    size — re-running the pipeline never leaks val/test rows into
+    train. Remaining mass (1 - train - val) is 'test'."""
+    if train + val > 1.0:
+        raise ValueError(f"train + val must be <= 1, got {train + val}")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, _PREFIX_LEN)
+    return df.withColumn(
+        out,
+        F.when(h < F.lit(_bucket_bound(train)), "train")
+        .when(h < F.lit(_bucket_bound(train + val)), "val")
+        .otherwise("test"),
+    )
+
+
+def train_val_test_split_sql(key_expr: str, train: float = 0.8, val: float = 0.1) -> str:
+    """Oracle-side rendering of ``train_val_test_split``'s label."""
+    return (
+        f"CASE WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_LEN}) < '{_bucket_bound(train)}' THEN 'train' "
+        f"WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_LEN}) < '{_bucket_bound(train + val)}' THEN 'val' "
+        f"ELSE 'test' END"
+    )

@@ -303,3 +303,48 @@ def redact_text(
     for name in names:
         col = F.regexp_replace(col, INFO_TYPE_DETECTORS[name], f"[{name}]")
     return df.withColumn(out_col or text_col, col)
+
+
+def pii_profile(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    info_types: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Table-level InfoType scan report — the profiling face of the
+    reference's inspect surface (README.md:283-339 configures per-table
+    inspection; this reports it): for every (column, info_type), rows
+    scanned, rows with at least one match, and total matches.
+
+    One aggregation job over the table: every (column, detector) pair
+    is a JVM `regexp_count` expression aggregated in the same pass
+    (no per-detector rescans), then the wide row is melted to long form
+    with `stack` — same shape as `operators/profiling.table_profile`.
+    """
+    from ..functions.tokenize import INFO_TYPE_DETECTORS
+
+    names = info_types if info_types is not None else tuple(INFO_TYPE_DETECTORS)
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        for t_name in names:
+            hits = F.regexp_count(F.col(c).cast("string"), F.lit(INFO_TYPE_DETECTORS[t_name]))
+            aggs.append(F.sum(hits).alias(f"_m_{c}_{t_name}"))
+            aggs.append(
+                F.sum(F.when(hits > 0, 1).otherwise(0)).alias(f"_r_{c}_{t_name}")
+            )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{t_name}', _m_{c}_{t_name}, _r_{c}_{t_name}"
+        for c in cols
+        for t_name in names
+    )
+    n_pairs = len(cols) * len(names)
+    return wide.selectExpr(
+        f"stack({n_pairs}, {stack_args}) AS (column, info_type, n_matches, n_rows_matched)",
+        "_rows AS n_rows",
+    ).select(
+        "column",
+        "info_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_rows_matched"), F.lit(0)).cast("long").alias("n_rows_matched"),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+    )

@@ -679,3 +679,47 @@ def test_incremental_dedup_broadcast_and_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert incremental_dedup(new, empty, ["text"], "doc_id").count() == 3
+
+
+def test_pii_profile_planted(spark):
+    """One aggregation pass reports per-(column, info_type) hit counts;
+    a row with two emails counts once in n_rows_matched, twice in
+    n_matches."""
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.com or c@d.org", "555-123-4567"),
+            (2, "no pii here", "also clean"),
+            (3, "ip is 10.0.0.1", "x@y.io"),
+        ],
+        "id long, notes string, extra string",
+    )
+    prof = text_ops.pii_profile(
+        df, ("notes", "extra"), ("EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS")
+    )
+    got = {
+        (r["column"], r["info_type"]): (r["n_rows"], r["n_rows_matched"], r["n_matches"])
+        for r in prof.collect()
+    }
+    assert got[("notes", "EMAIL_ADDRESS")] == (3, 1, 2)
+    assert got[("notes", "IP_ADDRESS")] == (3, 1, 1)
+    assert got[("notes", "PHONE_NUMBER")] == (3, 0, 0)
+    assert got[("extra", "EMAIL_ADDRESS")] == (3, 1, 1)
+    assert got[("extra", "PHONE_NUMBER")] == (3, 1, 1)
+    assert len(got) == 6
+
+
+def test_train_val_test_split_deterministic_and_disjoint(spark, sf_dir):
+    """Every row gets exactly one label; labels are identical across
+    repartitionings; fractions land near the targets."""
+    d = load_table(spark, sf_dir, "documents")
+    a = sampling.train_val_test_split(d, "doc_id", train=0.8, val=0.1)
+    b = sampling.train_val_test_split(d.repartition(7), "doc_id", train=0.8, val=0.1)
+    la = {r["doc_id"]: r["split"] for r in a.collect()}
+    lb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert la == lb
+    from collections import Counter
+
+    frac = Counter(la.values())
+    n = len(la)
+    assert 0.7 < frac["train"] / n < 0.9
+    assert frac["train"] + frac["val"] + frac["test"] == n
