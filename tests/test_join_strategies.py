@@ -102,3 +102,67 @@ def test_salted_join_outer_semantics(spark):
         for r in salted_join(facts, dim, "k", salt=4, how="left").collect()
     }
     assert out == {(100, "one"), (200, None)}
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """With AQE on (session default), a small aggregation's 8 configured
+    shuffle partitions collapse to fewer actual partitions at runtime —
+    the knob that keeps 100 TB plans from drowning in tiny tasks when a
+    filter makes a stage small."""
+    df = (
+        spark.range(10_000)
+        .withColumn("k", F.col("id") % 4)
+        .groupBy("k")
+        .count()
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan.lower()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A 95%-hot-key sort-merge join must show AQE's skew handling
+    (skew=true on the SMJ) — the runtime complement to explicit
+    salting for keys discovered skewed only at execution time."""
+    left = spark.range(200_000).withColumn(
+        "k", F.when(F.col("id") % 100 < 95, 0).otherwise(F.col("id") % 100)
+    )
+    right = spark.range(100).withColumnRenamed("id", "k")
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    try:
+        # force SMJ (no broadcast) and make the hot partition count as
+        # skewed at this tiny scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        j = left.join(right, "k")
+        rows = j.collect()  # count() would execute a different plan
+        assert len(rows) == 200_000
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
