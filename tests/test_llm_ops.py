@@ -723,3 +723,31 @@ def test_train_val_test_split_deterministic_and_disjoint(spark, sf_dir):
     n = len(la)
     assert 0.7 < frac["train"] / n < 0.9
     assert frac["train"] + frac["val"] + frac["test"] == n
+
+
+def test_pack_sequences_invariants_random(spark):
+    """On a random corpus: offsets stay inside the budget, the
+    (seq_id, seq_offset) pair reconstructs the running token total
+    exactly, and seq_id is nondecreasing in stream order."""
+    from dlp_rdb_bq_import_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, f"s{rng.integers(0, 3)}", int(rng.integers(1, 400)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    out = pack_sequences(df, "toks", budget=256).collect()
+    by_stream: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_stream.setdefault(r["source"], []).append(r)
+    assert sum(len(v) for v in by_stream.values()) == 500
+    for stream_rows in by_stream.values():
+        before = 0
+        prev_seq = 0
+        for r in stream_rows:
+            assert 0 <= r["seq_offset"] < 256
+            assert r["seq_id"] * 256 + r["seq_offset"] == before
+            assert r["seq_id"] >= prev_seq
+            prev_seq = r["seq_id"]
+            before += r["n_tokens"]

@@ -131,3 +131,43 @@ def test_incremental_dedup_anti_join_on_fingerprint(spark, qs):
     plan = final_plan(qs["dedup_incremental"](spark, SF))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning (session default ON): a
+    selective dim filter injects a might_contain predicate into the
+    fact-table scan stage, cutting shuffle input before the join. The
+    application-side size threshold (10 GB default) is what keeps it
+    from firing at fixture scale, so the test lowers it — at the 100 TB
+    design point it fires on its own."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = final_plan(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
