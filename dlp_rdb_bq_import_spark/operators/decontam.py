@@ -42,12 +42,18 @@ def contamination_pairs(
     sharing >= ``min_hits`` distinct word n-grams.
 
     Both sides shingle with the same ``hashed_shingles`` used by the
-    near-dup family (distinct (id, hash) per doc), so the join emits
-    one row per *distinct shared n-gram* and ``count(*)`` is exactly
-    the overlap cardinality.
+    near-dup family; the overlap count is over *distinct shared
+    n-grams*. Order of operations is the scale-critical part: the
+    training side joins the broadcast benchmark set RAW (no per-doc
+    dedup first — that would shuffle the full corpus's shingle
+    stream), and the distinct runs on the join survivors, which are
+    only the contaminated slivers. The training corpus is therefore
+    never shuffled at full width; the one real exchange carries
+    matches only.
     """
     tr = hashed_shingles(
-        train, text_col, id_col, n=n, num_partitions=num_partitions, unit=unit
+        train, text_col, id_col, n=n, num_partitions=num_partitions, unit=unit,
+        distinct=False,
     ).withColumnRenamed(id_col, "train_id")
     be = hashed_shingles(bench, text_col, id_col, n=n, unit=unit).withColumnRenamed(
         id_col, "bench_id"
@@ -56,6 +62,8 @@ def contamination_pairs(
         be = F.broadcast(be)
     return (
         tr.join(be, "_h")
+        .select("train_id", "bench_id", "_h")
+        .distinct()
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").alias("overlap_ngrams"))
         .where(F.col("overlap_ngrams") >= min_hits)

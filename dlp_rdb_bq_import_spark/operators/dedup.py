@@ -114,6 +114,7 @@ def hashed_shingles(
     n: int = 5,
     num_partitions: int | None = None,
     unit: str = "char",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct (id, shingle-hash) pairs: ``xxhash64`` of each n-gram
     replaces the string shingle, so every downstream shuffle/join key is
@@ -125,7 +126,12 @@ def hashed_shingles(
     production MinHash unit: word n-grams are far more selective than
     character n-grams over natural/templated text, so background
     similarity between unrelated documents stays near 0 and LSH banding
-    actually separates near-dups from noise)."""
+    actually separates near-dups from noise).
+
+    ``distinct=False`` skips the per-doc dedup shuffle and emits raw
+    (id, hash) rows — for callers that dedup *after* a selective
+    broadcast join has already discarded most of the stream (see
+    ``decontam.contamination_pairs``)."""
     base = df.select(F.col(id_col), F.col(text_col))
     if num_partitions:
         base = base.repartition(num_partitions, id_col)
@@ -135,23 +141,23 @@ def hashed_shingles(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
-        return (
+        out = (
             base.where(F.size(toks) >= n)
             .select(F.col(id_col), F.explode(grams).alias("_sh"))
             .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
-            .distinct()
         )
-    return (
-        base.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))).alias("_pos"),
-            F.col(text_col),
+    else:
+        out = (
+            base.select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))).alias("_pos"),
+                F.col(text_col),
+            )
+            .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), n).alias("_sh"))
+            .where(F.length("_sh") == n)
+            .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
         )
-        .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), n).alias("_sh"))
-        .where(F.length("_sh") == n)
-        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
-        .distinct()
-    )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
