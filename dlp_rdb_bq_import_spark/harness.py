@@ -2438,6 +2438,39 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "rolling_time_window",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_time_window(spark, sf_dir):
+    """Time-RANGE window frame (the value-based cousin of the
+    rows-frame queries): per user, count and decimal-exact sum of
+    events in the trailing hour. Range frames include ties as peers —
+    identical semantics in Spark and the oracle when both order by
+    epoch seconds."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias(
+            "sum_last_hour"
+        ),
+    )
+
+
+@query(
     "train_val_test_split",
     oracle="""
 SELECT doc_id,
