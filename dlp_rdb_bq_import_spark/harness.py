@@ -2438,6 +2438,31 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "null_safe_join",
+    oracle="""
+WITH f AS (SELECT NULLIF(l_returnflag, 'N') AS k, l_quantity FROM lineitem),
+d AS (SELECT DISTINCT NULLIF(l_returnflag, 'N') AS k FROM lineitem)
+SELECT COALESCE(f.k, '(null)') AS k, CAST(count(*) AS BIGINT) AS n
+FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY 1
+""",
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the NULL
+    group's count proves the semantics (a plain equi-join would lose
+    it entirely)."""
+    li = t(spark, sf_dir, "lineitem")
+    f = li.select(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k"))
+    d = f.distinct().withColumnRenamed("k", "dk")
+    return (
+        f.join(d, f["k"].eqNullSafe(d["dk"]))
+        .groupBy(F.coalesce(F.col("k"), F.lit("(null)")).alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "rolling_time_window",
     oracle="""
 SELECT event_id, user_id,
