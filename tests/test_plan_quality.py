@@ -171,3 +171,17 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_global_sort_uses_range_partitioning(spark, qs):
+    """A global ORDER BY must plan as a sampled range-partitioning
+    exchange (each partition holds a contiguous key range — the only
+    sort shape that scales out), never a single-partition sort."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").orderBy(
+        F.col("l_extendedprice").desc()
+    )
+    plan = final_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
