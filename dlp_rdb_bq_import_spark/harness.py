@@ -1545,6 +1545,17 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(d).select("doc_id", "byte_len", "mean_px")
 
 
+@query("multimodal_resize")  # stubbed decode, real resize math — rows-only
+def q_multimodal_resize(spark, sf_dir):
+    """Thumbnail stage: fake decode → real nearest-neighbor resize →
+    fixed-width digest rows. Deterministic, so the rows-only check is
+    stable."""
+    from .operators.multimodal import resize_images
+
+    d = attach_payload(t(spark, sf_dir, "documents"), "text")
+    return resize_images(d, out_w=2, out_h=2)
+
+
 @query("multimodal_frame_sample")  # stubbed decode — rows-only
 def q_multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: payload length stands in for the video

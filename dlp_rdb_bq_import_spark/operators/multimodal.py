@@ -158,3 +158,58 @@ def sample_frames(
         payload_col,
         F.col(duration_col).cast("long").alias(duration_col),
     ).mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 2,
+    out_h: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → resize → re-emit stage. The decode is the stubbed fake
+    (no codec library in this environment); the resize itself is REAL —
+    nearest-neighbor index sampling over the decoded array, the same
+    arithmetic a production thumbnailer runs — and the Spark plumbing
+    (Arrow batches, schema, digest output) is the production shape.
+    Output carries dims + byte count + content digest rather than the
+    pixels, so the stage output stays fixed-width no matter the image
+    size."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(payload), deterministic_fake=True)
+                h, w = img.shape[0], img.shape[1]
+                yi = np.arange(out_h) * h // out_h
+                xi = np.arange(out_w) * w // out_w
+                raw = np.ascontiguousarray(img[yi][:, xi]).tobytes()
+                rows.append(
+                    (
+                        int(doc_id),
+                        out_w,
+                        out_h,
+                        len(raw),
+                        hashlib.md5(raw).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "n_bytes", "content_md5"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
+        run, schema=_RESIZE_SCHEMA
+    )

@@ -751,3 +751,20 @@ def test_pack_sequences_invariants_random(spark):
             assert r["seq_id"] >= prev_seq
             prev_seq = r["seq_id"]
             before += r["n_tokens"]
+
+
+def test_resize_images_deterministic_and_fixed_width(spark, sf_dir):
+    """Resize output is partitioning-independent and fixed-width:
+    n_bytes == out_w*out_h*3 for every row, and digests are stable
+    across runs and repartitionings."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import resize_images
+
+    d = attach_payload(load_table(spark, sf_dir, "documents"), "text")
+    a = {r["doc_id"]: r["content_md5"] for r in resize_images(d, 2, 3).collect()}
+    b = {
+        r["doc_id"]: r["content_md5"]
+        for r in resize_images(d.repartition(5), 2, 3).collect()
+    }
+    assert a == b and len(a) > 0
+    row = resize_images(d, 2, 3).first()
+    assert row["n_bytes"] == 2 * 3 * 3
