@@ -1436,19 +1436,32 @@ def q_dedup_clusters(spark, sf_dir):
 @query("curation_pipeline")  # composition over iterative clustering — rows-only
 def q_curation_pipeline(spark, sf_dir):
     """The end-to-end curation shape a training-data run executes:
-    near-dup pairs → keep one representative per cluster → quality
-    filter → deterministic subsample. Each stage is individually
-    verified (minhash containment, cluster union-find, sample oracle);
-    this query checks they compose."""
+    near-dup pairs → keep one representative per cluster → benchmark
+    decontamination → quality filter → deterministic subsample →
+    train/val/test split → sequence packing. Each stage is
+    individually verified (minhash containment, cluster union-find,
+    decontam oracle, sample/split/packing oracles); this query checks
+    they compose."""
+    from .operators.decontam import decontaminate
+    from .operators.packing import pack_sequences
+    from .operators.sampling import train_val_test_split
+
     d = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         d, "text", "doc_id", threshold=0.35, shingle_n=3, shingle_unit="word"
     )
     kept = dedup.dedup_keep_representative(d, pairs, "doc_id")
-    kept = kept.where(text_ops.quality_score(F.col("text")) >= 0.5)
-    return sampling.deterministic_sample(kept, "doc_id", 0.5).select(
-        "doc_id", "lang", "source"
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    kept = decontaminate(
+        kept.where(F.col("doc_id") % 20 != 0), bench, "text", "doc_id", n=3, min_hits=3
     )
+    kept = kept.where(text_ops.quality_score(F.col("text")) >= 0.5)
+    kept = sampling.deterministic_sample(kept, "doc_id", 0.5)
+    kept = train_val_test_split(kept, "doc_id", train=0.8, val=0.1)
+    packed = pack_sequences(
+        kept, text_ops.token_count(F.col("text")), budget=2048, stream_col="split"
+    )
+    return packed.select("doc_id", "lang", "source", "split", "seq_id", "seq_offset")
 
 
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
