@@ -2462,6 +2462,49 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "length_histogram",
+    oracle="""
+SELECT CAST(LEAST(FLOOR(n_chars / 250.0), 15) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS lo,
+       CAST(max(n_chars) AS BIGINT) AS hi
+FROM documents
+GROUP BY 1
+""",
+)
+def q_length_histogram(spark, sf_dir):
+    """Fixed-bin document-length histogram (corpus profiling): floor
+    division bins with a clamped tail bucket — integer arithmetic both
+    engines state identically, one partial-agg shuffle."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 250.0), F.lit(15)).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+@query("approx_percentile_summary")  # sketch-based — rows-only, error pinned in pytest
+def q_approx_percentile_summary(spark, sf_dir):
+    """Sketch-based percentile summary (the 100 TB path: KLL-style
+    mergeable sketch, one pass, no global sort). Error vs the exact
+    R-7 `percentile_summary` is pinned in tests/test_llm_ops.py."""
+    li = t(spark, sf_dir, "lineitem")
+    pcts = [0.5, 0.9, 0.99]
+    return li.select(
+        *[
+            F.approx_percentile("l_extendedprice", F.lit(p), F.lit(10000))
+            .alias(f"p{int(p * 100)}")
+            for p in pcts
+        ]
+    )
+
+
+@query(
     "null_safe_join",
     oracle="""
 WITH f AS (SELECT NULLIF(l_returnflag, 'N') AS k, l_quantity FROM lineitem),

@@ -768,3 +768,19 @@ def test_resize_images_deterministic_and_fixed_width(spark, sf_dir):
     assert a == b and len(a) > 0
     row = resize_images(d, 2, 3).first()
     assert row["n_bytes"] == 2 * 3 * 3
+
+
+def test_approx_percentile_within_rel_error(spark, sf_dir):
+    """The sketch percentiles must sit within 1% relative error of the
+    exact distribution at every probed quantile."""
+    from dlp_rdb_bq_import_spark.harness import queries
+
+    approx = queries()["approx_percentile_summary"](spark, sf_dir).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS p50",
+        "percentile(l_extendedprice, 0.9) AS p90",
+        "percentile(l_extendedprice, 0.99) AS p99",
+    ).first()
+    for k in ("p50", "p90", "p99"):
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.01, (k, approx[k], exact[k])
