@@ -2462,6 +2462,27 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "unpivot_metrics",
+    oracle="""
+SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(o_custkey AS DOUBLE) AS cust_key
+      FROM orders)
+UNPIVOT (val FOR metric IN (total_price, cust_key))
+""",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Native UNPIVOT (wide → long melt, the inverse of the pivot
+    query): an Expand node, no shuffle, no UDF."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    ).unpivot("o_orderkey", ["total_price", "cust_key"], "metric", "val")
+
+
+@query(
     "length_histogram",
     oracle="""
 SELECT CAST(LEAST(FLOOR(n_chars / 250.0), 15) AS BIGINT) AS bucket,
