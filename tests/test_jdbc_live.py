@@ -122,3 +122,22 @@ def test_incremental_read_string_watermark(spark, derby):
     )
     # lexicographic: only 'patient_99' sorts above 'patient_98'
     assert sorted(r["NAME"] for r in df.collect()) == ["patient_99"]
+
+
+def test_jdbc_filter_pushes_down_to_database(spark, derby):
+    """A DataFrame filter on a JDBC read must reach the database as a
+    pushed predicate (the scan's PushedFilters), not run as a
+    post-scan Spark filter over the full table — at the design scale
+    the source RDBMS prunes, Spark never sees the dropped rows."""
+    from pyspark.sql import functions as F
+
+    tables = {t.name: t for t in derby.list_tables(spark)}
+    df = derby.read_table(spark, tables["PATIENT"], offset_count=50).where(
+        F.col("AGE") > 50
+    )
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(AGE,50)" in pushed[0]
