@@ -2461,6 +2461,29 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 """
 
 
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1998-12-01 00:00:00'
+)
+SELECT CAST(year(m) AS BIGINT) AS y, CAST(month(m) AS BIGINT) AS mo,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS mm, count(*) AS cnt FROM orders GROUP BY 1
+) o ON months.m = o.mm
+"""
+
+
+@query("recursive_date_spine", oracle=_RECURSIVE_SPINE_SQL)
+def q_recursive_date_spine(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE — new native surface in Spark 4):
+    a month spine generated recursively, left-joined to per-month order
+    counts so empty months surface as zero — the gap-filling time-series
+    scaffold. One SQL string serves engine and oracle verbatim."""
+    return _sql(spark, sf_dir, _RECURSIVE_SPINE_SQL)
+
+
 @query(
     "unpivot_metrics",
     oracle="""
