@@ -2461,6 +2461,38 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 """
 
 
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(epoch_us(first_purchase) - epoch_us(first_click) AS BIGINT) AS lag_us
+FROM per_user WHERE first_purchase > first_click
+""",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analysis (click → purchase in order): one conditional-min
+    aggregation pass computes each user's first click and first
+    purchase, converters are those whose purchase follows the click,
+    with a microsecond-exact conversion lag (unix_micros / epoch_us —
+    integer arithmetic, no float-epoch rounding divergence)."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.where(F.col("first_purchase") > F.col("first_click")).select(
+        "user_id",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("lag_us"),
+    )
+
+
 _RECURSIVE_SPINE_SQL = """
 WITH RECURSIVE months(m) AS (
   SELECT TIMESTAMP '1995-01-01 00:00:00'
