@@ -2462,6 +2462,27 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "boolean_aggregates",
+    oracle="""
+SELECT event_type,
+  CAST(count(*) FILTER (WHERE value > 5.0) AS BIGINT) AS n_big,
+  bool_and(value >= 0.0) AS all_nonneg,
+  bool_or(value > 9.5) AS any_huge
+FROM events GROUP BY event_type
+""",
+)
+def q_boolean_aggregates(spark, sf_dir):
+    """Boolean aggregate family: count_if / every / any — one grouped
+    pass, map-side partials like any other hash agg."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 5.0).alias("n_big"),
+        F.every(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.some(F.col("value") > 9.5).alias("any_huge"),
+    )
+
+
+@query(
     "funnel_conversion",
     oracle="""
 WITH per_user AS (
