@@ -2462,6 +2462,27 @@ HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
 
 
 @query(
+    "argmin_argmax",
+    oracle="""
+SELECT event_type,
+       CAST(max_by(event_id, value) AS BIGINT) AS biggest_event,
+       CAST(min_by(event_id, value) AS BIGINT) AS smallest_event
+FROM events GROUP BY event_type
+""",
+)
+def q_argmin_argmax(spark, sf_dir):
+    """min_by / max_by (argmin/argmax) aggregates — the 'which row had
+    the extreme' question without a self-join or window. Extreme
+    values are unique per group in this fixture, so the result is
+    deterministic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("biggest_event"),
+        F.min_by("event_id", "value").alias("smallest_event"),
+    )
+
+
+@query(
     "boolean_aggregates",
     oracle="""
 SELECT event_type,
