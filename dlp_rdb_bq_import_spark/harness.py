@@ -2365,7 +2365,7 @@ def q_merge_upsert(spark, sf_dir):
             )
         )
     )
-    return merge_upsert(orders, updates, ["o_orderkey"])
+    return merge_upsert(orders, updates, ["o_orderkey"], broadcast_updates=True)
 
 
 _CDC_ORACLE = """
@@ -2400,7 +2400,7 @@ def q_cdc_apply_changes(spark, sf_dir):
             )
         )
     )
-    return apply_changes(orders, changes, ["o_orderkey"])
+    return apply_changes(orders, changes, ["o_orderkey"], broadcast_changes=True)
 
 
 _GROUPING_SETS_SQL = f"""

@@ -25,11 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Rows of ``base`` whose key is untouched + every ``updates`` row."""
-    return base.join(
-        F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
-    ).unionByName(updates)
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """Rows of ``base`` whose key is untouched + every ``updates`` row.
+
+    ``broadcast_updates=True`` hints the (keys-only) update side as a
+    broadcast so the base table never shuffles — use it when the CDC
+    batch is known-small. Default is a plain join: a reload-sized batch
+    would blow Spark's broadcast limit / driver memory, and AQE will
+    still promote genuinely small sides to broadcast at runtime."""
+    touched = updates.select(*key_cols)
+    if broadcast_updates:
+        touched = F.broadcast(touched)
+    return base.join(touched, key_cols, "left_anti").unionByName(updates)
 
 
 def apply_changes(
@@ -38,11 +50,16 @@ def apply_changes(
     key_cols: list[str],
     op_col: str = "_op",
     seq_col: str = "_seq",
+    broadcast_changes: bool = False,
 ) -> DataFrame:
     """Apply a CDC batch: for each key keep only the latest change (max
     ``seq_col``, ties broken by op with delete winning — a delete and
     upsert at the same sequence is a malformed feed; choosing delete is
-    the conservative read). ``op_col`` values: 'upsert' | 'delete'."""
+    the conservative read). ``op_col`` values: 'upsert' | 'delete'.
+
+    ``broadcast_changes`` mirrors ``merge_upsert``'s flag: opt-in hint
+    for known-small batches; default is a shuffle join that works at
+    any batch size (AQE still broadcasts small sides at runtime)."""
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(), F.when(F.col(op_col) == "delete", 0).otherwise(1)
     )
@@ -53,4 +70,6 @@ def apply_changes(
     )
     survivors = latest.where(F.col(op_col) == "upsert").drop(op_col, seq_col)
     touched = latest.select(*key_cols)
-    return base.join(F.broadcast(touched), key_cols, "left_anti").unionByName(survivors)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    return base.join(touched, key_cols, "left_anti").unionByName(survivors)

@@ -477,6 +477,18 @@ def duplicate_clusters(
         labels = joined.select("id", "label")
         if changed == 0:
             break
+    else:
+        # Exiting by exhausting max_iterations with labels still moving
+        # means some component's diameter exceeds the budget: two docs in
+        # one duplicate component would carry different cluster_ids and
+        # BOTH survive dedup_keep_representative. Fail loudly — silent
+        # partial dedup is the worst outcome for a curation pipeline.
+        raise RuntimeError(
+            f"duplicate_clusters: label propagation did not converge within "
+            f"max_iterations={max_iterations} ({changed} labels still changing); "
+            f"raise max_iterations (components deeper than the budget) or lower "
+            f"driver_threshold to use exact union-find"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

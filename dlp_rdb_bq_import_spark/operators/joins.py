@@ -69,13 +69,28 @@ def salted_join(
     NOT deterministic — we hash the key plus a per-row uniform draw from
     xxhash64 of all columns), the dimension side is replicated ``salt``
     ways, and the join key becomes (key, salt). Result rows are exactly
-    those of ``facts.join(dim, on, how)``; every hot key's rows spread
-    over ``salt`` partitions instead of one.
+    those of ``facts.join(dim, on, how)`` for the supported ``how``
+    values; every hot key's rows spread over ``salt`` partitions
+    instead of one.
+
+    Supported ``how``: inner, left/left_outer, left_semi, left_anti —
+    the fact-preserving joins, where replicating the dim side cannot
+    invent rows. right/full outer are rejected: an unmatched dim row
+    exists ``salt`` times in the replicated side and would be emitted
+    once per salt value; use AQE skew handling or pre-aggregate the dim
+    side for those.
 
     Use when one side is small enough to replicate ``salt``× but too
     big (or too skew-prone) to broadcast outright; for genuinely small
     dims, ``F.broadcast`` remains the first choice.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — a replicated dim side would emit unmatched dim "
+            f"rows {salt}x under right/full outer"
+        )
     salted_facts = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(salt)).cast("int")
     )

@@ -54,7 +54,6 @@ class FileDirSource(Source):
         self.csv_options = {"header": "true", **(csv_options or {})}
         self.infer_rows = infer_rows
         self._schemas: dict[str, T.StructType] = {}
-        self._headers: dict[str, str] = {}
 
     def _entries(self) -> list[tuple[str, str, str]]:
         out = []
@@ -66,17 +65,49 @@ class FileDirSource(Source):
 
     def _infer(self, spark: SparkSession, fmt: str, path: str) -> T.StructType:
         if path not in self._schemas:
+            # Bounded inference: materialize only the first infer_rows
+            # lines via the text source and infer over that prefix
+            # (a .limit() AFTER .csv(inferSchema=true) would not bound
+            # the inference scan — inference runs over the whole file
+            # when the reader is defined, before the limit applies).
+            # The header is split off MANUALLY: Spark's csv-over-dataset
+            # reader with header=true drops every line byte-identical to
+            # the header, which would hide header-identical data rows
+            # from inference.
+            lines = [
+                r["value"]
+                for r in spark.read.text(path).limit(self.infer_rows + 1).collect()
+            ]
             if fmt == "csv":
+                has_header = self.csv_options.get("header", "true").lower() == "true"
+                header_line = lines[0] if has_header and lines else None
+                data_lines = lines[1:] if has_header else lines
+                names = None
+                if header_line is not None:
+                    import csv as _csv
+                    import io
+
+                    sep = self.csv_options.get(
+                        "sep", self.csv_options.get("delimiter", ",")
+                    )
+                    names = next(_csv.reader(io.StringIO(header_line), delimiter=sep))
+                if not data_lines:
+                    # header-only file: all-string columns
+                    self._schemas[path] = T.StructType(
+                        [T.StructField(n, T.StringType()) for n in (names or [])]
+                    )
+                    return self._schemas[path]
+                opts = {k: v for k, v in self.csv_options.items() if k != "header"}
                 sample = (
-                    spark.read.options(**self.csv_options)
+                    spark.read.options(**opts)
+                    .option("header", "false")
                     .option("inferSchema", "true")
-                    .csv(path)
-                    .limit(self.infer_rows)
+                    .csv(spark.sparkContext.parallelize(data_lines, 1))
                 )
-                first = spark.read.text(path).limit(1).collect()
-                self._headers[path] = first[0]["value"] if first else ""
+                if names is not None and len(names) == len(sample.columns):
+                    sample = sample.toDF(*names)
             else:
-                sample = spark.read.json(path)
+                sample = spark.read.json(spark.sparkContext.parallelize(lines, 1))
             self._schemas[path] = sample.schema
         return self._schemas[path]
 
@@ -89,9 +120,19 @@ class FileDirSource(Source):
         )
         raw = spark.read.text(path)
         opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+        has_header = self.csv_options.get("header", "true").lower() == "true"
         if fmt == "csv":
-            # the header is data to from_csv — drop its exact line
-            raw = raw.where(F.col("value") != F.lit(self._headers[path]))
+            if has_header:
+                # The header is data to from_csv — drop the first
+                # PHYSICAL line only. For a single-file text scan the
+                # file's first line is row 0 of partition 0, i.e. the
+                # unique row with monotonically_increasing_id() == 0;
+                # a data row that happens to be byte-identical to the
+                # header survives (filtering on line CONTENT would
+                # silently drop it).
+                raw = raw.withColumn("_line_no", F.monotonically_increasing_id()).where(
+                    F.col("_line_no") != 0
+                ).drop("_line_no")
             csv_opts = {
                 **{k: v for k, v in self.csv_options.items() if k != "header"},
                 **opts,

@@ -237,6 +237,14 @@ def stateful_sessionize(
     if dict(batch.dtypes).get("ts") in ("bigint", "long"):
         batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     max_ts = batch.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        # Empty input: no sentinel timestamp to derive, and nothing to
+        # sessionize — return an empty frame with the output schema.
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long, first_event long",
+        )
 
     stage = os.path.join(
         tempfile.mkdtemp(prefix="sessionize_stream_"), "staged"

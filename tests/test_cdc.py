@@ -44,8 +44,22 @@ def test_merge_upsert_base_does_not_shuffle(spark):
     exchange — the property that lets MERGE scale to a 100 TB base."""
     base = spark.range(0, 10_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     updates = spark.createDataFrame([(1, "y")], "k long, v string")
-    merged = merge_upsert(base, updates, ["k"])
+    merged = merge_upsert(base, updates, ["k"], broadcast_updates=True)
     merged.collect()
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_merge_upsert_default_no_forced_broadcast(spark):
+    """Default path must not force a broadcast of the change batch: the
+    logical plan carries no broadcast hint, so an arbitrarily large CDC
+    batch cannot hit the broadcast size limit / driver OOM (AQE may
+    still choose broadcast at runtime for small sides)."""
+    base = spark.createDataFrame([(1, "x"), (2, "x")], "k long, v string")
+    updates = spark.createDataFrame([(1, "y")], "k long, v string")
+    merged = merge_upsert(base, updates, ["k"])
+    assert "UnresolvedHint" not in merged._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in merged._jdf.queryExecution().analyzed().toString()
+    got = {(r["k"], r["v"]) for r in merged.collect()}
+    assert got == {(1, "y"), (2, "x")}

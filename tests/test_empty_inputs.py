@@ -57,3 +57,17 @@ def test_cdc_and_profile_on_empty(spark):
     assert apply_changes(base, changes, ["k"]).count() == 0
     prof = {r["col_name"]: r for r in profile_table(base).collect()}
     assert prof["k"]["n_rows"] == 0 and prof["k"]["n_distinct"] == 0
+
+
+def test_stateful_sessionize_empty_input(spark, tmp_path):
+    """An events dir with zero rows must yield an empty session frame
+    (not a TypeError on the sentinel timestamp arithmetic)."""
+    from dlp_rdb_bq_import_spark.streaming.jobs import stateful_sessionize
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame([], "event_id long, ts timestamp, user_id long").write.parquet(src)
+    out = stateful_sessionize(spark, src)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "user_id", "session_start", "session_end", "n_events", "first_event",
+    }

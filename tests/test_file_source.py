@@ -89,3 +89,47 @@ def test_run_import_over_files_spec(spark, tmp_path):
     assert wh.read(spark, "DS", "main_people").count() == 3
     assert wh.read(spark, "DS", "main_orders").count() == 2
     assert not os.path.exists(os.path.join(wh_dir, "DS", "_quarantine"))
+
+
+def test_csv_data_row_identical_to_header_survives(spark, tmp_path):
+    """Only the first PHYSICAL line is the header; a data row that is
+    byte-identical to the header line is data and must be kept (as the
+    all-string row it parses to)."""
+    src_dir = tmp_path / "files"
+    src_dir.mkdir()
+    _write(src_dir / "w.csv", "a,b\n1,2\na,b\n3,4\n")
+    src = FileDirSource(str(src_dir))
+    (table,) = src.list_tables(spark)
+    # schema inferred as strings (the 'a,b' data row forces it)
+    rows = {tuple(r) for r in src.read_table(spark, table).collect()}
+    assert ("a", "b") in rows and ("1", "2") in rows and ("3", "4") in rows
+    assert len(rows) == 3
+
+
+def test_csv_no_header_option(spark, tmp_path):
+    """header='false' must read every line as data with positional
+    column names."""
+    src_dir = tmp_path / "files"
+    src_dir.mkdir()
+    _write(src_dir / "n.csv", "1,x\n2,y\n")
+    src = FileDirSource(str(src_dir), csv_options={"header": "false"})
+    (table,) = src.list_tables(spark)
+    df = src.read_table(spark, table)
+    assert df.count() == 2
+    assert [c.name for c in table.columns] == ["_c0", "_c1"]
+
+
+def test_csv_inference_reads_bounded_prefix(spark, tmp_path):
+    """Schema inference must consume only the first infer_rows lines: a
+    type-flipping value BEYOND the prefix cannot change the frozen
+    schema (it quarantines at read time instead)."""
+    src_dir = tmp_path / "files"
+    src_dir.mkdir()
+    lines = ["k_id,v"] + [f"{i},{i}" for i in range(50)] + ["50,not-a-number"]
+    _write(src_dir / "b.csv", "\n".join(lines) + "\n")
+    src = FileDirSource(str(src_dir), infer_rows=10)
+    (table,) = src.list_tables(spark)
+    assert dict((c.name, c.data_type) for c in table.columns)["v"] in ("INT", "BIGINT")
+    clean = src.read_table(spark, table)
+    assert clean.count() == 50  # the flipping row is quarantined, not schema-flipping
+    assert src.read_corrupt(spark, table).count() == 1

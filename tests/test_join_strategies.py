@@ -166,3 +166,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer would emit unmatched dim rows once per salt
+    value; salted_join must refuse rather than silently duplicate."""
+    import pytest
+
+    facts = spark.createDataFrame([(1, "a")], "fact_id long, k string")
+    dim = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, label string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(facts, dim, "k", salt=4, how=how)
+    # semi/anti stay supported and exact
+    semi = salted_join(facts, dim, "k", salt=4, how="left_semi")
+    assert [r["fact_id"] for r in semi.collect()] == [1]
+    anti = salted_join(facts, dim, "k", salt=4, how="left_anti")
+    assert anti.count() == 0

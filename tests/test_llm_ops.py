@@ -266,6 +266,16 @@ def test_duplicate_clusters_matches_union_find(spark, driver_threshold):
     assert got == _union_find_clusters(pairs)
 
 
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iterations with labels still moving must raise —
+    silently returning partially-merged clusters would let two docs of
+    one duplicate component both survive dedup."""
+    chain = [(i, i + 1) for i in range(12)]
+    pdf = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pdf, driver_threshold=0, max_iterations=2)
+
+
 def test_dedup_keep_representative(spark):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in [1, 2, 3, 10, 11, 50]], ["doc_id", "text"]
