@@ -1550,36 +1550,50 @@ def q_multimodal_stats(spark, sf_dir):
     return payload_stats(d).select("doc_id", "byte_len", "payload_md5")
 
 
-@query("multimodal_features")  # stubbed fake decoder — rows-only
+@query("multimodal_features")  # real BMP/PPM decode; payloads synthesized in-flight — rows-only
 def q_multimodal_features(spark, sf_dir):
-    from .operators.multimodal import extract_features
+    """Decode → featurize over REAL image bytes (spec-conformant BMP/PPM
+    synthesized deterministically per doc_id; fixtures ship no media).
+    Features are actual pixel statistics. Deterministic, so the
+    rows-only check is stable."""
+    from .operators.multimodal import attach_media, extract_features
 
-    d = attach_payload(t(spark, sf_dir, "documents"), "text")
-    return extract_features(d).select("doc_id", "byte_len", "mean_px")
+    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
+    return extract_features(d).select("doc_id", "byte_len", "width", "height", "mean_px")
 
 
-@query("multimodal_resize")  # stubbed decode, real resize math — rows-only
+@query("multimodal_audio_features")  # real RIFF/PCM WAV decode — rows-only
+def q_multimodal_audio(spark, sf_dir):
+    """WAV decode → signal features (duration, RMS, zero crossings)
+    over real 16-bit PCM bytes. Deterministic rows-only check."""
+    from .operators.multimodal import attach_media, extract_audio_features
+
+    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"), media="audio")
+    return extract_audio_features(d).select(
+        "doc_id", "byte_len", "sample_rate", "n_samples", "duration_ms", "zero_crossings"
+    )
+
+
+@query("multimodal_resize")  # real decode + nearest-neighbor resize — rows-only
 def q_multimodal_resize(spark, sf_dir):
-    """Thumbnail stage: fake decode → real nearest-neighbor resize →
+    """Thumbnail stage: real BMP/PPM decode → nearest-neighbor resize →
     fixed-width digest rows. Deterministic, so the rows-only check is
     stable."""
-    from .operators.multimodal import resize_images
+    from .operators.multimodal import attach_media, resize_images
 
-    d = attach_payload(t(spark, sf_dir, "documents"), "text")
+    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
     return resize_images(d, out_w=2, out_h=2)
 
 
-@query("multimodal_frame_sample")  # stubbed decode — rows-only
+@query("multimodal_frame_sample")  # real YUV4MPEG2 stream decode — rows-only
 def q_multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing: payload length stands in for the video
-    duration (fixtures carry no real media), one digest row per sampled
-    timestamp. Deterministic, so the rows-only check is stable."""
-    from .operators.multimodal import sample_frames
+    """Frame sampling over real Y4M streams: one digest row per sampled
+    timestamp, digesting the actual frame shown at that instant.
+    Deterministic, so the rows-only check is stable."""
+    from .operators.multimodal import attach_media, sample_frames
 
-    d = attach_payload(t(spark, sf_dir, "documents"), "text").withColumn(
-        "duration_ms", F.length("payload").cast("long") * 10
-    )
-    return sample_frames(d, every_ms=1000)
+    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"), media="video")
+    return sample_frames(d, every_ms=250)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,308 @@
+"""Pure-stdlib codecs for honest, public, uncompressed media formats.
+
+The container ships no image/audio codec libraries, but that only rules
+out COMPRESSED formats (PNG/JPEG/MP3/H.264). The classic uncompressed
+interchange formats are fully specified public byte layouts that
+``struct`` + numpy decode exactly:
+
+- **BMP** (Windows bitmap, 24-bit ``BI_RGB``): 14-byte file header,
+  40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded to 4 bytes.
+- **PPM** (netpbm ``P6``): ASCII header ``P6 <w> <h> <maxval>`` then raw
+  RGB bytes.
+- **WAV** (RIFF PCM): ``RIFF``/``WAVE`` container, ``fmt `` + ``data``
+  chunks, little-endian 16-bit PCM samples.
+- **Y4M** (``YUV4MPEG2``): plain-text stream header carrying
+  width/height/framerate, then ``FRAME\\n`` + raw planes per frame
+  (``C444``: three full-resolution planes).
+
+These are the real production formats a training-data lake stores for
+"decode-free" access paths, so the decode stage of the multimodal
+operators (``operators/multimodal.py``) is genuinely real: bytes in,
+pixels/samples out, no fake. Compressed formats still raise
+``NotImplementedError`` — honestly, at the sniffing layer.
+
+Everything here is driver/executor-agnostic plain Python over
+``bytes`` — it runs inside Arrow-batched pandas UDFs, one call per
+payload, with numpy doing the pixel math.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# format sniffing
+# ---------------------------------------------------------------------------
+
+_MAGIC = [
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"RIFF", "wav"),  # refined to WAVE below
+    (b"YUV4MPEG2", "y4m"),
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"ID3", "mp3"),
+    (b"\x00\x00\x00", "mp4"),  # ftyp boxes start with a 4-byte length
+]
+
+
+def sniff_format(payload: bytes) -> str:
+    """Identify a payload's container by magic bytes; 'unknown' if none
+    match. RIFF is only 'wav' when the form type is WAVE."""
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            if name == "wav" and payload[8:12] != b"WAVE":
+                return "unknown"
+            return name
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# BMP — 24-bit uncompressed BI_RGB
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP bytes."""
+    h, w, c = rgb.shape
+    if c != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB. Supports
+    bottom-up (positive height) and top-down (negative height) rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (BI_ code {compression}) not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (24/32 only)")
+    h = abs(h_signed)
+    nch = bpp // 8
+    row_len = (w * nch + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_len * h, offset=data_offset)
+    rows = raw.reshape(h, row_len)[:, : w * nch].reshape(h, w, nch)
+    if h_signed > 0:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, [2, 1, 0]])  # BGR(A) → RGB
+
+
+# ---------------------------------------------------------------------------
+# PPM — netpbm P6 binary RGB
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w, c = rgb.shape
+    if c != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 bytes → (h, w, 3) uint8 RGB. Header tokens may be separated by
+    any whitespace and ``#`` comments, per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_image_payload(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. Compressed formats
+    raise ``NotImplementedError`` (no codec library in this
+    environment); unknown bytes raise ``ValueError``."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt in ("png", "jpeg", "gif"):
+        raise NotImplementedError(f"{fmt} decode requires a codec library (not in this environment)")
+    raise ValueError(f"not an image payload (sniffed {fmt!r})")
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF 16-bit PCM
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) int16 → RIFF/WAVE PCM bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    block_align = ch * 2
+    byte_rate = sample_rate * block_align
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → ((n, channels) int16, sample_rate). Walks
+    the chunk list, skipping unknown chunks (LIST/INFO metadata etc.)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt_chunk = data_chunk = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data_chunk = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = np.frombuffer(data_chunk, dtype="<i2")
+    return samples.reshape(-1, ch).copy(), sample_rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M — YUV4MPEG2 uncompressed video (C444: full-res Y, U, V planes)
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 4, fps_den: int = 1) -> bytes:
+    """(n, h, w, 3) uint8 YUV frames → YUV4MPEG2 C444 bytes."""
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_y4m expects (n, h, w, 3) uint8 YUV")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C444\n".encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(f.transpose(2, 0, 1)).tobytes())  # Y, U, V planes
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """YUV4MPEG2 bytes → ((n, h, w, 3) uint8 YUV frames, fps_num,
+    fps_den). C444 only — subsampled colorspaces would need chroma
+    upsampling choices that belong to a real player."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = "C420jpeg"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise NotImplementedError(f"Y4M colorspace {colorspace} not supported (C444 only)")
+    frame_len = w * h * 3
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        fnl = payload.index(b"\n", i)  # FRAME line may carry parameters
+        if not payload[i:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame marker")
+        planes = np.frombuffer(payload, dtype=np.uint8, count=frame_len, offset=fnl + 1)
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        i = fnl + 1 + frame_len
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), fps_num, fps_den
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (fixture-side: real bytes, seeded content)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_image(seed: int) -> bytes:
+    """Real BMP (even seeds) / PPM (odd seeds) bytes: a two-axis
+    gradient plus seeded noise, size varying with the seed so decoders
+    see many shapes (including widths that force BMP row padding)."""
+    seed = int(seed) & 0x7FFFFFFF
+    w = 5 + seed % 12
+    h = 4 + (seed // 12) % 10
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    return encode_ppm(rgb) if seed % 2 else encode_bmp(rgb)
+
+
+def synthesize_audio(seed: int, sample_rate: int = 8000) -> bytes:
+    """Real WAV bytes: a seeded-frequency sine with seeded noise,
+    10-60 ms of mono 16-bit PCM."""
+    seed = int(seed) & 0x7FFFFFFF
+    n = sample_rate * (10 + seed % 51) // 1000
+    t = np.arange(n, dtype=np.float64)
+    freq = 200.0 + (seed % 1800)
+    wave = np.sin(2 * np.pi * freq * t / sample_rate) * 12000
+    noise = np.random.default_rng(seed).integers(-500, 500, n)
+    return encode_wav((wave + noise).astype(np.int16), sample_rate)
+
+
+def synthesize_video(seed: int, fps_num: int = 4, fps_den: int = 1) -> bytes:
+    """Real Y4M bytes: 2-5 frames of seeded gradient-plus-noise YUV."""
+    seed = int(seed) & 0x7FFFFFFF
+    n = 2 + seed % 4
+    w = h = 8
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        y = ((xx + yy + 7 * i) * 255 // (w + h)).astype(np.uint8)
+        u = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        v = np.full((h, w), (seed + i * 31) % 256, dtype=np.uint8)
+        frames.append(np.stack([y, u, v], axis=-1))
+    return encode_y4m(np.stack(frames), fps_num, fps_den)

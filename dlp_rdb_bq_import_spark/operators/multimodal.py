@@ -6,17 +6,29 @@ frame-sample are Pandas-UDF stages over ``mapInPandas`` so each Arrow
 batch is processed vectorized and the (large) payload bytes never pass
 through Python row-at-a-time.
 
-The container has no image/audio codecs, so the actual decode is STUBBED
-(``NotImplementedError`` by default, a deterministic fake for tests) —
-but everything Spark-side is real and tested: the schema, the binary
-column plumbing, the UDF signatures, the batch shapes, and the
-partitioning posture (payload columns are pruned unless projected, so a
-metadata-only query never reads the bytes — at 100 TB that is the
-difference between a metadata scan and a full-corpus read).
+The decode stage is REAL: ``operators/media_codecs.py`` implements the
+public uncompressed interchange formats byte-for-byte (24-bit BMP and
+P6 PPM images, RIFF 16-bit-PCM WAV audio, YUV4MPEG2 C444 video), so
+features, thumbnails and frame digests below are computed from actual
+decoded pixels/samples. Compressed formats (PNG/JPEG/MP3/H.264) still
+raise ``NotImplementedError`` at the sniffing layer — those genuinely
+need codec libraries this container does not ship.
+
+Fixtures carry no media, so ``attach_media`` synthesizes real encoded
+bytes deterministically from the document id (a BMP is a BMP whether a
+camera or a RNG chose the pixels); ``attach_payload`` keeps the plain
+text→bytes packing used by the metadata-only stats path.
+
+100 TB posture: payload columns are pruned unless projected, so a
+metadata-only query never reads the bytes; decode stages emit
+fixed-width features/digests (thousands of times smaller than the
+payloads), so data volume collapses at the first Python-side stage and
+everything downstream is JVM-side relational algebra again.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -26,10 +38,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import media_codecs as codecs
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("media_type", T.StringType()),  # image/audio/video
-        T.StructField("format", T.StringType()),  # png/wav/mp4/...
+        T.StructField("format", T.StringType()),  # bmp/ppm/wav/y4m/...
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.LongType()),
@@ -38,9 +52,85 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def attach_payload(df: DataFrame, source_col: str, out: str = "payload") -> DataFrame:
-    """Pack a column into the opaque binary payload column (fixtures have
-    no real media; any bytes exercise the plumbing)."""
+    """Pack a column into the opaque binary payload column (the
+    metadata-only path: stats/digest stages never decode)."""
     return df.withColumn(out, F.encode(F.col(source_col).cast("string"), "UTF-8"))
+
+
+_ATTACH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, media: str = "image", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL encoded media payload per row, synthesized
+    deterministically from the id (fixtures carry no media bytes; the
+    encoders in ``media_codecs`` produce spec-conformant BMP/PPM/WAV/
+    Y4M files). Output: (doc_id, payload, media_type, format, width,
+    height, duration_ms) — payload plus the typed metadata columns the
+    schema contract promises. Deterministic and partitioning-
+    independent by construction (seed = id)."""
+    if media not in ("image", "audio", "video"):
+        raise ValueError(f"unknown media type {media!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                if media == "image":
+                    payload = codecs.synthesize_image(seed)
+                    img = codecs.decode_image_payload(payload)
+                    meta = (img.shape[1], img.shape[0], 0)
+                elif media == "audio":
+                    payload = codecs.synthesize_audio(seed)
+                    samples, rate = codecs.decode_wav(payload)
+                    meta = (0, 0, len(samples) * 1000 // rate)
+                else:
+                    payload = codecs.synthesize_video(seed)
+                    frames, num, den = codecs.decode_y4m(payload)
+                    meta = (
+                        frames.shape[2],
+                        frames.shape[1],
+                        frames.shape[0] * 1000 * den // num,
+                    )
+                rows.append(
+                    (
+                        seed,
+                        payload,
+                        media,
+                        codecs.sniff_format(payload),
+                        meta[0],
+                        meta[1],
+                        meta[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "payload",
+                    "media_type",
+                    "format",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=_ATTACH_SCHEMA
+    )
 
 
 def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -52,21 +142,19 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB — image decode needs a codec library not present in this
-    container. ``deterministic_fake`` yields a seeded 4x4 RGB array
-    derived from the payload bytes for pipeline tests."""
-    if deterministic_fake:
-        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "big") & 0xFFFFFFFF
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
-    raise NotImplementedError("image decode requires a codec library (not in this environment)")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode: BMP and PPM parsed byte-for-byte from the
+    public specs; compressed formats raise ``NotImplementedError``
+    (codec libraries are not in this environment)."""
+    return codecs.decode_image_payload(bytes(payload))
 
 
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("mean_px", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
@@ -76,26 +164,97 @@ _FEATURE_SCHEMA = T.StructType(
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Decode → featurize stage shape: Arrow-batched, payload bytes in /
-    small feature vector out (the 100 TB posture: features are thousands
-    of times smaller than payloads, so this stage is where the data
-    volume collapses). Uses the deterministic fake decoder."""
+    """Decode → featurize stage: Arrow-batched, payload bytes in /
+    small feature vector out (the 100 TB posture: features are
+    thousands of times smaller than payloads, so this stage is where
+    the data volume collapses). Decodes the actual image bytes;
+    features are real pixel statistics (dims, global mean, per-channel
+    means)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, lens, means, feats = [], [], [], []
+            ids, lens, ws, hs, means, feats = [], [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_image(bytes(payload), deterministic_fake=True)
+                if payload is None:
+                    continue
+                img = decode_image(payload)
                 ids.append(doc_id)
                 lens.append(len(payload))
+                ws.append(img.shape[1])
+                hs.append(img.shape[0])
                 means.append(float(img.mean()))
                 feats.append(img.astype(np.float64).mean(axis=(0, 1)).tolist())
             yield pd.DataFrame(
-                {"doc_id": ids, "byte_len": lens, "mean_px": means, "feature": feats}
+                {
+                    "doc_id": ids,
+                    "byte_len": lens,
+                    "width": ws,
+                    "height": hs,
+                    "mean_px": means,
+                    "feature": feats,
+                }
             )
 
     return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
         run, schema=_FEATURE_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real WAV/PCM decode → signal features: duration, RMS amplitude,
+    zero-crossing count (the cheap speech/music discriminator). Same
+    Arrow-batched volume-collapsing shape as the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                samples, rate = codecs.decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                zc = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(payload),
+                        rate,
+                        len(mono),
+                        len(mono) * 1000 // rate,
+                        float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "byte_len",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
+        run, schema=_AUDIO_SCHEMA
     )
 
 
@@ -110,6 +269,7 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
         T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("src_frame", T.LongType()),
         T.StructField("frame_md5", T.StringType()),
     ]
 )
@@ -119,45 +279,40 @@ def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    duration_col: str = "duration_ms",
-    every_ms: int = 1000,
+    every_ms: int = 250,
 ) -> DataFrame:
-    """Frame sampling for video payloads: one row per sampled timestamp
-    (0, every_ms, 2·every_ms, … ≤ duration). The decode is the stubbed
-    fake (a deterministic payload slice stands in for the real frame —
-    no codec in this container); the Spark plumbing is the real design:
-    Arrow-batched mapInPandas, per-frame rows out, payload bytes
-    never crossing row-at-a-time Python, and the output carrying a
-    digest rather than the frame itself (at 100 TB the frame store is a
-    separate sink; the pipeline rows carry references/digests)."""
-    import hashlib
+    """Frame sampling over REAL video payloads: the Y4M stream is
+    decoded, one row emitted per sampled timestamp (0, every_ms, … up
+    to the stream duration), carrying the digest of the actual frame
+    the stream shows at that instant (frame floor(ts·fps/1000)). The
+    output carries digests rather than pixels — at 100 TB the frame
+    store is a separate sink; pipeline rows carry references."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, md5s = [], [], [], []
-            for doc_id, payload, dur in zip(
-                pdf[id_col], pdf[payload_col], pdf[duration_col]
-            ):
-                b = bytes(payload) if payload is not None else b""
-                for i, ts in enumerate(range(0, int(dur) + 1, every_ms)):
-                    if b:
-                        start = ts % len(b)
-                        frame = (b[start:] + b[:start])[:64]
-                    else:
-                        frame = b"\0"
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    tss.append(ts)
-                    md5s.append(hashlib.md5(frame).hexdigest())
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                frames, num, den = codecs.decode_y4m(bytes(payload))
+                n = frames.shape[0]
+                duration_ms = n * 1000 * den // num
+                i = 0
+                for ts in range(0, int(duration_ms), every_ms):
+                    src = min(ts * num // (1000 * den), n - 1)
+                    digest = hashlib.md5(
+                        np.ascontiguousarray(frames[src]).tobytes()
+                    ).hexdigest()
+                    rows.append((int(doc_id), i, ts, int(src), digest))
+                    i += 1
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_md5": md5s}
+                rows,
+                columns=["doc_id", "frame_idx", "frame_ts_ms", "src_frame", "frame_md5"],
             )
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        payload_col,
-        F.col(duration_col).cast("long").alias(duration_col),
-    ).mapInPandas(run, schema=_FRAME_SCHEMA)
+    return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
+        run, schema=_FRAME_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = T.StructType(
@@ -178,21 +333,19 @@ def resize_images(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Decode → resize → re-emit stage. The decode is the stubbed fake
-    (no codec library in this environment); the resize itself is REAL —
-    nearest-neighbor index sampling over the decoded array, the same
-    arithmetic a production thumbnailer runs — and the Spark plumbing
-    (Arrow batches, schema, digest output) is the production shape.
-    Output carries dims + byte count + content digest rather than the
-    pixels, so the stage output stays fixed-width no matter the image
-    size."""
-    import hashlib
+    """Decode → resize → re-emit stage over real image bytes:
+    nearest-neighbor index sampling over the decoded pixel array (the
+    same arithmetic a production thumbnailer runs). Output carries dims
+    + byte count + content digest rather than the pixels, so the stage
+    output stays fixed-width no matter the input image size."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_image(bytes(payload), deterministic_fake=True)
+                if payload is None:
+                    continue
+                img = decode_image(payload)
                 h, w = img.shape[0], img.shape[1]
                 yi = np.arange(out_h) * h // out_h
                 xi = np.arange(out_w) * w // out_w

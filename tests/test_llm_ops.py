@@ -480,9 +480,9 @@ def test_winnow_rows_scalar_sortable(spark, sf_dir):
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
-    from dlp_rdb_bq_import_spark.operators.multimodal import extract_features
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media, extract_features
 
-    d = attach_payload(load_table(spark, sf_dir, "documents").limit(100), "text")
+    d = attach_media(load_table(spark, sf_dir, "documents").limit(100))
     a = extract_features(d).select("doc_id", "byte_len", "mean_px").collect()
     b = extract_features(d).select("doc_id", "byte_len", "mean_px").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
@@ -525,21 +525,27 @@ def test_redact_text_plan_stays_jvm_side(spark):
 
 
 def test_sample_frames_counts_and_determinism(spark):
+    """Real Y4M streams: synthesize_video(seed) has 2+seed%4 frames at
+    4 fps → duration = n*250 ms, so every_ms=250 samples each frame
+    exactly once; null payloads are skipped."""
+    from dlp_rdb_bq_import_spark.operators import media_codecs as mc
     from dlp_rdb_bq_import_spark.operators.multimodal import sample_frames
 
     df = spark.createDataFrame(
-        [(1, b"abcdefgh", 2500), (2, b"xy", 0), (3, None, 1000)],
-        "doc_id long, payload binary, duration_ms long",
+        [(1, mc.synthesize_video(1)), (2, mc.synthesize_video(2)), (3, None)],
+        "doc_id long, payload binary",
     )
-    out = sample_frames(df, every_ms=1000).collect()
+    out = sample_frames(df, every_ms=250).collect()
     per_doc = {}
     for r in out:
-        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
-    # one frame per whole second, inclusive of t=0
-    assert sorted(per_doc[1]) == [(0, 0), (1, 1000), (2, 2000)]
-    assert sorted(per_doc[2]) == [(0, 0)]
-    assert sorted(per_doc[3]) == [(0, 0), (1, 1000)]  # null payload still planned
-    again = sample_frames(df, every_ms=1000).collect()
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["src_frame"]))
+    assert sorted(per_doc[1]) == [(i, i) for i in range(2 + 1 % 4)]
+    assert sorted(per_doc[2]) == [(i, i) for i in range(2 + 2 % 4)]
+    assert 3 not in per_doc  # null payload skipped
+    # distinct frames → distinct digests within a doc
+    digests = [r["frame_md5"] for r in out if r["doc_id"] == 2]
+    assert len(set(digests)) == len(digests)
+    again = sample_frames(df, every_ms=250).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
@@ -767,9 +773,9 @@ def test_resize_images_deterministic_and_fixed_width(spark, sf_dir):
     """Resize output is partitioning-independent and fixed-width:
     n_bytes == out_w*out_h*3 for every row, and digests are stable
     across runs and repartitionings."""
-    from dlp_rdb_bq_import_spark.operators.multimodal import resize_images
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media, resize_images
 
-    d = attach_payload(load_table(spark, sf_dir, "documents"), "text")
+    d = attach_media(load_table(spark, sf_dir, "documents"))
     a = {r["doc_id"]: r["content_md5"] for r in resize_images(d, 2, 3).collect()}
     b = {
         r["doc_id"]: r["content_md5"]

@@ -1,0 +1,224 @@
+"""Byte-exact tests for the pure-stdlib media codecs and the Spark
+multimodal decode stages that consume them.
+
+The codecs implement public uncompressed interchange formats (24-bit
+BMP, P6 PPM, RIFF 16-bit-PCM WAV, YUV4MPEG2 C444) from their published
+specs — every decoder is exercised both on our own encoder's output
+(roundtrip) and on hand-built byte layouts covering the format corners
+(BMP row padding / top-down rows / 32-bit pixels, PPM comments, WAV
+unknown chunks, Y4M parameterized FRAME lines).
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from dlp_rdb_bq_import_spark.operators import media_codecs as mc
+
+
+# ---------------------------------------------------------------------------
+# roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 4), (6, 4), (7, 3), (16, 9), (33, 2)])
+def test_bmp_ppm_roundtrip(w, h):
+    rgb = np.random.default_rng(w * 100 + h).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(rgb)), rgb)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(rgb)), rgb)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_roundtrip(ch):
+    s = np.random.default_rng(ch).integers(-32768, 32767, (777, ch)).astype(np.int16)
+    decoded, rate = mc.decode_wav(mc.encode_wav(s, 44100))
+    assert rate == 44100
+    assert np.array_equal(decoded, s)
+
+
+def test_y4m_roundtrip():
+    frames = np.random.default_rng(3).integers(0, 256, (4, 6, 10, 3), dtype=np.uint8)
+    decoded, num, den = mc.decode_y4m(mc.encode_y4m(frames, 30, 1))
+    assert (num, den) == (30, 1)
+    assert np.array_equal(decoded, frames)
+
+
+# ---------------------------------------------------------------------------
+# spec corners (hand-built bytes, not our encoder's output)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_top_down_and_32bit():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # top-down: negative height, rows in natural order
+    base = mc.encode_bmp(rgb)
+    w, h = 3, 2
+    row_len = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # natural order, BGR
+    top_down = (
+        base[:18]
+        + struct.pack("<ii", w, -h)
+        + base[26:54]
+        + rows.tobytes()
+    )
+    assert np.array_equal(mc.decode_bmp(top_down), rgb)
+    # 32-bit BGRA
+    bgra = np.dstack([rgb[:, :, ::-1], np.full((h, w), 255, np.uint8)])
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + bgra.nbytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, bgra.nbytes, 0, 0, 0, 0)
+    assert np.array_equal(mc.decode_bmp(header + info + bgra.tobytes()), rgb)
+
+
+def test_ppm_comments_and_whitespace():
+    rgb = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6 # inline comment\n# full-line comment\n 2\t2 \n255\n" + rgb.tobytes()
+    assert np.array_equal(mc.decode_ppm(payload), rgb)
+
+
+def test_wav_skips_unknown_chunks():
+    s = np.arange(10, dtype=np.int16)
+    encoded = mc.encode_wav(s, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len → pad byte
+    spliced = encoded[:fmt_end] + extra + encoded[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    decoded, rate = mc.decode_wav(spliced)
+    assert rate == 8000
+    assert np.array_equal(decoded[:, 0], s)
+
+
+def test_y4m_parameterized_frame_line():
+    frames = np.random.default_rng(9).integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)
+    payload = mc.encode_y4m(frames, 4, 1).replace(b"FRAME\n", b"FRAME Xmeta\n")
+    decoded, _, _ = mc.decode_y4m(payload)
+    assert np.array_equal(decoded, frames)
+
+
+# ---------------------------------------------------------------------------
+# sniffing + honest failures
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_formats():
+    assert mc.sniff_format(mc.synthesize_image(0)) == "bmp"
+    assert mc.sniff_format(mc.synthesize_image(1)) == "ppm"
+    assert mc.sniff_format(mc.synthesize_audio(0)) == "wav"
+    assert mc.sniff_format(mc.synthesize_video(0)) == "y4m"
+    assert mc.sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
+    assert mc.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert mc.sniff_format(b"RIFFxxxxAVI LIST") == "unknown"  # RIFF but not WAVE
+    assert mc.sniff_format(b"hello world") == "unknown"
+
+
+def test_compressed_formats_raise():
+    with pytest.raises(NotImplementedError):
+        mc.decode_image_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        mc.decode_image_payload(b"not an image at all")
+    with pytest.raises(NotImplementedError):
+        # 8-bit palette BMP
+        header = struct.pack("<2sIHHI", b"BM", 1000, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+        mc.decode_bmp(header + info + b"\x00" * 64)
+
+
+def test_synthesis_deterministic_and_varied():
+    assert mc.synthesize_image(42) == mc.synthesize_image(42)
+    assert mc.synthesize_audio(42) == mc.synthesize_audio(42)
+    assert mc.synthesize_video(42) == mc.synthesize_video(42)
+    shapes = {mc.decode_image_payload(mc.synthesize_image(s)).shape for s in range(40)}
+    assert len(shapes) > 5  # sizes genuinely vary (incl. padded-row widths)
+
+
+# ---------------------------------------------------------------------------
+# Spark decode stages over real payloads
+# ---------------------------------------------------------------------------
+
+
+def test_attach_media_metadata_matches_payload(spark):
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    rows = attach_media(docs, media="image").collect()
+    assert len(rows) == 50
+    for r in rows:
+        img = mc.decode_image_payload(bytes(r["payload"]))
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["format"] == ("ppm" if r["doc_id"] % 2 else "bmp")
+    audio = attach_media(docs, media="audio").collect()
+    for r in audio:
+        samples, rate = mc.decode_wav(bytes(r["payload"]))
+        assert r["duration_ms"] == len(samples) * 1000 // rate
+    video = attach_media(docs, media="video").collect()
+    for r in video:
+        frames, num, den = mc.decode_y4m(bytes(r["payload"]))
+        assert r["duration_ms"] == frames.shape[0] * 1000 * den // num
+
+
+def test_extract_features_real_pixels(spark):
+    """Feature rows must equal locally-decoded pixel statistics."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media, extract_features
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in extract_features(attach_media(docs)).collect()}
+    for seed in range(20):
+        img = mc.decode_image_payload(mc.synthesize_image(seed))
+        r = out[seed]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["mean_px"] == pytest.approx(float(img.mean()))
+        assert r["feature"] == pytest.approx(img.astype(np.float64).mean(axis=(0, 1)).tolist())
+
+
+def test_extract_audio_features_real_samples(spark):
+    from dlp_rdb_bq_import_spark.operators.multimodal import (
+        attach_media,
+        extract_audio_features,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in extract_audio_features(attach_media(docs, media="audio")).collect()}
+    for seed in range(20):
+        samples, rate = mc.decode_wav(mc.synthesize_audio(seed))
+        mono = samples.astype(np.float64).mean(axis=1)
+        r = out[seed]
+        assert r["sample_rate"] == rate and r["n_samples"] == len(mono)
+        assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(mono**2))))
+        assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(mono))))
+
+
+def test_resize_digest_matches_local_math(spark):
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media, resize_images
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r for r in resize_images(attach_media(docs), out_w=2, out_h=2).collect()}
+    for seed in range(10):
+        img = mc.decode_image_payload(mc.synthesize_image(seed))
+        h, w = img.shape[:2]
+        yi = np.arange(2) * h // 2
+        xi = np.arange(2) * w // 2
+        raw = np.ascontiguousarray(img[yi][:, xi]).tobytes()
+        assert out[seed]["content_md5"] == hashlib.md5(raw).hexdigest()
+        assert out[seed]["n_bytes"] == len(raw) == 12
+
+
+def test_sample_frames_digests_real_frames(spark):
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media, sample_frames
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = sample_frames(attach_media(docs, media="video"), every_ms=250).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for seed in range(10):
+        frames, num, den = mc.decode_y4m(mc.synthesize_video(seed))
+        got = sorted(by_doc[seed], key=lambda r: r["frame_idx"])
+        assert len(got) == frames.shape[0]  # 4 fps, 250 ms → every frame once
+        for r in got:
+            expect = hashlib.md5(
+                np.ascontiguousarray(frames[r["src_frame"]]).tobytes()
+            ).hexdigest()
+            assert r["frame_md5"] == expect
