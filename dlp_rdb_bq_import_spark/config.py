@@ -87,6 +87,11 @@ class ImportJobOptions:
     type_mode: str = "fidelity"  # or "compat" (SURVEY.md §7.4.2)
     warehouse_dir: str = "/tmp/dlp_rdb_bq_import_spark_warehouse"
     max_parallel_tables: int = 8
+    # Row-level failed-insert capture (DBImportPipeline.java:134-146):
+    # rows that would be rejected by the destination schema are
+    # quarantined individually instead of failing the table's write.
+    row_quarantine: bool = True
+    write_retries: int = 2  # transient-retry parity (DBImportPipeline.java:130-132)
 
 
 @dataclass(frozen=True)

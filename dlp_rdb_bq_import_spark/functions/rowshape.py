@@ -81,6 +81,47 @@ def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+def conformance_split(
+    df: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level failed-insert predicate, evaluated BEFORE the write.
+
+    The reference learns about bad rows from the sink
+    (DBImportPipeline.java:134-146: BigQuery rejects an insert, the row
+    comes back via ``WriteResult.getFailedInserts`` and is dead-lettered);
+    Spark's columnar writers are all-or-nothing per task, so the idiomatic
+    equivalent runs the rejection predicate as a JVM-side expression
+    first. A row violates when a non-null value fails ``try_cast`` to the
+    target type, or a required (non-nullable) column is null.
+
+    Returns ``(conforming, violations)``: conforming rows cast to the
+    target schema; violations as (payload JSON, error) rows. Both are
+    filters over the same parent — persist the parent if recomputing the
+    source scan twice is expensive (the import pipeline does).
+    """
+    checks: list[Column] = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        checks.append(
+            F.when(
+                c.isNotNull() & c.try_cast(f.dataType).isNull(),
+                F.lit(f"{f.name}: not castable to {f.dataType.simpleString()}"),
+            )
+        )
+        if not f.nullable:
+            checks.append(
+                F.when(c.isNull(), F.lit(f"{f.name}: null in required column"))
+            )
+    errors = F.array_compact(F.array(*checks)) if checks else F.array().cast("array<string>")
+    tagged = df.withColumn("_errors", errors)
+    conforming = cast_to_schema(tagged.filter(F.size("_errors") == 0), schema)
+    violations = tagged.filter(F.size("_errors") > 0).select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
+        F.concat_ws("; ", "_errors").alias("error"),
+    )
+    return conforming, violations
+
+
 def rows_as_json(df: DataFrame) -> DataFrame:
     """Encode each row as a JSON object column ``message``
     (BQReidentificationPipeline.java:242-257). ``to_json`` omits null

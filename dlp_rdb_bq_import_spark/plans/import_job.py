@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import SqlTable, apply_exclusions, attach_dlp_configs
 from ..config import ImportJobOptions, load_dlp_configs
-from ..functions.rowshape import cast_to_schema, sanitize_column_names, stringify_compat
+from ..functions.rowshape import (
+    cast_to_schema,
+    check_header_name,
+    conformance_split,
+    sanitize_column_names,
+    stringify_compat,
+)
 from ..functions.tokenize import TemplateRegistry, deidentify
 from ..sinks.warehouse import Warehouse, WriteResult
 from ..sources import get_source
@@ -30,8 +36,13 @@ def shape_table(
     table: SqlTable,
     templates: TemplateRegistry | None,
     type_mode: str = "fidelity",
+    cast: bool = True,
 ) -> DataFrame:
-    """read → tokenize (if configured) → sanitize names → shape types."""
+    """read → tokenize (if configured) → sanitize names → shape types.
+
+    ``cast=False`` stops before the final schema cast so the caller can
+    run the row-level conformance split instead (which casts the
+    conforming branch itself)."""
     cfg = table.dlp_config
     if cfg and cfg.deid_template and templates and cfg.deid_template in templates:
         df = deidentify(
@@ -45,7 +56,7 @@ def shape_table(
             c.name for c in table.columns if c.data_type.upper().startswith("IMAGE")
         }
         df = stringify_compat(df, image_cols)
-    else:
+    elif cast:
         # Cast back to the discovered schema (tokenization is
         # format-preserving, so tokenized numerics still cast cleanly).
         target = table.spark_schema(mode=type_mode)
@@ -58,8 +69,9 @@ def run_import(
     spark: SparkSession,
     options: ImportJobOptions,
     templates: TemplateRegistry | None = None,
+    source=None,
 ) -> list[WriteResult]:
-    source = get_source(options.jdbc_spec)
+    source = source if source is not None else get_source(options.jdbc_spec)
     warehouse = Warehouse(options.warehouse_dir)
 
     # Catalog stage (CreateTableMapDoFn parity: discover → exclude → bind config).
@@ -72,8 +84,39 @@ def run_import(
 
     def import_one(table: SqlTable) -> WriteResult:
         df = source.read_table(spark, table, offset_count=options.offset_count)
-        df = shape_table(df, table, templates, options.type_mode)
-        return warehouse.write(df, options.dataset, table.full_name)
+        target = table.spark_schema(mode=options.type_mode)
+        split = (
+            options.row_quarantine
+            and options.type_mode == "fidelity"
+            and set(target.fieldNames())
+            == {check_header_name(c) for c in df.columns}
+        )
+        df = shape_table(df, table, templates, options.type_mode, cast=not split)
+        if not split:
+            return warehouse.write(
+                df, options.dataset, table.full_name, max_retries=options.write_retries
+            )
+        # Row-level failed-insert capture: violators quarantined with
+        # payload, conforming rows still written (the reference's
+        # getFailedInserts semantics — one poisoned row must not cost
+        # the table). Persist so the two branches don't re-run the
+        # source scan twice.
+        df = df.persist()
+        try:
+            conforming, violations = conformance_split(df, target)
+            res = warehouse.write(
+                conforming,
+                options.dataset,
+                table.full_name,
+                max_retries=options.write_retries,
+            )
+            n_bad = warehouse.quarantine_rows(
+                violations, options.dataset, table.full_name
+            )
+            res.quarantined_rows = n_bad
+            return res
+        finally:
+            df.unpersist()
 
     with ThreadPoolExecutor(max_workers=options.max_parallel_tables) as pool:
         futures = {pool.submit(import_one, t): t for t in tables}

@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import traceback
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,8 @@ class WriteResult:
     destination: str
     status: str  # "ok" | "failed"
     error: str | None = None
+    attempts: int = 1
+    quarantined_rows: int = 0
 
 
 class Warehouse:
@@ -54,13 +57,56 @@ class Warehouse:
         dataset: str,
         full_name: str,
         mode: str = "append",
+        max_retries: int = 2,
     ) -> WriteResult:
+        """Staged-atomic write with bounded retry — the reference retries
+        transient BigQuery insert errors (DBImportPipeline.java:130-132
+        ``retryTransientErrors``). Each attempt materializes to a fresh
+        staging directory and publishes by rename, so a failed attempt
+        leaves nothing visible and a retry can never double-append."""
         path = self.table_path(dataset, full_name)
-        try:
-            df.write.mode(mode).parquet(path)
-            return WriteResult(full_name, path, "ok")
-        except Exception as e:  # dead-letter, not crash (S9)
-            return WriteResult(full_name, path, "failed", f"{e}\n{traceback.format_exc()}")
+        last: str | None = None
+        staged = path + "._staging"
+        for attempt in range(1, max_retries + 2):
+            try:
+                self._write_attempt(df, staged)
+                self._publish(staged, path, mode)
+                return WriteResult(full_name, path, "ok", attempts=attempt)
+            except Exception as e:  # dead-letter, not crash (S9)
+                last = f"{e}\n{traceback.format_exc()}"
+                shutil.rmtree(staged, ignore_errors=True)
+        return WriteResult(full_name, path, "failed", last, attempts=max_retries + 1)
+
+    def _write_attempt(self, df: DataFrame, staged: str) -> None:
+        """One write attempt into the staging directory (the retryable
+        unit; tests inject flakiness by overriding this)."""
+        df.write.mode("overwrite").parquet(staged)
+
+    @staticmethod
+    def _publish(staged: str, path: str, mode: str) -> None:
+        """Make a fully-written staging directory visible: directory
+        rename for overwrite/first write, per-file rename (uniquely
+        prefixed) for append. Renames are metadata-only — readers see
+        the old or the new table, never a partial write."""
+        if mode == "overwrite" or not os.path.isdir(path):
+            if os.path.isdir(path):
+                old = path + "._old"
+                os.rename(path, old)
+                os.rename(staged, path)
+                shutil.rmtree(old)
+            else:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                os.rename(staged, path)
+            return
+        if mode != "append":
+            raise ValueError(f"unsupported write mode {mode!r}")
+        token = uuid.uuid4().hex[:8]
+        for fname in os.listdir(staged):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, fname), os.path.join(path, f"{token}-{fname}")
+                )
+        shutil.rmtree(staged)
 
     def read(self, spark: SparkSession, dataset: str, full_name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(dataset, full_name))
@@ -77,6 +123,24 @@ class Warehouse:
         with open(path, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")
+
+    def quarantine_rows(
+        self, violations: DataFrame, dataset: str, full_name: str
+    ) -> int:
+        """Row-level failed-insert capture (DBImportPipeline.java:134-146,
+        ``WriteResult.getFailedInserts``): individual rejected rows land
+        as (table, payload, error) in a queryable parquet quarantine
+        table — a distributed write, unlike the table-level JSONL channel,
+        because at 100 TB a hot table can reject millions of rows.
+        Expects columns (payload, error); returns the quarantined count."""
+        n = violations.count()
+        if n == 0:
+            return 0
+        qpath = os.path.join(self.root, dataset, "_quarantine_rows", full_name)
+        violations.select(
+            F.lit(full_name).alias("table"), "payload", "error"
+        ).write.mode("append").parquet(qpath)
+        return n
 
     def write_partitioned(
         self,

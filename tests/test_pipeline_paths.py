@@ -293,3 +293,152 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert n_files == 1
     got = sorted(r["id"] for r in wh.read(spark, "DS", "t").collect())
     assert got == list(range(100))
+
+
+# ---------------------------------------------------------------------------
+# Row-level failed-insert capture (DBImportPipeline.java:134-146) and
+# transient write retry (DBImportPipeline.java:130-132)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dlp_rdb_bq_import_spark.catalog import SqlColumn, SqlTable  # noqa: E402
+from dlp_rdb_bq_import_spark.sources.base import Source  # noqa: E402
+
+
+class _TypedStringSource(Source):
+    """A source whose DECLARED schema is typed but whose wire values are
+    strings (the JDBC-read-then-tokenize shape) — so poisoned values are
+    only detectable at the conformance split, like BigQuery rejecting a
+    streaming insert."""
+
+    TABLE = SqlTable(
+        schema="main",
+        name="t",
+        columns=(
+            SqlColumn("id", 1, "INT", nullable=True, primary_key=True),
+            SqlColumn("qty", 2, "INT", nullable=True, primary_key=False),
+            SqlColumn("req", 3, "VARCHAR", nullable=False, primary_key=False),
+        ),
+    )
+    ROWS = [
+        ("1", "10", "a"),
+        ("2", "20", "b"),
+        ("3", "30", "c"),
+        ("4", "40", "d"),
+        ("5", "50", "e"),
+        ("6", "60", "f"),
+        ("7", "60", "g"),
+        ("8", "not-a-number", "h"),  # qty fails INT cast
+        ("oops", "90", "i"),  # id fails INT cast
+        ("10", "100", None),  # req is non-nullable
+    ]
+
+    def list_tables(self, spark):
+        return [self.TABLE]
+
+    def row_count(self, spark, table):
+        return len(self.ROWS)
+
+    def read_table(self, spark, table, offset_count=500):
+        return spark.createDataFrame(self.ROWS, "id string, qty string, req string")
+
+
+def test_row_level_quarantine(spark, tmp_path):
+    """Three poisoned rows: the table still imports n-3 rows (typed) and
+    exactly 3 quarantine records carry the row payload + reason."""
+    wh_dir = str(tmp_path / "wh")
+    options = ImportJobOptions(jdbc_spec="unused", dataset="DS", warehouse_dir=wh_dir)
+    results = run_import(spark, options, source=_TypedStringSource())
+
+    assert len(results) == 1 and results[0].status == "ok"
+    assert results[0].quarantined_rows == 3
+
+    wh = Warehouse(wh_dir)
+    good = wh.read(spark, "DS", "main_t")
+    assert good.count() == 7
+    assert dict(good.dtypes)["qty"] == "bigint"  # conforming rows got the typed schema
+
+    q = spark.read.parquet(os.path.join(wh_dir, "DS", "_quarantine_rows", "main_t"))
+    rows = {json.loads(r["payload"])["id"]: r["error"] for r in q.collect()}
+    assert len(rows) == 3
+    assert "qty: not castable to" in rows["8"]
+    assert "id: not castable to" in rows["oops"]
+    assert "req: null in required column" in rows["10"]
+    assert q.filter(F.col("table") != "main_t").count() == 0
+
+
+def test_row_quarantine_disabled_loses_whole_table(spark, tmp_path):
+    """row_quarantine=False reproduces the failure mode row-level capture
+    exists to fix: ANSI cast aborts the job, the WHOLE table dead-letters
+    (table-level channel), and nothing is written — one poisoned row
+    costs every row."""
+    wh_dir = str(tmp_path / "wh")
+    options = ImportJobOptions(
+        jdbc_spec="unused", dataset="DS", warehouse_dir=wh_dir, row_quarantine=False
+    )
+    results = run_import(spark, options, source=_TypedStringSource())
+    assert results[0].status == "failed" and results[0].quarantined_rows == 0
+    assert "CAST_INVALID_INPUT" in results[0].error
+    assert not os.path.exists(os.path.join(wh_dir, "DS", "main_t"))  # atomic: nothing visible
+    assert not os.path.exists(os.path.join(wh_dir, "DS", "_quarantine_rows"))
+    # table-level dead-letter recorded exactly once
+    qdir = os.path.join(wh_dir, "DS", "_quarantine")
+    records = []
+    for fname in os.listdir(qdir):
+        with open(os.path.join(qdir, fname)) as f:
+            records.extend(json.loads(line) for line in f)
+    assert [r["table"] for r in records] == ["main_t"]
+
+
+class _FlakyWarehouse(Warehouse):
+    """Fails the first N write attempts with a transient-style error."""
+
+    def __init__(self, root, fail_first_n):
+        super().__init__(root)
+        self.remaining_failures = fail_first_n
+        self.attempts_seen = 0
+
+    def _write_attempt(self, df, staged):
+        self.attempts_seen += 1
+        if self.remaining_failures > 0:
+            self.remaining_failures -= 1
+            # partial garbage must not become visible
+            os.makedirs(staged, exist_ok=True)
+            with open(os.path.join(staged, "part-junk.parquet"), "w") as f:
+                f.write("partial")
+            raise IOError("transient: backend unavailable")
+        super()._write_attempt(df, staged)
+
+
+def test_write_retry_flaky_sink_succeeds(spark, tmp_path):
+    """First attempt fails (leaving staging garbage), retry succeeds, no
+    partial output ever visible in the table directory."""
+    wh = _FlakyWarehouse(str(tmp_path / "wh"), fail_first_n=1)
+    res = wh.write(spark.range(100), "DS", "t", max_retries=2)
+    assert res.status == "ok" and res.attempts == 2 and wh.attempts_seen == 2
+    root = wh.table_path("DS", "t")
+    assert sorted(r["id"] for r in wh.read(spark, "DS", "t").collect()) == list(range(100))
+    assert not os.path.exists(root + "._staging")
+    assert not any("junk" in f for f in os.listdir(root))
+
+
+def test_write_retry_exhausted_reports_failure(spark, tmp_path):
+    wh = _FlakyWarehouse(str(tmp_path / "wh"), fail_first_n=99)
+    res = wh.write(spark.range(10), "DS", "t", max_retries=2)
+    assert res.status == "failed" and res.attempts == 3
+    assert "transient" in res.error
+    assert not os.path.exists(wh.table_path("DS", "t"))  # nothing visible
+    assert not os.path.exists(wh.table_path("DS", "t") + "._staging")
+
+
+def test_write_append_is_atomic_and_exact(spark, tmp_path):
+    """Two appends (the second after a failed attempt) deliver each row
+    exactly once — the staged-rename publish can't double-append."""
+    wh = _FlakyWarehouse(str(tmp_path / "wh"), fail_first_n=0)
+    assert wh.write(spark.range(0, 50), "DS", "t").status == "ok"
+    wh.remaining_failures = 1
+    res = wh.write(spark.range(50, 100), "DS", "t", max_retries=1)
+    assert res.status == "ok" and res.attempts == 2
+    got = sorted(r["id"] for r in wh.read(spark, "DS", "t").collect())
+    assert got == list(range(100))
