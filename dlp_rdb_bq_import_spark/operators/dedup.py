@@ -160,6 +160,20 @@ def hashed_shingles(
     return out.distinct() if distinct else out
 
 
+def _materialize_and_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Run the (small) pairs job now and release the (large) shingle
+    caches. The pairs output is candidate-bounded — thousands of times
+    smaller than the cached shingle sets feeding it — so eagerly
+    materializing it (localCheckpoint: also cuts lineage for the
+    iterative clustering consumers) lets us unpersist immediately
+    instead of leaking executor memory across composed dedup calls in a
+    long-lived session (round-2 review)."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -168,6 +182,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index.
 
@@ -199,7 +214,7 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    return (
+    result = (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
@@ -213,6 +228,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_and_release(result, sh) if eager else result
 
 
 def minhash_signatures(
@@ -292,6 +308,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 5,
     num_partitions: int | None = None,
     shingle_unit: str = "word",
+    eager: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
     verification of candidates only (the scale path: candidate count,
@@ -325,7 +342,7 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .withColumn(
@@ -339,6 +356,7 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_and_release(result, sh) if eager else result
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -800,3 +800,18 @@ def test_approx_percentile_within_rel_error(spark, sf_dir):
     ).first()
     for k in ("p50", "p90", "p99"):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.01, (k, approx[k], exact[k])
+
+
+def test_dedup_caches_released_after_action(spark, sf_dir):
+    """minhash/jaccard pipelines cache hashed shingle sets internally;
+    the eager path must leave NO entry in the session CacheManager after
+    returning (round-2 review: composed dedup calls in a long-lived
+    session were accumulating executor memory)."""
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    assert pairs.count() >= 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    pairs2 = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    assert pairs2.count() >= 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
