@@ -19,9 +19,15 @@ Parity with the reference's SQL Server path:
   and numPartitions = ceil(rowcount / offset_count) preserves the
   reference's split arithmetic (TableToDbRowFn.java:157).
 
-No live database exists in the test environment; the query-building
-logic is unit-tested and the execution path is exercised via MockSource
-/ ParquetDirSource through the same Source interface.
+Dialect surface: the SQL text (catalog probes, count/bounds, the
+reference's paged-scan shape) is parameterized per engine in
+``sources/dialects.py`` — ``sqlserver`` preserves the reference's
+strings verbatim-testably, ``postgresql``/``mysql``/``derby`` adapt the
+forms each engine actually accepts. The execution path is exercised
+LIVE against an in-process Derby database (tests/test_jdbc_live.py —
+Derby ships with Spark's JVM), which uses the ``metadata`` catalog
+strategy; the INFORMATION_SCHEMA strategy's SQL strings are
+dialect-tested string-for-string against the reference's forms.
 """
 
 from __future__ import annotations
@@ -32,22 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import SqlColumn, SqlTable
 from .base import Source
+from .dialects import SQLSERVER, SqlDialect, dialect_for_url, get_dialect
 
-TABLES_QUERY = (
-    "SELECT TABLE_SCHEMA, TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES"
-)
-COLUMNS_QUERY = (
-    "SELECT COLUMN_NAME, ORDINAL_POSITION, COLUMN_DEFAULT, IS_NULLABLE, DATA_TYPE "
-    "FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_SCHEMA = '{schema}' "
-    "AND TABLE_NAME = '{table}' ORDER BY ORDINAL_POSITION"
-)
-PK_QUERY = (
-    "SELECT COLUMN_NAME FROM INFORMATION_SCHEMA.CONSTRAINT_COLUMN_USAGE "
-    "WHERE TABLE_SCHEMA = '{schema}' AND TABLE_NAME = '{table}' "
-    "AND CONSTRAINT_NAME LIKE 'PK%'"
-)
-COUNT_QUERY = "SELECT COUNT(*) AS n FROM {schema}.{table}"
-BOUNDS_QUERY = "SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {schema}.{table}"
+# Reference-parity aliases (the SQL Server dialect is the reference's).
+TABLES_QUERY = SQLSERVER.tables_query
+COLUMNS_QUERY = SQLSERVER.columns_query
+PK_QUERY = SQLSERVER.pk_query
+COUNT_QUERY = SQLSERVER.count_query
+BOUNDS_QUERY = SQLSERVER.bounds_query
 
 
 def num_partitions_for(row_count: int, offset_count: int) -> int:
@@ -56,25 +54,36 @@ def num_partitions_for(row_count: int, offset_count: int) -> int:
 
 
 class JdbcSource(Source):
-    """``catalog_strategy``:
+    """``dialect`` picks the engine's SQL forms (a ``SqlDialect``, a
+    name like ``"sqlserver"``, or None to infer from the URL scheme);
+    ``catalog_strategy`` overrides the dialect's default:
 
-    - ``"information_schema"`` (default) — the reference's SQL Server
-      dialect queries above (ServerUtil.java:47-52 parity);
+    - ``"information_schema"`` — the reference's SQL Server dialect
+      queries (ServerUtil.java:47-52 parity), reused by engines that
+      ship INFORMATION_SCHEMA (PostgreSQL, MySQL with its
+      KEY_COLUMN_USAGE PK probe);
     - ``"metadata"`` — the standard ``java.sql.DatabaseMetaData``
       catalog API (getTables/getColumns/getPrimaryKeys), which works
-      across JDBC engines (Derby/H2/Postgres/...) and is what lets the
-      catalog path run against a live in-process database in tests.
+      across JDBC engines (Derby/H2/...) and is what lets the catalog
+      path run against a live in-process Derby in tests.
     """
 
     def __init__(
         self,
         url: str,
         properties: dict[str, str] | None = None,
-        catalog_strategy: str = "information_schema",
+        catalog_strategy: str | None = None,
+        dialect: SqlDialect | str | None = None,
     ):
         self.url = url
         self.properties = dict(properties or {})
-        self.catalog_strategy = catalog_strategy
+        if dialect is None:
+            self.dialect = dialect_for_url(url)
+        elif isinstance(dialect, str):
+            self.dialect = get_dialect(dialect)
+        else:
+            self.dialect = dialect
+        self.catalog_strategy = catalog_strategy or self.dialect.catalog_strategy
 
     def _read_query(self, spark: SparkSession, query: str) -> DataFrame:
         return (
@@ -145,15 +154,16 @@ class JdbcSource(Source):
             conn.close()
 
     def _list_tables_information_schema(self, spark: SparkSession) -> list[SqlTable]:
+        d = self.dialect
         tables: list[SqlTable] = []
-        rows = self._read_query(spark, TABLES_QUERY).collect()  # catalog: tiny
+        rows = self._read_query(spark, d.tables_query).collect()  # catalog: tiny
         for i, r in enumerate(rows):
             schema, name, ttype = r[0], r[1], r[2]
             col_rows = self._read_query(
-                spark, COLUMNS_QUERY.format(schema=schema, table=name)
+                spark, d.columns_query.format(schema=schema, table=name)
             ).collect()
             pk_rows = self._read_query(
-                spark, PK_QUERY.format(schema=schema, table=name)
+                spark, d.pk_query.format(schema=schema, table=name)
             ).collect()
             pk = pk_rows[0][0] if pk_rows else None
             cols = tuple(
@@ -172,7 +182,7 @@ class JdbcSource(Source):
 
     def row_count(self, spark: SparkSession, table: SqlTable) -> int:
         df = self._read_query(
-            spark, COUNT_QUERY.format(schema=table.schema, table=table.name)
+            spark, self.dialect.count_query.format(schema=table.schema, table=table.name)
         )
         return int(df.collect()[0][0])
 
@@ -190,7 +200,9 @@ class JdbcSource(Source):
             n = self.row_count(spark, table)
             bounds = self._read_query(
                 spark,
-                BOUNDS_QUERY.format(pk=pk, schema=table.schema, table=table.name),
+                self.dialect.bounds_query.format(
+                    pk=pk, schema=table.schema, table=table.name
+                ),
             ).collect()[0]
             if bounds[0] is not None:
                 reader = (
