@@ -29,6 +29,7 @@ from .functions.tokenize import (
     DeidTemplate,
     FieldTransform,
     InfoTypeTransform,
+    TemplateRegistry,
     deidentify,
     reidentify,
 )
@@ -932,6 +933,41 @@ def q_inspect_roundtrip(spark, sf_dir):
 
 
 @query(
+    "reid_pipeline",
+    oracle="""
+SELECT c_custkey AS id, c_name AS holder_name, c_acctbal
+FROM customer
+WHERE c_custkey % 3 = 0 AND c_acctbal > 1000
+GROUP BY 1, 2, 3
+""",
+)
+def q_reid_pipeline(spark, sf_dir):
+    """The reid pipeline as ONE unit (plans/reid_job.py:29): tokenized
+    table → SQL query (the reference's default-query shape: projection +
+    CAST filter + GROUP BY dedup) → re-identify → column rename map.
+    FPE invertibility makes the oracle the same query over the ORIGINAL
+    table: grouping on tokens partitions rows identically (FPE is
+    injective) and reidentify restores the source values exactly."""
+    from .config import ReidJobOptions
+    from .plans.reid_job import run_reid
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    deidentify(c, _FIELD_TEMPLATE).createOrReplaceTempView("harness_tok_customer")
+    registry = TemplateRegistry()
+    registry.register(_FIELD_TEMPLATE)
+    options = ReidJobOptions(
+        query=(
+            "SELECT c_custkey, c_name, c_acctbal FROM harness_tok_customer "
+            "WHERE c_custkey % 3 = 0 AND c_acctbal > 1000 "
+            "GROUP BY c_custkey, c_name, c_acctbal"
+        ),
+        deid_template=_FIELD_TEMPLATE.name,
+        column_map={"c_custkey": "id", "c_name": "holder_name"},
+    )
+    return run_reid(spark, options, templates=registry)
+
+
+@query(
     "compat_stringify",
     oracle="""
 SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name AS c_name,
@@ -1430,6 +1466,50 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_dedup_pairs(
         d, "text", "doc_id", threshold=0.35, shingle_n=3, shingle_unit="word"
     )
+    return dedup.duplicate_clusters(pairs)
+
+
+@query(
+    "dedup_clusters_exact",
+    oracle="""
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(g.i AS INTEGER), 5) AS shingle
+  FROM docs d JOIN generate_series(1, 4000) g(i) ON g.i <= length(d.text) - 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+             JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.35
+),
+und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def q_dedup_clusters_exact(spark, sf_dir):
+    """Connected components over the EXACT Jaccard pair graph — the
+    oracle states the fixpoint as a DuckDB recursive CTE (set-semantics
+    UNION bounds the reachability walk), so the clustering operator
+    itself is hash-checked, not just pinned by the union-find pytest.
+    Restricted to doc_id<200 to keep the oracle's quadratic shingle
+    self-join cheap; the Spark side is the same operator the unrestricted
+    rows-only query uses."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.35)
     return dedup.duplicate_clusters(pairs)
 
 

@@ -815,3 +815,34 @@ def test_dedup_caches_released_after_action(spark, sf_dir):
     pairs2 = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
     assert pairs2.count() >= 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_label_propagation_distributed_at_scale(spark):
+    """>1e6 pairs forces the distributed min-label-propagation branch
+    (driver_threshold default 1e6). 260k disjoint 5-node chains have an
+    analytically known answer — cluster_id = block start — and diameter
+    4, so propagation must converge well inside max_iterations."""
+    block = 5
+    n_blocks = 260_000  # 260k * 4 = 1.04M edges > driver_threshold
+    edges = (
+        spark.range(n_blocks * block)
+        .where((F.col("id") % block) != block - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out = dedup.duplicate_clusters(edges, max_iterations=10)
+    assert out.count() == n_blocks * block
+    bad = out.where(
+        F.col("cluster_id") != F.col("doc_id") - (F.col("doc_id") % block)
+    ).count()
+    assert bad == 0
+
+
+def test_label_propagation_nonconvergence_raises(spark):
+    """A 30-deep chain cannot converge in 3 rounds: the distributed
+    branch must fail loudly (silent partial dedup would let both copies
+    of a duplicate survive)."""
+    edges = spark.range(30).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(edges, max_iterations=3, driver_threshold=0)
