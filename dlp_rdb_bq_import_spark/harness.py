@@ -1544,6 +1544,46 @@ def q_curation_pipeline(spark, sf_dir):
     return packed.select("doc_id", "lang", "source", "split", "seq_id", "seq_offset")
 
 
+@query(
+    "domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 50
+""",
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (the anti-domination stage of web-scale
+    curation): keep the 50 'best' docs per source, quality proxied by
+    n_chars, ties broken by key hash so the kept set is deterministic
+    and partitioning-independent."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.cap_per_group(d, "source", "doc_id", cap=50, order_col="n_chars")
+
+
+@query(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm
+FROM documents
+""",
+)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization for dedup keys — must be
+    byte-identical across engines (the oracle IS the cross-engine
+    check) or fingerprints computed on different engines diverge."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.normalize_text(F.col("text")).alias("norm"))
+
+
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 

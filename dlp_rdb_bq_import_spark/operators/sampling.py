@@ -118,3 +118,39 @@ def train_val_test_split_sql(key_expr: str, train: float = 0.8, val: float = 0.1
         f"WHEN substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_LEN}) < '{_bucket_bound(train + val)}' THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group document cap — the web-curation stage that stops one
+    domain/source from dominating a training mix: keep at most ``cap``
+    rows per group, preferring high ``order_col`` (e.g. quality score),
+    ties and the default broken by key hash so the kept set is
+    deterministic and partitioning-independent (same property as the
+    samplers above; plain ``doc_id`` order would bias toward early
+    crawls).
+
+    One window over a single shuffle on ``group_col``; at 100 TB the
+    heavy tail (millions of rows in one domain) is exactly the skew AQE
+    splits, and the rank predicate prunes to ``cap`` rows per group
+    before anything joins downstream.
+    """
+    from pyspark.sql.window import Window
+
+    order = []
+    if order_col is not None:
+        c = F.col(order_col)
+        order.append(c.desc() if descending else c.asc())
+    order.append(F.md5(F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

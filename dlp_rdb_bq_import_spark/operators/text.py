@@ -348,3 +348,13 @@ def pii_profile(
         F.coalesce(F.col("n_rows_matched"), F.lit(0)).cast("long").alias("n_rows_matched"),
         F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for dedup keys and fuzzy matching: lowercase,
+    strip everything but word characters and spaces, collapse whitespace
+    runs, trim. Pure built-ins (JVM-side, codegen) and expressible
+    verbatim in ANSI SQL — the normalizer must be byte-identical across
+    engines or cross-engine dedup fingerprints diverge."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))
