@@ -1584,6 +1584,46 @@ def q_text_normalize(spark, sf_dir):
     return d.select("doc_id", text_ops.normalize_text(F.col("text")).alias("norm"))
 
 
+def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:
+    """DuckDB-side Morton interleave: same shift/or tree the Spark
+    expression builds (operators/layout.py interleave_bits)."""
+    return " | ".join(
+        f"((({bcol} >> {bit}) & 1) << {bit * k + i})" for bit in range(bits)
+    )
+
+
+@query(
+    "zorder_key",
+    oracle=f"""
+WITH stats AS (
+  SELECT min(CAST(l_partkey AS DOUBLE)) AS mn0, max(CAST(l_partkey AS DOUBLE)) AS mx0,
+         min(CAST(l_suppkey AS DOUBLE)) AS mn1, max(CAST(l_suppkey AS DOUBLE)) AS mx1
+  FROM lineitem
+),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+         LEAST(CAST(FLOOR((CAST(l_partkey AS DOUBLE) - mn0) * 256.0 / (mx0 - mn0 + 1e-9)) AS BIGINT), 255) AS b0,
+         LEAST(CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - mn1) * 256.0 / (mx1 - mn1 + 1e-9)) AS BIGINT), 255) AS b1
+  FROM lineitem, stats
+)
+SELECT l_orderkey, l_linenumber, ({_zterms("b0", 2, 0)} | {_zterms("b1", 2, 1)}) AS zval
+FROM b
+""",
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over two scan-filter columns —
+    the multi-dimensional file-pruning layout. The key computation is
+    deterministic bit math, so the DuckDB oracle checks it exactly; the
+    actual pruning win (parquet footer stats) is pinned in
+    tests/test_layout.py."""
+    from .operators.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    return zorder_key(li, ["l_partkey", "l_suppkey"]).select(
+        "l_orderkey", "l_linenumber", F.col("_z").alias("zval")
+    )
+
+
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 

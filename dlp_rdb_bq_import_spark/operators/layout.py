@@ -1,0 +1,90 @@
+"""Data-layout operators: Z-order clustering for multi-dimensional scan
+pruning.
+
+At 100 TB the fastest scan is the one that never opens the file:
+parquet readers skip whole files/row-groups whose min/max stats exclude
+the predicate. A single-column sort gives tight stats on ONE column
+only; interleaving the bits of several columns' bucket indices (the
+Z-order / Morton curve) gives every clustered column *simultaneously*
+tight ranges per file, so a conjunctive filter on any subset of the
+clustered columns prunes most files. This is the same layout strategy
+the open-source lakehouse formats expose as ``OPTIMIZE ... ZORDER BY``;
+here it is plain DataFrame algebra: bucketize each column linearly
+between its min/max, interleave bits JVM-side (shiftleft/or expression
+tree, whole-stage codegen), range-partition by the resulting key, sort
+within partitions, write.
+
+Everything is deterministic bit math — the key computation hash-matches
+a DuckDB oracle (``zorder_key`` gate query) and the pruning win is
+asserted from real parquet footer statistics in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def linear_bucket(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Value → bucket index in [0, 2^bits): linear binning between the
+    column's min and max. Double math is IEEE-identical across engines,
+    so the same expression in SQL yields the same buckets."""
+    n = 1 << bits
+    frac = (col.cast("double") - mn) * float(n) / (mx - mn + F.lit(1e-9))
+    return F.least(F.floor(frac).cast("long"), F.lit(n - 1))
+
+
+def interleave_bits(buckets: list[Column], bits: int) -> Column:
+    """Morton interleave: bit b of bucket i lands at position
+    ``b * k + i``. A pure shiftleft/or expression tree — ``k * bits``
+    terms, all inside codegen, no UDF."""
+    k = len(buckets)
+    terms = []
+    for i, b in enumerate(buckets):
+        for bit in range(bits):
+            terms.append(F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + i))
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Append the Z-order key column ``_z`` computed from the data's own
+    min/max per column (one tiny agg job; at 100 TB this is a metadata
+    read for sorted sources, a single scan otherwise)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    stats = df.agg(*aggs).first()
+    buckets = [
+        linear_bucket(
+            F.col(c), F.lit(float(stats[f"_mn_{c}"])), F.lit(float(stats[f"_mx_{c}"])), bits
+        )
+        for c in cols
+    ]
+    return df.withColumn("_z", interleave_bits(buckets, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` Z-order-clustered on ``cols``: range-partition by
+    the interleaved key (→ ``num_files`` files covering disjoint curve
+    segments), sort within partitions (→ tight row-group stats inside
+    each file), drop the key before writing. Readers filtering on any
+    subset of ``cols`` then skip most files on footer stats alone."""
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
