@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "knn_lsh_topk",
     "text_analysis",
     "winnow_fingerprints",
+    # round 3 additions: curation/layout stages + real media decode
+    "domain_cap",
+    "text_normalize",
+    "zorder_key",
+    "multimodal_features",
+    "dedup_clusters_exact",
+    "reid_pipeline",
 ]
 
 
