@@ -2695,7 +2695,9 @@ def q_funnel_conversion(spark, sf_dir):
     aggregation pass computes each user's first click and first
     purchase, converters are those whose purchase follows the click,
     with a microsecond-exact conversion lag (unix_micros / epoch_us —
-    integer arithmetic, no float-epoch rounding divergence)."""
+    integer arithmetic, no float-epoch rounding divergence). The parquet
+    ts column arrives as TIMESTAMP_NTZ; the cast to TIMESTAMP is linear
+    under the session's pinned UTC zone, so the difference is exact."""
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
@@ -2705,7 +2707,10 @@ def q_funnel_conversion(spark, sf_dir):
     )
     return per_user.where(F.col("first_purchase") > F.col("first_click")).select(
         "user_id",
-        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias("lag_us"),
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_click").cast("timestamp"))
+        ).alias("lag_us"),
     )
 
 

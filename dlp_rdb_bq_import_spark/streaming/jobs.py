@@ -36,6 +36,11 @@ def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         raw = spark.readStream.schema(schema).parquet(source_dir)
     if dict(raw.dtypes).get("ts") in ("bigint", "long"):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks/event-time ops require TIMESTAMP; parquet micros
+        # without a zone infer as NTZ. The cast is linear under the
+        # session's pinned UTC zone, so event-time semantics are exact.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
