@@ -1584,6 +1584,43 @@ def q_text_normalize(spark, sf_dir):
     return d.select("doc_id", text_ops.normalize_text(F.col("text")).alias("norm"))
 
 
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words WHERE word <> '' GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.doc_freq AS DOUBLE) + 1.0)) AS raw
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, doc_freq, round(raw, 9) AS tfidf, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, word ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by TF-IDF — the
+    keyword-extraction stage of corpus curation. Inverted-index shape:
+    two partial aggs, a shuffle join on word, a broadcast corpus count,
+    a per-document window. Rational idf (N+1)/(df+1) keeps the score
+    bit-exact across engines (IEEE div/mul are correctly rounded; ln is
+    not)."""
+    d = t(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
 def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:
     """DuckDB-side Morton interleave: same shift/or tree the Spark
     expression builds (operators/layout.py interleave_bits)."""

@@ -350,6 +350,57 @@ def pii_profile(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF.
+
+    Classic inverted-index shape, all built-ins: explode words, count
+    term frequency per (doc, word), count document frequency per word,
+    score, rank inside each document. The idf is the *rational* damping
+    ``(N + 1) / (df + 1)`` rather than its logarithm: IEEE division and
+    multiplication are correctly rounded (bit-identical across engines),
+    while ``ln`` implementations are not — the rational form keeps the
+    score DuckDB-oracle-exact without changing the ranking's character.
+
+    Input must be one row per document. Scale posture: two partial-agg
+    shuffles (by (doc, word), then by word), a shuffle join on word
+    whose build side is one row per distinct word, a broadcast 1-row
+    corpus count, and a per-document window — no per-word data ever
+    concentrates beyond a word's posting count, and nothing is
+    quadratic. Ties rank alphabetically so top-k is deterministic.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("doc_freq").cast("double") + F.lit(1.0))
+    )
+    scored = tf.join(dfreq, "word").crossJoin(F.broadcast(n_docs))
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.round(score, 9).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text form for dedup keys and fuzzy matching: lowercase,
     strip everything but word characters and spaces, collapse whitespace

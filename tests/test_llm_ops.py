@@ -846,3 +846,29 @@ def test_label_propagation_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(edges, max_iterations=3, driver_threshold=0)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(df, "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.rk): r for r in out.collect()}
+    # doc 3 is empty -> no rows at all
+    assert not any(d == 3 for d, _ in rows)
+    # doc 1: apple tf=2 df=1 -> 2*(4/2)=4.0 ; banana tf=1 df=2 -> 1*(4/3)
+    assert rows[(1, 1)].word == "apple" and rows[(1, 1)].tfidf == 4.0
+    assert rows[(1, 2)].word == "banana"
+    # doc 2: cherry tf=1 df=1 -> 4/2=2.0 beats banana 4/3
+    assert rows[(2, 1)].word == "cherry" and rows[(2, 1)].tfidf == 2.0
+    assert rows[(2, 2)].word == "banana"
+
+
+def test_tfidf_top_terms_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert text_ops.tfidf_top_terms(df).count() == 0
