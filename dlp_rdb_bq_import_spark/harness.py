@@ -422,6 +422,92 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+@query(
+    "asof_click_signup",
+    oracle="""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+signups AS (SELECT user_id, ts AS sts, max(event_id) AS signup_id
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT c.event_id, s.signup_id,
+       epoch_us(c.ts) - epoch_us(s.sts) AS lag_us
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.sts
+""",
+)
+def q_asof_click_signup(spark, sf_dir):
+    """Two-table as-of join: each click matched to the user's most
+    recent signup at-or-before it. The Spark side is the general
+    `joins.asof_join` operator (union + one ignorenulls window — one
+    shuffle, no candidate pairs at any scale); the oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, so the two implementations share no code
+    path at all. Right side pre-deduped per (user, ts) so tie
+    semantics are identical across engines."""
+    from .operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("sts"))
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    out = asof_join(clicks, signups, on="user_id", left_ts="ts", right_ts="sts")
+    return out.select(
+        "event_id",
+        "signup_id",
+        (F.unix_micros("ts") - F.unix_micros("sts")).alias("lag_us"),
+    )
+
+
+@query(
+    "incident_overlap_join",
+    oracle="""
+WITH act AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM events WHERE event_type <> 'error'
+  GROUP BY user_id, CAST(ts AS DATE)
+  HAVING max(ts) > min(ts)
+),
+inc AS (
+  SELECT event_id AS incident_id, ts AS inc_start, ts + INTERVAL 1 HOUR AS inc_end
+  FROM events WHERE event_type = 'error' AND value >= 300
+)
+SELECT a.user_id, a.day, i.incident_id
+FROM act a JOIN inc i ON a.start_ts <= i.inc_end AND i.inc_start <= a.end_ts
+""",
+)
+def q_incident_overlap_join(spark, sf_dir):
+    """Interval-overlap (range) join without a cartesian product:
+    user-day activity spans × high-severity incident windows, via the
+    bucketed `joins.range_overlap_join` (explode-to-buckets equi-join +
+    exact verify, pair attributed to the max(start) bucket). The oracle
+    is DuckDB's plain inequality join — the naive formulation the Spark
+    operator exists to avoid. Plan-shape test pins the absence of
+    BroadcastNestedLoopJoin."""
+    from .operators.joins import range_overlap_join
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    act = (
+        ev.where(F.col("event_type") != "error")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .where(F.col("end_ts") > F.col("start_ts"))
+    )
+    inc = ev.where((F.col("event_type") == "error") & (F.col("value") >= 300)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("inc_end"),
+    )
+    out = range_overlap_join(
+        act,
+        inc,
+        ("start_ts", "end_ts"),
+        ("inc_start", "inc_end"),
+        bucket=6 * 3600 * 1_000_000,
+    )
+    return out.select("user_id", "day", "incident_id")
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ plain-join result).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,191 @@ def salted_join(
     )
     out = salted_facts.join(exploded_dim, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def _ts_micros(col: F.Column, dtype: str) -> F.Column:
+    """Numeric image of a time-ish column for arithmetic/bucketing:
+    timestamps (zoned or NTZ — the cast is linear under the session's
+    pinned UTC zone) become epoch microseconds, numerics pass through."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join — for each left row, the single right row with the
+    greatest ``right_ts <= left_ts`` (backward) or smallest
+    ``right_ts >= left_ts`` (forward) within the same key group.
+
+    Spark has no native as-of join (reference lacks one too; pandas
+    ``merge_asof`` and kdb ``aj`` define the semantics). The classic
+    distributed implementation is NOT a join at all: tag both sides,
+    union them, and run one ``last(..., ignorenulls=True)`` window over
+    the merged time-sorted stream. One shuffle on the key, one per-key
+    sort, zero pairwise candidate pairs — at 100 TB this is the only
+    shape that survives, because any join-based formulation (range
+    bucketing included) re-materializes quote×probe candidates.
+
+    Ties on ``right_ts`` within a key pick the row with the largest
+    payload struct (deterministic, partitioning-independent); exact
+    ``right_ts == left_ts`` matches are included. ``tolerance_us``
+    bounds the match distance in microseconds (timestamp inputs) or
+    plain units (numeric inputs). ``how='left'`` keeps unmatched left
+    rows with null right columns; ``'inner'`` drops them.
+
+    Right-side columns collide-proofed with an ``r_`` prefix when the
+    name already exists on the left.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+
+    ldt = dict(left.dtypes)[left_ts]
+    rdt = dict(right.dtypes)[right_ts]
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c if c not in left.columns else f"r_{c}") for c in payload_cols}
+
+    l2 = left.select(
+        *keys,
+        _ts_micros(F.col(left_ts), ldt).alias("_t"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(1).alias("_probe"),
+        F.lit(None)
+        .cast(right.select(F.struct(*payload_cols).alias("_q")).schema["_q"].dataType)
+        .alias("_q"),
+    )
+    r2 = right.select(
+        *keys,
+        _ts_micros(F.col(right_ts), rdt).alias("_t"),
+        F.lit(None).cast(l2.schema["_lrow"].dataType).alias("_lrow"),
+        F.lit(0).alias("_probe"),
+        F.struct(*payload_cols).alias("_q"),
+    )
+    merged = l2.unionByName(r2)
+
+    # Quotes sort before probes at equal _t (exact matches included);
+    # among equal-_t quotes the LAST in window order wins, so _q asc
+    # makes the pick the max payload struct, deterministically.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_probe").asc(), F.col("_q").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_probe").asc(), F.col("_q").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = merged.withColumn(
+        "_m", F.last("_q", ignorenulls=True).over(w)
+    ).where(F.col("_probe") == 1)
+
+    if tolerance_us is not None:
+        mt = _ts_micros(F.col("_m")[right_ts], rdt)
+        dist = (F.col("_t") - mt) if direction == "backward" else (mt - F.col("_t"))
+        matched = matched.withColumn(
+            "_m", F.when(dist <= F.lit(tolerance_us), F.col("_m"))
+        )
+    if how == "inner":
+        matched = matched.where(F.col("_m").isNotNull())
+
+    return matched.select(
+        F.col("_lrow.*"),
+        *[F.col("_m")[c].alias(out_names[c]) for c in payload_cols],
+    )
+
+
+def range_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket: int,
+    on: str | list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join ([ls,le] ∩ [rs,re] ≠ ∅, optionally sharing
+    equi-keys) without a cartesian product.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin /
+    CartesianProduct — O(n·m) and dead at scale. The standard fix
+    (Databricks' range-join optimization, re-derived here on public
+    semantics) is binning: explode each interval into the fixed-width
+    buckets it covers, equi-join on bucket id (+ keys), then verify the
+    exact overlap predicate. Each matching pair is attributed to the
+    single bucket containing max(ls, rs), so no post-join distinct is
+    needed — the join stays a plain hash/sort-merge exchange whose
+    width is bounded by bucket occupancy, not n·m.
+
+    ``bucket`` is in microseconds for timestamp range columns (plain
+    units for numerics); pick it near the median interval length —
+    too small explodes rows (len/bucket copies per interval), too big
+    degrades toward all-pairs within a bucket. Intervals with
+    end < start are dropped (they overlap nothing by definition, and
+    Spark's ``sequence`` would silently generate a DESCENDING bucket
+    list for them). ``how='inner'`` only: outer variants would need
+    unmatched-side bookkeeping across buckets.
+
+    Column names (other than ``on`` keys) must be disjoint between the
+    two sides; violations raise rather than silently aliasing.
+    """
+    if how != "inner":
+        raise ValueError("range_overlap_join supports how='inner' only")
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"column name collision outside join keys: {sorted(clash)}; "
+            "rename one side before joining"
+        )
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    ls = _ts_micros(F.col(left_range[0]), ldt[left_range[0]])
+    le = _ts_micros(F.col(left_range[1]), ldt[left_range[1]])
+    rs = _ts_micros(F.col(right_range[0]), rdt[right_range[0]])
+    re = _ts_micros(F.col(right_range[1]), rdt[right_range[1]])
+
+    lb = (
+        left.withColumn("_ls", ls)
+        .withColumn("_le", le)
+        .where(F.col("_le") >= F.col("_ls"))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_ls") / bucket), F.floor(F.col("_le") / bucket)
+                )
+            ),
+        )
+    )
+    rb = (
+        right.withColumn("_rs", rs)
+        .withColumn("_re", re)
+        .where(F.col("_re") >= F.col("_rs"))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_rs") / bucket), F.floor(F.col("_re") / bucket)
+                )
+            ),
+        )
+    )
+    joined = lb.join(rb, keys + ["_bkt"], "inner").where(
+        (F.col("_ls") <= F.col("_re"))
+        & (F.col("_rs") <= F.col("_le"))
+        & (F.floor(F.greatest(F.col("_ls"), F.col("_rs")) / bucket) == F.col("_bkt"))
+    )
+    return joined.drop("_ls", "_le", "_rs", "_re", "_bkt")

@@ -183,3 +183,137 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     assert [r["fact_id"] for r in semi.collect()] == [1]
     anti = salted_join(facts, dim, "k", salt=4, how="left_anti")
     assert anti.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# asof_join / range_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def _mk_asof_data(spark, seed=7, n_left=400, n_right=120, n_keys=9):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    left = [
+        (int(i), int(rng.integers(0, n_keys)), int(rng.integers(0, 10_000)))
+        for i in range(n_left)
+    ]
+    right = [
+        (int(rng.integers(0, n_keys)), int(rng.integers(0, 10_000)), int(100 + i))
+        for i in range(n_right)
+    ]
+    # dedup right per (key, t): keep max quote_id (operator tie rule)
+    best = {}
+    for k, t_, q in right:
+        best[(k, t_)] = max(best.get((k, t_), -1), q)
+    right = [(k, t_, q) for (k, t_), q in best.items()]
+    ldf = spark.createDataFrame(left, "row_id long, k long, t long")
+    rdf = spark.createDataFrame(right, "k long, t long, quote_id long")
+    return left, right, ldf, rdf
+
+
+def _naive_asof(left, right, direction, tolerance=None):
+    out = {}
+    for row_id, k, t_ in left:
+        cands = [
+            (rt, q)
+            for (rk, rt, q) in right
+            if rk == k and (rt <= t_ if direction == "backward" else rt >= t_)
+        ]
+        if tolerance is not None:
+            cands = [(rt, q) for rt, q in cands if abs(rt - t_) <= tolerance]
+        if not cands:
+            out[row_id] = None
+        elif direction == "backward":
+            out[row_id] = max(cands)[1]
+        else:
+            out[row_id] = min(cands)[1]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_naive(spark, direction):
+    from dlp_rdb_bq_import_spark.operators.joins import asof_join
+
+    left, right, ldf, rdf = _mk_asof_data(spark)
+    expected = _naive_asof(left, right, direction)
+    got = {
+        r.row_id: r.quote_id
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", right_ts="t", direction=direction
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    from dlp_rdb_bq_import_spark.operators.joins import asof_join
+
+    left, right, ldf, rdf = _mk_asof_data(spark, seed=11)
+    tol = 500
+    expected = _naive_asof(left, right, "backward", tolerance=tol)
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="t", right_ts="t", tolerance_us=tol, how="inner"
+    )
+    got = {r.row_id: r.quote_id for r in out.collect()}
+    assert got == {k: v for k, v in expected.items() if v is not None}
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The whole point: an as-of over two inputs plans as union+window —
+    no SortMergeJoin/BroadcastHashJoin/CartesianProduct node at all."""
+    from dlp_rdb_bq_import_spark.operators.joins import asof_join
+
+    _, _, ldf, rdf = _mk_asof_data(spark)
+    plan = (
+        asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_range_overlap_join_matches_naive(spark):
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.joins import range_overlap_join
+
+    rng = np.random.default_rng(3)
+    lrows = []
+    for i in range(300):
+        s = int(rng.integers(0, 50_000))
+        lrows.append((int(i), s, s + int(rng.integers(0, 3_000))))
+    rrows = []
+    for j in range(200):
+        s = int(rng.integers(0, 50_000))
+        rrows.append((int(1000 + j), s, s + int(rng.integers(0, 800))))
+    ldf = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    expected = {
+        (lid, rid)
+        for (lid, ls, le) in lrows
+        for (rid, rs, re) in rrows
+        if ls <= re and rs <= le
+    }
+    out = range_overlap_join(ldf, rdf, ("ls", "le"), ("rs", "re"), bucket=1_000)
+    got = [(r.lid, r.rid) for r in out.collect()]
+    assert len(got) == len(set(got)), "bucket attribution must dedup pairs"
+    assert set(got) == expected
+
+
+def test_range_overlap_join_guards(spark):
+    from dlp_rdb_bq_import_spark.operators.joins import range_overlap_join
+
+    ldf = spark.createDataFrame([(1, 10, 5)], "lid long, ls long, le long")
+    rdf = spark.createDataFrame([(2, 0, 100)], "rid long, rs long, re long")
+    # invalid interval (end < start) dropped, not exploded descending
+    assert range_overlap_join(ldf, rdf, ("ls", "le"), ("rs", "re"), bucket=10).count() == 0
+    with pytest.raises(ValueError, match="collision"):
+        range_overlap_join(
+            ldf.withColumnRenamed("lid", "rid"), rdf, ("ls", "le"), ("rs", "re"), bucket=10
+        )
+    with pytest.raises(ValueError, match="positive"):
+        range_overlap_join(ldf, rdf, ("ls", "le"), ("rs", "re"), bucket=0)
