@@ -2628,6 +2628,59 @@ def q_table_profile(spark, sf_dir):
     return profile_table(t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
 
 
+@query(
+    "skew_report",
+    oracle="""
+WITH counts AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS distinct_keys FROM counts)
+SELECT CAST(key AS VARCHAR) AS key, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE), 9) AS share,
+       total_rows, distinct_keys
+FROM counts, tot
+ORDER BY cnt DESC, key ASC
+LIMIT 10
+""",
+)
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnostic (the report you run before choosing a join
+    strategy at 100 TB): top-10 heaviest keys with row share plus
+    total/distinct context. Physical shape: one partial-agg shuffle on
+    the key, TakeOrderedAndProject for the top-N (no global sort), a
+    broadcast 1-row totals join."""
+    from .operators.profiling import skew_report
+
+    return skew_report(t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+@query(
+    "rollup_cascade",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v
+FROM events GROUP BY 1, 2
+""",
+)
+def q_rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute → hour → day, each
+    coarser level aggregated FROM the finer level's mergeable partials
+    (count / DECIMAL sum / min / max) so raw events are scanned exactly
+    once. The oracle aggregates the raw table directly at day grain —
+    matching it proves the cascade is lossless (decimal sums make the
+    re-aggregation order-independent; a double partial would drift)."""
+    from .operators.rollup import cascading_rollup, present
+
+    ev = t(spark, sf_dir, "events")
+    levels = cascading_rollup(
+        ev, "ts", ["event_type"], "value", ["1 minute", "1 hour", "1 day"]
+    )
+    return present(levels["1 day"], ["event_type"])
+
+
 _MERGE_ORACLE = """
 WITH updates AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice

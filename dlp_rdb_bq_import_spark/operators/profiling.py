@@ -39,3 +39,36 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool 
         F.col("n_non_null").cast("long").alias("n_non_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the top-N heaviest keys with
+    their row counts and share of the table, plus the p99-style context
+    (total rows, distinct keys, mean rows/key) repeated per row so one
+    scan answers "will this key set salt-or-broadcast".
+
+    At 100 TB this is the report you run BEFORE choosing a join
+    strategy: share >> 1/distinct says salt (operators/joins.py
+    salted_join) or AQE skew-split; a tiny distinct count says
+    broadcast the aggregate instead. One partial-agg shuffle on the
+    key, a single-row global agg broadcast back — no sort of the full
+    key set (top-N via takeOrdered-style limit push).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count("*").alias("distinct_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("total_rows").cast("double"), 9
+            ).alias("share"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.col("distinct_keys").cast("long").alias("distinct_keys"),
+        )
+    )

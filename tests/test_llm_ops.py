@@ -872,3 +872,46 @@ def test_tfidf_top_terms_hand_computed(spark):
 def test_tfidf_top_terms_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert text_ops.tfidf_top_terms(df).count() == 0
+
+
+def test_cascading_rollup_levels_lossless(spark, sf_dir):
+    """Each coarser level, computed from the finer level's partials,
+    must equal a direct aggregation of the raw data at that grain."""
+    from dlp_rdb_bq_import_spark.operators.rollup import cascading_rollup, present
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    levels = cascading_rollup(
+        ev, "ts", ["event_type"], "value", ["1 minute", "1 hour", "1 day"]
+    )
+    for lvl in ("1 hour", "1 day"):
+        direct = present(
+            cascading_rollup(ev, "ts", ["event_type"], "value", [lvl])[lvl],
+            ["event_type"],
+        )
+        cascaded = present(levels[lvl], ["event_type"])
+        assert sorted(map(tuple, cascaded.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+
+def test_cascading_rollup_empty_and_bad_args(spark):
+    from dlp_rdb_bq_import_spark.operators.rollup import cascading_rollup, present
+
+    empty = spark.createDataFrame([], "ts timestamp, k string, value double")
+    out = cascading_rollup(empty, "ts", ["k"], "value", ["1 hour", "1 day"])
+    assert present(out["1 day"], ["k"]).count() == 0
+    with pytest.raises(ValueError):
+        cascading_rollup(empty, "ts", ["k"], "value", [])
+
+
+def test_skew_report_shape_and_shares(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import skew_report
+
+    # 60 rows of key 'hot', 1 each of 40 cold keys
+    rows = [("hot",)] * 60 + [(f"c{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, "k", top_n=3).collect()
+    assert [r.key for r in rep][0] == "hot"
+    assert rep[0].cnt == 60 and rep[0].total_rows == 100 and rep[0].distinct_keys == 41
+    assert abs(rep[0].share - 0.6) < 1e-12
+    assert len(rep) == 3 and rep[1].cnt == 1
