@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "multimodal_features",
     "dedup_clusters_exact",
     "reid_pipeline",
+    # round 3 additions: temporal joins + rollup + keyword extraction
+    "asof_click_signup",
+    "incident_overlap_join",
+    "rollup_cascade",
+    "tfidf_top_terms",
+    "skew_report",
 ]
 
 

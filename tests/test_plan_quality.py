@@ -185,3 +185,40 @@ def test_global_sort_uses_range_partitioning(spark, qs):
     plan = final_plan(df)
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_incident_overlap_join_no_nested_loop(spark, qs):
+    """The bucketed range join must plan as an equi-join on bucket id —
+    never the BroadcastNestedLoopJoin Spark gives bare inequality
+    joins."""
+    plan = final_plan(qs["incident_overlap_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_click_signup_plans_without_join(spark, qs):
+    """The as-of is union+window: no pairwise join node of any kind."""
+    plan = final_plan(qs["asof_click_signup"](spark, SF))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "Window" in plan
+
+
+def test_rollup_cascade_scans_raw_once(spark, qs):
+    """The cascade reads events exactly once; coarser levels
+    re-aggregate partials (no second scan of the raw table)."""
+    plan = final_plan(qs["rollup_cascade"](spark, SF))
+    # formatted explain prints the tree twice (final + initial AQE plan)
+    # but details once per distinct node: count "(n) Scan parquet" details
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1
+
+
+def test_skew_report_uses_take_ordered(spark, qs):
+    """Top-N must be TakeOrderedAndProject (limit pushed into the
+    sort), not a global Sort + CollectLimit."""
+    plan = final_plan(qs["skew_report"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
