@@ -6,13 +6,16 @@
 SF ?= /root/testdata/sf0.01
 BENCH_SF ?= /root/testdata/sf0.1
 
-.PHONY: test gate-full bench
+.PHONY: test gate-full bench plan-lint
 
 test:
 	python -m pytest tests/ -q
 
 gate-full:
 	python tools/compare_oracle.py --sf $(SF)
+
+plan-lint:
+	python tools/plan_lint.py
 
 bench:
 	SPARK_GRAFT_SF_DIR=$(BENCH_SF) python bench.py
