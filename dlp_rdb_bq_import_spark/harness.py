@@ -1599,6 +1599,25 @@ def q_dedup_clusters_exact(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+@query("pagerank_supplier_part")  # iterative float fixpoint — rows-only by design
+def q_pagerank(spark, sf_dir):
+    """PageRank over the supplier→part bipartite edge set (the
+    domain-quality ranking shape of crawl curation). Iterative power
+    method: genuinely non-SQL-expressible, so the gate records the
+    rows-only check; the numeric fixpoint is pinned against a numpy
+    power-iteration reference in tests/test_llm_ops.py. Edge list is
+    deterministically thinned (orderkey % 10) to bound gate time."""
+    from .operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + 1_000_000).alias("dst")
+    ).distinct()
+    return pagerank(edges, iterations=8).select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 12).alias("rank")
+    )
+
+
 @query("curation_pipeline")  # composition over iterative clustering — rows-only
 def q_curation_pipeline(spark, sf_dir):
     """The end-to-end curation shape a training-data run executes:

@@ -915,3 +915,44 @@ def test_skew_report_shape_and_shares(spark):
     assert rep[0].cnt == 60 and rep[0].total_rows == 100 and rep[0].distinct_keys == 41
     assert abs(rep[0].share - 0.6) < 1e-12
     assert len(rep) == 3 and rep[1].cnt == 1
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 3), (4, 0), (4, 5),
+        # node 5 is dangling (no out-edges); 6 appears only as src
+        (6, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=25).collect()}
+
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(25):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        dm = r[deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dm / n)
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-9, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_and_bad_damping(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        pagerank(empty, damping=1.0)
