@@ -2772,6 +2772,109 @@ def q_cdc_apply_changes(spark, sf_dir):
     return apply_changes(orders, changes, ["o_orderkey"], broadcast_changes=True)
 
 
+_SCD2_CH_SQL = """
+SELECT o_orderkey, o_totalprice, 'upsert' AS _op, 0 AS _seq FROM orders WHERE o_orderkey < 300
+UNION ALL
+SELECT o_orderkey, o_totalprice + 100, 'upsert', 10 FROM orders WHERE o_orderkey < 200
+UNION ALL
+SELECT o_orderkey, NULL, 'delete', 20 FROM orders WHERE o_orderkey < 100
+"""
+
+
+def _scd2_changes(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = orders.where(F.col("o_orderkey") < 300).select(
+        "o_orderkey", "o_totalprice", F.lit("upsert").alias("_op"), F.lit(0).alias("_seq")
+    )
+    b = orders.where(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit("upsert").alias("_op"),
+        F.lit(10).alias("_seq"),
+    )
+    c = orders.where(F.col("o_orderkey") < 100).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("delete").alias("_op"),
+        F.lit(20).alias("_seq"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "scd2_build",
+    oracle=f"""
+WITH ch AS ({_SCD2_CH_SQL}),
+v AS (SELECT *, lead(_seq) OVER (PARTITION BY o_orderkey ORDER BY _seq) AS valid_to FROM ch)
+SELECT o_orderkey, o_totalprice,
+       CAST(_seq AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v WHERE _op = 'upsert'
+""",
+)
+def q_scd2_build(spark, sf_dir):
+    """Type-2 SCD construction from a CDC change log: upserts open
+    versions, the key's next change closes them, deletes leave a gap.
+    Three change waves over orders (create / reprice / delete) produce
+    keys with full, partial, and closed histories. One lead() window
+    over the change log — no join, O(|changes|)."""
+    from .operators.cdc import scd2_build
+
+    out = scd2_build(_scd2_changes(spark, sf_dir), ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
+    "scd2_pit_lookup",
+    oracle=f"""
+WITH ch AS ({_SCD2_CH_SQL}),
+v AS (SELECT *, lead(_seq) OVER (PARTITION BY o_orderkey ORDER BY _seq) AS valid_to FROM ch),
+ver AS (SELECT o_orderkey, o_totalprice, _seq AS valid_from, valid_to FROM v WHERE _op = 'upsert'),
+f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, (l_linenumber * 7) % 25 AS fact_seq
+      FROM lineitem WHERE l_orderkey < 300)
+SELECT f.o_orderkey, f.l_linenumber, CAST(f.fact_seq AS BIGINT) AS fact_seq,
+       ver.o_totalprice AS price_at, CAST(ver.valid_from AS BIGINT) AS valid_from
+FROM f LEFT JOIN ver ON f.o_orderkey = ver.o_orderkey
+  AND ver.valid_from <= f.fact_seq AND (ver.valid_to IS NULL OR f.fact_seq < ver.valid_to)
+""",
+)
+def q_scd2_pit_lookup(spark, sf_dir):
+    """Point-in-time join: each lineitem fact looks up the order price
+    version valid at its (synthetic) fact sequence. The Spark side
+    composes scd2_build + scd2_lookup (asof_join under the hood — one
+    shuffle, no interval candidates); the oracle is DuckDB's plain
+    interval inequality join, an independent formulation."""
+    from .operators.cdc import scd2_build, scd2_lookup
+
+    versions = scd2_build(_scd2_changes(spark, sf_dir), ["o_orderkey"]).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_at"), "valid_from", "valid_to"
+    )
+    facts = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 300)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            ((F.col("l_linenumber") * 7) % 25).cast("long").alias("fact_seq"),
+        )
+    )
+    out = scd2_lookup(facts, versions, on="o_orderkey", fact_seq_col="fact_seq")
+    return out.select(
+        "o_orderkey",
+        "l_linenumber",
+        "fact_seq",
+        "price_at",
+        F.col("valid_from").cast("long").alias("valid_from"),
+    )
+
+
 _GROUPING_SETS_SQL = f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -73,3 +73,64 @@ def apply_changes(
     if broadcast_changes:
         touched = F.broadcast(touched)
     return base.join(touched, key_cols, "left_anti").unionByName(survivors)
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a CDC change log:
+    every upsert opens a version valid from its sequence number until
+    the key's next change (upsert or delete); a delete closes the
+    prior version and contributes no row. Output = payload columns +
+    ``valid_from``, ``valid_to`` (null = still current), ``is_current``.
+
+    One shuffle + per-key sort (a single ``lead`` window over the
+    change log); the dimension history never joins anything here, so
+    the cost is O(|changes|) regardless of dimension width. Feed must
+    be well-formed: one change per (key, seq).
+
+    The reference only ever snapshots full reloads; SCD2 is the
+    standard warehouse answer to "what did this row say when the fact
+    happened" — pair with ``scd2_lookup`` for the point-in-time join.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    v = changes.withColumn("valid_to", F.lead(seq_col).over(w))
+    return (
+        v.where(F.col(op_col) == "upsert")
+        .withColumn("valid_from", F.col(seq_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col, seq_col)
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    versions: DataFrame,
+    on: str | list[str],
+    fact_seq_col: str,
+) -> DataFrame:
+    """Point-in-time join: each fact row matched to the dimension
+    version whose validity interval contains the fact's sequence/time.
+
+    Composed from ``joins.asof_join`` (backward as-of on valid_from —
+    one shuffle, no candidate pairs) + a validity filter: the as-of
+    candidate is the version opened at-or-before the fact, and it
+    matches unless a delete closed it before the fact happened
+    (valid_to <= fact_seq → nulls, preserving the fact row like a left
+    join against a gap in history)."""
+    from .joins import asof_join
+
+    keys = [on] if isinstance(on, str) else list(on)
+    out = asof_join(
+        facts, versions, on=keys, left_ts=fact_seq_col, right_ts="valid_from"
+    )
+    ver_cols = [c for c in versions.columns if c not in keys + ["valid_from"]]
+    gap = F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.col(fact_seq_col))
+    nulled = [
+        F.when(gap, F.lit(None)).otherwise(F.col(c)).alias(c)
+        for c in ver_cols + ["valid_from"]
+    ]
+    return out.select(*facts.columns, *nulled)

@@ -63,3 +63,53 @@ def test_merge_upsert_default_no_forced_broadcast(spark):
     assert "ResolvedHint" not in merged._jdf.queryExecution().analyzed().toString()
     got = {(r["k"], r["v"]) for r in merged.collect()}
     assert got == {(1, "y"), (2, "x")}
+
+
+def test_scd2_build_histories(spark):
+    from dlp_rdb_bq_import_spark.operators.cdc import scd2_build
+
+    # key 1: create->reprice->delete->recreate; key 2: create only
+    ch = spark.createDataFrame(
+        [
+            (1, 10.0, "upsert", 0),
+            (1, 20.0, "upsert", 5),
+            (1, None, "delete", 8),
+            (1, 30.0, "upsert", 12),
+            (2, 99.0, "upsert", 3),
+        ],
+        "k long, price double, _op string, _seq long",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.price, r.valid_to, r.is_current)
+        for r in scd2_build(ch, ["k"]).collect()
+    }
+    assert rows[(1, 0)] == (10.0, 5, False)
+    assert rows[(1, 5)] == (20.0, 8, False)   # closed by the delete
+    assert rows[(1, 12)] == (30.0, None, True)
+    assert rows[(2, 3)] == (99.0, None, True)
+    assert len(rows) == 4  # the delete contributes no version row
+
+
+def test_scd2_lookup_gap_and_prehistory(spark):
+    from dlp_rdb_bq_import_spark.operators.cdc import scd2_build, scd2_lookup
+
+    ch = spark.createDataFrame(
+        [
+            (1, 10.0, "upsert", 0),
+            (1, None, "delete", 8),
+            (1, 30.0, "upsert", 12),
+        ],
+        "k long, price double, _op string, _seq long",
+    )
+    versions = scd2_build(ch, ["k"])
+    facts = spark.createDataFrame(
+        [(100, 1, 4), (101, 1, 9), (102, 1, 12), (103, 1, 50), (104, 7, 5)],
+        "fid long, k long, at long",
+    )
+    got = {r.fid: (r.price, r.valid_from) for r in
+           scd2_lookup(facts, versions, on="k", fact_seq_col="at").collect()}
+    assert got[100] == (10.0, 0)        # inside first version
+    assert got[101] == (None, None)     # in the delete gap
+    assert got[102] == (30.0, 12)       # boundary: valid_from inclusive
+    assert got[103] == (30.0, 12)       # open-ended current version
+    assert got[104] == (None, None)     # unknown key preserved (left)
