@@ -103,6 +103,75 @@ def chunked_ingest(
     )
 
 
+def streaming_upsert(
+    df_stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming materialized upsert view — the production
+    stream→warehouse pattern: ``foreachBatch`` applies each micro-batch
+    to a keyed latest-state parquet table with an atomic staged swap.
+
+    Effectively-exactly-once without a transactional table format: the
+    merge keeps the max-``seq_col`` row per key, so a replayed batch
+    (foreachBatch is at-least-once across restarts) re-applies to the
+    same result — idempotence by content, with the checkpoint only
+    bounding how much is replayed. Readers see the old or new table,
+    never a partial write (directory-rename publish, same discipline as
+    sinks/warehouse.py).
+
+    At 100 TB the per-batch cost is one shuffle of (batch ∪ current
+    state) on the key; for narrow keyed state this is the right shape,
+    and a partitioned variant would swap only touched partitions.
+    Blocks until the available data is processed (availableNow trigger).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df, epoch_id):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(table_path):
+            base = spark.read.parquet(table_path)
+            merged = (
+                base.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        staged = f"{table_path}._staged_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)  # reads old table
+        if os.path.isdir(table_path):
+            old = table_path + "._old"
+            os.rename(table_path, old)
+            os.rename(staged, table_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(staged, table_path)
+
+    q = (
+        df_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_static_segment_rollup(
     spark: SparkSession,
     source_dir: str,

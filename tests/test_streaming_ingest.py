@@ -248,3 +248,37 @@ def test_stream_static_join_unmatched_rolls_up_unknown(spark, sf_dir):
     )
     expected = {r["segment"]: (r["n"], r["tv"]) for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_upsert_latest_state_and_replay(spark, tmp_path):
+    """foreachBatch upsert view: incremental batches maintain latest-
+    per-key state; a full replay with a fresh checkpoint converges to
+    the same table (idempotence by max-seq content, not delivery)."""
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_upsert
+
+    schema = "k long, v string, seq long"
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+
+    def read_state():
+        return {
+            (r.k, r.v, r.seq) for r in spark.read.parquet(state).collect()
+        }
+
+    def run(cp):
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming_upsert(stream, state, ["k"], "seq", str(tmp_path / cp))
+
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run("cp1")
+    assert read_state() == {(1, "a", 1), (2, "b", 1)}
+
+    spark.createDataFrame([(1, "a2", 2), (3, "c", 1)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run("cp1")  # same checkpoint: only the new file is processed
+    assert read_state() == {(1, "a2", 2), (2, "b", 1), (3, "c", 1)}
+
+    run("cp2")  # fresh checkpoint: full replay over existing state
+    assert read_state() == {(1, "a2", 2), (2, "b", 1), (3, "c", 1)}
