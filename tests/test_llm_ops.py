@@ -420,9 +420,11 @@ def test_approx_count_distinct_rel_error(spark, sf_dir):
 
 def _winnow_reference(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Direct (non-rolling) restatement of Schleimer et al.'s winnowing:
-    hash every k-gram with the same polynomial (base 257 mod 2^61-1)
-    computed from scratch, take window minima, dedup consecutive."""
-    B, M = 257, (1 << 61) - 1
+    hash every k-gram with the same polynomial (base 257 mod 2^64)
+    computed from scratch with Python ints, take window minima over the
+    UNSIGNED values, dedup consecutive, then convert to the signed
+    int64 the operator emits."""
+    B, M = 257, 1 << 64
     s = text.encode("utf-8")
     if len(s) < k:
         return []
@@ -437,7 +439,7 @@ def _winnow_reference(text: str, k: int = 8, window: int = 4) -> list[int]:
         m = min(hashes[w0 : w0 + window])
         if not picks or picks[-1] != m:
             picks.append(m)
-    return picks
+    return [p - (1 << 64) if p >= (1 << 63) else p for p in picks]
 
 
 def test_winnow_matches_reference(spark):
