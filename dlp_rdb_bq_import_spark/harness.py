@@ -2700,6 +2700,75 @@ def q_rollup_cascade(spark, sf_dir):
     return present(levels["1 day"], ["event_type"])
 
 
+@query(
+    "data_expectations",
+    oracle="""
+SELECT rule, kind, "column", n_violations, (n_violations = 0) AS passed FROM (
+SELECT 'pk_not_null' AS rule, 'not_null' AS kind, 'o_orderkey' AS "column",
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'pk_unique', 'unique', 'o_orderkey',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'status_values', 'accepted_values', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'price_range', 'range', 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'fk_orders', 'referential', 'l_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+)
+""",
+)
+def q_data_expectations(spark, sf_dir):
+    """Declarative data-quality suite (dbt-test/deequ shape): PK
+    not-null + uniqueness, accepted status values, a price range rule
+    (violations expected — the fixture has orders above the bound), and
+    lineitem→orders referential integrity. Every non-referential rule
+    fuses into ONE scan+aggregate of orders; the FK rule is one
+    left-anti join."""
+    from .operators.profiling import check_expectations
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    row_rules = check_expectations(
+        orders,
+        [
+            {"rule": "pk_not_null", "kind": "not_null", "column": "o_orderkey"},
+            {"rule": "pk_unique", "kind": "unique", "column": "o_orderkey"},
+            {
+                "rule": "status_values",
+                "kind": "accepted_values",
+                "column": "o_orderstatus",
+                "values": ["O", "F", "P"],
+            },
+            {
+                "rule": "price_range",
+                "kind": "range",
+                "column": "o_totalprice",
+                "min": 0.0,
+                "max": 300_000.0,
+            },
+        ],
+    )
+    fk_rule = check_expectations(
+        li,
+        [
+            {
+                "rule": "fk_orders",
+                "kind": "referential",
+                "column": "l_orderkey",
+                "ref": "orders",
+                "ref_column": "o_orderkey",
+            }
+        ],
+        references={"orders": orders},
+    )
+    return row_rules.unionByName(fk_rule)
+
+
 _MERGE_ORACLE = """
 WITH updates AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice

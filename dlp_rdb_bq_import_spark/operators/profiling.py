@@ -72,3 +72,89 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             F.col("distinct_keys").cast("long").alias("distinct_keys"),
         )
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[dict],
+    references: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test / deequ
+    shape, re-derived on public semantics): evaluate every rule and
+    return one row per rule — (rule, kind, column, n_violations,
+    passed).
+
+    Rule kinds:
+      {"rule", "kind": "not_null",        "column"}
+      {"rule", "kind": "unique",          "column"}   # extra duplicate rows
+      {"rule", "kind": "accepted_values", "column", "values": [...]}
+      {"rule", "kind": "range",           "column", "min": x, "max": y}
+      {"rule", "kind": "referential",     "column", "ref": name, "ref_column"}
+
+    Scale shape: every non-referential rule — including unique, stated
+    as COUNT(col) − COUNT(DISTINCT col) — fuses into ONE scan + one
+    global aggregation of the table; each referential rule adds one
+    left-anti join against its reference (broadcast when the reference
+    key set is small). A 50-rule suite over a 100 TB table therefore
+    costs one pass plus its FK joins, not 50 passes.
+    """
+    references = references or {}
+    aggs, meta = [], []
+    ref_outs = []
+    for r in rules:
+        col, kind = F.col(r["column"]), r["kind"]
+        name = r["rule"]
+        if kind == "not_null":
+            aggs.append(F.sum(col.isNull().cast("long")).alias(name))
+        elif kind == "unique":
+            aggs.append(
+                (F.count(col) - F.count_distinct(col)).alias(name)
+            )
+        elif kind == "accepted_values":
+            bad = (~col.isin(list(r["values"]))) | col.isNull()
+            aggs.append(F.sum(bad.cast("long")).alias(name))
+        elif kind == "range":
+            bad = col.isNull() | (col < F.lit(r["min"])) | (col > F.lit(r["max"]))
+            aggs.append(F.sum(bad.cast("long")).alias(name))
+        elif kind == "referential":
+            ref = references[r["ref"]]
+            viol = (
+                df.select(col.alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .join(
+                    ref.select(F.col(r["ref_column"]).alias("_k")).distinct(),
+                    "_k",
+                    "left_anti",
+                )
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.lit(name).alias("rule"),
+                    F.lit(kind).alias("kind"),
+                    F.lit(r["column"]).alias("column"),
+                    F.col("n").cast("long").alias("n_violations"),
+                )
+            )
+            ref_outs.append(viol)
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        meta.append((name, kind, r["column"]))
+
+    outs = []
+    if aggs:
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{n}', '{k}', '{c}', `{n}`" for n, k, c in meta
+        )
+        outs.append(
+            wide.selectExpr(
+                f"stack({len(meta)}, {stack_args}) AS (rule, kind, column, n_violations)"
+            ).select(
+                "rule", "kind", "column", F.col("n_violations").cast("long").alias("n_violations")
+            )
+        )
+    outs.extend(ref_outs)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn("passed", F.col("n_violations") == 0)

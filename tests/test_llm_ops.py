@@ -958,3 +958,51 @@ def test_pagerank_empty_and_bad_damping(spark):
     assert pagerank(empty).count() == 0
     with pytest.raises(ValueError):
         pagerank(empty, damping=1.0)
+
+
+def test_check_expectations_planted_violations(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (1, "O", 20.0),     # duplicate pk
+            (None, "F", 30.0),  # null pk
+            (3, "X", -5.0),     # bad status, below range
+            (4, "P", 500.0),    # above range
+        ],
+        "k long, status string, price double",
+    )
+    ref = spark.createDataFrame([(1,), (3,)], "rk long")
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in check_expectations(
+            df,
+            [
+                {"rule": "nn", "kind": "not_null", "column": "k"},
+                {"rule": "uq", "kind": "unique", "column": "k"},
+                {"rule": "av", "kind": "accepted_values", "column": "status",
+                 "values": ["O", "F", "P"]},
+                {"rule": "rg", "kind": "range", "column": "price",
+                 "min": 0.0, "max": 100.0},
+                {"rule": "fk", "kind": "referential", "column": "k",
+                 "ref": "r", "ref_column": "rk"},
+            ],
+            references={"r": ref},
+        ).collect()
+    }
+    assert out["nn"] == (1, False)
+    assert out["uq"] == (1, False)   # one extra copy of pk 1
+    assert out["av"] == (1, False)
+    assert out["rg"] == (2, False)
+    assert out["fk"] == (1, False)   # k=4 not in ref (nulls exempt)
+
+    clean = check_expectations(
+        spark.createDataFrame([(1,)], "k long"),
+        [{"rule": "nn", "kind": "not_null", "column": "k"}],
+    ).collect()
+    assert clean[0].passed is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown expectation"):
+        check_expectations(df, [{"rule": "x", "kind": "nope", "column": "k"}]).collect()
