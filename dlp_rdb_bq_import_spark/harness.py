@@ -2701,6 +2701,35 @@ def q_rollup_cascade(spark, sf_dir):
 
 
 @query(
+    "length_outliers",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source, n_chars,
+         COUNT(n_chars) OVER w AS n,
+         SUM(n_chars) OVER w AS s,
+         SUM(n_chars * n_chars) OVER w AS sq
+  FROM documents
+  WINDOW w AS (PARTITION BY source)
+)
+SELECT doc_id, source, n_chars,
+       ((n * n_chars - s) * (n * n_chars - s) > 4 * (n * sq - s * s)) AS is_outlier
+FROM g
+""",
+)
+def q_length_outliers(spark, sf_dir):
+    """Per-source document-length outlier gate (the curation stage that
+    drops truncated/garbage docs relative to their source's own
+    distribution). |x−μ| > 2σ cleared of denominators into pure BIGINT
+    arithmetic — borderline rows cannot flip between engines the way
+    float stddev implementations allow, so the oracle hash-matches
+    exactly."""
+    from .operators.profiling import integer_zscore_outliers
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return integer_zscore_outliers(d, "n_chars", ["source"], threshold=2)
+
+
+@query(
     "data_expectations",
     oracle="""
 SELECT rule, kind, "column", n_violations, (n_violations = 0) AS passed FROM (

@@ -158,3 +158,35 @@ def check_expectations(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def integer_zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: int = 2,
+) -> DataFrame:
+    """Per-group z-score outlier flags for an INTEGER metric, computed
+    bit-exactly: |x − μ| > t·σ is cleared of denominators into
+    (n·x − Σ)² > t²·(n·Σx² − Σ²) — pure BIGINT arithmetic, so two
+    engines cannot disagree on a borderline row the way float
+    mean/stddev implementations (Welford vs naive summation) can.
+
+    One window aggregation per group (sum, sum-of-squares, count
+    reused across every row) — a single shuffle on the group key.
+    Overflow bound: n·Σx² must fit int64, i.e. per-group
+    n²·max(x)² < 2^63 (n=1e6 rows of x≤2000 is fine); raise the values
+    to DECIMAL upstream past that. Population σ (no Bessel) keeps the
+    algebra integral. Returns the input plus ``is_outlier``;
+    single-row groups have σ=0 and are never outliers.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    x = F.col(value_col).cast("long")
+    n = F.count(value_col).over(w)
+    s = F.sum(x).over(w)
+    sq = F.sum(x * x).over(w)
+    lhs = (n * x - s) * (n * x - s)
+    rhs = F.lit(threshold * threshold) * (n * sq - s * s)
+    return df.withColumn("is_outlier", lhs > rhs)

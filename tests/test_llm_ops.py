@@ -1006,3 +1006,24 @@ def test_check_expectations_planted_violations(spark):
 
     with _pytest.raises(ValueError, match="unknown expectation"):
         check_expectations(df, [{"rule": "x", "kind": "nope", "column": "k"}]).collect()
+
+
+def test_integer_zscore_outliers_exact(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import integer_zscore_outliers
+
+    # group a: nine 10s and one 100 -> the 100 is a clear outlier
+    rows = [("a", 10)] * 9 + [("a", 100)] + [("b", 5)]  # b: single-row group
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = integer_zscore_outliers(df, "v", ["g"], threshold=2).collect()
+    flags = {}
+    for r in out:
+        flags.setdefault((r.g, r.v), r.is_outlier)
+    assert flags[("a", 100)] is True
+    assert flags[("a", 10)] is False
+    assert flags[("b", 5)] is False  # sigma=0, never an outlier
+
+    import statistics
+
+    vals = [10] * 9 + [100]
+    mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(100 - mu) > 2 * sigma and abs(10 - mu) <= 2 * sigma
