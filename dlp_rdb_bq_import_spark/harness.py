@@ -2701,6 +2701,26 @@ def q_rollup_cascade(spark, sf_dir):
 
 
 @query(
+    "global_row_ids",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS row_id
+FROM lineitem
+""",
+)
+def q_global_row_ids(spark, sf_dir):
+    """Dense global row numbering without the single-partition window
+    trap: range exchange + per-partition offsets + local window. The
+    oracle is the naive ROW_NUMBER() OVER (ORDER BY ...) — identical
+    result, but the Spark plan distributes where the naive one cannot
+    (plan test pins the absence of a SinglePartition window)."""
+    from .operators.layout import global_row_ids
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return global_row_ids(li, ["l_orderkey", "l_linenumber"])
+
+
+@query(
     "length_outliers",
     oracle="""
 WITH g AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,4 +87,59 @@ def zorder_write(
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def global_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global row ids 0..n-1 in ``order_cols`` order WITHOUT the
+    single-partition trap.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` plans an empty
+    PartitionBy window — Spark funnels the entire table through ONE
+    task, which is a non-starter past a few GB. The scalable shape:
+
+    1. range-partition by the order columns (sampled range exchange,
+       the same primitive a global sort uses),
+    2. one tiny job counts rows per partition → cumulative offsets
+       (collect of #partitions longs, broadcast back),
+    3. row_number WITHIN each partition (sorted locally) + offset.
+
+    Order must be total (include a tiebreaker column) or ids within a
+    tie are partition-placement-dependent. Two passes over the data —
+    the price of determinism at scale; a monotonically_increasing_id
+    is one pass but neither dense nor order-respecting.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty (and a total order)")
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+    # materialize ONCE: the range boundaries come from sampling, so the
+    # offsets job and the numbering job must see the same physical
+    # partitioning, not two independently sampled exchanges
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
     )

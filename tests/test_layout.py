@@ -112,3 +112,20 @@ def test_linear_bucket_bounds(spark):
     ).collect()
     bs = [r["b"] for r in out]
     assert bs[0] == 0 and bs[2] == 255 and 0 < bs[1] < 255
+
+
+def test_global_row_ids_dense_and_deterministic(spark):
+    from dlp_rdb_bq_import_spark.operators.layout import global_row_ids
+
+    import pytest as _pytest
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5000).alias("k"), F.col("id").alias("tie")
+    )
+    out = global_row_ids(df, ["k", "tie"], num_partitions=8)
+    rows = [(r.row_id, r.k, r.tie) for r in out.collect()]
+    assert sorted(r[0] for r in rows) == list(range(5000))  # dense 0..n-1
+    by_order = sorted(rows, key=lambda r: (r[1], r[2]))
+    assert [r[0] for r in by_order] == list(range(5000))  # ids follow order
+    with _pytest.raises(ValueError):
+        global_row_ids(df, [])

@@ -222,3 +222,16 @@ def test_skew_report_uses_take_ordered(spark, qs):
     sort), not a global Sort + CollectLimit."""
     plan = final_plan(qs["skew_report"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_row_ids_no_single_partition_window(spark, qs):
+    """The whole point of the operator: the naive ROW_NUMBER() OVER
+    (ORDER BY ...) funnels the table through one task; ours must not."""
+    df = qs["global_row_ids"](spark, SF)
+    plan = final_plan(df)
+    assert "SinglePartition" not in plan
+    # and the naive formulation DOES, proving the assertion has teeth
+    naive = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid"
+    )
+    assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
