@@ -2721,6 +2721,38 @@ def q_global_row_ids(spark, sf_dir):
 
 
 @query(
+    "vocab_encode_words",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, word,
+       CAST(DENSE_RANK() OVER (ORDER BY word) - 1 AS BIGINT) AS word_code
+FROM words WHERE word <> ''
+""",
+)
+def q_vocab_encode_words(spark, sf_dir):
+    """Vocabulary build + dictionary encoding (token→id): the distinct
+    word set gets dense codes via the scalable global_row_ids path (no
+    SinglePartition window even for web-scale vocabularies), then the
+    exploded corpus picks codes up by equi-join. The oracle is the
+    naive DENSE_RANK the operator avoids — identical result, scalable
+    plan."""
+    from .operators.layout import encode_categorical
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    return encode_categorical(words, "word", "word_code").select(
+        "doc_id", "word", "word_code"
+    )
+
+
+@query(
     "length_outliers",
     oracle="""
 WITH g AS (

@@ -143,3 +143,30 @@ def global_row_ids(
         .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def encode_categorical(
+    df: DataFrame,
+    col: str,
+    code_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dictionary-encode a categorical column: dense integer codes
+    0..|distinct|-1 in lexicographic value order (the vocabulary-build
+    step of feature engineering — token→id, domain→id).
+
+    Scalable composition: the distinct value set (the only part that
+    needs a global order) goes through ``global_row_ids`` — range
+    exchange + offsets, no SinglePartition window even for
+    high-cardinality vocabularies — and the full table then picks up
+    its code by an equi-join that AQE broadcasts when the vocabulary is
+    small. The big table is never globally sorted.
+    """
+    code_col = code_col or f"{col}_code"
+    vocab = global_row_ids(
+        df.select(F.col(col)).where(F.col(col).isNotNull()).distinct(),
+        [col],
+        id_col=code_col,
+        num_partitions=num_partitions,
+    )
+    return df.join(vocab, col, "left")

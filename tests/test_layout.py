@@ -129,3 +129,13 @@ def test_global_row_ids_dense_and_deterministic(spark):
     assert [r[0] for r in by_order] == list(range(5000))  # ids follow order
     with _pytest.raises(ValueError):
         global_row_ids(df, [])
+
+
+def test_encode_categorical_codes_dense_and_null_safe(spark):
+    from dlp_rdb_bq_import_spark.operators.layout import encode_categorical
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c"), (4, "a"), (5, None)], "id long, v string"
+    )
+    out = {r.id: r.v_code for r in encode_categorical(df, "v").collect()}
+    assert out == {2: 0, 4: 0, 1: 1, 3: 2, 5: None}  # lexicographic, null → null
