@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "rollup_cascade",
     "tfidf_top_terms",
     "skew_report",
+    # round 3 additions: warehouse/feature-engineering surface
+    "scd2_pit_lookup",
+    "data_expectations",
+    "length_outliers",
+    "global_row_ids",
+    "vocab_encode_words",
 ]
 
 
