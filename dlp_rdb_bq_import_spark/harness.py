@@ -2656,9 +2656,7 @@ tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
 SELECT CAST(key AS VARCHAR) AS key, CAST(cnt AS BIGINT) AS cnt,
        round(CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE), 9) AS share,
        total_rows, distinct_keys
-FROM counts, tot
-ORDER BY cnt DESC, key ASC
-LIMIT 10
+FROM (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT 10), tot
 """,
 )
 def q_skew_report(spark, sf_dir):

@@ -124,6 +124,15 @@ def scd2_lookup(
     from .joins import asof_join
 
     keys = [on] if isinstance(on, str) else list(on)
+    clash = (set(facts.columns) & set(versions.columns)) - set(keys)
+    if clash:
+        # asof_join would emit these as r_<name>; referencing them here
+        # by the original name would silently resolve to the FACT's
+        # column — refuse instead of producing wrong matches
+        raise ValueError(
+            f"column name collision outside join keys: {sorted(clash)}; "
+            "rename one side before the lookup"
+        )
     out = asof_join(
         facts, versions, on=keys, left_ts=fact_seq_col, right_ts="valid_from"
     )

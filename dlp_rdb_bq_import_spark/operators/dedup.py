@@ -448,6 +448,11 @@ def duplicate_clusters(
     Only ids that appear in some pair are emitted; singletons are their
     own implicit cluster (callers: see ``dedup_keep_representative``).
     """
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations} — the "
+            "non-convergence check needs at least one propagation round"
+        )
     # Materialize the edge list ONCE (localCheckpoint is eager): pairs
     # may be the tail of an expensive pipeline (minhash → LSH → verify),
     # and everything below references it repeatedly — without this the

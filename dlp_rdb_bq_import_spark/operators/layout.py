@@ -59,9 +59,25 @@ def zorder_key(
         aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
                  F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
     stats = df.agg(*aggs).first()
+    for c in cols:
+        if stats[f"_mn_{c}"] is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values — "
+                "it cannot contribute to a clustering key"
+            )
     buckets = [
-        linear_bucket(
-            F.col(c), F.lit(float(stats[f"_mn_{c}"])), F.lit(float(stats[f"_mx_{c}"])), bits
+        # NULLs get bucket 0 explicitly (least() would otherwise slot
+        # them at the TOP of the range, clustering them with the
+        # largest values and silently degrading file pruning)
+        F.when(
+            F.col(c).isNull(), F.lit(0)
+        ).otherwise(
+            linear_bucket(
+                F.col(c),
+                F.lit(float(stats[f"_mn_{c}"])),
+                F.lit(float(stats[f"_mx_{c}"])),
+                bits,
+            )
         )
         for c in cols
     ]

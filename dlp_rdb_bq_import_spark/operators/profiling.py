@@ -103,19 +103,22 @@ def check_expectations(
     ref_outs = []
     for r in rules:
         col, kind = F.col(r["column"]), r["kind"]
-        name = r["rule"]
+        # positional agg aliases: rule/column names are caller config
+        # and may contain quotes/backticks — they appear only as string
+        # LITERALS (escaped below), never as identifiers
+        alias = f"_r{len(meta)}"
         if kind == "not_null":
-            aggs.append(F.sum(col.isNull().cast("long")).alias(name))
+            aggs.append(F.sum(col.isNull().cast("long")).alias(alias))
         elif kind == "unique":
             aggs.append(
-                (F.count(col) - F.count_distinct(col)).alias(name)
+                (F.count(col) - F.count_distinct(col)).alias(alias)
             )
         elif kind == "accepted_values":
             bad = (~col.isin(list(r["values"]))) | col.isNull()
-            aggs.append(F.sum(bad.cast("long")).alias(name))
+            aggs.append(F.sum(bad.cast("long")).alias(alias))
         elif kind == "range":
             bad = col.isNull() | (col < F.lit(r["min"])) | (col > F.lit(r["max"]))
-            aggs.append(F.sum(bad.cast("long")).alias(name))
+            aggs.append(F.sum(bad.cast("long")).alias(alias))
         elif kind == "referential":
             ref = references[r["ref"]]
             viol = (
@@ -128,7 +131,7 @@ def check_expectations(
                 )
                 .agg(F.count("*").alias("n"))
                 .select(
-                    F.lit(name).alias("rule"),
+                    F.lit(r["rule"]).alias("rule"),
                     F.lit(kind).alias("kind"),
                     F.lit(r["column"]).alias("column"),
                     F.col("n").cast("long").alias("n_violations"),
@@ -138,13 +141,17 @@ def check_expectations(
             continue
         else:
             raise ValueError(f"unknown expectation kind {kind!r}")
-        meta.append((name, kind, r["column"]))
+        meta.append((r["rule"], kind, r["column"]))
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
 
     outs = []
     if aggs:
         wide = df.agg(*aggs)
         stack_args = ", ".join(
-            f"'{n}', '{k}', '{c}', `{n}`" for n, k, c in meta
+            f"'{esc(n)}', '{esc(k)}', '{esc(c)}', _r{i}"
+            for i, (n, k, c) in enumerate(meta)
         )
         outs.append(
             wide.selectExpr(
@@ -154,6 +161,11 @@ def check_expectations(
             )
         )
     outs.extend(ref_outs)
+    if not outs:  # empty rule suite → empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, kind string, column string, n_violations long, passed boolean",
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -31,6 +31,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def replace_dir(staged: str, path: str) -> None:
+    """Publish a fully-written staging directory over ``path`` by
+    metadata-only renames — the ONE implementation of the swap
+    (Warehouse overwrite publish, compaction, and the streaming upsert
+    view all call this; three hand-rolled copies previously drifted).
+
+    Failure semantics: the backup name is unique per publish, so a
+    leftover backup from a crashed run can never wedge later publishes
+    (the old fixed "._old" name made every subsequent rename fail with
+    ENOTEMPTY). If the swap's second rename fails, the backup is
+    restored — readers see the old table, not a missing one. Stale
+    backups are swept only when ``path`` exists (if a hard crash left
+    only the backup, it is the sole surviving copy — sweeping it would
+    destroy data; restore it manually by renaming)."""
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    if os.path.isdir(path):
+        for entry in os.listdir(parent):
+            if entry.startswith(base + "._old"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        backup = f"{path}._old{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        try:
+            os.rename(staged, path)
+        except BaseException:
+            os.rename(backup, path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.makedirs(parent, exist_ok=True)
+        os.rename(staged, path)
+
+
 @dataclass
 class WriteResult:
     table: str
@@ -85,27 +118,36 @@ class Warehouse:
     @staticmethod
     def _publish(staged: str, path: str, mode: str) -> None:
         """Make a fully-written staging directory visible: directory
-        rename for overwrite/first write, per-file rename (uniquely
-        prefixed) for append. Renames are metadata-only — readers see
-        the old or the new table, never a partial write."""
+        swap (``replace_dir``) for overwrite/first write, per-file
+        rename (uniquely prefixed) for append. Renames are metadata-only
+        — readers see the old or the new table, never a partial write.
+
+        A partially-failed append publish moves its already-published
+        files BACK into staging before raising, so the caller's retry
+        re-publishes the whole attempt exactly once instead of
+        double-appending the files that had landed (best-effort: an
+        I/O layer that fails the move-back too can still leave
+        duplicates, but the window is one rename, not one attempt)."""
         if mode == "overwrite" or not os.path.isdir(path):
-            if os.path.isdir(path):
-                old = path + "._old"
-                os.rename(path, old)
-                os.rename(staged, path)
-                shutil.rmtree(old)
-            else:
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                os.rename(staged, path)
+            replace_dir(staged, path)
             return
         if mode != "append":
             raise ValueError(f"unsupported write mode {mode!r}")
         token = uuid.uuid4().hex[:8]
-        for fname in os.listdir(staged):
-            if fname.endswith(".parquet"):
-                os.rename(
-                    os.path.join(staged, fname), os.path.join(path, f"{token}-{fname}")
-                )
+        moved: list[tuple[str, str]] = []
+        try:
+            for fname in os.listdir(staged):
+                if fname.endswith(".parquet"):
+                    dst = f"{token}-{fname}"
+                    os.rename(os.path.join(staged, fname), os.path.join(path, dst))
+                    moved.append((dst, fname))
+        except BaseException:
+            for dst, fname in moved:
+                try:
+                    os.rename(os.path.join(path, dst), os.path.join(staged, fname))
+                except OSError:
+                    pass
+            raise
         shutil.rmtree(staged)
 
     def read(self, spark: SparkSession, dataset: str, full_name: str) -> DataFrame:
@@ -196,10 +238,7 @@ class Warehouse:
         n_files = max(1, -(-size // target_file_bytes))  # ceil
         staged = path + "._compacting"
         df.repartition(n_files).write.mode("overwrite").parquet(staged)
-        backup = path + "._old"
-        os.rename(path, backup)
-        os.rename(staged, path)
-        shutil.rmtree(backup)
+        replace_dir(staged, path)
         return len(
             [f for f in os.listdir(path) if f.endswith(".parquet")]
         )

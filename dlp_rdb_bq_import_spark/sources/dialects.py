@@ -72,6 +72,11 @@ class SqlDialect:
             pk=pk,
             offset=offset_count,
             page=page_index,
+            # engines that reject arithmetic in LIMIT/OFFSET (MySQL,
+            # Derby) get the skip precomputed; the SQL Server template
+            # keeps the reference's verbatim OFFSET n * (i - 1) form,
+            # which SQL Server and PostgreSQL both accept
+            skip=offset_count * (page_index - 1),
         )
 
 
@@ -137,9 +142,11 @@ MYSQL = SqlDialect(
     ),
     count_query=SQLSERVER.count_query,
     bounds_query=SQLSERVER.bounds_query,
+    # MySQL rejects arithmetic in LIMIT/OFFSET (literals or
+    # placeholders only) — the skip is precomputed, not reference-form.
     page_template=(
         "SELECT * FROM {schema}.{table} ORDER BY {pk} "
-        "LIMIT {offset} OFFSET {offset} * ({page} - 1)"
+        "LIMIT {offset} OFFSET {skip}"
     ),
     quote_char="`",
 )
@@ -152,7 +159,12 @@ DERBY = SqlDialect(
     pk_query="",
     count_query=SQLSERVER.count_query,
     bounds_query=SQLSERVER.bounds_query,
-    page_template=SQLSERVER.page_template,  # Derby 10.5+ supports OFFSET/FETCH
+    # Derby's result-offset clause takes an integer literal or ?
+    # only — precomputed skip, not the reference's arithmetic form.
+    page_template=(
+        "SELECT * FROM {schema}.{table} ORDER BY {pk} "
+        "OFFSET {skip} ROWS FETCH NEXT {offset} ROWS ONLY"
+    ),
 )
 
 _DIALECTS = {d.name: d for d in (SQLSERVER, POSTGRESQL, MYSQL, DERBY)}

@@ -127,10 +127,9 @@ def streaming_upsert(
     and a partitioned variant would swap only touched partitions.
     Blocks until the available data is processed (availableNow trigger).
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window
+
+    from ..sinks.warehouse import replace_dir
 
     def apply_batch(batch_df, epoch_id):
         if not batch_df.take(1):
@@ -154,13 +153,7 @@ def streaming_upsert(
             merged = latest
         staged = f"{table_path}._staged_{epoch_id}"
         merged.write.mode("overwrite").parquet(staged)  # reads old table
-        if os.path.isdir(table_path):
-            old = table_path + "._old"
-            os.rename(table_path, old)
-            os.rename(staged, table_path)
-            shutil.rmtree(old)
-        else:
-            os.rename(staged, table_path)
+        replace_dir(staged, table_path)
 
     q = (
         df_stream.writeStream.foreachBatch(apply_batch)

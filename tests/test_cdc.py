@@ -113,3 +113,17 @@ def test_scd2_lookup_gap_and_prehistory(spark):
     assert got[102] == (30.0, 12)       # boundary: valid_from inclusive
     assert got[103] == (30.0, 12)       # open-ended current version
     assert got[104] == (None, None)     # unknown key preserved (left)
+
+
+def test_scd2_lookup_rejects_column_collisions(spark):
+    from dlp_rdb_bq_import_spark.operators.cdc import scd2_build, scd2_lookup
+
+    ch = spark.createDataFrame(
+        [(1, 10.0, "upsert", 0)], "k long, price double, _op string, _seq long"
+    )
+    versions = scd2_build(ch, ["k"])
+    facts = spark.createDataFrame([(1, 1, 5.0)], "fid long, k long, price double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        scd2_lookup(facts, versions, on="k", fact_seq_col="fid")

@@ -62,7 +62,9 @@ def test_mysql_dialect_forms():
     q = MYSQL.pk_query.format(schema="s", table="t")
     assert "KEY_COLUMN_USAGE" in q and "CONSTRAINT_NAME = 'PRIMARY'" in q
     sql = MYSQL.paged_scan_sql("s", "t", "id", 100, 2)
-    assert "LIMIT 100 OFFSET 100 * (2 - 1)" in sql
+    # MySQL accepts only literal LIMIT/OFFSET arguments — the skip must
+    # arrive precomputed, never as the reference's arithmetic form
+    assert "LIMIT 100 OFFSET 100" in sql and "(" not in sql.split("LIMIT")[1]
     assert "FETCH NEXT" not in sql
     assert MYSQL.quote("a`b") == "`a``b`"
 
@@ -77,6 +79,13 @@ def test_derby_uses_metadata_catalog():
     """Derby ships no INFORMATION_SCHEMA — the dialect must route
     catalog discovery through java.sql.DatabaseMetaData."""
     assert DERBY.catalog_strategy == "metadata"
+
+
+def test_derby_pagination_has_literal_offset():
+    """Derby's result-offset clause accepts only an integer literal or
+    a ? placeholder — never the reference's arithmetic form."""
+    sql = DERBY.paged_scan_sql("app", "t", "id", 500, 3)
+    assert "OFFSET 1000 ROWS FETCH NEXT 500 ROWS ONLY" in sql
 
 
 def test_identifier_quoting_styles():

@@ -1027,3 +1027,40 @@ def test_integer_zscore_outliers_exact(spark):
     vals = [10] * 9 + [100]
     mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
     assert abs(100 - mu) > 2 * sigma and abs(10 - mu) <= 2 * sigma
+
+
+def test_check_expectations_empty_rules_and_quoted_names(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import check_expectations
+
+    df = spark.createDataFrame([(1,)], "k long")
+    empty = check_expectations(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "kind", "column", "n_violations", "passed"]
+
+    out = check_expectations(
+        df, [{"rule": "customer's `pk`", "kind": "not_null", "column": "k"}]
+    ).collect()
+    assert out[0].rule == "customer's `pk`" and out[0].passed is True
+
+
+def test_zorder_key_nulls_bucket_low_and_all_null_raises(spark):
+    from dlp_rdb_bq_import_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 100), (None, 200), (50, None)], "a long, b long"
+    )
+    rows = {(r.a, r.b): r._z for r in zorder_key(df, ["a", "b"], bits=4).collect()}
+    assert rows[(None, 200)] is not None  # null doesn't crash or null the key
+    import pytest as _pytest
+
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
+    with _pytest.raises(ValueError, match="no non-null"):
+        zorder_key(allnull, ["a", "b"]).collect()
+
+
+def test_duplicate_clusters_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        dedup.duplicate_clusters(pairs, max_iterations=0)
