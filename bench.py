@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "length_outliers",
     "global_row_ids",
     "vocab_encode_words",
+    "chunk_documents",
 ]
 
 

@@ -2719,6 +2719,27 @@ def q_global_row_ids(spark, sf_dir):
 
 
 @query(
+    "chunk_documents",
+    oracle="""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+s AS (SELECT doc_id, text, unnest(range(0, n, 480)) AS start FROM d)
+SELECT doc_id, CAST(start / 480 AS BIGINT) AS chunk_id, CAST(start AS BIGINT) AS start,
+       substring(text, CAST(start + 1 AS INTEGER), 512) AS chunk
+FROM s
+""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: split each document into 512-char
+    chunks with 32 chars of overlap (stride 480) — sequence + explode +
+    substr, all JVM-side, fan-out bounded by ceil(len/stride)."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_size=512, stride=480
+    )
+
+
+@query(
     "vocab_encode_words",
     oracle="""
 WITH words AS (

@@ -419,3 +419,43 @@ def normalize_text(text: Column) -> Column:
     engines or cross-engine dedup fingerprints diverge."""
     cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 512,
+    stride: int = 480,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks — the
+    context-window preparation stage of a training pipeline (stride <
+    chunk_size gives ``chunk_size - stride`` characters of overlap so
+    no boundary context is lost).
+
+    Pure built-ins: ``sequence`` generates the chunk start offsets,
+    ``explode`` fans them out, ``substring`` slices — all JVM-side,
+    fan-out bounded by ceil(len/stride) per document. Empty documents
+    produce no chunks. Output: (id, chunk_id, start, chunk), 0-indexed
+    starts, deterministic.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        df.where(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.col(text_col)
+            .substr(F.col("start") + 1, F.lit(chunk_size))
+            .alias("chunk"),
+        )
+    )

@@ -1064,3 +1064,29 @@ def test_duplicate_clusters_rejects_zero_iterations(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="max_iterations"):
         dedup.duplicate_clusters(pairs, max_iterations=0)
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from dlp_rdb_bq_import_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): (r.start, r.chunk) for r in out.collect()}
+    # doc 1 (len 10, stride 3): starts 0,3,6,9
+    assert rows[(1, 0)] == (0, "abcd")
+    assert rows[(1, 1)] == (3, "defg")   # 1-char overlap with previous
+    assert rows[(1, 2)] == (6, "ghij")
+    assert rows[(1, 3)] == (9, "j")      # tail shorter than chunk_size
+    # doc 2 shorter than chunk_size: single chunk; doc 3 empty: none
+    assert rows[(2, 0)] == (0, "xy")
+    assert not any(d == 3 for d, _ in rows)
+    # reassembly: stride-prefixes of the chunks concatenate to the doc
+    text = "".join(c[:3] for _, c in (rows[(1, i)] for i in range(4)))
+    assert text == "abcdefghij"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
