@@ -2718,6 +2718,19 @@ def q_global_row_ids(spark, sf_dir):
     return global_row_ids(li, ["l_orderkey", "l_linenumber"])
 
 
+@query("weighted_sample")  # xxhash64 scoring — no DuckDB twin, rows-only
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES,
+    u^(1/w) top-k): 50 documents drawn proportional to n_chars. No SQL
+    oracle (the uniform comes from Spark's xxhash64); determinism,
+    partitioning-independence, and weight-proportional inclusion are
+    pinned in pytest."""
+    from .operators.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=50)
+
+
 @query(
     "chunk_documents",
     oracle="""

@@ -16,7 +16,7 @@ fractions are quantized to 1/65536 steps.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PREFIX_LEN = 4  # hex chars compared → 16-bit resolution
@@ -153,4 +153,53 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= cap)
         .drop("_rk")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, public algorithm): each row gets the score
+    ``u^(1/w)`` for a deterministic uniform ``u`` derived from
+    xxhash64(key, salt); the top-k scores are the sample. Inclusion
+    probability rises with weight exactly as sequential weighted
+    draws-without-replacement would give; changing ``salt`` redraws.
+
+    Deterministic and partitioning-independent (the score depends only
+    on key+salt+weight), so re-runs and retries pick the same rows —
+    the property every other sampler in this module guarantees, kept
+    for the weighted case. Top-k is TakeOrderedAndProject (global) or
+    a per-stratum window — no global sort of the full table. Rows with
+    non-positive or null weight are excluded (u^(1/w) is undefined).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = 1_000_003  # prime; u lands in (0, 1) with ~1e-6 granularity
+    u = (
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(m)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(m + 1))
+    w = F.col(weight_col).cast("double")
+    scored = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "_score", F.pow(u, F.lit(1.0) / w)
+    )
+    if strata:
+        win = Window.partitionBy(*strata).orderBy(
+            F.col("_score").desc(), F.col(key_col).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+            .drop("_rn", "_score")
+        )
+    return (
+        scored.orderBy(F.col("_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_score")
     )

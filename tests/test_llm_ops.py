@@ -1090,3 +1090,41 @@ def test_chunk_documents_overlap_and_edges(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=0)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    rows = [(i, 1.0 if i else 10_000.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    out1 = {r.id for r in sampling.weighted_sample(df, "id", "w", k=20).collect()}
+    out2 = {
+        r.id
+        for r in sampling.weighted_sample(
+            df.repartition(16), "id", "w", k=20
+        ).collect()
+    }
+    assert out1 == out2 and len(out1) == 20  # partitioning-independent
+
+    # the one heavy item (weight 10000 vs 1) should be drawn in nearly
+    # every redraw; count over 10 salts
+    hits = sum(
+        0 in {r.id for r in sampling.weighted_sample(df, "id", "w", k=20, salt=s).collect()}
+        for s in range(10)
+    )
+    assert hits >= 8
+
+    # different salts give different samples (it IS a redraw)
+    outs = {
+        frozenset(r.id for r in sampling.weighted_sample(df, "id", "w", k=20, salt=s).collect())
+        for s in range(3)
+    }
+    assert len(outs) > 1
+
+    # non-positive weights excluded; strata cap per group
+    df2 = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 1.0), (3, "a", 1.0), (4, "b", 5.0)],
+        "id long, g string, w double",
+    )
+    got = sampling.weighted_sample(df2, "id", "w", k=1, strata=["g"]).collect()
+    by_g = {r.g: r.id for r in got}
+    assert by_g["b"] == 4 and by_g["a"] in (2, 3) and len(got) == 2
