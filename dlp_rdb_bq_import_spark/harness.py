@@ -2530,6 +2530,47 @@ def q_gopher_quality(spark, sf_dir):
 
 
 @query(
+    "winsorize_prices",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CASE WHEN o.o_totalprice < b.lo THEN b.lo
+            WHEN o.o_totalprice > b.hi THEN b.hi
+            ELSE o.o_totalprice END AS price_w
+FROM orders o JOIN b USING (o_orderpriority)
+""",
+)
+def q_winsorize_prices(spark, sf_dir):
+    """Per-group winsorization (clamp to [p05, p95]) — the robust-stats
+    outlier treatment. Exact percentiles (R-7 in both engines, proven
+    bit-matching by percentile_summary) computed per group and
+    broadcast back; every output value is either an original double or
+    a bound both engines agree on, so the clamp is oracle-exact. One
+    aggregation + one broadcast join — the group-stats table is
+    |groups|-sized at any data scale."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    return o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("o_totalprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_w"),
+    )
+
+
+@query(
     "percentile_summary",
     oracle="""
 SELECT o_orderpriority,
