@@ -104,24 +104,54 @@ class TemplateRegistry:
 # pandas-side primitives (run inside Arrow batches on executors)
 # ---------------------------------------------------------------------------
 
+# Process-level FPE memo, shared across Arrow batches and tasks within a
+# Python worker (workers are reused, so this deduplicates crypto across
+# batches, not just within one). FPE is deterministic per
+# (key, alphabet, direction, tweak, value), so caching is semantics-free.
+# Bounded: cleared wholesale past _MEMO_CAP entries — a reset costs one
+# re-encryption per live distinct value, never correctness.
+_FPE_MEMO: dict[tuple, dict[str, str]] = {}
+_MEMO_CAP = 2_000_000
+
+
+def _memo_table(cipher: FPECipher, forward: bool, tweak: bytes) -> dict[str, str]:
+    key = (cipher.key, cipher.alphabet, forward, tweak)
+    table = _FPE_MEMO.get(key)
+    if table is None:
+        if sum(len(t) for t in _FPE_MEMO.values()) > _MEMO_CAP:
+            _FPE_MEMO.clear()
+        table = _FPE_MEMO[key] = {}
+    elif len(table) > _MEMO_CAP:
+        table.clear()
+    return table
+
 
 def _fpe_map_series(s: pd.Series, cipher: FPECipher, forward: bool, tweak: bytes) -> pd.Series:
     """FPE a string series with a unique-value cache (determinism ⇒ one
-    encryption per distinct value per batch)."""
+    encryption per distinct value per batch, memoized across batches)."""
     fn = cipher.encrypt if forward else cipher.decrypt
-    uniques = s.dropna().unique()
-    table = {v: fn(v, tweak) for v in uniques}
-    return s.map(table)
+    table = _memo_table(cipher, forward, tweak)
+    out = {}
+    for v in s.dropna().unique():
+        hit = table.get(v)
+        if hit is None:
+            hit = table[v] = fn(v, tweak)
+        out[v] = hit
+    return s.map(out)
 
 
 def _inspect_series(
     s: pd.Series, cipher: FPECipher, info_types: tuple[str, ...], surrogate: str
 ) -> pd.Series:
     pattern = re.compile("|".join(f"(?:{INFO_TYPE_DETECTORS[t]})" for t in info_types))
+    tok_memo = _memo_table(cipher, True, b"")
 
     def deid_one(text: str) -> str:
         def repl(m: re.Match) -> str:
-            token = cipher.encrypt(m.group(0))
+            raw = m.group(0)
+            token = tok_memo.get(raw)
+            if token is None:
+                token = tok_memo[raw] = cipher.encrypt(raw)
             return f"{surrogate}({len(token)}):{token}"
 
         return pattern.sub(repl, text)
@@ -132,6 +162,8 @@ def _inspect_series(
 
 
 def _uninspect_series(s: pd.Series, cipher: FPECipher, surrogate: str) -> pd.Series:
+    tok_memo = _memo_table(cipher, False, b"")
+
     def reid_one(text: str) -> str:
         out = []
         pos = 0
@@ -143,7 +175,11 @@ def _uninspect_series(s: pd.Series, cipher: FPECipher, surrogate: str) -> pd.Ser
             if tok_end > len(text):
                 continue
             out.append(text[pos : m.start()])
-            out.append(cipher.decrypt(text[tok_start:tok_end]))
+            tok = text[tok_start:tok_end]
+            raw = tok_memo.get(tok)
+            if raw is None:
+                raw = tok_memo[tok] = cipher.decrypt(tok)
+            out.append(raw)
             pos = tok_end
         out.append(text[pos:])
         return "".join(out)
@@ -158,21 +194,83 @@ def _uninspect_series(s: pd.Series, cipher: FPECipher, surrogate: str) -> pd.Ser
 # ---------------------------------------------------------------------------
 
 
+_FPE_VAL, _FPE_TOK = "_fpe_v", "_fpe_t"
+
+
+def _fpe_distinct_join(
+    df: DataFrame,
+    groups: list[tuple[FPECipher, bytes, list[str]]],
+    forward: bool,
+) -> DataFrame:
+    """Whole-field FPE via encrypt-DISTINCT-then-join.
+
+    FPE is deterministic per (value, tweak), so the distinct value set is
+    the true crypto work unit: at 100 TB with repeating values (card
+    numbers, names), the per-row ``mapInPandas`` path re-encrypts each
+    value once per Python worker that sees it, while this path encrypts
+    each distinct value exactly once cluster-wide, then joins tokens back
+    (AQE broadcasts the mapping when it is small; a map-side partial
+    aggregate makes the distinct scan cheap, and parquet column pruning
+    means it reads only the token columns). Trade-off: the input is
+    scanned twice, so for unique-per-row values prefer ``strategy="map"``.
+    Requires a deterministic input plan (the distinct scan and the main
+    scan must see the same values).
+    """
+    out = df
+    for cipher, tweak, cols in groups:
+        if _FPE_VAL in out.columns or _FPE_TOK in out.columns:
+            raise ValueError(
+                f"input columns collide with reserved FPE names {_FPE_VAL!r}/{_FPE_TOK!r}"
+            )
+        vals = None
+        for c in cols:
+            v = out.select(F.col(c).alias(_FPE_VAL)).where(F.col(_FPE_VAL).isNotNull())
+            vals = v if vals is None else vals.unionByName(v)
+        vals = vals.distinct()
+
+        def enc(
+            batches: Iterator[pd.DataFrame],
+            _cipher: FPECipher = cipher,
+            _tweak: bytes = tweak,
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf[_FPE_TOK] = _fpe_map_series(pdf[_FPE_VAL], _cipher, forward, _tweak)
+                yield pdf
+
+        mapping = vals.mapInPandas(enc, schema=f"{_FPE_VAL} string, {_FPE_TOK} string")
+        for c in cols:
+            # Left join: null inputs miss the mapping and stay null —
+            # identical to the map path's null passthrough.
+            out = (
+                out.join(mapping, F.col(c) == F.col(_FPE_VAL), "left")
+                .withColumn(c, F.col(_FPE_TOK))
+                .drop(_FPE_VAL, _FPE_TOK)
+            )
+    return out
+
+
 def _transform_df(
     df: DataFrame,
     template: DeidTemplate,
     forward: bool,
     null_to_empty: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Apply (de|re)identification via one ``mapInPandas`` pass.
+    """Apply (de|re)identification.
 
-    One pass over Arrow batches transforms every configured column —
+    Whole-field FPE columns run encrypt-distinct-then-join by default
+    (``strategy="auto"``/``"distinct_join"`` — see ``_fpe_distinct_join``;
+    pass ``"map"`` to force the single-pass per-row path for
+    unique-per-row values or nondeterministic inputs). InfoType inspect
+    columns always run as one ``mapInPandas`` pass over Arrow batches —
     mirroring the reference's one-DLP-request-per-split batching
     (DLPTokenizationDoFn.java:93-117) with no Python-per-row overhead.
     Configured columns are stringified first (the DLP path stringifies
     everything, DLPTokenizationDoFn.java:79-88); ``null_to_empty``
     reproduces null→"" compat (:84-87).
     """
+    if strategy not in ("auto", "distinct_join", "map"):
+        raise ValueError(f"unknown FPE strategy {strategy!r}")
     target_cols: dict[str, tuple] = {}
     for ft in template.field_transforms:
         cipher = FPECipher(template.key, ft.alphabet)
@@ -190,18 +288,41 @@ def _transform_df(
     casted = df.withColumns({c: F.col(c).cast("string") for c in present})
     if null_to_empty:
         casted = casted.withColumns({c: F.coalesce(F.col(c), F.lit("")) for c in present})
+
+    fpe_present = [c for c in present if target_cols[c][0] == "fpe"]
+    inspect_present = [c for c in present if target_cols[c][0] == "inspect"]
+
+    out = casted
+    if fpe_present and strategy != "map":
+        by_cipher: dict[tuple, list[str]] = {}
+        for c in fpe_present:
+            _, cipher, tweak = target_cols[c]
+            by_cipher.setdefault((cipher.key, cipher.alphabet, tweak), []).append(c)
+        groups = [
+            (FPECipher(key, alphabet), tweak, cols)
+            for (key, alphabet, tweak), cols in by_cipher.items()
+        ]
+        out = _fpe_distinct_join(out, groups, forward)
+        map_cols = inspect_present
+    else:
+        map_cols = present
+
+    if not map_cols:
+        return out
+
     out_schema = T.StructType(
         [
-            T.StructField(f.name, T.StringType() if f.name in target_cols else f.dataType, True)
-            for f in casted.schema.fields
+            T.StructField(f.name, T.StringType() if f.name in map_cols else f.dataType, True)
+            for f in out.schema.fields
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for col, spec in target_cols.items():
+            for col in map_cols:
                 if col not in pdf.columns:
                     continue
+                spec = target_cols[col]
                 if spec[0] == "fpe":
                     _, cipher, tweak = spec
                     pdf[col] = _fpe_map_series(pdf[col], cipher, forward, tweak)
@@ -214,17 +335,24 @@ def _transform_df(
                     )
             yield pdf
 
-    return casted.mapInPandas(run, schema=out_schema)
+    return out.mapInPandas(run, schema=out_schema)
 
 
-def deidentify(df: DataFrame, template: DeidTemplate, null_to_empty: bool = False) -> DataFrame:
+def deidentify(
+    df: DataFrame,
+    template: DeidTemplate,
+    null_to_empty: bool = False,
+    strategy: str = "auto",
+) -> DataFrame:
     """T1 — table de-identification (DLPTokenizationDoFn.java:66-159)."""
-    return _transform_df(df, template, forward=True, null_to_empty=null_to_empty)
+    return _transform_df(
+        df, template, forward=True, null_to_empty=null_to_empty, strategy=strategy
+    )
 
 
-def reidentify(df: DataFrame, template: DeidTemplate) -> DataFrame:
+def reidentify(df: DataFrame, template: DeidTemplate, strategy: str = "auto") -> DataFrame:
     """T2 — record re-identification (BQReidentificationPipeline.java:160-261)."""
-    return _transform_df(df, template, forward=False)
+    return _transform_df(df, template, forward=False, strategy=strategy)
 
 
 def make_sql_udfs(spark, template: DeidTemplate) -> None:
