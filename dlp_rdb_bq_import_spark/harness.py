@@ -1252,6 +1252,38 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.35)
 
 
+@query(
+    "dedup_substring",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 39)) AS pos
+  FROM documents WHERE length(text) >= 40
+),
+grams AS (
+  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 40) AS g FROM pos
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS dup_start,
+       CAST(MAX(pos) + 39 AS BIGINT) AS dup_end
+FROM islands GROUP BY doc_id, grp
+""",
+)
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring-level dedup: maximal character runs (>= 40
+    chars) shared verbatim across documents — the suffix-array-style
+    operator for training-data curation, as stride-1 grams + two
+    shuffles (operators/dedup.py:duplicated_substring_spans)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.duplicated_substring_spans(d, "text", "doc_id", min_len=40)
+
+
 @query("dedup_minhash_lsh")  # LSH recall < 1 by construction — rows-only
 def q_minhash(spark, sf_dir):
     """Production near-dup config: MinHash over word 3-shingles (Broder

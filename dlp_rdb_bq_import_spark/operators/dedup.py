@@ -568,3 +568,261 @@ def simhash_neardup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (cross-document duplicated character runs)
+# ---------------------------------------------------------------------------
+#
+# The remaining member of the dedup family after doc-level exact /
+# n-gram / MinHash / SimHash / semantic: find the exact CHARACTER RUNS
+# that are shared verbatim across documents (the operator suffix-array
+# pipelines compute for training-data curation; no reference
+# counterpart — the reference has no dedup at all).
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """Maximal cross-document duplicated substring spans, exactly.
+
+    A position i in a document is *duplicated* iff the ``min_len``-gram
+    starting at i appears in at least one OTHER document. Consecutive
+    duplicated positions merge (gaps-and-islands) into maximal spans
+    ``(doc_id, dup_start, dup_end)``, 1-based inclusive character
+    offsets — every returned span is a substring of length >= min_len
+    shared verbatim with another document.
+
+    Plan shape (2 shuffles, no cross join, suffix-array granularity
+    without the suffix array):
+      1. explode stride-1 gram starts; project (id, pos, gram) BEFORE
+         any shuffle so rows carry min_len+16 bytes, not the document;
+      2. one hash-partition on the gram marks cross-doc grams with a
+         whole-partition window (min(id) != max(id) — countDistinct
+         without a second aggregate);
+      3. one hash-partition on doc id turns positions into islands
+         (pos - row_number) and aggregates the spans.
+
+    At 100 TB the stride-1 explode is the honest cost of EXACT
+    substring semantics (it is what a distributed suffix array
+    materializes too); for candidate-level dedup at a fraction of the
+    rows, use :func:`cdc_chunk_duplicate_spans`.
+    """
+    from pyspark.sql import Window
+
+    for reserved in ("_g", "_pos", "_grp"):
+        if reserved in df.columns:
+            raise ValueError(f"input column collides with reserved name {reserved!r}")
+    grams = (
+        df.where(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(min_len - 1))
+            ).alias("_pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            F.col("_pos"),
+            F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len)).alias("_g"),
+        )
+    )
+    w_gram = Window.partitionBy("_g")
+    hits = (
+        grams.withColumn(
+            "_multi", F.min(id_col).over(w_gram) != F.max(id_col).over(w_gram)
+        )
+        .where(F.col("_multi"))
+        .select(id_col, "_pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("_pos").cast("long").alias("dup_start"),
+            (F.max("_pos") + F.lit(min_len - 1)).cast("long").alias("dup_end"),
+        )
+        .select(id_col, "dup_start", "dup_end")
+    )
+
+
+def strip_duplicated_substrings(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated spans (from :func:`duplicated_substring_spans`
+    or :func:`cdc_chunk_duplicate_spans`) from each document's text.
+
+    JVM-side fold: spans collect per doc into a sorted array, then one
+    ``F.aggregate`` walks the text with a cursor, concatenating the
+    kept stretches (overlapping spans clamp — the cursor never moves
+    backwards). Docs with no spans pass through untouched.
+    """
+    spans_arr = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("dup_start", "dup_end"))).alias("_spans")
+    )
+    text = F.col(text_col)
+
+    def step(acc, s):
+        start = F.greatest(s.dup_start, acc.cur)
+        return F.struct(
+            F.greatest(s.dup_end + 1, acc.cur).cast("int").alias("cur"),
+            F.concat(
+                acc.acc,
+                F.substring(text, acc.cur, F.greatest(start - acc.cur, F.lit(0))),
+            ).alias("acc"),
+        )
+
+    cleaned = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit(1).cast("int").alias("cur"), F.lit("").alias("acc")),
+        step,
+        lambda acc: F.concat(
+            acc.acc, F.substring(text, acc.cur, F.length(text) - acc.cur + 1)
+        ),
+    )
+    return (
+        df.join(spans_arr, id_col, "left")
+        .withColumn(
+            text_col, F.when(F.col("_spans").isNull(), text).otherwise(cleaned)
+        )
+        .drop("_spans")
+    )
+
+
+_CDC_SCHEMA = (
+    "doc_id long, chunk_start long, chunk_end long, chunk_hash string"
+)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_bits: int = 6,
+    window: int = 16,
+    min_chunk: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash breakpoints).
+
+    Splits each document at positions where a window-``window``
+    polynomial rolling hash (base 257 mod 2^64 — the same vectorized
+    numpy kernel as winnowing) lands in the 2^-``avg_bits`` bucket, so
+    expected chunk length ~= 2^avg_bits + min_chunk. Breakpoints are
+    CONTENT-determined: identical long regions chunk identically in
+    every document regardless of byte offset — which is what makes
+    chunk hashes joinable across differently-aligned copies (fixed
+    chunking would misalign them).
+
+    Returns (doc_id, chunk_start, chunk_end, chunk_hash) with 1-based
+    inclusive char offsets and md5 chunk hashes. One Arrow-batched
+    numpy pass per doc; no shuffle.
+    """
+    import hashlib
+    from typing import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    B = 257
+    powers = np.array(
+        [pow(B, window - 1 - j, 1 << 64) for j in range(window)], dtype=np.uint64
+    )
+    mask = (1 << avg_bits) - 1
+
+    def _breaks(a: "np.ndarray") -> list[int]:
+        # candidate breakpoints: end-of-window positions whose hash
+        # lands in the low bucket; then enforce min_chunk greedily
+        # (standard CDC normalization).
+        win = np.lib.stride_tricks.sliding_window_view(a, window)
+        with np.errstate(over="ignore"):
+            h = (win * powers).sum(axis=1)
+        cand = np.nonzero((h & np.uint64(mask)) == 0)[0] + window  # cut AFTER this char (0-based exclusive end)
+        out, prev = [], 0
+        for c in cand.tolist():
+            if c - prev >= min_chunk:
+                out.append(c)
+                prev = c
+        return out
+
+    def compute(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, starts, ends, hashes = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = (text or "").encode("utf-8")
+                cuts = _breaks(np.frombuffer(s, dtype=np.uint8).astype(np.uint64)) if len(s) >= window else []
+                bounds = [0] + cuts + ([len(s)] if (not cuts or cuts[-1] != len(s)) else [])
+                for a, b in zip(bounds, bounds[1:]):
+                    if b <= a:
+                        continue
+                    ids.append(doc_id)
+                    starts.append(a + 1)
+                    ends.append(b)
+                    hashes.append(hashlib.md5(s[a:b]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_start": starts, "chunk_end": ends, "chunk_hash": hashes}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(compute, schema=_CDC_SCHEMA)
+
+
+def cdc_chunk_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_bits: int = 6,
+    window: int = 16,
+    min_chunk: int = 16,
+) -> DataFrame:
+    """Cross-document duplicated spans at CDC-chunk granularity — the
+    100 TB candidate path for substring dedup.
+
+    Chunks whose content hash appears in >1 document are duplicated;
+    adjacent duplicated chunks within a doc merge into maximal spans.
+    Cost: ~len/2^avg_bits rows per document (vs len rows for the exact
+    stride-1 path), one shuffle on the 16-byte chunk hash, one on doc
+    id. Detection is at chunk granularity: a shared region is found iff
+    it spans at least one full content-defined chunk (regions shorter
+    than ~2 chunks can be missed at the edges) — downstream exact
+    verification, where needed, is a per-span substring equality check,
+    not a corpus scan.
+    """
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(df, text_col, id_col, avg_bits, window, min_chunk)
+    w_hash = Window.partitionBy("chunk_hash")
+    hits = (
+        chunks.withColumn(
+            "_multi", F.min("doc_id").over(w_hash) != F.max("doc_id").over(w_hash)
+        )
+        .where(F.col("_multi"))
+        .drop("_multi", "chunk_hash")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("chunk_start")
+    # islands: a chunk continues the previous span iff it starts right
+    # after the previous duplicated chunk ends.
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("chunk_end").over(w_doc).isNull()
+            | (F.lag("chunk_end").over(w_doc) + 1 != F.col("chunk_start")),
+            1,
+        ).otherwise(0),
+    ).withColumn("_grp", F.sum("_new").over(w_doc))
+    return (
+        flagged.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("chunk_start").alias("dup_start"),
+            F.max("chunk_end").alias("dup_end"),
+        )
+        .select(F.col("doc_id").alias(id_col), "dup_start", "dup_end")
+    )

@@ -1128,3 +1128,103 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     got = sampling.weighted_sample(df2, "id", "w", k=1, strata=["g"]).collect()
     by_g = {r.g: r.id for r in got}
     assert by_g["b"] == 4 and by_g["a"] in (2, 3) and len(got) == 2
+
+
+def test_substring_spans_planted_duplicate(spark):
+    """A 120-char region planted verbatim into two documents at
+    different offsets is recovered as one maximal span in each, and no
+    span is reported for unshared text."""
+    shared = "".join(chr(97 + (i * 7) % 26) for i in range(120))
+    docs = [
+        (1, "XX" + shared + "tail one unique material here 111111"),
+        (2, "a different much longer prefix text " + shared),
+        (3, "entirely unrelated document body with no repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = dedup.duplicated_substring_spans(df, "text", "doc_id", min_len=40).collect()
+    by_doc = {r.doc_id: (r.dup_start, r.dup_end) for r in spans}
+    assert set(by_doc) == {1, 2}
+    assert len(spans) == 2  # one maximal span per doc, not fragments
+    # doc 1: shared starts at char 3 (1-based), ends at 2+120
+    assert by_doc[1] == (3, 122)
+    assert by_doc[2] == (37, 156)
+
+
+def test_substring_spans_within_doc_repeat_not_flagged(spark):
+    """Repetition INSIDE one document is not cross-document duplication."""
+    block = "z" * 80
+    df = spark.createDataFrame(
+        [(1, block + "-middle-" + block), (2, "no shared content in this one")],
+        ["doc_id", "text"],
+    )
+    assert dedup.duplicated_substring_spans(df, min_len=40).count() == 0
+
+
+def test_strip_duplicated_substrings_roundtrip(spark):
+    """Stripping the reported spans removes exactly the shared region."""
+    shared = "SHARED" * 20  # 120 chars
+    df = spark.createDataFrame(
+        [(1, "keepA" + shared + "111tail"), (2, shared + "222end")],
+        ["doc_id", "text"],
+    )
+    spans = dedup.duplicated_substring_spans(df, min_len=40)
+    out = {
+        r.doc_id: r.text
+        for r in dedup.strip_duplicated_substrings(df, spans).collect()
+    }
+    assert out[1] == "keepA111tail"
+    assert out[2] == "222end"
+
+
+def test_strip_no_spans_passthrough(spark):
+    df = spark.createDataFrame([(1, "unique text")], ["doc_id", "text"])
+    empty = dedup.duplicated_substring_spans(df, min_len=40)
+    assert dedup.strip_duplicated_substrings(df, empty).collect()[0].text == "unique text"
+
+
+def test_cdc_chunks_cover_text_and_align_on_content(spark):
+    """CDC chunks tile each doc exactly; identical regions at DIFFERENT
+    offsets produce identical interior chunk hashes (the property fixed
+    chunking lacks)."""
+    import random
+
+    rng = random.Random(42)
+    shared = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(1500))
+    docs = [(1, "prefix-one-" + shared), (2, "a rather different and longer prefix " + shared)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    chunks = dedup.cdc_chunks(df).collect()
+    for doc_id, text in docs:
+        mine = sorted((r.chunk_start, r.chunk_end) for r in chunks if r.doc_id == doc_id)
+        assert mine[0][0] == 1 and mine[-1][1] == len(text)
+        for (s1, e1), (s2, _) in zip(mine, mine[1:]):
+            assert s2 == e1 + 1
+    h1 = {r.chunk_hash for r in chunks if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in chunks if r.doc_id == 2}
+    assert len(h1 & h2) >= 2, "shared region produced no aligned chunks"
+
+
+def test_cdc_duplicate_spans_cover_planted_region(spark):
+    import random
+
+    rng = random.Random(42)
+    shared = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(1500))
+    docs = [
+        (1, "prefix-one-" + shared + "-suffix-one"),
+        (2, "a rather different and longer prefix " + shared),
+        (3, "unrelated filler document with nothing shared inside it"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = dedup.cdc_chunk_duplicate_spans(df).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.dup_start, r.dup_end))
+    assert 3 not in by_doc
+    # chunk granularity: the recovered span must cover most of the
+    # planted region in both docs (edges may round to chunk bounds)
+    for doc_id, text in docs[:2]:
+        lo = text.index(shared) + 1
+        hi = lo + len(shared) - 1
+        covered = sum(
+            max(0, min(e, hi) - max(s, lo) + 1) for s, e in by_doc[doc_id]
+        )
+        assert covered >= 0.6 * len(shared), (doc_id, by_doc[doc_id], lo, hi)
