@@ -20,10 +20,85 @@ its unit of work is one RDB row batch (`TableToDbRowFn.java:80-174`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import hashed_shingles
+
+# Bloom probe arithmetic stays ANSI-safe by construction: h1 < 2^61 and
+# k·h2 < 2^62, so h1 + i·h2 < 2^63 never overflows a long even with
+# ANSI mode on (Spark 4 default), and build/probe use the exact same
+# expressions so membership is deterministic — zero false negatives.
+_H1_MASK = (1 << 61) - 1
+_H2_MASK = (1 << 58) - 1
+_BLOOM_K = 4
+_BLOOM_BITS_PER_ITEM = 16  # k=4, m/n=16 → fpp ≈ 0.24%
+
+
+def _bloom_positions(h: Column, m_bits: int) -> list[Column]:
+    """Kirsch-Mitzenmacher double hashing: k bit positions from one
+    64-bit key (pos_i = (h1 + i·h2) mod m, m a power of two)."""
+    h1 = h.bitwiseAND(F.lit(_H1_MASK))
+    h2 = F.xxhash64(h).bitwiseAND(F.lit(_H2_MASK))
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_bits - 1))
+        for i in range(1, _BLOOM_K + 1)
+    ]
+
+
+def build_hash_bloom(hashes: DataFrame, h_col: str = "_h") -> tuple[DataFrame, int]:
+    """Build a Bloom filter over a (small) column of 64-bit hashes as a
+    ONE-ROW DataFrame holding the dense bitmap (array<long>), plus the
+    chosen bit count.
+
+    Sized at 16 bits/item with k=4 probes (fpp ≈ 0.24%). The sparse
+    (word_index, word) set aggregates distributed (explode → bit_or),
+    then densifies through the driver — bounded by the build side's
+    size, the same assumption that makes it broadcastable at all. The
+    returned bitmap row is meant to be broadcast-cross-joined (1-row
+    scalar attach) so probing is an O(1) ``element_at`` per key, fully
+    inside codegen.
+    """
+    n_items = hashes.select(h_col).distinct().count()
+    m_bits = 1024
+    while m_bits < n_items * _BLOOM_BITS_PER_ITEM:
+        m_bits <<= 1
+    words = (
+        hashes.select(
+            F.explode(F.array(*_bloom_positions(F.col(h_col), m_bits))).alias("_pos")
+        )
+        .select(
+            F.call_function("shiftrightunsigned", F.col("_pos"), F.lit(6)).alias("_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("_pos").bitwiseAND(F.lit(63)).cast("int"),
+            ).alias("_bit"),
+        )
+        .groupBy("_idx")
+        .agg(F.expr("bit_or(_bit)").alias("_word"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r._idx] = r._word
+    spark = hashes.sparkSession
+    bf = spark.createDataFrame([(dense,)], "_bloom array<long>")
+    return bf, m_bits
+
+
+def bloom_might_contain(h: Column, m_bits: int, bloom_col: str = "_bloom") -> Column:
+    """Probe predicate against an attached bitmap column: all k bits set."""
+    pred = F.lit(True)
+    for pos in _bloom_positions(h, m_bits):
+        word = F.element_at(
+            F.col(bloom_col), F.call_function("shiftrightunsigned", pos, F.lit(6)).cast("int") + F.lit(1)
+        )
+        bit = F.call_function(
+            "shiftrightunsigned", word, pos.bitwiseAND(F.lit(63)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        pred = pred & (bit == F.lit(1))
+    return pred
 
 
 def contamination_pairs(
@@ -37,6 +112,7 @@ def contamination_pairs(
     unit: str = "word",
     broadcast_bench: bool = True,
     num_partitions: int | None = None,
+    bloom_prefilter: bool = True,
 ) -> DataFrame:
     """(train_id, bench_id, overlap_ngrams) for every train/bench pair
     sharing >= ``min_hits`` distinct word n-grams.
@@ -50,6 +126,16 @@ def contamination_pairs(
     only the contaminated slivers. The training corpus is therefore
     never shuffled at full width; the one real exchange carries
     matches only.
+
+    ``bloom_prefilter`` (default on) probes every corpus shingle hash
+    against a Bloom filter built over the bench hash set (16 bits/item,
+    k=4, fpp ≈ 0.24%) BEFORE the broadcast hash join, so ~99.8% of
+    clean-corpus shingles never reach the join's hash-table lookup —
+    at 100 TB the join probe (and everything after it) sees only the
+    contaminated sliver plus a 0.2% false-positive trickle that the
+    exact join then discards. Zero false negatives by construction
+    (build and probe share the same probe expressions; pinned in
+    tests/test_llm_ops.py).
     """
     tr = hashed_shingles(
         train, text_col, id_col, n=n, num_partitions=num_partitions, unit=unit,
@@ -58,6 +144,13 @@ def contamination_pairs(
     be = hashed_shingles(bench, text_col, id_col, n=n, unit=unit).withColumnRenamed(
         id_col, "bench_id"
     )
+    if bloom_prefilter:
+        bf, m_bits = build_hash_bloom(be, "_h")
+        tr = (
+            tr.join(F.broadcast(bf))
+            .where(bloom_might_contain(F.col("_h"), m_bits))
+            .drop("_bloom")
+        )
     if broadcast_bench:
         be = F.broadcast(be)
     return (
@@ -80,6 +173,7 @@ def decontaminate(
     min_hits: int = 3,
     unit: str = "word",
     num_partitions: int | None = None,
+    bloom_prefilter: bool = True,
 ) -> DataFrame:
     """Training corpus with contaminated documents removed (left-anti
     join against the flagged set — one broadcast-driven pass)."""
@@ -93,6 +187,7 @@ def decontaminate(
             min_hits=min_hits,
             unit=unit,
             num_partitions=num_partitions,
+            bloom_prefilter=bloom_prefilter,
         )
         .select(F.col("train_id").alias(id_col))
         .distinct()

@@ -1228,3 +1228,55 @@ def test_cdc_duplicate_spans_cover_planted_region(spark):
             max(0, min(e, hi) - max(s, lo) + 1) for s, e in by_doc[doc_id]
         )
         assert covered >= 0.6 * len(shared), (doc_id, by_doc[doc_id], lo, hi)
+
+
+def test_bloom_prefilter_changes_nothing(spark, sf_dir):
+    """The Bloom prefilter is transparent: contamination_pairs with and
+    without it return IDENTICAL rows (false positives are discarded by
+    the exact join; false negatives are impossible — build and probe
+    share the same probe expressions)."""
+    from dlp_rdb_bq_import_spark.operators.decontam import contamination_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    kw = dict(n=3, min_hits=3)
+    with_bloom = sorted(
+        map(tuple, contamination_pairs(train, bench, "text", "doc_id", **kw).collect())
+    )
+    without = sorted(
+        map(
+            tuple,
+            contamination_pairs(
+                train, bench, "text", "doc_id", bloom_prefilter=False, **kw
+            ).collect(),
+        )
+    )
+    assert with_bloom == without
+    assert len(with_bloom) > 0  # fixture actually exercises the path
+
+
+def test_bloom_membership_exhaustive(spark):
+    """Every inserted hash tests positive (zero false negatives), and
+    the false-positive rate on disjoint probes stays near the design
+    point (~0.24% at 16 bits/item, k=4)."""
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        bloom_might_contain,
+        build_hash_bloom,
+    )
+
+    inserted = spark.range(0, 5000).select(F.xxhash64("id").alias("_h"))
+    bf, m_bits = build_hash_bloom(inserted, "_h")
+    hits = (
+        inserted.join(F.broadcast(bf))
+        .where(bloom_might_contain(F.col("_h"), m_bits))
+        .count()
+    )
+    assert hits == 5000
+    probes = spark.range(100000, 150000).select(F.xxhash64("id").alias("_h"))
+    fp = (
+        probes.join(F.broadcast(bf))
+        .where(bloom_might_contain(F.col("_h"), m_bits))
+        .count()
+    )
+    assert fp / 50000 < 0.01, f"false-positive rate {fp/50000:.4f} out of band"

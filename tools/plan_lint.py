@@ -52,6 +52,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "totals scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
     },
+    "decontaminate_overlap": {
+        "BroadcastNestedLoopJoin": "Bloom bitmap scalar attach: build side "
+        "is ONE broadcast row (array<long> bitmap over bench n-grams) that "
+        "prefilters the corpus stream before the exact hash join",
+    },
+    "curation_pipeline": {
+        "BroadcastNestedLoopJoin": "same Bloom bitmap scalar attach via its "
+        "decontamination stage (see decontaminate_overlap)",
+    },
 }
 
 
