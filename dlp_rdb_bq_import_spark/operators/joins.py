@@ -57,6 +57,20 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def _check_reserved(op: str, reserved: tuple[str, ...], *dfs: DataFrame) -> None:
+    """Raise when an input already uses one of the operator's internal
+    column names — otherwise the name is silently replaced by
+    ``withColumn`` and then dropped (the same explicit-collision
+    discipline as the payload-column clash checks)."""
+    for df in dfs:
+        clash = sorted(set(df.columns) & set(reserved))
+        if clash:
+            raise ValueError(
+                f"{op}: input columns {clash} collide with reserved internal "
+                f"names {sorted(reserved)}; rename them before calling"
+            )
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -91,6 +105,7 @@ def salted_join(
             f"got how={how!r} — a replicated dim side would emit unmatched dim "
             f"rows {salt}x under right/full outer"
         )
+    _check_reserved("salted_join", ("_salt",), facts, dim)
     salted_facts = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(salt)).cast("int")
     )
@@ -149,6 +164,7 @@ def asof_join(
         raise ValueError(f"how must be left|inner, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
+    _check_reserved("asof_join", ("_t", "_probe", "_q", "_lrow", "_m"), left, right)
 
     ldt = dict(left.dtypes)[left_ts]
     rdt = dict(right.dtypes)[right_ts]
@@ -249,6 +265,7 @@ def range_overlap_join(
             f"column name collision outside join keys: {sorted(clash)}; "
             "rename one side before joining"
         )
+    _check_reserved("range_overlap_join", ("_ls", "_le", "_rs", "_re", "_bkt"), left, right)
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     ls = _ts_micros(F.col(left_range[0]), ldt[left_range[0]])
     le = _ts_micros(F.col(left_range[1]), ldt[left_range[1]])

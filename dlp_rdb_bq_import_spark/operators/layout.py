@@ -132,6 +132,12 @@ def global_row_ids(
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty (and a total order)")
+    clash = sorted(set(df.columns) & {"_pid", "_off"})
+    if clash:
+        raise ValueError(
+            f"global_row_ids: input columns {clash} collide with reserved "
+            "internal names ['_off', '_pid']; rename them before calling"
+        )
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )

@@ -188,9 +188,13 @@ def integer_zscore_outliers(
     reused across every row) — a single shuffle on the group key.
     Overflow bound: n·Σx² must fit int64, i.e. per-group
     n²·max(x)² < 2^63 (n=1e6 rows of x≤2000 is fine); raise the values
-    to DECIMAL upstream past that. Population σ (no Bessel) keeps the
-    algebra integral. Returns the input plus ``is_outlier``;
-    single-row groups have σ=0 and are never outliers.
+    to DECIMAL upstream past that. The bound is ENFORCED: a runtime
+    check on (n, max|x|, t) per group raises instead of letting long
+    arithmetic wrap silently with ANSI off. Population σ (no Bessel)
+    keeps the algebra integral. Returns the input plus ``is_outlier``;
+    single-row groups have σ=0 and are never outliers; null values get
+    ``is_outlier = false`` (not NULL — a boolean filter would silently
+    drop them).
     """
     from pyspark.sql import Window
 
@@ -199,6 +203,28 @@ def integer_zscore_outliers(
     n = F.count(value_col).over(w)
     s = F.sum(x).over(w)
     sq = F.sum(x * x).over(w)
+    # Guard in log2 space (floats suffice for a guard with a 1-bit
+    # safety margin): the largest intermediate is t²·n·Σx² ≤ t²·n²·max².
+    mx = F.greatest(F.max(F.abs(x)).over(w), F.lit(1).cast("long"))
+    bits = (
+        2.0 * F.log2(n.cast("double"))
+        + 2.0 * F.log2(mx.cast("double"))
+        + 2.0 * F.log2(F.lit(float(max(threshold, 1))))
+    )
+    ok = F.assert_true(
+        bits < F.lit(62.0),
+        F.concat(
+            F.lit(
+                "integer_zscore_outliers: t^2*n^2*max(x)^2 would overflow int64 "
+                "for a group (n="
+            ),
+            n.cast("string"),
+            F.lit(", max|x|="),
+            mx.cast("string"),
+            F.lit("); cast to DECIMAL upstream or shrink groups"),
+        ),
+    )
     lhs = (n * x - s) * (n * x - s)
     rhs = F.lit(threshold * threshold) * (n * sq - s * s)
-    return df.withColumn("is_outlier", lhs > rhs)
+    flag = F.when(ok.isNull(), F.coalesce(lhs > rhs, F.lit(False)))
+    return df.withColumn("is_outlier", flag)

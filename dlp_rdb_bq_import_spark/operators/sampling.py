@@ -180,11 +180,15 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    m = 1_000_003  # prime; u lands in (0, 1) with ~1e-6 granularity
+    # u from the hash's low 53 bits (the full double mantissa): ties on
+    # u are ~2^-53, so the key-asc tiebreak cannot systematically favor
+    # low keys even at billions of rows (a 1e6-bucket pmod here would
+    # make score ties common past ~1e5 rows and bias the sample).
+    mant = (1 << 53) - 1
     u = (
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(m)).cast("double")
+        F.xxhash64(F.col(key_col), F.lit(salt)).bitwiseAND(F.lit(mant)).cast("double")
         + F.lit(1.0)
-    ) / F.lit(float(m + 1))
+    ) / F.lit(float(1 << 53))
     w = F.col(weight_col).cast("double")
     scored = df.where(w.isNotNull() & (w > 0)).withColumn(
         "_score", F.pow(u, F.lit(1.0) / w)

@@ -44,7 +44,17 @@ def replace_dir(staged: str, path: str) -> None:
     restored — readers see the old table, not a missing one. Stale
     backups are swept only when ``path`` exists (if a hard crash left
     only the backup, it is the sole surviving copy — sweeping it would
-    destroy data; restore it manually by renaming)."""
+    destroy data; restore it manually by renaming).
+
+    Concurrency: the two renames are each atomic but not jointly — for
+    a few microseconds between them ``path`` does not exist, and a
+    crash inside that window leaves only the backup on disk. POSIX has
+    no multi-directory atomic swap without renameat2(RENAME_EXCHANGE)
+    or a symlink-flip layout, so this sink assumes a SINGLE WRITER and
+    no reader racing the publish instant (Spark jobs reading the table
+    resolve file lists at plan time, which widens their exposure to
+    exactly that instant). Callers needing concurrent readers should
+    publish via a symlinked current-version directory."""
     parent = os.path.dirname(path) or "."
     base = os.path.basename(path)
     if os.path.isdir(path):

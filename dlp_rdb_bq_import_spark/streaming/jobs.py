@@ -118,7 +118,14 @@ def streaming_upsert(
     merge keeps the max-``seq_col`` row per key, so a replayed batch
     (foreachBatch is at-least-once across restarts) re-applies to the
     same result — idempotence by content, with the checkpoint only
-    bounding how much is replayed. Readers see the old or new table,
+    bounding how much is replayed.
+
+    Precondition (same contract as ``scd2_build``): ``(key, seq)`` is
+    unique across the stream — ``seq_col`` is a version/sequence
+    number, so two DIFFERENT payloads must never share a key and
+    sequence. The tie-break window orders by ``seq`` alone; under a
+    violated precondition the winner would be partition-order-dependent
+    and replay idempotence would not hold. Readers see the old or new table,
     never a partial write (directory-rename publish, same discipline as
     sinks/warehouse.py).
 

@@ -31,3 +31,26 @@ def test_gate_queries_emit_scalar_columns_only(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-scalar gate outputs: {offenders}"
+
+
+def test_zscore_null_values_flag_false_and_overflow_raises(spark):
+    """Null metric values get is_outlier=false (not NULL); groups whose
+    t^2*n^2*max^2 cannot fit int64 raise instead of wrapping (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dlp_rdb_bq_import_spark.operators.profiling import integer_zscore_outliers
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 12), ("a", None), ("a", 11)], "g string, x int"
+    )
+    rows = integer_zscore_outliers(df, "x", ["g"]).collect()
+    flags = {r.x: r.is_outlier for r in rows}
+    assert flags[None] is False
+    assert all(v is not None for v in flags.values())
+
+    big = spark.createDataFrame(
+        [("a", (1 << 40)), ("a", (1 << 40) + 3)], "g string, x long"
+    )
+    with pytest.raises(Exception, match="overflow"):
+        integer_zscore_outliers(big, "x", ["g"]).collect()

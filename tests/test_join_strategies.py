@@ -317,3 +317,33 @@ def test_range_overlap_join_guards(spark):
         )
     with pytest.raises(ValueError, match="positive"):
         range_overlap_join(ldf, rdf, ("ls", "le"), ("rs", "re"), bucket=0)
+
+
+def test_reserved_internal_names_raise(spark):
+    """Inputs that already carry an operator's internal column names
+    raise instead of silently clobbering (ADVICE r3)."""
+    import pytest
+
+    from dlp_rdb_bq_import_spark.operators.joins import (
+        asof_join,
+        range_overlap_join,
+        salted_join,
+    )
+
+    left = spark.createDataFrame([(1, 10, 5)], ["k", "ts", "_t"])
+    right = spark.createDataFrame([(1, 9, 1.0)], ["k", "ts", "v"])
+    with pytest.raises(ValueError, match="reserved internal"):
+        asof_join(left, right, "k", left_ts="ts")
+    salted = spark.createDataFrame([(1, "_salt-val")], ["k", "_salt"])
+    with pytest.raises(ValueError, match="reserved internal"):
+        salted_join(salted, right.select("k", "v"), "k")
+    ranged = spark.createDataFrame([(1, 0, 10, 7)], ["k", "s", "e", "_bkt"])
+    with pytest.raises(ValueError, match="reserved internal"):
+        range_overlap_join(
+            ranged,
+            right.selectExpr("k", "ts AS rs", "ts AS re"),
+            ("s", "e"),
+            ("rs", "re"),
+            bucket=10,
+            on="k",
+        )

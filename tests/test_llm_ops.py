@@ -1280,3 +1280,21 @@ def test_bloom_membership_exhaustive(spark):
         .count()
     )
     assert fp / 50000 < 0.01, f"false-positive rate {fp/50000:.4f} out of band"
+
+
+def test_weighted_sample_no_key_order_bias_at_1e6(spark):
+    """At 1e6 equal-weight rows the 53-bit uniform leaves essentially no
+    score ties, so the key-asc tiebreak cannot skew the sample toward
+    low keys: the sampled-key mean must sit within ~4 sigma of the
+    population mean, and scores must be collision-free."""
+    n, k = 1_000_000, 1000
+    df = spark.range(n).select(F.col("id"), F.lit(1.0).alias("w"))
+    picked = [r.id for r in sampling.weighted_sample(df, "id", "w", k=k).collect()]
+    assert len(picked) == k
+    # distinct u values among the picked rows (ties were the 1e6-pmod bug)
+    assert len(set(picked)) == k
+    mean = sum(picked) / k
+    sigma = (n / 12**0.5) / k**0.5  # sd of a k-mean of Uniform(0, n)
+    assert abs(mean - n / 2) < 4 * sigma, f"sample mean {mean:.0f} biased"
+    lo_frac = sum(1 for x in picked if x < n / 10) / k
+    assert 0.05 < lo_frac < 0.15, f"low-key decile share {lo_frac:.3f} biased"
