@@ -2,22 +2,113 @@
 
 Parity with BQReidentificationPipeline.java:124-129: each row published
 as a JSON message, batched at ≤1000 messages / ≤10,000 bytes
-(constants at :70-72). With no broker in the environment, the sink
-writes one file per flushed batch via ``foreachPartition`` — the
-publisher lifecycle (open per partition, flush on thresholds, final
-flush) is exactly what a real Pub/Sub/Kafka producer would do, and
-runs executor-side with no driver collect.
+(constants at :70-72). The producer lifecycle (open per partition,
+flush on thresholds, final flush, close) runs executor-side inside
+``foreachPartition`` with no driver collect — exactly a real
+Pub/Sub/Kafka producer's shape.
+
+The wire protocol is pluggable: ``publish`` takes a zero-arg
+TRANSPORT FACTORY (must be picklable — it is constructed once per
+partition on the executor), so a Kafka/Pub/Sub adapter is one class
+implementing ``send_batch`` against its client library. With no
+broker in this environment the default ``JsonDirTransport`` writes
+one file per flushed batch; batching semantics are transport-
+independent and unit-tested in-process via ``iter_batches``.
 """
 
 from __future__ import annotations
 
 import os
 import uuid
+from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
 
 from ..config import MESSAGE_BATCH_MAX_BYTES, MESSAGE_BATCH_MAX_MESSAGES
 from ..functions.rowshape import rows_as_json
+
+
+def iter_batches(
+    messages: Iterable[str],
+    max_messages: int = MESSAGE_BATCH_MAX_MESSAGES,
+    max_bytes: int = MESSAGE_BATCH_MAX_BYTES,
+) -> Iterator[list[str]]:
+    """Split a message stream into publish batches, preserving order:
+    a batch flushes when adding the next message would exceed either
+    the message-count or byte cap (an oversized single message still
+    ships alone — the reference's publisher has the same behavior:
+    limits bound the BATCH, they do not drop data)."""
+    batch: list[str] = []
+    batch_bytes = 0
+    for m in messages:
+        size = len(m.encode("utf-8"))
+        if batch and (len(batch) >= max_messages or batch_bytes + size > max_bytes):
+            yield batch
+            batch, batch_bytes = [], 0
+        batch.append(m)
+        batch_bytes += size
+    if batch:
+        yield batch
+
+
+class MessageTransport:
+    """Per-partition producer: ``open`` → ``send_batch``× → ``close``.
+
+    Implementations must be constructible executor-side (the factory
+    passed to ``publish`` is pickled into the task closure). Adapters
+    for a real broker put client construction in ``open`` and
+    producer.flush in ``close``.
+    """
+
+    def open(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+    def send_batch(self, messages: list[str]) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+
+class JsonDirTransport(MessageTransport):
+    """Default broker-less transport: one ``batch-*.jsonl`` file per
+    flushed batch (file count == batch count, so the batch limits stay
+    observable downstream)."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+
+    def open(self) -> None:
+        os.makedirs(self.output_dir, exist_ok=True)
+
+    def send_batch(self, messages: list[str]) -> None:
+        path = os.path.join(self.output_dir, f"batch-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            f.write("\n".join(messages) + "\n")
+
+
+def publish(
+    df: DataFrame,
+    transport_factory: Callable[[], MessageTransport],
+    max_messages: int = MESSAGE_BATCH_MAX_MESSAGES,
+    max_bytes: int = MESSAGE_BATCH_MAX_BYTES,
+) -> None:
+    """Encode rows to JSON and publish through the transport in
+    bounded batches, one producer per partition."""
+    msgs = rows_as_json(df)
+
+    def publish_partition(rows) -> None:
+        transport = transport_factory()
+        transport.open()
+        try:
+            for batch in iter_batches(
+                (row["message"] for row in rows), max_messages, max_bytes
+            ):
+                transport.send_batch(batch)
+        finally:
+            transport.close()
+
+    msgs.foreachPartition(publish_partition)
 
 
 def publish_json(
@@ -26,30 +117,5 @@ def publish_json(
     max_messages: int = MESSAGE_BATCH_MAX_MESSAGES,
     max_bytes: int = MESSAGE_BATCH_MAX_BYTES,
 ) -> None:
-    """Encode rows to JSON and publish in bounded batches."""
-    os.makedirs(output_dir, exist_ok=True)
-    msgs = rows_as_json(df)
-
-    def publish_partition(rows) -> None:
-        batch: list[str] = []
-        batch_bytes = 0
-
-        def flush() -> None:
-            nonlocal batch, batch_bytes
-            if not batch:
-                return
-            path = os.path.join(output_dir, f"batch-{uuid.uuid4().hex}.jsonl")
-            with open(path, "w") as f:
-                f.write("\n".join(batch) + "\n")
-            batch, batch_bytes = [], 0
-
-        for row in rows:
-            m = row["message"]
-            size = len(m.encode("utf-8"))
-            if batch and (len(batch) >= max_messages or batch_bytes + size > max_bytes):
-                flush()
-            batch.append(m)
-            batch_bytes += size
-        flush()
-
-    msgs.foreachPartition(publish_partition)
+    """Publish via the default JSON-directory transport."""
+    publish(df, lambda: JsonDirTransport(output_dir), max_messages, max_bytes)

@@ -442,3 +442,84 @@ def test_write_append_is_atomic_and_exact(spark, tmp_path):
     assert res.status == "ok" and res.attempts == 2
     got = sorted(r["id"] for r in wh.read(spark, "DS", "t").collect())
     assert got == list(range(100))
+
+
+def test_iter_batches_limits_order_and_oversize():
+    """Transport-independent batching: order preserved, count/byte caps
+    honored, an oversized single message ships alone."""
+    from dlp_rdb_bq_import_spark.sinks.messages import iter_batches
+
+    msgs = [f"m{i:04d}" for i in range(25)]
+    batches = list(iter_batches(msgs, max_messages=10, max_bytes=10**9))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert [m for b in batches for m in b] == msgs  # ordering
+
+    sized = ["a" * 40, "b" * 40, "c" * 40]
+    assert [len(b) for b in iter_batches(sized, 1000, 100)] == [2, 1]
+
+    big = ["x" * 500, "tiny"]
+    out = list(iter_batches(big, 1000, 100))
+    assert out == [["x" * 500], ["tiny"]]  # oversize ships alone, order kept
+
+
+def test_publish_pluggable_transport_lifecycle_and_ordering(spark, tmp_path):
+    """The pluggable-transport path: per-partition producer lifecycle
+    (open → batches → close), batch caps, and within-partition message
+    order all hold through a fake broker."""
+    import json
+
+    from dlp_rdb_bq_import_spark.sinks.messages import publish
+
+    class _FileLogTransport:
+        """In-process fake broker: appends every lifecycle event to one
+        log file per partition so the test can audit producer behavior
+        that ran inside executor workers. Defined locally so cloudpickle
+        ships it by value (test modules aren't importable on workers)."""
+
+        def __init__(self, log_dir):
+            self.log_dir = log_dir
+            self.f = None
+
+        def open(self):
+            import os
+            import uuid
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            self.f = open(f"{self.log_dir}/p-{uuid.uuid4().hex}.log", "w")
+            self.f.write("OPEN\n")
+
+        def send_batch(self, messages):
+            self.f.write(f"BATCH {len(messages)}\n")
+            for m in messages:
+                self.f.write(m + "\n")
+
+        def close(self):
+            self.f.write("CLOSE\n")
+            self.f.close()
+
+    log_dir = str(tmp_path / "fakebroker")
+    df = (
+        spark.range(500)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    publish(df, lambda: _FileLogTransport(log_dir), max_messages=50, max_bytes=10**9)
+
+    import glob
+
+    logs = sorted(glob.glob(f"{log_dir}/p-*.log"))
+    assert len(logs) == 4  # one producer per partition
+    seen = []
+    for path in logs:
+        lines = open(path).read().splitlines()
+        assert lines[0] == "OPEN" and lines[-1] == "CLOSE"
+        ids = []
+        for ln in lines[1:-1]:
+            if ln.startswith("BATCH "):
+                assert int(ln.split()[1]) <= 50
+            else:
+                ids.append(json.loads(ln)["id"])
+        assert ids == sorted(ids)  # partition order preserved end-to-end
+        seen.extend(ids)
+    assert sorted(seen) == list(range(500))
