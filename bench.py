@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "global_row_ids",
     "vocab_encode_words",
     "chunk_documents",
+    # round 4 additions: substring-level + within-doc dedup
+    "dedup_substring",
+    "dedup_paragraphs",
 ]
 
 

@@ -1253,6 +1253,32 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_paragraphs",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS para,
+         generate_subscripts(str_split(text, ' '), 1) AS pos
+  FROM documents
+),
+f AS (SELECT doc_id, para, min(pos) AS pos FROM p GROUP BY doc_id, para)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(para, ' ' ORDER BY pos) AS text
+FROM f GROUP BY doc_id
+""",
+)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Within-document repetition removal (Gopher's within-doc
+    complement, operators/text.py:drop_repeated_paragraphs): keep the
+    first occurrence of each distinct segment, reassemble in order.
+    Exercised at word granularity — the fixture has no paragraph
+    breaks, and word-level dedup runs the identical machinery with an
+    exactly-expressible oracle; the blank-line default is pinned by a
+    planted-repetition pytest."""
+    d = t(spark, sf_dir, "documents")
+    return text_ops.drop_repeated_paragraphs(d, "text", "doc_id", sep=" ")
+
+
+@query(
     "dedup_substring",
     oracle="""
 WITH pos AS (

@@ -477,3 +477,40 @@ def chunk_documents(
             .alias("chunk"),
         )
     )
+
+
+def drop_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Within-document repetition removal (the Gopher-style complement
+    to cross-document dedup): split the text on ``sep``, keep only the
+    FIRST occurrence of each distinct segment, and reassemble in
+    original order. With the default blank-line separator this drops
+    duplicated paragraphs (boilerplate headers, repeated navigation
+    blocks); any separator works — the gate exercises it at word
+    granularity, where an oracle is exactly expressible.
+
+    Two shuffles, all JVM: posexplode → min(pos) per (doc, segment) →
+    ordered reassembly via sort_array over (pos, segment) structs +
+    array_join. Returns (id_col, text_col); at 100 TB each shuffle
+    carries segments once, never the doc body times its segment count.
+    """
+    import re as _re
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("_pos", "_para"),
+    )
+    firsts = parts.groupBy(id_col, "_para").agg(F.min("_pos").alias("_pos"))
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda x: x["_para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )

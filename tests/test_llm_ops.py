@@ -1298,3 +1298,28 @@ def test_weighted_sample_no_key_order_bias_at_1e6(spark):
     assert abs(mean - n / 2) < 4 * sigma, f"sample mean {mean:.0f} biased"
     lo_frac = sum(1 for x in picked if x < n / 10) / k
     assert 0.05 < lo_frac < 0.15, f"low-key decile share {lo_frac:.3f} biased"
+
+
+def test_drop_repeated_paragraphs_planted(spark):
+    """Duplicated paragraphs (blank-line separated) vanish, keeping the
+    first occurrence and the original order of everything else."""
+    text = "intro para\n\nboilerplate\n\nbody one\n\nboilerplate\n\nbody two\n\nintro para"
+    df = spark.createDataFrame([(1, text), (2, "single para")], ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in text_ops.drop_repeated_paragraphs(df).collect()
+    }
+    assert out[1] == "intro para\n\nboilerplate\n\nbody one\n\nbody two"
+    assert out[2] == "single para"
+
+
+def test_drop_repeated_paragraphs_empty_and_no_sep(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "no separators here at all")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.text
+        for r in text_ops.drop_repeated_paragraphs(df).collect()
+    }
+    assert out[1] == ""
+    assert out[2] == "no separators here at all"
