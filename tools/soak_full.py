@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Full-registry sf1 sweep (VERDICT r3 item 7): run EVERY registered
+query once against the 10x fixtures so scale regressions cannot hide
+in unbenched queries. Records per-query status/rows/seconds; any
+exception is captured, not fatal.
+
+Usage: python tools/soak_full.py [--sf .scratch/sf1] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dlp_rdb_bq_import_spark import harness  # noqa: E402
+from dlp_rdb_bq_import_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=".scratch/sf1")
+    ap.add_argument("--out", default=".scratch/soak_full.json")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="soak_full")
+    spark.range(1000).count()  # JVM/codegen warmup
+    qs = harness.queries()
+    results: dict[str, dict] = {}
+    for i, (name, fn) in enumerate(sorted(qs.items())):
+        t0 = time.time()
+        try:
+            n = fn(spark, args.sf).count()
+            results[name] = {"status": "ok", "rows": n, "sec": round(time.time() - t0, 2)}
+        except Exception as e:  # capture, keep sweeping
+            results[name] = {
+                "status": "error",
+                "sec": round(time.time() - t0, 2),
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
+        spark.catalog.clearCache()
+        print(
+            f"[{i + 1}/{len(qs)}] {name}: {results[name]['status']} "
+            f"({results[name]['sec']}s)",
+            flush=True,
+        )
+    errors = {k: v for k, v in results.items() if v["status"] != "ok"}
+    out = {
+        "sf_dir": args.sf,
+        "queries": len(results),
+        "errors": len(errors),
+        "total_sec": round(sum(v["sec"] for v in results.values()), 1),
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"swept {len(results)} queries, {len(errors)} errors -> {args.out}")
+    spark.stop()
+    sys.exit(1 if errors else 0)
+
+
+if __name__ == "__main__":
+    main()
