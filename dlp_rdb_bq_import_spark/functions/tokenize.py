@@ -137,6 +137,8 @@ def _fpe_map_series(s: pd.Series, cipher: FPECipher, forward: bool, tweak: bytes
         if hit is None:
             hit = table[v] = fn(v, tweak)
         out[v] = hit
+    if len(table) > _MEMO_CAP:  # post-call trim keeps growth bounded
+        table.clear()
     return s.map(out)
 
 
@@ -158,6 +160,8 @@ def _inspect_series(
 
     uniques = s.dropna().unique()
     table = {v: deid_one(v) for v in uniques}
+    if len(tok_memo) > _MEMO_CAP:  # post-call trim keeps growth bounded
+        tok_memo.clear()
     return s.map(table)
 
 
@@ -186,6 +190,8 @@ def _uninspect_series(s: pd.Series, cipher: FPECipher, surrogate: str) -> pd.Ser
 
     uniques = s.dropna().unique()
     table = {v: reid_one(v) for v in uniques}
+    if len(tok_memo) > _MEMO_CAP:  # post-call trim keeps growth bounded
+        tok_memo.clear()
     return s.map(table)
 
 
@@ -216,15 +222,19 @@ def _fpe_distinct_join(
     Requires a deterministic input plan (the distinct scan and the main
     scan must see the same values).
     """
+    if _FPE_VAL in df.columns or _FPE_TOK in df.columns:
+        raise ValueError(
+            f"input columns collide with reserved FPE names {_FPE_VAL!r}/{_FPE_TOK!r}"
+        )
     out = df
     for cipher, tweak, cols in groups:
-        if _FPE_VAL in out.columns or _FPE_TOK in out.columns:
-            raise ValueError(
-                f"input columns collide with reserved FPE names {_FPE_VAL!r}/{_FPE_TOK!r}"
-            )
+        # distinct scan over the ORIGINAL input, not the partially
+        # joined `out` — each group touches only its own columns, so
+        # reading from `df` is equivalent and keeps group g's distinct
+        # scan from re-executing groups 1..g-1's joins.
         vals = None
         for c in cols:
-            v = out.select(F.col(c).alias(_FPE_VAL)).where(F.col(_FPE_VAL).isNotNull())
+            v = df.select(F.col(c).alias(_FPE_VAL)).where(F.col(_FPE_VAL).isNotNull())
             vals = v if vals is None else vals.unionByName(v)
         vals = vals.distinct()
 

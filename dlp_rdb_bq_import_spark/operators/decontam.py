@@ -59,26 +59,34 @@ def build_hash_bloom(hashes: DataFrame, h_col: str = "_h") -> tuple[DataFrame, i
     scalar attach) so probing is an O(1) ``element_at`` per key, fully
     inside codegen.
     """
-    n_items = hashes.select(h_col).distinct().count()
-    m_bits = 1024
-    while m_bits < n_items * _BLOOM_BITS_PER_ITEM:
-        m_bits <<= 1
-    words = (
-        hashes.select(
-            F.explode(F.array(*_bloom_positions(F.col(h_col), m_bits))).alias("_pos")
+    # The build is EAGER (count to size m, collect to densify) — two
+    # bounded actions on the small build side at call time. The distinct
+    # set persists across them so the upstream (e.g. bench shingling)
+    # computes once, and is released before returning.
+    uniq = hashes.select(h_col).distinct().persist()
+    try:
+        n_items = uniq.count()
+        m_bits = 1024
+        while m_bits < n_items * _BLOOM_BITS_PER_ITEM:
+            m_bits <<= 1
+        words = (
+            uniq.select(
+                F.explode(F.array(*_bloom_positions(F.col(h_col), m_bits))).alias("_pos")
+            )
+            .select(
+                F.call_function("shiftrightunsigned", F.col("_pos"), F.lit(6)).alias("_idx"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.col("_pos").bitwiseAND(F.lit(63)).cast("int"),
+                ).alias("_bit"),
+            )
+            .groupBy("_idx")
+            .agg(F.expr("bit_or(_bit)").alias("_word"))
+            .collect()
         )
-        .select(
-            F.call_function("shiftrightunsigned", F.col("_pos"), F.lit(6)).alias("_idx"),
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                F.col("_pos").bitwiseAND(F.lit(63)).cast("int"),
-            ).alias("_bit"),
-        )
-        .groupBy("_idx")
-        .agg(F.expr("bit_or(_bit)").alias("_word"))
-        .collect()
-    )
+    finally:
+        uniq.unpersist()
     dense = [0] * (m_bits // 64)
     for r in words:
         dense[r._idx] = r._word

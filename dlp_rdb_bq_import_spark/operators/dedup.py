@@ -665,6 +665,11 @@ def strip_duplicated_substrings(
     kept stretches (overlapping spans clamp — the cursor never moves
     backwards). Docs with no spans pass through untouched.
     """
+    if "_spans" in df.columns:
+        raise ValueError(
+            "strip_duplicated_substrings: input column '_spans' collides with "
+            "a reserved internal name; rename it before calling"
+        )
     spans_arr = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("dup_start", "dup_end"))).alias("_spans")
     )
@@ -722,8 +727,10 @@ def cdc_chunks(
     chunking would misalign them).
 
     Returns (doc_id, chunk_start, chunk_end, chunk_hash) with 1-based
-    inclusive char offsets and md5 chunk hashes. One Arrow-batched
-    numpy pass per doc; no shuffle.
+    inclusive CHARACTER offsets (the kernel walks UTF-32 code units,
+    one per char, so offsets compose with F.substring /
+    strip_duplicated_substrings on non-ASCII text) and md5 chunk
+    hashes. One Arrow-batched numpy pass per doc; no shuffle.
     """
     import hashlib
     from typing import Iterator as _It
@@ -756,16 +763,21 @@ def cdc_chunks(
         for pdf in batches:
             ids, starts, ends, hashes = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                s = (text or "").encode("utf-8")
-                cuts = _breaks(np.frombuffer(s, dtype=np.uint8).astype(np.uint64)) if len(s) >= window else []
-                bounds = [0] + cuts + ([len(s)] if (not cuts or cuts[-1] != len(s)) else [])
+                # one uint32 per CHARACTER (utf-32-le), so every index
+                # below is a char offset, not a byte offset
+                s = np.frombuffer(
+                    (text or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n = len(s)
+                cuts = _breaks(s) if n >= window else []
+                bounds = [0] + cuts + ([n] if (not cuts or cuts[-1] != n) else [])
                 for a, b in zip(bounds, bounds[1:]):
                     if b <= a:
                         continue
                     ids.append(doc_id)
                     starts.append(a + 1)
                     ends.append(b)
-                    hashes.append(hashlib.md5(s[a:b]).hexdigest())
+                    hashes.append(hashlib.md5(text[a:b].encode("utf-8")).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "chunk_start": starts, "chunk_end": ends, "chunk_hash": hashes}
             )

@@ -204,15 +204,19 @@ def integer_zscore_outliers(
     s = F.sum(x).over(w)
     sq = F.sum(x * x).over(w)
     # Guard in log2 space (floats suffice for a guard with a 1-bit
-    # safety margin): the largest intermediate is t²·n·Σx² ≤ t²·n²·max².
+    # safety margin). Largest intermediates: rhs t²·n·Σx² ≤ t²·n²·max²,
+    # and lhs (n·x−S)² ≤ (2·n·max)² = 4·n²·max² — the threshold term
+    # uses max(t, 2) so the lhs's factor of 4 (2 bits) is always
+    # covered. All-null groups (n = 0 ⇒ log2 NULL) are explicitly fine:
+    # there is nothing to overflow and every flag is false.
     mx = F.greatest(F.max(F.abs(x)).over(w), F.lit(1).cast("long"))
     bits = (
         2.0 * F.log2(n.cast("double"))
         + 2.0 * F.log2(mx.cast("double"))
-        + 2.0 * F.log2(F.lit(float(max(threshold, 1))))
+        + 2.0 * F.log2(F.lit(float(max(threshold, 2))))
     )
     ok = F.assert_true(
-        bits < F.lit(62.0),
+        (n == 0) | (bits < F.lit(62.0)),
         F.concat(
             F.lit(
                 "integer_zscore_outliers: t^2*n^2*max(x)^2 would overflow int64 "

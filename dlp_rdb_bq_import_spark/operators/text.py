@@ -158,41 +158,59 @@ def winnowing_fingerprints(
         keep[1:] = mins[1:] != mins[:-1]
         return mins[keep].astype(np.int64).tolist()
 
+    # Cap on concatenated text bytes per vectorized slice: the kernel
+    # materializes ~24 bytes of intermediates per text byte (uint64
+    # copy + hashes + window-mins), so a cap bounds peak memory at
+    # ~0.8 GB regardless of Arrow batch byte size (maxRecordsPerBatch
+    # caps rows, not bytes — a batch of huge documents must not OOM the
+    # Python worker).
+    slice_bytes = 32 << 20
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Whole-BATCH vectorization: concatenate every doc in the Arrow
-        # batch, hash all k-grams and take all window-mins in ONE numpy
-        # pass each, then slice per-doc views. Windows that straddle a
-        # doc boundary exist in the global arrays but are never read
-        # (each doc slices only its interior), so the output is
-        # bit-identical to the per-doc kernel while the per-doc Python
-        # cost drops to two slices (~3x fewer ms/doc at 50k-doc scale).
+        # Whole-SLICE vectorization: concatenate a bounded run of docs,
+        # hash all k-grams and take all window-mins in ONE numpy pass
+        # each, then slice per-doc views. Windows that straddle a doc
+        # boundary exist in the global arrays but are never read (each
+        # doc slices only its interior), so the output is bit-identical
+        # to the per-doc kernel while the per-doc Python cost drops to
+        # two slices (~3x fewer ms/doc at 50k-doc scale).
         for pdf in batches:
             ids, fps = [], []
             blobs = [(t or "").encode("utf-8") for t in pdf[text_col]]
-            joined = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.uint64)
-            if len(joined) >= k:
-                win = np.lib.stride_tricks.sliding_window_view(joined, k)
-                with np.errstate(over="ignore"):
-                    all_hashes = (win * powers).sum(axis=1)  # wraps mod 2^64
-                all_mins = (
-                    np.lib.stride_tricks.sliding_window_view(all_hashes, window).min(axis=1)
-                    if len(all_hashes) > window
-                    else None
-                )
-            off = 0
-            for doc_id, s in zip(pdf[id_col], blobs):
-                ids.append(doc_id)
-                n_h = len(s) - k + 1  # k-gram hash count for this doc
-                if n_h < 1:
-                    fps.append([])
-                else:
-                    hashes = all_hashes[off : off + n_h]
-                    if n_h <= window:
-                        mins = hashes.min(keepdims=True)
+            doc_ids = list(pdf[id_col])
+            i = 0
+            while i < len(blobs):
+                j, total = i, 0
+                while j < len(blobs) and (j == i or total + len(blobs[j]) <= slice_bytes):
+                    total += len(blobs[j])
+                    j += 1
+                joined = np.frombuffer(
+                    b"".join(blobs[i:j]), dtype=np.uint8
+                ).astype(np.uint64)
+                all_hashes = all_mins = None
+                if len(joined) >= k:
+                    win = np.lib.stride_tricks.sliding_window_view(joined, k)
+                    with np.errstate(over="ignore"):
+                        all_hashes = (win * powers).sum(axis=1)  # wraps mod 2^64
+                    if len(all_hashes) > window:
+                        all_mins = np.lib.stride_tricks.sliding_window_view(
+                            all_hashes, window
+                        ).min(axis=1)
+                off = 0
+                for doc_id, s in zip(doc_ids[i:j], blobs[i:j]):
+                    ids.append(doc_id)
+                    n_h = len(s) - k + 1  # k-gram hash count for this doc
+                    if n_h < 1:
+                        fps.append([])
                     else:
-                        mins = all_mins[off : off + n_h - window + 1]
-                    fps.append(_dedup(mins))
-                off += len(s)
+                        hashes = all_hashes[off : off + n_h]
+                        if n_h <= window:
+                            mins = hashes.min(keepdims=True)
+                        else:
+                            mins = all_mins[off : off + n_h - window + 1]
+                        fps.append(_dedup(mins))
+                    off += len(s)
+                i = j
             yield pd.DataFrame({"doc_id": ids, "winnow_fingerprints": fps})
 
     return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
@@ -497,12 +515,16 @@ def drop_repeated_paragraphs(
     ordered reassembly via sort_array over (pos, segment) structs +
     array_join. Returns (id_col, text_col); at 100 TB each shuffle
     carries segments once, never the doc body times its segment count.
+    NULL text is treated as empty (the doc is KEPT with text "" — a
+    bare posexplode would silently drop it from the corpus).
     """
     import re as _re
 
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("_pos", "_para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("_pos", "_para"),
     )
     firsts = parts.groupBy(id_col, "_para").agg(F.min("_pos").alias("_pos"))
     return firsts.groupBy(id_col).agg(

@@ -54,3 +54,15 @@ def test_zscore_null_values_flag_false_and_overflow_raises(spark):
     )
     with pytest.raises(Exception, match="overflow"):
         integer_zscore_outliers(big, "x", ["g"]).collect()
+
+
+def test_zscore_all_null_group_no_spurious_overflow(spark):
+    """A group whose metric is entirely NULL must produce false flags,
+    not a spurious overflow error (n=0 has nothing to overflow)."""
+    from dlp_rdb_bq_import_spark.operators.profiling import integer_zscore_outliers
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 5)], "g string, x int"
+    )
+    rows = integer_zscore_outliers(df, "x", ["g"]).collect()
+    assert all(r.is_outlier is False for r in rows)

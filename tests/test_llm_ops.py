@@ -1291,8 +1291,17 @@ def test_weighted_sample_no_key_order_bias_at_1e6(spark):
     df = spark.range(n).select(F.col("id"), F.lit(1.0).alias("w"))
     picked = [r.id for r in sampling.weighted_sample(df, "id", "w", k=k).collect()]
     assert len(picked) == k
-    # distinct u values among the picked rows (ties were the 1e6-pmod bug)
-    assert len(set(picked)) == k
+    # the 53-bit u itself must be essentially collision-free at 1e6 rows
+    # (the 1e6-pmod bug made ties common and the key-asc tiebreak biased)
+    mant = (1 << 53) - 1
+    distinct_u = (
+        df.select(
+            F.xxhash64(F.col("id"), F.lit(0)).bitwiseAND(F.lit(mant)).alias("u")
+        )
+        .distinct()
+        .count()
+    )
+    assert distinct_u >= n - 5, f"{n - distinct_u} u-collisions at {n} rows"
     mean = sum(picked) / k
     sigma = (n / 12**0.5) / k**0.5  # sd of a k-mean of Uniform(0, n)
     assert abs(mean - n / 2) < 4 * sigma, f"sample mean {mean:.0f} biased"
@@ -1323,3 +1332,30 @@ def test_drop_repeated_paragraphs_empty_and_no_sep(spark):
     }
     assert out[1] == ""
     assert out[2] == "no separators here at all"
+
+
+def test_cdc_chunks_char_offsets_non_ascii(spark):
+    """CDC chunk offsets are CHARACTER offsets: on multi-byte text the
+    chunks still tile 1..len(text) exactly and strip round-trips."""
+    import random
+
+    rng = random.Random(9)
+    shared = "".join(rng.choice("àéîöüßабвгд日本語 xyz") for _ in range(400))
+    docs = [(1, "préfix-œne-" + shared), (2, shared + "-suffîx-twø")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    chunks = dedup.cdc_chunks(df).collect()
+    for doc_id, text in docs:
+        mine = sorted((r.chunk_start, r.chunk_end) for r in chunks if r.doc_id == doc_id)
+        assert mine[0][0] == 1 and mine[-1][1] == len(text), (doc_id, mine[-1], len(text))
+        for (_, e1), (s2, _) in zip(mine, mine[1:]):
+            assert s2 == e1 + 1
+    h1 = {r.chunk_hash for r in chunks if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in chunks if r.doc_id == 2}
+    assert len(h1 & h2) >= 2, "shared non-ascii region produced no aligned chunks"
+
+
+def test_drop_repeated_paragraphs_null_text_kept(spark):
+    """NULL text docs are kept (as empty), not silently dropped."""
+    df = spark.createDataFrame([(1, None), (2, "a b a")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in text_ops.drop_repeated_paragraphs(df, sep=" ").collect()}
+    assert out[1] == "" and out[2] == "a b"

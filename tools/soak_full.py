@@ -21,6 +21,17 @@ from dlp_rdb_bq_import_spark import harness  # noqa: E402
 from dlp_rdb_bq_import_spark.session import get_spark  # noqa: E402
 
 
+# Oracle-twin queries that are QUADRATIC BY DESIGN (they exist only to
+# verify a scalable production path at small fixture scale, and are
+# plan-lint-allowlisted as such). Running them at 10x data proves
+# nothing except that all-pairs is all-pairs; the production paths they
+# verify (e.g. embedding_neardup_lsh) ARE swept.
+SKIP_QUADRATIC_TWINS = {
+    "embedding_neardup": "exact all-pairs twin of embedding_neardup_lsh "
+    "(1.25B candidate pairs at sf1)",
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=".scratch/sf1")
@@ -31,6 +42,10 @@ def main() -> None:
     spark.range(1000).count()  # JVM/codegen warmup
     qs = harness.queries()
     results: dict[str, dict] = {}
+    for name, why in SKIP_QUADRATIC_TWINS.items():
+        if name in qs:
+            results[name] = {"status": "skipped_quadratic_twin", "sec": 0.0, "why": why}
+            del qs[name]
     for i, (name, fn) in enumerate(sorted(qs.items())):
         t0 = time.time()
         try:
@@ -48,7 +63,11 @@ def main() -> None:
             f"({results[name]['sec']}s)",
             flush=True,
         )
-    errors = {k: v for k, v in results.items() if v["status"] != "ok"}
+    errors = {
+        k: v
+        for k, v in results.items()
+        if v["status"] not in ("ok", "skipped_quadratic_twin")
+    }
     out = {
         "sf_dir": args.sf,
         "queries": len(results),
