@@ -838,3 +838,72 @@ def cdc_chunk_duplicate_spans(
         )
         .select(F.col("doc_id").alias(id_col), "dup_start", "dup_end")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-≤1 pairs by deletion-neighborhood blocking
+    (FastSS, Bocek et al. 2007 — public algorithm): each string emits
+    itself plus every single-character deletion; any two strings at
+    Levenshtein distance ≤ 1 share at least one variant (substitution →
+    same string after deleting the differing position from both;
+    insert/delete → the shorter string IS a deletion variant of the
+    longer). Candidates equi-join on the hashed variant, then the exact
+    ``levenshtein`` filter verifies — a SUPERSET-then-verify scheme, so
+    results equal the naive blocked self-join exactly.
+
+    Scale shape: ~(len+1) variant rows per string and one shuffle on
+    the 8-byte variant hash; bucket occupancy ≈ true near-dup group
+    sizes, NEVER the block size. Blocking a self-join on a
+    fixed-cardinality key (e.g. 25 nations) grows pairs QUADRATICALLY
+    with data — this path is what survives 100 TB. Only
+    ``max_dist=1`` is supported (k>1 needs k-deletion neighborhoods,
+    whose variant count explodes combinatorially).
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    blocks = list(block_cols or [])
+    name, ident = F.col(text_col), F.col(id_col)
+    # variants: the string itself + each single-char deletion, hashed.
+    # Empty strings guard against sequence(1, 0), which Spark infers as
+    # DESCENDING [1, 0] rather than empty.
+    deletions = F.when(
+        F.length(name) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(name)),
+            lambda i: F.concat(
+                F.substring(name, F.lit(1), (i - 1).cast("int")),
+                F.substring(name, (i + 1).cast("int"), F.length(name).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = df.select(
+        ident.alias("_vid"),
+        name.alias("_vname"),
+        *[F.col(c) for c in blocks],
+        F.explode(
+            F.array_union(F.array(name), deletions)
+        ).alias("_var"),
+    ).select(
+        "_vid", "_vname", *blocks, F.xxhash64("_var").alias("_vh")
+    )
+    a = variants.select(
+        F.col("_vid").alias("id_a"), F.col("_vname").alias("_na"), *blocks, "_vh"
+    )
+    b = variants.select(
+        F.col("_vid").alias("id_b"), F.col("_vname").alias("_nb"), *blocks, "_vh"
+    )
+    return (
+        a.join(b, blocks + ["_vh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_na", "_nb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1359,3 +1359,40 @@ def test_drop_repeated_paragraphs_null_text_kept(spark):
     df = spark.createDataFrame([(1, None), (2, "a b a")], "doc_id long, text string")
     out = {r.doc_id: r.text for r in text_ops.drop_repeated_paragraphs(df, sep=" ").collect()}
     assert out[1] == "" and out[2] == "a b"
+
+
+def test_edit_distance_pairs_matches_naive(spark):
+    """FastSS deletion blocking returns EXACTLY the naive all-pairs
+    levenshtein<=1 result: substitution, insertion, deletion pairs in;
+    distance-2 pairs out."""
+    rows = [
+        (1, "customer01"),
+        (2, "customer02"),   # substitution of 1
+        (3, "customer013"),  # insertion into 1
+        (4, "ustomer01"),    # deletion from 1
+        (5, "custXmer9Z"),   # distance 2+ from everything
+        (6, ""),
+        (7, "a"),
+        (8, "b"),            # dist 1 from 7 (substitution), 1 from 6? ("" -> "b" is insertion, dist 1)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df, "name", "id").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a_id, b_id): lev(a, b)
+        for (a_id, a), (b_id, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
