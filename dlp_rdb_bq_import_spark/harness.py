@@ -3596,6 +3596,83 @@ def q_tpch_q11(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — time-series resample / retention (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(FLOOR(datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0)
+              AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM bounds
+)
+SELECT s.user_id,
+       CAST(s.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+       b.avg_value,
+       last_value(b.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS filled_value
+FROM spine s LEFT JOIN b USING (user_id, bucket)
+"""
+
+
+@query("resample_gapfill", oracle=_RESAMPLE_SQL)
+def q_resample_gapfill(spark, sf_dir):
+    """EXT — fixed-grain resample with dense spine + forward fill
+    (operators/timeseries.py). Hourly buckets per user; gap buckets get
+    n_events=0 and carry the last seen mean forward. The spine is
+    sequence+explode executor-side; buckets are origin-relative so the
+    session timezone cancels."""
+    from .operators.timeseries import resample_gapfill
+
+    return resample_gapfill(
+        t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_cols=["user_id"],
+        value_col="value",
+        grain_seconds=3600,
+    )
+
+
+_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+), marks AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(datediff('second', TIMESTAMP '2024-01-01 00:00:00', first_ts)
+                    / 604800.0) AS BIGINT) AS cohort,
+         CAST(FLOOR(datediff('second', first_ts, ts) / 604800.0) AS BIGINT)
+           AS week_offset
+  FROM f
+)
+SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS active_users
+FROM marks GROUP BY cohort, week_offset
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_SQL)
+def q_cohort_retention(spark, sf_dir):
+    """EXT — weekly retention matrix (operators/timeseries.py): users
+    bucketed by first-seen week, counted per whole-week offset from
+    their own first event. Exact integer arithmetic end to end."""
+    from .operators.timeseries import cohort_retention
+
+    return cohort_retention(
+        t(spark, sf_dir, "events"), user_col="user_id", ts_col="ts"
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

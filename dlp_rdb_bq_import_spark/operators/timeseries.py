@@ -1,0 +1,141 @@
+"""Time-series operators: fixed-grain resampling with gap fill and
+forward fill, and cohort retention matrices.
+
+The reference has no time-series surface (its only temporal logic is
+CAST-based date filters in the default reid query,
+BQReIdentificationPipelineOptions.java:15-17); these are north-star
+operators for event-log curation at scale.
+
+Scale posture
+-------------
+``resample_gapfill`` is three narrow-keyed shuffles, each linear in its
+input: (1) aggregate events to (key, bucket) — map-side partial combine
+applies; (2) per-key min/max bounds — tiny, one row per key; (3) a
+left join of the dense spine onto the aggregates, co-partitioned on
+(key, bucket). The spine is generated executor-side with
+``sequence``+``explode`` — no driver collect, no cartesian — and its
+size is bounded by (time range / grain) per key, independent of event
+count. The forward-fill window is a single per-key linear pass.
+Buckets are integer offsets from a caller-fixed origin, so semantics
+do not depend on the session timezone.
+
+``cohort_retention`` is one exact integer aggregation over
+(cohort bucket, offset bucket): two shuffles (per-user first-seen, then
+the matrix), both with partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucket(ts: Column, origin: str, grain_seconds: int) -> Column:
+    """Integer bucket index of ``ts`` relative to ``origin`` (a
+    ``'YYYY-MM-DD HH:MM:SS'`` literal). Computed as a difference of two
+    epoch values so any session-timezone offset cancels; floor division
+    keeps pre-origin timestamps correct (bucket −1, not 0)."""
+    delta = F.unix_timestamp(ts) - F.unix_timestamp(F.lit(origin).cast("timestamp"))
+    return F.floor(delta / F.lit(grain_seconds)).cast("long")
+
+
+def resample_gapfill(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    grain_seconds: int,
+    origin: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Resample ``events`` to a fixed grain per key, densify the bucket
+    spine between each key's first and last active bucket, and
+    forward-fill the per-bucket mean of ``value_col`` across gaps.
+
+    Output columns: ``key_cols…, bucket (long, grains since origin),
+    n_events (long, 0 on gap buckets), avg_value (double, NULL on gap
+    buckets), filled_value (double, last non-null avg_value)``.
+
+    The mean uses the repo-wide exact-sum discipline (cast to
+    DECIMAL(30,6), sum, divide as double) so it hash-matches a SQL
+    oracle stating the same expression.
+    """
+    reserved = {"bucket", "n_events", "avg_value", "filled_value", "_mn", "_mx", "_v"}
+    clash = reserved & set(events.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    bucketed = events.select(
+        *key_cols,
+        _bucket(F.col(ts_col), origin, grain_seconds).alias("bucket"),
+        F.col(value_col).alias("_v"),
+    )
+    agg = bucketed.groupBy(*key_cols, "bucket").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("_v").cast("decimal(30,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_value"),
+    )
+    bounds = agg.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    spine = bounds.select(
+        *key_cols, F.explode(F.sequence("_mn", "_mx")).alias("bucket")
+    )
+    joined = spine.join(agg, on=[*key_cols, "bucket"], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    grain_seconds: int = 7 * 86400,
+    origin: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Classic retention matrix: users grouped by the bucket of their
+    first event (cohort), counted as active per whole-bucket offset from
+    that first event.
+
+    Output: ``cohort (long), week_offset (long), active_users (long)``
+    — all exact integers, so the correctness oracle is bit-trivial.
+    ``week_offset`` floors the *event-time* delta from the user's first
+    event (not bucket-index difference), the standard product-analytics
+    definition: a user returning 6 days after signup is offset 0 even
+    when the two days straddle a calendar bucket edge.
+    """
+    reserved = {"cohort", "week_offset", "active_users", "_first_ts"}
+    clash = reserved & set(events.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    # Per-user first event via an unbounded window min: one shuffle on
+    # user_col, versus two (groupBy + join back) for the self-join shape.
+    wu = Window.partitionBy(user_col)
+    joined = events.select(user_col, ts_col).withColumn(
+        "_first_ts", F.min(ts_col).over(wu)
+    )
+    delta = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_first_ts"))
+    return (
+        joined.select(
+            F.col(user_col),
+            _bucket(F.col("_first_ts"), origin, grain_seconds).alias("cohort"),
+            F.floor(delta / F.lit(grain_seconds)).cast("long").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )

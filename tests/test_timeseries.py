@@ -1,0 +1,106 @@
+"""Unit tests for operators/timeseries.py: planted-gap forward fill,
+dense spine bounds, event-time cohort offsets, reserved-name guards,
+and the no-cartesian plan property of the spine join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import Row
+
+from dlp_rdb_bq_import_spark.operators.timeseries import (
+    cohort_retention,
+    resample_gapfill,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=T0 + dt.timedelta(seconds=s), value=float(v)) for u, s, v in rows]
+    )
+
+
+def test_gap_buckets_zero_filled_and_value_carried(spark):
+    # user 1: events in hour 0 and hour 3 -> hours 1,2 are gaps
+    ev = _ev(spark, [(1, 100, 10.0), (1, 200, 20.0), (1, 3 * 3600 + 5, 7.0)])
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value", grain_seconds=3600
+    )
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["n_events"] == 2 and rows[0]["avg_value"] == 15.0
+    for gap in (1, 2):
+        assert rows[gap]["n_events"] == 0
+        assert rows[gap]["avg_value"] is None
+        assert rows[gap]["filled_value"] == 15.0  # carried forward
+    assert rows[3]["filled_value"] == 7.0
+
+
+def test_spine_is_per_key_not_global(spark):
+    # user 2 is active only in hour 10; its spine must not stretch back
+    # to user 1's hour 0.
+    ev = _ev(spark, [(1, 0, 1.0), (2, 10 * 3600, 2.0)])
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value", grain_seconds=3600
+    )
+    got = {(r["user_id"], r["bucket"]) for r in out.collect()}
+    assert got == {(1, 0), (2, 10)}
+
+
+def test_pre_origin_timestamps_bucket_negative(spark):
+    ev = _ev(spark, [(1, -3600, 5.0), (1, 0, 6.0)])
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value", grain_seconds=3600
+    )
+    assert sorted(r["bucket"] for r in out.collect()) == [-1, 0]
+
+
+def test_resample_reserved_name_raises(spark):
+    ev = _ev(spark, [(1, 0, 1.0)]).withColumnRenamed("value", "bucket")
+    with pytest.raises(ValueError, match="reserved"):
+        resample_gapfill(
+            ev, ts_col="ts", key_cols=["user_id"], value_col="bucket", grain_seconds=3600
+        )
+
+
+def test_resample_plan_has_no_cartesian(spark):
+    ev = _ev(spark, [(1, 0, 1.0), (2, 3600, 2.0)])
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value", grain_seconds=3600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_offset_is_event_time_not_calendar(spark):
+    # first event on day 6 of week 0; return 6 days later (day 12,
+    # calendar week 1) -> event-time offset is still 0.
+    week = 7 * 86400
+    ev = _ev(spark, [(1, 6 * 86400, 1.0), (1, 12 * 86400, 1.0)])
+    out = cohort_retention(ev, user_col="user_id", ts_col="ts")
+    rows = {(r["cohort"], r["week_offset"]): r["active_users"] for r in out.collect()}
+    assert rows == {(0, 0): 1}
+    # 8 days later -> offset 1
+    ev2 = _ev(spark, [(1, 6 * 86400, 1.0), (1, 6 * 86400 + week + 10, 1.0)])
+    out2 = cohort_retention(ev2, user_col="user_id", ts_col="ts")
+    rows2 = {(r["cohort"], r["week_offset"]): r["active_users"] for r in out2.collect()}
+    assert rows2 == {(0, 0): 1, (0, 1): 1}
+
+
+def test_cohort_counts_distinct_users_once_per_offset(spark):
+    # two events same user same offset week -> counted once
+    ev = _ev(spark, [(1, 0, 1.0), (1, 100, 1.0), (2, 0, 1.0)])
+    out = cohort_retention(ev, user_col="user_id", ts_col="ts")
+    rows = {(r["cohort"], r["week_offset"]): r["active_users"] for r in out.collect()}
+    assert rows == {(0, 0): 2}
+
+
+def test_cohort_reserved_name_raises(spark):
+    ev = _ev(spark, [(1, 0, 1.0)]).withColumnRenamed("value", "cohort")
+    with pytest.raises(ValueError, match="reserved"):
+        cohort_retention(ev, user_col="user_id", ts_col="ts")
