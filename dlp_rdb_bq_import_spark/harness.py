@@ -3673,6 +3673,55 @@ def q_cohort_retention(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — exact correlation matrix (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+def _corr_oracle_sql(table: str, cols: list[str], scale: int) -> str:
+    """DuckDB twin of profiling.correlation_matrix: identical quantize →
+    exact integer moments (HUGEINT = int128, superset of the engine's
+    DECIMAL(38,0)) → identical double formula."""
+    k = len(cols)
+    qs = ", ".join(
+        f"CAST(round({c} * {scale}) AS HUGEINT) AS x{i}" for i, c in enumerate(cols)
+    )
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for i in range(k):
+        sums.append(f"sum(x{i}) AS s{i}")
+        for j in range(i, k):
+            sums.append(f"sum(x{i} * x{j}) AS s{i}_{j}")
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            den = (
+                f"(sqrt(CAST(n*s{i}_{i} - s{i}*s{i} AS DOUBLE)) * "
+                f"sqrt(CAST(n*s{j}_{j} - s{j}*s{j} AS DOUBLE)))"
+            )
+            rows.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"CASE WHEN {den} <> 0.0 THEN "
+                f"CAST(n*s{i}_{j} - s{i}*s{j} AS DOUBLE) / {den} END AS corr FROM s"
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH q AS (SELECT {qs} FROM {table}),\ns AS (SELECT {', '.join(sums)} FROM q)\n{union}"
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("numeric_correlations", oracle=_corr_oracle_sql("lineitem", _CORR_COLS, 100))
+def q_numeric_correlations(spark, sf_dir):
+    """EXT — pairwise Pearson correlation of lineitem's numeric columns
+    in one scan + one single-row aggregation (profiling.py). Built-in
+    `corr` is order-dependent in its double accumulation; this variant
+    quantizes to integers and sums moments exactly, so the value
+    hash-matches the oracle bit for bit."""
+    from .operators.profiling import correlation_matrix
+
+    return correlation_matrix(t(spark, sf_dir, "lineitem"), _CORR_COLS, scale=100)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

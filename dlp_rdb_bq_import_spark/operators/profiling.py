@@ -232,3 +232,80 @@ def integer_zscore_outliers(
     rhs = F.lit(threshold * threshold) * (n * sq - s * s)
     flag = F.when(ok.isNull(), F.coalesce(lhs > rhs, F.lit(False)))
     return df.withColumn("is_outlier", flag)
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], scale: int = 100
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE scan + ONE
+    single-row aggregation, bit-exact across engines.
+
+    Built-in ``corr`` accumulates doubles in partition order, so Spark
+    and a SQL oracle disagree in the last bits. Here each value is
+    quantized to an integer (``round(x·scale)`` — the repo-wide
+    embedding discipline, operators/similarity.py), every moment
+    (Σx, Σx², Σxy, n) is summed EXACTLY in decimal, and
+    ``corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))``
+    is evaluated in double from those exact integers — a fixed,
+    engine-identical sequence of correctly-rounded IEEE ops.
+
+    Scale shape: one partial-aggregated global agg (k + k(k+1)/2
+    sums in a single reduce row), then k(k−1)/2 output rows projected
+    from that broadcastable single row — no shuffle grows with k, no
+    per-pair passes, no driver math. Precondition (documented, same
+    family as integer_zscore_outliers): n·(scale·max|x|)² < 10³⁸ so
+    the decimal moments cannot overflow — at 100 TB rows with values
+    quantized to 1e9 that bound still holds by ~10 orders.
+
+    Output: (col_x string, col_y string, corr double) for i < j pairs.
+    Zero-variance columns yield NULL corr (0/0), both engines alike.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    qcols = [
+        F.round(F.col(c).cast("double") * scale, 0)
+        .cast("decimal(18,0)")
+        .alias(f"_x{i}")
+        for i, c in enumerate(cols)
+    ]
+    q = df.select(*qcols)
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"_x{i}")).alias(f"_s{i}"))
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_s{i}_{j}")
+            )
+    wide = q.agg(*aggs)
+
+    n = F.col("_n")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = (n * F.col(f"_s{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")).cast(
+                "double"
+            )
+            den_i = F.sqrt(
+                (n * F.col(f"_s{i}_{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")).cast(
+                    "double"
+                )
+            )
+            den_j = F.sqrt(
+                (n * F.col(f"_s{j}_{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")).cast(
+                    "double"
+                )
+            )
+            den = den_i * den_j
+            # zero-variance columns: explicit NULL (ANSI mode raises on
+            # the 0/0 the naive formula would hit; oracle states the
+            # same CASE so both engines agree)
+            corr = F.when(den != 0.0, num / den)
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    corr.alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("_p")).select("_p.*")

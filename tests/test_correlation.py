@@ -1,0 +1,52 @@
+"""Unit tests for profiling.correlation_matrix: agreement with numpy,
+zero-variance NULLs, pair coverage, and the single-aggregation plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row
+
+from dlp_rdb_bq_import_spark.operators.profiling import correlation_matrix
+
+
+def test_matches_numpy_within_quantization(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(10, 3, 400).round(2)
+    b = (a * 1.7 + rng.normal(0, 1, 400)).round(2)
+    c = rng.uniform(0, 5, 400).round(2)
+    df = spark.createDataFrame(
+        [Row(a=float(x), b=float(y), c=float(z)) for x, y, z in zip(a, b, c)]
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"], scale=100).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), got in out.items():
+        arr = {"a": a, "b": b, "c": c}
+        want = np.corrcoef(arr[x], arr[y])[0, 1]
+        # quantization at scale=100 on 2-dp data is exact -> tight
+        assert abs(got - want) < 1e-9, (x, y, got, want)
+
+
+def test_zero_variance_gives_null(spark):
+    df = spark.createDataFrame([Row(a=1.0, b=float(i)) for i in range(10)])
+    rows = correlation_matrix(df, ["a", "b"]).collect()
+    assert len(rows) == 1 and rows[0]["corr"] is None
+
+
+def test_needs_two_columns(spark):
+    df = spark.createDataFrame([Row(a=1.0)])
+    with pytest.raises(ValueError, match="two columns"):
+        correlation_matrix(df, ["a"])
+
+
+def test_single_aggregation_no_join(spark):
+    df = spark.createDataFrame([Row(a=float(i), b=float(i * i)) for i in range(20)])
+    out = correlation_matrix(df, ["a", "b"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan, no self-joins or per-pair passes
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final, AQE stages
