@@ -3722,6 +3722,57 @@ def q_numeric_correlations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — cross-document n-gram novelty (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+           AS g
+  FROM tk WHERE len(t) >= 2
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM bg GROUP BY 1
+), db AS (
+  SELECT DISTINCT doc_id, g FROM bg
+), fr AS (
+  SELECT g, count(*) AS df FROM db GROUP BY 1
+), per AS (
+  SELECT db.doc_id,
+         CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+         CAST(SUM(CASE WHEN fr.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique_ngrams
+  FROM db JOIN fr USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(per.n_distinct_ngrams, 0) AS BIGINT) AS n_distinct_ngrams,
+       CAST(COALESCE(per.n_unique_ngrams, 0) AS BIGINT) AS n_unique_ngrams,
+       CASE WHEN COALESCE(per.n_distinct_ngrams, 0) > 0
+            THEN CAST(per.n_unique_ngrams AS DOUBLE)
+                 / CAST(per.n_distinct_ngrams AS DOUBLE) END AS unique_fraction
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@query("ngram_novelty", oracle=_NGRAM_NOVELTY_SQL)
+def q_ngram_novelty(spark, sf_dir):
+    """EXT — corpus-level bigram novelty per document (text.py): the
+    fraction of a doc's distinct bigrams appearing in no other doc —
+    the cross-document boilerplate signal. unique_fraction is one exact
+    integer division, so it hash-matches bit for bit."""
+    from .operators.text import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), n=2)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

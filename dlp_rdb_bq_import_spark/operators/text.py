@@ -536,3 +536,83 @@ def drop_repeated_paragraphs(
             sep,
         ).alias(text_col)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Cross-document n-gram novelty profile — the corpus-level
+    boilerplate/template signal (CCNet/Gopher family): for each document,
+    how many of its distinct n-grams appear in NO other document.
+
+    Output per input row: ``id_col, n_ngrams (long, with duplicates),
+    n_distinct_ngrams (long), n_unique_ngrams (long, corpus df == 1),
+    unique_fraction (double — exact single division; NULL when the doc
+    has fewer than n tokens)``. Low unique_fraction ⇒ the document is
+    largely assembled from shared boilerplate.
+
+    Scale shape: explode → distinct(doc, gram) → groupBy(gram) document
+    frequency → equi-join back → groupBy(doc). Every stage is a keyed
+    shuffle with partial aggregation; nothing is all-pairs and no state
+    grows beyond (distinct grams × docs containing them). With
+    ``hash_grams=True`` the join/groupBy key is ``xxhash64(gram)``
+    (8 bytes instead of the string — the right setting at 100 TB;
+    collisions at ~2^-64 per pair slightly undercount novelty, so the
+    gate query keeps string grams for bit-exactness).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    reserved = {"_tk", "_g", "_df", "n_ngrams", "n_distinct_ngrams",
+                "n_unique_ngrams", "unique_fraction"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_tk"))
+    grams = (
+        toks.where(F.size("_tk") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                    lambda i: F.array_join(F.slice("_tk", i, n), " "),
+                )
+            ).alias("_g"),
+        )
+    )
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("_g").alias("_g"))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    doc_gram = grams.distinct()
+    docfreq = doc_gram.groupBy("_g").agg(F.count("*").alias("_df"))
+    per_doc = (
+        doc_gram.join(docfreq, on="_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique_ngrams"),
+        )
+    )
+    base = df.select(id_col)
+    out = (
+        base.join(totals, on=id_col, how="left")
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_distinct_ngrams", F.lit(0)).cast("long").alias("n_distinct_ngrams"),
+            F.coalesce("n_unique_ngrams", F.lit(0)).cast("long").alias("n_unique_ngrams"),
+            F.when(
+                F.coalesce("n_distinct_ngrams", F.lit(0)) > 0,
+                F.col("n_unique_ngrams").cast("double")
+                / F.col("n_distinct_ngrams").cast("double"),
+            ).alias("unique_fraction"),
+        )
+    )
+    return out
