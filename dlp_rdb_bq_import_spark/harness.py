@@ -3773,6 +3773,42 @@ def q_ngram_novelty(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — frequent item pairs (operators/itemsets.py)
+# ---------------------------------------------------------------------------
+
+
+_ITEM_PAIRS_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), s AS (
+  SELECT it, count(*) AS n FROM b GROUP BY 1
+), p AS (
+  SELECT b.bk, b.it FROM b JOIN s USING (it) WHERE s.n >= 2
+)
+SELECT a.it AS item_a, c.it AS item_b, CAST(count(*) AS BIGINT) AS support
+FROM p a JOIN p c ON a.bk = c.bk AND a.it < c.it
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@query("frequent_item_pairs", oracle=_ITEM_PAIRS_SQL)
+def q_frequent_item_pairs(spark, sf_dir):
+    """EXT — market-basket pair mining (itemsets.py): parts bought
+    together in >= 2 orders. A-Priori item-support pruning runs before
+    any pair generation, so the per-basket self-join never touches the
+    infrequent tail."""
+    from .operators.itemsets import frequent_item_pairs
+
+    return frequent_item_pairs(
+        t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 
