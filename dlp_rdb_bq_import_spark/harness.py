@@ -3809,6 +3809,25 @@ def q_frequent_item_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — one-pass PCA projection (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_pca")  # float eigendecomposition — rows-only; numpy-parity pytest
+def q_embedding_pca(spark, sf_dir):
+    """EXT — exact full-corpus PCA in one distributed moment pass
+    (similarity.pca_fit/pca_project): partitions reduce to (n, Σx, Σxxᵀ)
+    via Arrow-batched numpy, a salted combine tree-reduces, the driver
+    eigendecomposes d×d, and the projection runs JVM-side as
+    literal-component dot products. No SQL oracle (eigenvectors are an
+    iterative float fixpoint); agreement with numpy's PCA is pinned in
+    tests/test_pca.py."""
+    from .operators.similarity import pca_project
+
+    return pca_project(t(spark, sf_dir, "embeddings"), k=4)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -689,3 +689,111 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("adc_dist", 9).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: exact one-pass PCA (moments -> driver eig)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over the FULL corpus in one distributed pass.
+
+    The sufficient statistics of PCA are (n, Σx, Σxxᵀ) — d + d² numbers
+    regardless of corpus size. Each partition reduces its rows to one
+    such moment row inside an Arrow-batched mapInPandas (numpy BLAS
+    Gram update, no per-row Python); a salted applyInPandas combine
+    tree-reduces P partition rows to ≤64, and the driver sums those and
+    eigendecomposes the d×d covariance — driver work is O(d³), driver
+    memory O(d²), both independent of row count. This is the textbook
+    scalable-PCA shape for tall-skinny matrices (n ≫ d; for d in the
+    thousands you would switch to randomized SVD).
+
+    Returns ``(mean (d,), explained_variance (k,), components (k, d))``
+    with eigenvalues descending and each component's sign fixed so its
+    largest-|entry| coordinate is positive — fully deterministic given
+    the same moments.
+    """
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    d = len(head[0])
+
+    moment_schema = "n long, s array<double>, g array<double>"
+
+    def partial(batches):
+        n, s, g = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            if len(X):
+                n += len(X)
+                s += X.sum(axis=0)
+                g += X.T @ X
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n"].sum())
+        s = np.sum([np.asarray(v) for v in pdf["s"]], axis=0)
+        g = np.sum([np.asarray(v) for v in pdf["g"]], axis=0)
+        return pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    partials = (
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(partial, schema=moment_schema)
+        .withColumn("_salt", F.spark_partition_id() % 64)
+        .groupBy("_salt")
+        .applyInPandas(
+            lambda p: combine(p.drop(columns=["_salt"])), schema=moment_schema
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in partials)
+    if n == 0:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    s = np.sum([np.asarray(r["s"]) for r in partials], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in partials], axis=0).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # symmetrize away float drift
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].T  # (k, d)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, np.maximum(evals[order], 0.0), comps
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Project each vector onto the top-k principal components.
+
+    Output: ``id_col, pc1..pck (double)`` — scalar columns (array
+    outputs break downstream canonicalization). The projection itself
+    runs JVM-side: each component becomes a literal-array zip_with /
+    aggregate dot product minus a precomputed scalar offset, so the hot
+    per-row path is whole-stage-codegen arithmetic with the tiny (k·d)
+    model shipped inside the plan — the broadcast-the-model pattern.
+    """
+    mean, _, comps = fitted if fitted is not None else pca_fit(df, vec_col, k)
+    out_cols = [F.col(id_col)]
+    for i, c in enumerate(comps):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        offset = float(np.dot(mean, c))
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_cols.append((dot - F.lit(offset)).alias(f"pc{i + 1}"))
+    return df.select(*out_cols)
