@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     # round 4 additions: substring-level + within-doc dedup
     "dedup_substring",
     "dedup_paragraphs",
+    # round 4 additions: timeseries/stats/itemsets/PCA surface
+    "resample_gapfill",
+    "cohort_retention",
+    "numeric_correlations",
+    "ngram_novelty",
+    "frequent_item_pairs",
+    "embedding_pca",
 ]
 
 

@@ -3828,6 +3828,60 @@ def q_embedding_pca(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — per-group OLS trend (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_LINEAR_TREND_SQL = """
+WITH q AS (
+  SELECT o_custkey,
+         CAST(round(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                    * 1) AS HUGEINT) AS qx,
+         CAST(round(o_totalprice * 100) AS HUGEINT) AS qy
+  FROM orders
+), a AS (
+  SELECT o_custkey, CAST(count(*) AS HUGEINT) AS n,
+         sum(qx) AS sx, sum(qy) AS sy, sum(qx*qy) AS sxy, sum(qx*qx) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT o_custkey, CAST(n AS BIGINT) AS n,
+  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0.0
+       THEN (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+            * CAST(0.01 AS DOUBLE)
+  END AS slope,
+  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0.0
+       THEN ((CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)) / CAST(100 AS DOUBLE)
+  END AS intercept
+FROM a
+"""
+
+
+@query("customer_spend_trend", oracle=_LINEAR_TREND_SQL)
+def q_customer_spend_trend(spark, sf_dir):
+    """EXT — per-customer OLS spend trend (profiling.py): slope in
+    dollars/day and intercept at the 1992-01-01 origin, from exact
+    decimal moments in ONE grouped aggregation — same bit-exactness
+    recipe as numeric_correlations. Single-order customers get NULL
+    slope (explicit CASE, not a 0/0)."""
+    from .operators.profiling import grouped_linear_trend
+
+    orders = t(spark, sf_dir, "orders")
+    return grouped_linear_trend(
+        orders,
+        group_cols=["o_custkey"],
+        x_col=F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ),
+        y_col="o_totalprice",
+        scale_x=1,
+        scale_y=100,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -309,3 +309,62 @@ def correlation_matrix(
                 )
             )
     return wide.select(F.explode(F.array(*pairs)).alias("_p")).select("_p.*")
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col,
+    y_col,
+    scale_x: int = 1,
+    scale_y: int = 100,
+) -> DataFrame:
+    """Per-group OLS trend line — bit-exact across engines, one shuffle.
+
+    ``x_col`` / ``y_col`` may be column names or Column expressions
+    (e.g. a datediff that turns a date into integer days). Each is
+    quantized (``round(v·scale)``) to an integer; the per-group moments
+    (n, Σx, Σy, Σxy, Σx²) are summed EXACTLY in decimal with ordinary
+    partial aggregation, and
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)   [quantized units]
+        intercept = (Σy − slope·Σx) / n
+
+    are evaluated in double from those exact integers — the same fixed
+    IEEE sequence the SQL oracle states. Slope is rescaled back to
+    y-units-per-x-unit (× scale_x / scale_y), intercept to y units.
+
+    Degenerate groups (all x equal, or n = 1) get NULL slope/intercept
+    — explicit CASE, since ANSI mode raises on the naive 0/0.
+
+    Scale shape: ONE partially-aggregated groupBy; five decimal sums of
+    state per group. The same precondition family as
+    correlation_matrix: n·(scale·max|v|)² must stay under 10³⁸.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    qx = F.round(x * scale_x, 0).cast("decimal(18,0)")
+    qy = F.round(y * scale_y, 0).cast("decimal(18,0)")
+    base = df.select(*group_cols, qx.alias("_qx"), qy.alias("_qy"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_qx").alias("_sx"),
+        F.sum("_qy").alias("_sy"),
+        F.sum(F.col("_qx") * F.col("_qy")).alias("_sxy"),
+        F.sum(F.col("_qx") * F.col("_qx")).alias("_sxx"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    den = (n * F.col("_sxx") - sx * sx).cast("double")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    slope_q = F.when(den != 0.0, num / den)  # quantized units
+    slope = slope_q * F.lit(float(scale_x) / float(scale_y))
+    intercept = (
+        (sy.cast("double") - slope_q * sx.cast("double")) / n.cast("double")
+    ) / F.lit(float(scale_y))
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
