@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "frequent_item_pairs",
     "embedding_pca",
+    # round 4 additions: graph/rules/markov/quantization surface
+    "supplier_triangles",
+    "association_rules",
+    "event_transitions",
+    "embedding_quantize_int8",
 ]
 
 

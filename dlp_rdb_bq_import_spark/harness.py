@@ -3882,6 +3882,189 @@ def q_customer_spend_trend(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+_TRIANGLE_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+), d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pn AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+), tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM pn GROUP BY 1
+)
+SELECT d.node, d.degree, CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles
+FROM d LEFT JOIN tc USING (node)
+"""
+
+
+@query("supplier_triangles", oracle=_TRIANGLE_SQL)
+def q_supplier_triangles(spark, sf_dir):
+    """EXT — per-node triangle counts on the supplier co-supply graph
+    (graph.py triangle_count): suppliers are adjacent when they supply
+    the same part. Degree-ordered orientation keeps candidate wedges at
+    O(|E|^1.5); the oracle is the naive three-way self-join, integer
+    exact."""
+    from .operators.graph import triangle_count
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.withColumnsRenamed({"l_suppkey": "sa"})
+    b = ps.withColumnsRenamed({"l_suppkey": "sb"})
+    edges = (
+        a.join(b, "l_partkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — association rules (operators/itemsets.py)
+# ---------------------------------------------------------------------------
+
+
+_ASSOC_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), s AS (
+  SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+), p AS (
+  SELECT b.bk, b.it FROM b JOIN s USING (it) WHERE s.n >= 2
+), pairs AS (
+  SELECT a.it AS item_a, c.it AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM p a JOIN p c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), nb AS (
+  SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, support FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.support,
+       CAST(d.support AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+       CAST(d.support * nb.n_baskets AS DOUBLE)
+         / CAST(sa.n * sc.n AS DOUBLE) AS lift
+FROM directed d
+JOIN s sa ON sa.it = d.antecedent
+JOIN s sc ON sc.it = d.consequent
+CROSS JOIN nb
+"""
+
+
+@query("association_rules", oracle=_ASSOC_RULES_SQL)
+def q_association_rules(spark, sf_dir):
+    """EXT — directed market-basket rules with confidence and lift
+    (itemsets.py association_rules). Floats are exact int64 products
+    widened to double before one IEEE division, so they hash-match the
+    oracle bit for bit."""
+    from .operators.itemsets import association_rules
+
+    return association_rules(
+        t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — event transition profile (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+), c AS (
+  SELECT prev AS from_state, event_type AS to_state,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_state, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1
+)
+SELECT c.from_state, c.to_state, c.n,
+       CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS prob
+FROM c JOIN tot USING (from_state)
+"""
+
+
+@query("event_transitions", oracle=_EVENT_TRANSITIONS_SQL)
+def q_event_transitions(spark, sf_dir):
+    """EXT — first-order Markov transition matrix of the event log
+    (timeseries.py event_transitions): one per-user lag window, one
+    tiny pair aggregation; prob is a single exact-int division."""
+    from .operators.timeseries import event_transitions
+
+    return event_transitions(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        state_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — int8 embedding quantization (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), u AS (
+  SELECT vec_id, scale,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS ord
+  FROM s
+)
+SELECT vec_id,
+       CAST(ord - 1 AS INT) AS dim,
+       CAST(CASE WHEN scale > 0
+                 THEN round((CAST(x AS DOUBLE) * 127.0) / scale)
+                 ELSE 0.0 END AS INT) AS q,
+       CAST(scale AS DOUBLE) AS scale
+FROM u
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANTIZE_SQL)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """EXT — symmetric per-vector int8 quantization, long form
+    (similarity.py quantize_embeddings_int8). Scale is an exact
+    fold-max; codes are round((x*127)/scale) — fixed-order IEEE ops, so
+    the whole output hash-matches the DuckDB oracle."""
+    from .operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

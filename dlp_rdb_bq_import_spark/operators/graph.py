@@ -25,6 +25,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph.
+
+    Returns ``(node, degree, triangles)`` — one row per node of the
+    canonicalized graph, integer-exact (hash-matchable against a plain
+    three-way self-join oracle). Direction, parallel edges, and
+    self-loops are canonicalized away first (each undirected edge
+    becomes one ``u < v`` row), so the input can be any raw edge list.
+
+    Scale shape — degree-ordered orientation (the standard MapReduce
+    formulation, Suri & Vassilvitskii 2011): every canonical edge is
+    oriented from its lower ``(degree, id)`` endpoint to the higher
+    one, so each triangle has exactly ONE wedge centred at its
+    lowest-ordered vertex. The wedge self-join therefore squares only
+    low-degree adjacency lists — O(|E|^{3/2}) candidate wedges total
+    instead of Σ deg² — which is the difference between feasible and
+    not on a power-law graph at 100 TB. Three shuffles end to end:
+    degree agg, wedge self-join, closing-edge semi-join.
+    """
+    reserved = {"node", "degree", "triangles", "_u", "_v", "_du", "_dv", "_w1", "_w2"}
+    clash = reserved & {src_col, dst_col}
+    if clash:
+        raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
+
+    # canon and deg are each consumed by several downstream joins; a lazy
+    # localCheckpoint materializes them once at first action instead of
+    # replaying the distinct/agg per consumer (plan-size and recompute
+    # discipline, same as pagerank's per-iteration cuts).
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u") < F.col("_v"))  # drops self-loops and null endpoints
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    deg = (
+        canon.select(F.explode(F.array("_u", "_v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+
+    # Orient each edge low→high by (degree, id); ties break on node id so
+    # the orientation is total and deterministic.
+    with_deg = (
+        canon.join(deg.withColumnsRenamed({"node": "_u", "degree": "_du"}), "_u")
+        .join(deg.withColumnsRenamed({"node": "_v", "degree": "_dv"}), "_v")
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("src"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("dst"),
+    ).localCheckpoint(eager=False)
+
+    # Wedges centred at the lowest-ordered vertex; each candidate closes
+    # iff its (min,max) pair is a canonical edge.
+    a = oriented.withColumnsRenamed({"dst": "_w1"})
+    b = oriented.withColumnsRenamed({"dst": "_w2"})
+    wedges = a.join(b, "src").where(F.col("_w1") < F.col("_w2"))
+    # _w1 < _w2 already holds, so the canonical closing key is exactly
+    # (_w1, _w2): a plain column equi-join (hash/SMJ, broadcast-able).
+    closed = wedges.join(
+        canon,
+        (F.col("_w1") == F.col("_u")) & (F.col("_w2") == F.col("_v")),
+        "leftsemi",
+    )
+
+    per_node = (
+        closed.select(F.explode(F.array("src", "_w1", "_w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

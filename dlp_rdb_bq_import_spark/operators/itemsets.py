@@ -1,5 +1,6 @@
 """Frequent-itemset mining: pairwise co-occurrence with support
-pruning — the market-basket / feature-co-occurrence primitive.
+pruning, and directed association rules on top — the market-basket /
+feature-co-occurrence primitive.
 
 No reference counterpart (the reference delegates all analytics); this
 is north-star surface for corpus analysis (tag/domain co-occurrence,
@@ -74,4 +75,89 @@ def frequent_item_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("support"))
         .where(F.col("support") >= min_support)
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Directed association rules antecedent→consequent from frequent
+    pairs: ``antecedent, consequent, support, confidence, lift``.
+
+    confidence = support(a,b) / support(a) and
+    lift = support(a,b)·n_baskets / (support(a)·support(b)) — each is
+    exact int64 arithmetic widened to double before ONE IEEE division,
+    so the floats hash-match any engine evaluating the same expression
+    (the ``numeric_correlations`` bit-exactness recipe). Both rule
+    directions are emitted for every unordered frequent pair.
+
+    Scale shape: the pair support reuses :func:`frequent_item_pairs`
+    (A-Priori pruned self-join); item supports are ONE extra groupBy of
+    the distinct (basket, item) set; n_baskets is a scalar attached via
+    a broadcast one-row cross join — no new quadratic stage.
+    """
+    reserved = {"antecedent", "consequent", "support", "confidence", "lift",
+                "_b", "_i", "_n", "_na", "_nb", "_nc"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    # pairs (the pruned self-join) feeds both rule directions and the
+    # supports feed two joins — lazy localCheckpoints materialize each
+    # once instead of replaying the subtree per consumer.
+    pairs = frequent_item_pairs(
+        df,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_support=min_support,
+        max_basket=max_basket,
+    ).localCheckpoint(eager=False)
+    baskets = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct().localCheckpoint(eager=False)
+    item_support = baskets.groupBy("_i").agg(
+        F.count("*").cast("long").alias("_n")
+    ).localCheckpoint(eager=False)
+    n_baskets = baskets.select("_b").distinct().agg(
+        F.count("*").cast("long").alias("_nb")
+    )
+
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    return (
+        directed.join(
+            item_support.withColumnsRenamed({"_i": "antecedent", "_n": "_na"}),
+            "antecedent",
+        )
+        .join(
+            item_support.withColumnsRenamed({"_i": "consequent", "_n": "_nc"}),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (F.col("support").cast("double") / F.col("_na").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support") * F.col("_nb")).cast("double")
+                / (F.col("_na") * F.col("_nc")).cast("double")
+            ).alias("lift"),
+        )
     )

@@ -797,3 +797,53 @@ def pca_project(
         )
         out_cols.append((dot - F.lit(offset)).alias(f"pc{i + 1}"))
     return df.select(*out_cols)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the serving/storage
+    compression step of an embedding pipeline (4× over float32, 8× over
+    float64; the same scheme faiss/sentence-transformers use for scalar
+    quantization).
+
+    Output (long form, one row per dimension): ``id_col, dim (int),
+    q (int in [-127,127]), scale (double, the vector's max |x|)``.
+    Dequantization is ``q * scale / 127``. An all-zero vector gets
+    ``q = 0, scale = 0``.
+
+    Bit-exactness: ``scale`` is an exact fold-max of exact float→double
+    widenings, and each code is ``round((x·127)/scale)`` — two IEEE ops
+    in fixed order then a half-away-from-zero round, identical in any
+    engine stating the same expression, so the query hash-matches a SQL
+    oracle. Everything is whole-stage-codegen JVM arithmetic (aggregate
+    + posexplode) — no Python in the path, no shuffle at all: the
+    operator is embarrassingly parallel per row.
+    """
+    reserved = {"dim", "q", "scale", "_x"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    scale = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+        scale.alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.round((F.col("_x").cast("double") * F.lit(127.0)) / F.col("scale")),
+    ).otherwise(F.lit(0.0))
+    return exploded.select(
+        F.col(id_col),
+        F.col("dim").cast("int").alias("dim"),
+        q.cast("int").alias("q"),
+        F.col("scale"),
+    )

@@ -1,5 +1,6 @@
 """Time-series operators: fixed-grain resampling with gap fill and
-forward fill, and cohort retention matrices.
+forward fill, cohort retention matrices, and first-order event
+transition (Markov) profiles.
 
 The reference has no time-series surface (its only temporal logic is
 CAST-based date filters in the default reid query,
@@ -138,4 +139,49 @@ def cohort_retention(
         .distinct()
         .groupBy("cohort", "week_offset")
         .agg(F.count("*").cast("long").alias("active_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition profile of per-key event sequences:
+    ``from_state, to_state, n (long), prob (double)``.
+
+    ``prob`` is the row-conditional transition probability
+    n(from,to) / Σ_to n(from,·) — exact int64 counts widened to double
+    before ONE IEEE division, so it hash-matches a SQL oracle stating
+    the same expression. ``order_cols`` must be a total order within
+    each key (e.g. ``[ts, event_id]``) or the lag is nondeterministic.
+
+    Scale shape: one window shuffle on ``key_col`` (linear per-key lag
+    pass), one partial-agg groupBy on the (from,to) pair — cardinality
+    ≤ |states|², tiny — and a broadcast-able join attaching the per-from
+    totals. No self-join over events.
+    """
+    reserved = {"from_state", "to_state", "n", "prob", "_tot"}
+    clash = reserved & set(events.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.lag(state_col).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").cast("long").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("prob"),
     )

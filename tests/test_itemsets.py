@@ -82,3 +82,52 @@ def test_reserved_name_guard(spark):
     df = _baskets(spark, [(1, 1)]).withColumnRenamed("it", "support")
     with pytest.raises(ValueError, match="reserved"):
         frequent_item_pairs(df, basket_col="bk", item_col="support")
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.itemsets import association_rules  # noqa: E402
+
+
+def test_rules_hand_computed_confidence_and_lift(spark):
+    # 4 baskets; {1,2} together in 3; item 1 in 4, item 2 in 3.
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 1),
+    ]
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            _baskets(spark, rows), basket_col="bk", item_col="it", min_support=2
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (2, 1)}
+    r12, r21 = out[(1, 2)], out[(2, 1)]
+    assert r12["support"] == 3 and r21["support"] == 3
+    assert r12["confidence"] == 3 / 4          # P(2 | 1)
+    assert r21["confidence"] == 3 / 3          # P(1 | 2)
+    # lift identical in both directions: 3*4 / (4*3) = 1.0
+    assert r12["lift"] == 1.0 and r21["lift"] == 1.0
+
+
+def test_rules_lift_above_one_for_correlated_items(spark):
+    # items 5,6 always together (2 baskets of 6 total) -> lift = 2*6/(2*2) = 3
+    rows = [(i, 9) for i in range(1, 7)] + [(1, 5), (1, 6), (2, 5), (2, 6)]
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            _baskets(spark, rows), basket_col="bk", item_col="it", min_support=2
+        ).collect()
+    }
+    assert out[(5, 6)]["lift"] == 3.0
+    assert out[(5, 6)]["confidence"] == 1.0
+
+
+def test_rules_reserved_name_guard(spark):
+    df = _baskets(spark, [(1, 1)]).withColumnRenamed("it", "lift")
+    with pytest.raises(ValueError, match="reserved"):
+        association_rules(df, basket_col="bk", item_col="lift")

@@ -104,3 +104,58 @@ def test_cohort_reserved_name_raises(spark):
     ev = _ev(spark, [(1, 0, 1.0)]).withColumnRenamed("value", "cohort")
     with pytest.raises(ValueError, match="reserved"):
         cohort_retention(ev, user_col="user_id", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.timeseries import event_transitions  # noqa: E402
+
+
+def _seq(spark, rows):
+    """rows: (user, seq_no, state)"""
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=T0 + dt.timedelta(seconds=s), event_id=s, state=st)
+         for u, s, st in rows]
+    )
+
+
+def test_transitions_counts_and_probs(spark):
+    # user 1: A->B->A->B ; user 2: A->B  => A->B n=3, B->A n=1
+    ev = _seq(spark, [(1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (1, 3, "B"),
+                      (2, 0, "A"), (2, 1, "B")])
+    out = {(r["from_state"], r["to_state"]): r for r in event_transitions(
+        ev, key_col="user_id", state_col="state", order_cols=["ts", "event_id"]
+    ).collect()}
+    assert out[("A", "B")]["n"] == 3 and out[("A", "B")]["prob"] == 1.0
+    assert out[("B", "A")]["n"] == 1 and out[("B", "A")]["prob"] == 1.0
+
+
+def test_transitions_probs_sum_to_one_per_from_state(spark):
+    ev = _seq(spark, [(1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (1, 3, "C"),
+                      (2, 0, "A"), (2, 1, "B"), (2, 2, "B")])
+    rows = event_transitions(
+        ev, key_col="user_id", state_col="state", order_cols=["ts", "event_id"]
+    ).collect()
+    sums: dict[str, float] = {}
+    for r in rows:
+        sums[r["from_state"]] = sums.get(r["from_state"], 0.0) + r["prob"]
+    for s, total in sums.items():
+        assert abs(total - 1.0) < 1e-12, (s, total)
+
+
+def test_transitions_no_cross_user_leakage(spark):
+    # last state of user 1 must not chain into first state of user 2
+    ev = _seq(spark, [(1, 0, "A"), (1, 1, "B"), (2, 5, "C"), (2, 6, "D")])
+    out = {(r["from_state"], r["to_state"]) for r in event_transitions(
+        ev, key_col="user_id", state_col="state", order_cols=["ts", "event_id"]
+    ).collect()}
+    assert out == {("A", "B"), ("C", "D")}
+
+
+def test_transitions_reserved_name_raises(spark):
+    ev = _seq(spark, [(1, 0, "A")]).withColumnRenamed("state", "prob")
+    with pytest.raises(ValueError, match="reserved"):
+        event_transitions(ev, key_col="user_id", state_col="prob",
+                          order_cols=["ts"])

@@ -1,0 +1,77 @@
+"""Unit tests for graph.triangle_count: known closed forms, brute-force
+parity on a pseudo-random graph, input canonicalization, and guards."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import Row
+
+from dlp_rdb_bq_import_spark.operators.graph import triangle_count
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def _brute(pairs):
+    """Reference per-node triangle counts via itertools over the
+    canonical undirected edge set."""
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e in es for n in e})
+    tri = {n: 0 for n in nodes}
+    deg = {n: 0 for n in nodes}
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (deg[n], tri[n]) for n in nodes}
+
+
+def test_complete_k4(spark):
+    pairs = list(itertools.combinations(range(4), 2))
+    out = triangle_count(_edges(spark, pairs)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["degree"] == 3
+        assert r["triangles"] == 3  # C(3,2) wedges at each node, all closed
+    # total triangle incidences = 3 * (# triangles) = 3 * C(4,3)
+    assert sum(r["triangles"] for r in out) == 3 * 4
+
+
+def test_triangle_free_graph(spark):
+    # star graph: hub 0 to leaves 1..5 — no triangles anywhere
+    pairs = [(0, i) for i in range(1, 6)]
+    out = {r["node"]: (r["degree"], r["triangles"])
+           for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert out[0] == (5, 0)
+    assert all(out[i] == (1, 0) for i in range(1, 6))
+
+
+def test_matches_bruteforce_on_random_graph(spark):
+    # deterministic pseudo-random graph on 20 nodes
+    pairs = [((7 * i + 3) % 20, (11 * i + 5) % 20) for i in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {r["node"]: (r["degree"], r["triangles"])
+           for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert got == _brute(pairs)
+
+
+def test_canonicalization_direction_parallel_selfloops(spark):
+    # triangle {1,2,3} expressed with reversed duplicates and self-loops
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 2)]
+    out = {r["node"]: (r["degree"], r["triangles"])
+           for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert out == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_reserved_name_guard(spark):
+    df = spark.createDataFrame([Row(node=1, degree=2)])
+    with pytest.raises(ValueError, match="reserved"):
+        triangle_count(df, src_col="node", dst_col="degree")

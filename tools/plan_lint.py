@@ -61,6 +61,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "same Bloom bitmap scalar attach via its "
         "decontamination stage (see decontaminate_overlap)",
     },
+    "association_rules": {
+        "BroadcastNestedLoopJoin": "n_baskets scalar attach: build side is "
+        "a broadcast single global-aggregate row by construction",
+    },
 }
 
 
