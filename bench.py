@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "association_rules",
     "event_transitions",
     "embedding_quantize_int8",
+    "mad_price_outliers",
+    "image_phash",
 ]
 
 

@@ -4065,6 +4065,64 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — robust median/MAD outlier gate (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_MAD_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med
+  FROM orders o JOIN m USING (o_orderpriority)
+), s AS (
+  SELECT o_orderpriority,
+         quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+  FROM d GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice, d.med, s.mad,
+       CAST(CASE WHEN abs(d.o_totalprice - d.med) > (3.0 * 1.4826) * s.mad
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM d JOIN s USING (o_orderpriority)
+"""
+
+
+@query("mad_price_outliers", oracle=_MAD_OUTLIERS_SQL)
+def q_mad_price_outliers(spark, sf_dir):
+    """EXT — robust per-group outlier gate (profiling.mad_outliers):
+    |x − median| > 3·1.4826·MAD with exact R-7 medians, so heavy-tailed
+    prices can't corrupt the gate the way mean/stddev would. Borderline
+    rows are engine-exact (same IEEE expression both sides)."""
+    from .operators.profiling import mad_outliers
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(o, "o_totalprice", ["o_orderpriority"], k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — perceptual image hashing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query("image_phash")  # binary decode path — rows-only; invariance pytests
+def q_image_phash(spark, sf_dir):
+    """EXT — 64-bit dHash per image over REAL decoded BMP/PPM pixels
+    (multimodal.image_dhash): integer luma → 9×8 nearest-neighbor grid
+    → neighbor-comparison bits. Deterministic (seeded media synth), so
+    the rows-only check is stable; brightness-invariance and planted
+    near-dup detection are pinned in tests/test_phash.py. Near-dup
+    pairing reuses the SimHash pigeonhole Hamming join
+    (dedup.hamming_neardup_pairs)."""
+    from .operators.multimodal import attach_media, image_dhash
+
+    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
+    return image_dhash(d)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

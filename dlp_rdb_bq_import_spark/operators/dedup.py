@@ -534,10 +534,12 @@ def dedup_keep_representative(
     )
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_neardup_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ k.
+    """Near-dup pairs among 64-bit signatures by Hamming distance ≤ k —
+    the shared candidate engine behind SimHash text near-dup and
+    perceptual-hash image near-dup.
 
     Pigeonhole banding: split the 64-bit signature into ``max_hamming+1``
     chunks; any pair within distance k agrees on ≥1 chunk → equi-join on
@@ -546,27 +548,36 @@ def simhash_neardup_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = simhash(df, text_col, id_col)
     pieces = [
         F.struct(
             F.lit(i).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), i * width)
+            F.shiftrightunsigned(F.col(sig_col), i * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("val"),
         ).alias(f"_c{i}")
         for i in range(chunks)
     ]
     banded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*pieces)).alias("c")
-    ).select(F.col(id_col), "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "val")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "val")
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*pieces)).alias("c")
+    ).select(F.col(id_col), sig_col, F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "chunk", "val")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "chunk", "val")
     return (
         left.join(right, ["chunk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k (see
+    :func:`hamming_neardup_pairs` for the banding shape)."""
+    return hamming_neardup_pairs(
+        simhash(df, text_col, id_col), id_col, "simhash", max_hamming
     )
 
 

@@ -366,3 +366,79 @@ def resize_images(
     return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
         run, schema=_RESIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) + image near-dup
+# ---------------------------------------------------------------------------
+
+
+def dhash_pixels(img: np.ndarray) -> int:
+    """Difference-hash of a decoded HxWx3 uint8 pixel array (the public
+    dHash algorithm): ITU-R 601 luma, nearest-neighbor downsample to
+    9x8, then one bit per horizontal neighbor comparison -> 64-bit int.
+    Pure integer/numpy arithmetic, bit-deterministic everywhere."""
+    h, w = img.shape[0], img.shape[1]
+    # integer luma (x1000 fixed point) avoids float rounding entirely
+    px = img.astype(np.int64)
+    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    yi = np.arange(8) * h // 8
+    xi = np.arange(9) * w // 9
+    grid = luma[yi][:, xi]  # 8 rows x 9 cols
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()  # 8x8 row-major
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # interpret as signed int64 for Spark LongType
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash over REAL decoded pixels
+    (media_codecs BMP/PPM decode inside an Arrow-batched mapInPandas).
+    The hash survives uniform brightness shifts (comparisons, not
+    values) and small rescales (9x8 grid) — the property that makes
+    Hamming-near hashes mean near-duplicate IMAGES, not near-duplicate
+    bytes. Output is fixed-width (id, long), so payload volume
+    collapses at this stage; everything downstream is JVM bit math."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                ids.append(int(doc_id))
+                hashes.append(dhash_pixels(decode_image(payload)))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), payload_col).mapInPandas(
+        run, schema=_DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash signatures -> the shared
+    pigeonhole-banded Hamming join (dedup.hamming_neardup_pairs — the
+    same candidate engine SimHash text near-dup uses). One Python
+    decode pass, then banded equi-joins; no cross join at any scale.
+    Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_neardup_pairs
+
+    sigs = image_dhash(df, id_col=id_col, payload_col=payload_col)
+    return hamming_neardup_pairs(sigs, "doc_id", "dhash", max_hamming)

@@ -234,6 +234,59 @@ def integer_zscore_outliers(
     return df.withColumn("is_outlier", flag)
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier flags via median / MAD (median absolute
+    deviation): flag rows with |x − median| > k·1.4826·MAD — the
+    standard robust alternative to z-scores when the metric itself has
+    heavy tails (a handful of extreme rows corrupts mean AND stddev,
+    but not the medians this gate is built from).
+
+    Bit-exactness: both medians are exact R-7 percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, proven bit-matching by
+    the ``percentile_summary`` gate row); the threshold is the fixed
+    expression ``(k·1.4826)·mad`` — one constant-folded product and one
+    multiply — and the comparison is a single IEEE subtract/abs, so any
+    engine stating the same formula agrees on every borderline row.
+
+    Shape: two grouped exact-percentile aggregations (group-key
+    shuffles over |groups|-sized outputs) with broadcast joins back —
+    the per-row path never shuffles. At 100 TB swap the exact
+    percentile for ``percentile_approx`` (same plan, mergeable sketch
+    state); the exact form is the oracle twin. Null values are never
+    flagged (flag coalesced to false); an all-null or single-row group
+    has MAD 0 and only exact-median rows survive the strict > test, so
+    nothing is flagged there either.
+
+    Returns the input plus ``med, mad, is_outlier (long 0/1)``.
+    """
+    reserved = {"med", "mad", "is_outlier", "_dev"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), on=group_cols)
+    mad = (
+        with_med.select(*group_cols, F.abs(F.col(value_col) - F.col("med")).alias("_dev"))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
+    )
+    thresh = (F.lit(k) * F.lit(1.4826)) * F.col("mad")
+    return with_med.join(F.broadcast(mad), on=group_cols).withColumn(
+        "is_outlier",
+        F.coalesce(
+            (F.abs(F.col(value_col) - F.col("med")) > thresh).cast("long"), F.lit(0)
+        ),
+    )
+
+
 def correlation_matrix(
     df: DataFrame, cols: list[str], scale: int = 100
 ) -> DataFrame:

@@ -1029,6 +1029,55 @@ def test_integer_zscore_outliers_exact(spark):
     assert abs(100 - mu) > 2 * sigma and abs(10 - mu) <= 2 * sigma
 
 
+def test_mad_outliers_flags_planted_extreme(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
+
+    # group a: symmetric cluster around 10 plus one wild 1000
+    rows = [("a", float(v)) for v in (8, 9, 10, 11, 12)] + [("a", 1000.0)]
+    rows += [("b", 5.0)]  # single-row group: MAD 0, never flagged
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    flags = {(r.g, r.v): r.is_outlier for r in out}
+    assert flags[("a", 1000.0)] == 1
+    assert all(flags[("a", float(v))] == 0 for v in (8, 9, 10, 11, 12))
+    assert flags[("b", 5.0)] == 0
+    med = {r.g: r.med for r in out}
+    assert med["a"] == 10.5 and med["b"] == 5.0
+
+
+def test_mad_outliers_resists_contamination_where_zscore_breaks(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
+
+    # 30% wild contamination inflates stddev so z-scores flag nothing;
+    # MAD still centers on the clean cluster and flags every wild row.
+    clean = [("g", 100.0 + i) for i in range(7)]
+    wild = [("g", 1e6), ("g", 2e6), ("g", 3e6)]
+    df = spark.createDataFrame(clean + wild, "g string, v double")
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    assert all(r.is_outlier == 1 for r in out if r.v >= 1e6)
+    assert all(r.is_outlier == 0 for r in out if r.v < 1000)
+
+
+def test_mad_outliers_null_values_never_flagged(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)], "g string, v double"
+    )
+    out = {r.v: r.is_outlier for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert out[None] == 0
+
+
+def test_mad_outliers_reserved_name_guard(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, mad double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        mad_outliers(df, "mad", ["g"])
+
+
 def test_check_expectations_empty_rules_and_quoted_names(spark):
     from dlp_rdb_bq_import_spark.operators.profiling import check_expectations
 
