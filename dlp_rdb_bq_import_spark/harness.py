@@ -1155,6 +1155,27 @@ def q_streaming_stream_join(spark, sf_dir):
 
 
 @query(
+    "streaming_left_join",
+    oracle="""
+SELECT c.user_id, CAST(c.event_id AS BIGINT) AS left_event,
+       CAST(p.event_id AS BIGINT) AS right_event, p.value AS right_value
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""",
+)
+def q_streaming_left_join(spark, sf_dir):
+    """W-EXT — watermarked stream-stream LEFT OUTER interval join:
+    unmatched clicks are null-extended only once the watermark proves
+    no purchase can still arrive (sentinel-flushed on the finite
+    fixture), so the emitted set equals the batch LEFT JOIN oracle."""
+    from .streaming.jobs import stream_stream_left_join
+
+    return stream_stream_left_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
     "streaming_dedup",
     oracle="""
 SELECT event_id, user_id, event_type FROM events

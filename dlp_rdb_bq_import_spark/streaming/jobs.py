@@ -256,6 +256,87 @@ def stream_stream_interval_join(
     return _run_to_memory(joined, "append")
 
 
+def stream_stream_left_join(
+    spark: SparkSession,
+    source_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    *left_type* event with its *right_type* matches within ``within``
+    after it, null-extended when none arrive — the streaming semantics
+    the inner join can't express (an unmatched row can only be emitted
+    once the watermark PROVES no match can still arrive, so the state
+    store both evicts and drives null emission).
+
+    A finite file stream never advances the final watermark past the
+    last event, so tail-end unmatched rows would sit in state forever;
+    the input is staged with one far-future sentinel event per side
+    (user −1, filtered from the output) whose arrival flushes every
+    pending null-extension in the engine's no-data batch — the same
+    discipline as stateful_sessionize. The emitted set then equals the
+    batch LEFT JOIN exactly, which is the oracle.
+    """
+    import pandas as pd
+
+    batch = spark.read.parquet(source_dir)
+    if dict(batch.dtypes).get("ts") in ("bigint", "long"):
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(batch.dtypes).get("ts") == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        return spark.createDataFrame(
+            [], "user_id long, left_event long, right_event long, right_value double"
+        )
+
+    stage = os.path.join(tempfile.mkdtemp(prefix="left_join_stream_"), "staged")
+    far = max_ts + pd.Timedelta(days=3650)
+    sentinels = spark.createDataFrame(
+        [(-1, far, -1, left_type, 0.0), (-2, far, -1, right_type, 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    batch.select("event_id", "ts", "user_id", "event_type", "value").unionByName(
+        sentinels
+    ).write.parquet(stage)
+
+    raw = spark.readStream.schema(
+        spark.read.parquet(stage).schema
+    ).parquet(stage)
+    left = (
+        raw.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_event"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        raw.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_event"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("l_user").alias("user_id"), "left_event", "right_event", "right_value"
+    )
+    out = _run_to_memory(joined, "append")
+    return out.where(F.col("user_id") >= 0)
+
+
 def session_window_counts(
     spark: SparkSession,
     source_dir: str,

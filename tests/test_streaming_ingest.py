@@ -150,6 +150,51 @@ def test_stream_stream_join_pairs(spark, tmp_path):
     assert pairs == {(1, 2), (6, 8), (7, 8)}
 
 
+def test_stream_stream_left_join_null_extends_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks (including the
+    tail-end one only a watermark flush can release) are null-extended;
+    matched clicks carry their purchases."""
+    import pandas as pd
+
+    from dlp_rdb_bq_import_spark.streaming.jobs import stream_stream_left_join
+
+    rows = [
+        # user 1: click with a purchase in the window
+        (1, pd.Timestamp("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+        (2, pd.Timestamp("2024-01-01 10:30:00"), 1, "purchase", 9.5, "{}"),
+        # user 2: click whose only purchase is outside the window
+        (3, pd.Timestamp("2024-01-01 09:00:00"), 2, "click", 0.0, "{}"),
+        (4, pd.Timestamp("2024-01-01 11:00:00"), 2, "purchase", 5.0, "{}"),
+        # user 3: the LAST event is an unmatched click — emitted only
+        # because the sentinel advances the watermark past its window
+        (5, pd.Timestamp("2024-01-01 12:00:00"), 3, "click", 0.0, "{}"),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(src / "part.parquet", index=False)
+
+    out = stream_stream_left_join(spark, str(src))
+    got = {(r["left_event"], r["right_event"]) for r in out.collect()}
+    assert got == {(1, 2), (3, None), (5, None)}
+
+
+def test_stream_stream_left_join_empty_input(spark, tmp_path):
+    import pandas as pd
+
+    from dlp_rdb_bq_import_spark.streaming.jobs import stream_stream_left_join
+
+    src = tmp_path / "events"
+    src.mkdir()
+    pd.DataFrame(
+        [], columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"event_id": "int64", "ts": "datetime64[us]", "user_id": "int64",
+              "event_type": "string", "value": "float64", "props": "string"}
+    ).to_parquet(src / "part.parquet", index=False)
+    assert stream_stream_left_join(spark, str(src)).count() == 0
+
+
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     """Event-time correctness under out-of-order delivery: batch 1
     carries window-A events plus a later event that advances the
