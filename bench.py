@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "embedding_quantize_int8",
     "mad_price_outliers",
     "image_phash",
+    "detect_gaps",
+    "lateral_topk_orders",
 ]
 
 

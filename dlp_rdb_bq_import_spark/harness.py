@@ -3903,6 +3903,67 @@ def q_customer_spend_trend(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S7 depth — correlated LATERAL subquery (native SQL surface)
+# ---------------------------------------------------------------------------
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+"""
+
+
+@query("lateral_topk_orders", oracle=_LATERAL_TOPK_SQL)
+def q_lateral_topk_orders(spark, sf_dir):
+    """S7 — correlated LATERAL subquery (each customer's 3 largest
+    orders): Catalyst decorrelates it into WindowGroupLimit (partial
+    top-k before the shuffle) + a broadcast join — no per-row re-
+    execution, the plan a hand-written window query would get. One SQL
+    string serves engine and oracle verbatim."""
+    return _sql(spark, sf_dir, _LATERAL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — temporal gap detection (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+_DETECT_GAPS_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, prev AS gap_start, ts AS gap_end,
+       CAST(date_diff('second', prev, ts) AS BIGINT) AS gap_seconds
+FROM s
+WHERE prev IS NOT NULL AND date_diff('second', prev, ts) >= 86400
+"""
+
+
+@query("detect_gaps", oracle=_DETECT_GAPS_SQL)
+def q_detect_gaps(spark, sf_dir):
+    """EXT — per-user silence periods ≥ 24 h (timeseries.detect_gaps):
+    one lag window, exact integer epoch arithmetic — the feed-went-
+    quiet monitoring primitive and the dual of sessionization."""
+    from .operators.timeseries import detect_gaps
+
+    return detect_gaps(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        min_gap_seconds=86400,
+        order_cols=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — triangle counting (operators/graph.py)
 # ---------------------------------------------------------------------------
 

@@ -1,6 +1,8 @@
-"""Distributed PageRank over an edge DataFrame — the domain/source
-quality signal a web-scale crawl-curation pipeline ranks with (public
-algorithm: Page et al. 1999; no reference counterpart — the reference
+"""Distributed graph operators over an edge DataFrame: PageRank,
+triangle counting, and k-core decomposition — the domain/source
+quality signals a web-scale crawl-curation pipeline ranks and prunes
+with (public algorithms: Page et al. 1999, Suri & Vassilvitskii 2011,
+Batagelj & Zaveršnik 2003; no reference counterpart — the reference
 has no graph surface).
 
 Spark-first shape: each power iteration is one shuffle — contributions
@@ -110,6 +112,73 @@ def triangle_count(
         "node",
         "degree",
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree ≥ k within the subgraph — via distributed peeling: drop
+    nodes under degree k, recount on the induced subgraph, repeat to
+    fixpoint. The standard community/cohesion primitive (spam rings and
+    boilerplate clusters in web graphs are high-core; tendrils are not).
+
+    Returns ``(node, degree)`` with the IN-CORE degree. The k-core is
+    unique, so the result is deterministic regardless of peel order.
+
+    Scale shape: each round is one explode+groupBy degree count and two
+    semi-joins (endpoint filters) over the shrinking edge set, with a
+    ``localCheckpoint`` lineage cut per round (the pagerank/label-prop
+    discipline); rounds ≤ peeling depth, typically tens on power-law
+    graphs. Input is canonicalized exactly like triangle_count
+    (direction, duplicates, self-loops removed).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"node", "degree", "_u", "_v"}
+    clash = reserved & {src_col, dst_col}
+    if clash:
+        raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
+
+    live = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u") < F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    deg = None
+    for _ in range(max_iterations):
+        deg = (
+            live.select(F.explode(F.array("_u", "_v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == deg.count():
+            return deg.where(F.col("degree") >= k)
+        pruned = (
+            live.join(keep.withColumnRenamed("node", "_u"), "_u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "_v"), "_v", "leftsemi")
+            .select("_u", "_v")
+            .localCheckpoint(eager=True)
+        )
+        live = pruned
+        if n_keep == 0:
+            return deg.where(F.lit(False))
+    raise RuntimeError(
+        f"kcore did not converge in {max_iterations} iterations "
+        "(raise max_iterations for very deep peeling chains)"
     )
 
 

@@ -185,3 +185,49 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("prob"),
     )
+
+
+def detect_gaps(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Silence periods per key: consecutive-event gaps of at least
+    ``min_gap_seconds`` — the monitoring/sensor-health primitive (a
+    feed that went quiet) and the session-boundary dual (sessionize
+    keeps rows between gaps; this reports the gaps themselves).
+
+    Output: ``key_col, gap_start (timestamp, last event before the
+    silence), gap_end (timestamp, first event after), gap_seconds
+    (long)`` — exact integer epoch arithmetic, so the oracle is a plain
+    lag-window SQL statement.
+
+    Shape: ONE window shuffle on the key (linear per-key lag pass); no
+    joins, no explode. ``order_cols`` extends the within-key ordering
+    past the timestamp for total determinism when timestamps tie
+    (defaults to the timestamp alone, which suffices when (key, ts) is
+    unique).
+    """
+    reserved = {"gap_start", "gap_end", "gap_seconds", "_prev"}
+    clash = reserved & set(events.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *(order_cols or []))
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_prev"))
+    return (
+        events.select(key_col, ts_col, *(order_cols or []))
+        .withColumn("_prev", prev)
+        .where(F.col("_prev").isNotNull())
+        .select(
+            key_col,
+            F.col("_prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.cast("long").alias("gap_seconds"),
+        )
+        .where(F.col("gap_seconds") >= min_gap_seconds)
+    )

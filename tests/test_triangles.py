@@ -75,3 +75,52 @@ def test_reserved_name_guard(spark):
     df = spark.createDataFrame([Row(node=1, degree=2)])
     with pytest.raises(ValueError, match="reserved"):
         triangle_count(df, src_col="node", dst_col="degree")
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.graph import kcore  # noqa: E402
+
+
+def _brute_kcore(pairs, k):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {(u, v) for u, v in es if u not in drop and v not in drop}
+
+
+def test_kcore_peels_tendril_off_clique(spark):
+    # K4 clique (nodes 0-3) plus a path 3-4-5 hanging off it
+    clique = list(itertools.combinations(range(4), 2))
+    pairs = clique + [(3, 4), (4, 5)]
+    out = {r["node"]: r["degree"] for r in kcore(_edges(spark, pairs), k=2).collect()}
+    # path nodes peel away (degree 1 after the endpoint goes); clique stays
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascade_requires_iteration(spark):
+    # chain 0-1-2-3: peeling endpoints cascades until nothing is left at k=2
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    assert kcore(_edges(spark, pairs), k=2).count() == 0
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    pairs = [((7 * i + 3) % 20, (11 * i + 5) % 20) for i in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    for k in (2, 3, 4):
+        got = {r["node"]: r["degree"]
+               for r in kcore(_edges(spark, pairs), k=k).collect()}
+        assert got == _brute_kcore(pairs, k), k
+
+
+def test_kcore_k_guard(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(_edges(spark, [(1, 2)]), k=0)
