@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "image_phash",
     "detect_gaps",
     "lateral_topk_orders",
+    "tfidf_cosine_pairs",
+    "hll_distinct_rollup",
 ]
 
 

@@ -3930,6 +3930,91 @@ def q_lateral_topk_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — approx-distinct sketch rollup (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+@query("hll_distinct_rollup")  # sketch estimates — rows-only; equality/error pytests
+def q_hll_distinct_rollup(spark, sf_dir):
+    """EXT — daily/weekly distinct users from ONE raw scan
+    (rollup.approx_distinct_rollup): day-level HLL sketches, weekly
+    level merges the day sketches with hll_union_agg — the only way
+    COUNT(DISTINCT) rolls up without re-scanning raw data at 100 TB.
+    Cascade ≡ direct-sketch equality and error bounds are pinned in
+    tests/test_rollup_sketch.py; deterministic, so rows-only is
+    stable."""
+    from .operators.rollup import approx_distinct_rollup
+
+    out = approx_distinct_rollup(
+        t(spark, sf_dir, "events"), "ts", "user_id", ["1 day", "7 days"]
+    )
+    day = out["1 day"].select(
+        F.lit("day").alias("level"), "bucket_start", "approx_distinct"
+    )
+    week = out["7 days"].select(
+        F.lit("week").alias("level"), "bucket_start", "approx_distinct"
+    )
+    return day.unionByName(week)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — sparse TF-IDF cosine similarity join (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+_TFIDF_COSINE_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), p AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(round((CAST(tf AS DOUBLE)
+                     * ((CAST(n_docs AS DOUBLE) + 1.0)
+                        / (CAST(doc_freq AS DOUBLE) + 1.0))) * 1000.0)
+              AS BIGINT) AS q
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nd
+  WHERE doc_freq <= 100
+), norms AS (
+  SELECT doc_id, sum(q * q) AS nrm FROM p GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.q * b.q) AS dot
+  FROM p a JOIN p b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.5
+"""
+
+
+@query("tfidf_cosine_pairs", oracle=_TFIDF_COSINE_SQL)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """EXT — related/near-dup document pairs by sparse TF-IDF cosine
+    (text.tfidf_cosine_pairs): inverted-index postings self-join, int64
+    quantized weights so dot products and norms are exact integer sums
+    (float-order-immune), doc-freq cap as the stop-word/skew guard.
+    Hash-matches the DuckDB oracle including the cosine doubles."""
+    from .operators.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        t(spark, sf_dir, "documents"), min_cosine=0.5, max_df=100
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — temporal gap detection (operators/timeseries.py)
 # ---------------------------------------------------------------------------
 

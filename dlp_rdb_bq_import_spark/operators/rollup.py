@@ -91,3 +91,58 @@ def present(df: DataFrame, keys: list[str]) -> DataFrame:
         # scale rules are engine-specific, IEEE double division is not
         (F.col("sum_v").cast("double") / F.col("n").cast("double")).alias("mean_v"),
     )
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    ts_col: str,
+    item_col: str,
+    levels: list[str],
+    lg_k: int = 12,
+) -> dict[str, DataFrame]:
+    """COUNT(DISTINCT) across a time hierarchy from ONE raw scan — the
+    sketch analogue of :func:`cascading_rollup` for the one aggregate
+    its mergeable partials cannot carry (distinct counts are not
+    summable: the same user active on Monday and Tuesday is one weekly
+    user, not two).
+
+    The finest level builds an HLL sketch per bucket
+    (``hll_sketch_agg``); every coarser level merges the finer level's
+    BINARY sketch column with ``hll_union_agg`` — never touching raw
+    rows again. HLL registers are per-slot maxima, so merging finer
+    sketches yields byte-identical registers to sketching the coarse
+    bucket directly (max over a union is the max of maxes) — the
+    estimate cascade is exactly as accurate as a direct rollup, which
+    the tests pin as strict equality, and relative error vs exact
+    distinct counts is the usual ~1.04/sqrt(2^lg_k).
+
+    Returns {level: DataFrame(bucket_start, sketch (binary),
+    approx_distinct (long))}; ``levels`` nest finest-first like
+    cascading_rollup.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty, finest first")
+    ts = F.col(ts_col).cast("timestamp")
+    out: dict[str, DataFrame] = {}
+    cur = (
+        df.groupBy(F.window(ts, levels[0]).alias("w"))
+        .agg(F.hll_sketch_agg(F.col(item_col), F.lit(lg_k)).alias("sketch"))
+        .select(F.col("w.start").alias("bucket_start"), "sketch")
+    )
+    out[levels[0]] = cur.select(
+        "bucket_start",
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+    )
+    for lvl in levels[1:]:
+        cur = (
+            cur.groupBy(F.window(F.col("bucket_start"), lvl).alias("w"))
+            .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+            .select(F.col("w.start").alias("bucket_start"), "sketch")
+        )
+        out[lvl] = cur.select(
+            "bucket_start",
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        )
+    return out

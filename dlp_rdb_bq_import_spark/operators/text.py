@@ -616,3 +616,83 @@ def ngram_novelty(
         )
     )
     return out
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cosine: float = 0.5,
+    max_df: int | None = None,
+    quant: int = 1000,
+) -> DataFrame:
+    """Document-pair cosine similarity over sparse TF-IDF vectors — the
+    classic IR near-duplicate/related-document join, via an inverted
+    index (never a cross join).
+
+    Output: ``id_a, id_b, cosine (double)`` for pairs with cosine ≥
+    ``min_cosine`` and at least one shared term, ``id_a < id_b``.
+
+    Bit-exactness: weights use the rational idf ``(N+1)/(df+1)`` (see
+    tfidf_top_terms) and are then QUANTIZED to int64 at ``quant``
+    resolution — dot products and norms become exact integer sums,
+    immune to float summation order, and the final cosine is the fixed
+    expression ``dot / (sqrt(na)·sqrt(nb))`` — so the whole operator
+    hash-matches a SQL oracle. Overflow bound: per-doc Σq² and per-pair
+    Σ qa·qb must fit int64 — with quant=1000, safe while
+    tf·(N+1)·quant < ~3e9·√(1/terms) per doc; at corpus scale lower
+    ``quant`` or raise ``max_df``.
+
+    Scale shape: postings self-join on the term (equi-join); fan-out is
+    Σ df² over kept terms, so ``max_df`` (drop terms in more than
+    max_df docs — stop words carry no similarity signal anyway) is the
+    skew/volume cap, the same discipline as ngram_jaccard's doc-freq
+    cap. One groupBy per (pair) with partial aggregation; norms are a
+    |docs|-sized broadcastable side.
+    """
+    reserved = {"id_a", "id_b", "cosine", "word", "tf", "doc_freq", "n_docs",
+                "_q", "_nrm", "_na", "_nb", "_dot"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
+    n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
+    w = F.col("tf").cast("double") * (
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("doc_freq").cast("double") + F.lit(1.0))
+    )
+    postings = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "word",
+            F.round(w * F.lit(float(quant))).cast("long").alias("_q"),
+        )
+        .localCheckpoint(eager=False)  # feeds norms AND both join sides
+    )
+    norms = postings.groupBy(id_col).agg(F.sum(F.col("_q") * F.col("_q")).alias("_nrm"))
+    left = postings.select(F.col(id_col).alias("id_a"), "word", F.col("_q").alias("_qa"))
+    right = postings.select(F.col(id_col).alias("id_b"), "word", F.col("_q").alias("_qb"))
+    dots = (
+        left.join(right, "word")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_qa") * F.col("_qb")).alias("_dot"))
+    )
+    cosine = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        dots.join(norms.withColumnsRenamed({id_col: "id_a", "_nrm": "_na"}), "id_a")
+        .join(norms.withColumnsRenamed({id_col: "id_b", "_nrm": "_nb"}), "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(min_cosine))
+    )
