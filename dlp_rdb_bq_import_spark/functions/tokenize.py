@@ -107,7 +107,8 @@ class TemplateRegistry:
 # Process-level FPE memo, shared across Arrow batches and tasks within a
 # Python worker (workers are reused, so this deduplicates crypto across
 # batches, not just within one). FPE is deterministic per
-# (key, alphabet, direction, tweak, value), so caching is semantics-free.
+# (key, alphabet, strict, direction, tweak, value), so caching is
+# semantics-free.
 # Bounded: cleared wholesale past _MEMO_CAP entries — a reset costs one
 # re-encryption per live distinct value, never correctness.
 _FPE_MEMO: dict[tuple, dict[str, str]] = {}
@@ -115,7 +116,10 @@ _MEMO_CAP = 2_000_000
 
 
 def _memo_table(cipher: FPECipher, forward: bool, tweak: bytes) -> dict[str, str]:
-    key = (cipher.key, cipher.alphabet, forward, tweak)
+    # strict is part of the identity: a strict cipher must raise on
+    # out-of-alphabet input, never return a lenient cipher's cached pass-
+    # through for the same (key, alphabet, value).
+    key = (cipher.key, cipher.alphabet, cipher.strict, forward, tweak)
     table = _FPE_MEMO.get(key)
     if table is None:
         if sum(len(t) for t in _FPE_MEMO.values()) > _MEMO_CAP:

@@ -3628,7 +3628,7 @@ WITH b AS (
               AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS avg_value
+           / CAST(count(value) AS DOUBLE) AS avg_value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1

@@ -96,33 +96,64 @@ def association_rules(
     (the ``numeric_correlations`` bit-exactness recipe). Both rule
     directions are emitted for every unordered frequent pair.
 
-    Scale shape: the pair support reuses :func:`frequent_item_pairs`
-    (A-Priori pruned self-join); item supports are ONE extra groupBy of
-    the distinct (basket, item) set; n_baskets is a scalar attached via
-    a broadcast one-row cross join — no new quadratic stage.
+    With ``max_basket`` set, mega-baskets are removed from the basket
+    universe FIRST and every metric — pair support, item supports,
+    n_baskets — is computed over that same capped universe, so
+    confidence and lift stay internally consistent (P(b|a) with both
+    numerator and denominator over identical baskets).
+
+    Scale shape: the same A-Priori pruned self-join as
+    :func:`frequent_item_pairs` (inlined so the distinct basket set and
+    item supports are computed once and shared); n_baskets is a scalar
+    attached via a broadcast one-row cross join — no new quadratic
+    stage.
     """
     reserved = {"antecedent", "consequent", "support", "confidence", "lift",
-                "_b", "_i", "_n", "_na", "_nb", "_nc"}
+                "_b", "_bsz", "_i", "_n", "_na", "_nb", "_nc"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
 
-    # pairs (the pruned self-join) feeds both rule directions and the
-    # supports feed two joins — lazy localCheckpoints materialize each
-    # once instead of replaying the subtree per consumer.
-    pairs = frequent_item_pairs(
-        df,
-        basket_col=basket_col,
-        item_col=item_col,
-        min_support=min_support,
-        max_basket=max_basket,
-    ).localCheckpoint(eager=False)
+    # Every metric below (pair support, item supports, n_baskets) is
+    # computed over ONE consistent basket universe: the distinct
+    # (basket, item) set, minus capped mega-baskets when max_basket is
+    # set. (Calling frequent_item_pairs and then recounting supports on
+    # the raw input would both rescan the data and mix a capped pair
+    # universe with uncapped denominators — confidence/lift would match
+    # neither definition.) Lazy localCheckpoints materialize each
+    # shared stage once instead of replaying it per consumer.
     baskets = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    if max_basket is not None:
+        # the cap counts FREQUENT items (the quantity the pair
+        # self-join squares), mirroring frequent_item_pairs
+        pre = baskets.groupBy("_i").agg(F.count("*").alias("_n"))
+        freq0 = pre.where(F.col("_n") >= min_support).select("_i")
+        sizes = (
+            baskets.join(freq0, on="_i")
+            .groupBy("_b")
+            .agg(F.count("*").alias("_bsz"))
+        )
+        keep = sizes.where(F.col("_bsz") <= max_basket).select("_b")
+        baskets = baskets.join(keep, on="_b", how="leftsemi")
+    baskets = baskets.localCheckpoint(eager=False)
+
     item_support = baskets.groupBy("_i").agg(
         F.count("*").cast("long").alias("_n")
     ).localCheckpoint(eager=False)
+    frequent = item_support.where(F.col("_n") >= min_support).select("_i")
+    pruned = baskets.join(frequent, on="_i").select("_b", "_i")
+    left_p = pruned.select("_b", F.col("_i").alias("item_a"))
+    right_p = pruned.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        left_p.join(right_p, on="_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+        .localCheckpoint(eager=False)
+    )
     n_baskets = baskets.select("_b").distinct().agg(
         F.count("*").cast("long").alias("_nb")
     )

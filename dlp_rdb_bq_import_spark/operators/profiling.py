@@ -262,28 +262,51 @@ def mad_outliers(
     has MAD 0 and only exact-median rows survive the strict > test, so
     nothing is flagged there either.
 
-    Returns the input plus ``med, mad, is_outlier (long 0/1)``.
+    Returns the input plus ``med, mad, is_outlier (long 0/1)``. Rows
+    whose group key is NULL form their own group (the joins back are
+    null-safe — a plain equi-join would silently DROP those rows).
     """
     reserved = {"med", "mad", "is_outlier", "_dev"}
+    reserved |= {f"_g{i}" for i in range(len(group_cols))}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
 
+    def _null_safe(agg_df: DataFrame, base: DataFrame):
+        """(renamed agg frame, null-safe join condition vs base)."""
+        renamed = agg_df.withColumnsRenamed(
+            {c: f"_g{i}" for i, c in enumerate(group_cols)}
+        )
+        cond = None
+        for i, c in enumerate(group_cols):
+            clause = base[c].eqNullSafe(renamed[f"_g{i}"])
+            cond = clause if cond is None else cond & clause
+        return renamed, cond
+
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
-    with_med = df.join(F.broadcast(med), on=group_cols)
+    med_r, med_cond = _null_safe(med, df)
+    with_med = df.join(F.broadcast(med_r), med_cond).drop(
+        *[f"_g{i}" for i in range(len(group_cols))]
+    )
     mad = (
         with_med.select(*group_cols, F.abs(F.col(value_col) - F.col("med")).alias("_dev"))
         .groupBy(*group_cols)
         .agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
     )
+    mad_r, mad_cond = _null_safe(mad, with_med)
     thresh = (F.lit(k) * F.lit(1.4826)) * F.col("mad")
-    return with_med.join(F.broadcast(mad), on=group_cols).withColumn(
-        "is_outlier",
-        F.coalesce(
-            (F.abs(F.col(value_col) - F.col("med")) > thresh).cast("long"), F.lit(0)
-        ),
+    return (
+        with_med.join(F.broadcast(mad_r), mad_cond)
+        .drop(*[f"_g{i}" for i in range(len(group_cols))])
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                (F.abs(F.col(value_col) - F.col("med")) > thresh).cast("long"),
+                F.lit(0),
+            ),
+        )
     )
 
 
@@ -312,6 +335,11 @@ def correlation_matrix(
 
     Output: (col_x string, col_y string, corr double) for i < j pairs.
     Zero-variance columns yield NULL corr (0/0), both engines alike.
+    NULL handling is LISTWISE deletion: a row with a NULL in ANY of
+    ``cols`` is excluded from every moment, so n and all sums describe
+    the same row universe (without this, count(*) over all rows mixed
+    with NULL-skipping sums silently corrupts every correlation
+    involving a nullable column).
     """
     k = len(cols)
     if k < 2:
@@ -322,7 +350,7 @@ def correlation_matrix(
         .alias(f"_x{i}")
         for i, c in enumerate(cols)
     ]
-    q = df.select(*qcols)
+    q = df.select(*qcols).na.drop(how="any")
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
     for i in range(k):
         aggs.append(F.sum(F.col(f"_x{i}")).alias(f"_s{i}"))
@@ -389,7 +417,11 @@ def grouped_linear_trend(
     y-units-per-x-unit (× scale_x / scale_y), intercept to y units.
 
     Degenerate groups (all x equal, or n = 1) get NULL slope/intercept
-    — explicit CASE, since ANSI mode raises on the naive 0/0.
+    — explicit CASE, since ANSI mode raises on the naive 0/0. NULL
+    handling is pairwise-complete: rows where x or y is NULL are
+    excluded BEFORE aggregation, so n and every moment describe the
+    same rows (mixing count(*) with NULL-skipping sums silently skews
+    the fit); a group with no complete (x, y) row is omitted.
 
     Scale shape: ONE partially-aggregated groupBy; five decimal sums of
     state per group. The same precondition family as
@@ -399,7 +431,9 @@ def grouped_linear_trend(
     y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
     qx = F.round(x * scale_x, 0).cast("decimal(18,0)")
     qy = F.round(y * scale_y, 0).cast("decimal(18,0)")
-    base = df.select(*group_cols, qx.alias("_qx"), qy.alias("_qy"))
+    base = df.select(*group_cols, qx.alias("_qx"), qy.alias("_qy")).where(
+        F.col("_qx").isNotNull() & F.col("_qy").isNotNull()
+    )
     agg = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum("_qx").alias("_sx"),

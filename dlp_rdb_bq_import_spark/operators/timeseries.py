@@ -72,11 +72,15 @@ def resample_gapfill(
         _bucket(F.col(ts_col), origin, grain_seconds).alias("bucket"),
         F.col(value_col).alias("_v"),
     )
+    # avg divides by the NON-NULL value count (sum skips NULLs, so
+    # dividing by count(*) would silently deflate any bucket holding a
+    # NULL value); n_events still counts every event row. An all-NULL
+    # bucket gets avg_value NULL (NULL / 0).
     agg = bucketed.groupBy(*key_cols, "bucket").agg(
         F.count("*").alias("n_events"),
         (
             F.sum(F.col("_v").cast("decimal(30,6)")).cast("double")
-            / F.count("*").cast("double")
+            / F.count("_v").cast("double")
         ).alias("avg_value"),
     )
     bounds = agg.groupBy(*key_cols).agg(

@@ -50,3 +50,14 @@ def test_single_aggregation_no_join(spark):
     # one scan, no self-joins or per-pair passes
     assert "Join" not in plan
     assert plan.count("HashAggregate") <= 4  # partial+final, AQE stages
+
+
+def test_null_rows_listwise_deleted(spark):
+    # NULL in b on the middle row: listwise deletion leaves (1,2),(3,6)
+    # -> perfect correlation; mixing count(*)=3 with 2-row sums would
+    # produce a silently wrong number.
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (3.0, 6.0)], "a double, b double"
+    )
+    out = correlation_matrix(df, ["a", "b"]).collect()[0]
+    assert out["corr"] == 1.0

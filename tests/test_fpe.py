@@ -81,3 +81,21 @@ def test_short_inputs_pass_through():
 def test_resolve_alphabet():
     assert resolve_alphabet("NUMERIC") == NUMERIC
     assert resolve_alphabet("123456789") == "123456789"
+
+
+def test_strict_cipher_not_served_from_lenient_memo():
+    """Process-level memo must key on strict: a lenient cipher's cached
+    pass-through for out-of-alphabet input must not satisfy a strict
+    cipher's lookup (which is contractually a ValueError)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.functions.fpe import FPECipher, NUMERIC
+    from dlp_rdb_bq_import_spark.functions.tokenize import _fpe_map_series
+
+    key = b"0123456789abcdef"
+    s = pd.Series(["12!34"])
+    lenient = _fpe_map_series(s, FPECipher(key, NUMERIC), True, b"t")
+    assert lenient.iloc[0].count("!") == 1  # '!' passed through
+    with _pytest.raises(ValueError):
+        _fpe_map_series(s, FPECipher(key, NUMERIC, strict=True), True, b"t")

@@ -131,3 +131,28 @@ def test_rules_reserved_name_guard(spark):
     df = _baskets(spark, [(1, 1)]).withColumnRenamed("it", "lift")
     with pytest.raises(ValueError, match="reserved"):
         association_rules(df, basket_col="bk", item_col="lift")
+
+
+def test_rules_max_basket_metrics_share_one_universe(spark):
+    # mega basket 99 holds 3 frequent items; with max_basket=2 it is dropped
+    # from the UNIVERSE, so support, confidence, lift all describe the
+    # same 4 surviving baskets.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"),
+        (99, "a"), (99, "b"), (99, "c"), (99, "d"),
+    ]
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            _baskets(spark, rows), basket_col="bk", item_col="it",
+            min_support=2, max_basket=2,
+        ).collect()
+    }
+    r = out[("b", "a")]
+    # capped universe: a in {1,2,3}, b in {1,2}, pair in {1,2}, 4 baskets
+    assert r["support"] == 2
+    assert r["confidence"] == 2 / 2
+    assert r["lift"] == (2 * 4) / (2 * 3)

@@ -65,3 +65,25 @@ def test_single_aggregation_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_null_rows_pairwise_excluded(spark):
+    # a NULL x row must not contribute to n: fit over the complete rows
+    # (1,1),(2,2) is exactly slope 1, intercept 0.
+    rows = [(0, 1.0, 1.0), (0, 2.0, 2.0), (0, None, 9.0)]
+    out = grouped_linear_trend(
+        spark.createDataFrame(rows, "g int, x double, y double"),
+        group_cols=["g"], x_col="x", y_col="y", scale_x=1, scale_y=1,
+    ).collect()[0]
+    assert out["n"] == 2
+    assert abs(out["slope"] - 1.0) < 1e-12
+    assert abs(out["intercept"]) < 1e-12
+
+
+def test_all_null_group_omitted(spark):
+    rows = [(0, None, 1.0), (1, 1.0, 1.0), (1, 2.0, 3.0)]
+    out = grouped_linear_trend(
+        spark.createDataFrame(rows, "g int, x double, y double"),
+        group_cols=["g"], x_col="x", y_col="y", scale_x=1, scale_y=1,
+    ).collect()
+    assert [r["g"] for r in out] == [1]

@@ -1445,3 +1445,16 @@ def test_edit_distance_pairs_matches_naive(spark):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_mad_outliers_null_group_key_rows_kept(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 5.0), (None, 6.0), (None, 1000.0)],
+        "g string, v double",
+    )
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    assert len(out) == 4  # NULL-group rows survive (null-safe joins)
+    nulls = {r.v: r.is_outlier for r in out if r.g is None}
+    assert nulls[1000.0] == 1 and nulls[5.0] == 0 and nulls[6.0] == 0

@@ -159,3 +159,30 @@ def test_transitions_reserved_name_raises(spark):
     with pytest.raises(ValueError, match="reserved"):
         event_transitions(ev, key_col="user_id", state_col="prob",
                           order_cols=["ts"])
+
+
+def test_resample_null_values_do_not_deflate_mean(spark):
+    # bucket holds [2.0, NULL]: mean must be 2.0 (divide by non-null
+    # count), n_events still counts both rows
+    ev = spark.createDataFrame(
+        [(1, T0, 2.0), (1, T0 + dt.timedelta(seconds=30), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value",
+        grain_seconds=3600,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2
+    assert out[0]["avg_value"] == 2.0
+
+
+def test_resample_all_null_bucket_has_null_mean(spark):
+    ev = spark.createDataFrame(
+        [(1, T0, None)], "user_id long, ts timestamp, value double"
+    )
+    out = resample_gapfill(
+        ev, ts_col="ts", key_cols=["user_id"], value_col="value",
+        grain_seconds=3600,
+    ).collect()
+    assert out[0]["n_events"] == 1 and out[0]["avg_value"] is None
