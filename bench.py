@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "lateral_topk_orders",
     "tfidf_cosine_pairs",
     "hll_distinct_rollup",
+    "snapshot_diff",
 ]
 
 

@@ -3930,6 +3930,77 @@ def q_lateral_topk_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — snapshot diff / reconciliation (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 3
+), new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 7
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice AS old_o_totalprice,
+         n.o_totalprice AS new_o_totalprice,
+         o.o_orderpriority AS old_o_orderpriority,
+         n.o_orderpriority AS new_o_orderpriority
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+              OR old_o_orderpriority IS DISTINCT FROM new_o_orderpriority
+            THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       old_o_totalprice, new_o_totalprice,
+       old_o_orderpriority, new_o_orderpriority
+FROM j
+WHERE CASE WHEN NOT in_old THEN 'added'
+           WHEN NOT in_new THEN 'removed'
+           WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+             OR old_o_orderpriority IS DISTINCT FROM new_o_orderpriority
+           THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
+@query("snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark, sf_dir):
+    """EXT — row-level reconciliation of two table snapshots
+    (cdc.snapshot_diff): added/removed/changed via ONE co-partitioned
+    full-outer join, null-safe value comparison. Snapshots are derived
+    deterministically from orders (modular deletions + a price bump) so
+    every change class is exercised."""
+    from .operators.cdc import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    old_snap = o.where(F.col("o_orderkey") % 97 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_snap = o.where(F.col("o_orderkey") % 89 != 7).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return snapshot_diff(
+        old_snap, new_snap, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — approx-distinct sketch rollup (operators/rollup.py)
 # ---------------------------------------------------------------------------
 

@@ -143,3 +143,68 @@ def scd2_lookup(
         for c in ver_cols + ["valid_from"]
     ]
     return out.select(*facts.columns, *nulled)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots of one logical table —
+    the data-diff primitive behind migration validation, replication
+    audits, and CDC backfills (what changed between yesterday's load
+    and today's?).
+
+    Output: ``keys…, change_type ('added'|'removed'|'changed'[|'unchanged']),
+    old_<c>, new_<c> for each compare col`` — added rows have NULL
+    old_*, removed rows NULL new_*. Value comparison is null-safe (NULL
+    vs NULL is unchanged; NULL vs value is a change).
+
+    Keys must be non-null and unique per snapshot (the usual snapshot
+    contract; a NULL key cannot be matched across snapshots).
+
+    Scale shape: ONE full-outer shuffle join co-partitioned on the key
+    — both sides hash to the same exchange, no broadcast assumption (at
+    100 TB both snapshots are big). Everything else is scan-local
+    column arithmetic, and ``include_unchanged=False`` (default) prunes
+    the overwhelmingly-common case out of the result early.
+    """
+    reserved = {"change_type", "_old_present", "_new_present"}
+    reserved |= {f"old_{c}" for c in compare_cols} | {f"new_{c}" for c in compare_cols}
+    clash = reserved & set(old.columns) | reserved & set(new.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *keys,
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out

@@ -182,6 +182,85 @@ def kcore(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label; stop when no label
+    changes or after ``max_iterations`` (synchronous updates can
+    two-cycle on bipartite structures, so the cap is part of the
+    algorithm, not a timeout). Deterministic: same edges → same
+    communities, independent of partitioning.
+
+    Returns ``(node, community)`` where community is the adopted label
+    (a node id). Input is canonicalized like triangle_count.
+
+    Scale shape per round: one edge↔label join shuffled on node, one
+    (node, label) count aggregation, one per-node argmax window — all
+    linear in |E| — with a lineage cut per round.
+    """
+    reserved = {"node", "community", "_u", "_v", "_lbl", "_cnt", "_nbr"}
+    clash = reserved & {src_col, dst_col}
+    if clash:
+        raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
+    from pyspark.sql import Window
+
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u") < F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # adjacency in both directions: (node, _nbr)
+    adj = (
+        canon.select(F.col("_u").alias("node"), F.col("_v").alias("_nbr"))
+        .unionByName(canon.select(F.col("_v").alias("node"), F.col("_u").alias("_nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select("node").distinct().withColumn("community", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("community").asc()
+    )
+    for _ in range(max_iterations):
+        nbr_labels = adj.join(
+            labels.withColumnsRenamed({"node": "_nbr"}), "_nbr"
+        ).select("node", "community")
+        # the node's own label votes too (standard oscillation breaker:
+        # a bare edge would otherwise swap labels forever under
+        # synchronous updates)
+        votes = nbr_labels.unionByName(labels.select("node", "community"))
+        new_labels = (
+            votes.groupBy("node", "community")
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnsRenamed({"community": "_lbl"}), "node"
+            )
+            .where(F.col("community") != F.col("_lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -127,3 +127,43 @@ def test_scd2_lookup_rejects_column_collisions(spark):
 
     with _pytest.raises(ValueError, match="collision"):
         scd2_lookup(facts, versions, on="k", fact_seq_col="fid")
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.cdc import snapshot_diff  # noqa: E402
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")], "k long, v double, s string"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "y"), (3, 31.0, "z"), (4, 40.0, "w")], "k long, v double, s string"
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert out[1]["change_type"] == "removed" and out[1]["new_v"] is None
+    assert 2 not in out  # unchanged pruned by default
+    assert out[3]["change_type"] == "changed"
+    assert (out[3]["old_v"], out[3]["new_v"]) == (30.0, 31.0)
+    assert out[4]["change_type"] == "added" and out[4]["old_v"] is None
+
+
+def test_snapshot_diff_null_values_null_safe(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    new = spark.createDataFrame([(1, None), (2, 5.0)], "k long, v double")
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"], ["v"],
+                                  include_unchanged=True).collect()}
+    assert out[1] == "unchanged"  # NULL vs NULL is not a change
+    assert out[2] == "changed"   # NULL vs value is
+
+
+def test_snapshot_diff_reserved_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, change_type string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(df, df, ["k"], ["change_type"])

@@ -124,3 +124,39 @@ def test_kcore_matches_bruteforce_random(spark):
 def test_kcore_k_guard(spark):
     with pytest.raises(ValueError, match="k must be"):
         kcore(_edges(spark, [(1, 2)]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.graph import label_propagation  # noqa: E402
+
+
+def test_label_prop_two_cliques_one_bridge(spark):
+    # two K4 cliques {0..3} and {10..13} joined by a single bridge edge:
+    # each clique converges to its own community
+    c1 = list(itertools.combinations(range(4), 2))
+    c2 = list(itertools.combinations(range(10, 14), 2))
+    pairs = c1 + c2 + [(3, 10)]
+    out = {r["node"]: r["community"]
+           for r in label_propagation(_edges(spark, pairs)).collect()}
+    assert len({out[i] for i in range(4)}) == 1
+    assert len({out[i] for i in range(10, 14)}) == 1
+    assert out[0] != out[12]
+
+
+def test_label_prop_deterministic(spark):
+    pairs = [((7 * i + 3) % 15, (11 * i + 5) % 15) for i in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    a = sorted(map(tuple, label_propagation(_edges(spark, pairs)).collect()))
+    b = sorted(map(tuple, label_propagation(_edges(spark, pairs)).collect()))
+    assert a == b
+
+
+def test_label_prop_isolated_pair_is_own_community(spark):
+    out = {r["node"]: r["community"]
+           for r in label_propagation(_edges(spark, [(1, 2), (5, 6)])).collect()}
+    assert out[1] == out[2]
+    assert out[5] == out[6]
+    assert out[1] != out[5]
