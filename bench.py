@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",
     "hll_distinct_rollup",
     "snapshot_diff",
+    "interval_concurrency",
+    "pareto_part_revenue",
 ]
 
 

@@ -3930,6 +3930,86 @@ def q_lateral_topk_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — sweep-line interval concurrency (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+), b AS (
+  SELECT s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM iv
+), g AS (
+  SELECT ts, CAST(sum(delta) AS BIGINT) AS delta FROM b GROUP BY 1
+)
+SELECT ts, delta,
+       CAST(sum(delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS concurrent
+FROM g
+"""
+
+
+@query("interval_concurrency", oracle=_CONCURRENCY_SQL)
+def q_interval_concurrency(spark, sf_dir):
+    """EXT — sweep-line concurrency profile (timeseries.
+    interval_concurrency): every event opens a 30-minute interval; the
+    profile counts how many are open at each boundary instant. Exact
+    integers end to end (explode, per-instant agg, running sum)."""
+    from .operators.timeseries import interval_concurrency
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    return interval_concurrency(ev, start_col="s", end_col="e")
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — Pareto / ABC classification (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_PARETO_SQL = """
+WITH per AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT SUM(val) AS tot FROM per
+), c AS (
+  SELECT l_partkey, val,
+         SUM(val) OVER (ORDER BY val DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per
+)
+SELECT l_partkey,
+       CAST(val AS DOUBLE) AS value,
+       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc
+FROM c CROSS JOIN tot
+"""
+
+
+@query("pareto_part_revenue", oracle=_PARETO_SQL)
+def q_pareto_part_revenue(spark, sf_dir):
+    """EXT — ABC/Pareto classification of parts by revenue
+    (profiling.pareto_class): exact decimal running sums, one IEEE
+    division for the cumulative share, class thresholds engine-exact on
+    borderline items."""
+    from .operators.profiling import pareto_class
+
+    return pareto_class(
+        t(spark, sf_dir, "lineitem"),
+        item_cols=["l_partkey"],
+        value_col="l_extendedprice",
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — snapshot diff / reconciliation (operators/cdc.py)
 # ---------------------------------------------------------------------------
 

@@ -455,3 +455,71 @@ def grouped_linear_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def pareto_class(
+    df: DataFrame,
+    *,
+    item_cols: list[str],
+    value_col: str,
+    group_cols: list[str] | None = None,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC classification: rank items by value contribution,
+    accumulate the running share of the total, and class them A (head,
+    up to ``a_share`` of value), B (to ``b_share``), else C — the
+    80/20 curation primitive (which sources dominate the corpus, which
+    SKUs carry revenue).
+
+    Output: ``group_cols…, item_cols…, value (double), cum_share
+    (double), abc ('A'|'B'|'C')``.
+
+    Bit-exactness: per-item values and the running total are summed as
+    DECIMAL (exact, order-free); ``cum_share = cum / total`` is one
+    IEEE division of exact decimals, and class boundaries compare that
+    double against literal thresholds — engine-identical, so borderline
+    items hash-match the SQL oracle. The running-sum window orders by
+    (value desc, item) — a total order, so ranks never depend on
+    partitioning.
+
+    Scale shape: one partial-agg groupBy to item grain, one window
+    ordered per group (items-per-group sized, NOT raw rows), one
+    broadcastable totals join. Global mode (group_cols None) serializes
+    the |items| window through one partition — fine while distinct
+    items fit one executor (the usual case: items ≪ rows); shard by
+    group otherwise.
+    """
+    groups = group_cols or []
+    reserved = {"value", "cum_share", "abc", "_val", "_cum", "_tot"}
+    clash = reserved & set(groups) | reserved & set(item_cols)
+    if clash:
+        raise ValueError(f"columns collide with reserved names: {sorted(clash)}")
+    from pyspark.sql import Window
+
+    per_item = df.groupBy(*groups, *item_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_val")
+    )
+    totals = per_item.groupBy(*groups).agg(F.sum("_val").alias("_tot"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("_val").desc(), *[F.col(c).asc() for c in item_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("_val").over(w)
+    joined = (
+        per_item.withColumn("_cum", cum)
+        .join(F.broadcast(totals), on=groups) if groups
+        else per_item.withColumn("_cum", cum).crossJoin(F.broadcast(totals))
+    )
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    return joined.select(
+        *groups,
+        *item_cols,
+        F.col("_val").cast("double").alias("value"),
+        share.alias("cum_share"),
+        F.when(share <= F.lit(a_share), F.lit("A"))
+        .when(share <= F.lit(b_share), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )

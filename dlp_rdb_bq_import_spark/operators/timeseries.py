@@ -235,3 +235,61 @@ def detect_gaps(
         )
         .where(F.col("gap_seconds") >= min_gap_seconds)
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency profile: how many intervals are open at
+    every boundary instant — the max-concurrent-sessions / capacity-
+    planning primitive (and the interval analogue of a gauge rollup).
+
+    Each interval [start, end) contributes +1 at start and −1 at end;
+    a running sum over boundaries ordered by (ts, delta) — ends sort
+    BEFORE starts at the same instant via delta asc, making intervals
+    half-open — yields the concurrency after each boundary. Output:
+    ``key_cols…, ts, delta (long, net change at this instant),
+    concurrent (long, open intervals after it)``; boundaries sharing an
+    instant are pre-aggregated so each (key, ts) appears once.
+
+    Exact integer arithmetic end to end. Scale shape: one explode (2
+    rows per interval), one (key, ts) pre-aggregation, one running-sum
+    window per key — all linear, no joins. A global profile (key_cols
+    None) serializes the running sum through one partition: shard by a
+    coarse time bucket and offset-merge (the global_row_ids pattern)
+    when a single key's boundary count outgrows one executor.
+    """
+    keys = key_cols or []
+    reserved = {"ts", "delta", "concurrent"}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(f"key columns collide with reserved names: {sorted(clash)}")
+    from pyspark.sql import Window
+
+    bounds = intervals.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col(end_col).alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_b"),
+    ).select(*keys, F.col("_b.ts").alias("ts"), F.col("_b.delta").alias("delta"))
+    per_instant = bounds.groupBy(*keys, "ts").agg(
+        F.sum("delta").cast("long").alias("delta")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_instant.select(
+        *keys,
+        "ts",
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("concurrent"),
+    )

@@ -1458,3 +1458,34 @@ def test_mad_outliers_null_group_key_rows_kept(spark):
     assert len(out) == 4  # NULL-group rows survive (null-safe joins)
     nulls = {r.v: r.is_outlier for r in out if r.g is None}
     assert nulls[1000.0] == 1 and nulls[5.0] == 0 and nulls[6.0] == 0
+
+
+def test_pareto_class_hand_computed(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import pareto_class
+
+    # values 50, 30, 15, 5 (total 100): cum shares .5, .8, .95, 1.0
+    df = spark.createDataFrame(
+        [("w", 50.0), ("x", 30.0), ("y", 15.0), ("z", 5.0)],
+        "item string, v double",
+    )
+    out = {r["item"]: (r["cum_share"], r["abc"])
+           for r in pareto_class(df, item_cols=["item"], value_col="v").collect()}
+    assert out["w"] == (0.5, "A")
+    assert out["x"] == (0.8, "A")   # boundary inclusive
+    assert out["y"] == (0.95, "B")  # boundary inclusive
+    assert out["z"] == (1.0, "C")
+
+
+def test_pareto_class_grouped_and_ties_deterministic(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import pareto_class
+
+    df = spark.createDataFrame(
+        [("g1", "a", 10.0), ("g1", "b", 10.0), ("g2", "c", 1.0)],
+        "g string, item string, v double",
+    )
+    out = {(r["g"], r["item"]): r["cum_share"]
+           for r in pareto_class(
+               df, item_cols=["item"], value_col="v", group_cols=["g"]).collect()}
+    # tie broken by item asc: a accumulates first
+    assert out[("g1", "a")] == 0.5 and out[("g1", "b")] == 1.0
+    assert out[("g2", "c")] == 1.0

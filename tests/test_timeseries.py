@@ -186,3 +186,59 @@ def test_resample_all_null_bucket_has_null_mean(spark):
         grain_seconds=3600,
     ).collect()
     assert out[0]["n_events"] == 1 and out[0]["avg_value"] is None
+
+
+# ---------------------------------------------------------------------------
+# interval_concurrency
+# ---------------------------------------------------------------------------
+
+from dlp_rdb_bq_import_spark.operators.timeseries import interval_concurrency  # noqa: E402
+
+
+def test_concurrency_overlap_and_halfopen_boundary(spark):
+    # [0,2h), [1h,3h): overlap in [1h,2h) -> peak 2; at 2h the first
+    # interval's end and nothing else -> back to 1. Touching intervals
+    # [3h,4h) after [2h,3h)... covered by the 2h boundary: end sorts
+    # with the start at the same instant via the per-instant net delta.
+    def ts(h):
+        return T0 + dt.timedelta(hours=h)
+
+    iv = spark.createDataFrame(
+        [(ts(0), ts(2)), (ts(1), ts(3))], "s timestamp, e timestamp"
+    )
+    out = {r["ts"]: (r["delta"], r["concurrent"])
+           for r in interval_concurrency(iv, start_col="s", end_col="e").collect()}
+    assert out[ts(0)] == (1, 1)
+    assert out[ts(1)] == (1, 2)   # peak
+    assert out[ts(2)] == (-1, 1)
+    assert out[ts(3)] == (-1, 0)
+
+
+def test_concurrency_same_instant_start_end_nets_out(spark):
+    # one interval ends exactly where another starts: net delta 0,
+    # concurrency stays 1 (half-open semantics, no phantom 2 or 0)
+    def ts(h):
+        return T0 + dt.timedelta(hours=h)
+
+    iv = spark.createDataFrame(
+        [(ts(0), ts(1)), (ts(1), ts(2))], "s timestamp, e timestamp"
+    )
+    out = {r["ts"]: (r["delta"], r["concurrent"])
+           for r in interval_concurrency(iv, start_col="s", end_col="e").collect()}
+    assert out[ts(1)] == (0, 1)
+
+
+def test_concurrency_per_key_independent(spark):
+    def ts(h):
+        return T0 + dt.timedelta(hours=h)
+
+    iv = spark.createDataFrame(
+        [("a", ts(0), ts(2)), ("a", ts(1), ts(3)), ("b", ts(0), ts(1))],
+        "k string, s timestamp, e timestamp",
+    )
+    out = {(r["k"], r["ts"]): r["concurrent"]
+           for r in interval_concurrency(
+               iv, start_col="s", end_col="e", key_cols=["k"]).collect()}
+    assert out[("a", ts(1))] == 2
+    assert out[("b", ts(0))] == 1
+    assert out[("b", ts(1))] == 0
