@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "interval_concurrency",
     "pareto_part_revenue",
+    "hopping_window_agg",
+    "period_over_period",
 ]
 
 

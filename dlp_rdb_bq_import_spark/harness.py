@@ -1176,6 +1176,28 @@ def q_streaming_left_join(spark, sf_dir):
 
 
 @query(
+    "streaming_full_join",
+    oracle="""
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       CAST(c.event_id AS BIGINT) AS left_event,
+       CAST(p.event_id AS BIGINT) AS right_event, p.value AS right_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_streaming_full_join(spark, sf_dir):
+    """W-EXT — watermarked stream-stream FULL OUTER interval join:
+    unmatched clicks AND unmatched purchases are null-extended once the
+    watermark proves no partner can arrive; equals the batch FULL JOIN
+    oracle on the finite fixture."""
+    from .streaming.jobs import stream_stream_full_join
+
+    return stream_stream_full_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
     "streaming_dedup",
     oracle="""
 SELECT event_id, user_id, event_type FROM events
@@ -3927,6 +3949,77 @@ def q_lateral_topk_orders(spark, sf_dir):
     execution, the plan a hand-written window query would get. One SQL
     string serves engine and oracle verbatim."""
     return _sql(spark, sf_dir, _LATERAL_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 depth — hopping (sliding) event-time window aggregation
+# ---------------------------------------------------------------------------
+
+
+_HOPPING_WINDOW_SQL = """
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - g.i) * 900000000)
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM events, generate_series(0, 3) AS g(i)
+GROUP BY 1
+"""
+
+
+@query("hopping_window_agg", oracle=_HOPPING_WINDOW_SQL)
+def q_hopping_window_agg(spark, sf_dir):
+    """§2.5 depth — hopping/sliding event-time windows (1 h window,
+    15 min slide): Spark's native window() assigns each event to the 4
+    overlapping buckets; the oracle states the same assignment as a
+    generate_series offset join. Sums are exact decimal."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — period-over-period growth (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+_POP_SQL = """
+WITH per AS (
+  SELECT date_trunc('month', o_orderdate) AS period,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS val
+  FROM orders GROUP BY 1
+)
+SELECT period,
+       CAST(val AS DOUBLE) AS value,
+       CAST(lag(val) OVER (ORDER BY period) AS DOUBLE) AS prev_value,
+       CAST(val - lag(val) OVER (ORDER BY period) AS DOUBLE) AS delta,
+       CASE WHEN lag(val) OVER (ORDER BY period) IS NOT NULL
+             AND lag(val) OVER (ORDER BY period) <> 0
+            THEN CAST(val - lag(val) OVER (ORDER BY period) AS DOUBLE)
+                 / CAST(lag(val) OVER (ORDER BY period) AS DOUBLE)
+       END AS pct_change
+FROM per
+"""
+
+
+@query("period_over_period", oracle=_POP_SQL)
+def q_period_over_period(spark, sf_dir):
+    """EXT — month-over-month revenue growth (timeseries.
+    period_over_period): exact decimal period sums, decimal delta cast
+    once, one IEEE division for pct_change — borderline months
+    engine-exact."""
+    from .operators.timeseries import period_over_period
+
+    return period_over_period(
+        t(spark, sf_dir, "orders"), ts_col="o_orderdate", value_col="o_totalprice"
+    )
 
 
 # ---------------------------------------------------------------------------

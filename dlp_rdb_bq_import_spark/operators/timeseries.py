@@ -293,3 +293,55 @@ def interval_concurrency(
         "delta",
         F.sum("delta").over(w).cast("long").alias("concurrent"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit: str = "month",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period comparison (MoM/WoW/DoD): aggregate the value
+    to calendar periods, then attach the previous PRESENT period and
+    the deltas — the standard BI growth primitive.
+
+    Output: ``key_cols…, period (timestamp, date_trunc(unit)), value
+    (double), prev_value (double, NULL on each key's first period),
+    delta (double), pct_change (double, NULL when prev is 0 or NULL)``.
+
+    Bit-exactness: per-period sums are exact DECIMAL(30,6); delta is a
+    decimal subtraction cast once to double, pct_change one IEEE
+    division of exact decimals — all engine-identical. The lag skips
+    over MISSING periods to the previous present one (compose with
+    resample_gapfill first if strict-calendar adjacency is wanted).
+
+    Scale shape: one partial-agg groupBy to period grain, then a lag
+    window over the tiny period series per key. Global mode (key_cols
+    None) serializes |periods| rows through one partition — trivially
+    small by construction.
+    """
+    keys = key_cols or []
+    reserved = {"period", "value", "prev_value", "delta", "pct_change", "_val", "_prev"}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(f"key columns collide with reserved names: {sorted(clash)}")
+
+    per = df.groupBy(
+        *keys, F.date_trunc(unit, F.col(ts_col)).alias("period")
+    ).agg(F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_val"))
+    w = Window.partitionBy(*keys).orderBy("period")
+    prev = F.lag("_val").over(w)
+    return per.withColumn("_prev", prev).select(
+        *keys,
+        "period",
+        F.col("_val").cast("double").alias("value"),
+        F.col("_prev").cast("double").alias("prev_value"),
+        (F.col("_val") - F.col("_prev")).cast("double").alias("delta"),
+        F.when(
+            F.col("_prev").isNotNull() & (F.col("_prev") != 0),
+            (F.col("_val") - F.col("_prev")).cast("double")
+            / F.col("_prev").cast("double"),
+        ).alias("pct_change"),
+    )

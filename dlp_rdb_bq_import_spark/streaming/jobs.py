@@ -263,13 +263,16 @@ def stream_stream_left_join(
     right_type: str = "purchase",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER interval join: every
-    *left_type* event with its *right_type* matches within ``within``
-    after it, null-extended when none arrive — the streaming semantics
-    the inner join can't express (an unmatched row can only be emitted
-    once the watermark PROVES no match can still arrive, so the state
-    store both evicts and drives null emission).
+    """Watermarked stream-stream LEFT (or FULL) OUTER interval join:
+    every *left_type* event with its *right_type* matches within
+    ``within`` after it, null-extended when none arrive — the streaming
+    semantics the inner join can't express (an unmatched row can only
+    be emitted once the watermark PROVES no match can still arrive, so
+    the state store both evicts and drives null emission).
+    ``how='fullOuter'`` additionally null-extends unmatched RIGHT rows
+    (purchases no click preceded).
 
     A finite file stream never advances the final watermark past the
     last event, so tail-end unmatched rows would sit in state forever;
@@ -329,12 +332,27 @@ def stream_stream_left_join(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
-        "leftOuter",
+        how,
     ).select(
-        F.col("l_user").alias("user_id"), "left_event", "right_event", "right_value"
+        F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+        "left_event",
+        "right_event",
+        "right_value",
     )
     out = _run_to_memory(joined, "append")
     return out.where(F.col("user_id") >= 0)
+
+
+def stream_stream_full_join(
+    spark: SparkSession,
+    source_dir: str,
+    **kwargs,
+) -> DataFrame:
+    """FULL OUTER variant of :func:`stream_stream_left_join`: unmatched
+    rows on BOTH sides are null-extended once the watermark proves no
+    partner can arrive (the sentinel staging already flushes both
+    sides)."""
+    return stream_stream_left_join(spark, source_dir, how="fullOuter", **kwargs)
 
 
 def session_window_counts(

@@ -327,3 +327,29 @@ def test_streaming_upsert_latest_state_and_replay(spark, tmp_path):
 
     run("cp2")  # fresh checkpoint: full replay over existing state
     assert read_state() == {(1, "a2", 2), (2, "b", 1), (3, "c", 1)}
+
+
+def test_stream_stream_full_join_extends_both_sides(spark, tmp_path):
+    """FULL OUTER: unmatched clicks AND unmatched purchases both
+    null-extend after the watermark flush."""
+    import pandas as pd
+
+    from dlp_rdb_bq_import_spark.streaming.jobs import stream_stream_full_join
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+        (2, pd.Timestamp("2024-01-01 10:30:00"), 1, "purchase", 9.5, "{}"),
+        # user 2: purchase with no click before it
+        (3, pd.Timestamp("2024-01-01 09:00:00"), 2, "purchase", 5.0, "{}"),
+        # user 3: click with no purchase
+        (4, pd.Timestamp("2024-01-01 12:00:00"), 3, "click", 0.0, "{}"),
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(src / "part.parquet", index=False)
+
+    got = {(r["left_event"], r["right_event"])
+           for r in stream_stream_full_join(spark, str(src)).collect()}
+    assert got == {(1, 2), (None, 3), (4, None)}
