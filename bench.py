@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "pareto_part_revenue",
     "hopping_window_agg",
     "period_over_period",
+    "balance_event_classes",
+    "impute_median",
 ]
 
 

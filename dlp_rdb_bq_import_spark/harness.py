@@ -4103,6 +4103,82 @@ def q_pareto_part_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — class rebalancing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+_BALANCE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT min(cnt) AS target FROM c
+), r AS (
+  SELECT event_type,
+         least(1.0, CAST(target AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+  FROM c CROSS JOIN t
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN r USING (event_type)
+WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 < r.rate
+"""
+
+
+@query("balance_event_classes", oracle=_BALANCE_SQL)
+def q_balance_event_classes(spark, sf_dir):
+    """EXT — deterministic class rebalancing (sampling.balance_classes):
+    every event_type undersampled to ≈ the minority class size via the
+    portable md5-hash predicate — identical kept set on any engine or
+    partitioning, no shuffle of the data itself."""
+    from .operators.sampling import balance_classes
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return balance_classes(ev, key_col="event_id", class_col="event_type").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — group-median imputation (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_IMPUTE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE o_totalprice END AS price
+  FROM orders
+), m AS (
+  SELECT o_orderpriority, quantile_cont(price, 0.5) AS group_median
+  FROM src GROUP BY 1
+)
+SELECT s.o_orderkey, s.o_orderpriority, s.price,
+       m.group_median,
+       coalesce(s.price, m.group_median) AS price_imputed
+FROM src s JOIN m USING (o_orderpriority)
+"""
+
+
+@query("impute_median", oracle=_IMPUTE_SQL)
+def q_impute_median(spark, sf_dir):
+    """EXT — per-group median imputation (profiling.impute_group_median):
+    NULL prices (planted on every 13th order) filled with the group's
+    exact R-7 median; pure coalesce, so borderline-free and
+    oracle-exact."""
+    from .operators.profiling import impute_group_median
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return impute_group_median(src, "price", ["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — snapshot diff / reconciliation (operators/cdc.py)
 # ---------------------------------------------------------------------------
 

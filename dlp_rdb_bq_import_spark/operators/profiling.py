@@ -523,3 +523,37 @@ def pareto_class(
         .otherwise(F.lit("C"))
         .alias("abc"),
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Median imputation per group: NULLs in ``value_col`` are replaced
+    by their group's exact R-7 median of the present values — the
+    robust default for filling numeric gaps before training or stats
+    (mean imputation drags toward outliers; the median does not).
+
+    Output: the input plus ``<out_col>`` (default ``<value_col>_imputed``)
+    and ``group_median``. Groups that are entirely NULL stay NULL (no
+    median exists). Bit-exact: the median is the same
+    percentile ≡ quantile_cont machinery the percentile_summary gate
+    row pins, and imputation is a coalesce — no arithmetic at all.
+
+    Scale shape: one grouped exact-percentile aggregation broadcast
+    back; the per-row path never shuffles. Swap percentile_approx in at
+    100 TB (same plan, mergeable state).
+    """
+    out = out_col or f"{value_col}_imputed"
+    reserved = {out, "group_median"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
+    )
+    return df.join(F.broadcast(med), on=group_cols).withColumn(
+        out, F.coalesce(F.col(value_col), F.col("group_median"))
+    )

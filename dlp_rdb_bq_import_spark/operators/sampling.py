@@ -207,3 +207,54 @@ def weighted_sample(
         .limit(k)
         .drop("_score")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    *,
+    key_col: str,
+    class_col: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Deterministic class rebalancing by undersampling — the training-
+    set preparation step for skewed label distributions: every class is
+    kept at ≈``target`` rows (default: the minority class size), chosen
+    by the portable md5-hash predicate so the kept set is identical on
+    any engine, partitioning, or cluster size (seeded df.sampleBy is
+    neither).
+
+    A class at or under target keeps every row (rate clamps to 1).
+    The per-row test is ``u < target/count`` with
+    ``u = int(md5(key)[:8 hex]) / 2^32`` — a 32-bit uniform from the
+    key hash, one exact integer division and one IEEE comparison,
+    portable to ANSI SQL verbatim.
+
+    Scale shape: one partial-agg class count (|classes| rows), a
+    broadcast rate join, and a scan-local predicate — no shuffle of
+    the data itself, no sort, no window.
+    """
+    reserved = {"_cnt", "_rate", "_target"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+
+    counts = df.groupBy(class_col).agg(F.count("*").alias("_cnt"))
+    if target is None:
+        tgt = counts.agg(F.min("_cnt").alias("_target"))
+        rates = counts.crossJoin(F.broadcast(tgt))
+    else:
+        rates = counts.withColumn("_target", F.lit(int(target)))
+    rates = rates.select(
+        class_col,
+        F.least(
+            F.lit(1.0), F.col("_target").cast("double") / F.col("_cnt").cast("double")
+        ).alias("_rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), on=class_col)
+        .where(u < F.col("_rate"))
+        .drop("_rate")
+    )

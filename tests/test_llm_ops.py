@@ -1489,3 +1489,44 @@ def test_pareto_class_grouped_and_ties_deterministic(spark):
     # tie broken by item asc: a accumulates first
     assert out[("g1", "a")] == 0.5 and out[("g1", "b")] == 1.0
     assert out[("g2", "c")] == 1.0
+
+
+def test_balance_classes_undersamples_to_minority(spark):
+    from dlp_rdb_bq_import_spark.operators.sampling import balance_classes
+
+    rows = [(i, "major") for i in range(2000)] + [(10_000 + i, "minor") for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = balance_classes(df, key_col="k", class_col="cls")
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts["minor"] == 100                # rate 1: fully kept
+    assert abs(counts["major"] - 100) <= 40      # ~target, hash variance
+    # deterministic: same kept keys on a rerun
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in balance_classes(
+        df, key_col="k", class_col="cls").collect())
+    assert a == b
+
+
+def test_balance_classes_explicit_target(spark):
+    from dlp_rdb_bq_import_spark.operators.sampling import balance_classes
+
+    rows = [(i, "a") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = balance_classes(df, key_col="k", class_col="cls", target=250)
+    n = out.count()
+    assert abs(n - 250) <= 60
+
+
+def test_impute_group_median_fills_only_nulls(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import impute_group_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 3.0), ("g", None), ("h", None)],
+        "grp string, v double",
+    )
+    out = {(r["grp"], r["v"]): r for r in
+           impute_group_median(df, "v", ["grp"]).collect()}
+    assert out[("g", None)]["v_imputed"] == 2.0   # median of {1,3}
+    assert out[("g", 1.0)]["v_imputed"] == 1.0    # present values untouched
+    assert out[("h", None)]["v_imputed"] is None  # all-null group stays NULL

@@ -65,6 +65,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "n_baskets scalar attach: build side is "
         "a broadcast single global-aggregate row by construction",
     },
+    "balance_event_classes": {
+        "BroadcastNestedLoopJoin": "minority-size scalar attach: build side "
+        "is a broadcast single global-aggregate row (min class count) by "
+        "construction; explicit-target mode has no such join",
+    },
     "pareto_part_revenue": {
         "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
         "None): build side is a broadcast single global-aggregate row by "
