@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "period_over_period",
     "balance_event_classes",
     "impute_median",
+    "k_anonymity",
+    "l_diversity",
 ]
 
 

@@ -4103,6 +4103,59 @@ def q_pareto_part_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — privacy risk metrics (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+
+_K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
+@query("k_anonymity", oracle=_K_ANON_SQL)
+def q_k_anonymity(spark, sf_dir):
+    """EXT — k-anonymity report (privacy.k_anonymity_report): size of
+    every (nation, segment) quasi-identifier equivalence class with a
+    below-k re-identification flag — the DLP-domain measurement the
+    reference's tokenization pipeline never provides. One partial-agg
+    groupBy; output is |QI classes|-sized at any data scale."""
+    from .operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+_L_DIV_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS distinct_sensitive,
+       CAST(CASE WHEN count(DISTINCT c_acctbal) >= 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS diverse
+FROM customer GROUP BY 1, 2
+"""
+
+
+@query("l_diversity", oracle=_L_DIV_SQL)
+def q_l_diversity(spark, sf_dir):
+    """EXT — distinct l-diversity per QI class (privacy.
+    l_diversity_report): classes whose sensitive attribute (account
+    balance) takes < 3 distinct values leak it to everyone in the
+    class even when k-anonymity holds (homogeneity attack)."""
+    from .operators.privacy import l_diversity_report
+
+    return l_diversity_report(
+        t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        "c_acctbal",
+        l=3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — class rebalancing (operators/sampling.py)
 # ---------------------------------------------------------------------------
 

@@ -1530,3 +1530,29 @@ def test_impute_group_median_fills_only_nulls(spark):
     assert out[("g", None)]["v_imputed"] == 2.0   # median of {1,3}
     assert out[("g", 1.0)]["v_imputed"] == 1.0    # present values untouched
     assert out[("h", None)]["v_imputed"] is None  # all-null group stays NULL
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from dlp_rdb_bq_import_spark.operators.privacy import k_anonymity_report
+
+    rows = [("US", "A")] * 6 + [("US", "B")] * 2 + [(None, "A")] * 1
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = {(r["nation"], r["seg"]): (r["class_size"], r["at_risk"])
+           for r in k_anonymity_report(df, ["nation", "seg"], k=5).collect()}
+    assert out[("US", "A")] == (6, 0)
+    assert out[("US", "B")] == (2, 1)
+    assert out[(None, "A")] == (1, 1)  # NULL QI is its own (risky) class
+
+
+def test_l_diversity_homogeneous_class_not_diverse(spark):
+    from dlp_rdb_bq_import_spark.operators.privacy import l_diversity_report
+
+    rows = [("US", "flu"), ("US", "flu"), ("US", "flu"),
+            ("DE", "flu"), ("DE", "cold"),
+            ("FR", None), ("FR", None)]
+    df = spark.createDataFrame(rows, "nation string, dx string")
+    out = {r["nation"]: (r["distinct_sensitive"], r["diverse"])
+           for r in l_diversity_report(df, ["nation"], "dx", l=2).collect()}
+    assert out["US"] == (1, 0)   # homogeneity attack: everyone has flu
+    assert out["DE"] == (2, 1)
+    assert out["FR"] == (0, 0)   # all-NULL sensitive: zero diversity
