@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "impute_median",
     "k_anonymity",
     "l_diversity",
+    "table_checksum",
 ]
 
 

@@ -4103,6 +4103,38 @@ def q_pareto_part_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — order-independent table checksum (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+_CHECKSUM_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substr(md5(
+           concat_ws(chr(31),
+                     coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+                     coalesce(o_orderstatus, chr(0)))
+         ), 1, 8)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM orders GROUP BY 1
+"""
+
+
+@query("table_checksum", oracle=_CHECKSUM_SQL)
+def q_table_checksum(spark, sf_dir):
+    """EXT — order/partitioning-independent content checksum per group
+    (profiling.table_checksum): commutative sum of md5-prefix row
+    digests, portable to ANSI SQL verbatim — the cheap replication
+    audit that gates the full snapshot_diff."""
+    from .operators.profiling import table_checksum
+
+    return table_checksum(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus"],
+        group_cols=["o_orderpriority"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — privacy risk metrics (operators/privacy.py)
 # ---------------------------------------------------------------------------
 

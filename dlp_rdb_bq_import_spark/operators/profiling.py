@@ -557,3 +557,49 @@ def impute_group_median(
     return df.join(F.broadcast(med), on=group_cols).withColumn(
         out, F.coalesce(F.col(value_col), F.col("group_median"))
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent content checksum — the cheap replication/audit
+    primitive: two tables with equal (grouped) checksums almost surely
+    hold the same multiset of rows, at the cost of one scan and a
+    |groups|-sized result, no join (run :func:`~..cdc.snapshot_diff`
+    only on groups whose checksums differ).
+
+    Per row: md5 the canonical rendering of ``cols`` (unit-separator
+    concat, NULL → a sentinel distinct from ''), take the first 8 hex
+    digits as an int64, SUM as exact decimal — addition commutes, so
+    the checksum is independent of row order, partitioning, and
+    engine. Output: ``group_cols…, n_rows (long), checksum (string —
+    exact decimal digits)``.
+
+    Float/double columns are REJECTED: their string rendering is
+    engine-specific (quantize upstream to decimal/int first); the
+    guard keeps the portability contract honest rather than letting
+    checksums silently diverge across engines.
+    """
+    groups = group_cols or []
+    reserved = {"n_rows", "checksum"}
+    clash = reserved & set(groups)
+    if clash:
+        raise ValueError(f"group columns collide with reserved names: {sorted(clash)}")
+    float_cols = [
+        c for c, t in df.dtypes if c in cols and t in ("float", "double")
+    ]
+    if float_cols:
+        raise ValueError(
+            "table_checksum: float columns render engine-specifically — "
+            f"quantize {sorted(float_cols)} to decimal/int upstream"
+        )
+    rendered = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    row_sum = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+    return df.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(row_sum.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

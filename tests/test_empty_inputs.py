@@ -71,3 +71,45 @@ def test_stateful_sessionize_empty_input(spark, tmp_path):
     assert set(out.columns) == {
         "user_id", "session_start", "session_end", "n_events", "first_event",
     }
+
+
+def test_round4_operators_on_empty(spark, empty_docs, empty_vecs):
+    from dlp_rdb_bq_import_spark.operators.cdc import snapshot_diff
+    from dlp_rdb_bq_import_spark.operators.graph import kcore, label_propagation
+    from dlp_rdb_bq_import_spark.operators.privacy import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        impute_group_median,
+        mad_outliers,
+        pareto_class,
+    )
+    from dlp_rdb_bq_import_spark.operators.sampling import balance_classes
+    from dlp_rdb_bq_import_spark.operators.text import tfidf_cosine_pairs
+    from dlp_rdb_bq_import_spark.operators.timeseries import (
+        detect_gaps,
+        interval_concurrency,
+        period_over_period,
+    )
+
+    assert tfidf_cosine_pairs(empty_docs).count() == 0
+    e = spark.createDataFrame([], "src long, dst long")
+    assert kcore(e, k=2).count() == 0
+    assert label_propagation(e).count() == 0
+    kv = spark.createDataFrame([], "g string, v double")
+    assert mad_outliers(kv, "v", ["g"]).count() == 0
+    assert impute_group_median(kv, "v", ["g"]).count() == 0
+    assert pareto_class(kv, item_cols=["g"], value_col="v").count() == 0
+    assert k_anonymity_report(kv, ["g"]).count() == 0
+    assert l_diversity_report(kv, ["g"], "v").count() == 0
+    assert balance_classes(kv.withColumn("k", F.lit(1)), key_col="k",
+                           class_col="g").count() == 0
+    assert snapshot_diff(kv, kv, ["g"], ["v"]).count() == 0
+    ts = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
+    assert detect_gaps(ts, key_col="user_id", ts_col="ts",
+                       min_gap_seconds=60, order_cols=["event_id"]).count() == 0
+    iv = spark.createDataFrame([], "s timestamp, e timestamp")
+    assert interval_concurrency(iv, start_col="s", end_col="e").count() == 0
+    pp = spark.createDataFrame([], "ts timestamp, v double")
+    assert period_over_period(pp, ts_col="ts", value_col="v").count() == 0

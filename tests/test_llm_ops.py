@@ -1556,3 +1556,37 @@ def test_l_diversity_homogeneous_class_not_diverse(spark):
     assert out["US"] == (1, 0)   # homogeneity attack: everyone has flu
     assert out["DE"] == (2, 1)
     assert out["FR"] == (0, 0)   # all-NULL sensitive: zero diversity
+
+
+def test_table_checksum_order_and_partitioning_independent(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import table_checksum
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    a = spark.createDataFrame(rows, "k long, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, s string").repartition(7)
+    ca = table_checksum(a, ["k", "s"]).collect()[0]
+    cb = table_checksum(b, ["k", "s"]).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # any single-value change flips the checksum
+    c = spark.createDataFrame(rows[:-1] + [(99, "MUTATED")], "k long, s string")
+    cc = table_checksum(c, ["k", "s"]).collect()[0]
+    assert cc["checksum"] != ca["checksum"]
+
+
+def test_table_checksum_null_vs_empty_distinct(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import table_checksum
+
+    a = spark.createDataFrame([(1, None)], "k long, s string")
+    b = spark.createDataFrame([(1, "")], "k long, s string")
+    assert (table_checksum(a, ["k", "s"]).collect()[0]["checksum"]
+            != table_checksum(b, ["k", "s"]).collect()[0]["checksum"])
+
+
+def test_table_checksum_rejects_float_columns(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import table_checksum
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float columns"):
+        table_checksum(df, ["k", "v"])
