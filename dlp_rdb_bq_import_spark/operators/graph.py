@@ -267,15 +267,22 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rank every node appearing as src or dst. Returns (node, rank)
     with ranks summing to 1. Parallel edges count as repeated votes
     (pre-aggregate to weights upstream if that is not wanted);
-    self-loops are legal. Deterministic: same edges → same ranks."""
+    self-loops are legal. Deterministic: same edges → same ranks.
+    With ``weight_col``, each edge carries that weight and a node's
+    rank mass splits proportionally (w / Σ out-weights) instead of
+    uniformly — the weighted power method; weights must be positive."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
     e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
     ).localCheckpoint(eager=True)
 
     nodes = (
@@ -289,7 +296,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = (
         e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("deg"))
+        .agg(F.sum("w").alias("deg"))
         .localCheckpoint(eager=True)
     )
 
@@ -306,7 +313,7 @@ def pagerank(
                 with_deg.where(F.col("deg").isNotNull()),
                 e.src == F.col("node"),
             )
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("w") / F.col("deg")).alias("c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("contrib"))
         )

@@ -951,6 +951,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_weighted_pagerank_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 2, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.node: r.rank
+           for r in pagerank(df, iterations=25, weight_col="w").collect()}
+
+    import numpy as np
+
+    nodes = sorted({u for s, t, _ in edges for u in (s, t)})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    wsum = np.zeros(n)
+    for s, _, w in edges:
+        wsum[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(25):
+        contrib = np.zeros(n)
+        for s, t, w in edges:
+            contrib[idx[t]] += r[idx[s]] * w / wsum[idx[s]]
+        dm = r[wsum == 0].sum()
+        r = (1 - d) / n + d * (contrib + dm / n)
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-9, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_empty_and_bad_damping(spark):
     from dlp_rdb_bq_import_spark.operators.graph import pagerank
 
