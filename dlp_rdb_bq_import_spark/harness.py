@@ -4274,7 +4274,8 @@ WITH old_snap AS (
   FROM orders WHERE o_orderkey % 97 <> 3
 ), new_snap AS (
   SELECT o_orderkey,
-         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+         CASE WHEN o_orderkey % 11 = 0
+              THEN o_totalprice + CAST(1.0 AS DOUBLE)
               ELSE o_totalprice END AS o_totalprice,
          o_orderpriority
   FROM orders WHERE o_orderkey % 89 <> 7

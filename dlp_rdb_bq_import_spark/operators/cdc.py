@@ -189,10 +189,12 @@ def snapshot_diff(
     )
     joined = o.join(n, on=keys, how="full_outer")
 
-    differs = None
+    # empty compare_cols is a legitimate key-presence-only diff: rows in
+    # both snapshots are 'unchanged' by definition
+    differs = F.lit(False)
     for c in compare_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | d
     change = (
         F.when(F.col("_old_present").isNull(), F.lit("added"))
         .when(F.col("_new_present").isNull(), F.lit("removed"))

@@ -275,7 +275,11 @@ def pagerank(
     self-loops are legal. Deterministic: same edges → same ranks.
     With ``weight_col``, each edge carries that weight and a node's
     rank mass splits proportionally (w / Σ out-weights) instead of
-    uniformly — the weighted power method; weights must be positive."""
+    uniformly — the weighted power method. NULL weights raise (silent
+    mass leak otherwise); zero/negative-weight edges are dropped up
+    front — a w=0 edge is mathematically no edge, and filtering it
+    keeps the out-weight sums strictly positive (no 0/0 NaN poisoning
+    every reachable rank)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     w_expr = (
@@ -283,7 +287,12 @@ def pagerank(
     )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
-    ).localCheckpoint(eager=True)
+    )
+    if weight_col is not None:
+        if e.where(F.col("w").isNull()).limit(1).count() > 0:
+            raise ValueError(f"pagerank: NULL weights in {weight_col!r}")
+        e = e.where(F.col("w") > 0)
+    e = e.localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("src").alias("node"))

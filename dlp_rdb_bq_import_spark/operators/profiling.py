@@ -267,46 +267,27 @@ def mad_outliers(
     null-safe — a plain equi-join would silently DROP those rows).
     """
     reserved = {"med", "mad", "is_outlier", "_dev"}
-    reserved |= {f"_g{i}" for i in range(len(group_cols))}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
-
-    def _null_safe(agg_df: DataFrame, base: DataFrame):
-        """(renamed agg frame, null-safe join condition vs base)."""
-        renamed = agg_df.withColumnsRenamed(
-            {c: f"_g{i}" for i, c in enumerate(group_cols)}
-        )
-        cond = None
-        for i, c in enumerate(group_cols):
-            clause = base[c].eqNullSafe(renamed[f"_g{i}"])
-            cond = clause if cond is None else cond & clause
-        return renamed, cond
+    from .common import null_safe_group_join
 
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
-    med_r, med_cond = _null_safe(med, df)
-    with_med = df.join(F.broadcast(med_r), med_cond).drop(
-        *[f"_g{i}" for i in range(len(group_cols))]
-    )
+    with_med = null_safe_group_join(df, med, group_cols)
     mad = (
         with_med.select(*group_cols, F.abs(F.col(value_col) - F.col("med")).alias("_dev"))
         .groupBy(*group_cols)
         .agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
     )
-    mad_r, mad_cond = _null_safe(mad, with_med)
     thresh = (F.lit(k) * F.lit(1.4826)) * F.col("mad")
-    return (
-        with_med.join(F.broadcast(mad_r), mad_cond)
-        .drop(*[f"_g{i}" for i in range(len(group_cols))])
-        .withColumn(
-            "is_outlier",
-            F.coalesce(
-                (F.abs(F.col(value_col) - F.col("med")) > thresh).cast("long"),
-                F.lit(0),
-            ),
-        )
+    return null_safe_group_join(with_med, mad, group_cols).withColumn(
+        "is_outlier",
+        F.coalesce(
+            (F.abs(F.col(value_col) - F.col("med")) > thresh).cast("long"),
+            F.lit(0),
+        ),
     )
 
 
@@ -507,11 +488,14 @@ def pareto_class(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("_val").over(w)
-    joined = (
-        per_item.withColumn("_cum", cum)
-        .join(F.broadcast(totals), on=groups) if groups
-        else per_item.withColumn("_cum", cum).crossJoin(F.broadcast(totals))
-    )
+    if groups:
+        from .common import null_safe_group_join
+
+        # null-safe: a NULL group key is a legitimate group and must not
+        # be dropped by the totals attach
+        joined = null_safe_group_join(per_item.withColumn("_cum", cum), totals, groups)
+    else:
+        joined = per_item.withColumn("_cum", cum).crossJoin(F.broadcast(totals))
     share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
     return joined.select(
         *groups,
@@ -551,10 +535,14 @@ def impute_group_median(
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    from .common import null_safe_group_join
+
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
     )
-    return df.join(F.broadcast(med), on=group_cols).withColumn(
+    # null-safe attach: NULL group keys form a real group in the agg and
+    # must keep their rows here (a plain equi-join would drop them)
+    return null_safe_group_join(df, med, group_cols).withColumn(
         out, F.coalesce(F.col(value_col), F.col("group_median"))
     )
 

@@ -10,8 +10,12 @@ re-partitioned input silently changes the sample; hash-based sampling is
 partitioning-independent, the property that matters when the same
 curation run executes on 10 executors today and 1000 tomorrow.)
 
-Granularity: the predicate compares the first 4 hex chars (16 bits), so
-fractions are quantized to 1/65536 steps.
+Granularity: the fixed-fraction predicate (``sample_predicate``)
+compares the first 4 hex chars (16 bits), so fractions are quantized to
+1/65536 steps; data-dependent rates (``balance_classes``) use the
+``hash_uniform`` helper instead — a 32-bit uniform double from the
+first 8 hex chars — and ``weighted_sample`` draws 53-bit uniforms from
+xxhash64 for its exponential keys.
 """
 
 from __future__ import annotations
@@ -35,6 +39,24 @@ def sample_predicate(key: Column, fraction: float) -> Column:
     ``substr(md5(CAST(key AS VARCHAR)), 1, 4) < '<bound>'``."""
     return F.substring(F.md5(key.cast("string")), 1, _PREFIX_LEN) < F.lit(
         _bucket_bound(fraction)
+    )
+
+
+def hash_uniform(key: Column) -> Column:
+    """Uniform double in [0, 1) from the key's md5 (first 8 hex chars /
+    2^32) — engine-portable: render with :func:`hash_uniform_sql` for
+    the ANSI oracle. Use for data-dependent rates where the fixed-bound
+    ``sample_predicate`` cannot precompute its hex bound."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+
+
+def hash_uniform_sql(key_expr: str) -> str:
+    """The oracle-side rendering of :func:`hash_uniform` (DuckDB/ANSI)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
     )
 
 
@@ -224,10 +246,13 @@ def balance_classes(
     neither).
 
     A class at or under target keeps every row (rate clamps to 1).
-    The per-row test is ``u < target/count`` with
-    ``u = int(md5(key)[:8 hex]) / 2^32`` — a 32-bit uniform from the
-    key hash, one exact integer division and one IEEE comparison,
-    portable to ANSI SQL verbatim.
+    The per-row test is ``u < target/count`` with ``u`` drawn by
+    :func:`hash_uniform` — one exact integer division and one IEEE
+    comparison, portable to ANSI SQL verbatim.
+
+    A NULL class label is a real class: it participates in the counts
+    AND keeps its (sampled) rows — the rate attach is null-safe, so no
+    row is silently lost.
 
     Scale shape: one partial-agg class count (|classes| rows), a
     broadcast rate join, and a scan-local predicate — no shuffle of
@@ -237,6 +262,7 @@ def balance_classes(
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    from .common import null_safe_group_join
 
     counts = df.groupBy(class_col).agg(F.count("*").alias("_cnt"))
     if target is None:
@@ -250,11 +276,8 @@ def balance_classes(
             F.lit(1.0), F.col("_target").cast("double") / F.col("_cnt").cast("double")
         ).alias("_rate"),
     )
-    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) / F.lit(4294967296.0)
     return (
-        df.join(F.broadcast(rates), on=class_col)
-        .where(u < F.col("_rate"))
+        null_safe_group_join(df, rates, [class_col])
+        .where(hash_uniform(F.col(key_col)) < F.col("_rate"))
         .drop("_rate")
     )

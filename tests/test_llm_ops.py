@@ -1619,3 +1619,68 @@ def test_table_checksum_rejects_float_columns(spark):
 
     with _pytest.raises(ValueError, match="float columns"):
         table_checksum(df, ["k", "v"])
+
+
+def test_impute_group_median_null_group_rows_kept(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import impute_group_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0), (None, 4.0), (None, 6.0), (None, None)],
+        "grp string, v double",
+    )
+    out = impute_group_median(df, "v", ["grp"]).collect()
+    assert len(out) == 4  # NULL-group rows survive
+    nulls = {r.v: r.v_imputed for r in out if r.grp is None}
+    assert nulls[None] == 5.0  # imputed with the NULL group's median
+
+
+def test_pareto_class_null_group_kept(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import pareto_class
+
+    df = spark.createDataFrame(
+        [("g1", "a", 10.0), (None, "b", 4.0), (None, "c", 1.0)],
+        "g string, item string, v double",
+    )
+    out = {(r["g"], r["item"]): r["cum_share"]
+           for r in pareto_class(df, item_cols=["item"], value_col="v",
+                                 group_cols=["g"]).collect()}
+    assert out[(None, "b")] == 0.8 and out[(None, "c")] == 1.0
+
+
+def test_balance_classes_null_class_kept(spark):
+    from dlp_rdb_bq_import_spark.operators.sampling import balance_classes
+
+    rows = [(i, "a") for i in range(50)] + [(1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = balance_classes(df, key_col="k", class_col="cls")
+    got = out.collect()
+    # NULL class (the minority, 5 rows) fully kept; 'a' undersampled
+    assert sum(1 for r in got if r.cls is None) == 5
+    assert 0 < sum(1 for r in got if r.cls == "a") < 50
+
+
+def test_snapshot_diff_key_presence_only(spark):
+    from dlp_rdb_bq_import_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 3: "added"}
+
+
+def test_weighted_pagerank_rejects_null_and_drops_zero_weights(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import pagerank
+
+    bad = spark.createDataFrame([(0, 1, None)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="NULL weights"):
+        pagerank(bad, weight_col="w")
+
+    # zero-weight edge is no edge: no NaN poisoning, ranks sum to 1
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 0.0)], "src long, dst long, w double"
+    )
+    got = {r.node: r.rank for r in pagerank(df, weight_col="w").collect()}
+    assert 2 not in got  # only incident edge had weight 0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(r == r for r in got.values())  # no NaN
