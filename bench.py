@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "k_anonymity",
     "l_diversity",
     "table_checksum",
+    "order_lifecycle",
+    "session_bounce_stats",
 ]
 
 

@@ -4103,6 +4103,131 @@ def q_pareto_part_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — accumulating-snapshot order lifecycle (composition)
+# ---------------------------------------------------------------------------
+
+
+_ORDER_LIFECYCLE_SQL = """
+WITH ship AS (
+  SELECT l_orderkey,
+         min(l_shipdate) AS first_ship,
+         max(l_shipdate) AS last_ship,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+       s.first_ship, s.last_ship, s.n_lines,
+       CAST(CASE WHEN s.first_ship IS NOT NULL
+                 THEN datediff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(s.first_ship AS DATE)) END AS BIGINT)
+         AS days_to_first_ship,
+       CAST(CASE WHEN s.n_lines IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS has_shipments
+FROM orders o LEFT JOIN ship s ON o.o_orderkey = s.l_orderkey
+"""
+
+
+@query("order_lifecycle", oracle=_ORDER_LIFECYCLE_SQL)
+def q_order_lifecycle(spark, sf_dir):
+    """EXT — accumulating-snapshot fact (the Kimball order-lifecycle
+    pattern): per order, the milestone dates reached so far (first/last
+    ship) and exact day lags, orders with no lineitems null-extended.
+    One co-partitioned aggregate + one left join; all integers/dates
+    exact."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    j = o.join(ship, o.o_orderkey == ship.l_orderkey, "left")
+    return j.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        "first_ship",
+        "last_ship",
+        "n_lines",
+        F.when(
+            F.col("first_ship").isNotNull(),
+            F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")),
+        )
+        .cast("long")
+        .alias("days_to_first_ship"),
+        F.when(F.col("n_lines").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("has_shipments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — session bounce stats (composition over sessionize)
+# ---------------------------------------------------------------------------
+
+
+_SESSION_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), sess AS (
+  SELECT user_id, session_id,
+         CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS bounce_rate
+FROM sess GROUP BY 1
+"""
+
+
+@query("session_bounce_stats", oracle=_SESSION_STATS_SQL)
+def q_session_bounce_stats(spark, sf_dir):
+    """EXT — daily session counts and bounce rate (single-event
+    sessions) composed over the gap-sessionizer: two window passes, one
+    per-session aggregate, one daily rollup; bounce_rate is one exact
+    int division."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("session_id", F.sum(is_new).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("day"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").cast("long").alias("sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 EXT — order-independent table checksum (operators/profiling.py)
 # ---------------------------------------------------------------------------
 
