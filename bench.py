@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "order_lifecycle",
     "session_bounce_stats",
+    "dedup_containment",
 ]
 
 

@@ -1296,6 +1296,36 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(g.i AS INTEGER), 5) AS shingle
+  FROM docs d JOIN generate_series(1, 4000) g(i) ON g.i <= length(d.text) - 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_sub, id_super, ROUND(c / s.n, 6) AS containment
+FROM inter JOIN sizes s ON inter.id_sub = s.doc_id
+WHERE ROUND(c / s.n, 6) >= 0.8
+""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """EXT — asymmetric n-gram containment (dedup.
+    ngram_containment_pairs): |grams(sub) ∩ grams(super)| / |grams(sub)|
+    — catches a short document quoted inside a long one, where Jaccard
+    stays below any threshold (Broder's second resemblance axis). Same
+    inverted-index shape and doc_id<200 oracle restriction as the
+    Jaccard twin."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.ngram_containment_pairs(d, "text", "doc_id", n=5, threshold=0.8)
+
+
+@query(
     "dedup_paragraphs",
     oracle="""
 WITH p AS (

@@ -231,6 +231,60 @@ def ngram_jaccard_pairs(
     return _materialize_and_release(result, sh) if eager else result
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    num_partitions: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """Asymmetric n-gram containment — the near-dup signal Jaccard
+    misses: a short document fully quoted inside a long one has
+    containment ≈ 1 from the short side while Jaccard ≈ |short|/|long|
+    stays far below any threshold. The standard second axis of
+    shingle-based dedup (Broder 1997 defines both).
+
+    Output: ``(id_sub, id_super, containment)`` where containment =
+    |grams(sub) ∩ grams(super)| / |grams(sub)| ≥ threshold, both
+    directions of each pair tested independently (a row per direction
+    that clears the threshold). Rounded to 6 decimals like the Jaccard
+    twin — an integer-ratio division, oracle-comparable.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: shingle inverted
+    index, doc-frequency skew cap, candidates only from shared
+    shingles — no cross join.
+    """
+    sh = shingles(df, text_col, id_col, n, num_partitions)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_doc_freq).select("shingle"), "shingle")
+    sh = sh.select(F.col(id_col).alias("_id"), "shingle").cache()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_sub"), "shingle")
+    b = sh.select(F.col("_id").alias("id_super"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_sub") != F.col("id_super"))
+        .groupBy("id_sub", "id_super")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sz = sizes.select(F.col("_id").alias("id_sub"), F.col("_n").alias("_nsub"))
+    result = (
+        inter.join(sz, "id_sub")
+        .withColumn(
+            "containment",
+            F.round(F.col("_inter") / F.col("_nsub").cast("double"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_sub", "id_super", "containment")
+    )
+    return _materialize_and_release(result, sh) if eager else result
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -1684,3 +1684,39 @@ def test_weighted_pagerank_rejects_null_and_drops_zero_weights(spark):
     assert 2 not in got  # only incident edge had weight 0
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert all(r == r for r in got.values())  # no NaN
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment from the
+    short side ~1.0 while Jaccard is far below threshold."""
+    from dlp_rdb_bq_import_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    # varied padding: distinct shingles, so the long doc's gram set is
+    # genuinely much larger than the short doc's
+    pad = " ".join(f"w{i}token{i * 13}" for i in range(80))
+    long = short + " " + pad  # short doc verbatim inside a long one
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = {(r["id_sub"], r["id_super"]): r["containment"]
+            for r in ngram_containment_pairs(
+                df, "text", "doc_id", n=5, threshold=0.8,
+                max_doc_freq=None).collect()}
+    assert cont[(1, 2)] == 1.0           # every short-doc gram is in long
+    assert (2, 1) not in cont            # long doc is NOT contained in short
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", n=5, threshold=0.35,
+                              max_doc_freq=None).collect()
+    assert jac == []                     # Jaccard misses this pair entirely
+
+
+def test_containment_directions_independent(spark):
+    from dlp_rdb_bq_import_spark.operators.dedup import ngram_containment_pairs
+
+    # near-identical docs: both directions clear the threshold
+    a = "abcdefghijklmnopqrstuvwxyz" * 3
+    df = spark.createDataFrame([(1, a), (2, a + "tail!")], "doc_id long, text string")
+    out = {(r["id_sub"], r["id_super"]) for r in ngram_containment_pairs(
+        df, "text", "doc_id", n=5, threshold=0.8, max_doc_freq=None).collect()}
+    assert (1, 2) in out and (2, 1) in out
