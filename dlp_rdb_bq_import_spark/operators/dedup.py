@@ -661,14 +661,25 @@ def duplicated_substring_spans(
     offsets — every returned span is a substring of length >= min_len
     shared verbatim with another document.
 
-    Plan shape (2 shuffles, no cross join, suffix-array granularity
+    Plan shape (skew-safe, no cross join, suffix-array granularity
     without the suffix array):
-      1. explode stride-1 gram starts; project (id, pos, gram) BEFORE
-         any shuffle so rows carry min_len+16 bytes, not the document;
-      2. one hash-partition on the gram marks cross-doc grams with a
-         whole-partition window (min(id) != max(id) — countDistinct
-         without a second aggregate);
-      3. one hash-partition on doc id turns positions into islands
+      1. explode stride-1 gram starts; project (id, pos, digest)
+         BEFORE any shuffle so rows carry 16+16 bytes — the gram
+         travels as a fixed-width 128-bit md5 digest, never as the
+         raw 40+-char string;
+      2. ``groupBy(digest).agg(min(id), max(id))`` finds cross-doc
+         grams. The map-side partial aggregation collapses each task's
+         repeats of a hot gram to ONE row before the exchange, so a
+         boilerplate gram present in millions of docs (license
+         headers, navigation chrome) ships one partial per task
+         instead of pinning every occurrence on a single reducer —
+         the failure mode of the previous whole-partition-window mark;
+      3. equi-join the multi-doc digest set (one 16-byte row per
+         shared gram) back onto the gram stream. Unlike a window,
+         this join is AQE-skew-splittable: a hot gram's probe rows
+         can be split across tasks with the single build row
+         replicated;
+      4. one hash-partition on doc id turns positions into islands
          (pos - row_number) and aggregates the spans.
 
     At 100 TB the stride-1 explode is the honest cost of EXACT
@@ -678,7 +689,7 @@ def duplicated_substring_spans(
     """
     from pyspark.sql import Window
 
-    for reserved in ("_g", "_pos", "_grp"):
+    for reserved in ("_g", "_d", "_pos", "_grp"):
         if reserved in df.columns:
             raise ValueError(f"input column collides with reserved name {reserved!r}")
     grams = (
@@ -693,17 +704,23 @@ def duplicated_substring_spans(
         .select(
             id_col,
             F.col("_pos"),
-            F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len)).alias("_g"),
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len)),
+                        "UTF-8",
+                    )
+                )
+            ).alias("_d"),
         )
     )
-    w_gram = Window.partitionBy("_g")
-    hits = (
-        grams.withColumn(
-            "_multi", F.min(id_col).over(w_gram) != F.max(id_col).over(w_gram)
-        )
-        .where(F.col("_multi"))
-        .select(id_col, "_pos")
+    multi = (
+        grams.groupBy("_d")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("_d")
     )
+    hits = grams.join(multi, "_d").select(id_col, "_pos")
     w_doc = Window.partitionBy(id_col).orderBy("_pos")
     return (
         hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w_doc))

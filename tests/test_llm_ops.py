@@ -1228,6 +1228,55 @@ def test_substring_spans_planted_duplicate(spark):
     assert by_doc[2] == (37, 156)
 
 
+def test_substring_spans_boilerplate_gram_no_gram_window(spark):
+    """A boilerplate region present in 50% of the corpus (license
+    headers / nav chrome at scale) is marked via groupBy partial
+    aggregation + digest equi-join, NOT a whole-partition window on
+    the raw gram: correctness on the hot gram, and the plan's only
+    Window node is the per-doc island merge."""
+    import hashlib
+
+    boiler = "THIS LICENSE HEADER APPEARS IN HALF OF EVERY CORPUS " * 2  # 104 ch
+    docs = [
+        (
+            i,
+            (boiler if i % 2 == 0 else "")
+            + hashlib.sha256(str(i).encode()).hexdigest() * 2,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = dedup.duplicated_substring_spans(df, min_len=40)
+    got = sorted((r.doc_id, r.dup_start, r.dup_end) for r in spans.collect())
+
+    # brute-force oracle: a position is duplicated iff its 40-gram
+    # appears in any OTHER doc; merge consecutive positions to spans
+    grams = {}
+    for i, text in docs:
+        for p in range(len(text) - 39):
+            grams.setdefault(text[p : p + 40], set()).add(i)
+    want = []
+    for i, text in docs:
+        dup = [p for p in range(len(text) - 39) if len(grams[text[p : p + 40]]) > 1]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((i, run[0] + 1, run[-1] + 40))
+                run = [p]
+        if run:
+            want.append((i, run[0] + 1, run[-1] + 40))
+    assert got == sorted(want)
+    assert {i for i in range(40) if i % 2 == 0} <= {g[0] for g in got}
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    # every window spec is the doc-island row_number over doc_id; the
+    # cross-doc mark must NOT be a window over the gram/digest key
+    specs = [s for s in plan.split("windowspecdefinition(")[1:]]
+    assert specs and all(s.startswith("doc_id") for s in specs)
+
+
 def test_substring_spans_within_doc_repeat_not_flagged(spark):
     """Repetition INSIDE one document is not cross-document duplication."""
     block = "z" * 80
