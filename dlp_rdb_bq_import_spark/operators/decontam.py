@@ -46,7 +46,9 @@ def _bloom_positions(h: Column, m_bits: int) -> list[Column]:
     ]
 
 
-def build_hash_bloom(hashes: DataFrame, h_col: str = "_h") -> tuple[DataFrame, int]:
+def build_hash_bloom(
+    hashes: DataFrame, h_col: str = "_h", n_items_hint: int | None = None
+) -> tuple[DataFrame, int]:
     """Build a Bloom filter over a (small) column of 64-bit hashes as a
     ONE-ROW DataFrame holding the dense bitmap (array<long>), plus the
     chosen bit count.
@@ -58,14 +60,22 @@ def build_hash_bloom(hashes: DataFrame, h_col: str = "_h") -> tuple[DataFrame, i
     returned bitmap row is meant to be broadcast-cross-joined (1-row
     scalar attach) so probing is an O(1) ``element_at`` per key, fully
     inside codegen.
+
+    ``n_items_hint`` sizes the bitmap from a caller-supplied item-count
+    estimate instead of an eager ``count()`` — one eager action (the
+    bitmap collect) instead of two. An over-estimate only wastes bitmap
+    memory; an under-estimate only raises the false-positive rate.
+    Membership stays exact-negative-free either way.
     """
-    # The build is EAGER (count to size m, collect to densify) — two
-    # bounded actions on the small build side at call time. The distinct
-    # set persists across them so the upstream (e.g. bench shingling)
-    # computes once, and is released before returning.
-    uniq = hashes.select(h_col).distinct().persist()
+    # The build is EAGER (collect to densify; plus a count to size m
+    # when no hint is given) — bounded actions on the small build side
+    # at call time.
+    if n_items_hint is None:
+        uniq = hashes.select(h_col).distinct().persist()
+    else:
+        uniq = hashes.select(h_col).distinct()
     try:
-        n_items = uniq.count()
+        n_items = uniq.count() if n_items_hint is None else n_items_hint
         m_bits = 1024
         while m_bits < n_items * _BLOOM_BITS_PER_ITEM:
             m_bits <<= 1
@@ -86,7 +96,8 @@ def build_hash_bloom(hashes: DataFrame, h_col: str = "_h") -> tuple[DataFrame, i
             .collect()
         )
     finally:
-        uniq.unpersist()
+        if n_items_hint is None:
+            uniq.unpersist()
     dense = [0] * (m_bits // 64)
     for r in words:
         dense[r._idx] = r._word
@@ -121,6 +132,7 @@ def contamination_pairs(
     broadcast_bench: bool = True,
     num_partitions: int | None = None,
     bloom_prefilter: bool = True,
+    bloom_min_items: int = 100_000,
 ) -> DataFrame:
     """(train_id, bench_id, overlap_ngrams) for every train/bench pair
     sharing >= ``min_hits`` distinct word n-grams.
@@ -144,6 +156,17 @@ def contamination_pairs(
     exact join then discards. Zero false negatives by construction
     (build and probe share the same probe expressions; pinned in
     tests/test_llm_ops.py).
+
+    Small-side guard: the bitmap build is an eager Spark job, so below
+    ``bloom_min_items`` estimated bench n-grams (default 100k — where
+    the build job's fixed overhead rivals the hash-join probe work it
+    can save) the bloom is bypassed: one cheap ``sum(length)`` scan of
+    the (small) bench side estimates its gram count. Callers with a
+    tiny benchmark against an enormous corpus can force the bloom with
+    ``bloom_min_items=0``. The same
+    estimate sizes the bitmap when the bloom IS built, replacing the
+    eager ``count()`` (one eager action saved; sizing error only moves
+    fpp/memory, never correctness).
     """
     tr = hashed_shingles(
         train, text_col, id_col, n=n, num_partitions=num_partitions, unit=unit,
@@ -153,7 +176,14 @@ def contamination_pairs(
         id_col, "bench_id"
     )
     if bloom_prefilter:
-        bf, m_bits = build_hash_bloom(be, "_h")
+        # grams <= chars for unit='char'; for unit='word' grams ~= words
+        # ~= chars/6 in natural text (underestimates only raise fpp).
+        chars = bench.select(F.sum(F.length(text_col)).alias("_c")).first()._c or 0
+        est_items = int(chars if unit == "char" else chars // 6) + 1
+        if est_items < bloom_min_items:
+            bloom_prefilter = False
+    if bloom_prefilter:
+        bf, m_bits = build_hash_bloom(be, "_h", n_items_hint=est_items)
         tr = (
             tr.join(F.broadcast(bf))
             .where(bloom_might_contain(F.col("_h"), m_bits))

@@ -1368,8 +1368,15 @@ def test_bloom_prefilter_changes_nothing(spark, sf_dir):
     train = d.where(F.col("doc_id") % 20 != 0)
     bench = d.where(F.col("doc_id") % 20 == 0)
     kw = dict(n=3, min_hits=3)
+    # bloom_min_items=0 defeats the small-side guard so the bloom path
+    # genuinely runs on the tiny fixture
     with_bloom = sorted(
-        map(tuple, contamination_pairs(train, bench, "text", "doc_id", **kw).collect())
+        map(
+            tuple,
+            contamination_pairs(
+                train, bench, "text", "doc_id", bloom_min_items=0, **kw
+            ).collect(),
+        )
     )
     without = sorted(
         map(
@@ -1381,6 +1388,26 @@ def test_bloom_prefilter_changes_nothing(spark, sf_dir):
     )
     assert with_bloom == without
     assert len(with_bloom) > 0  # fixture actually exercises the path
+
+
+def test_bloom_small_side_guard_skips_build(spark, sf_dir):
+    """Below ~100k estimated bench grams the Bloom build job costs more
+    than the probes it saves: the guard must bypass it (no 1-row bitmap
+    scalar attach — no BroadcastNestedLoopJoin — in the plan)."""
+    from dlp_rdb_bq_import_spark.operators.decontam import contamination_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)  # tiny: far below 100k grams
+    out = contamination_pairs(train, bench, "text", "doc_id", n=3, min_hits=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # forcing the bloom re-introduces the bitmap attach
+    forced = contamination_pairs(
+        train, bench, "text", "doc_id", n=3, min_hits=3, bloom_min_items=0
+    )
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in fplan
 
 
 def test_bloom_membership_exhaustive(spark):
