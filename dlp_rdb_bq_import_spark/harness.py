@@ -1830,7 +1830,7 @@ tf AS (
   SELECT doc_id, word, COUNT(*) AS tf FROM words WHERE word <> '' GROUP BY doc_id, word
 ),
 dfreq AS (
-  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word
+  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word HAVING COUNT(*) <= 2000
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
@@ -1852,9 +1852,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     two partial aggs, a shuffle join on word, a broadcast corpus count,
     a per-document window. Rational idf (N+1)/(df+1) keeps the score
     bit-exact across engines (IEEE div/mul are correctly rounded; ln is
-    not)."""
+    not). max_df=2000 drops stop-word postings before the word-keyed
+    join shuffle (broadcast anti-join of the tiny over-cap vocabulary),
+    mirrored by the oracle's HAVING."""
     d = t(spark, sf_dir, "documents")
-    return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3)
+    return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3, max_df=2000)
 
 
 def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:

@@ -401,6 +401,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document top-k characteristic terms by TF-IDF.
 
@@ -418,6 +419,15 @@ def tfidf_top_terms(
     corpus count, and a per-document window — no per-word data ever
     concentrates beyond a word's posting count, and nothing is
     quadratic. Ties rank alphabetically so top-k is deterministic.
+
+    ``max_df`` drops terms appearing in more than that many documents
+    (stop-word discipline — the same doc-freq cap as
+    :func:`tfidf_cosine_pairs`): such terms score near the idf floor
+    and can't be "characteristic", yet their postings dominate the
+    word-keyed join shuffle. The dropped-word set (vocabulary above the
+    cap — a handful of stop words) broadcasts into a map-side anti-join
+    that prunes the tf stream BEFORE the join exchange, so the hot
+    postings never shuffle at all.
     """
     from pyspark.sql import Window
 
@@ -426,6 +436,10 @@ def tfidf_top_terms(
     ).where(F.col("word") != "")
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    if max_df is not None:
+        hot = dfreq.where(F.col("doc_freq") > max_df).select("word")
+        tf = tf.join(F.broadcast(hot), "word", "left_anti")
+        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
     n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
     score = F.col("tf").cast("double") * (
         (F.col("n_docs").cast("double") + F.lit(1.0))

@@ -876,6 +876,26 @@ def test_tfidf_top_terms_empty_input(spark):
     assert text_ops.tfidf_top_terms(df).count() == 0
 
 
+def test_tfidf_top_terms_max_df_drops_stopwords_before_shuffle(spark):
+    """Terms in more than max_df docs vanish from the output, rankings
+    of the survivors are untouched, and the prune is a broadcast
+    anti-join (BroadcastHashJoin LeftAnti) ahead of the word join."""
+    df = spark.createDataFrame(
+        [(i, "the common " + ("alpha" if i == 0 else f"w{i}")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(df, "text", "doc_id", k=3, max_df=5)
+    rows = out.collect()
+    words = {r.word for r in rows}
+    assert "the" not in words and "common" not in words  # df=10 > 5
+    assert {"alpha", "w1"} <= words  # df=1 terms survive with rk=1
+    assert all(r.rk == 1 for r in rows if r.word == "alpha")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # uncapped call still returns the stop words (cap is opt-in)
+    assert "the" in {r.word for r in text_ops.tfidf_top_terms(df, k=3).collect()}
+
+
 def test_cascading_rollup_levels_lossless(spark, sf_dir):
     """Each coarser level, computed from the finer level's partials,
     must equal a direct aggregation of the raw data at that grain."""
