@@ -4664,6 +4664,65 @@ def q_supplier_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def _supplier_domestic_edges(spark, sf_dir):
+    """Deterministic non-degenerate fixture graph for the cohesion /
+    community operators: suppliers are adjacent when they share a
+    NATION and co-supply at least the median number of parts among
+    domestic pairs. Nation membership partitions the graph into >= 2
+    disconnected blocks (ground-truth community structure a uniform
+    co-supply graph lacks); the weight threshold — an in-plan exact
+    percentile attached as a broadcast 1-row scalar, no eager action —
+    keeps each block sparse instead of a clique. Scale posture: the
+    part self-join fans out C(suppliers_per_part, 2) pairs per part
+    (bounded, ~6 in TPC-H shape); nation lookups broadcast; edge count
+    is halved by the median cut."""
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.withColumnsRenamed({"l_suppkey": "sa"})
+    b = ps.withColumnsRenamed({"l_suppkey": "sb"})
+    pairs = (
+        a.join(b, "l_partkey")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("w"))
+    )
+    na = F.broadcast(su.withColumnsRenamed({"s_suppkey": "sa", "s_nationkey": "na"}))
+    nb = F.broadcast(su.withColumnsRenamed({"s_suppkey": "sb", "s_nationkey": "nb"}))
+    domestic = pairs.join(na, "sa").join(nb, "sb").where(F.col("na") == F.col("nb"))
+    thr = domestic.agg(F.expr("percentile(w, 0.5)").alias("_thr"))
+    return (
+        domestic.crossJoin(F.broadcast(thr))
+        .where(F.col("w") >= F.col("_thr"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+
+
+@query("kcore_supplier")  # iterative peeling fixpoint — rows-only by design
+def q_kcore_supplier(spark, sf_dir):
+    """EXT — 2-core of the domestic co-supply graph (graph.py kcore):
+    the maximal subgraph where every supplier retains >= 2 in-core
+    domestic partners, by distributed peeling (degree count + two
+    semi-joins per round, lineage cut per round). Output (node,
+    degree) with the IN-CORE degree; brute-force-pinned in
+    tests/test_triangles.py."""
+    from .operators.graph import kcore
+
+    return kcore(_supplier_domestic_edges(spark, sf_dir), k=2)
+
+
+@query("communities_supplier")  # iterative label fixpoint — rows-only by design
+def q_communities_supplier(spark, sf_dir):
+    """EXT — label-propagation communities on the domestic co-supply
+    graph (graph.py label_propagation, deterministic min-label ties).
+    Nation blocks are disconnected, so every community sits inside one
+    nation — the cross-fixture invariant tests/test_triangles.py pins.
+    Per round: one edge-label join, one vote count, one argmax window,
+    all linear in |E|."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(_supplier_domestic_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # §2.12 EXT — association rules (operators/itemsets.py)
 # ---------------------------------------------------------------------------

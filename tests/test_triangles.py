@@ -160,3 +160,39 @@ def test_label_prop_isolated_pair_is_own_community(spark):
     assert out[1] == out[2]
     assert out[5] == out[6]
     assert out[1] != out[5]
+
+
+# ---------------------------------------------------------------------------
+# driver-visible fixture graph (harness kcore_supplier / communities_supplier)
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_domestic_graph_queries_nondegenerate(spark):
+    """The registered graph queries run on the domestic co-supply graph
+    at sf0.01 and their cross-fixture invariants hold: communities are
+    plural and each sits inside ONE nation (nation blocks are
+    disconnected by construction); the 2-core is a proper nonempty
+    subset with every in-core degree >= 2."""
+    import os
+
+    from dlp_rdb_bq_import_spark import harness
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf, "supplier.parquet")):
+        pytest.skip("sf0.01 fixtures not present")
+    nations = {
+        r.s_suppkey: r.s_nationkey
+        for r in harness.t(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    }
+    comm = harness.queries()["communities_supplier"](spark, sf).collect()
+    assert len(comm) > 0
+    by_comm = {}
+    for r in comm:
+        by_comm.setdefault(r.community, set()).add(nations[r.node])
+    assert len(by_comm) > 1
+    assert all(len(nats) == 1 for nats in by_comm.values())
+    core = harness.queries()["kcore_supplier"](spark, sf).collect()
+    assert 0 < len(core) < len(comm)  # proper nonempty subset of the nodes
+    assert all(r.degree >= 2 for r in core)
