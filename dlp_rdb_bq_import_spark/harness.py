@@ -1398,6 +1398,29 @@ def q_minhash(spark, sf_dir):
     )
 
 
+@query("dedup_incremental_minhash")  # LSH + signature estimate — rows-only
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Batch-ingest near-dup dedup: every 10th document plays the
+    arriving batch (plus a re-keyed copy of corpus doc 1 as a planted
+    near-dup); the standing corpus exists only as its MinHash signature
+    index (the warehouse-persistable artifact — fixed-width mh_* rows,
+    corpus text never re-read). Band equi-join against the index, then
+    the component-agreement Jaccard estimate over candidates. Subset-of
+    full-corpus-LSH and index round-trip pinned in tests."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 10 == 0).unionByName(
+        d.where(F.col("doc_id") == 1).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    return dedup.incremental_minhash_pairs(
+        new, index, "text", "doc_id",
+        threshold=0.35, bands=16, shingle_n=3, shingle_unit="word",
+    )
+
+
 @query("dedup_simhash")  # banded Hamming candidates — rows-only
 def q_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")

@@ -322,14 +322,16 @@ def minhash_signatures(
     return base.groupBy(F.col(id_col)).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str,
     bands: int = 16,
 ) -> DataFrame:
-    """Band the signature into ``bands`` buckets; same-bucket pairs are
-    candidates. Join key is (band_index, band_hash) — an equi-join AQE
-    can handle, never a cross join."""
+    """Explode a ``minhash_signatures`` table into its LSH band keys:
+    one row per (doc, band) with ``sig`` = xxhash64 of the band's
+    signature components. This IS the persistable standing index for
+    incremental dedup — fixed-width (id, int, long) rows, derivable
+    from stored signatures by pure expressions, joinable by equi-join."""
     k = len([c for c in signatures.columns if c.startswith("mh_")])
     rows_per_band = k // bands
     band_cols = []
@@ -338,10 +340,21 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(bidx).alias("band"), F.xxhash64(*cols).alias("sig")).alias(f"_b{bidx}")
         )
-    banded = (
+    return (
         signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
         .select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature into ``bands`` buckets; same-bucket pairs are
+    candidates. Join key is (band_index, band_hash) — an equi-join AQE
+    can handle, never a cross join."""
+    banded = banded_signatures(signatures, id_col, bands)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -349,6 +362,78 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    new: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    bands: int = 16,
+    shingle_n: int = 5,
+    num_partitions: int | None = None,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """New-batch-vs-standing-corpus near-duplicate pairs — the batch
+    ingest path of a training pipeline: the standing corpus exists only
+    as its persisted MinHash signature index (``minhash_signatures``
+    output, e.g. written/read via ``sinks.warehouse.Warehouse``), so
+    each arriving batch is matched WITHOUT re-reading or re-shingling
+    corpus text.
+
+    Returns ``(new_id, corpus_id, est_jaccard)`` where ``est_jaccard``
+    is the standard MinHash estimate — the fraction of agreeing
+    signature components — for banded-LSH candidates at or above
+    ``threshold``. (Exact Jaccard verification is impossible by design:
+    the index stores 8·k bytes per corpus doc, not its shingles; at
+    k=64 the component estimator's std-error is ~0.06 at J=0.5.)
+
+    Signatures depend only on the document itself, so the candidate set
+    equals ``minhash_lsh_candidates`` over the full corpus restricted
+    to new×corpus pairs (pinned in tests). Scale shape: the new batch
+    shingles/aggregates once (linear); both sides explode to ``bands``
+    fixed-width rows; one (band, sig) equi-join whose matches are
+    candidate-bounded; the estimator is a JVM ``zip_with`` fold over
+    two k-long arrays — no Python, no cross join, corpus text untouched.
+    ``num_hashes`` is inferred from the index's ``mh_*`` columns; the
+    new side MUST be signed with the same k/shingle parameters the
+    index was built with (coefficients are deterministic, so equal
+    parameters give equal hash families).
+    """
+    k = len([c for c in corpus_signatures.columns if c.startswith("mh_")])
+    if k == 0 or k % bands != 0:
+        raise ValueError(
+            f"corpus_signatures must carry mh_0..mh_{{k-1}} columns with k a "
+            f"multiple of bands; got k={k}, bands={bands}"
+        )
+    new_sigs = minhash_signatures(
+        new, text_col, id_col, num_hashes=k, shingle_n=shingle_n,
+        num_partitions=num_partitions, shingle_unit=shingle_unit,
+    )
+    nb = banded_signatures(new_sigs, id_col, bands).withColumnsRenamed(
+        {id_col: "new_id"}
+    )
+    cb = banded_signatures(corpus_signatures, id_col, bands).withColumnsRenamed(
+        {id_col: "corpus_id"}
+    )
+    cand = nb.join(cb, ["band", "sig"]).select("new_id", "corpus_id").distinct()
+    arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
+    na = new_sigs.select(F.col(id_col).alias("new_id"), arr.alias("_sa"))
+    ca = corpus_signatures.select(F.col(id_col).alias("corpus_id"), arr.alias("_sb"))
+    agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(na, "new_id")
+        .join(ca, "corpus_id")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
     )
 
 

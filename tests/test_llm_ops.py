@@ -225,6 +225,83 @@ def test_minhash_word_unit_finds_planted_dups(spark):
     assert len(found) <= 3  # no quadratic candidate soup from noise
 
 
+def test_incremental_minhash_matches_full_corpus_lsh(spark, sf_dir):
+    """Signatures depend only on the document itself, so new-vs-corpus
+    incremental candidates must EQUAL the full-corpus LSH candidate set
+    restricted to new×corpus pairs (same bands, same hash family), and
+    the planted near-identical doc is found with est_jaccard ~1."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 5 == 0).unionByName(
+        corpus.where(F.col("doc_id") == 1).withColumn("doc_id", F.lit(900))
+    )
+    kw = dict(num_hashes=64, shingle_n=3, shingle_unit="word")
+    index = dedup.minhash_signatures(corpus, "text", "doc_id", **kw)
+    inc = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in dedup.incremental_minhash_pairs(
+            new, index, "text", "doc_id",
+            threshold=0.0, bands=16, shingle_n=3, shingle_unit="word",
+        ).collect()
+    }
+    full_sigs = dedup.minhash_signatures(
+        corpus.unionByName(new), "text", "doc_id", **kw
+    )
+    full = set(
+        map(tuple, dedup.minhash_lsh_candidates(full_sigs, "doc_id", bands=16).collect())
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    cross = {
+        (a, b) if a in new_ids else (b, a)
+        for a, b in full
+        if (a in new_ids) != (b in new_ids)
+        and (a in corpus_ids or b in corpus_ids)
+    }
+    assert set(inc) == cross
+    assert inc[(900, 1)] == 1.0  # planted exact copy: all components agree
+
+
+def test_incremental_minhash_index_roundtrips_through_warehouse(spark, tmp_path):
+    """The signature index persists via the warehouse sink and the
+    re-read index yields identical incremental pairs — the standing-
+    corpus artifact a batch pipeline stores between ingests."""
+    from dlp_rdb_bq_import_spark.sinks.warehouse import Warehouse
+
+    words = [f"w{i}" for i in range(100)]
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, size=40))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, corpus.collect()[3].text), (101, "completely different words only")],
+        ["doc_id", "text"],
+    )
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    wh = Warehouse(str(tmp_path))
+    assert wh.write(index, "DEDUP", "MINHASH_INDEX").status == "ok"
+    reread = wh.read(spark, "DEDUP", "MINHASH_INDEX")
+    kw = dict(threshold=0.5, bands=16, shingle_n=3, shingle_unit="word")
+    direct = sorted(
+        map(tuple, dedup.incremental_minhash_pairs(new, index, "text", "doc_id", **kw).collect())
+    )
+    persisted = sorted(
+        map(tuple, dedup.incremental_minhash_pairs(new, reread, "text", "doc_id", **kw).collect())
+    )
+    assert direct == persisted
+    assert [(p[0], p[1]) for p in persisted] == [(100, 3)]
+
+
+def test_incremental_minhash_band_mismatch_raises(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=64)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.incremental_minhash_pairs(df, sigs, "text", "doc_id", bands=7)
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering (connected components) vs union-find reference
 # ---------------------------------------------------------------------------
