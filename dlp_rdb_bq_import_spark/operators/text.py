@@ -148,22 +148,51 @@ def winnowing_fingerprints(
     non-rolling reference in tests/test_llm_ops.py."""
 
     B = 257
+    # B is odd, hence invertible mod 2^64: the k-gram hash
+    # h[i] = Σ s[i+j]·B^(k-1-j) factors as B^(i+k-1) · Σ s[m]·B^(-m)
+    # over m∈[i,i+k), so ONE cumsum of s[m]·Binv^m plus two elementwise
+    # multiplies computes every hash in O(n) — replacing the O(n·k)
+    # windowed matrix product. uint64 wraparound IS mod 2^64, and every
+    # step (cumprod powers, cumsum, difference, product) is exact under
+    # it, so the values are bit-identical to the direct form.
+    B_INV = pow(B, -1, 1 << 64)
 
-    powers = np.array(
-        [pow(B, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
-    )
-
-    def _dedup(mins: "np.ndarray") -> list[int]:
+    def _dedup(mins: "np.ndarray") -> "np.ndarray":
         keep = np.ones(len(mins), dtype=bool)
         keep[1:] = mins[1:] != mins[:-1]
-        return mins[keep].astype(np.int64).tolist()
+        # ndarray cells pass straight through Arrow as list<int64> —
+        # no per-doc Python list materialization
+        return mins[keep].view(np.int64)
+
+    def _gram_hashes(joined: "np.ndarray", n_h: int) -> "np.ndarray":
+        """All k-gram hashes of a byte slice in O(n) flat passes."""
+        n = len(joined)
+        powb = np.full(n, B, dtype=np.uint64)
+        powb[0] = 1
+        np.multiply.accumulate(powb, out=powb)  # powb[m] = B^m mod 2^64
+        pinv = np.full(n, B_INV, dtype=np.uint64)
+        pinv[0] = 1
+        np.multiply.accumulate(pinv, out=pinv)  # pinv[m] = B^-m mod 2^64
+        pinv *= joined  # t[m] = s[m]·B^-m
+        np.add.accumulate(pinv, out=pinv)  # C[m] = Σ t[0..m]
+        s = pinv[k - 1 :].copy()  # S_i = C[i+k-1] - C[i-1]
+        s[1:] -= pinv[: n - k]
+        s *= powb[k - 1 :]  # h[i] = B^(i+k-1) · S_i
+        return s
+
+    def _window_mins(hashes: "np.ndarray", w: int) -> "np.ndarray":
+        """Sliding-window minimum via w-1 pairwise minima on shifted
+        views — no (n × w) matrix materialization."""
+        m = hashes[: len(hashes) - w + 1].copy()
+        for shift in range(1, w):
+            np.minimum(m, hashes[shift : shift + len(m)], out=m)
+        return m
 
     # Cap on concatenated text bytes per vectorized slice: the kernel
-    # materializes ~24 bytes of intermediates per text byte (uint64
-    # copy + hashes + window-mins), so a cap bounds peak memory at
-    # ~0.8 GB regardless of Arrow batch byte size (maxRecordsPerBatch
-    # caps rows, not bytes — a batch of huge documents must not OOM the
-    # Python worker).
+    # holds ~6 uint64 arrays of intermediates (~48 bytes per text
+    # byte), so a cap bounds peak memory at ~1.5 GB regardless of
+    # Arrow batch byte size (maxRecordsPerBatch caps rows, not bytes —
+    # a batch of huge documents must not OOM the Python worker).
     slice_bytes = 32 << 20
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,13 +218,10 @@ def winnowing_fingerprints(
                 ).astype(np.uint64)
                 all_hashes = all_mins = None
                 if len(joined) >= k:
-                    win = np.lib.stride_tricks.sliding_window_view(joined, k)
                     with np.errstate(over="ignore"):
-                        all_hashes = (win * powers).sum(axis=1)  # wraps mod 2^64
-                    if len(all_hashes) > window:
-                        all_mins = np.lib.stride_tricks.sliding_window_view(
-                            all_hashes, window
-                        ).min(axis=1)
+                        all_hashes = _gram_hashes(joined, len(joined) - k + 1)
+                        if len(all_hashes) > window:
+                            all_mins = _window_mins(all_hashes, window)
                 off = 0
                 for doc_id, s in zip(doc_ids[i:j], blobs[i:j]):
                     ids.append(doc_id)
