@@ -289,10 +289,23 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
     )
     if weight_col is not None:
-        if e.where(F.col("w").isNull()).limit(1).count() > 0:
-            raise ValueError(f"pagerank: NULL weights in {weight_col!r}")
-        e = e.where(F.col("w") > 0)
-    e = e.localCheckpoint(eager=True)
+        # NULL guard folded into the eager checkpoint below — ONE pass
+        # over the edges instead of a separate probe job: coalesce
+        # evaluates raise_error only when a weight is NULL, so the
+        # materialization itself throws on bad input
+        checked = F.coalesce(
+            F.col("w"),
+            F.raise_error(
+                F.lit(f"pagerank: NULL weights in {weight_col!r}")
+            ).cast("double"),
+        )
+        e = e.select("src", "dst", checked.alias("w")).where(F.col("w") > 0)
+    try:
+        e = e.localCheckpoint(eager=True)
+    except Exception as ex:  # surface the in-plan guard as the API's ValueError
+        if "NULL weights" in str(ex):
+            raise ValueError(f"pagerank: NULL weights in {weight_col!r}") from None
+        raise
 
     nodes = (
         e.select(F.col("src").alias("node"))
