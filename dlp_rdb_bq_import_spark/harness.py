@@ -2032,6 +2032,34 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+@query("multimodal_header_probe")  # header-bytes-only dimension probe — rows-only
+def q_multimodal_header_probe(spark, sf_dir):
+    """Media dimensions/duration WITHOUT decode: the JVM ships only a
+    4 KB payload prefix + total length to Python, and the probe parses
+    header offsets alone (media_codecs.probe_media_header) — the stats
+    pass over a 100 TB media corpus must not pay pixel cost it
+    discards. Mixed corpus: images for doc_id%3==0, audio %3==1,
+    video %3==2; deterministic synth, so rows-only is stable.
+    Header-equals-full-decode parity pinned in tests."""
+    from .operators.multimodal import attach_media, media_header_stats
+
+    d = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    parts = []
+    for i, media in enumerate(("image", "audio", "video")):
+        parts.append(
+            media_header_stats(
+                attach_media(d.where(F.col("doc_id") % 3 == i), media=media)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id", "byte_len", "media_format", "width", "height",
+        "sample_rate", "n_samples", "n_frames",
+    )
+
+
 @query("multimodal_resize")  # real decode + nearest-neighbor resize — rows-only
 def q_multimodal_resize(spark, sf_dir):
     """Thumbnail stage: real BMP/PPM decode → nearest-neighbor resize →

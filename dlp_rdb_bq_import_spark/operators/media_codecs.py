@@ -261,6 +261,110 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# header-only probing — dimensions without touching the pixel/sample body
+# ---------------------------------------------------------------------------
+
+#: bytes of payload prefix that suffice for every header probe (BMP/PPM
+#: headers are < 100 B; a WAV chunk walk needs only each chunk's 8-byte
+#: header, skipping bodies arithmetically; a Y4M stream header is one
+#: line). Callers ship ONLY this prefix + the total length per row.
+HEADER_PROBE_BYTES = 4096
+
+
+def probe_media_header(prefix: bytes, total_len: int) -> dict:
+    """Container dimensions/duration from HEADER BYTES ONLY.
+
+    ``prefix`` is the first ``HEADER_PROBE_BYTES`` of the payload (or
+    the whole payload if shorter); ``total_len`` is the full payload
+    size. No pixel, sample, or frame byte is ever parsed: BMP reads
+    fixed offsets; PPM tokenizes its ASCII header; WAV walks the chunk
+    list skipping bodies by arithmetic (the data chunk's declared size
+    gives the sample count); Y4M derives the frame count from
+    ``total_len`` and the per-frame stride (bare FRAME markers — the
+    form our encoder emits; parameterized markers yield a null count
+    rather than a wrong one). Unknown/compressed containers return the
+    sniffed format with null dimensions — never an exception, so one
+    probe pass can sweep a mixed corpus.
+
+    Returns keys: media_format, width, height, n_channels,
+    sample_rate, n_samples, duration_ms, n_frames, fps_num, fps_den
+    (None where inapplicable).
+    """
+    out = {
+        "media_format": sniff_format(prefix),
+        "width": None, "height": None, "n_channels": None,
+        "sample_rate": None, "n_samples": None, "duration_ms": None,
+        "n_frames": None, "fps_num": None, "fps_den": None,
+    }
+    try:
+        fmt = out["media_format"]
+        if fmt == "bmp" and len(prefix) >= 34:
+            w, h_signed = struct.unpack_from("<ii", prefix, 18)
+            (bpp,) = struct.unpack_from("<H", prefix, 28)
+            out.update(width=w, height=abs(h_signed), n_channels=bpp // 8)
+        elif fmt == "ppm":
+            tokens: list[int] = []
+            i = 2
+            while len(tokens) < 2 and i < len(prefix):
+                while i < len(prefix) and prefix[i : i + 1].isspace():
+                    i += 1
+                if prefix[i : i + 1] == b"#":
+                    while i < len(prefix) and prefix[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < len(prefix) and not prefix[j : j + 1].isspace():
+                    j += 1
+                tokens.append(int(prefix[i:j]))
+                i = j
+            if len(tokens) == 2:
+                out.update(width=tokens[0], height=tokens[1], n_channels=3)
+        elif fmt == "wav":
+            i = 12
+            while i + 8 <= len(prefix):
+                cid = prefix[i : i + 4]
+                (clen,) = struct.unpack_from("<I", prefix, i + 4)
+                if cid == b"fmt " and i + 8 + 16 <= len(prefix):
+                    _, ch, rate, _, block_align, _ = struct.unpack_from(
+                        "<HHIIHH", prefix, i + 8
+                    )
+                    out.update(n_channels=ch, sample_rate=rate)
+                elif cid == b"data" and out["n_channels"]:
+                    n = clen // (out["n_channels"] * 2)
+                    out.update(
+                        n_samples=n,
+                        duration_ms=n * 1000 // out["sample_rate"]
+                        if out["sample_rate"]
+                        else None,
+                    )
+                    break  # sample body follows — nothing left to read
+                i += 8 + clen + (clen & 1)
+        elif fmt == "y4m" and b"\n" in prefix:
+            nl = prefix.index(b"\n")
+            header = prefix[:nl].decode("ascii", "replace")
+            w = h = None
+            fps_num, fps_den = 25, 1
+            for tok in header.split()[1:]:
+                if tok[0] == "W":
+                    w = int(tok[1:])
+                elif tok[0] == "H":
+                    h = int(tok[1:])
+                elif tok[0] == "F":
+                    fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+            if w and h:
+                stride = 6 + w * h * 3  # b"FRAME\n" + C444 planes
+                body = total_len - (nl + 1)
+                out.update(
+                    width=w, height=h, n_channels=3,
+                    fps_num=fps_num, fps_den=fps_den,
+                    n_frames=body // stride if body % stride == 0 else None,
+                )
+    except (ValueError, struct.error):
+        pass  # malformed header: sniffed format with null dims
+    return out
+
+
+# ---------------------------------------------------------------------------
 # deterministic synthesis (fixture-side: real bytes, seeded content)
 # ---------------------------------------------------------------------------
 

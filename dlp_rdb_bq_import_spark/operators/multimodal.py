@@ -142,6 +142,61 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+_HEADER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+    ]
+)
+
+
+def media_header_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Format + dimensions + duration for every media payload from
+    HEADER BYTES ONLY — the stats pass that must not pay decode cost.
+
+    The 100 TB posture is in the projection, not just the parser: the
+    JVM slices ``substring(payload, 1, HEADER_PROBE_BYTES)`` and ships
+    only that prefix plus the total length through Arrow, so a corpus
+    of megabyte videos crosses the Python boundary at a few KB per row
+    and no pixel/sample/frame byte is ever copied or parsed
+    (``media_codecs.probe_media_header``). Unknown or compressed
+    containers yield their sniffed format with null dimensions instead
+    of raising, so one sweep profiles a mixed corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blen, prefix in zip(
+                pdf[id_col], pdf["_len"], pdf["_hdr"]
+            ):
+                if prefix is None:
+                    continue
+                p = codecs.probe_media_header(bytes(prefix), int(blen))
+                rows.append({"doc_id": int(doc_id), "byte_len": int(blen), **p})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _HEADER_STATS_SCHEMA.fields]
+            )
+
+    pruned = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.length(payload_col).cast("long").alias("_len"),
+        F.substring(F.col(payload_col), 1, codecs.HEADER_PROBE_BYTES).alias("_hdr"),
+    )
+    return pruned.mapInPandas(run, schema=_HEADER_STATS_SCHEMA)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode: BMP and PPM parsed byte-for-byte from the
     public specs; compressed formats raise ``NotImplementedError``

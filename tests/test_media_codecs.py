@@ -222,3 +222,70 @@ def test_sample_frames_digests_real_frames(spark):
                 np.ascontiguousarray(frames[r["src_frame"]]).tobytes()
             ).hexdigest()
             assert r["frame_md5"] == expect
+
+
+def test_probe_media_header_matches_full_decode():
+    """Header-only probe agrees with the full decoder on every
+    synthesized container, given ONLY the 4 KB prefix — proof no body
+    byte is needed."""
+    for seed in range(6):
+        raw = mc.synthesize_image(seed)
+        p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+        img = mc.decode_image_payload(raw)
+        assert (p["width"], p["height"]) == (img.shape[1], img.shape[0])
+        assert p["media_format"] in ("bmp", "ppm")
+
+        raw = mc.synthesize_audio(seed)
+        p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+        samples, rate = mc.decode_wav(raw)
+        assert p["sample_rate"] == rate
+        assert p["n_samples"] == samples.shape[0]
+        assert p["n_channels"] == samples.shape[1]
+        assert p["duration_ms"] == samples.shape[0] * 1000 // rate
+
+        raw = mc.synthesize_video(seed)
+        p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+        frames, num, den = mc.decode_y4m(raw)
+        assert (p["width"], p["height"]) == (frames.shape[2], frames.shape[1])
+        assert p["n_frames"] == frames.shape[0]
+        assert (p["fps_num"], p["fps_den"]) == (num, den)
+
+
+def test_probe_media_header_never_raises_on_junk():
+    for junk in (b"", b"\x00" * 64, b"\x89PNG\r\n\x1a\n" + b"x" * 32, b"P6 garbage"):
+        p = mc.probe_media_header(junk, len(junk))
+        assert "media_format" in p  # sniffed or 'unknown', no exception
+
+
+def test_media_header_stats_prunes_payload_to_prefix(spark):
+    """The Spark operator returns decode-parity dimensions for a mixed
+    corpus while the Python side only ever receives the JVM-sliced
+    prefix (plan projects substring(payload), never raw payload)."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import (
+        attach_media,
+        media_header_stats,
+    )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    for media, decode in (
+        ("image", None),
+        ("audio", None),
+        ("video", None),
+    ):
+        out = media_header_stats(attach_media(docs, media=media))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "substring(payload" in plan
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == set(range(8))
+        for seed, r in rows.items():
+            if media == "image":
+                img = mc.decode_image_payload(mc.synthesize_image(seed))
+                assert (r.width, r.height) == (img.shape[1], img.shape[0])
+            elif media == "audio":
+                samples, rate = mc.decode_wav(mc.synthesize_audio(seed))
+                assert (r.sample_rate, r.n_samples) == (rate, samples.shape[0])
+            else:
+                frames, num, den = mc.decode_y4m(mc.synthesize_video(seed))
+                assert (r.width, r.height, r.n_frames) == (
+                    frames.shape[2], frames.shape[1], frames.shape[0],
+                )
