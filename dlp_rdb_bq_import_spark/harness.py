@@ -3829,7 +3829,13 @@ def _corr_oracle_sql(table: str, cols: list[str], scale: int) -> str:
                 f"CAST(n*s{i}_{j} - s{i}*s{j} AS DOUBLE) / {den} END AS corr FROM s"
             )
     union = "\nUNION ALL\n".join(rows)
-    return f"WITH q AS (SELECT {qs} FROM {table}),\ns AS (SELECT {', '.join(sums)} FROM q)\n{union}"
+    # listwise NULL deletion to mirror the engine's na.drop(how='any')
+    # (fixture columns are NULL-free, but the twin must not depend on it)
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return (
+        f"WITH q AS (SELECT {qs} FROM {table} WHERE {not_null}),\n"
+        f"s AS (SELECT {', '.join(sums)} FROM q)\n{union}"
+    )
 
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -4411,10 +4417,13 @@ WITH c AS (
   FROM c CROSS JOIN t
 )
 SELECT e.event_id, e.user_id, e.event_type
-FROM events e JOIN r USING (event_type)
+FROM events e JOIN r ON e.event_type IS NOT DISTINCT FROM r.event_type
 WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
         / 4294967296.0 < r.rate
 """
+# ^ null-safe join: balance_classes documents NULL classes as kept (they
+# group and rebalance like any other class), so the oracle must pair a
+# NULL event_type row with its NULL-class rate, not drop it.
 
 
 @query("balance_event_classes", oracle=_BALANCE_SQL)

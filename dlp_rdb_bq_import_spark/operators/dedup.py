@@ -683,15 +683,28 @@ def hamming_neardup_pairs(
     Pigeonhole banding: split the 64-bit signature into ``max_hamming+1``
     chunks; any pair within distance k agrees on ≥1 chunk → equi-join on
     (chunk_index, chunk_value), then exact Hamming filter via
-    bit_count(xor). No cross join at any scale.
+    bit_count(xor). No cross join at any scale — which is exactly why
+    ``max_hamming`` is capped: at 64-bit signatures, chunks wider than
+    ~4 bits stop discriminating (max_hamming >= 15 → width <= 4), and
+    max_hamming >= 63 would make every chunk value 0, degenerating the
+    equi-join into a full cross join. Distances that loose are not
+    "near"-duplicates for a 64-bit sketch anyway.
     """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15] for 64-bit signatures "
+            f"(banding needs >= 4 discriminating bits per chunk), got {max_hamming}"
+        )
     chunks = max_hamming + 1
     width = 64 // chunks
+    # width=64 (max_hamming=0): the all-bits mask is -1 in two's
+    # complement — (1<<64)-1 would overflow the int64 literal
+    mask = (1 << width) - 1 if width < 64 else -1
     pieces = [
         F.struct(
             F.lit(i).alias("chunk"),
             F.shiftrightunsigned(F.col(sig_col), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            .bitwiseAND(F.lit(mask))
             .alias("val"),
         ).alias(f"_c{i}")
         for i in range(chunks)

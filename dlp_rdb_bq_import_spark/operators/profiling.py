@@ -565,23 +565,34 @@ def table_checksum(
     engine. Output: ``group_cols…, n_rows (long), checksum (string —
     exact decimal digits)``.
 
-    Float/double columns are REJECTED: their string rendering is
-    engine-specific (quantize upstream to decimal/int first); the
-    guard keeps the portability contract honest rather than letting
-    checksums silently diverge across engines.
+    Float/double, decimal, timestamp, and date columns are REJECTED:
+    their string renderings are engine-specific (binary-float
+    formatting; decimal trailing zeros / scale display; timestamp
+    fraction and zone formatting; date locale forms). Canonicalize
+    upstream — quantize floats/decimals to int, timestamps to epoch
+    micros, dates to epoch days — so the guard keeps the portability
+    contract honest instead of letting checksums silently diverge.
     """
     groups = group_cols or []
     reserved = {"n_rows", "checksum"}
     clash = reserved & set(groups)
     if clash:
         raise ValueError(f"group columns collide with reserved names: {sorted(clash)}")
-    float_cols = [
-        c for c, t in df.dtypes if c in cols and t in ("float", "double")
+    unportable = [
+        (c, t)
+        for c, t in df.dtypes
+        if c in cols
+        and (
+            t in ("float", "double", "date")
+            or t.startswith("decimal")
+            or t.startswith("timestamp")
+        )
     ]
-    if float_cols:
+    if unportable:
         raise ValueError(
-            "table_checksum: float columns render engine-specifically — "
-            f"quantize {sorted(float_cols)} to decimal/int upstream"
+            "table_checksum: these columns render engine-specifically — "
+            f"canonicalize upstream (floats/decimals → int, timestamps → "
+            f"epoch micros, dates → epoch days): {sorted(unportable)}"
         )
     rendered = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]

@@ -249,9 +249,12 @@ def interval_concurrency(
     planning primitive (and the interval analogue of a gauge rollup).
 
     Each interval [start, end) contributes +1 at start and −1 at end;
-    a running sum over boundaries ordered by (ts, delta) — ends sort
-    BEFORE starts at the same instant via delta asc, making intervals
-    half-open — yields the concurrency after each boundary. Output:
+    boundaries sharing a (key, instant) are pre-aggregated to ONE net
+    delta — so an end and a start at the same instant cancel before
+    the running sum ever sees them, which is what makes the intervals
+    half-open (ordering within an instant is moot once netted). The
+    running sum over instants then yields the concurrency after each
+    boundary. Output:
     ``key_cols…, ts, delta (long, net change at this instant),
     concurrent (long, open intervals after it)``; boundaries sharing an
     instant are pre-aggregated so each (key, ts) appears once.

@@ -1784,14 +1784,36 @@ def test_table_checksum_null_vs_empty_distinct(spark):
             != table_checksum(b, ["k", "s"]).collect()[0]["checksum"])
 
 
-def test_table_checksum_rejects_float_columns(spark):
+def test_table_checksum_rejects_unportable_renderings(spark):
+    """Every type whose string form is engine-specific must be rejected
+    — float/double AND decimal/timestamp/date (trailing zeros, fraction
+    and locale formatting would silently diverge checksums)."""
     from dlp_rdb_bq_import_spark.operators.profiling import table_checksum
 
-    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="float columns"):
-        table_checksum(df, ["k", "v"])
+    for schema, bad in (
+        ("k long, v double", "v"),
+        ("k long, v decimal(10,2)", "v"),
+        ("k long, v timestamp", "v"),
+        ("k long, v date", "v"),
+    ):
+        df = spark.createDataFrame([], schema)
+        with _pytest.raises(ValueError, match="engine-specifically"):
+            table_checksum(df, ["k", bad])
+    # portable types still pass
+    ok = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert table_checksum(ok, ["k", "v"]).count() == 1
+
+
+def test_hamming_neardup_max_hamming_guard(spark):
+    sigs = spark.createDataFrame([(1, 5), (2, 5)], "id long, sig long")
+    import pytest as _pytest
+
+    for bad in (-1, 16, 63, 64):
+        with _pytest.raises(ValueError, match="max_hamming"):
+            dedup.hamming_neardup_pairs(sigs, "id", "sig", max_hamming=bad)
+    assert dedup.hamming_neardup_pairs(sigs, "id", "sig", max_hamming=0).count() == 1
 
 
 def test_impute_group_median_null_group_rows_kept(spark):
