@@ -32,11 +32,15 @@ BENCH_QUERIES = [
     "batch_window_agg",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "decontaminate_overlap",
     "sequence_packing",
     "semantic_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "kcore_supplier",
+    "communities_supplier",
+    "multimodal_header_probe",
     "embedding_neardup_lsh",
     "knn_bruteforce_topk",
     "knn_lsh_topk",

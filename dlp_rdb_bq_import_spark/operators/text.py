@@ -140,10 +140,10 @@ def winnowing_fingerprints(
     the kernel vectorizable), keep the minimum in each sliding window,
     dedup consecutive picks.
 
-    Arrow-batched numpy, no per-character Python: each doc is two
-    ``sliding_window_view``s (k-gram hash = windows·powers in uint64,
-    then a window-min) — ~40× the throughput of the scalar rolling
-    loop this replaced, same algorithm. Rows-only correctness check in
+    Arrow-batched numpy, no per-character Python: gram hashes come from
+    the O(n) prefix-sum factorization (see ``_gram_hashes``) and the
+    window minimum from w-1 pairwise minima — flat passes only, no
+    (n × k) or (n × w) intermediates. Rows-only correctness check in
     the gate; the numeric semantics are pinned against an independent
     non-rolling reference in tests/test_llm_ops.py."""
 
@@ -164,7 +164,7 @@ def winnowing_fingerprints(
         # no per-doc Python list materialization
         return mins[keep].view(np.int64)
 
-    def _gram_hashes(joined: "np.ndarray", n_h: int) -> "np.ndarray":
+    def _gram_hashes(joined: "np.ndarray") -> "np.ndarray":
         """All k-gram hashes of a byte slice in O(n) flat passes."""
         n = len(joined)
         powb = np.full(n, B, dtype=np.uint64)
@@ -219,7 +219,7 @@ def winnowing_fingerprints(
                 all_hashes = all_mins = None
                 if len(joined) >= k:
                     with np.errstate(over="ignore"):
-                        all_hashes = _gram_hashes(joined, len(joined) - k + 1)
+                        all_hashes = _gram_hashes(joined)
                         if len(all_hashes) > window:
                             all_mins = _window_mins(all_hashes, window)
                 off = 0
