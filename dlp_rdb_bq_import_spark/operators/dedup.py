@@ -763,8 +763,11 @@ def duplicated_substring_spans(
     without the suffix array):
       1. explode stride-1 gram starts; project (id, pos, digest)
          BEFORE any shuffle so rows carry 16+16 bytes — the gram
-         travels as a fixed-width 128-bit md5 digest, never as the
-         raw 40+-char string;
+         travels as a fixed-width 128-bit digest (two differently
+         seeded xxhash64 values: one 64-bit key alone would collide at
+         corpus scale and falsely merge distinct grams; two give a
+         ~2^-128 birthday bound at a fraction of md5's per-gram cost),
+         never as the raw 40+-char string;
       2. ``groupBy(digest).agg(min(id), max(id))`` finds cross-doc
          grams. The map-side partial aggregation collapses each task's
          repeats of a hot gram to ONE row before the exchange, so a
@@ -787,9 +790,10 @@ def duplicated_substring_spans(
     """
     from pyspark.sql import Window
 
-    for reserved in ("_g", "_d", "_pos", "_grp"):
+    for reserved in ("_g", "_d1", "_d2", "_pos", "_grp"):
         if reserved in df.columns:
             raise ValueError(f"input column collides with reserved name {reserved!r}")
+    gram = F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len))
     grams = (
         df.where(F.length(text_col) >= min_len)
         .select(
@@ -802,23 +806,17 @@ def duplicated_substring_spans(
         .select(
             id_col,
             F.col("_pos"),
-            F.unhex(
-                F.md5(
-                    F.encode(
-                        F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len)),
-                        "UTF-8",
-                    )
-                )
-            ).alias("_d"),
+            F.xxhash64(gram).alias("_d1"),
+            F.xxhash64(gram, F.lit(1)).alias("_d2"),
         )
     )
     multi = (
-        grams.groupBy("_d")
+        grams.groupBy("_d1", "_d2")
         .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
         .where(F.col("_mn") != F.col("_mx"))
-        .select("_d")
+        .select("_d1", "_d2")
     )
-    hits = grams.join(multi, "_d").select(id_col, "_pos")
+    hits = grams.join(multi, ["_d1", "_d2"]).select(id_col, "_pos")
     w_doc = Window.partitionBy(id_col).orderBy("_pos")
     return (
         hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w_doc))
