@@ -112,13 +112,15 @@ def main() -> None:
     # warm the JVM/codegen path once (not counted)
     spark.range(1000).count()
 
-    # Two measured runs per query, min taken: first-run numbers fold in
+    # Min-of-2 per query (min-of-3 when sub-second, where host jitter
+    # is the same order as the runtime): first-run numbers fold in
     # codegen compilation and OS page-cache misses that a steady-state
-    # pipeline never pays; min-of-2 reports the reproducible cost.
+    # pipeline never pays; the min reports the reproducible cost.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best, rows = None, 0
-        for _ in range(2):
+        best, rows, run = None, 0, 0
+        while run < 2 or (run < 3 and best < 1.0):
+            run += 1
             # isolate queries from each other's lingering cached
             # relations (operators may cache intermediates within a
             # plan; leaked caches skew later Arrow-heavy queries badly)
@@ -132,17 +134,41 @@ def main() -> None:
         print(f"# {name}: {rows} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full 3-decimal detail goes to .scratch/; the driver-visible line
+    # must stay within the driver's 2000-char tail-capture buffer
+    # (BENCH_r05 was lost to truncation), so the inline per-query dict
+    # is 2-decimal compact JSON, and if it still would not fit the
+    # FASTEST queries are dropped from the line (they remain in the
+    # detail file) with a queries_omitted count.
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    detail_path = os.path.join(scratch, "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "headline_queries_total_time", "value": total,
+             "unit": "sec", "queries": timings, "sf": sf_val},
+            fh, indent=1,
         )
-    )
+
+    def line_for(q: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in q.items()},
+            "sf": sf_val,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
+
+    shown = dict(timings)
+    by_speed = sorted(timings, key=timings.get)
+    while len(line_for(shown, len(timings) - len(shown))) > 1800 and shown:
+        shown.pop(by_speed[len(timings) - len(shown)])
+    print(line_for(shown, len(timings) - len(shown)))
     spark.stop()
 
 

@@ -33,6 +33,13 @@ _H1_MASK = (1 << 61) - 1
 _H2_MASK = (1 << 58) - 1
 _BLOOM_K = 4
 _BLOOM_BITS_PER_ITEM = 16  # k=4, m/n=16 → fpp ≈ 0.24%
+# Hard ceiling on the driver-materialized dense bitmap: 2^30 bits =
+# 128 MiB. The item-count estimate in contamination_pairs counts TOTAL
+# gram occurrences, so a highly repetitive build side (templated eval
+# sets) can over-estimate by its duplication factor; past this cap the
+# bitmap saturates at 128 MiB and the fpp degrades gracefully instead
+# of the driver list growing unboundedly.
+_BLOOM_MAX_BITS = 1 << 30
 
 
 def _bloom_positions(h: Column, m_bits: int) -> list[Column]:
@@ -77,7 +84,7 @@ def build_hash_bloom(
     try:
         n_items = uniq.count() if n_items_hint is None else n_items_hint
         m_bits = 1024
-        while m_bits < n_items * _BLOOM_BITS_PER_ITEM:
+        while m_bits < n_items * _BLOOM_BITS_PER_ITEM and m_bits < _BLOOM_MAX_BITS:
             m_bits <<= 1
         words = (
             uniq.select(

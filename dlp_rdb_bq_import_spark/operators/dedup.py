@@ -23,6 +23,7 @@ handles pushdown and AQE handles skew; no Python appears in any path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -431,9 +432,11 @@ def incremental_minhash_pairs(
     return (
         cand.join(na, "new_id")
         .join(ca, "corpus_id")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(k)), 6))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("new_id", "corpus_id", "est_jaccard")
+        .withColumn("_est", agree / F.lit(float(k)))
+        .where(F.col("_est") >= threshold)
+        .select(
+            "new_id", "corpus_id", F.round("_est", 6).alias("est_jaccard")
+        )
     )
 
 
@@ -749,6 +752,7 @@ def duplicated_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 40,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Maximal cross-document duplicated substring spans, exactly.
 
@@ -779,7 +783,12 @@ def duplicated_substring_spans(
          shared gram) back onto the gram stream. Unlike a window,
          this join is AQE-skew-splittable: a hot gram's probe rows
          can be split across tasks with the single build row
-         replicated;
+         replicated. The gram stream is ``persist(MEMORY_AND_DISK)``-ed
+         across its two consumers (the groupBy build and the probe),
+         so the stride-1 explode — the dominant linear cost — runs
+         ONCE; the persisted rows are fixed-width (8+4+8+8 bytes),
+         i.e. the same O(text) footprint a distributed suffix array
+         would materialize anyway, and spill to disk past memory;
       4. one hash-partition on doc id turns positions into islands
          (pos - row_number) and aggregates the spans.
 
@@ -794,8 +803,16 @@ def duplicated_substring_spans(
         if reserved in df.columns:
             raise ValueError(f"input column collides with reserved name {reserved!r}")
     gram = F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len))
+    # The stride-1 explode multiplies rows ~|text|-fold, so input
+    # splits sized for the RAW table starve it of parallelism (one
+    # 10 MB parquet split explodes into GBs on one core). Fan the
+    # documents out to the session's parallelism first — at cluster
+    # scale this is a cheap narrow-ish exchange of the raw docs that
+    # buys even explode work downstream.
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     grams = (
         df.where(F.length(text_col) >= min_len)
+        .repartition(n_parts)
         .select(
             F.col(id_col).cast("long").alias(id_col),
             F.explode(
@@ -805,10 +822,11 @@ def duplicated_substring_spans(
         )
         .select(
             id_col,
-            F.col("_pos"),
+            F.col("_pos").cast("int").alias("_pos"),
             F.xxhash64(gram).alias("_d1"),
             F.xxhash64(gram, F.lit(1)).alias("_d2"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     multi = (
         grams.groupBy("_d1", "_d2")

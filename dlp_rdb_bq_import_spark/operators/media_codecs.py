@@ -321,22 +321,31 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
                 out.update(width=tokens[0], height=tokens[1], n_channels=3)
         elif fmt == "wav":
             i = 12
+            audio_fmt = block_align = None
             while i + 8 <= len(prefix):
                 cid = prefix[i : i + 4]
                 (clen,) = struct.unpack_from("<I", prefix, i + 4)
                 if cid == b"fmt " and i + 8 + 16 <= len(prefix):
-                    _, ch, rate, _, block_align, _ = struct.unpack_from(
+                    audio_fmt, ch, rate, _, block_align, _bits = struct.unpack_from(
                         "<HHIIHH", prefix, i + 8
                     )
                     out.update(n_channels=ch, sample_rate=rate)
                 elif cid == b"data" and out["n_channels"]:
-                    n = clen // (out["n_channels"] * 2)
-                    out.update(
-                        n_samples=n,
-                        duration_ms=n * 1000 // out["sample_rate"]
-                        if out["sample_rate"]
-                        else None,
-                    )
+                    # frame count is clen / block_align, which the fmt
+                    # chunk declares for EVERY sample format (PCM at any
+                    # bit depth, float, ADPCM). Only trust it for
+                    # format 1 (integer PCM) and 3 (IEEE float), whose
+                    # block_align is exactly channels x bytes-per-sample;
+                    # anything else (compressed) keeps null dims rather
+                    # than a wrong count — the probe's contract.
+                    if audio_fmt in (1, 3) and block_align:
+                        n = clen // block_align
+                        out.update(
+                            n_samples=n,
+                            duration_ms=n * 1000 // out["sample_rate"]
+                            if out["sample_rate"]
+                            else None,
+                        )
                     break  # sample body follows — nothing left to read
                 i += 8 + clen + (clen & 1)
         elif fmt == "y4m" and b"\n" in prefix:

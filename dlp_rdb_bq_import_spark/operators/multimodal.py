@@ -173,7 +173,14 @@ def media_header_stats(
     and no pixel/sample/frame byte is ever copied or parsed
     (``media_codecs.probe_media_header``). Unknown or compressed
     containers yield their sniffed format with null dimensions instead
-    of raising, so one sweep profiles a mixed corpus."""
+    of raising, so one sweep profiles a mixed corpus. NULL payloads
+    keep their row too (byte_len=0, null media_format) — a corpus
+    sweep must not silently lose ids — and the output id column takes
+    ``id_col``'s name."""
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *_HEADER_STATS_SCHEMA.fields[1:]]
+    )
+    null_probe = {f.name: None for f in _HEADER_STATS_SCHEMA.fields[2:]}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,19 +189,18 @@ def media_header_stats(
                 pdf[id_col], pdf["_len"], pdf["_hdr"]
             ):
                 if prefix is None:
+                    rows.append({id_col: int(doc_id), "byte_len": 0, **null_probe})
                     continue
                 p = codecs.probe_media_header(bytes(prefix), int(blen))
-                rows.append({"doc_id": int(doc_id), "byte_len": int(blen), **p})
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _HEADER_STATS_SCHEMA.fields]
-            )
+                rows.append({id_col: int(doc_id), "byte_len": int(blen), **p})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     pruned = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.length(payload_col).cast("long").alias("_len"),
         F.substring(F.col(payload_col), 1, codecs.HEADER_PROBE_BYTES).alias("_hdr"),
     )
-    return pruned.mapInPandas(run, schema=_HEADER_STATS_SCHEMA)
+    return pruned.mapInPandas(run, schema=schema)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
