@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_incremental_minhash",
+    "incremental_curation",
     "decontaminate_overlap",
     "sequence_packing",
     "semantic_dedup",

@@ -1421,6 +1421,79 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+@query("incremental_curation")  # end-to-end batch-ingest composition — rows-only
+def q_incremental_curation(spark, sf_dir):
+    """Steady-state training-data ingest, END TO END: new batch →
+    exact fingerprint check vs the standing corpus → near-dup check vs
+    the PERSISTED MinHash signature index — written to and read back
+    from the warehouse sink INSIDE the query, because the index is the
+    artifact a real pipeline keeps between batches (fixed-width mh_*
+    rows; corpus text is never re-read) → benchmark decontamination →
+    sequence packing of the survivors.
+
+    Deterministic plants, one per stage: a re-keyed verbatim corpus
+    doc (exact stage drops it), a re-keyed corpus doc with an appended
+    tail (not byte-identical, so only the MinHash stage catches it),
+    and a re-keyed verbatim benchmark doc (survives both dedup stages
+    — the bench set is in neither the fingerprint set nor the index —
+    and falls to decontamination). Per-stage drops pinned in
+    tests/test_llm_ops.py; deterministic synth keeps rows-only stable."""
+    import tempfile
+
+    from .operators.decontam import decontaminate
+    from .operators.packing import pack_sequences
+    from .sinks.warehouse import Warehouse
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 5)
+    corpus = d.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    rekey = lambda df, off: df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    new = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .unionByName(rekey(corpus.where(F.col("doc_id") == 1), 100000))
+        .unionByName(
+            rekey(corpus.where(F.col("doc_id") == 2), 200000).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" appended tail marker"))
+            )
+        )
+        .unionByName(rekey(bench.where(F.col("doc_id") == 5), 300000))
+    )
+
+    # stage 1 — exact: fingerprint check vs the corpus, lowest id wins.
+    # Each stage's survivors feed MULTIPLE downstream branches (the
+    # near-dup signing AND the anti-join left side), so cut the plan
+    # with a lazy localCheckpoint per stage — without it the whole
+    # upstream tree re-executes once per consumer branch.
+    survivors = dedup.incremental_dedup(new, corpus, ["text"], "doc_id").localCheckpoint(
+        eager=False
+    )
+
+    # stage 2 — near-dup: the index round-trips through the warehouse
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    wh = Warehouse(tempfile.mkdtemp(prefix="curation_wh_"))
+    res = wh.write(index, "curation", "minhash_index", mode="overwrite")
+    if res.status != "ok":
+        raise RuntimeError(f"minhash index write failed: {res.error}")
+    index = spark.read.parquet(res.destination)
+    near = dedup.incremental_minhash_pairs(
+        survivors, index, "text", "doc_id",
+        threshold=0.35, bands=16, shingle_n=3, shingle_unit="word",
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    survivors = survivors.join(near, "doc_id", "left_anti").localCheckpoint(eager=False)
+
+    # stage 3 — decontaminate vs the held-out benchmark slice
+    survivors = decontaminate(
+        survivors, bench, "text", "doc_id", n=3, min_hits=3, num_partitions=32
+    )
+
+    # stage 4 — pack into fixed token budgets per source stream
+    return pack_sequences(survivors, F.col("n_chars"), 4096).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
 @query("dedup_simhash")  # banded Hamming candidates — rows-only
 def q_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -1853,7 +1926,8 @@ tf AS (
   SELECT doc_id, word, COUNT(*) AS tf FROM words WHERE word <> '' GROUP BY doc_id, word
 ),
 dfreq AS (
-  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word HAVING COUNT(*) <= 2000
+  SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word
+  HAVING COUNT(*) <= 0.5 * (SELECT COUNT(*) FROM documents)
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
@@ -1875,11 +1949,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     two partial aggs, a shuffle join on word, a broadcast corpus count,
     a per-document window. Rational idf (N+1)/(df+1) keeps the score
     bit-exact across engines (IEEE div/mul are correctly rounded; ln is
-    not). max_df=2000 drops stop-word postings before the word-keyed
-    join shuffle (broadcast anti-join of the tiny over-cap vocabulary),
-    mirrored by the oracle's HAVING."""
+    not). max_df=0.5 (a CORPUS FRACTION — scale-robust where an
+    absolute cap degenerates: 2000 kept every word at sf0.01 and
+    dropped every word at sf1) prunes stop-word postings before the
+    word-keyed join shuffle via a broadcast anti-join of the over-cap
+    vocabulary, mirrored by the oracle's HAVING; 0.5 x N is IEEE-exact,
+    so the threshold compare is bit-identical across engines."""
     d = t(spark, sf_dir, "documents")
-    return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3, max_df=2000)
+    return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3, max_df=0.5)
 
 
 def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:
@@ -2038,14 +2115,22 @@ def q_multimodal_header_probe(spark, sf_dir):
     4 KB payload prefix + total length to Python, and the probe parses
     header offsets alone (media_codecs.probe_media_header) — the stats
     pass over a 100 TB media corpus must not pay pixel cost it
-    discards. Mixed corpus: images for doc_id%3==0, audio %3==1,
-    video %3==2; deterministic synth, so rows-only is stable.
-    Header-equals-full-decode parity pinned in tests."""
+    discards. Mixed corpus: images for doc_id%3==0 (half of those
+    re-containered as PNG — the probe reads dims straight from IHDR,
+    no inflate), audio %3==1, video %3==2; deterministic synth, so
+    rows-only is stable. Header-equals-full-decode parity pinned in
+    tests."""
     from .operators.multimodal import attach_media, media_header_stats
 
     d = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    parts = []
-    for i, media in enumerate(("image", "audio", "video")):
+    img = d.where(F.col("doc_id") % 3 == 0)
+    parts = [
+        media_header_stats(attach_media(img.where(F.col("doc_id") % 6 == 0))),
+        media_header_stats(
+            attach_media(img.where(F.col("doc_id") % 6 != 0), container="png")
+        ),
+    ]
+    for i, media in enumerate(("audio", "video"), start=1):
         parts.append(
             media_header_stats(
                 attach_media(d.where(F.col("doc_id") % 3 == i), media=media)
@@ -4603,7 +4688,7 @@ WITH words AS (
                         / (CAST(doc_freq AS DOUBLE) + 1.0))) * 1000.0)
               AS BIGINT) AS q
   FROM tf JOIN dfreq USING (word) CROSS JOIN nd
-  WHERE doc_freq <= 100
+  WHERE doc_freq <= 0.5 * (SELECT n_docs FROM nd)
 ), norms AS (
   SELECT doc_id, sum(q * q) AS nrm FROM p GROUP BY 1
 ), dots AS (
@@ -4628,12 +4713,14 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     """EXT — related/near-dup document pairs by sparse TF-IDF cosine
     (text.tfidf_cosine_pairs): inverted-index postings self-join, int64
     quantized weights so dot products and norms are exact integer sums
-    (float-order-immune), doc-freq cap as the stop-word/skew guard.
+    (float-order-immune), doc-freq cap as the stop-word/skew guard —
+    fractional (0.5 x N), so it binds identically at every corpus
+    size instead of dropping ALL terms past some absolute scale.
     Hash-matches the DuckDB oracle including the cosine doubles."""
     from .operators.text import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(
-        t(spark, sf_dir, "documents"), min_cosine=0.5, max_df=100
+        t(spark, sf_dir, "documents"), min_cosine=0.5, max_df=0.5
     )
 
 
@@ -4757,14 +4844,65 @@ def _supplier_domestic_edges(spark, sf_dir):
     )
 
 
-@query("kcore_supplier")  # iterative peeling fixpoint — rows-only by design
+@query(
+    "kcore_supplier",
+    # The k-core is a UNIQUE subgraph, so a recursive-CTE peel can
+    # hash-match the distributed peeling fixpoint: each recursion step
+    # re-emits the edge set minus sub-degree endpoints, guarded by
+    # EXISTS(bad) so it terminates at the fixpoint; the final SELECT
+    # returns in-core degrees (and nothing if the peel emptied the
+    # graph — the NOT EXISTS guard).
+    oracle="""
+WITH RECURSIVE ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT sa, sb, w FROM pairs
+  JOIN supplier na ON sa = na.s_suppkey
+  JOIN supplier nb ON sb = nb.s_suppkey
+  WHERE na.s_nationkey = nb.s_nationkey
+), edges AS (
+  SELECT sa AS src, sb AS dst FROM dom
+  WHERE w >= (SELECT quantile_cont(w, 0.5) FROM dom)
+), peel AS (
+  SELECT 0 AS it, src, dst FROM edges
+  UNION ALL
+  SELECT it + 1, src, dst FROM (
+    WITH cur AS (SELECT * FROM peel),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT src AS node FROM cur UNION ALL SELECT dst FROM cur)
+      GROUP BY 1
+    ),
+    bad AS (SELECT node FROM deg WHERE d < 2)
+    SELECT cur.it, cur.src, cur.dst FROM cur
+    WHERE EXISTS (SELECT 1 FROM bad)
+      AND cur.src NOT IN (SELECT node FROM bad)
+      AND cur.dst NOT IN (SELECT node FROM bad)
+  )
+), final AS (
+  SELECT src, dst FROM peel WHERE it = (SELECT max(it) FROM peel)
+), fdeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT src AS node FROM final UNION ALL SELECT dst AS node FROM final)
+  GROUP BY 1
+)
+SELECT node, degree FROM fdeg
+WHERE NOT EXISTS (SELECT 1 FROM fdeg WHERE degree < 2)
+""",
+)
 def q_kcore_supplier(spark, sf_dir):
     """EXT — 2-core of the domestic co-supply graph (graph.py kcore):
     the maximal subgraph where every supplier retains >= 2 in-core
     domestic partners, by distributed peeling (degree count + two
     semi-joins per round, lineage cut per round). Output (node,
     degree) with the IN-CORE degree; brute-force-pinned in
-    tests/test_triangles.py."""
+    tests/test_triangles.py and hash-matched against a DuckDB
+    recursive-CTE peel (the k-core's uniqueness makes the fixpoint
+    oracle-checkable)."""
     from .operators.graph import kcore
 
     return kcore(_supplier_domestic_edges(spark, sf_dir), k=2)

@@ -96,6 +96,10 @@ def shingles(
     base = df.select(F.col(id_col), F.col(text_col))
     if num_partitions:
         base = base.repartition(num_partitions, id_col)
+    else:
+        from . import fan_out
+
+        base = fan_out(base)
     return (
         base.select(
             F.col(id_col),
@@ -136,6 +140,13 @@ def hashed_shingles(
     base = df.select(F.col(id_col), F.col(text_col))
     if num_partitions:
         base = base.repartition(num_partitions, id_col)
+    else:
+        # the shingle explode is the linear cost downstream of a scan
+        # sized for raw bytes — widen narrow scans to the session's
+        # parallelism (no-op when the corpus is already wider)
+        from . import fan_out
+
+        base = fan_out(base)
     if unit == "word":
         toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
         grams = F.transform(
@@ -510,9 +521,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Duplicate tokens vote once per occurrence (weighted SimHash with
     unit weights), matching the classic Charikar construction.
     """
+    from . import fan_out
+
     ids = df.select(F.col(id_col).cast("long").alias(id_col))
     toks = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col).cast("long").alias(id_col),
             F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("_tok"),
         )
@@ -805,14 +819,13 @@ def duplicated_substring_spans(
     gram = F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len))
     # The stride-1 explode multiplies rows ~|text|-fold, so input
     # splits sized for the RAW table starve it of parallelism (one
-    # 10 MB parquet split explodes into GBs on one core). Fan the
-    # documents out to the session's parallelism first — at cluster
-    # scale this is a cheap narrow-ish exchange of the raw docs that
-    # buys even explode work downstream.
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # 1 MB parquet split explodes into GBs on one core) — fan out,
+    # but only when the scan is narrower than the session (fan_out
+    # never inserts a shuffle on an already-wide 100 TB scan).
+    from . import fan_out
+
     grams = (
-        df.where(F.length(text_col) >= min_len)
-        .repartition(n_parts)
+        fan_out(df.where(F.length(text_col) >= min_len), num_partitions)
         .select(
             F.col(id_col).cast("long").alias(id_col),
             F.explode(

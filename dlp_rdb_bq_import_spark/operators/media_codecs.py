@@ -1,9 +1,10 @@
 """Pure-stdlib codecs for honest, public, uncompressed media formats.
 
 The container ships no image/audio codec libraries, but that only rules
-out COMPRESSED formats (PNG/JPEG/MP3/H.264). The classic uncompressed
-interchange formats are fully specified public byte layouts that
-``struct`` + numpy decode exactly:
+out formats whose compression needs one (JPEG/MP3/H.264). PNG's only
+compression is DEFLATE — stdlib ``zlib`` — so it decodes for real here
+too, and the classic uncompressed interchange formats are fully
+specified public byte layouts that ``struct`` + numpy decode exactly:
 
 - **BMP** (Windows bitmap, 24-bit ``BI_RGB``): 14-byte file header,
   40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded to 4 bytes.
@@ -14,6 +15,9 @@ interchange formats are fully specified public byte layouts that
 - **Y4M** (``YUV4MPEG2``): plain-text stream header carrying
   width/height/framerate, then ``FRAME\\n`` + raw planes per frame
   (``C444``: three full-resolution planes).
+- **PNG** (non-interlaced 8-bit grey/RGB/RGBA): signature + CRC'd
+  chunks, IHDR fields, IDAT DEFLATE stream, five per-row predictor
+  filters — all from the public spec, inflated with stdlib ``zlib``.
 
 These are the real production formats a training-data lake stores for
 "decode-free" access paths, so the decode stage of the multimodal
@@ -29,6 +33,7 @@ payload, with numpy doing the pixel math.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -146,16 +151,147 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# PNG — non-interlaced 8-bit greyscale/RGB/RGBA (DEFLATE is stdlib zlib)
+# ---------------------------------------------------------------------------
+#
+# PNG's only compression is DEFLATE, which ships in the Python stdlib,
+# so the "no codec library" boundary does not apply: signature, chunk
+# layout (length + type + data + CRC32), IHDR fields, and the five
+# per-row predictor filters are all from the public PNG specification
+# (RFC 2083 / ISO 15948). Palette (color type 3) and Adam7 interlacing
+# stay NotImplementedError — they are rare in lake-stored originals.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: IHDR color type → sample channels (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) / (h, w, 1|3|4) uint8 → non-interlaced 8-bit PNG bytes
+    (every row filter-type 0; decoders must handle all five, ours does)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"encode_png: unsupported channel count {c}")
+    rows = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    rows[:, 1:] = img.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse the five PNG row filters (spec §6). ``raw`` is the
+    inflated stream: h rows of (1 filter byte + w*nch sample bytes).
+    Filters 0/1/2 cover virtually all encoder output and run
+    vectorized (Sub is a mod-256 cumsum along x); Average/Paeth carry
+    a true serial dependency and fall back to a per-byte loop."""
+    stride = w * nch
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(raw[y, 0]), raw[y, 1:]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = np.cumsum(row.reshape(w, nch), axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth: serial along x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if f == 3:
+                    rec[x] = (int(row[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row filter {f} out of range")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, nch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG bytes → (h, w, channels) uint8 (1=grey,
+    2=grey+alpha, 3=RGB, 4=RGBA). CRCs are verified; palette /
+    sub-16-bit depths / Adam7 raise rather than guess."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, ihdr, idat = len(_PNG_SIG), None, []
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if color_type == 3:
+        raise NotImplementedError("palette PNG not supported")
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG depth={depth}/comp={comp}/filter={filt} not supported (8/0/0 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * nch):
+        raise ValueError("PNG pixel stream length mismatch")
+    return _png_unfilter(raw, h, w, nch)
+
+
 def decode_image_payload(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. Compressed formats
-    raise ``NotImplementedError`` (no codec library in this
-    environment); unknown bytes raise ``ValueError``."""
+    """Dispatch on magic bytes → (h, w, 3) uint8 RGB. PNG decodes via
+    stdlib zlib (greyscale broadcast to 3 channels, alpha dropped —
+    the feature/phash stages want opaque RGB); formats needing a real
+    codec library (JPEG/GIF) raise ``NotImplementedError``; unknown
+    bytes raise ``ValueError``."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    if fmt in ("png", "jpeg", "gif"):
+    if fmt == "png":
+        px = decode_png(payload)
+        if px.shape[2] in (2, 4):  # drop alpha
+            px = px[:, :, :-1]
+        if px.shape[2] == 1:  # grey → RGB
+            px = np.repeat(px, 3, axis=2)
+        return np.ascontiguousarray(px)
+    if fmt in ("jpeg", "gif"):
         raise NotImplementedError(f"{fmt} decode requires a codec library (not in this environment)")
     raise ValueError(f"not an image payload (sniffed {fmt!r})")
 
@@ -319,6 +455,15 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
                 i = j
             if len(tokens) == 2:
                 out.update(width=tokens[0], height=tokens[1], n_channels=3)
+        elif fmt == "png" and len(prefix) >= 26:
+            # spec mandates IHDR as the first chunk: fixed offsets
+            w, h = struct.unpack_from(">II", prefix, 16)
+            depth, color_type = prefix[24], prefix[25]
+            nch = _PNG_CHANNELS.get(color_type)
+            if depth == 8 and nch is not None:
+                out.update(width=w, height=h, n_channels=nch)
+            else:
+                out.update(width=w, height=h)  # dims are still exact
         elif fmt == "wav":
             i = 12
             audio_fmt = block_align = None
@@ -378,10 +523,13 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def synthesize_image(seed: int) -> bytes:
+def synthesize_image(seed: int, container: str | None = None) -> bytes:
     """Real BMP (even seeds) / PPM (odd seeds) bytes: a two-axis
     gradient plus seeded noise, size varying with the seed so decoders
-    see many shapes (including widths that force BMP row padding)."""
+    see many shapes (including widths that force BMP row padding).
+    ``container`` pins the format ("bmp"/"ppm"/"png") instead of the
+    seed-parity default — same pixels either way, so cross-container
+    decode-parity tests come for free."""
     seed = int(seed) & 0x7FFFFFFF
     w = 5 + seed % 12
     h = 4 + (seed // 12) % 10
@@ -390,7 +538,10 @@ def synthesize_image(seed: int) -> bytes:
     g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
     b = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
     rgb = np.stack([r, g, b], axis=-1)
-    return encode_ppm(rgb) if seed % 2 else encode_bmp(rgb)
+    if container is None:
+        container = "ppm" if seed % 2 else "bmp"
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+    return enc[container](rgb)
 
 
 def synthesize_audio(seed: int, sample_rate: int = 8000) -> bytes:

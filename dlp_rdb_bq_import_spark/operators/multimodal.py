@@ -71,15 +71,20 @@ _ATTACH_SCHEMA = T.StructType(
 
 
 def attach_media(
-    df: DataFrame, media: str = "image", id_col: str = "doc_id"
+    df: DataFrame,
+    media: str = "image",
+    id_col: str = "doc_id",
+    container: str | None = None,
 ) -> DataFrame:
     """Attach a REAL encoded media payload per row, synthesized
     deterministically from the id (fixtures carry no media bytes; the
-    encoders in ``media_codecs`` produce spec-conformant BMP/PPM/WAV/
-    Y4M files). Output: (doc_id, payload, media_type, format, width,
-    height, duration_ms) — payload plus the typed metadata columns the
-    schema contract promises. Deterministic and partitioning-
-    independent by construction (seed = id)."""
+    encoders in ``media_codecs`` produce spec-conformant BMP/PPM/PNG/
+    WAV/Y4M files). Output: (doc_id, payload, media_type, format,
+    width, height, duration_ms) — payload plus the typed metadata
+    columns the schema contract promises. Deterministic and
+    partitioning-independent by construction (seed = id).
+    ``container`` pins the image container ("bmp"/"ppm"/"png") instead
+    of the seed-parity default; ignored for audio/video."""
     if media not in ("image", "audio", "video"):
         raise ValueError(f"unknown media type {media!r}")
 
@@ -89,7 +94,7 @@ def attach_media(
             for doc_id in pdf[id_col]:
                 seed = int(doc_id)
                 if media == "image":
-                    payload = codecs.synthesize_image(seed)
+                    payload = codecs.synthesize_image(seed, container=container)
                     img = codecs.decode_image_payload(payload)
                     meta = (img.shape[1], img.shape[0], 0)
                 elif media == "audio":

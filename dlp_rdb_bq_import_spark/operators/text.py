@@ -239,9 +239,14 @@ def winnowing_fingerprints(
                 i = j
             yield pd.DataFrame({"doc_id": ids, "winnow_fingerprints": fps})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
-        compute, schema=_WINNOW_SCHEMA
-    )
+    # CPU-bound Arrow kernel: widen a narrow scan to the session's
+    # parallelism first (no-op when the corpus already has more splits
+    # than cores — see operators.fan_out)
+    from . import fan_out
+
+    return fan_out(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    ).mapInPandas(compute, schema=_WINNOW_SCHEMA)
 
 
 def winnowing_fingerprint_rows(
@@ -453,20 +458,37 @@ def tfidf_top_terms(
     word-keyed join shuffle. The dropped-word set (vocabulary above the
     cap — a handful of stop words) broadcasts into a map-side anti-join
     that prunes the tf stream BEFORE the join exchange, so the hot
-    postings never shuffle at all.
+    postings never shuffle at all. A FLOAT ``max_df`` in (0, 1) is a
+    corpus FRACTION (cap = max_df x N, attached in-plan as a broadcast
+    scalar, no eager action) — the scale-robust form: an absolute cap
+    tuned at one corpus size silently degenerates to all-words or
+    no-words at another. Prefer power-of-two fractions (0.5, 0.25):
+    the product is then IEEE-exact, so the threshold compare is
+    bit-identical across engines.
     """
     from pyspark.sql import Window
 
-    words = df.select(
+    from . import fan_out
+
+    # the word explode + map-side tf partials are the linear cost —
+    # widen a narrow scan before them (no-op on an already-wide scan)
+    words = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
-    if max_df is not None:
-        hot = dfreq.where(F.col("doc_freq") > max_df).select("word")
-        tf = tf.join(F.broadcast(hot), "word", "left_anti")
-        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
     n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
+    if max_df is not None:
+        if isinstance(max_df, float) and not max_df.is_integer():
+            if not 0.0 < max_df < 1.0:
+                raise ValueError(f"fractional max_df must be in (0, 1), got {max_df}")
+            cap = F.col("n_docs").cast("double") * F.lit(max_df)
+            dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        else:
+            cap = F.lit(float(max_df))
+        hot = dfreq.where(F.col("doc_freq") > cap).select("word")
+        tf = tf.join(F.broadcast(hot), "word", "left_anti")
+        dfreq = dfreq.where(F.col("doc_freq") <= cap).select("word", "doc_freq")
     score = F.col("tf").cast("double") * (
         (F.col("n_docs").cast("double") + F.lit(1.0))
         / (F.col("doc_freq").cast("double") + F.lit(1.0))
@@ -696,14 +718,27 @@ def tfidf_cosine_pairs(
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
 
-    words = df.select(
+    from . import fan_out
+
+    words = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
-    if max_df is not None:
-        dfreq = dfreq.where(F.col("doc_freq") <= max_df)
     n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
+    if max_df is not None:
+        # float in (0,1) = corpus fraction (see tfidf_top_terms) —
+        # the scale-robust form of the doc-freq cap
+        if isinstance(max_df, float) and not max_df.is_integer():
+            if not 0.0 < max_df < 1.0:
+                raise ValueError(f"fractional max_df must be in (0, 1), got {max_df}")
+            dfreq = (
+                dfreq.crossJoin(F.broadcast(n_docs))
+                .where(F.col("doc_freq") <= F.col("n_docs").cast("double") * F.lit(max_df))
+                .select("word", "doc_freq")
+            )
+        else:
+            dfreq = dfreq.where(F.col("doc_freq") <= F.lit(float(max_df)))
     w = F.col("tf").cast("double") * (
         (F.col("n_docs").cast("double") + F.lit(1.0))
         / (F.col("doc_freq").cast("double") + F.lit(1.0))

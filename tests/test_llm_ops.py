@@ -973,6 +973,24 @@ def test_tfidf_top_terms_max_df_drops_stopwords_before_shuffle(spark):
     assert "the" in {r.word for r in text_ops.tfidf_top_terms(df, k=3).collect()}
 
 
+def test_tfidf_top_terms_fractional_max_df(spark):
+    """A float max_df in (0,1) caps by CORPUS FRACTION: 0.5 over 10
+    docs drops words in >5 docs — same result as absolute max_df=5 on
+    this corpus — and the cap scales with N instead of degenerating
+    when the corpus grows."""
+    df = spark.createDataFrame(
+        [(i, "the common " + ("alpha" if i == 0 else f"w{i}")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    frac = text_ops.tfidf_top_terms(df, "text", "doc_id", k=3, max_df=0.5)
+    absv = text_ops.tfidf_top_terms(df, "text", "doc_id", k=3, max_df=5)
+    assert sorted(map(tuple, frac.collect())) == sorted(map(tuple, absv.collect()))
+    words = {r.word for r in frac.collect()}
+    assert "the" not in words and "alpha" in words
+    with pytest.raises(ValueError):
+        text_ops.tfidf_top_terms(df, max_df=1.5)
+
+
 def test_cascading_rollup_levels_lossless(spark, sf_dir):
     """Each coarser level, computed from the finer level's partials,
     must equal a direct aggregation of the raw data at that grain."""
