@@ -27,10 +27,6 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61-1: the classic universal-hash modulus — affine
-# family (a_i * h + b_i) mod P over a single xxhash64 base hash.
-_MERSENNE_P = (1 << 61) - 1
-
 # Skew guard: shingles appearing in more than this many documents are
 # dropped from inverted-index joins by default. A stopword-like shingle
 # shared by k docs contributes k² join rows — at 100 TB one hot shingle
@@ -309,10 +305,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` columns.
 
-    One xxhash64 per shingle, then an affine family
-    ``(a_i * h + b_i) mod (2^61-1)`` expands it to k hashes as k
-    aggregate expressions — no k-fold row multiplication, one shuffle.
-    Deterministic: coefficients derive from the index i, not RNG state.
+    One xxhash64 per shingle, then component i re-hashes it with the
+    component index as the second hash input — k independent 64-bit
+    min-wise hash functions as k aggregate expressions, no k-fold row
+    multiplication, one shuffle. Deterministic (no RNG state), fully
+    JVM-side.
+
+    Why re-hash rather than an affine family: under ANSI int64
+    arithmetic an affine ``(a_i*h + b_i) mod p`` can't let the product
+    wrap the modulus without overflowing (a_i·h must stay < 2^63), and
+    a non-wrapping affine map is ORDER-PRESERVING in h — every
+    component then picks the same argmin shingle, the k components are
+    perfectly correlated, and the agreement estimator collapses to
+    all-or-nothing (the round-6 estimator-quality property test caught
+    exactly this). A keyed hash has no such monotonicity.
 
     ``shingle_df`` lets callers pass a precomputed (and cached)
     ``hashed_shingles`` result so the shingle explode runs once per
@@ -321,17 +327,11 @@ def minhash_signatures(
     sh = shingle_df if shingle_df is not None else hashed_shingles(
         df, text_col, id_col, shingle_n, num_partitions, shingle_unit
     )
-    # 32-bit base hash keeps a*h+b within int64 under ANSI arithmetic
-    # (a < 2^8, h < 2^32, b < 2^61 → sum < 2^63).
-    base = sh.withColumn("_h32", F.col("_h").bitwiseAND(F.lit(0xFFFFFFFF)))
-    aggs = []
-    for i in range(num_hashes):
-        a = 2 * i + 1  # odd multipliers; fixed, citable, deterministic
-        b = 0x9E3779B97F4A7C15 * (i + 1) % _MERSENNE_P
-        aggs.append(
-            F.min((F.col("_h32") * F.lit(a) + F.lit(b)) % _MERSENNE_P).alias(f"mh_{i}")
-        )
-    return base.groupBy(F.col(id_col)).agg(*aggs)
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col(id_col)).agg(*aggs)
 
 
 def banded_signatures(

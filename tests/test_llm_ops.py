@@ -295,6 +295,70 @@ def test_incremental_minhash_index_roundtrips_through_warehouse(spark, tmp_path)
     assert [(p[0], p[1]) for p in persisted] == [(100, 3)]
 
 
+def test_incremental_minhash_estimator_quality(spark):
+    """The component-agreement estimate agree/k is the classic unbiased
+    MinHash Jaccard estimator with std error sqrt(J(1-J)/k) — pin it:
+    doc pairs with KNOWN true shingle-set Jaccard (computed exactly in
+    the test from the same word 3-gram definition) must estimate within
+    a 3-sigma band, and every pair with J >= 0.45 must surface as a
+    banded candidate at bands=32 (r=2: candidate odds 1-(1-J^2)^32 >
+    0.999)."""
+    import math
+
+    k = 64
+    pairs = []  # (new_id, corpus_id, true_jaccard)
+    corpus_rows, new_rows = [], []
+    for j, keep in enumerate(range(20, 58, 4)):  # shared prefix length
+        a_words = [f"p{j}a{i}" for i in range(60)]
+        b_words = a_words[:keep] + [f"p{j}b{i}" for i in range(60 - keep)]
+        ga = {" ".join(a_words[i : i + 3]) for i in range(len(a_words) - 2)}
+        gb = {" ".join(b_words[i : i + 3]) for i in range(len(b_words) - 2)}
+        true_j = len(ga & gb) / len(ga | gb)
+        corpus_rows.append((j, " ".join(a_words)))
+        new_rows.append((1000 + j, " ".join(b_words)))
+        pairs.append((1000 + j, j, true_j))
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=k, shingle_n=3, shingle_unit="word"
+    )
+    est = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in dedup.incremental_minhash_pairs(
+            new, index, "text", "doc_id",
+            threshold=0.0, bands=32, shingle_n=3, shingle_unit="word",
+        ).collect()
+    }
+    for new_id, corpus_id, true_j in pairs:
+        if true_j < 0.45:
+            continue  # banding may legitimately miss low-J pairs
+        assert (new_id, corpus_id) in est, f"J={true_j:.2f} pair not a candidate"
+        sigma = math.sqrt(true_j * (1 - true_j) / k)
+        err = abs(est[(new_id, corpus_id)] - true_j)
+        assert err <= 3 * sigma + 1 / (2 * k), (
+            f"pair {(new_id, corpus_id)}: est {est[(new_id, corpus_id)]:.3f} "
+            f"vs true {true_j:.3f} (3σ={3 * sigma:.3f})"
+        )
+
+
+def test_incremental_curation_per_stage_drops(spark, sf_dir):
+    """The end-to-end composition drops exactly the planted doc at each
+    stage: the verbatim corpus copy (exact), the appended-tail copy
+    (MinHash vs the persisted index), the verbatim benchmark copy
+    (decontamination) — and every organic new-batch doc that survives
+    carries packing columns."""
+    from dlp_rdb_bq_import_spark import harness
+
+    out = harness.queries()["incremental_curation"](spark, sf_dir).collect()
+    ids = {r.doc_id for r in out}
+    assert 100001 not in ids  # exact stage: verbatim corpus doc 1
+    assert 200002 not in ids  # minhash stage: corpus doc 2 + tail
+    assert 300005 not in ids  # decontam stage: verbatim bench doc 5
+    assert ids and all(i % 10 == 0 for i in ids)  # organic batch docs only
+    for r in out:
+        assert r.seq_id >= 0 and 0 <= r.seq_offset < 4096 and r.n_tokens > 0
+
+
 def test_incremental_minhash_band_mismatch_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     sigs = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=64)
