@@ -4835,7 +4835,16 @@ def _supplier_domestic_edges(spark, sf_dir):
     )
     na = F.broadcast(su.withColumnsRenamed({"s_suppkey": "sa", "s_nationkey": "na"}))
     nb = F.broadcast(su.withColumnsRenamed({"s_suppkey": "sb", "s_nationkey": "nb"}))
-    domestic = pairs.join(na, "sa").join(nb, "sb").where(F.col("na") == F.col("nb"))
+    # lazy checkpoint: the percentile scalar AND the main stream both
+    # consume `domestic`, whose co-supply fan-out groupBy dominates the
+    # derivation — without the cut the whole fan-out executes twice
+    # (still no eager action at build time; first action materializes)
+    domestic = (
+        pairs.join(na, "sa")
+        .join(nb, "sb")
+        .where(F.col("na") == F.col("nb"))
+        .localCheckpoint(eager=False)
+    )
     thr = domestic.agg(F.expr("percentile(w, 0.5)").alias("_thr"))
     return (
         domestic.crossJoin(F.broadcast(thr))
