@@ -1438,6 +1438,7 @@ def q_incremental_curation(spark, sf_dir):
     — the bench set is in neither the fingerprint set nor the index —
     and falls to decontamination). Per-stage drops pinned in
     tests/test_llm_ops.py; deterministic synth keeps rows-only stable."""
+    import hashlib
     import tempfile
 
     from .operators.decontam import decontaminate
@@ -1472,7 +1473,14 @@ def q_incremental_curation(spark, sf_dir):
     index = dedup.minhash_signatures(
         corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
     )
-    wh = Warehouse(tempfile.mkdtemp(prefix="curation_wh_"))
+    # fixed per-corpus path, atomically overwritten each run — a fresh
+    # mkdtemp per invocation would leak one full index copy per
+    # bench/soak execution on a long-lived host
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    wh = Warehouse(root)
     res = wh.write(index, "curation", "minhash_index", mode="overwrite")
     if res.status != "ok":
         raise RuntimeError(f"minhash index write failed: {res.error}")

@@ -767,6 +767,7 @@ def duplicated_substring_spans(
     id_col: str = "doc_id",
     min_len: int = 40,
     num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated substring spans, exactly.
 
@@ -819,13 +820,17 @@ def duplicated_substring_spans(
     gram = F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len))
     # The stride-1 explode multiplies rows ~|text|-fold, so input
     # splits sized for the RAW table starve it of parallelism (one
-    # 1 MB parquet split explodes into GBs on one core) — fan out,
-    # but only when the scan is narrower than the session (fan_out
-    # never inserts a shuffle on an already-wide 100 TB scan).
+    # 1 MB parquet split explodes into GBs on one core). An explicit
+    # num_partitions repartitions unconditionally (the same contract as
+    # shingles/hashed_shingles); the default fans a narrow scan out to
+    # the session's parallelism and never inserts a shuffle on an
+    # already-wide 100 TB scan.
     from . import fan_out
 
+    src = df.where(F.length(text_col) >= min_len)
+    src = src.repartition(num_partitions) if num_partitions else fan_out(src)
     grams = (
-        fan_out(df.where(F.length(text_col) >= min_len), num_partitions)
+        src
         .select(
             F.col(id_col).cast("long").alias(id_col),
             F.explode(
@@ -849,7 +854,7 @@ def duplicated_substring_spans(
     )
     hits = grams.join(multi, ["_d1", "_d2"]).select(id_col, "_pos")
     w_doc = Window.partitionBy(id_col).orderBy("_pos")
-    return (
+    spans = (
         hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w_doc))
         .groupBy(id_col, "_grp")
         .agg(
@@ -858,6 +863,13 @@ def duplicated_substring_spans(
         )
         .select(id_col, "dup_start", "dup_end")
     )
+    # spans are thousands of times smaller than the persisted gram
+    # stream feeding them — materialize now and release the cache
+    # (the round-2 discipline; a leaked O(text) persist outlives the
+    # call in a long-lived session). ``eager=False`` keeps the full
+    # lazy plan (and the persist) for callers that inspect or compose
+    # it — the same contract as the other pair operators here.
+    return _materialize_and_release(spans, grams) if eager else spans
 
 
 def strip_duplicated_substrings(

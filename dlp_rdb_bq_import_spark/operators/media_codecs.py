@@ -246,6 +246,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     while i + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, i)
         ctype = payload[i + 4 : i + 8]
+        if i + 12 + clen > len(payload):  # data + CRC must fit
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         data = payload[i + 8 : i + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, i + 8 + clen)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -259,6 +261,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         i += 12 + clen
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(f"PNG IHDR length {len(ihdr)} != 13")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if color_type == 3:
         raise NotImplementedError("palette PNG not supported")
@@ -267,7 +271,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     nch = _PNG_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != h * (1 + w * nch):
         raise ValueError("PNG pixel stream length mismatch")
     return _png_unfilter(raw, h, w, nch)
@@ -474,15 +482,24 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
                     audio_fmt, ch, rate, _, block_align, _bits = struct.unpack_from(
                         "<HHIIHH", prefix, i + 8
                     )
+                    if audio_fmt == 0xFFFE and i + 8 + 26 <= len(prefix):
+                        # WAVE_FORMAT_EXTENSIBLE (the standard container
+                        # for >2ch/>16-bit audio): the real format code
+                        # is the first 2 bytes of the SubFormat GUID at
+                        # fmt offset 24 — resolve it so extensible PCM
+                        # counts frames and extensible-compressed stays
+                        # null like any other compressed format
+                        (audio_fmt,) = struct.unpack_from("<H", prefix, i + 8 + 24)
                     out.update(n_channels=ch, sample_rate=rate)
                 elif cid == b"data" and out["n_channels"]:
                     # frame count is clen / block_align, which the fmt
                     # chunk declares for EVERY sample format (PCM at any
                     # bit depth, float, ADPCM). Only trust it for
-                    # format 1 (integer PCM) and 3 (IEEE float), whose
-                    # block_align is exactly channels x bytes-per-sample;
-                    # anything else (compressed) keeps null dims rather
-                    # than a wrong count — the probe's contract.
+                    # format 1 (integer PCM) and 3 (IEEE float) — native
+                    # or extensible-wrapped — whose block_align is
+                    # exactly channels x bytes-per-sample; anything else
+                    # (compressed) keeps null dims rather than a wrong
+                    # count — the probe's contract.
                     if audio_fmt in (1, 3) and block_align:
                         n = clen // block_align
                         out.update(

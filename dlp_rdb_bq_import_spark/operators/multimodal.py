@@ -7,12 +7,13 @@ batch is processed vectorized and the (large) payload bytes never pass
 through Python row-at-a-time.
 
 The decode stage is REAL: ``operators/media_codecs.py`` implements the
-public uncompressed interchange formats byte-for-byte (24-bit BMP and
-P6 PPM images, RIFF 16-bit-PCM WAV audio, YUV4MPEG2 C444 video), so
-features, thumbnails and frame digests below are computed from actual
-decoded pixels/samples. Compressed formats (PNG/JPEG/MP3/H.264) still
-raise ``NotImplementedError`` at the sniffing layer — those genuinely
-need codec libraries this container does not ship.
+public interchange formats byte-for-byte (24-bit BMP, P6 PPM, and
+non-interlaced 8-bit PNG images — PNG's DEFLATE is stdlib zlib — plus
+RIFF 16-bit-PCM WAV audio and YUV4MPEG2 C444 video), so features,
+thumbnails and frame digests below are computed from actual decoded
+pixels/samples. Formats whose compression needs a codec library
+(JPEG/MP3/H.264) still raise ``NotImplementedError`` at the sniffing
+layer — those libraries this container does not ship.
 
 Fixtures carry no media, so ``attach_media`` synthesizes real encoded
 bytes deterministically from the document id (a BMP is a BMP whether a
@@ -209,9 +210,10 @@ def media_header_stats(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode: BMP and PPM parsed byte-for-byte from the
-    public specs; compressed formats raise ``NotImplementedError``
-    (codec libraries are not in this environment)."""
+    """Real image decode: BMP, PPM, and non-interlaced 8-bit PNG parsed
+    byte-for-byte from the public specs (PNG inflates via stdlib zlib);
+    formats needing a codec library (JPEG/GIF) raise
+    ``NotImplementedError``."""
     return codecs.decode_image_payload(bytes(payload))
 
 

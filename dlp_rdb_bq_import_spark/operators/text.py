@@ -427,12 +427,37 @@ def pii_profile(
     )
 
 
+def _doc_freq_cap(
+    dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
+) -> tuple[DataFrame, DataFrame]:
+    """Split a (word, doc_freq) table at the stop-word cap shared by
+    the TF-IDF operators: returns ``(kept, hot)`` where ``hot`` is the
+    over-cap word set (broadcast into a map-side anti-join by callers).
+    A float ``max_df`` in (0, 1) caps by CORPUS FRACTION — max_df x N
+    attached in-plan from the 1-row ``n_docs`` aggregate, no eager
+    action — which is the scale-robust form: an absolute cap tuned at
+    one corpus size silently degenerates to all-words or no-words at
+    another. Power-of-two fractions (0.5, 0.25) keep the product
+    IEEE-exact, so the threshold compare is bit-identical across
+    engines."""
+    if isinstance(max_df, float) and not max_df.is_integer():
+        if not 0.0 < max_df < 1.0:
+            raise ValueError(f"fractional max_df must be in (0, 1), got {max_df}")
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+        cap = F.col("n_docs").cast("double") * F.lit(max_df)
+    else:
+        cap = F.lit(float(max_df))
+    kept = dfreq.where(F.col("doc_freq") <= cap).select("word", "doc_freq")
+    hot = dfreq.where(F.col("doc_freq") > cap).select("word")
+    return kept, hot
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Per-document top-k characteristic terms by TF-IDF.
 
@@ -479,16 +504,8 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
     n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
     if max_df is not None:
-        if isinstance(max_df, float) and not max_df.is_integer():
-            if not 0.0 < max_df < 1.0:
-                raise ValueError(f"fractional max_df must be in (0, 1), got {max_df}")
-            cap = F.col("n_docs").cast("double") * F.lit(max_df)
-            dfreq = dfreq.crossJoin(F.broadcast(n_docs))
-        else:
-            cap = F.lit(float(max_df))
-        hot = dfreq.where(F.col("doc_freq") > cap).select("word")
+        dfreq, hot = _doc_freq_cap(dfreq, n_docs, max_df)
         tf = tf.join(F.broadcast(hot), "word", "left_anti")
-        dfreq = dfreq.where(F.col("doc_freq") <= cap).select("word", "doc_freq")
     score = F.col("tf").cast("double") * (
         (F.col("n_docs").cast("double") + F.lit(1.0))
         / (F.col("doc_freq").cast("double") + F.lit(1.0))
@@ -685,7 +702,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_cosine: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | float | None = None,
     quant: int = 1000,
 ) -> DataFrame:
     """Document-pair cosine similarity over sparse TF-IDF vectors — the
@@ -727,18 +744,7 @@ def tfidf_cosine_pairs(
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
     n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
     if max_df is not None:
-        # float in (0,1) = corpus fraction (see tfidf_top_terms) —
-        # the scale-robust form of the doc-freq cap
-        if isinstance(max_df, float) and not max_df.is_integer():
-            if not 0.0 < max_df < 1.0:
-                raise ValueError(f"fractional max_df must be in (0, 1), got {max_df}")
-            dfreq = (
-                dfreq.crossJoin(F.broadcast(n_docs))
-                .where(F.col("doc_freq") <= F.col("n_docs").cast("double") * F.lit(max_df))
-                .select("word", "doc_freq")
-            )
-        else:
-            dfreq = dfreq.where(F.col("doc_freq") <= F.lit(float(max_df)))
+        dfreq, _hot = _doc_freq_cap(dfreq, n_docs, max_df)
     w = F.col("tf").cast("double") * (
         (F.col("n_docs").cast("double") + F.lit(1.0))
         / (F.col("doc_freq").cast("double") + F.lit(1.0))

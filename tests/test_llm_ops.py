@@ -349,6 +349,11 @@ def test_incremental_curation_per_stage_drops(spark, sf_dir):
     carries packing columns."""
     from dlp_rdb_bq_import_spark import harness
 
+    # guard against fixture renumbering: the plants derive from docs
+    # 1, 2, and 5 — if those ids vanish the drops below pass vacuously
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.where(F.col("doc_id").isin(1, 2, 5)).count() == 3
+
     out = harness.queries()["incremental_curation"](spark, sf_dir).collect()
     ids = {r.doc_id for r in out}
     assert 100001 not in ids  # exact stage: verbatim corpus doc 1
@@ -1425,7 +1430,9 @@ def test_substring_spans_boilerplate_gram_no_gram_window(spark):
         for i in range(40)
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    spans = dedup.duplicated_substring_spans(df, min_len=40)
+    # eager=False keeps the full lazy plan inspectable below (the
+    # default checkpoints the spans and releases the gram cache)
+    spans = dedup.duplicated_substring_spans(df, min_len=40, eager=False)
     got = sorted((r.doc_id, r.dup_start, r.dup_end) for r in spans.collect())
 
     # brute-force oracle: a position is duplicated iff its 40-gram
