@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "detect_gaps",
     "lateral_topk_orders",
     "tfidf_cosine_pairs",
+    "bm25_topk_docs",
     "hll_distinct_rollup",
     "snapshot_diff",
     "interval_concurrency",

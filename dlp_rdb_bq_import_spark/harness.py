@@ -1967,6 +1967,60 @@ def q_tfidf_top_terms(spark, sf_dir):
     return text_ops.tfidf_top_terms(d, "text", "doc_id", k=3, max_df=0.5)
 
 
+_BM25_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM doclen
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words WHERE word IN ('dup', 'merge', 'window') GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         (((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0))
+          * CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         / (CAST(tf AS DOUBLE)
+            + (1.2 * ((1.0 - 0.75)
+                      + ((0.75 * CAST(dl AS DOUBLE))
+                         / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         AS s
+  FROM tf JOIN dfreq USING (word) JOIN doclen USING (doc_id) CROSS JOIN corpus
+), agg AS (
+  SELECT doc_id,
+         round(COALESCE(max(CASE WHEN word = 'dup' THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN word = 'merge' THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN word = 'window' THEN s END), 0.0), 9) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@query("bm25_topk_docs", oracle=_BM25_SQL)
+def q_bm25_topk_docs(spark, sf_dir):
+    """EXT — BM25-shaped ranked keyword retrieval (text.bm25_topk):
+    top-15 documents for the query {dup, merge, window} (the fixture's
+    one rare term plus two common ones, so idf weighting, tf
+    saturation, and length normalization all bind). Rational idf and
+    explicit float association keep scores bit-identical to the DuckDB
+    oracle; the per-doc total sums per-term scores in fixed query
+    order (conditional-max columns), never a shuffle-ordered float
+    aggregation. Top-k via TakeOrderedAndProject, not a global
+    window."""
+    return text_ops.bm25_topk(
+        t(spark, sf_dir, "documents"), ["dup", "merge", "window"], k=15
+    )
+
+
 def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:
     """DuckDB-side Morton interleave: same shift/or tree the Spark
     expression builds (operators/layout.py interleave_bits)."""

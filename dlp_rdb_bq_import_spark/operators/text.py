@@ -427,6 +427,106 @@ def pii_profile(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25-shaped ranked keyword retrieval: top-k documents for a bag
+    of query terms. Output ``(doc_id, score, rk)`` for documents
+    matching >= 1 term, ranked by score desc (id asc tiebreak).
+
+    Scoring is the BM25 shape — per-term tf saturation
+    ``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`` times an idf weight —
+    with the engine's rational idf ``(N+1)/(df+1)`` instead of the
+    classic ``ln((N-df+0.5)/(df+0.5))``: both are monotone in df, but
+    IEEE div/mul are correctly rounded while ``ln`` is not, and this
+    engine's contract is bit-identical scores across engines (see
+    tfidf_top_terms). Per-document totals sum the per-term scores in
+    the FIXED written order of ``query_terms`` (conditional-max per
+    term, then column-wise addition), not a float aggregation whose
+    order the shuffle would choose — float addition is not
+    associative, and a nondeterministic sum order would break both
+    run-to-run determinism and the oracle hash.
+
+    Scale shape: ONE pass over the word stream — a single groupBy(doc)
+    computes the document length and every query term's tf as
+    conditional sums (the term list is a literal, so the aggregate is
+    fixed-width), a 1-row global aggregate over that per-doc table
+    yields N, total length, and per-term doc frequencies, and the
+    scalar row broadcasts back. No joins besides the 1-row scalar
+    attach; top-k via orderBy+limit (TakeOrderedAndProject: per-
+    partition heaps + driver merge, never a global single-partition
+    window)."""
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    from pyspark.sql import Window
+
+    from . import fan_out
+
+    words = fan_out(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    perdoc = words.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("word") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = perdoc.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    # every float step is written with explicit association so the
+    # DuckDB oracle can state the byte-identical expression (IEEE
+    # div/mul/add are correctly rounded, so same order ⇒ same bits);
+    # derived literals like k1+1 are computed IN the expression, not in
+    # Python, so both engines round the same intermediate
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(i: int):
+        idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+            F.col(f"_df{i}").cast("double") + F.lit(1.0)
+        )
+        tfd = F.col(f"_tf{i}").cast("double")
+        denom = tfd + (
+            F.lit(k1)
+            * (
+                (F.lit(1.0) - F.lit(b))
+                + ((F.lit(b) * F.col("dl").cast("double")) / avgdl)
+            )
+        )
+        return F.when(
+            F.col(f"_tf{i}") > 0, ((idf * tfd) * (F.lit(k1) + F.lit(1.0))) / denom
+        ).otherwise(F.lit(0.0))
+
+    total = F.lit(0.0)
+    for i in range(len(query_terms)):
+        total = total + term_score(i)
+    match = None
+    for i in range(len(query_terms)):
+        cond = F.col(f"_tf{i}") > 0
+        match = cond if match is None else (match | cond)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        perdoc.where(match)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(total, 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+
+
 def _doc_freq_cap(
     dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
 ) -> tuple[DataFrame, DataFrame]:

@@ -364,6 +364,35 @@ def test_incremental_curation_per_stage_drops(spark, sf_dir):
         assert r.seq_id >= 0 and 0 <= r.seq_offset < 4096 and r.n_tokens > 0
 
 
+def test_minhash_lsh_banding_curve(spark):
+    """Candidate probability must follow the banding curve
+    1-(1-J^r)^b (k=64, bands=16 ⇒ r=4): ~2% of J≈0.2 pairs and ~100%
+    of J≈0.81 pairs band together. Discriminates the keyed family from
+    the correlated one both ways — perfectly-correlated components
+    give P(candidate)=J, i.e. ~12/60 low-J and ~49/60 high-J."""
+    rows, expected_pairs = [], {"low": [], "high": []}
+    for j, (label, keep) in enumerate(
+        [("low", 21)] * 60 + [("high", 54)] * 60
+    ):
+        a_words = [f"q{j}a{i}" for i in range(60)]
+        b_words = a_words[:keep] + [f"q{j}b{i}" for i in range(60 - keep)]
+        rows += [(2 * j, " ".join(a_words)), (2 * j + 1, " ".join(b_words))]
+        expected_pairs[label].append((2 * j, 2 * j + 1))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(
+        df, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    cands = set(
+        map(tuple, dedup.minhash_lsh_candidates(sigs, "doc_id", bands=16).collect())
+    )
+    low = sum(1 for p in expected_pairs["low"] if p in cands or p[::-1] in cands)
+    high = sum(1 for p in expected_pairs["high"] if p in cands or p[::-1] in cands)
+    # J=19/97≈0.196 ⇒ P≈0.023, E≈1.4 of 60 (correlated family: E≈12)
+    assert low <= 8, f"low-J candidate count {low} exceeds banding curve"
+    # J=52/64≈0.8125 ⇒ P≈0.9999, E≈60 (correlated family: E≈49)
+    assert high >= 55, f"high-J candidate count {high} below banding curve"
+
+
 def test_incremental_minhash_band_mismatch_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     sigs = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=64)
@@ -1040,6 +1069,49 @@ def test_tfidf_top_terms_max_df_drops_stopwords_before_shuffle(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # uncapped call still returns the stop words (cap is opt-in)
     assert "the" in {r.word for r in text_ops.tfidf_top_terms(df, k=3).collect()}
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Scores equal a literal Python BM25 computation (rational idf,
+    k1=1.2, b=0.75) on a 4-doc corpus, ranking is deterministic, and
+    docs matching no query term are absent."""
+    docs = [
+        (1, "apple banana apple cherry"),      # tf(apple)=2, dl=4
+        (2, "apple durian durian durian"),     # tf(apple)=1, dl=4
+        (3, "banana banana banana"),           # tf(banana)=3, dl=3
+        (4, "durian cherry cherry"),           # no query terms
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: (r.score, r.rk) for r in text_ops.bm25_topk(
+        df, ["apple", "banana"], k=10
+    ).collect()}
+    assert 4 not in out and set(out) == {1, 2, 3}
+
+    n_docs, total_dl = 4, 14
+    avgdl = total_dl / n_docs
+    dfreq = {"apple": 2, "banana": 2}
+    tfs = {1: {"apple": 2, "banana": 1}, 2: {"apple": 1}, 3: {"banana": 3}}
+    dls = {1: 4, 2: 4, 3: 3}
+    k1, b = 1.2, 0.75
+    for doc_id, terms in tfs.items():
+        want = 0.0
+        for term in ("apple", "banana"):  # fixed query order
+            if term not in terms:
+                continue
+            tf = terms[term]
+            idf = (n_docs + 1.0) / (dfreq[term] + 1.0)
+            s = ((idf * tf) * (k1 + 1.0)) / (
+                tf + (k1 * ((1.0 - b) + ((b * dls[doc_id]) / avgdl)))
+            )
+            want += s
+        assert out[doc_id][0] == round(want, 9), doc_id
+    # ranking: doc 1 (two terms) > doc 3 (saturated tf) order per scores
+    ranked = sorted(out, key=lambda d: out[d][1])
+    assert ranked == sorted(out, key=lambda d: (-out[d][0], d))
+    with pytest.raises(ValueError):
+        text_ops.bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        text_ops.bm25_topk(df, ["apple", "apple"])
 
 
 def test_tfidf_top_terms_fractional_max_df(spark):

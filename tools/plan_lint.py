@@ -48,6 +48,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "corpus-count scalar attach: build side "
         "is a broadcast single global-aggregate row by construction",
     },
+    "bm25_topk_docs": {
+        "BroadcastNestedLoopJoin": "corpus (N, total_dl) scalar attach: "
+        "build side is a broadcast single global-aggregate row by "
+        "construction",
+    },
     "skew_report": {
         "BroadcastNestedLoopJoin": "totals scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
