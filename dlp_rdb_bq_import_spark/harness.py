@@ -1502,6 +1502,33 @@ def q_incremental_curation(spark, sf_dir):
     )
 
 
+@query("streaming_incremental_neardup")  # stream-vs-index LSH — rows-only
+def q_streaming_incremental_neardup(spark, sf_dir):
+    """W-EXT — streaming near-dup detection against the persisted
+    MinHash index: the new batch (every 10th doc + a planted copy of
+    corpus doc 1) arrives as a file stream, is signed IN-ROW
+    (dedup.row_minhash_signatures — stateless scalar expressions,
+    bit-identical to the batch signer, no aggregation in the
+    micro-batch plan), banded carrying its signature array (no
+    streaming self-join), and equi-joined against the static band
+    index. Append-mode output equals the batch
+    incremental_minhash_pairs on the same data (pytest-pinned), so the
+    streaming and batch ingest paths are interchangeable."""
+    from .streaming.jobs import streaming_incremental_neardup
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 10 == 0).unionByName(
+        d.where(F.col("doc_id") == 1).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    return streaming_incremental_neardup(
+        spark, new, index, threshold=0.35, bands=16, shingle_n=3, shingle_unit="word"
+    )
+
+
 @query("dedup_simhash")  # banded Hamming candidates — rows-only
 def q_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")

@@ -334,6 +334,63 @@ def minhash_signatures(
     return sh.groupBy(F.col(id_col)).agg(*aggs)
 
 
+def row_minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+    shingle_unit: str = "char",
+) -> DataFrame:
+    """Per-document MinHash signature as STATELESS scalar expressions —
+    bit-identical values to :func:`minhash_signatures` (pytest-pinned),
+    but computed row-wise (shingle array → per-component
+    ``array_min(transform(...))``) with no explode, no groupBy, and no
+    shuffle at all.
+
+    Two call sites want this shape: Structured Streaming micro-batches
+    (aggregation-free, so signing is a plain map over the stream — the
+    ingest-side of streaming near-dup dedup), and batch pipelines where
+    the input is already one row per document and the explode+groupBy
+    shuffle of the aggregate form buys nothing. The aggregate form
+    remains the right choice when a precomputed/cached ``shingle_df``
+    is shared across consumers. min-over-multiset equals
+    min-over-set, so the per-doc distinct the aggregate path inherits
+    from ``hashed_shingles`` is unnecessary here.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if shingle_unit == "word":
+        toks = F.split(text, " ")
+        grams = F.when(
+            F.size(toks) >= shingle_n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        grams = F.when(
+            F.length(text) >= shingle_n,
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(text) - (shingle_n - 1), F.lit(1))
+                ),
+                lambda i: F.substring(text, i, shingle_n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    sig_cols = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    # docs below the shingle width have no shingles and therefore no
+    # signature — same contract as the aggregate form (groupBy over
+    # zero shingle rows emits nothing)
+    return df.select(F.col(id_col), *sig_cols).where(F.col("mh_0").isNotNull())
+
+
 def banded_signatures(
     signatures: DataFrame,
     id_col: str,

@@ -502,6 +502,98 @@ def stateful_sessionize(
         shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
 
 
+def streaming_incremental_neardup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.35,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Streaming near-dup detection against a PERSISTED MinHash index —
+    the streaming spelling of ``dedup.incremental_minhash_pairs``: new
+    documents arrive as a stream, are signed IN-ROW (stateless scalar
+    expressions, ``dedup.row_minhash_signatures`` — aggregation-free,
+    so the micro-batch plan is a pure map), banded, and equi-joined
+    against the static band index; candidates dedup on the pair key
+    and the component-agreement estimate filters to >= ``threshold``.
+
+    Output: append-mode (new_id, corpus_id, est_jaccard), equal to the
+    batch path on the same data (pytest-pinned). State is bounded by
+    the DISTINCT candidate pairs of the stream's ingest window (the
+    dropDuplicates key), not by the corpus — the corpus participates
+    only as the static join side, re-planned per micro-batch and
+    broadcast when small. The staged-file stream mirrors how an ingest
+    bus delivers a crawl batch."""
+    from ..operators import dedup as dedup_ops
+
+    k = len([c for c in corpus_signatures.columns if c.startswith("mh_")])
+    if k == 0 or k % bands != 0:
+        raise ValueError(
+            f"corpus_signatures must carry mh_* columns with k a multiple of "
+            f"bands; got k={k}, bands={bands}"
+        )
+    stage = os.path.join(tempfile.mkdtemp(prefix="neardup_stream_"), "staged")
+    src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    src.write.parquet(stage)
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        sigs = dedup_ops.row_minhash_signatures(
+            raw, text_col, id_col, num_hashes=k,
+            shingle_n=shingle_n, shingle_unit=shingle_unit,
+        )
+        arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
+        # band the stream while CARRYING the signature array — joining
+        # the candidates back to the stream's own signatures would be a
+        # streaming self-join; keeping _sa in-row sidesteps the state
+        # machinery entirely (it is functionally dependent on new_id)
+        rows_per_band = k // bands
+        band_structs = [
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.xxhash64(
+                    *[f"mh_{i}" for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+                ).alias("sig"),
+            )
+            for bidx in range(bands)
+        ]
+        nb = sigs.select(
+            F.col(id_col).alias("new_id"),
+            arr.alias("_sa"),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select("new_id", "_sa", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+        cb = dedup_ops.banded_signatures(
+            corpus_signatures, id_col, bands
+        ).withColumnsRenamed({id_col: "corpus_id"})
+        cand = (
+            nb.join(cb, ["band", "sig"])
+            .select("new_id", "_sa", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        ca = corpus_signatures.select(
+            F.col(id_col).alias("corpus_id"), arr.alias("_sb")
+        )
+        agree = F.aggregate(
+            F.zip_with("_sa", "_sb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        flagged = (
+            cand.join(ca, "corpus_id")
+            .withColumn("_est", agree / F.lit(float(k)))
+            .where(F.col("_est") >= threshold)
+            .select(
+                "new_id", "corpus_id", F.round("_est", 6).alias("est_jaccard")
+            )
+        )
+        return _run_to_memory(flagged, "append")
+    finally:
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     source_dir: str,

@@ -353,3 +353,66 @@ def test_stream_stream_full_join_extends_both_sides(spark, tmp_path):
     got = {(r["left_event"], r["right_event"])
            for r in stream_stream_full_join(spark, str(src)).collect()}
     assert got == {(1, 2), (None, 3), (4, None)}
+
+
+def test_row_minhash_signatures_equal_aggregate_form(spark, sf_dir):
+    """The stateless per-row signer must produce bit-identical
+    signatures to the explode+groupBy aggregate form for both shingle
+    units — the equivalence that lets the streaming ingest path share
+    the batch path's persisted index."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+
+    d = t(spark, sf_dir, "documents").limit(120)
+    for unit, n in (("word", 3), ("char", 5)):
+        agg = dedup.minhash_signatures(
+            d, "text", "doc_id", num_hashes=16, shingle_n=n, shingle_unit=unit
+        )
+        row = dedup.row_minhash_signatures(
+            d, "text", "doc_id", num_hashes=16, shingle_n=n, shingle_unit=unit
+        )
+        assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, row.collect()))
+    # sub-shingle-width docs are absent from both forms
+    tiny = spark.createDataFrame([(1, "a b"), (2, None)], ["doc_id", "text"])
+    assert (
+        dedup.row_minhash_signatures(
+            tiny, "text", "doc_id", num_hashes=4, shingle_n=3, shingle_unit="word"
+        ).count()
+        == 0
+    )
+
+
+def test_streaming_incremental_neardup_equals_batch(spark, sf_dir):
+    """The streaming stream-vs-static-index path must emit exactly the
+    batch incremental_minhash_pairs rows (same threshold/bands/k) —
+    the guarantee that a pipeline can switch ingestion modes without
+    changing what gets flagged. The planted verbatim corpus copy is
+    flagged at est_jaccard 1.0."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_incremental_neardup
+
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 5 == 0).unionByName(
+        corpus.where(F.col("doc_id") == 1).withColumn("doc_id", F.lit(900))
+    )
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    kw = dict(threshold=0.3, bands=16, shingle_n=3, shingle_unit="word")
+    batch = sorted(
+        map(
+            tuple,
+            dedup.incremental_minhash_pairs(
+                new, index, "text", "doc_id", **kw
+            ).collect(),
+        )
+    )
+    stream = sorted(
+        map(tuple, streaming_incremental_neardup(spark, new, index, **kw).collect())
+    )
+    assert batch == stream and batch
+    assert (900, 1, 1.0) in stream
