@@ -2048,6 +2048,75 @@ def q_bm25_topk_docs(spark, sf_dir):
     )
 
 
+_BM25_QUERY_SET = [
+    (1, "dup"), (1, "merge"),
+    (2, "window"), (2, "sort"), (2, "spark"),
+    (3, "dup"), (3, "customer"), (3, "the"),
+]
+
+_BM25_BATCH_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM doclen
+), qterms AS (
+  SELECT * FROM (VALUES
+    (1, 'dup'), (1, 'merge'),
+    (2, 'window'), (2, 'sort'), (2, 'spark'),
+    (3, 'dup'), (3, 'customer'), (3, 'the')
+  ) AS q(query_id, word)
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words WHERE word IN (SELECT word FROM qterms) GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ((((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0))
+             * CAST(tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf AS DOUBLE)
+               + (1.2 * ((1.0 - 0.75)
+                         + ((0.75 * CAST(dl AS DOUBLE))
+                            / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+           * 1000000.0) AS BIGINT) AS q
+  FROM tf
+  JOIN dfreq USING (word) JOIN doclen USING (doc_id) CROSS JOIN corpus
+  JOIN qterms q USING (word)
+), agg AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(q) AS DOUBLE) / 1000000.0, 9) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM agg
+) WHERE rk <= 5
+"""
+
+
+@query("bm25_batch_topk", oracle=_BM25_BATCH_SQL)
+def q_bm25_batch_topk(spark, sf_dir):
+    """EXT — batch BM25 retrieval for a query TABLE
+    (text.bm25_batch_topk): three fixed queries run together through
+    one postings equi-join, per-term scores int64-quantized so the
+    per-(query, doc) total is an exact integer sum immune to shuffle
+    order, per-query top-5 via a query-partitioned window. The scale
+    shape for serving thousands of queries in one pass."""
+    queries = spark.createDataFrame(_BM25_QUERY_SET, ["query_id", "word"])
+    return text_ops.bm25_batch_topk(
+        t(spark, sf_dir, "documents"), queries, k=5
+    )
+
+
 def _zterms(bcol: str, k: int, i: int, bits: int = 8) -> str:
     """DuckDB-side Morton interleave: same shift/or tree the Spark
     expression builds (operators/layout.py interleave_bits)."""

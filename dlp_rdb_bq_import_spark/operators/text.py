@@ -527,6 +527,95 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "word",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval for a TABLE of queries — the batch-search shape:
+    ``queries`` is (query_id, word) rows; output is the per-query
+    top-k ``(query_id, doc_id, score, rk)``.
+
+    Where :func:`bm25_topk` inlines a literal term list (one
+    interactive query), this is the M×N production path: the document
+    posting stream equi-joins the query-term table on the term, so
+    work scales with matched postings, never |queries|x|docs|. With
+    per-query term sets unknown at plan time, the per-document total
+    can't sum in a fixed written order — instead each per-term score
+    QUANTIZES to int64 (x ``quant``) and the total is an exact integer
+    sum, immune to shuffle order (the tfidf_cosine_pairs discipline),
+    then one final division. Per-query top-k is a window PARTITIONED
+    by query (bounded state per query), not a global sort.
+
+    Doc stats (length, N, avgdl, per-term df) come from the document
+    corpus alone — query terms share the corpus idf, so scores are
+    comparable across queries."""
+    from pyspark.sql import Window
+
+    from . import fan_out
+
+    words = fan_out(docs).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    doclen = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = doclen.groupBy().agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qterms = queries.select(
+        F.col(query_id_col), F.col(term_col).alias("word")
+    ).distinct()
+    # postings filter BEFORE the tf aggregation: only terms any query
+    # mentions survive (broadcast semi-join — the index access path)
+    tf = (
+        words.join(F.broadcast(qterms.select("word").distinct()), "word", "leftsemi")
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+        F.col("doc_freq").cast("double") + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + (
+        F.lit(k1)
+        * ((F.lit(1.0) - F.lit(b)) + ((F.lit(b) * F.col("dl").cast("double")) / avgdl))
+    )
+    term_score = ((idf * tfd) * (F.lit(k1) + F.lit(1.0))) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(qterms), "word")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(term_score * F.lit(float(quant))).cast("long").alias("_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.groupBy(query_id_col, id_col)
+        .agg(F.sum("_q").alias("_qs"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_qs").cast("double") / F.lit(float(quant)), 9).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def _doc_freq_cap(
     dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
 ) -> tuple[DataFrame, DataFrame]:

@@ -1114,6 +1114,33 @@ def test_bm25_topk_hand_computed(spark):
         text_ops.bm25_topk(df, ["apple", "apple"])
 
 
+def test_bm25_batch_matches_single_query(spark):
+    """One query run through the batch (query-table) path ranks
+    identically to the literal-terms path, with scores equal up to the
+    batch path's int64 quantization (1e-6)."""
+    rng = np.random.default_rng(3)
+    vocab = ["apple", "banana", "cherry", "durian", "elder", "fig"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(3, 12)))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    single = {
+        r.doc_id: (r.score, r.rk)
+        for r in text_ops.bm25_topk(df, ["apple", "fig"], k=30).collect()
+    }
+    queries = spark.createDataFrame([(7, "apple"), (7, "fig")], ["query_id", "word"])
+    batch = {
+        r.doc_id: (r.score, r.rk)
+        for r in text_ops.bm25_batch_topk(df, queries, k=30).collect()
+    }
+    assert set(single) == set(batch)
+    for doc_id, (score, rk) in single.items():
+        bscore, brk = batch[doc_id]
+        assert brk == rk, doc_id
+        assert abs(bscore - score) <= 1e-6, doc_id
+
+
 def test_tfidf_top_terms_fractional_max_df(spark):
     """A float max_df in (0,1) caps by CORPUS FRACTION: 0.5 over 10
     docs drops words in >5 docs — same result as absolute max_df=5 on
