@@ -1502,6 +1502,38 @@ def q_incremental_curation(spark, sf_dir):
     )
 
 
+@query("dedup_incremental_two_batch")  # multi-batch index maintenance — rows-only
+def q_dedup_incremental_two_batch(spark, sf_dir):
+    """Two consecutive ingest batches against a MAINTAINED index — the
+    steady state the single-batch queries only approximate: batch 1
+    (doc_id%10==0) is screened against the corpus index, its survivors'
+    signatures merge INTO the index (dedup.merge_signature_index), and
+    batch 2 (doc_id%10==9, plus a planted tail-modified copy of a
+    BATCH-1 document) is screened against the updated index. The plant
+    can only be caught because the index grew — its source is in
+    neither the original corpus nor batch 2. Output: batch-2 flags;
+    the cross-batch catch is pytest-pinned."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 9))
+    batch1 = d.where(F.col("doc_id") % 10 == 0)
+    batch2 = d.where(F.col("doc_id") % 10 == 9).unionByName(
+        batch1.where(F.col("doc_id") == 10)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" trailing batch marker")))
+    )
+    kw = dict(num_hashes=64, shingle_n=3, shingle_unit="word")
+    jkw = dict(threshold=0.35, bands=16, shingle_n=3, shingle_unit="word")
+    index = dedup.minhash_signatures(corpus, "text", "doc_id", **kw)
+    b1_flags = dedup.incremental_minhash_pairs(
+        batch1, index, "text", "doc_id", **jkw
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    survivors1 = batch1.join(b1_flags, "doc_id", "left_anti")
+    index = dedup.merge_signature_index(
+        index, dedup.minhash_signatures(survivors1, "text", "doc_id", **kw)
+    ).localCheckpoint(eager=False)
+    return dedup.incremental_minhash_pairs(batch2, index, "text", "doc_id", **jkw)
+
+
 @query("streaming_incremental_neardup")  # stream-vs-index LSH — rows-only
 def q_streaming_incremental_neardup(spark, sf_dir):
     """W-EXT — streaming near-dup detection against the persisted

@@ -334,6 +334,33 @@ def minhash_signatures(
     return sh.groupBy(F.col(id_col)).agg(*aggs)
 
 
+def merge_signature_index(
+    index: DataFrame, new_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Standing-index maintenance — the step that closes the
+    batch-ingest loop: after a batch's survivors are admitted to the
+    corpus, their signatures join the persisted MinHash index so the
+    NEXT batch near-dups against them too. On id collision the new
+    row wins (a re-ingested document refreshes its signature): one
+    anti-join on the id plus a union, no shuffle of the signature
+    payload beyond the id-keyed anti-join. Both sides must carry the
+    same mh_* family (same k; enforced)."""
+    k_old = len([c for c in index.columns if c.startswith("mh_")])
+    k_new = len([c for c in new_sigs.columns if c.startswith("mh_")])
+    if k_old == 0 or k_old != k_new:
+        raise ValueError(
+            f"index and new_sigs must carry the same mh_* family; "
+            f"got k={k_old} vs k={k_new}"
+        )
+    cols = [id_col] + [f"mh_{i}" for i in range(k_old)]
+    new_part = new_sigs.select(*cols)
+    return (
+        index.select(*cols)
+        .join(new_part.select(id_col), id_col, "left_anti")
+        .unionByName(new_part)
+    )
+
+
 def row_minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -393,6 +393,32 @@ def test_minhash_lsh_banding_curve(spark):
     assert high >= 55, f"high-J candidate count {high} below banding curve"
 
 
+def test_merge_signature_index_and_cross_batch_catch(spark, sf_dir):
+    """Index maintenance: merged index = old rows minus collisions plus
+    new rows (new wins), k mismatch raises, and the two-batch harness
+    query catches its planted near-dup against a BATCH-1 document that
+    was never in the original corpus."""
+    from dlp_rdb_bq_import_spark import harness
+
+    a = spark.createDataFrame([(1, "x y z w q"), (2, "p q r s t")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "fresh words here now ok"), (3, "m n o p q")], ["doc_id", "text"])
+    kw = dict(num_hashes=16, shingle_n=3, shingle_unit="word")
+    ia = dedup.minhash_signatures(a, "text", "doc_id", **kw)
+    ib = dedup.minhash_signatures(b, "text", "doc_id", **kw)
+    merged = dedup.merge_signature_index(ia, ib)
+    rows = {r.doc_id: tuple(r)[1:] for r in merged.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == {r.doc_id: tuple(r)[1:] for r in ib.collect()}[2]  # new wins
+    with pytest.raises(ValueError, match="same mh_"):
+        dedup.merge_signature_index(
+            ia, dedup.minhash_signatures(b, "text", "doc_id", num_hashes=8)
+        )
+
+    flags = harness.queries()["dedup_incremental_two_batch"](spark, sf_dir).collect()
+    cross = [r for r in flags if r.new_id == 500010]
+    assert cross and any(r.corpus_id == 10 for r in cross)
+
+
 def test_incremental_minhash_band_mismatch_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     sigs = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=64)
