@@ -1602,6 +1602,49 @@ def q_decontaminate_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "contamination_spans",
+    oracle="""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+be AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+bg AS (
+  SELECT DISTINCT substr(b.text, CAST(i AS INT), 40) AS g
+  FROM be b JOIN generate_series(1, 4000) s(i) ON i <= length(b.text) - 39
+),
+hits AS (
+  SELECT t.doc_id, i AS pos
+  FROM tr t JOIN generate_series(1, 4000) s(i) ON i <= length(t.text) - 39
+  WHERE substr(t.text, CAST(i AS INT), 40) IN (SELECT g FROM bg)
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits)
+SELECT CAST(doc_id AS BIGINT) AS train_id,
+       CAST(MIN(pos) AS BIGINT) AS dup_start,
+       CAST(MAX(pos) + 39 AS BIGINT) AS dup_end
+FROM islands GROUP BY doc_id, grp
+""",
+)
+def q_contamination_spans(spark, sf_dir):
+    """EXT — character-exact contamination audit
+    (decontam.contamination_spans): maximal >= 40-char runs of training
+    text that appear verbatim anywhere in the held-out benchmark slice
+    (same %20 split as decontaminate_overlap) — WHAT leaked and WHERE,
+    next to the n-gram-overlap drop decision. Cross-corpus digest
+    probe, single traversal of the training gram stream."""
+    from .operators.decontam import contamination_spans
+
+    d = t(spark, sf_dir, "documents")
+    return contamination_spans(
+        d.where(F.col("doc_id") % 20 != 0),
+        d.where(F.col("doc_id") % 20 == 0),
+        "text",
+        "doc_id",
+        min_len=40,
+    )
+
+
 _EMB_EX = """
 ex AS (
   SELECT vec_id,

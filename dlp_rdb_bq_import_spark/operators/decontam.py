@@ -208,6 +208,77 @@ def contamination_pairs(
     )
 
 
+def contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 40,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Character-exact contamination audit: the maximal spans of TRAIN
+    text that appear VERBATIM anywhere in the benchmark corpus —
+    ``(train_id, dup_start, dup_end)``, 1-based inclusive, every span
+    >= ``min_len`` chars. Where :func:`contamination_pairs` counts
+    word n-gram overlap per pair (the drop decision),
+    this shows WHAT leaked and WHERE (the audit a contamination report
+    prints next to each flagged document).
+
+    Plan shape (the cross-corpus sibling of
+    ``dedup.duplicated_substring_spans``): both sides explode stride-1
+    ``min_len``-grams projected to 128-bit digests (two seeded
+    xxhash64 — fixed-width join keys, never the raw string); the bench
+    side distincts into the build set (eval corpora are orders of
+    magnitude smaller than training corpora, so this is the small
+    side — broadcast or shuffle as AQE sizes it); the train gram
+    stream probes it ONCE (no second consumer, so unlike the
+    within-corpus operator nothing needs persisting) and the hit
+    positions fold into gaps-and-islands per train doc."""
+    from pyspark.sql import Window
+
+    from . import fan_out
+
+    for reserved in ("_g", "_d1", "_d2", "_pos", "_grp"):
+        if reserved in train.columns:
+            raise ValueError(f"train column collides with reserved name {reserved!r}")
+
+    def grams(df: DataFrame, keep_id: bool):
+        gram = F.substring(F.col(text_col), F.col("_pos"), F.lit(min_len))
+        src = df.where(F.length(text_col) >= min_len)
+        src = src.repartition(num_partitions) if num_partitions else fan_out(src)
+        cols = [F.col(id_col).cast("long").alias("train_id")] if keep_id else []
+        return (
+            src.select(
+                *([F.col(id_col)] if keep_id else []),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(text_col) - F.lit(min_len - 1))
+                ).alias("_pos"),
+                F.col(text_col),
+            )
+            .select(
+                *cols,
+                *([F.col("_pos").cast("int").alias("_pos")] if keep_id else []),
+                F.xxhash64(gram).alias("_d1"),
+                F.xxhash64(gram, F.lit(1)).alias("_d2"),
+            )
+        )
+
+    bench_digests = grams(bench, keep_id=False).distinct()
+    hits = grams(train, keep_id=True).join(bench_digests, ["_d1", "_d2"]).select(
+        "train_id", "_pos"
+    )
+    w_doc = Window.partitionBy("train_id").orderBy("_pos")
+    return (
+        hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w_doc))
+        .groupBy("train_id", "_grp")
+        .agg(
+            F.min("_pos").cast("long").alias("dup_start"),
+            (F.max("_pos") + F.lit(min_len - 1)).cast("long").alias("dup_end"),
+        )
+        .select("train_id", "dup_start", "dup_end")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -393,6 +393,28 @@ def test_minhash_lsh_banding_curve(spark):
     assert high >= 55, f"high-J candidate count {high} below banding curve"
 
 
+def test_contamination_spans_planted_leak(spark):
+    """A train doc quoting a benchmark passage verbatim yields exactly
+    the quoted span (1-based inclusive); clean docs yield nothing;
+    sub-threshold quotes (< min_len chars) are ignored."""
+    from dlp_rdb_bq_import_spark.operators.decontam import contamination_spans
+
+    passage = "0123456789" * 5  # 50 chars of bench text
+    train = spark.createDataFrame(
+        [
+            (1, "A" * 30 + passage + "B" * 20),   # leak at pos 31..80
+            (2, "C" * 100),                        # clean
+            (3, "D" * 40 + passage[:30] + "E" * 30),  # 30 < min_len: clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "x " + passage + " y")], ["doc_id", "text"])
+    got = sorted(
+        map(tuple, contamination_spans(train, bench, "text", "doc_id", min_len=40).collect())
+    )
+    assert got == [(1, 31, 80)]
+
+
 def test_merge_signature_index_and_cross_batch_catch(spark, sf_dir):
     """Index maintenance: merged index = old rows minus collisions plus
     new rows (new wins), k mismatch raises, and the two-batch harness
