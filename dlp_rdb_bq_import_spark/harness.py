@@ -1645,6 +1645,52 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+@query(
+    "kcenter_diversity_sample",
+    # greedy farthest-point is deterministic given exact distances, so
+    # a recursive CTE replaying the same integer argmax picks is a
+    # full hash oracle for the iterative driver loop
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), seed AS (
+  SELECT vec_id, qv FROM q
+  ORDER BY list_sum(list_transform(qv, x -> x * x)) DESC, vec_id ASC LIMIT 1
+), pick(r, ids, qvs) AS (
+  SELECT 1, [vec_id], [qv] FROM seed
+  UNION ALL
+  SELECT r + 1, list_append(ids, nxt.vec_id), list_append(qvs, nxt.qv)
+  FROM pick, LATERAL (
+    SELECT cand.vec_id, cand.qv FROM (
+      SELECT q.vec_id, q.qv,
+             min(list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - t.cqv[i]) * (q.qv[i] - t.cqv[i])))) AS md
+      FROM q, unnest(pick.qvs) AS t(cqv)
+      WHERE NOT list_contains(pick.ids, q.vec_id)
+      GROUP BY q.vec_id, q.qv
+    ) cand
+    ORDER BY cand.md DESC, cand.vec_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE r < 12
+), final AS (SELECT ids FROM pick ORDER BY r DESC LIMIT 1)
+SELECT CAST(ids[i] AS BIGINT) AS vec_id, CAST(i AS BIGINT) AS pick_order
+FROM final, unnest(range(1, len(ids) + 1)) AS s(i)
+""",
+)
+def q_kcenter_diversity_sample(spark, sf_dir):
+    """EXT — greedy k-center diversity selection over the embedding
+    table (similarity.kcenter_sample, k=12): coverage-maximizing
+    data-selection via farthest-point picks on EXACT int64 squared
+    distances, so the iterative driver loop hash-matches a DuckDB
+    recursive-CTE replay of the same discrete argmax sequence."""
+    from .operators.similarity import kcenter_sample
+
+    return kcenter_sample(t(spark, sf_dir, "embeddings"), k=12)
+
+
 _EMB_EX = """
 ex AS (
   SELECT vec_id,

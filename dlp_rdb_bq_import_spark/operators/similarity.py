@@ -56,6 +56,75 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
     )
 
 
+def kcenter_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+) -> DataFrame:
+    """Greedy k-center / farthest-point diversity sample (Gonzalez
+    1985, public algorithm): pick the max-norm point, then k-1 times
+    the point FARTHEST from everything picked so far — the classic
+    coverage-maximizing selection for training-data diversity (the
+    2-approximation to the k-center objective).
+
+    Determinism/exactness: distances are EXACT INT64 squared euclidean
+    over the quantized vectors (``QUANT_SCALE``), so every argmax is a
+    discrete comparison — no float summation order anywhere — and ties
+    break by smallest id. Output ``(vec_id, pick_order)`` (1-based).
+
+    Scale shape: each round ships exactly ONE center through the
+    driver (k x dim int literals total) and folds it into a running
+    min-distance column — the scan stays distributed, the per-round
+    work is one ``least()`` update plus one TakeOrdered(1), and
+    lineage cuts every 8 rounds bound the plan. Driver memory is
+    O(k·dim), never O(n)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = df.select(
+        F.col(id_col).cast("long").alias(id_col), _quantize(F.col(vec_col)).alias("_qv")
+    ).localCheckpoint(eager=True)
+
+    first = (
+        cur.withColumn("_n2", _int_dot(F.col("_qv"), F.col("_qv")))
+        .orderBy(F.col("_n2").desc(), F.col(id_col).asc())
+        .limit(1)
+        .select(id_col, "_qv")
+        .first()
+    )
+    if first is None:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, pick_order long")
+    picks = [(int(first[0]), 1)]
+    center = [int(x) for x in first[1]]
+
+    def dist_to(center_vals: list[int]):
+        lit_arr = F.array(*[F.lit(x) for x in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), lit_arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cur = cur.where(F.col(id_col) != picks[0][0]).withColumn("_mind", dist_to(center))
+    for r in range(2, k + 1):
+        nxt = (
+            cur.orderBy(F.col("_mind").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(id_col, "_qv")
+            .first()
+        )
+        if nxt is None:  # fewer than k points
+            break
+        picks.append((int(nxt[0]), r))
+        center = [int(x) for x in nxt[1]]
+        cur = cur.where(F.col(id_col) != picks[-1][0]).withColumn(
+            "_mind", F.least(F.col("_mind"), dist_to(center))
+        )
+        if r % 8 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(picks, f"{id_col} long, pick_order long")
+
+
 def cosine_pairs(
     queries: DataFrame,
     corpus: DataFrame,

@@ -82,3 +82,61 @@ def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         pca_fit(empty)
+
+
+def test_kcenter_sample_greedy_parity_and_coverage(spark, sf_dir):
+    """Picks must equal an exact-integer numpy replay of greedy
+    farthest-point (same HALF_UP quantization, same min-id tiebreak),
+    and the selection must be a 2-approximate cover: max over points
+    of distance-to-nearest-pick equals the LAST pick's selection
+    distance or less."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        QUANT_SCALE,
+        kcenter_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 10
+    got = [
+        (r.vec_id, r.pick_order)
+        for r in kcenter_sample(d, k=k).orderBy("pick_order").collect()
+    ]
+    rows = d.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+
+    def q(x):  # HALF_UP like Spark round()
+        v = float(np.float64(x)) * QUANT_SCALE
+        return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+    Q = np.array([[q(x) for x in r.embedding] for r in rows], dtype=np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    sel = [int(np.lexsort((ids, -n2))[0])]
+    mind = ((Q - Q[sel[0]]) ** 2).sum(axis=1)
+    mind[sel[0]] = -1
+    for _ in range(k - 1):
+        nxt = int(np.lexsort((ids, -mind))[0])
+        sel.append(nxt)
+        mind = np.minimum(mind, ((Q - Q[nxt]) ** 2).sum(axis=1))
+        mind[nxt] = -1
+    assert got == [(int(ids[i]), j + 1) for j, i in enumerate(sel)]
+    # coverage: no remaining point is farther than the last selection was
+    last_sel_dist = ((Q - Q[sel[-1]]) ** 2).sum(axis=1)  # not needed directly
+    centers = Q[sel]
+    d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    radius = int(d2.max())
+    picked_dist = int(
+        max(
+            ((Q[s] - Q[sel[: j]]) ** 2).sum(axis=1).min()
+            for j, s in enumerate(sel)
+            if j > 0
+        )
+    )
+    assert radius <= picked_dist  # Gonzalez invariant
+
+    # degenerate inputs: k larger than n truncates; empty input is empty
+    tiny = d.limit(3)
+    assert kcenter_sample(tiny, k=10).count() == 3
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_sample(empty, k=4).count() == 0
