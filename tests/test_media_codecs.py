@@ -396,3 +396,71 @@ def test_media_header_stats_prunes_payload_to_prefix(spark):
                 assert (r.width, r.height, r.n_frames) == (
                     frames.shape[2], frames.shape[1], frames.shape[0],
                 )
+
+
+def test_wav_probe_extensible_and_odd_formats():
+    """WAVE_FORMAT_EXTENSIBLE PCM resolves through its SubFormat GUID
+    to a real frame count; extensible-wrapped compressed and plain
+    compressed formats keep null counts (never-wrong contract); 24-bit
+    PCM uses block_align, not a hard-coded 16-bit stride."""
+
+    def wav_bytes(audio_fmt, ch, rate, block_align, bits, data_len, subfmt=None):
+        fmt = struct.pack(
+            "<HHIIHH", audio_fmt, ch, rate, rate * block_align, block_align, bits
+        )
+        if subfmt is not None:  # extensible: cbSize=22, valid bits, mask, GUID
+            fmt += struct.pack("<HHI", 22, bits, 0)
+            fmt += struct.pack("<H", subfmt) + b"\x00" * 14
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # extensible wrapping integer PCM, 24-bit stereo: 6-byte frames
+    raw = wav_bytes(0xFFFE, 2, 48000, 6, 24, 600, subfmt=1)
+    p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+    assert (p["n_channels"], p["sample_rate"], p["n_samples"]) == (2, 48000, 100)
+    assert p["duration_ms"] == 100 * 1000 // 48000
+    # extensible wrapping ADPCM (subformat 2): count must stay null
+    raw = wav_bytes(0xFFFE, 2, 8000, 512, 4, 5120, subfmt=2)
+    p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+    assert p["n_samples"] is None and p["duration_ms"] is None
+    # plain 24-bit PCM (format 1): clen / block_align, not clen / (ch*2)
+    raw = wav_bytes(1, 1, 16000, 3, 24, 300)
+    p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+    assert p["n_samples"] == 100
+    # IEEE float (format 3)
+    raw = wav_bytes(3, 2, 44100, 8, 32, 800)
+    p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+    assert p["n_samples"] == 100
+    # plain compressed (MP3-in-WAV, format 0x55): null
+    raw = wav_bytes(0x55, 2, 44100, 1, 16, 999)
+    p = mc.probe_media_header(raw[: mc.HEADER_PROBE_BYTES], len(raw))
+    assert p["n_samples"] is None
+
+
+def test_png_roundtrip_property():
+    """Property sweep: arbitrary shapes x channel counts round-trip
+    bit-exactly, including 1-pixel and long-thin images."""
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        c = int(rng.choice([1, 2, 3, 4]))
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        assert np.array_equal(mc.decode_png(mc.encode_png(img)), img), (h, w, c)
+
+
+def test_png_truncation_always_valueerror():
+    """Any prefix truncation of a valid PNG either raises ValueError —
+    the documented bad-payload surface, never struct/zlib internals —
+    or (when the cut lands exactly after the complete IDAT, leaving
+    only IEND missing) still decodes the exact pixels: all image data
+    is present, the lenient read browsers also perform."""
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    full = mc.encode_png(img)
+    for cut in range(8, len(full)):
+        try:
+            out = mc.decode_png(full[:cut])
+            assert np.array_equal(out, img), cut
+        except ValueError:
+            pass
