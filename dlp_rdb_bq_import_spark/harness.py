@@ -1538,14 +1538,14 @@ def q_dedup_incremental_two_batch(spark, sf_dir):
 def q_streaming_incremental_neardup(spark, sf_dir):
     """W-EXT — streaming near-dup detection against the persisted
     MinHash index: the new batch (every 10th doc + a planted copy of
-    corpus doc 1) arrives as a file stream, is signed IN-ROW
-    (dedup.row_minhash_signatures — stateless scalar expressions,
-    bit-identical to the batch signer, no aggregation in the
-    micro-batch plan), banded carrying its signature array (no
-    streaming self-join), and equi-joined against the static band
-    index. Append-mode output equals the batch
+    corpus doc 1) arrives as a file stream and each micro-batch runs
+    the EXACT batch operator via foreachBatch (the streaming idiom for
+    reusing a batch stage unchanged — and the fast path: the batch
+    signer is whole-stage codegen'd where row-wise HOF signing
+    evaluates interpreted). Output equals the batch
     incremental_minhash_pairs on the same data (pytest-pinned), so the
-    streaming and batch ingest paths are interchangeable."""
+    streaming and batch ingest paths are interchangeable; the static
+    index is materialized once, never re-signed per micro-batch."""
     from .streaming.jobs import streaming_incremental_neardup
 
     d = t(spark, sf_dir, "documents")

@@ -375,15 +375,17 @@ def row_minhash_signatures(
     ``array_min(transform(...))``) with no explode, no groupBy, and no
     shuffle at all.
 
-    Two call sites want this shape: Structured Streaming micro-batches
-    (aggregation-free, so signing is a plain map over the stream — the
-    ingest-side of streaming near-dup dedup), and batch pipelines where
-    the input is already one row per document and the explode+groupBy
-    shuffle of the aggregate form buys nothing. The aggregate form
-    remains the right choice when a precomputed/cached ``shingle_df``
-    is shared across consumers. min-over-multiset equals
-    min-over-set, so the per-doc distinct the aggregate path inherits
-    from ``hashed_shingles`` is unnecessary here.
+    The use case is contexts that cannot aggregate — e.g. a streaming
+    plan that must stay stateless, or signing inside an existing
+    per-row stage. PERFORMANCE CAVEAT: nested higher-order functions
+    (``transform``/``array_min``) evaluate INTERPRETED in Spark, not
+    whole-stage codegen'd, so for bulk signing the explode+groupBy
+    aggregate form is substantially faster despite its shuffle
+    (measured ~8x at 10x fixture scale) — which is why the streaming
+    near-dup job runs the batch operator via ``foreachBatch`` instead
+    of this. min-over-multiset equals min-over-set, so the per-doc
+    distinct the aggregate path inherits from ``hashed_shingles`` is
+    unnecessary here.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     if shingle_unit == "word":

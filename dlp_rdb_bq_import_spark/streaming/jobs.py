@@ -521,13 +521,19 @@ def streaming_incremental_neardup(
     against the static band index; candidates dedup on the pair key
     and the component-agreement estimate filters to >= ``threshold``.
 
-    Output: append-mode (new_id, corpus_id, est_jaccard), equal to the
-    batch path on the same data (pytest-pinned). State is bounded by
-    the DISTINCT candidate pairs of the stream's ingest window (the
-    dropDuplicates key), not by the corpus — the corpus participates
-    only as the static join side, re-planned per micro-batch and
-    broadcast when small. The staged-file stream mirrors how an ingest
-    bus delivers a crawl batch."""
+    Output: (new_id, corpus_id, est_jaccard), equal to the batch path
+    on the same data by CONSTRUCTION: each micro-batch runs the exact
+    batch operator via ``foreachBatch`` — the Structured Streaming
+    idiom for reusing a batch pipeline stage unchanged (the same
+    pattern as ``streaming_upsert``), and the fast path here, since
+    the batch operator's explode+groupBy signing is whole-stage
+    codegen'd while a row-wise signing via nested higher-order
+    functions evaluates interpreted (~8x slower at 10x scale when this
+    job was first written that way). Documents don't span micro-
+    batches (file-stream batches are whole files), so per-batch
+    results union to the batch answer with no cross-batch state; the
+    static index is materialized once up front rather than re-signed
+    per micro-batch."""
     from ..operators import dedup as dedup_ops
 
     k = len([c for c in corpus_signatures.columns if c.startswith("mh_")])
@@ -536,62 +542,30 @@ def streaming_incremental_neardup(
             f"corpus_signatures must carry mh_* columns with k a multiple of "
             f"bands; got k={k}, bands={bands}"
         )
-    stage = os.path.join(tempfile.mkdtemp(prefix="neardup_stream_"), "staged")
+    root = tempfile.mkdtemp(prefix="neardup_stream_")
+    stage = os.path.join(root, "staged")
+    out_dir = os.path.join(root, "flagged")
     src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
     src.write.parquet(stage)
+    corpus_signatures = corpus_signatures.localCheckpoint(eager=True)
+
+    def flag_batch(batch_df, _epoch_id):
+        dedup_ops.incremental_minhash_pairs(
+            batch_df, corpus_signatures, text_col, id_col,
+            threshold=threshold, bands=bands,
+            shingle_n=shingle_n, shingle_unit=shingle_unit,
+        ).write.mode("append").parquet(out_dir)
+
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        sigs = dedup_ops.row_minhash_signatures(
-            raw, text_col, id_col, num_hashes=k,
-            shingle_n=shingle_n, shingle_unit=shingle_unit,
-        )
-        arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
-        # band the stream while CARRYING the signature array — joining
-        # the candidates back to the stream's own signatures would be a
-        # streaming self-join; keeping _sa in-row sidesteps the state
-        # machinery entirely (it is functionally dependent on new_id)
-        rows_per_band = k // bands
-        band_structs = [
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.xxhash64(
-                    *[f"mh_{i}" for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
-                ).alias("sig"),
-            )
-            for bidx in range(bands)
-        ]
-        nb = sigs.select(
-            F.col(id_col).alias("new_id"),
-            arr.alias("_sa"),
-            F.explode(F.array(*band_structs)).alias("bb"),
-        ).select("new_id", "_sa", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
-        cb = dedup_ops.banded_signatures(
-            corpus_signatures, id_col, bands
-        ).withColumnsRenamed({id_col: "corpus_id"})
-        cand = (
-            nb.join(cb, ["band", "sig"])
-            .select("new_id", "_sa", "corpus_id")
-            .dropDuplicates(["new_id", "corpus_id"])
-        )
-        ca = corpus_signatures.select(
-            F.col(id_col).alias("corpus_id"), arr.alias("_sb")
-        )
-        agree = F.aggregate(
-            F.zip_with("_sa", "_sb", lambda a, b: (a == b).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        flagged = (
-            cand.join(ca, "corpus_id")
-            .withColumn("_est", agree / F.lit(float(k)))
-            .where(F.col("_est") >= threshold)
-            .select(
-                "new_id", "corpus_id", F.round("_est", 6).alias("est_jaccard")
-            )
-        )
-        return _run_to_memory(flagged, "append")
+        q = raw.writeStream.foreachBatch(flag_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def streaming_dedup_events(
