@@ -1646,6 +1646,37 @@ def q_contamination_spans(spark, sf_dir):
 
 
 @query(
+    "heavy_hitter_terms",
+    oracle="""
+WITH words AS (
+  SELECT w AS v
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM words)
+SELECT v AS value, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE), 9) AS share
+FROM words GROUP BY v
+HAVING CAST(count(*) AS DOUBLE) >= 0.02 * CAST((SELECT total FROM n) AS DOUBLE)
+""",
+)
+def q_heavy_hitter_terms(spark, sf_dir):
+    """EXT — exact 2%-heavy-hitter terms of the corpus word stream
+    (profiling.heavy_hitters): two-pass bounded-memory Misra-Gries —
+    O(capacity) state per task regardless of vocabulary size, shuffle
+    carries at most tasks x capacity candidates instead of one partial
+    per distinct value — then an exact candidate recount, so the
+    result (and this oracle) is a plain exact frequency query. The
+    fixture's rare term sits at ~0.08% share, so the threshold
+    genuinely bites."""
+    from .operators.profiling import heavy_hitters
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    return heavy_hitters(words, "w", phi=0.02)
+
+
+@query(
     "kcenter_diversity_sample",
     # greedy farthest-point is deterministic given exact distances, so
     # a recursive CTE replaying the same integer argmax picks is a

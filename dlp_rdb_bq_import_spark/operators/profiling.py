@@ -602,3 +602,82 @@ def table_checksum(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(row_sum.cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters with bounded memory: every value whose
+    frequency is >= ``phi`` x N, with its exact count — the classic
+    two-pass Misra-Gries construction (public algorithm, Misra &
+    Gries 1982).
+
+    Pass 1 runs a Misra-Gries summary of ``capacity`` counters
+    (default ceil(2/phi)) INSIDE each partition via mapInPandas —
+    O(capacity) memory per task no matter how many distinct values
+    stream through — and unions the surviving candidates. Any value
+    with global share >= phi must exceed share phi in at least one
+    partition (pigeonhole), and MG retains every value with local
+    count > n_p/(capacity+1), so with capacity >= 1/phi the candidate
+    set is a guaranteed SUPERSET of the true heavy hitters — which is
+    what makes pass 2 EXACT, not approximate. Pass 2 recounts only
+    the candidates (broadcast semi-join, then one groupBy of the
+    filtered stream) and applies the exact threshold.
+
+    Versus a plain groupBy-then-filter: the full groupBy shuffles one
+    partial row per DISTINCT value per task — at 100 TB of, e.g.,
+    URLs, that is the whole key space; here the shuffle carries at
+    most tasks x capacity candidate rows. Output: (value, n,
+    share) with exact counts; share = n/N as one IEEE division.
+    """
+    import math
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    cap = capacity or math.ceil(2.0 / phi)
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batched Misra-Gries (the mergeable-summaries merge rule,
+        # Agarwal et al. 2012): fold each Arrow batch's value_counts
+        # into the summary, then shrink back to <= cap counters by
+        # subtracting the (cap+1)-th largest count from all — each
+        # shrink charges every stream element at most once, so total
+        # undercount <= n_p/(cap+1) and the survival guarantee is the
+        # per-element MG one. Vectorized: no per-row Python.
+        import heapq
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["_v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                thr = heapq.nlargest(cap + 1, counters.values())[-1]
+                counters = {k: c - thr for k, c in counters.items() if c > thr}
+        yield pd.DataFrame({"_v": list(counters.keys())})
+
+    src = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    candidates = src.mapInPandas(mg, schema="_v string").distinct()
+    n_total = src.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        src.join(F.broadcast(candidates), "_v", "leftsemi")
+        .groupBy("_v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(n_total))
+        .where(F.col("n").cast("double") >= F.lit(phi) * F.col("_n").cast("double"))
+        .select(
+            F.col("_v").alias("value"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("_n").cast("double"), 9).alias(
+                "share"
+            ),
+        )
+    )

@@ -61,3 +61,46 @@ def test_null_rows_listwise_deleted(spark):
     )
     out = correlation_matrix(df, ["a", "b"]).collect()[0]
     assert out["corr"] == 1.0
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Bounded-memory two-pass heavy hitters must equal the plain
+    exact groupBy answer even when distinct values vastly exceed the
+    counter capacity, and even when the heavy mass is concentrated in
+    one partition."""
+    from pyspark.sql import functions as F
+
+    from dlp_rdb_bq_import_spark.operators.profiling import heavy_hitters
+
+    # 3 heavy values (1200/900/600 of ~14700 rows) drowned in 12000
+    # distinct singletons; capacity default ceil(2/phi)=40 << 12003
+    rows = (
+        [("hot_a",)] * 1200 + [("hot_b",)] * 900 + [("hot_c",)] * 600
+        + [(f"noise_{i}",) for i in range(12000)]
+    )
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    phi = 0.03
+    got = {
+        (r.value, r.n, r.share)
+        for r in heavy_hitters(df, "v", phi=phi).collect()
+    }
+    n_total = len(rows)
+    exact = {
+        (r.v, r.c, round(r.c / n_total, 9))
+        for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()
+        if r.c >= phi * n_total
+    }
+    assert got == exact and {v for v, _, _ in got} == {"hot_a", "hot_b", "hot_c"}
+
+    # skewed layout: all heavy rows in one partition, noise in others
+    skewed = spark.createDataFrame(
+        [(("hot" if i < 2000 else f"n{i}"), i < 2000) for i in range(6000)],
+        ["v", "is_hot"],
+    ).repartition(6, "is_hot")
+    out = heavy_hitters(skewed.select("v"), "v", phi=0.25).collect()
+    assert [(r.value, r.n) for r in out] == [("hot", 2000)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "v", phi=0.0)

@@ -53,6 +53,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is a broadcast single global-aggregate row by "
         "construction",
     },
+    "heavy_hitter_terms": {
+        "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
+        "broadcast single global-aggregate row by construction",
+    },
     "bm25_batch_topk": {
         "BroadcastNestedLoopJoin": "same corpus (N, total_dl) scalar attach "
         "as bm25_topk_docs",
