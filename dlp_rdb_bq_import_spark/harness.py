@@ -1645,6 +1645,20 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+@query("bpe_merges")  # iterative vocab induction — rows-only by design
+def q_bpe_merges(spark, sf_dir):
+    """EXT — BPE tokenizer training over the corpus (text.bpe_learn,
+    16 merges): the corpus is scanned ONCE into the word-frequency
+    table; every merge round is one weighted adjacent-pair count over
+    the VOCAB (not the corpus) plus a single-row driver argmax with
+    deterministic tie-break. Output is the learned merge table —
+    pinned against an independent pure-Python reference trainer in
+    tests (the Sennrich worked example reproduces exactly)."""
+    from .operators.text import bpe_learn
+
+    return bpe_learn(t(spark, sf_dir, "documents"), num_merges=16)
+
+
 @query(
     "heavy_hitter_terms",
     oracle="""

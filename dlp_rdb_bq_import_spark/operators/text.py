@@ -616,6 +616,125 @@ def bm25_batch_topk(
     )
 
 
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    return_segments: bool = False,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+    public algorithm) — the tokenizer-training step of a training-data
+    pipeline, distributed the way BPE actually scales: the CORPUS is
+    touched exactly once (one groupBy to the word-frequency table);
+    every merge round then works on the VOCAB — (word, freq, symbols)
+    rows, millions at web scale, not the corpus' trillions — with one
+    weighted adjacent-pair count + one driver argmax (a single row)
+    per round.
+
+    Returns the learned merge table ``(rank, left, right, merged)``
+    (1-based rank), or with ``return_segments=True`` the final word
+    segmentations ``(word, freq, symbols array<string>)`` — which IS
+    the corpus tokenization, since word-level BPE determines each
+    word's split independent of context (encode = broadcast-join words
+    to segments).
+
+    Determinism: the best pair each round breaks ties by (freq desc,
+    left asc, right asc); the merge applies LEFT-TO-RIGHT and
+    non-overlapping, the reference semantics ("aaa" under (a,a) →
+    ["aa","a"]), via a JVM fold over each word's symbol array (HOF
+    fold — interpreted, but over the vocab table, where rows are
+    short). Lineage cuts every 4 rounds bound the plan; rounds stop
+    early when no pair repeats (max pair weight == no adjacency or
+    every pair unique with weight < 2).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from . import fan_out
+
+    vocab = (
+        fan_out(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "symbols",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            vocab.where(F.size("symbols") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.struct(
+                            F.element_at("symbols", i).alias("l"),
+                            F.element_at("symbols", i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("w"))
+        )
+        best = (
+            pairs.orderBy(F.col("w").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .first()
+        )
+        if best is None or best.w < 2:
+            break  # nothing repeats — further merges are noise
+        left, right, merged = best.l, best.r, best.l + best.r
+        merges.append((rank, left, right, merged))
+        # left-to-right non-overlapping merge of (left,right) in every
+        # word: fold carrying (output array, did-last-append-merge)
+        step = F.aggregate(
+            F.col("symbols"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(False).alias("just_merged"),
+            ),
+            lambda acc, s: F.when(
+                # try_element_at: NULL (not an ANSI error) on the empty
+                # array, and NULL == left is falsy — no short-circuit
+                # needed
+                (~acc.just_merged)
+                & (F.try_element_at(acc.out, F.lit(-1)) == F.lit(left))
+                & (s == F.lit(right)),
+                F.struct(
+                    F.concat(
+                        F.slice(acc.out, 1, F.size(acc.out) - 1),
+                        F.array(F.lit(merged)),
+                    ).alias("out"),
+                    F.lit(True).alias("just_merged"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(s)).alias("out"),
+                    F.lit(False).alias("just_merged"),
+                )
+            ),
+            lambda acc: acc.out,
+        )
+        vocab = vocab.withColumn("symbols", step)
+        if rank % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    if return_segments:
+        return vocab.select("word", "freq", "symbols")
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string"
+    )
+
+
 def _doc_freq_cap(
     dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
 ) -> tuple[DataFrame, DataFrame]:

@@ -2151,3 +2151,69 @@ def test_containment_directions_independent(spark):
     out = {(r["id_sub"], r["id_super"]) for r in ngram_containment_pairs(
         df, "text", "doc_id", n=5, threshold=0.8, max_doc_freq=None).collect()}
     assert (1, 2) in out and (2, 1) in out
+
+
+def _reference_bpe(words, k):
+    """Independent pure-Python BPE trainer (Sennrich et al. semantics:
+    weighted pair counts over the word-frequency table, deterministic
+    (freq desc, pair asc) tie-break, left-to-right non-overlapping
+    merge application)."""
+    from collections import Counter
+
+    vocab = {tuple(w): c for w, c in Counter(words).items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), w = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if w < 2:
+            break
+        merges.append((rank, l, r, l + r))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges, vocab
+
+
+def test_bpe_learn_matches_reference(spark, sf_dir):
+    """Merges equal the independent trainer on the classic worked
+    example AND on real fixture text; segments are consistent with the
+    merge table (re-applying merges reproduces them); overlapping
+    runs merge left-to-right non-overlapping ('aaaa' -> aa,aa)."""
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest aaaa"
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [tuple(r) for r in text_ops.bpe_learn(df, num_merges=12).orderBy("rank").collect()]
+    ref_m, ref_vocab = _reference_bpe(text.split(), 12)
+    assert got == ref_m
+    segs = {
+        r.word: list(r.symbols)
+        for r in text_ops.bpe_learn(df, num_merges=12, return_segments=True).collect()
+    }
+    assert segs == {"".join(k): list(k) for k in ref_vocab}
+    assert segs["aaaa"] == ["aa", "aa"]  # left-to-right non-overlap
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = [tuple(r) for r in text_ops.bpe_learn(docs, num_merges=8).orderBy("rank").collect()]
+    words = [
+        w
+        for r in docs.select("text").collect()
+        for w in (r.text or "").split(" ")
+        if w
+    ]
+    assert got == _reference_bpe(words, 8)[0]
