@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "lateral_topk_orders",
     "tfidf_cosine_pairs",
     "bm25_topk_docs",
+    "bm25_batch_topk",
+    "heavy_hitter_terms",
+    "contamination_spans",
+    "kcenter_diversity_sample",
     "hll_distinct_rollup",
     "snapshot_diff",
     "interval_concurrency",
