@@ -2220,7 +2220,10 @@ _BM25_QUERY_SET = [
     (3, "dup"), (3, "customer"), (3, "the"),
 ]
 
-_BM25_BATCH_SQL = """
+# the oracle's VALUES clause derives from the SAME _BM25_QUERY_SET the
+# Spark query feeds to createDataFrame — editing one cannot silently
+# diverge the other
+_BM25_BATCH_SQL_TEMPLATE = """
 WITH words AS (
   SELECT doc_id, w AS word
   FROM documents, unnest(string_split(text, ' ')) AS t(w)
@@ -2231,11 +2234,7 @@ WITH words AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
   FROM doclen
 ), qterms AS (
-  SELECT * FROM (VALUES
-    (1, 'dup'), (1, 'merge'),
-    (2, 'window'), (2, 'sort'), (2, 'spark'),
-    (3, 'dup'), (3, 'customer'), (3, 'the')
-  ) AS q(query_id, word)
+  SELECT * FROM (VALUES {values}) AS q(query_id, word)
 ), tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
   FROM words WHERE word IN (SELECT word FROM qterms) GROUP BY 1, 2
@@ -2267,6 +2266,10 @@ SELECT query_id, doc_id, score, rk FROM (
   FROM agg
 ) WHERE rk <= 5
 """
+
+_BM25_BATCH_SQL = _BM25_BATCH_SQL_TEMPLATE.format(
+    values=", ".join(f"({q}, '{w}')" for q, w in _BM25_QUERY_SET)
+)
 
 
 @query("bm25_batch_topk", oracle=_BM25_BATCH_SQL)

@@ -632,6 +632,10 @@ def heavy_hitters(
     URLs, that is the whole key space; here the shuffle carries at
     most tasks x capacity candidate rows. Output: (value, n,
     share) with exact counts; share = n/N as one IEEE division.
+
+    ``capacity`` below ceil(1/phi) is REJECTED: the superset guarantee
+    needs capacity+1 > 1/phi, and a smaller table would silently drop
+    true heavy hitters from an operator whose contract is exactness.
     """
     import math
 
@@ -641,7 +645,14 @@ def heavy_hitters(
 
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
-    cap = capacity or math.ceil(2.0 / phi)
+    floor_cap = math.ceil(1.0 / phi)
+    cap = math.ceil(2.0 / phi) if capacity is None else capacity
+    if cap < floor_cap:
+        raise ValueError(
+            f"capacity {cap} breaks the exactness guarantee: needs >= "
+            f"ceil(1/phi) = {floor_cap} so the Misra-Gries candidate set "
+            f"is a superset of the true phi-heavy hitters"
+        )
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # batched Misra-Gries (the mergeable-summaries merge rule,
@@ -650,23 +661,34 @@ def heavy_hitters(
         # subtracting the (cap+1)-th largest count from all — each
         # shrink charges every stream element at most once, so total
         # undercount <= n_p/(cap+1) and the survival guarantee is the
-        # per-element MG one. Vectorized: no per-row Python.
+        # per-element MG one. Vectorized: no per-row Python. The task's
+        # exact row count rides along as one (_v NULL, _n) row, so the
+        # global N needs no separate corpus traversal.
         import heapq
 
         counters: dict = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for v, c in pdf["_v"].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > cap:
                 thr = heapq.nlargest(cap + 1, counters.values())[-1]
                 counters = {k: c - thr for k, c in counters.items() if c > thr}
-        yield pd.DataFrame({"_v": list(counters.keys())})
+        yield pd.DataFrame(
+            {"_v": list(counters.keys()) + [None], "_n": [0] * len(counters) + [seen]}
+        )
 
     src = df.select(F.col(col).cast("string").alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    candidates = src.mapInPandas(mg, schema="_v string").distinct()
-    n_total = src.groupBy().agg(F.count("*").alias("_n"))
+    summary = src.mapInPandas(mg, schema="_v string, _n long").localCheckpoint(
+        eager=False
+    )
+    candidates = summary.where(F.col("_v").isNotNull()).select("_v").distinct()
+    n_total = summary.where(F.col("_v").isNull()).groupBy().agg(
+        F.sum("_n").alias("_n")
+    )
     return (
         src.join(F.broadcast(candidates), "_v", "leftsemi")
         .groupBy("_v")

@@ -427,6 +427,28 @@ def pii_profile(
     )
 
 
+def _bm25_term_score(tf_col, df_col, dl_col, k1: float, b: float):
+    """The ONE bit-exact BM25 term-score expression both retrieval
+    operators share: rational idf x tf saturation / length-normalized
+    denominator, every float step written with explicit association so
+    a SQL oracle can state the byte-identical expression (IEEE
+    div/mul/add are correctly rounded, so same order ⇒ same bits).
+    Derived literals like k1+1 are computed IN the expression, not in
+    Python, so both engines round the same intermediate. Expects
+    ``n_docs`` and ``total_dl`` columns in scope (the broadcast 1-row
+    corpus aggregate)."""
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+        df_col.cast("double") + F.lit(1.0)
+    )
+    tfd = tf_col.cast("double")
+    denom = tfd + (
+        F.lit(k1)
+        * ((F.lit(1.0) - F.lit(b)) + ((F.lit(b) * dl_col.cast("double")) / avgdl))
+    )
+    return ((idf * tfd) * (F.lit(k1) + F.lit(1.0))) / denom
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -486,27 +508,13 @@ def bm25_topk(
             for i in range(len(query_terms))
         ],
     )
-    # every float step is written with explicit association so the
-    # DuckDB oracle can state the byte-identical expression (IEEE
-    # div/mul/add are correctly rounded, so same order ⇒ same bits);
-    # derived literals like k1+1 are computed IN the expression, not in
-    # Python, so both engines round the same intermediate
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-
+    # the scoring expression lives in _bm25_term_score (shared with the
+    # batch operator — the association order is load-bearing for the
+    # bit-identical-to-oracle contract, so it exists exactly once)
     def term_score(i: int):
-        idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
-            F.col(f"_df{i}").cast("double") + F.lit(1.0)
-        )
-        tfd = F.col(f"_tf{i}").cast("double")
-        denom = tfd + (
-            F.lit(k1)
-            * (
-                (F.lit(1.0) - F.lit(b))
-                + ((F.lit(b) * F.col("dl").cast("double")) / avgdl)
-            )
-        )
         return F.when(
-            F.col(f"_tf{i}") > 0, ((idf * tfd) * (F.lit(k1) + F.lit(1.0))) / denom
+            F.col(f"_tf{i}") > 0,
+            _bm25_term_score(F.col(f"_tf{i}"), F.col(f"_df{i}"), F.col("dl"), k1, b),
         ).otherwise(F.lit(0.0))
 
     total = F.lit(0.0)
@@ -579,16 +587,7 @@ def bm25_batch_topk(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
-        F.col("doc_freq").cast("double") + F.lit(1.0)
-    )
-    tfd = F.col("tf").cast("double")
-    denom = tfd + (
-        F.lit(k1)
-        * ((F.lit(1.0) - F.lit(b)) + ((F.lit(b) * F.col("dl").cast("double")) / avgdl))
-    )
-    term_score = ((idf * tfd) * (F.lit(k1) + F.lit(1.0))) / denom
+    term_score = _bm25_term_score(F.col("tf"), F.col("doc_freq"), F.col("dl"), k1, b)
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .join(doclen, id_col)
@@ -695,34 +694,24 @@ def bpe_learn(
         left, right, merged = best.l, best.r, best.l + best.r
         merges.append((rank, left, right, merged))
         # left-to-right non-overlapping merge of (left,right) in every
-        # word: fold carrying (output array, did-last-append-merge)
+        # word, as a plain array fold. Non-overlap needs no "just
+        # merged" flag: a merge appends merged = left + right, and
+        # since right is never empty, merged != left — so the freshly
+        # merged tail can never match as the LEFT of the same pair
+        # again ("aaaa" under (a,a) still folds to [aa, aa]).
         step = F.aggregate(
             F.col("symbols"),
-            F.struct(
-                F.array().cast("array<string>").alias("out"),
-                F.lit(False).alias("just_merged"),
-            ),
+            F.array().cast("array<string>"),
             lambda acc, s: F.when(
                 # try_element_at: NULL (not an ANSI error) on the empty
                 # array, and NULL == left is falsy — no short-circuit
                 # needed
-                (~acc.just_merged)
-                & (F.try_element_at(acc.out, F.lit(-1)) == F.lit(left))
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
                 & (s == F.lit(right)),
-                F.struct(
-                    F.concat(
-                        F.slice(acc.out, 1, F.size(acc.out) - 1),
-                        F.array(F.lit(merged)),
-                    ).alias("out"),
-                    F.lit(True).alias("just_merged"),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
                 ),
-            ).otherwise(
-                F.struct(
-                    F.concat(acc.out, F.array(s)).alias("out"),
-                    F.lit(False).alias("just_merged"),
-                )
-            ),
-            lambda acc: acc.out,
+            ).otherwise(F.concat(acc, F.array(s))),
         )
         vocab = vocab.withColumn("symbols", step)
         if rank % 4 == 0:

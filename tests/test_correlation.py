@@ -104,3 +104,7 @@ def test_heavy_hitters_exact_vs_groupby(spark):
 
     with _pytest.raises(ValueError):
         heavy_hitters(df, "v", phi=0.0)
+    # a capacity below ceil(1/phi) would silently break exactness —
+    # it must be rejected, not accepted approximately
+    with _pytest.raises(ValueError, match="exactness"):
+        heavy_hitters(df, "v", phi=0.02, capacity=10)
