@@ -1561,6 +1561,35 @@ def q_streaming_incremental_neardup(spark, sf_dir):
     )
 
 
+@query("dedup_partial_overlap")  # chunk-level near-dup rollup — rows-only
+def q_dedup_partial_overlap(spark, sf_dir):
+    """EXT — partial-document near-dup (dedup.partial_overlap_pairs):
+    document pairs sharing at least one near-duplicate word-aligned
+    chunk — syndicated passages and lightly-edited quotes that keep
+    whole-document Jaccard below any sane threshold. A planted
+    "frankendoc" (the first 60 words of doc 3 + the last 60 of doc 8)
+    must surface against BOTH parents; whole-doc-misses-it pinned in
+    tests."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w3 = F.split(F.col("text"), " ")
+    franken = (
+        d.where(F.col("doc_id") == 3)
+        .select(F.concat_ws(" ", F.slice(w3, 1, 60)).alias("_head"))
+        .crossJoin(
+            d.where(F.col("doc_id") == 8).select(
+                F.concat_ws(
+                    " ", F.slice(w3, F.greatest(F.size(w3) - 59, F.lit(1)), 60)
+                ).alias("_tail")
+            )
+        )
+        .select(
+            F.lit(990000).cast("long").alias("doc_id"),
+            F.concat_ws(" ", F.col("_head"), F.col("_tail")).alias("text"),
+        )
+    )
+    return dedup.partial_overlap_pairs(d.unionByName(franken))
+
+
 @query("dedup_simhash")  # banded Hamming candidates — rows-only
 def q_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")

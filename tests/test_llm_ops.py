@@ -2217,3 +2217,33 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
         if w
     ]
     assert got == _reference_bpe(words, 8)[0]
+
+
+def test_partial_overlap_catches_shared_passage_whole_doc_misses(spark):
+    """A 40-word passage shared by two otherwise-different documents —
+    with 3 of its words edited in one copy — is invisible to whole-doc
+    MinHash at the same threshold but surfaces as a chunk-level pair;
+    documents with no shared passage produce nothing."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = list(rng.choice(vocab, 40))
+    docs = [(i, list(rng.choice(vocab, 150))) for i in range(6)]
+    docs[1] = (1, docs[1][1][:50] + shared + docs[1][1][50:])
+    d4 = docs[4][1][:83] + shared + docs[4][1][83:]
+    for j in (5, 17, 33):
+        d4[83 + j] = f"edited{j}"
+    docs[4] = (4, d4)
+    df = spark.createDataFrame([(i, " ".join(w)) for i, w in docs], ["doc_id", "text"])
+    got = [
+        (r.id_a, r.id_b, r.n_chunk_matches)
+        for r in dedup.partial_overlap_pairs(df).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(1, 4)]
+    whole = dedup.minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.4, shingle_n=3
+    ).collect()
+    assert whole == []  # doc-level Jaccard can't see the passage
+    with pytest.raises(ValueError, match="chunk_words"):
+        dedup.partial_overlap_pairs(df, chunk_words=10, stride_words=20)
