@@ -87,6 +87,73 @@ class JsonDirTransport(MessageTransport):
             f.write("\n".join(messages) + "\n")
 
 
+class DurableLogTransport(MessageTransport):
+    """Durable file-backed message log — the broker-adapter seam made
+    concrete with real delivery semantics rather than a plain file
+    dump:
+
+    - ATOMIC visibility: each batch writes to a ``.tmp`` name, fsyncs,
+      then ``os.rename``s into place — a reader never observes a
+      partial batch, and a task that dies mid-write leaves only an
+      invisible temp file (mirroring a broker's unacked publish).
+    - ORDERED, GAP-CHECKED replay: filenames carry (producer_id,
+      sequence); ``read_log`` yields batches in per-producer sequence
+      order and raises on a missing sequence number — a lost batch is
+      a loud error, not silent data loss.
+    - At-least-once overall: a retried Spark task re-publishes its
+      partition under a NEW producer id (task retries are new
+      producers, as with a real broker without transactions);
+      downstream dedup is the consumer's job — the streaming surface's
+      ``streaming_dedup_events`` is exactly that consumer.
+    """
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.producer_id = uuid.uuid4().hex[:12]
+        self.seq = 0
+
+    def open(self) -> None:
+        os.makedirs(self.output_dir, exist_ok=True)
+
+    def send_batch(self, messages: list[str]) -> None:
+        final = os.path.join(
+            self.output_dir, f"log-{self.producer_id}-{self.seq:08d}.jsonl"
+        )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(messages) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        self.seq += 1
+
+
+def read_log(output_dir: str) -> list[list[str]]:
+    """Replay a :class:`DurableLogTransport` directory: batches in
+    (producer, sequence) order, ignoring invisible ``.tmp`` leftovers,
+    raising on a sequence gap (a lost batch must be loud)."""
+    entries = []
+    for name in os.listdir(output_dir):
+        if not name.startswith("log-") or not name.endswith(".jsonl"):
+            continue
+        _, producer, seq = name[: -len(".jsonl")].split("-")
+        entries.append((producer, int(seq), name))
+    entries.sort()
+    out: list[list[str]] = []
+    last_seq: dict[str, int] = {}
+    for producer, seq, name in entries:
+        expect = last_seq.get(producer, -1) + 1
+        if seq != expect:
+            raise ValueError(
+                f"message log gap: producer {producer} jumps from "
+                f"{expect - 1} to {seq} ({name})"
+            )
+        last_seq[producer] = seq
+        with open(os.path.join(output_dir, name)) as f:
+            out.append(f.read().splitlines())
+    return out
+
+
 def publish(
     df: DataFrame,
     transport_factory: Callable[[], MessageTransport],

@@ -523,3 +523,42 @@ def test_publish_pluggable_transport_lifecycle_and_ordering(spark, tmp_path):
         assert ids == sorted(ids)  # partition order preserved end-to-end
         seen.extend(ids)
     assert sorted(seen) == list(range(500))
+
+
+def test_durable_log_transport_atomic_ordered_gap_checked(spark, tmp_path):
+    """The durable file transport publishes atomically (a crashed
+    mid-write batch is invisible), replays in per-producer sequence
+    order, and raises loudly on a sequence gap."""
+    import os
+
+    from dlp_rdb_bq_import_spark.sinks.messages import (
+        DurableLogTransport,
+        publish,
+        read_log,
+    )
+
+    out = str(tmp_path / "log")
+    df = spark.range(0, 250).selectExpr("id", "concat('payload_', id) AS body")
+    publish(df.repartition(4), lambda: DurableLogTransport(out), max_messages=30)
+    batches = read_log(out)
+    msgs = [m for b in batches for m in b]
+    assert len(msgs) == 250
+    assert all(len(b) <= 30 for b in batches)
+    # per-producer batch files are sequence-ordered and replay stable
+    assert batches == read_log(out)
+
+    # a crashed mid-write publish (tmp never renamed) stays invisible
+    with open(os.path.join(out, "log-deadbeef0000-00000000.jsonl.tmp"), "w") as f:
+        f.write('{"half": "written')
+    assert [m for b in read_log(out) for m in b] == msgs
+
+    # a missing sequence number is a loud error, not silent loss
+    t = DurableLogTransport(out)
+    t.open()
+    t.send_batch(['{"a":1}'])
+    t.seq = 5  # skip 1..4
+    t.send_batch(['{"b":2}'])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gap"):
+        read_log(out)
