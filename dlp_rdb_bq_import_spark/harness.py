@@ -1567,9 +1567,9 @@ def q_dedup_partial_overlap(spark, sf_dir):
     document pairs sharing at least one near-duplicate word-aligned
     chunk — syndicated passages and lightly-edited quotes that keep
     whole-document Jaccard below any sane threshold. A planted
-    "frankendoc" (the first 60 words of doc 3 + the last 60 of doc 8)
-    must surface against BOTH parents; whole-doc-misses-it pinned in
-    tests."""
+    "frankendoc" (the first 60 words of doc 3 + the last 60 of doc 8,
+    planted at id 2^42 — outside any fixture id space) must surface
+    against BOTH parents; whole-doc-misses-it pinned in tests."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     w3 = F.split(F.col("text"), " ")
     franken = (
@@ -1583,7 +1583,10 @@ def q_dedup_partial_overlap(spark, sf_dir):
             )
         )
         .select(
-            F.lit(990000).cast("long").alias("doc_id"),
+            # 2^42: inside the operator's [0, 2^43) id guard but far
+            # beyond any fixture id space, so the plant can never
+            # collide with a real document
+            F.lit(1 << 42).cast("long").alias("doc_id"),
             F.concat_ws(" ", F.col("_head"), F.col("_tail")).alias("text"),
         )
     )

@@ -340,7 +340,7 @@ def partial_overlap_pairs(
     id_col: str = "doc_id",
     chunk_words: int = 50,
     stride_words: int = 25,
-    threshold: float = 0.4,
+    threshold: float = 0.3,
     num_hashes: int = 64,
     bands: int = 32,
     shingle_n: int = 3,
@@ -359,10 +359,15 @@ def partial_overlap_pairs(
     its character offset in each (character-offset chunks slice words
     at different phases and destroy shingle equality), and the
     stride <= chunk/2 overlap guarantees some window pair shares at
-    least chunk_words - stride_words passage words. Default bands=32
-    (r=2): small chunks carry only ~chunk_words shingles, so candidate
-    recall needs the gentler banding curve — at J=0.4 recall is ~0.996
-    where r=4's is ~0.34. Chunk pairs are exact-Jaccard-verified (the
+    least chunk_words - stride_words passage words. The DEFAULT
+    threshold (0.3) sits just under that guarantee's worst-phase
+    verified-Jaccard floor (25 shared words of a 40+-word passage →
+    ~23 shared 3-shingles over ~73 distinct → J ≈ 0.31), so a passage
+    of >= chunk_words words is caught at EVERY alignment phase, not
+    just lucky ones; raise it only with chunk/stride retuned. Default
+    bands=32 (r=2): small chunks carry only ~chunk_words shingles, so
+    candidate recall needs the gentler banding curve — at J=0.3 recall
+    is ~0.95 and at J=0.4 ~0.996, where r=4's is ~0.12/~0.34. Chunk pairs are exact-Jaccard-verified (the
     minhash_dedup_pairs pipeline), then roll up to document pairs.
     Output ``(id_a, id_b, n_chunk_matches, best_jaccard)`` with
     id_a < id_b; same-document chunk pairs excluded.
@@ -372,11 +377,13 @@ def partial_overlap_pairs(
     nothing quadratic; the rollup is one groupBy over the (small)
     matched-pair set. Chunk ids pack as doc_id * 2^20 + chunk_no
     (loud guard at 2^20 chunks/doc), so the pair table stays
-    fixed-width int64.
+    fixed-width int64 (doc ids must be in [0, 2^43) — guarded, since
+    the packed product must stay inside int64).
     """
     if stride_words < 1 or chunk_words < stride_words:
         raise ValueError("need chunk_words >= stride_words >= 1")
     cap = 1 << 20
+    max_doc = 1 << 43
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - F.lit(chunk_words)) / F.lit(stride_words)) + 1,
@@ -402,14 +409,19 @@ def partial_overlap_pairs(
         .withColumn(
             "_cid",
             F.when(
-                F.col("chunk_no") < cap,
+                (F.col("chunk_no") < cap)
+                & (F.col(id_col) >= 0)
+                & (F.col(id_col) < max_doc),
                 F.col(id_col).cast("long") * F.lit(cap) + F.col("chunk_no"),
             ).otherwise(
+                # loud guards, not silent corruption: a negative id
+                # truncates differently under integer div and would
+                # misattribute pairs; an id >= 2^43 overflows the pack
                 F.raise_error(
                     F.concat(
                         F.lit("partial_overlap_pairs: document "),
                         F.col(id_col).cast("string"),
-                        F.lit(" exceeds 2^20 chunks"),
+                        F.lit(" exceeds 2^20 chunks or id outside [0, 2^43)"),
                     )
                 )
             ),

@@ -19,6 +19,7 @@ independent and unit-tested in-process via ``iter_batches``.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from typing import Callable, Iterable, Iterator
 
@@ -67,6 +68,14 @@ class MessageTransport:
         raise NotImplementedError
 
     def close(self) -> None:  # pragma: no cover - trivial default
+        """Successful-completion hook: flush/commit. Called only when
+        every batch of the partition published without error."""
+        pass
+
+    def abort(self) -> None:  # pragma: no cover - trivial default
+        """Failure hook: release resources WITHOUT committing (a
+        transactional transport must not publish its commit marker
+        here — an aborted producer's batches are never delivered)."""
         pass
 
 
@@ -89,22 +98,24 @@ class JsonDirTransport(MessageTransport):
 
 class DurableLogTransport(MessageTransport):
     """Durable file-backed message log — the broker-adapter seam made
-    concrete with real delivery semantics rather than a plain file
-    dump:
+    concrete with TRANSACTIONAL-producer delivery semantics rather
+    than a plain file dump:
 
     - ATOMIC visibility: each batch writes to a ``.tmp`` name, fsyncs,
-      then ``os.rename``s into place — a reader never observes a
-      partial batch, and a task that dies mid-write leaves only an
-      invisible temp file (mirroring a broker's unacked publish).
-    - ORDERED, GAP-CHECKED replay: filenames carry (producer_id,
-      sequence); ``read_log`` yields batches in per-producer sequence
-      order and raises on a missing sequence number — a lost batch is
-      a loud error, not silent data loss.
-    - At-least-once overall: a retried Spark task re-publishes its
-      partition under a NEW producer id (task retries are new
-      producers, as with a real broker without transactions);
-      downstream dedup is the consumer's job — the streaming surface's
-      ``streaming_dedup_events`` is exactly that consumer.
+      renames into place, and fsyncs the DIRECTORY — a reader never
+      observes a partial batch, and the rename itself survives power
+      loss (contents-only fsync leaves the directory entry
+      unjournaled).
+    - COMMITTED producers only: ``close`` publishes a commit marker
+      recording the producer's batch count. ``read_log`` delivers a
+      producer's batches only when its marker is present AND every
+      sequence 0..n-1 exists — a mid-stream gap OR a lost tail batch
+      is a loud error (a count-less gap check cannot see trailing
+      truncation), and an uncommitted producer (crashed task) is
+      skipped entirely, exactly a transactional broker's un-acked
+      publish. A retried Spark task re-publishes its partition under a
+      new producer id and commits; the crashed attempt's partial
+      output is never delivered, so replay is exactly-once per task.
     """
 
     def __init__(self, output_dir: str):
@@ -115,42 +126,67 @@ class DurableLogTransport(MessageTransport):
     def open(self) -> None:
         os.makedirs(self.output_dir, exist_ok=True)
 
-    def send_batch(self, messages: list[str]) -> None:
-        final = os.path.join(
-            self.output_dir, f"log-{self.producer_id}-{self.seq:08d}.jsonl"
-        )
+    def _publish_file(self, final: str, body: str) -> None:
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
-            f.write("\n".join(messages) + "\n")
+            f.write(body)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, final)
+        dfd = os.open(self.output_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # journal the directory entry, not just bytes
+        finally:
+            os.close(dfd)
+
+    def send_batch(self, messages: list[str]) -> None:
+        self._publish_file(
+            os.path.join(
+                self.output_dir, f"log-{self.producer_id}-{self.seq:08d}.jsonl"
+            ),
+            "\n".join(messages) + "\n",
+        )
         self.seq += 1
+
+    def close(self) -> None:
+        self._publish_file(
+            os.path.join(self.output_dir, f"commit-{self.producer_id}"),
+            f"{self.seq}\n",
+        )
+
+
+_LOG_NAME = re.compile(r"^log-([0-9a-f]+)-(\d{8})\.jsonl$")
+_COMMIT_NAME = re.compile(r"^commit-([0-9a-f]+)$")
 
 
 def read_log(output_dir: str) -> list[list[str]]:
-    """Replay a :class:`DurableLogTransport` directory: batches in
-    (producer, sequence) order, ignoring invisible ``.tmp`` leftovers,
-    raising on a sequence gap (a lost batch must be loud)."""
-    entries = []
+    """Replay a :class:`DurableLogTransport` directory: batches of
+    COMMITTED producers in (producer, sequence) order. Invisible
+    ``.tmp`` leftovers and foreign files are ignored; an uncommitted
+    producer's batches are skipped (its task was retried under a new
+    id); a committed producer missing ANY sequence — middle gap or
+    lost tail — raises."""
+    committed: dict[str, int] = {}
+    batches: dict[str, dict[int, str]] = {}
     for name in os.listdir(output_dir):
-        if not name.startswith("log-") or not name.endswith(".jsonl"):
-            continue
-        _, producer, seq = name[: -len(".jsonl")].split("-")
-        entries.append((producer, int(seq), name))
-    entries.sort()
+        if m := _COMMIT_NAME.match(name):
+            with open(os.path.join(output_dir, name)) as f:
+                committed[m.group(1)] = int(f.read().strip())
+        elif m := _LOG_NAME.match(name):
+            batches.setdefault(m.group(1), {})[int(m.group(2))] = name
     out: list[list[str]] = []
-    last_seq: dict[str, int] = {}
-    for producer, seq, name in entries:
-        expect = last_seq.get(producer, -1) + 1
-        if seq != expect:
+    for producer in sorted(committed):
+        n = committed[producer]
+        have = batches.get(producer, {})
+        missing = [s for s in range(n) if s not in have]
+        if missing:
             raise ValueError(
-                f"message log gap: producer {producer} jumps from "
-                f"{expect - 1} to {seq} ({name})"
+                f"message log loss: producer {producer} committed {n} "
+                f"batches but sequences {missing[:5]} are absent"
             )
-        last_seq[producer] = seq
-        with open(os.path.join(output_dir, name)) as f:
-            out.append(f.read().splitlines())
+        for seq in range(n):
+            with open(os.path.join(output_dir, have[seq])) as f:
+                out.append(f.read().splitlines())
     return out
 
 
@@ -172,8 +208,15 @@ def publish(
                 (row["message"] for row in rows), max_messages, max_bytes
             ):
                 transport.send_batch(batch)
-        finally:
-            transport.close()
+        except BaseException:
+            # a failed partition must NOT commit: close() is the
+            # success/commit hook, abort() the resource-release one —
+            # a transactional transport's uncommitted batches are
+            # invisible to read_log, and Spark's task retry re-runs
+            # the partition under a fresh producer
+            transport.abort()
+            raise
+        transport.close()
 
     msgs.foreachPartition(publish_partition)
 

@@ -552,13 +552,33 @@ def test_durable_log_transport_atomic_ordered_gap_checked(spark, tmp_path):
         f.write('{"half": "written')
     assert [m for b in read_log(out) for m in b] == msgs
 
-    # a missing sequence number is a loud error, not silent loss
+    # an UNCOMMITTED producer (crashed task, no commit marker) is
+    # skipped entirely — its partial output is never delivered
     t = DurableLogTransport(out)
     t.open()
-    t.send_batch(['{"a":1}'])
-    t.seq = 5  # skip 1..4
-    t.send_batch(['{"b":2}'])
+    t.send_batch(['{"uncommitted": 1}'])
+    assert [m for b in read_log(out) for m in b] == msgs
+
+    # a committed producer with a mid-stream gap raises loudly
+    t2 = DurableLogTransport(out)
+    t2.open()
+    t2.send_batch(['{"a":1}'])
+    t2.seq = 5  # skip 1..4
+    t2.send_batch(['{"b":2}'])
+    t2.close()
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="gap"):
+    with _pytest.raises(ValueError, match="absent"):
+        read_log(out)
+    os.remove(os.path.join(out, f"commit-{t2.producer_id}"))
+
+    # TAIL loss is equally loud: the commit marker records the count,
+    # so a vanished last batch cannot pass a contiguity-only check
+    t3 = DurableLogTransport(out)
+    t3.open()
+    t3.send_batch(['{"x":1}'])
+    t3.send_batch(['{"y":2}'])
+    t3.close()
+    os.remove(os.path.join(out, f"log-{t3.producer_id}-00000001.jsonl"))
+    with _pytest.raises(ValueError, match="absent"):
         read_log(out)
