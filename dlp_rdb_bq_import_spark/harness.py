@@ -1473,15 +1473,35 @@ def q_incremental_curation(spark, sf_dir):
     index = dedup.minhash_signatures(
         corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
     )
-    # fixed per-corpus path, atomically overwritten each run — a fresh
-    # mkdtemp per invocation would leak one full index copy per
-    # bench/soak execution on a long-lived host
+    # per-run VERSIONED table under a per-corpus root: two concurrent
+    # runs over the same sf_dir (soak + bench, parallel pytest workers)
+    # must not overwrite a shared fixed path — one run's overwrite
+    # could delete parquet files out from under the other's in-flight
+    # lazy read. Each run writes its own suffixed copy; versions older
+    # than an hour (finished runs) are pruned so a long-lived host
+    # doesn't accumulate one index per execution.
+    import shutil
+    import time
+    import uuid
+
     root = os.path.join(
         tempfile.gettempdir(),
         f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
+    ds_dir = os.path.join(root, "curation")
+    if os.path.isdir(ds_dir):
+        cutoff = time.time() - 3600
+        for name in os.listdir(ds_dir):
+            p = os.path.join(ds_dir, name)
+            try:
+                stale = name.startswith("minhash_index_") and os.path.getmtime(p) < cutoff
+            except OSError:
+                continue  # pruned by a concurrent run between listdir and stat
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     wh = Warehouse(root)
-    res = wh.write(index, "curation", "minhash_index", mode="overwrite")
+    table = f"minhash_index_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    res = wh.write(index, "curation", table, mode="overwrite")
     if res.status != "ok":
         raise RuntimeError(f"minhash index write failed: {res.error}")
     index = spark.read.parquet(res.destination)

@@ -23,6 +23,7 @@ import re
 import uuid
 from typing import Callable, Iterable, Iterator
 
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 from ..config import MESSAGE_BATCH_MAX_BYTES, MESSAGE_BATCH_MAX_MESSAGES
@@ -61,6 +62,15 @@ class MessageTransport:
     producer.flush in ``close``.
     """
 
+    def bind_task(self, fence: str) -> None:  # pragma: no cover - trivial default
+        """Called by :func:`publish` before ``open`` with a STABLE
+        partition identity (same string for every attempt of the same
+        partition of the same publish call — speculative duplicates
+        and stage-resubmission retries included). A transactional
+        transport uses it to fence duplicate successful attempts so a
+        partition commits at most once; the default ignores it."""
+        pass
+
     def open(self) -> None:  # pragma: no cover - trivial default
         pass
 
@@ -79,6 +89,20 @@ class MessageTransport:
         pass
 
 
+def _require_line_framed(messages: list[str]) -> None:
+    """Both file transports frame one message per line, so a message
+    containing an embedded newline would silently change message
+    boundaries on replay (["one\\ntwo"] would read back as two
+    messages). The JSON publish path can never produce one, but these
+    transports are public — fail loudly rather than corrupt."""
+    for m in messages:
+        if "\n" in m:
+            raise ValueError(
+                "line-framed transport cannot ship a message containing "
+                f"an embedded newline: {m[:80]!r}"
+            )
+
+
 class JsonDirTransport(MessageTransport):
     """Default broker-less transport: one ``batch-*.jsonl`` file per
     flushed batch (file count == batch count, so the batch limits stay
@@ -91,6 +115,7 @@ class JsonDirTransport(MessageTransport):
         os.makedirs(self.output_dir, exist_ok=True)
 
     def send_batch(self, messages: list[str]) -> None:
+        _require_line_framed(messages)
         path = os.path.join(self.output_dir, f"batch-{uuid.uuid4().hex}.jsonl")
         with open(path, "w") as f:
             f.write("\n".join(messages) + "\n")
@@ -107,21 +132,38 @@ class DurableLogTransport(MessageTransport):
       loss (contents-only fsync leaves the directory entry
       unjournaled).
     - COMMITTED producers only: ``close`` publishes a commit marker
-      recording the producer's batch count. ``read_log`` delivers a
-      producer's batches only when its marker is present AND every
-      sequence 0..n-1 exists — a mid-stream gap OR a lost tail batch
-      is a loud error (a count-less gap check cannot see trailing
-      truncation), and an uncommitted producer (crashed task) is
-      skipped entirely, exactly a transactional broker's un-acked
-      publish. A retried Spark task re-publishes its partition under a
-      new producer id and commits; the crashed attempt's partial
-      output is never delivered, so replay is exactly-once per task.
+      recording the producer id and its batch count. ``read_log``
+      delivers a producer's batches only when its marker is present
+      AND every sequence 0..n-1 exists — a mid-stream gap OR a lost
+      tail batch is a loud error (a count-less gap check cannot see
+      trailing truncation), and an uncommitted producer (crashed
+      task) is skipped entirely, exactly a transactional broker's
+      un-acked publish.
+    - FENCED duplicate attempts: each attempt writes batches under its
+      own random producer id (concurrent attempts never clobber each
+      other's files), but the commit marker is named by the STABLE
+      partition fence from ``bind_task`` and created atomically with
+      first-commit-wins semantics (``os.link`` of a private fsynced
+      temp — an exclusive create that cannot expose a half-written
+      marker). Under speculative execution or stage resubmission, two
+      SUCCESSFUL attempts of the same partition race to one marker;
+      the loser discards its batch files and its output is never
+      delivered, so replay is exactly-once per partition. A transport
+      constructed standalone (no ``bind_task``) fences on its own
+      producer id, i.e. each instance is its own partition.
     """
 
     def __init__(self, output_dir: str):
         self.output_dir = output_dir
         self.producer_id = uuid.uuid4().hex[:12]
+        self.fence = self.producer_id
         self.seq = 0
+
+    def bind_task(self, fence: str) -> None:
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", fence)
+        if not safe:
+            raise ValueError(f"unusable partition fence: {fence!r}")
+        self.fence = safe
 
     def open(self) -> None:
         os.makedirs(self.output_dir, exist_ok=True)
@@ -140,6 +182,7 @@ class DurableLogTransport(MessageTransport):
             os.close(dfd)
 
     def send_batch(self, messages: list[str]) -> None:
+        _require_line_framed(messages)
         self._publish_file(
             os.path.join(
                 self.output_dir, f"log-{self.producer_id}-{self.seq:08d}.jsonl"
@@ -149,40 +192,82 @@ class DurableLogTransport(MessageTransport):
         self.seq += 1
 
     def close(self) -> None:
-        self._publish_file(
-            os.path.join(self.output_dir, f"commit-{self.producer_id}"),
-            f"{self.seq}\n",
-        )
+        """Commit: atomically claim this partition's fence marker.
+        First successful attempt wins; a duplicate successful attempt
+        (speculation, stage retry) loses the ``os.link`` race, discards
+        its own batch files, and leaves the winner's output as the one
+        delivered copy."""
+        final = os.path.join(self.output_dir, f"commit-{self.fence}")
+        tmp = os.path.join(self.output_dir, f".commit-{self.producer_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{self.producer_id} {self.seq}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # hard-link = atomic create-if-absent of a fully-written,
+            # fsynced marker: no reader can see a partial commit, and
+            # exactly one attempt per fence can succeed
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            self._discard_own_batches()
+            return
+        os.unlink(tmp)
+        dfd = os.open(self.output_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def abort(self) -> None:
+        self._discard_own_batches()
+
+    def _discard_own_batches(self) -> None:
+        """Best-effort removal of this producer's uncommitted batch
+        files (they are invisible to ``read_log`` either way — this
+        just reclaims the space of a losing/aborted attempt)."""
+        for seq in range(self.seq):
+            try:
+                os.unlink(
+                    os.path.join(
+                        self.output_dir, f"log-{self.producer_id}-{seq:08d}.jsonl"
+                    )
+                )
+            except OSError:  # pragma: no cover - best-effort cleanup
+                pass
 
 
 _LOG_NAME = re.compile(r"^log-([0-9a-f]+)-(\d{8})\.jsonl$")
-_COMMIT_NAME = re.compile(r"^commit-([0-9a-f]+)$")
+_COMMIT_NAME = re.compile(r"^commit-([A-Za-z0-9._-]+)$")
 
 
 def read_log(output_dir: str) -> list[list[str]]:
     """Replay a :class:`DurableLogTransport` directory: batches of
-    COMMITTED producers in (producer, sequence) order. Invisible
-    ``.tmp`` leftovers and foreign files are ignored; an uncommitted
-    producer's batches are skipped (its task was retried under a new
-    id); a committed producer missing ANY sequence — middle gap or
-    lost tail — raises."""
-    committed: dict[str, int] = {}
+    COMMITTED partitions in (fence, sequence) order. Each fence marker
+    names the ONE producer attempt whose commit won — batches of
+    losing or uncommitted attempts (speculative duplicates, crashed
+    tasks) are skipped, so every partition is delivered exactly once.
+    Invisible ``.tmp`` leftovers and foreign files are ignored; a
+    committed producer missing ANY sequence — middle gap or lost
+    tail — raises."""
+    committed: dict[str, tuple[str, int]] = {}
     batches: dict[str, dict[int, str]] = {}
     for name in os.listdir(output_dir):
         if m := _COMMIT_NAME.match(name):
             with open(os.path.join(output_dir, name)) as f:
-                committed[m.group(1)] = int(f.read().strip())
+                producer, n = f.read().split()
+            committed[m.group(1)] = (producer, int(n))
         elif m := _LOG_NAME.match(name):
             batches.setdefault(m.group(1), {})[int(m.group(2))] = name
     out: list[list[str]] = []
-    for producer in sorted(committed):
-        n = committed[producer]
+    for fence in sorted(committed):
+        producer, n = committed[fence]
         have = batches.get(producer, {})
         missing = [s for s in range(n) if s not in have]
         if missing:
             raise ValueError(
-                f"message log loss: producer {producer} committed {n} "
-                f"batches but sequences {missing[:5]} are absent"
+                f"message log loss: producer {producer} (fence {fence}) "
+                f"committed {n} batches but sequences {missing[:5]} are absent"
             )
         for seq in range(n):
             with open(os.path.join(output_dir, have[seq])) as f:
@@ -197,11 +282,23 @@ def publish(
     max_bytes: int = MESSAGE_BATCH_MAX_BYTES,
 ) -> None:
     """Encode rows to JSON and publish through the transport in
-    bounded batches, one producer per partition."""
+    bounded batches, one producer per partition.
+
+    Every attempt of a partition is handed the same fence string —
+    ``run_token`` is drawn once on the driver and serialized into the
+    task closure, so speculative duplicates and stage-resubmission
+    retries all see it, while two distinct ``publish`` calls into the
+    same transport target never collide."""
     msgs = rows_as_json(df)
+    run_token = uuid.uuid4().hex[:12]
 
     def publish_partition(rows) -> None:
         transport = transport_factory()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        bind = getattr(transport, "bind_task", None)  # protocol is duck-typed
+        if bind is not None:
+            bind(f"{run_token}-p{pid:05d}")
         transport.open()
         try:
             for batch in iter_batches(

@@ -515,11 +515,13 @@ def streaming_incremental_neardup(
 ) -> DataFrame:
     """Streaming near-dup detection against a PERSISTED MinHash index —
     the streaming spelling of ``dedup.incremental_minhash_pairs``: new
-    documents arrive as a stream, are signed IN-ROW (stateless scalar
-    expressions, ``dedup.row_minhash_signatures`` — aggregation-free,
-    so the micro-batch plan is a pure map), banded, and equi-joined
-    against the static band index; candidates dedup on the pair key
-    and the component-agreement estimate filters to >= ``threshold``.
+    documents arrive as a file stream, and each micro-batch runs the
+    BATCH operator unchanged via ``foreachBatch`` — signed by its
+    explode+groupBy MinHash stage, banded, equi-joined against the
+    static band index, pair-key deduped, and filtered to component-
+    agreement >= ``threshold``. (A stateless in-row signing via
+    ``dedup.row_minhash_signatures`` was the rejected alternative —
+    see below for why.)
 
     Output: (new_id, corpus_id, est_jaccard), equal to the batch path
     on the same data by CONSTRUCTION: each micro-batch runs the exact

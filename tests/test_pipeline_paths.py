@@ -582,3 +582,74 @@ def test_durable_log_transport_atomic_ordered_gap_checked(spark, tmp_path):
     os.remove(os.path.join(out, f"log-{t3.producer_id}-00000001.jsonl"))
     with _pytest.raises(ValueError, match="absent"):
         read_log(out)
+
+
+def test_durable_log_duplicate_successful_attempts_fenced(tmp_path):
+    """Two SUCCESSFUL attempts of the same partition (speculative
+    execution / stage resubmission: same fence, different producer
+    ids) both run the full send_batch+close lifecycle — the partition
+    must still be delivered exactly once, by whichever attempt won the
+    commit race, and the loser's batch files must be reclaimed."""
+    import os
+
+    from dlp_rdb_bq_import_spark.sinks.messages import (
+        DurableLogTransport,
+        read_log,
+    )
+
+    out = str(tmp_path / "log")
+    attempt_a = DurableLogTransport(out)
+    attempt_b = DurableLogTransport(out)
+    for t in (attempt_a, attempt_b):
+        t.bind_task("run123-p00007")
+        t.open()
+        t.send_batch(['{"id": 1}', '{"id": 2}'])
+        t.send_batch(['{"id": 3}'])
+        t.close()
+    assert read_log(out) == [['{"id": 1}', '{"id": 2}'], ['{"id": 3}']]
+    # exactly one commit marker exists, named by the partition fence,
+    # and the losing attempt's uncommitted batch files were discarded
+    names = sorted(os.listdir(out))
+    assert names.count("commit-run123-p00007") == 1
+    assert sum(1 for n in names if n.startswith("log-")) == 2
+
+    # a DIFFERENT partition (or a different publish run) is a
+    # different fence and commits independently
+    other = DurableLogTransport(out)
+    other.bind_task("run123-p00008")
+    other.open()
+    other.send_batch(['{"id": 9}'])
+    other.close()
+    assert [m for b in read_log(out) for m in b] == [
+        '{"id": 1}',
+        '{"id": 2}',
+        '{"id": 3}',
+        '{"id": 9}',
+    ]
+
+
+def test_line_framed_transports_reject_embedded_newlines(tmp_path):
+    """A message containing '\\n' would silently split into two
+    messages on replay of a line-framed file — both file transports
+    must refuse it loudly instead."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.sinks.messages import (
+        DurableLogTransport,
+        JsonDirTransport,
+        read_log,
+    )
+
+    for cls in (JsonDirTransport, DurableLogTransport):
+        t = cls(str(tmp_path / cls.__name__))
+        t.open()
+        with _pytest.raises(ValueError, match="newline"):
+            t.send_batch(["one\ntwo"])
+
+    # the durable transport stays consistent after the rejection:
+    # nothing was published, and a clean retry round-trips
+    t = DurableLogTransport(str(tmp_path / "clean"))
+    t.open()
+    t.send_batch(["one", "two"])
+    t.close()
+    assert read_log(str(tmp_path / "clean")) == [["one", "two"]]
