@@ -1290,9 +1290,17 @@ def edit_distance_pairs(
     the 8-byte variant hash; bucket occupancy ≈ true near-dup group
     sizes, NEVER the block size. Blocking a self-join on a
     fixed-cardinality key (e.g. 25 nations) grows pairs QUADRATICALLY
-    with data — this path is what survives 100 TB. Only
-    ``max_dist=1`` is supported (k>1 needs k-deletion neighborhoods,
-    whose variant count explodes combinatorially).
+    with data — this path is what survives 100 TB. The candidate
+    stream through the variant equi-join and the dedup carries BARE
+    (id_a, id_b) pairs — 16 bytes/row, not full name strings — and
+    the names are re-attached only for the final levenshtein verify,
+    after the distinct has collapsed multi-variant duplicates (two
+    strings at distance ≤1 share several deletion variants, so the
+    pre-distinct stream is a small multiple of the true pair count;
+    shipping two full strings on every such row dominated shuffle
+    bytes at sf1). Only ``max_dist=1`` is supported (k>1 needs
+    k-deletion neighborhoods, whose variant count explodes
+    combinatorially).
     """
     if max_dist != 1:
         raise ValueError("edit_distance_pairs supports max_dist=1 only")
@@ -1313,25 +1321,27 @@ def edit_distance_pairs(
     ).otherwise(F.array().cast("array<string>"))
     variants = df.select(
         ident.alias("_vid"),
-        name.alias("_vname"),
         *[F.col(c) for c in blocks],
         F.explode(
             F.array_union(F.array(name), deletions)
         ).alias("_var"),
-    ).select(
-        "_vid", "_vname", *blocks, F.xxhash64("_var").alias("_vh")
-    )
-    a = variants.select(
-        F.col("_vid").alias("id_a"), F.col("_vname").alias("_na"), *blocks, "_vh"
-    )
-    b = variants.select(
-        F.col("_vid").alias("id_b"), F.col("_vname").alias("_nb"), *blocks, "_vh"
-    )
-    return (
+    ).select("_vid", *blocks, F.xxhash64("_var").alias("_vh"))
+    a = variants.select(F.col("_vid").alias("id_a"), *blocks, "_vh")
+    b = variants.select(F.col("_vid").alias("id_b"), *blocks, "_vh")
+    candidates = (
         a.join(b, blocks + ["_vh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_na", "_nb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    names = df.select(ident.alias("_nid"), name.alias("_n"))
+    return (
+        candidates.join(
+            names.select(F.col("_nid").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+        )
+        .join(
+            names.select(F.col("_nid").alias("id_b"), F.col("_n").alias("_nb")), "id_b"
+        )
         .withColumn("dist", F.levenshtein("_na", "_nb").cast("long"))
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")

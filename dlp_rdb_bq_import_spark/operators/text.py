@@ -724,6 +724,153 @@ def bpe_learn(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Tokenize a corpus with a LEARNED BPE merge table — the operator
+    a training pipeline runs daily, where :func:`bpe_learn` runs once.
+
+    Encode semantics (Sennrich et al. 2016): apply the merges to each
+    word in RANK order, each as a left-to-right non-overlapping pass —
+    for word-level BPE this equals the lowest-rank-first priority
+    loop real tokenizers use, because a merge of rank j can never
+    create a pair of rank i < j (rank-i's right symbol already existed
+    before rank i, while rank-j's merged symbol first exists at j).
+    Both execution paths below implement that one semantics and are
+    pytest-pinned equal to each other and to the independent
+    pure-Python tokenizer.
+
+    Scale shape: merge folds run over the DISTINCT-WORD table (work ∝
+    vocabulary, not corpus — a word's split is context-free), and the
+    word→segments map joins back to the exploded corpus on the word
+    key; the map is vocabulary-sized, squarely AQE-broadcast
+    territory. Two fold paths:
+
+    - ``method="fold"``: one JVM array-fold plan node per merge
+      (identical fold to the trainer's, whole-stage friendly) —
+      right for small merge tables, but plan depth grows with
+      ``len(merges)``, so it is capped at 128 merges.
+    - ``method="pandas"``: one Arrow-batched Pandas UDF holding the
+      whole pair→rank dict (broadcast once), applying the classic
+      priority-loop encode per distinct word — the path for
+      production tokenizers (30k-100k merges), where a 50k-node plan
+      is impossible but a 50k-entry dict is trivial.
+    - ``method="auto"`` picks fold ≤64 merges, pandas above.
+
+    Output: one row per emitted subword token,
+    ``(id_col, word_pos, tok_pos, token)`` — word_pos the word's
+    0-based position in the document, tok_pos the token's 0-based
+    position within the word. All-scalar columns by design (array
+    outputs break driver canonicalization).
+    """
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+    ]
+    if method == "auto":
+        method = "fold" if len(ranked) <= 64 else "pandas"
+    if method not in ("fold", "pandas"):
+        raise ValueError(f"unknown bpe_encode method: {method!r}")
+    if method == "fold" and len(ranked) > 128:
+        raise ValueError(
+            f"method='fold' builds one plan node per merge and is capped at "
+            f"128 merges (got {len(ranked)}); use method='pandas'"
+        )
+
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    vocab = words.select("word").distinct()
+
+    if method == "fold":
+        seg = vocab.withColumn(
+            "symbols",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ),
+        )
+        for left, right in ranked:
+            merged = left + right
+            # identical fold to bpe_learn's training step — see there
+            # for the non-overlap argument
+            seg = seg.withColumn(
+                "symbols",
+                F.aggregate(
+                    F.col("symbols"),
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                        & (s == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ),
+            )
+    else:
+        # broadcast pairs AND the pair→rank dict together: the dict is
+        # built once driver-side and unpickled once per executor, not
+        # rebuilt per Arrow batch
+        bc = df.sparkSession.sparkContext.broadcast(
+            (ranked, {pair: i for i, pair in enumerate(ranked)})
+        )
+
+        @F.pandas_udf("array<string>")
+        def _encode(col: pd.Series) -> pd.Series:
+            pairs, ranks = bc.value
+
+            def enc(w: str) -> list[str]:
+                syms = list(w)
+                while len(syms) > 1:
+                    best_rank = None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best_rank = r
+                    if best_rank is None:
+                        break
+                    # one left-to-right non-overlapping pass of the
+                    # lowest-rank applicable pair (== one trainer round)
+                    left, right = pairs[best_rank]
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                return syms
+
+            return col.map(enc)
+
+        seg = vocab.withColumn("symbols", _encode(F.col("word")))
+
+    return (
+        words.join(seg, "word")
+        .select(
+            F.col(id_col),
+            "word_pos",
+            F.posexplode("symbols").alias("tok_pos", "token"),
+        )
+    )
+
+
 def _doc_freq_cap(
     dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
 ) -> tuple[DataFrame, DataFrame]:
