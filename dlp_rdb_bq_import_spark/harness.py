@@ -1711,6 +1711,24 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_learn(t(spark, sf_dir, "documents"), num_merges=16)
 
 
+@query("bpe_encode")  # learned-merge tokenization — rows-only by design
+def q_bpe_encode(spark, sf_dir):
+    """EXT — the tokenizer a training pipeline runs DAILY: merges are
+    learned once on a 10% document sample (train-once), then the WHOLE
+    corpus is encoded with them (encode-many: text.bpe_encode). Merge
+    folds run over the distinct-word table (work ∝ vocabulary, not
+    corpus) and the vocabulary-sized word→segments map broadcast-joins
+    back to the exploded corpus. Output is the all-scalar token stream
+    (doc_id, word_pos, tok_pos, token); both the JVM-fold and the
+    Pandas priority-loop paths are pytest-pinned to the independent
+    pure-Python tokenizer."""
+    from .operators.text import bpe_encode, bpe_learn
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_learn(d.where(F.col("doc_id") % 10 == 0), num_merges=16)
+    return bpe_encode(d, merges)
+
+
 @query(
     "heavy_hitter_terms",
     oracle="""

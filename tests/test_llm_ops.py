@@ -2219,6 +2219,85 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
     assert got == _reference_bpe(words, 8)[0]
 
 
+def _reference_bpe_encode(word, merges):
+    """Independent pure-Python BPE encoder: apply each learned merge
+    in rank order as a left-to-right non-overlapping pass."""
+    syms = list(word)
+    for _, l, r, m in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_and_paths_agree(spark, sf_dir):
+    """bpe_encode on the training corpus reproduces the trainer's own
+    segmentation; on UNSEEN words it equals the independent pure-Python
+    encoder; and the JVM-fold and Pandas priority-loop paths are
+    identical (the rank-order-pass vs lowest-rank-first equivalence)."""
+    text = (
+        "low low low low low lower lower newest newest newest newest "
+        "newest newest widest widest widest aaaa"
+    )
+    train = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges_df = text_ops.bpe_learn(train, num_merges=12)
+    merges = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+
+    # encode a corpus containing seen AND unseen words
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "lowest newer wideness aaaaa unseen")],
+        ["doc_id", "text"],
+    )
+
+    def tokens_of(out_df):
+        rows = out_df.orderBy("doc_id", "word_pos", "tok_pos").collect()
+        toks = {}
+        for r in rows:
+            toks.setdefault((r.doc_id, r.word_pos), []).append(r.token)
+        return toks
+
+    fold = tokens_of(text_ops.bpe_encode(corpus, merges_df, method="fold"))
+    pandas_ = tokens_of(text_ops.bpe_encode(corpus, merges_df, method="pandas"))
+    assert fold == pandas_
+
+    expected = {}
+    for doc_id, t in [(1, text), (2, "lowest newer wideness aaaaa unseen")]:
+        for pos, w in enumerate(t.split(" ")):
+            expected[(doc_id, pos)] = _reference_bpe_encode(w, merges)
+    assert fold == expected
+    # the training corpus' segmentation equals the trainer's own
+    segs = {
+        r.word: list(r.symbols)
+        for r in text_ops.bpe_learn(train, num_merges=12, return_segments=True).collect()
+    }
+    for (doc_id, pos), toks in fold.items():
+        if doc_id == 1:
+            w = text.split(" ")[pos]
+            assert toks == segs[w]
+
+    # fixture documents: both paths equal the reference encoder
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    m_df = text_ops.bpe_learn(docs, num_merges=8)
+    m = [tuple(r) for r in m_df.orderBy("rank").collect()]
+    got = tokens_of(text_ops.bpe_encode(docs, m_df, method="pandas"))
+    for r in docs.select("doc_id", "text").collect():
+        for pos, w in enumerate((r.text or "").split(" ")):
+            if w:
+                assert got[(r.doc_id, pos)] == _reference_bpe_encode(w, m)
+
+    # guardrails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        text_ops.bpe_encode(corpus, merges_df, method="nope")
+
+
 def test_partial_overlap_catches_shared_passage_whole_doc_misses(spark):
     """A 40-word passage shared by two otherwise-different documents —
     with 3 of its words edited in one copy — is invisible to whole-doc
