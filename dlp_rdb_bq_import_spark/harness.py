@@ -66,6 +66,50 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFrame:
+    """Persist an index artifact through the warehouse sink and read
+    it back — the between-batches seam of the incremental ingest
+    queries (a real pipeline KEEPS these artifacts; the round-trip
+    proves the persisted form is what gets probed).
+
+    The table name is VERSIONED per run (pid + uuid) under a
+    per-corpus scratch root: two concurrent runs over the same sf_dir
+    (soak + bench, parallel pytest workers) must not overwrite a
+    shared fixed path — one run's overwrite could delete parquet files
+    out from under the other's in-flight lazy read. Versions older
+    than an hour (finished runs) are pruned so a long-lived host
+    doesn't accumulate one copy per execution."""
+    import hashlib
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from .sinks.warehouse import Warehouse
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    ds_dir = os.path.join(root, "curation")
+    if os.path.isdir(ds_dir):
+        cutoff = time.time() - 3600
+        for name in os.listdir(ds_dir):
+            p = os.path.join(ds_dir, name)
+            try:
+                stale = name.startswith(table_prefix) and os.path.getmtime(p) < cutoff
+            except OSError:
+                continue  # pruned by a concurrent run between listdir and stat
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
+    wh = Warehouse(root)
+    table = f"{table_prefix}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    res = wh.write(df, "curation", table, mode="overwrite")
+    if res.status != "ok":
+        raise RuntimeError(f"{table_prefix} index write failed: {res.error}")
+    return df.sparkSession.read.parquet(res.destination)
+
+
 def dsum(col, alias: str, scale: int = 6):
     """Exact order-independent money sum → double."""
     return F.sum(col.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
@@ -1438,12 +1482,8 @@ def q_incremental_curation(spark, sf_dir):
     — the bench set is in neither the fingerprint set nor the index —
     and falls to decontamination). Per-stage drops pinned in
     tests/test_llm_ops.py; deterministic synth keeps rows-only stable."""
-    import hashlib
-    import tempfile
-
-    from .operators.decontam import decontaminate
+    from .operators.decontam import bench_gram_index, decontaminate_incremental
     from .operators.packing import pack_sequences
-    from .sinks.warehouse import Warehouse
 
     d = t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 10 == 5)
@@ -1473,47 +1513,22 @@ def q_incremental_curation(spark, sf_dir):
     index = dedup.minhash_signatures(
         corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
     )
-    # per-run VERSIONED table under a per-corpus root: two concurrent
-    # runs over the same sf_dir (soak + bench, parallel pytest workers)
-    # must not overwrite a shared fixed path — one run's overwrite
-    # could delete parquet files out from under the other's in-flight
-    # lazy read. Each run writes its own suffixed copy; versions older
-    # than an hour (finished runs) are pruned so a long-lived host
-    # doesn't accumulate one index per execution.
-    import shutil
-    import time
-    import uuid
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
-    ds_dir = os.path.join(root, "curation")
-    if os.path.isdir(ds_dir):
-        cutoff = time.time() - 3600
-        for name in os.listdir(ds_dir):
-            p = os.path.join(ds_dir, name)
-            try:
-                stale = name.startswith("minhash_index_") and os.path.getmtime(p) < cutoff
-            except OSError:
-                continue  # pruned by a concurrent run between listdir and stat
-            if stale:
-                shutil.rmtree(p, ignore_errors=True)
-    wh = Warehouse(root)
-    table = f"minhash_index_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    res = wh.write(index, "curation", table, mode="overwrite")
-    if res.status != "ok":
-        raise RuntimeError(f"minhash index write failed: {res.error}")
-    index = spark.read.parquet(res.destination)
+    index = scratch_roundtrip(index, sf_dir, "minhash_index")
     near = dedup.incremental_minhash_pairs(
         survivors, index, "text", "doc_id",
         threshold=0.35, bands=16, shingle_n=3, shingle_unit="word",
     ).select(F.col("new_id").alias("doc_id")).distinct()
     survivors = survivors.join(near, "doc_id", "left_anti").localCheckpoint(eager=False)
 
-    # stage 3 — decontaminate vs the held-out benchmark slice
-    survivors = decontaminate(
-        survivors, bench, "text", "doc_id", n=3, min_hits=3, num_partitions=32
+    # stage 3 — decontaminate vs the held-out benchmark slice, probing
+    # the PERSISTED bench-gram index (like the MinHash index above, the
+    # artifact a real pipeline keeps between batches: bench text is
+    # grammed once at freeze time, never re-read per ingest)
+    grams = scratch_roundtrip(
+        bench_gram_index(bench, "text", "doc_id", n=3), sf_dir, "bench_grams"
+    )
+    survivors = decontaminate_incremental(
+        survivors, grams, "text", "doc_id", n=3, min_hits=3, num_partitions=32
     )
 
     # stage 4 — pack into fixed token budgets per source stream
@@ -1651,6 +1666,53 @@ def q_decontaminate_overlap(spark, sf_dir):
     bench = d.where(F.col("doc_id") % 20 == 0)
     return contamination_pairs(
         train, bench, "text", "doc_id", n=3, min_hits=3, num_partitions=32
+    )
+
+
+@query(
+    "decontam_incremental",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
+  FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws) - 2
+),
+tr AS (SELECT * FROM sh WHERE doc_id % 20 = 1),
+be AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+ov AS (
+  SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+         CAST(count(*) AS BIGINT) AS overlap_ngrams
+  FROM tr JOIN be ON tr.g = be.g GROUP BY 1, 2
+)
+SELECT train_id, bench_id, overlap_ngrams FROM ov WHERE overlap_ngrams >= 3
+""",
+)
+def q_decontam_incremental(spark, sf_dir):
+    """EXT — steady-state decontamination: the benchmark's n-gram
+    digests are built ONCE (decontam.bench_gram_index), persisted
+    through the warehouse sink, and the day's ingest batch (the %20==1
+    slice here) probes the read-back index without ever re-reading the
+    benchmark text (decontam.incremental_contamination_pairs — the
+    symmetry partner of dedup_incremental_minhash). The oracle is the
+    FULL overlap SQL restricted to the same batch: the incremental
+    path hash-matches the from-scratch operator by construction."""
+    from .operators.decontam import bench_gram_index, incremental_contamination_pairs
+
+    d = t(spark, sf_dir, "documents")
+    index = scratch_roundtrip(
+        bench_gram_index(d.where(F.col("doc_id") % 20 == 0), "text", "doc_id", n=3),
+        sf_dir,
+        "bench_grams",
+    )
+    return incremental_contamination_pairs(
+        d.where(F.col("doc_id") % 20 == 1),
+        index,
+        "text",
+        "doc_id",
+        n=3,
+        min_hits=3,
+        num_partitions=32,
     )
 
 

@@ -1723,6 +1723,66 @@ def test_bloom_prefilter_changes_nothing(spark, sf_dir):
     assert len(with_bloom) > 0  # fixture actually exercises the path
 
 
+def test_incremental_decontam_equals_full_operator(spark, sf_dir, tmp_path):
+    """Probing a PERSISTED bench-gram index (parquet round-trip
+    included) returns exactly the rows of the from-scratch operator on
+    the same batch — with the Bloom prefilter forced on AND off — and
+    decontaminate_incremental keeps exactly the unflagged docs."""
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        bench_gram_index,
+        contamination_pairs,
+        decontaminate_incremental,
+        incremental_contamination_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    # plant a verbatim re-keyed bench doc in the batch so the fixture
+    # provably exercises the flag path at any scale factor
+    batch = d.where(F.col("doc_id") % 20 == 1).unionByName(
+        bench.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(999981).cast("long"))
+    )
+    kw = dict(n=3, min_hits=3)
+
+    idx_path = str(tmp_path / "bench_grams")
+    bench_gram_index(bench, "text", "doc_id", n=3).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    full = sorted(
+        map(tuple, contamination_pairs(batch, bench, "text", "doc_id", **kw).collect())
+    )
+    assert len(full) > 0  # fixture exercises the path
+    for bloom in (dict(bloom_min_items=0), dict(bloom_prefilter=False)):
+        inc = sorted(
+            map(
+                tuple,
+                incremental_contamination_pairs(
+                    batch, index, "text", "doc_id", **kw, **bloom
+                ).collect(),
+            )
+        )
+        assert inc == full
+
+    flagged = {r[0] for r in full}
+    kept = {
+        r.doc_id
+        for r in decontaminate_incremental(batch, index, "text", "doc_id", **kw)
+        .select("doc_id")
+        .collect()
+    }
+    all_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+
+    # a malformed index (missing the hash column) fails loudly, not
+    # with a silent empty result
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bench_index"):
+        incremental_contamination_pairs(
+            batch, bench.select(F.col("doc_id").alias("bench_id")), "text", "doc_id"
+        )
+
+
 def test_bloom_small_side_guard_skips_build(spark, sf_dir):
     """Below ~100k estimated bench grams the Bloom build job costs more
     than the probes it saves: the guard must bypass it (no 1-row bitmap
