@@ -78,9 +78,21 @@ def kcenter_sample(
     min-distance column — the scan stays distributed, the per-round
     work is one ``least()`` update plus one TakeOrdered(1), and
     lineage cuts every 8 rounds bound the plan. Driver memory is
-    O(k·dim), never O(n)."""
+    O(k·dim), never O(n). The rounds are SEQUENTIAL driver
+    round-trips by construction (greedy selection is inherently
+    iterative), so wall-clock grows linearly in k regardless of data
+    size — right for diversity SELECTION (k in the tens/hundreds),
+    wrong for clustering-scale k: past ``k=256`` the call fails
+    loudly; use k-means-style assignment (or IVF cells) for
+    thousands of centers instead."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if k > 256:
+        raise ValueError(
+            f"kcenter_sample runs k sequential driver rounds and is bounded "
+            f"at k=256 (got {k}); for clustering-scale center counts use a "
+            f"parallel assignment algorithm, not greedy farthest-point"
+        )
     cur = df.select(
         F.col(id_col).cast("long").alias(id_col), _quantize(F.col(vec_col)).alias("_qv")
     ).localCheckpoint(eager=True)

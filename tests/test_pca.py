@@ -140,3 +140,9 @@ def test_kcenter_sample_greedy_parity_and_coverage(spark, sf_dir):
     assert kcenter_sample(tiny, k=10).count() == 3
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kcenter_sample(empty, k=4).count() == 0
+    # clustering-scale k fails loudly instead of running thousands of
+    # sequential driver rounds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=256"):
+        kcenter_sample(d, k=257)
