@@ -3381,6 +3381,39 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_name_pairs_k2",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_custkey % 8 = 0 AND b.c_custkey % 8 = 0
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def q_fuzzy_name_pairs_k2(spark, sf_dir):
+    """Edit-distance-≤2 near-dup via SYMMETRIC-DELETE neighborhoods
+    (SymSpell-style 2-deletion variants; same superset-then-verify
+    contract as fuzzy_name_pairs — dedup.edit_distance_pairs,
+    max_dist=2). The oracle is the naive nation-blocked join the
+    engine path avoids. Runs on the %8 customer slice: zero-padded
+    sequential names are ADVERSARIAL density for distance-2 (every
+    pair of ids differing in ≤2 digit positions matches — output grows
+    ~quadratically in slice density), and the slice keeps the
+    demonstration honest without making a synthetic-density outlier
+    the bench headline. Variant blow-up is bounded by the operator's
+    plan-side max_len guard (1 + L + L·(L-1)/2 variants per row)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .where(F.col("c_custkey") % 8 == 0)
+    )
+    return dedup.edit_distance_pairs(
+        c, "c_name", "c_custkey", block_cols=["c_nationkey"], max_dist=2
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

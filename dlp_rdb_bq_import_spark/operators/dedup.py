@@ -1275,16 +1275,19 @@ def edit_distance_pairs(
     id_col: str,
     block_cols: list[str] | None = None,
     max_dist: int = 1,
+    max_len: int = 64,
 ) -> DataFrame:
-    """Edit-distance-≤1 pairs by deletion-neighborhood blocking
-    (FastSS, Bocek et al. 2007 — public algorithm): each string emits
-    itself plus every single-character deletion; any two strings at
-    Levenshtein distance ≤ 1 share at least one variant (substitution →
-    same string after deleting the differing position from both;
-    insert/delete → the shorter string IS a deletion variant of the
-    longer). Candidates equi-join on the hashed variant, then the exact
-    ``levenshtein`` filter verifies — a SUPERSET-then-verify scheme, so
-    results equal the naive blocked self-join exactly.
+    """Edit-distance-≤``max_dist`` pairs by deletion-neighborhood
+    blocking (FastSS, Bocek et al. 2007; the symmetric-delete scheme
+    SymSpell popularized — public algorithms): each string emits
+    itself plus every variant reachable by deleting up to ``max_dist``
+    characters; two strings at Levenshtein distance ≤ k always share a
+    ≤k-deletion variant (align the edit script: a substitution deletes
+    the differing position from both sides, an insert/delete deletes
+    from the longer side only). Candidates equi-join on the hashed
+    variant, then the exact ``levenshtein`` filter verifies — a
+    SUPERSET-then-verify scheme, so results equal the naive blocked
+    self-join exactly.
 
     Scale shape: ~(len+1) variant rows per string and one shuffle on
     the 8-byte variant hash; bucket occupancy ≈ true near-dup group
@@ -1298,34 +1301,88 @@ def edit_distance_pairs(
     strings at distance ≤1 share several deletion variants, so the
     pre-distinct stream is a small multiple of the true pair count;
     shipping two full strings on every such row dominated shuffle
-    bytes at sf1). Only ``max_dist=1`` is supported (k>1 needs
-    k-deletion neighborhoods, whose variant count explodes
-    combinatorially).
+    bytes at sf1).
+
+    Variant blow-up bound: a length-L string emits 1 + L variants at
+    ``max_dist=1`` and 1 + L + L·(L-1)/2 at ``max_dist=2`` — the
+    quadratic term is why symmetric-delete is a SHORT-STRING algorithm
+    (names, codes, tokens; L=64 → 2,081 variants/row). At
+    ``max_dist=2`` any row longer than ``max_len`` raises AT EXECUTION
+    TIME (a plan-side ``raise_error`` guard — no extra scan of the
+    input); for longer text use the n-gram/MinHash family instead.
+    Only ``max_dist`` ∈ {1, 2} is supported (k=3 would cube the
+    variant count).
     """
-    if max_dist != 1:
-        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"edit_distance_pairs supports max_dist in (1, 2), got {max_dist}"
+        )
     blocks = list(block_cols or [])
     name, ident = F.col(text_col), F.col(id_col)
-    # variants: the string itself + each single-char deletion, hashed.
-    # Empty strings guard against sequence(1, 0), which Spark infers as
-    # DESCENDING [1, 0] rather than empty.
-    deletions = F.when(
+    if max_dist == 2:
+        name = F.when(
+            F.length(name) > max_len,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "edit_distance_pairs(max_dist=2) is bounded at "
+                        f"max_len={max_len} chars (quadratic variant blow-up); "
+                        f"column {text_col!r} has a "
+                    ),
+                    F.length(F.col(text_col)).cast("string"),
+                    F.lit("-char value — use the n-gram/MinHash family for long text"),
+                )
+            ).cast("string"),
+        ).otherwise(name)
+    def delete_at(s, positions):
+        """s with the (ascending, 1-based) positions removed — pure
+        substring arithmetic, no regex."""
+        parts = []
+        prev = F.lit(0)
+        for p in positions:
+            parts.append(F.substring(s, (prev + 1).cast("int"), (p - prev - 1).cast("int")))
+            prev = p
+        parts.append(F.substring(s, (prev + 1).cast("int"), F.length(s).cast("int")))
+        return F.concat(*parts)
+
+    # variants: the string itself + every ≤max_dist-deletion result,
+    # hashed. Empty strings guard against sequence(1, 0), which Spark
+    # infers as DESCENDING [1, 0] rather than empty.
+    del1 = F.when(
         F.length(name) >= 1,
         F.transform(
             F.sequence(F.lit(1), F.length(name)),
-            lambda i: F.concat(
-                F.substring(name, F.lit(1), (i - 1).cast("int")),
-                F.substring(name, (i + 1).cast("int"), F.length(name).cast("int")),
-            ),
+            lambda i: delete_at(name, [i]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    variants = df.select(
-        ident.alias("_vid"),
-        *[F.col(c) for c in blocks],
-        F.explode(
-            F.array_union(F.array(name), deletions)
-        ).alias("_var"),
-    ).select("_vid", *blocks, F.xxhash64("_var").alias("_vh"))
+    all_vars = F.concat(F.array(name), del1)
+    if max_dist == 2:
+        del2 = F.when(
+            F.length(name) >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(name) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.length(name)),
+                        lambda j: delete_at(name, [i, j]),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        all_vars = F.concat(all_vars, del2)
+    variants = (
+        df.select(
+            ident.alias("_vid"),
+            *[F.col(c) for c in blocks],
+            F.explode(F.array_distinct(all_vars)).alias("_var"),
+        )
+        .select("_vid", *blocks, F.xxhash64("_var").alias("_vh"))
+        # both self-join sides consume this stream — cut the lineage so
+        # the O(L·max_dist) variant generation runs ONCE, not once per
+        # side (the same one-pass discipline as duplicated_substring_
+        # spans; at max_dist=2 generation is the dominant map cost)
+        .localCheckpoint(eager=False)
+    )
     a = variants.select(F.col("_vid").alias("id_a"), *blocks, "_vh")
     b = variants.select(F.col("_vid").alias("id_b"), *blocks, "_vh")
     candidates = (

@@ -1201,7 +1201,12 @@ def tfidf_cosine_pairs(
             "word",
             F.round(w * F.lit(float(quant))).cast("long").alias("_q"),
         )
-        .localCheckpoint(eager=False)  # feeds norms AND both join sides
+        # feeds norms AND both join sides; A/B-measured at sf0.1
+        # (r7): 1.53s with the checkpoint vs 1.64s without (warm,
+        # best-of-2) — the r6 bench regression vs r5 was cold-run
+        # ordering noise, not this materialization, and at three
+        # consumers the cut is strictly right at scale
+        .localCheckpoint(eager=False)
     )
     norms = postings.groupBy(id_col).agg(F.sum(F.col("_q") * F.col("_q")).alias("_nrm"))
     left = postings.select(F.col(id_col).alias("id_a"), "word", F.col("_q").alias("_qa"))

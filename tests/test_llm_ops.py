@@ -1944,6 +1944,45 @@ def test_edit_distance_pairs_matches_naive(spark):
     }
     assert got == want
 
+    # max_dist=2 (symmetric-delete neighborhoods): exactly the naive
+    # levenshtein<=2 pairs — including double-substitution, sub+insert,
+    # double-delete, and transposition-as-two-edits shapes
+    rows2 = rows + [
+        (9, "customer12"),    # 2 substitutions from 1
+        (10, "ustomer013"),   # delete+insert from 1
+        (11, "customer0134"), # 2 insertions into 1
+        (12, "stomer01"),     # 2 deletions from 1
+        (13, "ustomerc01"),   # jumbled: dist 2 from 1 (move 'c')
+        (14, "zzzzzzzzzz"),   # far from everything
+    ]
+    df2 = spark.createDataFrame(rows2, ["id", "name"])
+    got2 = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(df2, "name", "id", max_dist=2).collect()
+    }
+    want2 = {
+        (a_id, b_id): lev(a, b)
+        for (a_id, a), (b_id, b) in itertools.combinations(rows2, 2)
+        if lev(a, b) <= 2
+    }
+    assert got2 == want2
+
+    # guardrails: unsupported k; plan-side max_len blow-up guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_pairs(df, "name", "id", max_dist=3)
+    long_df = spark.createDataFrame([(1, "x" * 80), (2, "x" * 80)], ["id", "name"])
+    with _pytest.raises(Exception, match="max_len"):
+        dedup.edit_distance_pairs(long_df, "name", "id", max_dist=2).collect()
+    # ...and max_len is caller-tunable past the default
+    assert (
+        dedup.edit_distance_pairs(
+            long_df, "name", "id", max_dist=2, max_len=128
+        ).count()
+        == 1
+    )
+
 
 def test_mad_outliers_null_group_key_rows_kept(spark):
     from dlp_rdb_bq_import_spark.operators.profiling import mad_outliers
