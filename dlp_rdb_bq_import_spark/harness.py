@@ -1596,6 +1596,31 @@ def q_streaming_incremental_neardup(spark, sf_dir):
     )
 
 
+@query("streaming_decontam")  # stream-vs-bench-gram-index — rows-only
+def q_streaming_decontam(spark, sf_dir):
+    """W-EXT — streaming benchmark decontamination against the
+    persisted bench-gram index: the ingest batch (the %20==1 slice + a
+    planted verbatim benchmark doc) arrives as a file stream; each
+    micro-batch runs the batch incremental_contamination_pairs
+    operator unchanged via foreachBatch, probing the index built once
+    from the %20==0 benchmark slice. The decontamination twin of
+    streaming_incremental_neardup — with it, the full curation
+    pipeline's screening stages are available in BOTH ingestion modes
+    (pytest-pinned ≡ batch)."""
+    from .operators.decontam import bench_gram_index
+    from .streaming.jobs import streaming_decontam
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    new = d.where(F.col("doc_id") % 20 == 1).unionByName(
+        bench.orderBy("doc_id").limit(1).withColumn(
+            "doc_id", F.col("doc_id") + 900000
+        )
+    )
+    index = bench_gram_index(bench, "text", "doc_id", n=3)
+    return streaming_decontam(spark, new, index, n=3, min_hits=3)
+
+
 @query("dedup_partial_overlap")  # chunk-level near-dup rollup — rows-only
 def q_dedup_partial_overlap(spark, sf_dir):
     """EXT — partial-document near-dup (dedup.partial_overlap_pairs):

@@ -570,6 +570,62 @@ def streaming_incremental_neardup(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def streaming_decontam(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    bench_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Streaming benchmark decontamination against a PERSISTED
+    bench-gram index — the decontamination twin of
+    :func:`streaming_incremental_neardup`, same design: new documents
+    arrive as a file stream and each micro-batch runs the BATCH
+    operator (``decontam.incremental_contamination_pairs``) unchanged
+    via ``foreachBatch``. The benchmark corpus is grammed once at
+    freeze time into ``bench_index`` (``decontam.bench_gram_index``)
+    and checkpointed here, never re-built per micro-batch; documents
+    don't span micro-batches (file-stream batches are whole files) and
+    the per-pair overlap count is within-document, so per-batch
+    results union to the batch answer with no cross-batch state
+    (pytest-pinned ≡ the batch operator on the same data).
+
+    Returns (train_id, bench_id, overlap_ngrams) for flagged pairs
+    across all micro-batches.
+    """
+    from ..operators import decontam as decontam_ops
+
+    if "_h" not in bench_index.columns:
+        raise ValueError(
+            f"bench_index must be a bench_gram_index result; got "
+            f"{bench_index.columns}"
+        )
+    root = tempfile.mkdtemp(prefix="decontam_stream_")
+    stage = os.path.join(root, "staged")
+    out_dir = os.path.join(root, "flagged")
+    src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    src.write.parquet(stage)
+    bench_index = bench_index.localCheckpoint(eager=True)
+
+    def flag_batch(batch_df, _epoch_id):
+        decontam_ops.incremental_contamination_pairs(
+            batch_df, bench_index, text_col, id_col, n=n, min_hits=min_hits,
+        ).write.mode("append").parquet(out_dir)
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(flag_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     source_dir: str,

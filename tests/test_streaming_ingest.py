@@ -416,3 +416,36 @@ def test_streaming_incremental_neardup_equals_batch(spark, sf_dir):
     )
     assert batch == stream and batch
     assert (900, 1, 1.0) in stream
+
+
+def test_streaming_decontam_equals_batch(spark, sf_dir):
+    """The streaming decontamination path (foreachBatch over the
+    persisted bench-gram index) must emit exactly the batch
+    incremental_contamination_pairs rows; a planted verbatim benchmark
+    doc in the stream is flagged against its source."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        bench_gram_index,
+        incremental_contamination_pairs,
+    )
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_decontam
+
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    bench = d.where(F.col("doc_id") % 5 == 0)
+    new = d.where(F.col("doc_id") % 5 == 1).unionByName(
+        bench.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(900).cast("long"))
+    )
+    index = bench_gram_index(bench, "text", "doc_id", n=3)
+    kw = dict(n=3, min_hits=3)
+    batch = sorted(
+        map(
+            tuple,
+            incremental_contamination_pairs(new, index, "text", "doc_id", **kw).collect(),
+        )
+    )
+    stream = sorted(map(tuple, streaming_decontam(spark, new, index, **kw).collect()))
+    assert batch == stream and batch
+    planted_src = bench.orderBy("doc_id").first().doc_id
+    assert any(a == 900 and b == planted_src for a, b, _ in stream)
