@@ -1784,6 +1784,64 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+@query(
+    "lm_quality_scores",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS BIGINT)] AS w1, ws[CAST(i AS BIGINT)+1] AS w2
+  FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws) - 1
+),
+lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+v AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT w1 AS w FROM lm UNION ALL SELECT w2 FROM lm)
+),
+sc AS (
+  SELECT b.doc_id,
+         CAST(round(ln((CAST(COALESCE(l.c12, 0) AS DOUBLE) + 0.5) /
+              (CAST(COALESCE(c.c1, 0) AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS lp
+  FROM bg b
+  LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  LEFT JOIN ctx c ON b.w1 = c.w1
+  CROSS JOIN v
+  WHERE b.doc_id % 10 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS logprob_micro,
+       CAST(SUM(lp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+         AS avg_logprob
+FROM sc GROUP BY doc_id
+""",
+)
+def q_lm_quality_scores(spark, sf_dir):
+    """EXT — CCNet-style LM fluency filtering: a word-bigram LM with
+    add-½ smoothing is trained on the in-domain corpus (%10≠0), its
+    count table persists through the warehouse sink (the model IS one
+    (w1,w2,c) table — context totals and vocabulary derive from it at
+    scoring time), and the incoming batch (%10==0) is scored under it
+    (text.ngram_lm_scores). Per-bigram log-probs quantize to integer
+    micro-logs before the per-doc sum, so the result is aggregation-
+    order-independent and hash-matches the full SQL restatement. Low
+    avg_logprob = improbable word transitions = the mangled/boiler-
+    plate docs a quality gate drops."""
+    from .operators.text import ngram_lm_counts, ngram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    lm = scratch_roundtrip(
+        ngram_lm_counts(d.where(F.col("doc_id") % 10 != 0)), sf_dir, "bigram_lm"
+    )
+    return ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
+
+
 @query("bpe_merges")  # iterative vocab induction — rows-only by design
 def q_bpe_merges(spark, sf_dir):
     """EXT — BPE tokenizer training over the corpus (text.bpe_learn,

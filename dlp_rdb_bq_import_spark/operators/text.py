@@ -871,6 +871,121 @@ def bpe_encode(
     )
 
 
+def _word_bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """Explode per-document adjacent word pairs ``(w1, w2)`` (empty
+    tokens from repeated spaces dropped before pairing, so bigrams
+    never straddle a hole)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(pairs).alias("_bg")).select(
+        *([id_col] if id_col else []), "_bg.w1", "_bg.w2"
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a word-bigram language model over a corpus: the PERSISTABLE
+    count artifact ``(w1, w2, c)`` — one groupBy over the exploded
+    bigram stream, the whole model. Context totals ``C(w1·)`` and the
+    vocabulary size are DERIVED from this one table at scoring time,
+    so the artifact round-trips through the warehouse sink like the
+    MinHash and bench-gram indexes (train once, score every batch).
+
+    ``min_count`` prunes rare bigrams (> standard LM pruning; pruned
+    pairs fall back to the smoothed unseen path at scoring time).
+    """
+    out = (
+        _word_bigrams(df, text_col, None)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("c") >= min_count)
+    return out
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Score documents under a trained bigram LM — the CCNet-style
+    quality/fluency filter of a training-data pipeline: documents
+    whose word transitions are improbable under an in-domain LM
+    (boilerplate, lorem-ipsum, mangled extractions) score low and get
+    dropped or routed to review.
+
+    Model: add-k smoothing, ``P(w2|w1) = (C(w1,w2)+k) / (C(w1·)+k·V)``
+    with ``C(w1·)`` the first-position context total and ``V`` the
+    model vocabulary (distinct words in the count table) — unseen
+    words/transitions get the uniform floor ``k/(k·V)``, so scoring a
+    NEW batch (words never seen in training) is well-defined, the
+    incremental-ingest contract.
+
+    Bit-exactness: each bigram's log-probability is quantized to
+    integer MICRO-LOGS (``round(ln(P)·1e6)`` as int64) before the
+    per-document sum — integer addition is order-independent, so the
+    result hash-matches a SQL oracle regardless of aggregation order;
+    P itself is built from exactly-representable halves with one
+    correctly-rounded division, so both engines feed ``ln`` the same
+    double. ``avg_logprob_micro`` divides the two exact integers once.
+
+    Output: ``(id_col, n_bigrams, logprob_micro, avg_logprob)``.
+
+    Scale shape: the corpus-side stream is exploded bigrams; both
+    joins are against MODEL-sized tables (counts and the derived
+    context totals — AQE-broadcast territory after ``min_count``
+    pruning); V attaches as a broadcast 1-row scalar. One groupBy per
+    document ends the plan. The model is never re-derived per batch
+    beyond two cheap aggregates of the count table itself."""
+    if not {"w1", "w2", "c"} <= set(lm.columns):
+        raise ValueError(
+            f"lm must be an ngram_lm_counts result with (w1, w2, c); got {lm.columns}"
+        )
+    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c1"))
+    vocab = (
+        lm.select(F.explode(F.array("w1", "w2")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    bg = _word_bigrams(df, text_col, id_col)
+    p = (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(add_k)) / (
+        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+        + F.lit(add_k) * F.col("v").cast("double")
+    )
+    scored = (
+        bg.join(lm.withColumnRenamed("c", "c12"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("_lp").alias("logprob_micro"),
+        (
+            F.sum("_lp").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e6))
+        ).alias("avg_logprob"),
+    )
+
+
 def _doc_freq_cap(
     dfreq: DataFrame, n_docs: DataFrame, max_df: int | float
 ) -> tuple[DataFrame, DataFrame]:

@@ -2318,6 +2318,57 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
     assert got == _reference_bpe(words, 8)[0]
 
 
+def test_ngram_lm_scores_hand_computed(spark):
+    """Bigram LM with add-1/2 smoothing against a hand-computed model:
+    seen transitions score by (c12+k)/(c1+kV); unseen words/pairs get
+    the uniform floor; empty-ish docs produce no rows (no bigrams);
+    a malformed model table fails loudly."""
+    import math
+
+    from dlp_rdb_bq_import_spark.operators.text import (
+        ngram_lm_counts,
+        ngram_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the  cat sat")],
+        ["doc_id", "text"],
+    )
+    lm = ngram_lm_counts(train, "text")
+    counts = {(r.w1, r.w2): r.c for r in lm.collect()}
+    # double space in doc 3 must not create an empty-token bigram
+    assert counts == {("the", "cat"): 3, ("cat", "sat"): 2, ("cat", "ran"): 1}
+
+    score_df = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "dog zzz"), (12, "one")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in ngram_lm_scores(score_df, lm, "text").collect()}
+    V = 4  # the, cat, sat, ran
+    k = 0.5
+
+    def lp(c12, c1):
+        return round(math.log((c12 + k) / (c1 + k * V)) * 1e6)
+
+    # doc 10: (the,cat) c12=3 c1=3; (cat,sat) c12=2 c1=3
+    want10 = lp(3, 3) + lp(2, 3)
+    assert got[10].n_bigrams == 2 and got[10].logprob_micro == want10
+    assert got[10].avg_logprob == want10 / (2 * 1e6)
+    # doc 11: fully unseen -> uniform floor k/(kV) = 1/V
+    assert got[11].n_bigrams == 1 and got[11].logprob_micro == lp(0, 0)
+    # doc 12: one word, no bigrams, no row
+    assert 12 not in got
+
+    # min_count pruning drops the singleton pair from the artifact
+    assert ("cat", "ran") not in {
+        (r.w1, r.w2) for r in ngram_lm_counts(train, "text", min_count=2).collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ngram_lm_counts"):
+        ngram_lm_scores(score_df, train, "text")
+
+
 def _reference_bpe_encode(word, merges):
     """Independent pure-Python BPE encoder: apply each learned merge
     in rank order as a left-to-right non-overlapping pass."""

@@ -57,6 +57,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
     },
+    "lm_quality_scores": {
+        "BroadcastNestedLoopJoin": "vocabulary-size scalar attach: build "
+        "side is a broadcast single global-aggregate row (count distinct "
+        "over the model table) by construction",
+    },
     "bm25_batch_topk": {
         "BroadcastNestedLoopJoin": "same corpus (N, total_dl) scalar attach "
         "as bm25_topk_docs",
