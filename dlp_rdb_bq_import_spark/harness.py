@@ -2429,6 +2429,66 @@ def q_bm25_topk_docs(spark, sf_dir):
     )
 
 
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+WITH bm AS (
+  SELECT doc_id, rk FROM ({_BM25_SQL})
+),
+kn AS (
+  SELECT nid AS doc_id, rank AS rk FROM (
+    WITH {_EMB_EX},
+    dots AS (
+      SELECT c.vec_id AS nid, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+      FROM ex q JOIN ex c ON q.i = c.i
+      WHERE q.vec_id = 0 AND c.vec_id != 0
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT nid, ROUND(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 9) AS cosine
+      FROM dots
+      CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq
+      JOIN norms nc ON nid = nc.vec_id
+    )
+    SELECT nid,
+           CAST(row_number() OVER (ORDER BY cosine DESC, nid) AS BIGINT) AS rank
+    FROM scored
+  ) WHERE rank <= 15
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60.0 + CAST(bm.rk AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(kn.rk AS DOUBLE)), 0.0), 9)
+           AS rrf_score
+  FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id
+)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    """EXT — hybrid lexical+dense retrieval with reciprocal-rank
+    fusion (retrieval.rrf_fuse): BM25 top-15 for the query {dup,
+    merge, window} and exact-cosine top-15 neighbors of document 0's
+    embedding fuse by 1/(60+rank) — the standard score-free merge of
+    incomparable retrievers (RAG's candidate-generation step). Both
+    upstream retrievers are the already-verified operators; fusion
+    adds fixed-order float arithmetic only, so the fused scores
+    hash-match the composed SQL oracle."""
+    from .operators.retrieval import rrf_fuse
+
+    bm = text_ops.bm25_topk(
+        t(spark, sf_dir, "documents"), ["dup", "merge", "window"], k=15
+    ).select("doc_id", "rk")
+    e = t(spark, sf_dir, "embeddings")
+    kn = (
+        similarity.brute_force_topk(e.where(F.col("vec_id") == 0), e, k=15)
+        .select(F.col("nid").alias("doc_id"), F.col("rank").alias("rk"))
+    )
+    return rrf_fuse([bm, kn], top_n=10)
+
+
 _BM25_QUERY_SET = [
     (1, "dup"), (1, "merge"),
     (2, "window"), (2, "sort"), (2, "spark"),

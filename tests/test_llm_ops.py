@@ -2318,6 +2318,38 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
     assert got == _reference_bpe(words, 8)[0]
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF against hand arithmetic: overlap docs sum both reciprocal
+    ranks, single-list docs score one term, ties break by id; top_n
+    truncates after ordering; malformed/empty inputs fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rk"])
+    b = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rk"])
+    got = {
+        r.doc_id: (r.rrf_score, r.rk)
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    want = {
+        1: round(1 / 61, 9),
+        2: round(1 / 62, 9),
+        3: round(1 / 63 + 1 / 61, 9),
+        4: round(1 / 62, 9),
+    }
+    assert {d: s for d, (s, _) in got.items()} == want
+    # doc 3 (in both lists) wins; tie between 2 and 4 breaks by id
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [3, 1, 2, 4]
+    assert [r.doc_id for r in rrf_fuse([a, b], top_n=2).collect()] == [3, 1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="rankings\\[1\\]"):
+        rrf_fuse([a, b.withColumnRenamed("rk", "rank")])
+
+
 def test_ngram_lm_scores_hand_computed(spark):
     """Bigram LM with add-1/2 smoothing against a hand-computed model:
     seen transitions score by (c12+k)/(c1+kV); unseen words/pairs get

@@ -57,6 +57,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
     },
+    "hybrid_retrieval_rrf": {
+        "BroadcastNestedLoopJoin": "inherited from the composed retrievers: "
+        "bm25_topk's 1-row corpus-stats scalar attach and "
+        "brute_force_topk's fixed small broadcast query side (both "
+        "individually allowlisted); the fusion itself adds equi-joins only",
+    },
     "lm_quality_scores": {
         "BroadcastNestedLoopJoin": "vocabulary-size scalar attach: build "
         "side is a broadcast single global-aggregate row (count distinct "
