@@ -1784,6 +1784,33 @@ def q_contamination_spans(spark, sf_dir):
     )
 
 
+@query("tokenize_and_pack")  # BPE-true token budgets — rows-only by design
+def q_tokenize_and_pack(spark, sf_dir):
+    """EXT — the last mile of a training-data pipeline, end to end:
+    learn BPE merges on the bounded 1% sample, tokenize the WHOLE
+    corpus with them (text.bpe_encode, Arrow priority-loop path),
+    count each document's TRUE subword tokens, and pack documents into
+    1024-token training sequences per source stream
+    (packing.pack_sequences) — packing by the tokenizer's own counts,
+    not the synthetic n_tokens column, because budget overruns in real
+    loaders come exactly from that gap. Output: (doc_id, source,
+    n_tokens, seq_id, seq_offset) with n_tokens the BPE count."""
+    from .operators.packing import pack_sequences
+    from .operators.text import bpe_encode, bpe_learn
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_learn(d.where(F.col("doc_id") % 100 == 0), num_merges=16)
+    counts = (
+        bpe_encode(d, merges, method="pandas")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bpe"))
+    )
+    docs = d.select("doc_id", "source").join(counts, "doc_id")
+    return pack_sequences(docs, F.col("n_bpe"), 1024).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
 @query(
     "lm_quality_scores",
     oracle="""

@@ -2318,6 +2318,46 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
     assert got == _reference_bpe(words, 8)[0]
 
 
+def test_tokenize_and_pack_true_token_budgets(spark, sf_dir):
+    """The tokenize_and_pack composition packs by the tokenizer's OWN
+    counts: per-doc n_tokens equals the independent pure-Python
+    encoder's token count, offsets are cumulative in doc order per
+    stream, and every document's start offset is < 1024."""
+    from dlp_rdb_bq_import_spark.harness import queries
+
+    out = (
+        queries()["tokenize_and_pack"](spark, sf_dir)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    assert out
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    from dlp_rdb_bq_import_spark.operators.text import bpe_learn
+
+    train = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
+    merges = [tuple(r) for r in bpe_learn(train, num_merges=16).orderBy("rank").collect()]
+    # spot-check 10 docs against the reference encoder
+    for r in out[:10]:
+        want = sum(
+            len(_reference_bpe_encode(w, merges))
+            for w in docs[r.doc_id].split(" ")
+            if w
+        )
+        assert r.n_tokens == want
+    # packing invariants per stream
+    by_stream: dict = {}
+    for r in out:
+        by_stream.setdefault(r.source, []).append(r)
+    for rows in by_stream.values():
+        cum = 0
+        for r in rows:  # ordered by doc_id within source
+            assert r.seq_id == cum // 1024 and r.seq_offset == cum % 1024
+            cum += r.n_tokens
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF against hand arithmetic: overlap docs sum both reciprocal
     ranks, single-list docs score one term, ties break by id; top_n
