@@ -1811,9 +1811,9 @@ def q_tokenize_and_pack(spark, sf_dir):
     )
 
 
-@query(
-    "lm_quality_scores",
-    oracle="""
+# the one SQL statement of the bigram-LM scorer — shared by the score
+# and gate queries so the two oracles cannot silently diverge
+_LM_SCORES_SQL = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
   FROM documents
@@ -1847,8 +1847,10 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(lp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
          AS avg_logprob
 FROM sc GROUP BY doc_id
-""",
-)
+"""
+
+
+@query("lm_quality_scores", oracle=_LM_SCORES_SQL)
 def q_lm_quality_scores(spark, sf_dir):
     """EXT — CCNet-style LM fluency filtering: a word-bigram LM with
     add-½ smoothing is trained on the in-domain corpus (%10≠0), its
@@ -1867,6 +1869,44 @@ def q_lm_quality_scores(spark, sf_dir):
         ngram_lm_counts(d.where(F.col("doc_id") % 10 != 0)), sf_dir, "bigram_lm"
     )
     return ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
+
+
+@query(
+    "lm_quality_gate",
+    oracle=f"""
+WITH scored AS ({_LM_SCORES_SQL}),
+ranked AS (
+  SELECT doc_id, n_bigrams, logprob_micro, avg_logprob,
+         round(percent_rank() OVER (ORDER BY avg_logprob ASC, doc_id ASC), 9)
+           AS pct
+  FROM scored
+)
+SELECT doc_id, n_bigrams, logprob_micro, avg_logprob, pct
+FROM ranked WHERE pct >= 0.1
+""",
+)
+def q_lm_quality_gate(spark, sf_dir):
+    """EXT — the quality GATE on top of the LM scorer: score the
+    incoming batch under the persisted bigram LM, rank by fluency, and
+    drop the bottom decile (percent_rank < 0.1) — the relative-
+    threshold drop rule quality filters actually apply (an absolute
+    logprob cut would need recalibration per domain). The window runs
+    over the SCORED (doc_id, score) pairs — batch-sized, scalars only
+    — never the document text; ties break by doc_id so both engines
+    rank identically."""
+    from .operators.text import ngram_lm_counts, ngram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    lm = scratch_roundtrip(
+        ngram_lm_counts(d.where(F.col("doc_id") % 10 != 0)), sf_dir, "bigram_lm"
+    )
+    scored = ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
+    w = Window.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pct", F.round(F.percent_rank().over(w), 9))
+        .where(F.col("pct") >= 0.1)
+        .select("doc_id", "n_bigrams", "logprob_micro", "avg_logprob", "pct")
+    )
 
 
 @query("bpe_merges")  # iterative vocab induction — rows-only by design

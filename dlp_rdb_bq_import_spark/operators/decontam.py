@@ -238,6 +238,27 @@ def bench_gram_index(
     )
 
 
+def merge_gram_index(index: DataFrame, new_grams: DataFrame) -> DataFrame:
+    """Fold a new benchmark suite's grams into a persisted
+    :func:`bench_gram_index` — the index-maintenance step when the
+    frozen eval set GROWS (new benchmarks ship between ingest
+    batches); the decontamination twin of
+    ``dedup.merge_signature_index``. Union + distinct, so
+    ``merge(index(A), index(B)) ≡ bench_gram_index(A ∪ B)`` exactly
+    (pytest-pinned; the distinct collapses re-registered documents)."""
+    for side, d in (("index", index), ("new_grams", new_grams)):
+        if not {"bench_id", "_h"} <= set(d.columns):
+            raise ValueError(
+                f"{side} must be a bench_gram_index result with "
+                f"(bench_id, _h); got {d.columns}"
+            )
+    return (
+        index.select("bench_id", "_h")
+        .unionByName(new_grams.select("bench_id", "_h"))
+        .distinct()
+    )
+
+
 def incremental_contamination_pairs(
     new_batch: DataFrame,
     bench_index: DataFrame,

@@ -917,6 +917,28 @@ def ngram_lm_counts(
     return out
 
 
+def merge_lm_counts(lm: DataFrame, new_counts: DataFrame) -> DataFrame:
+    """Fold a new batch's bigram counts into a persisted LM artifact —
+    the model-maintenance step of steady-state ingest (the LM twin of
+    ``dedup.merge_signature_index``): union + one groupBy sum, so
+    ``merge(train(A), train(B)) ≡ train(A ∪ B)`` exactly
+    (pytest-pinned). Merge UNPRUNED counts and apply ``min_count``
+    only to the merged result — pruning before merging loses mass
+    that a later batch could have pushed over the threshold."""
+    for side, d in (("lm", lm), ("new_counts", new_counts)):
+        if not {"w1", "w2", "c"} <= set(d.columns):
+            raise ValueError(
+                f"{side} must be an ngram_lm_counts result with (w1, w2, c); "
+                f"got {d.columns}"
+            )
+    return (
+        lm.select("w1", "w2", "c")
+        .unionByName(new_counts.select("w1", "w2", "c"))
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def ngram_lm_scores(
     df: DataFrame,
     lm: DataFrame,

@@ -2358,6 +2358,74 @@ def test_tokenize_and_pack_true_token_budgets(spark, sf_dir):
             cum += r.n_tokens
 
 
+def test_model_index_merge_semantics(spark, sf_dir):
+    """Persisted-artifact maintenance: merging two batches' LM counts
+    equals training on the union, and merging two benchmark suites'
+    gram indexes equals indexing the union — including re-registered
+    overlap docs. Malformed inputs fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        bench_gram_index,
+        merge_gram_index,
+    )
+    from dlp_rdb_bq_import_spark.operators.text import (
+        merge_lm_counts,
+        ngram_lm_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 3 == 0)  # overlaps a on %6==0
+
+    merged = sorted(
+        map(
+            tuple,
+            merge_lm_counts(
+                ngram_lm_counts(a, "text"),
+                ngram_lm_counts(d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 != 0)), "text"),
+            ).collect(),
+        )
+    )
+    union_trained = sorted(
+        map(
+            tuple,
+            ngram_lm_counts(
+                d.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)),
+                "text",
+            ).collect(),
+        )
+    )
+    assert merged == union_trained and merged
+
+    gi = sorted(
+        map(
+            tuple,
+            merge_gram_index(
+                bench_gram_index(a, "text", "doc_id", n=3),
+                bench_gram_index(b, "text", "doc_id", n=3),  # overlap re-registered
+            ).collect(),
+        )
+    )
+    gu = sorted(
+        map(
+            tuple,
+            bench_gram_index(
+                d.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)),
+                "text",
+                "doc_id",
+                n=3,
+            ).collect(),
+        )
+    )
+    assert gi == gu and gi
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="new_counts"):
+        merge_lm_counts(ngram_lm_counts(a, "text"), a)
+    with _pytest.raises(ValueError, match="new_grams"):
+        merge_gram_index(bench_gram_index(a, "text", "doc_id"), a)
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF against hand arithmetic: overlap docs sum both reciprocal
     ranks, single-list docs score one term, ties break by id; top_n

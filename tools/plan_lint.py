@@ -68,6 +68,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "side is a broadcast single global-aggregate row (count distinct "
         "over the model table) by construction",
     },
+    "lm_quality_gate": {
+        "BroadcastNestedLoopJoin": "inherited from the composed LM scorer's "
+        "vocabulary-size 1-row scalar attach (lm_quality_scores, "
+        "individually allowlisted); the gate adds a batch-sized window only",
+    },
     "bm25_batch_topk": {
         "BroadcastNestedLoopJoin": "same corpus (N, total_dl) scalar attach "
         "as bm25_topk_docs",
