@@ -106,6 +106,15 @@ BENCH_QUERIES = [
     "order_lifecycle",
     "session_bounce_stats",
     "dedup_containment",
+    # round 7 additions: tokenizer loop, incremental decontam, LM
+    # quality filtering, hybrid retrieval, distance-2 fuzzy matching
+    "bpe_encode",
+    "tokenize_and_pack",
+    "decontam_incremental",
+    "lm_quality_scores",
+    "lm_quality_gate",
+    "hybrid_retrieval_rrf",
+    "fuzzy_name_pairs_k2",
 ]
 
 
