@@ -111,10 +111,12 @@ BENCH_QUERIES = [
     "bpe_encode",
     "tokenize_and_pack",
     "decontam_incremental",
-    "lm_quality_scores",
+    # lm_quality_gate subsumes lm_quality_scores (same train+score plus
+    # the percentile gate); the scorer alone stays registry/gate-only
     "lm_quality_gate",
     "hybrid_retrieval_rrf",
     "fuzzy_name_pairs_k2",
+    "record_linkage_scores",
 ]
 
 

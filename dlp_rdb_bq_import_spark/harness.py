@@ -18,6 +18,7 @@ Determinism rules used throughout (so value-hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -1619,6 +1620,50 @@ def q_streaming_decontam(spark, sf_dir):
     )
     index = bench_gram_index(bench, "text", "doc_id", n=3)
     return streaming_decontam(spark, new, index, n=3, min_hits=3)
+
+
+@query("streaming_curation")  # full screen, streaming form — rows-only
+def q_streaming_curation(spark, sf_dir):
+    """W-EXT — the full curation SCREEN in streaming form: each
+    micro-batch (one staged file per trigger) runs exact-fingerprint
+    dedup, near-dup vs the persisted MinHash index, and
+    decontamination vs the persisted bench-gram index — the same
+    operators incremental_curation composes in batch, via foreachBatch
+    against once-checkpointed artifacts. Admitted fingerprints
+    accumulate across micro-batches (first arrival wins), so a
+    duplicate arriving later in the stream is dropped exactly as the
+    batch path's lowest-id-wins would. Same plants as
+    incremental_curation: survivors exclude the verbatim corpus copy
+    (exact stage), the tail-edited copy (near-dup stage), and the
+    benchmark copy (decontam stage) — pinned ≡ the batch stages in
+    pytest."""
+    from .operators.decontam import bench_gram_index
+    from .operators.dedup import content_fingerprint
+    from .streaming.jobs import streaming_curation
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 5)
+    corpus = d.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    rekey = lambda df, off: df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    new = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .unionByName(rekey(corpus.where(F.col("doc_id") == 1), 100000))
+        .unionByName(
+            rekey(corpus.where(F.col("doc_id") == 2), 200000).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" appended tail marker"))
+            )
+        )
+        .unionByName(rekey(bench.where(F.col("doc_id") == 5), 300000))
+    )
+    fingerprints = content_fingerprint(corpus, ["text"]).select("fingerprint")
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    grams = bench_gram_index(bench, "text", "doc_id", n=3)
+    return streaming_curation(
+        spark, new.repartitionByRange(2, "doc_id"), fingerprints, index, grams,
+        threshold=0.35, bands=16, shingle_n=3, shingle_unit="word", min_hits=3,
+    ).select("doc_id", "source", "n_chars")
 
 
 @query("dedup_partial_overlap")  # chunk-level near-dup rollup — rows-only
@@ -3627,6 +3672,111 @@ def q_fuzzy_name_pairs_k2(spark, sf_dir):
     )
     return dedup.edit_distance_pairs(
         c, "c_name", "c_custkey", block_cols=["c_nationkey"], max_dist=2
+    )
+
+
+# Fellegi-Sunter (m, u) per field for the record-linkage query; the
+# log2 weights are computed ONCE here and embedded as identical double
+# literals in both the Spark plan and the DuckDB oracle (repr round-
+# trips the exact double)
+_FS_MU = {
+    "name": (0.90, 0.05),
+    "nation": (0.95, 0.04),
+    "segment": (0.90, 0.20),
+    "balance": (0.80, 0.10),
+}
+_FS_W = {
+    k: (math.log2(m / u), math.log2((1 - m) / (1 - u)))
+    for k, (m, u) in _FS_MU.items()
+}
+
+
+def _fs_case(flag_sql: str, key: str) -> str:
+    wa, wd = _FS_W[key]
+    return f"CASE WHEN {flag_sql} THEN {wa!r} ELSE {wd!r} END"
+
+
+@query(
+    "record_linkage_scores",
+    oracle=f"""
+WITH cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+         a.c_nationkey AS nat_a, b.c_nationkey AS nat_b,
+         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+flagged AS (
+  SELECT id_a, id_b,
+         CAST(CASE WHEN dist = 0 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
+         CAST(CASE WHEN nat_a = nat_b THEN 1 ELSE 0 END AS BIGINT) AS agree_nation,
+         CAST(CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS BIGINT) AS agree_segment,
+         CAST(CASE WHEN abs(bal_a - bal_b) <= 500.0 THEN 1 ELSE 0 END AS BIGINT)
+           AS agree_balance,
+         round({_fs_case('dist = 0', 'name')}
+             + {_fs_case('nat_a = nat_b', 'nation')}
+             + {_fs_case('seg_a = seg_b', 'segment')}
+             + {_fs_case('abs(bal_a - bal_b) <= 500.0', 'balance')}, 9) AS score
+  FROM cand
+)
+SELECT id_a, id_b, agree_name, agree_nation, agree_segment, agree_balance, score,
+       CASE WHEN score >= 2.0 THEN 'match'
+            WHEN score <= 0.0 THEN 'non_match'
+            ELSE 'possible' END AS verdict
+FROM flagged
+""",
+)
+def q_record_linkage_scores(spark, sf_dir):
+    """EXT — probabilistic record linkage (Fellegi-Sunter 1969,
+    operators/linkage.py): candidates come from the FastSS deletion-
+    neighborhood blocking (name edit distance ≤ 1, NO fixed-cardinality
+    block key — candidate count tracks true near-dup density), both
+    sides' attributes attach by id equi-joins, and each pair scores by
+    summed per-field log-odds (agreement → log2(m/u), disagreement →
+    log2((1-m)/(1-u)), identical double literals in both engines) with
+    match / possible / non_match classification. Scoring itself is a
+    pure codegen projection — zero exchanges beyond the attribute
+    attach. The oracle restates candidates as the naive all-pairs
+    levenshtein join."""
+    from .operators.linkage import FieldRule, score_candidate_pairs
+
+    c = t(spark, sf_dir, "customer")
+    cand = dedup.edit_distance_pairs(c, "c_name", "c_custkey", max_dist=1)
+    sides = {
+        "a": c.select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("c_nationkey").alias("nat_a"),
+            F.col("c_mktsegment").alias("seg_a"),
+            F.col("c_acctbal").alias("bal_a"),
+        ),
+        "b": c.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("c_nationkey").alias("nat_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+            F.col("c_acctbal").alias("bal_b"),
+        ),
+    }
+    pairs = cand.join(sides["a"], "id_a").join(sides["b"], "id_b")
+    mu = _FS_MU
+    rules = [
+        FieldRule("name", F.col("dist") == 0, *mu["name"]),
+        FieldRule("nation", F.col("nat_a") == F.col("nat_b"), *mu["nation"]),
+        FieldRule("segment", F.col("seg_a") == F.col("seg_b"), *mu["segment"]),
+        FieldRule(
+            "balance", F.abs(F.col("bal_a") - F.col("bal_b")) <= 500.0, *mu["balance"]
+        ),
+    ]
+    return score_candidate_pairs(pairs, rules, upper=2.0, lower=0.0).select(
+        "id_a",
+        "id_b",
+        "agree_name",
+        "agree_nation",
+        "agree_segment",
+        "agree_balance",
+        "score",
+        "verdict",
     )
 
 

@@ -1,0 +1,85 @@
+"""Record-linkage scoring (entity resolution).
+
+The step after candidate generation in any dedup/master-data pipeline:
+given CANDIDATE record pairs (from blocking — exact keys, FastSS
+deletion neighborhoods, LSH), score each pair by weighted field
+agreement and classify match / possible / non-match. The classic
+probabilistic-linkage formulation is Fellegi & Sunter (JASA 1969 —
+public algorithm): each field contributes a log-odds weight, agreement
+adds ``log2(m/u)``, disagreement adds ``log2((1-m)/(1-u))``, and the
+total compares against upper/lower thresholds.
+
+Spark-first shape: scoring is a pure projection over the candidate
+pair table (no shuffle of its own — the joins that attach field values
+are the only exchanges, and the attribute tables are dimension-sized
+next to a 100 TB candidate stream, broadcast/AQE territory). All
+arithmetic is fixed-order double expressions over exactly-representable
+inputs, so scores hash-match a SQL oracle.
+
+The reference's unit of work is an RDB row batch with no cross-record
+operators (common/TableToDbRowFn.java); this extends the engine the
+direction a deduplicating import pipeline needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class FieldRule:
+    """One field's linkage rule: an agreement predicate over the pair
+    row plus the Fellegi-Sunter (m, u) probabilities — m = P(agree |
+    same entity), u = P(agree | different entities). Weights are
+    precomputed driver-side as exact double literals so both engines
+    evaluate the identical constants."""
+
+    def __init__(self, name: str, agree: Column, m: float, u: float):
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {name!r} needs 0 < u < m < 1 (agreement must be "
+                f"more likely for true matches); got m={m}, u={u}"
+            )
+        self.name = name
+        self.agree = agree
+        self.agree_w = math.log2(m / u)
+        self.disagree_w = math.log2((1.0 - m) / (1.0 - u))
+
+
+def score_candidate_pairs(
+    pairs: DataFrame,
+    rules: list[FieldRule],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Score candidate pairs by summed field log-odds and classify.
+
+    ``pairs`` carries whatever columns the rules' agreement predicates
+    reference (both sides' field values, already attached by the
+    blocking stage). Adds per-field agreement flags (``agree_<name>``,
+    long 0/1), the fixed-order ``score`` (round 9), and ``verdict`` —
+    'match' (score ≥ upper), 'non_match' (score ≤ lower), else
+    'possible' (the clerical-review band).
+
+    Pure projection: one pass, no exchange, whole-stage codegen.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    if not upper > lower:
+        raise ValueError(f"need upper > lower, got upper={upper}, lower={lower}")
+    score = F.lit(0.0)
+    out = pairs
+    for r in rules:
+        flag = F.when(r.agree, F.lit(1)).otherwise(F.lit(0))
+        out = out.withColumn(f"agree_{r.name}", flag.cast("long"))
+        score = score + F.when(
+            F.col(f"agree_{r.name}") == 1, F.lit(r.agree_w)
+        ).otherwise(F.lit(r.disagree_w))
+    return out.withColumn("score", F.round(score, 9)).withColumn(
+        "verdict",
+        F.when(F.col("score") >= F.lit(upper), F.lit("match"))
+        .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

@@ -626,6 +626,122 @@ def streaming_decontam(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def streaming_curation(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    corpus_signatures: DataFrame,
+    bench_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.35,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingle_unit: str = "word",
+    min_hits: int = 3,
+) -> DataFrame:
+    """The FULL curation screen in streaming form — exact-fingerprint
+    dedup → near-dup vs the persisted MinHash index → decontamination
+    vs the persisted bench-gram index — each micro-batch running the
+    same batch operators ``incremental_curation`` composes, unchanged,
+    via ``foreachBatch``. All three standing artifacts (corpus
+    fingerprint set, signature index, bench-gram index) are
+    checkpointed ONCE up front; micro-batches pay only their own side.
+    Packing is deliberately NOT in the stream: sequence ids are a
+    corpus-level layout decision, assigned when the accumulated
+    survivors are packed in batch.
+
+    Cross-batch semantics: near-dup and decontamination screen against
+    STATIC artifacts (exactly the batch pipeline's contract — the
+    batch operator doesn't near-dup a batch against itself either),
+    but exact-fingerprint dedup ACCUMULATES: each micro-batch's
+    admitted fingerprints append to a running set the next batch
+    anti-joins, so a duplicate arriving in a later micro-batch is
+    dropped — first arrival wins, the streaming analogue of the batch
+    path's lowest-id-wins (identical when the stream delivers in id
+    order, which file-stream batches of one file trivially satisfy;
+    pytest-pinned ≡ batch on the same data, duplicate-across-batches
+    case covered by the two-batch test). Returns the surviving rows of
+    ``new_docs``.
+    """
+    from ..operators import decontam as decontam_ops
+    from ..operators import dedup as dedup_ops
+
+    for need, d, cols in (
+        ("corpus_fingerprints", corpus_fingerprints, {"fingerprint"}),
+        ("bench_index", bench_index, {"bench_id", "_h"}),
+    ):
+        if not cols <= set(d.columns):
+            raise ValueError(f"{need} must carry {sorted(cols)}; got {d.columns}")
+    root = tempfile.mkdtemp(prefix="curation_stream_")
+    stage = os.path.join(root, "staged")
+    out_dir = os.path.join(root, "survivors")
+    fp_dir = os.path.join(root, "admitted_fingerprints")
+    src = new_docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[c for c in new_docs.columns if c != id_col],
+    )
+    src.write.parquet(stage)
+    seen = corpus_fingerprints.select("fingerprint").distinct().localCheckpoint(
+        eager=True
+    )
+    corpus_signatures = corpus_signatures.localCheckpoint(eager=True)
+    bench_index = bench_index.localCheckpoint(eager=True)
+
+    def curate_batch(batch_df, _epoch_id):
+        fresh = dedup_ops.content_fingerprint(batch_df, [text_col])
+        keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        blocked = seen
+        if os.path.isdir(fp_dir):  # earlier micro-batches' admissions
+            blocked = blocked.unionByName(spark.read.parquet(fp_dir))
+        # checkpoint the exact-stage output once: it feeds the
+        # fingerprint append AND the three later consumers
+        admitted = (
+            fresh.join(keep, ["fingerprint", id_col], "left_semi")
+            .join(blocked, "fingerprint", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # record at the EXACT stage, not post-screen: a doc dropped by
+        # a later stage must still block future identical arrivals
+        # (matching the batch path, where within-batch dedup runs
+        # before any screening)
+        admitted.select("fingerprint").write.mode("append").parquet(fp_dir)
+        survivors = admitted.drop("fingerprint")
+        near = (
+            dedup_ops.incremental_minhash_pairs(
+                survivors, corpus_signatures, text_col, id_col,
+                threshold=threshold, bands=bands,
+                shingle_n=shingle_n, shingle_unit=shingle_unit,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(near, id_col, "left_anti")
+        survivors = decontam_ops.decontaminate_incremental(
+            survivors, bench_index, text_col, id_col, min_hits=min_hits
+        )
+        survivors.write.mode("append").parquet(out_dir)
+
+    try:
+        # one file per trigger: the staged parquet's partition files
+        # become real successive micro-batches, so the cross-batch
+        # fingerprint accumulation is genuinely exercised, not a
+        # single-batch degenerate case
+        raw = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(curate_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def streaming_dedup_events(
     spark: SparkSession,
     source_dir: str,

@@ -2358,6 +2358,58 @@ def test_tokenize_and_pack_true_token_budgets(spark, sf_dir):
             cum += r.n_tokens
 
 
+def test_record_linkage_scoring_hand_computed(spark):
+    """Fellegi-Sunter pair scoring against hand arithmetic: agreement
+    adds log2(m/u), disagreement adds log2((1-m)/(1-u)); thresholds
+    classify match/possible/non_match; invalid (m, u) and thresholds
+    fail loudly; the plan is a pure projection (no exchange added
+    beyond the input)."""
+    import math
+
+    from dlp_rdb_bq_import_spark.operators.linkage import (
+        FieldRule,
+        score_candidate_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0, 5, 5),   # same name, same city
+            (1, 3, 1, 5, 7),   # near name, different city
+            (2, 4, 1, 9, 9),   # near name, same city
+        ],
+        ["id_a", "id_b", "dist", "city_a", "city_b"],
+    )
+    rules = [
+        FieldRule("name", F.col("dist") == 0, 0.9, 0.1),
+        FieldRule("city", F.col("city_a") == F.col("city_b"), 0.8, 0.2),
+    ]
+    wn_a, wn_d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    wc_a, wc_d = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    got = {
+        (r.id_a, r.id_b): (r.agree_name, r.agree_city, r.score, r.verdict)
+        for r in score_candidate_pairs(pairs, rules, upper=3.0, lower=-3.0).collect()
+    }
+    assert got[(1, 2)] == (1, 1, round(wn_a + wc_a, 9), "match")
+    assert got[(1, 3)] == (0, 0, round(wn_d + wc_d, 9), "non_match")
+    assert got[(2, 4)] == (0, 1, round(wn_d + wc_a, 9), "possible")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="0 < u < m"):
+        FieldRule("bad", F.lit(True), 0.2, 0.5)
+    with _pytest.raises(ValueError, match="upper > lower"):
+        score_candidate_pairs(pairs, rules, upper=0.0, lower=0.0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        score_candidate_pairs(pairs, [], upper=1.0, lower=0.0)
+    plan = (
+        score_candidate_pairs(pairs, rules, upper=3.0, lower=-3.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # scoring is projection-only
+
+
 def test_model_index_merge_semantics(spark, sf_dir):
     """Persisted-artifact maintenance: merging two batches' LM counts
     equals training on the union, and merging two benchmark suites'

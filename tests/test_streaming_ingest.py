@@ -418,6 +418,75 @@ def test_streaming_incremental_neardup_equals_batch(spark, sf_dir):
     assert (900, 1, 1.0) in stream
 
 
+def test_streaming_curation_equals_batch_stages(spark, sf_dir):
+    """The streaming curation screen keeps exactly the docs the batch
+    stage composition keeps, modulo the documented first-arrival-wins
+    choice for a duplicate pair SPLIT ACROSS MICRO-BATCHES: exactly
+    one of the two copies survives (the cross-batch fingerprint
+    accumulation drops the other), and every other document matches
+    the batch answer exactly."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+    from dlp_rdb_bq_import_spark.operators.decontam import (
+        bench_gram_index,
+        decontaminate_incremental,
+    )
+    from dlp_rdb_bq_import_spark.operators.dedup import content_fingerprint
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_curation
+
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    bench = d.where(F.col("doc_id") % 10 == 5)
+    corpus = d.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    base_new = d.where(F.col("doc_id") % 10 == 0)
+    # plants: corpus copy (exact), bench copy (decontam), and a
+    # cross-batch duplicate pair: id 20 re-keyed to 900 — same text,
+    # later micro-batch (repartitionByRange puts 900 in the last file)
+    rekey = lambda df, off: df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    new = (
+        base_new.unionByName(rekey(corpus.where(F.col("doc_id") == 1), 100))
+        .unionByName(rekey(bench.where(F.col("doc_id") == 5), 300))
+        .unionByName(rekey(base_new.where(F.col("doc_id") == 20), 880))
+    )
+    fingerprints = content_fingerprint(corpus, ["text"]).select("fingerprint")
+    kw = dict(num_hashes=64, shingle_n=3, shingle_unit="word")
+    index = dedup.minhash_signatures(corpus, "text", "doc_id", **kw)
+    grams = bench_gram_index(bench, "text", "doc_id", n=3)
+
+    got = sorted(
+        r.doc_id
+        for r in streaming_curation(
+            spark, new.repartitionByRange(3, "doc_id"), fingerprints, index, grams,
+            threshold=0.3, bands=16, shingle_n=3, shingle_unit="word", min_hits=3,
+        ).collect()
+    )
+
+    # batch composition of the same stages
+    surv = dedup.incremental_dedup(new, corpus, ["text"], "doc_id")
+    near = (
+        dedup.incremental_minhash_pairs(
+            surv, index, "text", "doc_id", threshold=0.3, bands=16,
+            shingle_n=3, shingle_unit="word",
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = surv.join(near, "doc_id", "left_anti")
+    surv = decontaminate_incremental(surv, grams, "text", "doc_id", min_hits=3)
+    want = sorted(r.doc_id for r in surv.collect())
+
+    # first-arrival-wins: which of the duplicate pair {20, 900}
+    # survives depends on file-arrival order (same-mtime listing order
+    # is not guaranteed), so assert EXACTLY ONE survives and the rest
+    # of the answer matches the batch stages exactly
+    dup_pair = {20, 900}
+    assert len(dup_pair & set(got)) == 1  # cross-batch dedup fired
+    assert sorted(set(got) - dup_pair) == sorted(set(want) - dup_pair) and got
+    assert 101 not in got  # corpus copy dropped at the exact stage
+    assert 305 not in got  # bench copy dropped at decontamination
+
+
 def test_streaming_decontam_equals_batch(spark, sf_dir):
     """The streaming decontamination path (foreachBatch over the
     persisted bench-gram index) must emit exactly the batch
