@@ -965,7 +965,7 @@ def ngram_lm_scores(
     result hash-matches a SQL oracle regardless of aggregation order;
     P itself is built from exactly-representable halves with one
     correctly-rounded division, so both engines feed ``ln`` the same
-    double. ``avg_logprob_micro`` divides the two exact integers once.
+    double. ``avg_logprob`` divides the two exact integers once.
 
     Output: ``(id_col, n_bigrams, logprob_micro, avg_logprob)``.
 
