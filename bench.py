@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "hybrid_retrieval_rrf",
     "fuzzy_name_pairs_k2",
     "record_linkage_scores",
+    "knn_ivf_incremental",
 ]
 
 

@@ -2166,6 +2166,36 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.lsh_topk(queries_df, e, k=5, bands=16, bits_per_band=8)
 
 
+@query("knn_ivf_incremental")  # persisted-index ANN ingest — rows-only
+def q_knn_ivf_incremental(spark, sf_dir):
+    """EXT — the ANN family's steady-state ingest loop, completing the
+    persisted-artifact symmetry (MinHash index / bench-gram index / LM
+    counts / IVF index): the quantizer + vector table build ONCE on
+    the standing corpus (%10≠0), round-trip through the warehouse
+    sink, the day's new vectors (%10==0) insert with the quantizer
+    FROZEN (FAISS's add-after-train contract — assignments of old
+    vectors never move), and the probe set searches the updated index
+    without the corpus ever being re-read or re-quantized.
+    Deterministic end-to-end (hash-picked quantizer sample, seeded
+    init, stable tie-breaks); ≡-batch and insert≡rebuild pinned in
+    pytest."""
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_index_insert,
+        ivf_topk_index,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    batch = e.where(F.col("vec_id") % 10 == 0)
+    cents, vecs = build_ivf_index(corpus, n_cells=32)
+    cents = scratch_roundtrip(cents, sf_dir, "ivf_centroids")
+    vecs = scratch_roundtrip(vecs, sf_dir, "ivf_vectors")
+    vecs = ivf_index_insert(vecs, cents, batch)
+    queries_df = e.where(F.col("vec_id") < 20)
+    return ivf_topk_index(queries_df, cents, vecs, k=5, nprobe=8)
+
+
 @query("knn_pq_topk")  # approximate (quantization error) — recall in pytest
 def q_knn_pq(spark, sf_dir):
     """ANN scale path #3: product quantization — the corpus compressed

@@ -613,6 +613,141 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index — the ANN family's standing
+    artifact, completing the symmetry with the MinHash signature
+    index, the bench-gram index, and the LM count table: train the
+    quantizer once, write both tables through the warehouse sink, and
+    every later batch searches/inserts against the read-back copies
+    without touching the original corpus.
+
+    Returns ``(centroid_table, vector_table)``:
+
+    - centroid_table ``(cell int, c array<double>)`` — the frozen
+      quantizer, cells × dim (kilobytes).
+    - vector_table ``(nid long, cell int, _cvq array<long>, _cn
+      double)`` — each corpus vector in its single nearest cell with
+      its quantized form and norm precomputed, so probing never
+      re-reads or re-quantizes corpus vectors.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col, id_col)
+    spark = corpus.sparkSession
+    centroid_table = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    assigned = ivf_assign(corpus, centroids, 1, vec_col, id_col).withColumnRenamed(
+        id_col, "nid"
+    )
+    vectors = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nid"), F.col("_qv").alias("_cvq"),
+        F.col("_norm").alias("_cn"),
+    )
+    return centroid_table, assigned.join(vectors, "nid").select(
+        "nid", "cell", "_cvq", "_cn"
+    )
+
+
+def _centroids_from_table(centroid_table: DataFrame) -> np.ndarray:
+    rows = centroid_table.select("cell", "c").orderBy("cell").collect()
+    if not rows:
+        raise ValueError("centroid table is empty")
+    if [r.cell for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid table must carry cells 0..k-1 exactly once")
+    return np.array([r.c for r in rows], dtype=np.float64)
+
+
+def ivf_index_insert(
+    vector_table: DataFrame,
+    centroid_table: DataFrame,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fold a new batch of vectors into a persisted IVF index with the
+    quantizer FROZEN — standard IVF ingestion (FAISS's add-after-train
+    contract): new vectors assign to their nearest EXISTING cell and
+    append; the centroids never move, so earlier assignments stay
+    valid and ``insert(build(A), B) ≡ build(A ∪ B, centroids=frozen)``
+    exactly (pytest-pinned). Distribution drift degrades cell balance
+    over time — the standard answer is a periodic re-train + re-assign
+    (a fresh :func:`build_ivf_index`), not incremental centroid
+    updates."""
+    if not {"nid", "cell", "_cvq", "_cn"} <= set(vector_table.columns):
+        raise ValueError(
+            f"vector_table must be a build_ivf_index result; got "
+            f"{vector_table.columns}"
+        )
+    centroids = _centroids_from_table(centroid_table)
+    assigned = ivf_assign(new_vectors, centroids, 1, vec_col, id_col).withColumnRenamed(
+        id_col, "nid"
+    )
+    vectors = with_norm(new_vectors, vec_col).select(
+        F.col(id_col).alias("nid"), F.col("_qv").alias("_cvq"),
+        F.col("_norm").alias("_cn"),
+    )
+    return vector_table.select("nid", "cell", "_cvq", "_cn").unionByName(
+        assigned.join(vectors, "nid").select("nid", "cell", "_cvq", "_cn")
+    )
+
+
+def ivf_topk_index(
+    queries: DataFrame,
+    centroid_table: DataFrame,
+    vector_table: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivf_topk` against a PERSISTED index: queries assign to
+    their ``nprobe`` nearest cells of the read-back quantizer and
+    rerank exactly against the read-back vector table — identical
+    output to ``ivf_topk(queries, corpus, centroids=same)`` by
+    construction (pytest-pinned), but the corpus is never re-read,
+    re-assigned, or re-quantized: the steady-state search cost is the
+    query side plus the probed cells only."""
+    centroids = _centroids_from_table(centroid_table)
+    if not {"nid", "cell", "_cvq", "_cn"} <= set(vector_table.columns):
+        raise ValueError(
+            f"vector_table must be a build_ivf_index result; got "
+            f"{vector_table.columns}"
+        )
+    cq = ivf_assign(queries, centroids, nprobe, vec_col, id_col).withColumnRenamed(
+        id_col, "qid"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("_qv").alias("_qvq"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        cq.join(vector_table, "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _int_dot(F.col("_qvq"), F.col("_cvq")).cast("double")
+                / (F.col("_qn") * F.col("_cn")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
 def train_pq_codebooks(
     df: DataFrame,
     n_subspaces: int = 8,

@@ -2358,6 +2358,61 @@ def test_tokenize_and_pack_true_token_budgets(spark, sf_dir):
             cum += r.n_tokens
 
 
+def test_ivf_persisted_index_equivalences(spark, sf_dir, tmp_path):
+    """The persisted-IVF path returns exactly ivf_topk with the same
+    centroids (parquet round-trip included); frozen-quantizer insert
+    equals building on the union with those centroids; an inserted
+    vector is findable; malformed tables fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_insert,
+        ivf_topk,
+        ivf_topk_index,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    batch = e.where(F.col("vec_id") % 10 == 0)
+    queries = e.where(F.col("vec_id") < 15)
+
+    cents_np = train_ivf_centroids(corpus, 16)
+    cents, vecs = build_ivf_index(corpus, centroids=cents_np)
+    # round-trip both artifacts
+    cents.write.parquet(str(tmp_path / "cents"))
+    vecs.write.parquet(str(tmp_path / "vecs"))
+    cents = spark.read.parquet(str(tmp_path / "cents"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # search ≡ the non-persisted operator with the same quantizer
+    assert rows(ivf_topk_index(queries, cents, vecs, k=5, nprobe=4)) == rows(
+        ivf_topk(queries, corpus, k=5, nprobe=4, centroids=cents_np)
+    )
+
+    # frozen-quantizer insert ≡ rebuild-on-union with the same centroids
+    merged = ivf_index_insert(vecs, cents, batch)
+    _, rebuilt = build_ivf_index(
+        corpus.unionByName(batch), centroids=cents_np
+    )
+    assert rows(merged) == rows(rebuilt)
+
+    # a planted copy of an inserted vector is its own top neighbor
+    probe = batch.limit(1).withColumn("vec_id", F.lit(777000).cast("long"))
+    target = batch.limit(1).collect()[0].vec_id
+    hits = ivf_topk_index(probe, cents, merged, k=3, nprobe=4).collect()
+    assert hits and hits[0].nid == target and hits[0].cosine == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vector_table"):
+        ivf_topk_index(queries, cents, e)
+    with _pytest.raises(ValueError, match="cells 0"):
+        ivf_topk_index(queries, cents.where(F.col("cell") > 3), vecs)
+
+
 def test_record_linkage_scoring_hand_computed(spark):
     """Fellegi-Sunter pair scoring against hand arithmetic: agreement
     adds log2(m/u), disagreement adds log2((1-m)/(1-u)); thresholds
