@@ -77,9 +77,13 @@ def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFram
     per-corpus scratch root: two concurrent runs over the same sf_dir
     (soak + bench, parallel pytest workers) must not overwrite a
     shared fixed path — one run's overwrite could delete parquet files
-    out from under the other's in-flight lazy read. Versions older
-    than an hour (finished runs) are pruned so a long-lived host
-    doesn't accumulate one copy per execution."""
+    out from under the other's in-flight lazy read. Stale versions are
+    pruned so a long-lived host doesn't accumulate one copy per
+    execution, but pruning keys on RUN LIVENESS, not wall clock alone:
+    the table name embeds the writer's pid, and a version whose pid is
+    still alive is never pruned — a concurrent soak holding a lazy
+    reference past the age cutoff keeps its files. Only dead-pid (or
+    legacy unparseable) versions past the cutoff go."""
     import hashlib
     import shutil
     import tempfile
@@ -93,12 +97,29 @@ def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFram
         f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     ds_dir = os.path.join(root, "curation")
+
+    def _writer_alive(name: str) -> bool:
+        # name shape: {table_prefix}_{pid}_{uuid8}; unparseable → not alive
+        tail = name[len(table_prefix) + 1 :]
+        pid_part = tail.split("_", 1)[0]
+        if not pid_part.isdigit():
+            return False
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            return False
+        except (PermissionError, OSError):
+            return True  # exists but owned elsewhere: treat as live
+        return True
+
     if os.path.isdir(ds_dir):
         cutoff = time.time() - 3600
         for name in os.listdir(ds_dir):
             p = os.path.join(ds_dir, name)
+            if not name.startswith(table_prefix + "_"):
+                continue
             try:
-                stale = name.startswith(table_prefix) and os.path.getmtime(p) < cutoff
+                stale = os.path.getmtime(p) < cutoff and not _writer_alive(name)
             except OSError:
                 continue  # pruned by a concurrent run between listdir and stat
             if stale:

@@ -272,6 +272,7 @@ def incremental_contamination_pairs(
     num_partitions: int | None = None,
     bloom_prefilter: bool = True,
     bloom_min_items: int = 100_000,
+    index_size_hint: int | None = None,
 ) -> DataFrame:
     """:func:`contamination_pairs` against a PERSISTED
     :func:`bench_gram_index` — identical output to the full operator
@@ -279,9 +280,12 @@ def incremental_contamination_pairs(
     :func:`_overlap_counts` tail; pytest-pinned), but the steady-state
     ingest cost: the benchmark corpus is grammed ONCE at freeze time,
     and each daily batch pays only its own shingle scan plus the
-    broadcast probe. The Bloom prefilter is sized from the index's
-    exact distinct-hash count (the index is the small side — one cheap
-    eager count, no text-length estimate needed)."""
+    broadcast probe. The Bloom prefilter is sized from the index's ROW
+    count (a shuffle-free scan; an over-estimate of the distinct hash
+    count only wastes bitmap bits, per :func:`build_hash_bloom`) — or,
+    better, from a caller-supplied ``index_size_hint``, so a streaming
+    caller invoking this per micro-batch against one static index pays
+    the sizing count ONCE up front instead of once per batch."""
     if "_h" not in bench_index.columns or "bench_id" not in bench_index.columns:
         raise ValueError(
             "bench_index must be a bench_gram_index result with "
@@ -293,7 +297,7 @@ def incremental_contamination_pairs(
     ).withColumnRenamed(id_col, "train_id")
     be = bench_index.select("bench_id", "_h")
     if bloom_prefilter:
-        n_items = be.select("_h").distinct().count()
+        n_items = index_size_hint if index_size_hint is not None else be.count()
         if n_items < bloom_min_items:
             bloom_prefilter = False
     if bloom_prefilter:
@@ -319,10 +323,13 @@ def decontaminate_incremental(
     unit: str = "word",
     num_partitions: int | None = None,
     bloom_prefilter: bool = True,
+    index_size_hint: int | None = None,
 ) -> DataFrame:
     """New-batch rows with contaminated documents removed, probing a
     persisted :func:`bench_gram_index` (steady-state ingest twin of
-    :func:`decontaminate`)."""
+    :func:`decontaminate`). ``(n, unit)`` must match the index build;
+    ``index_size_hint`` forwards to the Bloom sizing so repeated calls
+    against one static index don't re-count it."""
     flagged = (
         incremental_contamination_pairs(
             new_batch,
@@ -334,6 +341,7 @@ def decontaminate_incremental(
             unit=unit,
             num_partitions=num_partitions,
             bloom_prefilter=bloom_prefilter,
+            index_size_hint=index_size_hint,
         )
         .select(F.col("train_id").alias(id_col))
         .distinct()

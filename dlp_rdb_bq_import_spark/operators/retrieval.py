@@ -31,7 +31,12 @@ def rrf_fuse(
     Each input carries ``(id_col, rank_col)`` (1-based ranks, lower =
     better — exactly the shape bm25_topk and the ANN operators emit).
     A document present in ANY list is scored (full-outer joins);
-    absence from a list contributes 0. Output:
+    absence from a list contributes 0. Each list is expected to rank a
+    document at most once (every upstream retriever emits unique ids);
+    the precondition is ENFORCED here — a duplicate id within one list
+    collapses to its best (minimum) rank before fusion, because an
+    un-collapsed duplicate would fan out through the full-outer join
+    chain and double-count its reciprocal-rank contribution. Output:
     ``(id_col, rrf_score, rk)`` ordered by score desc / id asc.
 
     Bit-exactness: the fused sum adds one correctly-rounded division
@@ -57,7 +62,11 @@ def rrf_fuse(
             )
     joined: DataFrame | None = None
     for i, r in enumerate(rankings):
-        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"_rk{i}"))
+        ri = (
+            r.select(F.col(id_col), F.col(rank_col).alias(f"_rk{i}"))
+            .groupBy(id_col)
+            .agg(F.min(f"_rk{i}").alias(f"_rk{i}"))
+        )
         joined = ri if joined is None else joined.join(ri, id_col, "full_outer")
     score = F.lit(0.0)
     for i in range(len(rankings)):

@@ -255,7 +255,23 @@ def read_log(output_dir: str) -> list[list[str]]:
     for name in os.listdir(output_dir):
         if m := _COMMIT_NAME.match(name):
             with open(os.path.join(output_dir, name)) as f:
-                producer, n = f.read().split()
+                parts = f.read().split()
+            if len(parts) == 1:
+                # pre-fence marker format: the commit file carried only
+                # the batch count, and the fence WAS the producer id
+                producer, n = m.group(1), parts[0]
+            elif len(parts) == 2:
+                producer, n = parts
+            else:
+                raise ValueError(
+                    f"unrecognized commit marker {name!r}: expected "
+                    f"'<count>' (legacy) or '<producer> <count>', got {parts!r}"
+                )
+            if not n.isdigit():
+                raise ValueError(
+                    f"unrecognized commit marker {name!r}: batch count "
+                    f"{n!r} is not an integer"
+                )
             committed[m.group(1)] = (producer, int(n))
         elif m := _LOG_NAME.match(name):
             batches.setdefault(m.group(1), {})[int(m.group(2))] = name

@@ -578,6 +578,7 @@ def streaming_decontam(
     id_col: str = "doc_id",
     n: int = 3,
     min_hits: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
     """Streaming benchmark decontamination against a PERSISTED
     bench-gram index — the decontamination twin of
@@ -608,10 +609,13 @@ def streaming_decontam(
     src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
     src.write.parquet(stage)
     bench_index = bench_index.localCheckpoint(eager=True)
+    # Bloom sizing paid ONCE for the static index, not per micro-batch
+    index_rows = bench_index.count()
 
     def flag_batch(batch_df, _epoch_id):
         decontam_ops.incremental_contamination_pairs(
             batch_df, bench_index, text_col, id_col, n=n, min_hits=min_hits,
+            unit=unit, index_size_hint=index_rows,
         ).write.mode("append").parquet(out_dir)
 
     try:
@@ -639,6 +643,8 @@ def streaming_curation(
     shingle_n: int = 3,
     shingle_unit: str = "word",
     min_hits: int = 3,
+    gram_n: int = 3,
+    gram_unit: str = "word",
 ) -> DataFrame:
     """The FULL curation screen in streaming form — exact-fingerprint
     dedup → near-dup vs the persisted MinHash index → decontamination
@@ -647,6 +653,12 @@ def streaming_curation(
     via ``foreachBatch``. All three standing artifacts (corpus
     fingerprint set, signature index, bench-gram index) are
     checkpointed ONCE up front; micro-batches pay only their own side.
+    ``(gram_n, gram_unit)`` parameterize the decontamination PROBE and
+    must match how ``bench_index`` was built (``bench_gram_index``'s
+    contract) — an index built at a different gram size would produce
+    zero hash hits and silently pass contamination; ``(shingle_n,
+    shingle_unit)`` independently parameterize the MinHash near-dup
+    probe against ``corpus_signatures``.
     Packing is deliberately NOT in the stream: sequence ids are a
     corpus-level layout decision, assigned when the accumulated
     survivors are packed in batch.
@@ -687,6 +699,8 @@ def streaming_curation(
     )
     corpus_signatures = corpus_signatures.localCheckpoint(eager=True)
     bench_index = bench_index.localCheckpoint(eager=True)
+    # Bloom sizing paid ONCE for the static index, not per micro-batch
+    index_rows = bench_index.count()
 
     def curate_batch(batch_df, _epoch_id):
         fresh = dedup_ops.content_fingerprint(batch_df, [text_col])
@@ -718,7 +732,9 @@ def streaming_curation(
         )
         survivors = survivors.join(near, id_col, "left_anti")
         survivors = decontam_ops.decontaminate_incremental(
-            survivors, bench_index, text_col, id_col, min_hits=min_hits
+            survivors, bench_index, text_col, id_col,
+            n=gram_n, unit=gram_unit, min_hits=min_hits,
+            index_size_hint=index_rows,
         )
         survivors.write.mode("append").parquet(out_dir)
 

@@ -2564,6 +2564,17 @@ def test_rrf_fuse_hand_computed(spark):
     with _pytest.raises(ValueError, match="rankings\\[1\\]"):
         rrf_fuse([a, b.withColumnRenamed("rk", "rank")])
 
+    # a duplicate id within ONE list collapses to its best rank and
+    # contributes exactly one reciprocal term — an un-collapsed
+    # duplicate would fan out through the outer joins and double-count
+    a_dup = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (1, 5)], ["doc_id", "rk"]
+    )
+    got_dup = {
+        r.doc_id: r.rrf_score for r in rrf_fuse([a_dup, b], k=60).collect()
+    }
+    assert got_dup == want
+
 
 def test_ngram_lm_scores_hand_computed(spark):
     """Bigram LM with add-1/2 smoothing against a hand-computed model:

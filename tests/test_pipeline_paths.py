@@ -653,3 +653,27 @@ def test_line_framed_transports_reject_embedded_newlines(tmp_path):
     t.send_batch(["one", "two"])
     t.close()
     assert read_log(str(tmp_path / "clean")) == [["one", "two"]]
+
+
+def test_read_log_replays_legacy_single_token_markers(tmp_path):
+    """Directories written before fence markers carried the producer id
+    are still replayable: a single-token commit marker means the fence
+    WAS the producer (the old semantics); garbage markers fail with a
+    descriptive error, not a bare unpacking ValueError."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.sinks.messages import read_log
+
+    out = tmp_path / "legacy"
+    out.mkdir()
+    (out / "log-abc123-00000000.jsonl").write_text('{"id": 1}\n{"id": 2}\n')
+    (out / "log-abc123-00000001.jsonl").write_text('{"id": 3}\n')
+    (out / "commit-abc123").write_text("2")
+    assert read_log(str(out)) == [['{"id": 1}', '{"id": 2}'], ['{"id": 3}']]
+
+    (out / "commit-bad1").write_text("a b c")
+    with _pytest.raises(ValueError, match="unrecognized commit marker"):
+        read_log(str(out))
+    (out / "commit-bad1").write_text("notanumber")
+    with _pytest.raises(ValueError, match="not an integer"):
+        read_log(str(out))

@@ -518,3 +518,47 @@ def test_streaming_decontam_equals_batch(spark, sf_dir):
     assert batch == stream and batch
     planted_src = bench.orderBy("doc_id").first().doc_id
     assert any(a == 900 and b == planted_src for a, b, _ in stream)
+
+
+def test_streaming_curation_threads_gram_size_to_decontam(spark, sf_dir):
+    """The decontamination probe's gram size is a parameter, not a
+    hardcoded 3: an index built at n=2 paired with gram_n=2 catches a
+    planted benchmark copy that the MISMATCHED default probe (gram 3
+    vs an n=2 index — zero hash overlap by construction) silently
+    passes. Pins the round-7 advisory."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+    from dlp_rdb_bq_import_spark.operators.decontam import bench_gram_index
+    from dlp_rdb_bq_import_spark.operators.dedup import content_fingerprint
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_curation
+
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    bench = d.where(F.col("doc_id") % 10 == 5)
+    corpus = d.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    new = d.where(F.col("doc_id") % 10 == 0).unionByName(
+        bench.where(F.col("doc_id") == 5).withColumn("doc_id", F.lit(905))
+    )
+    fingerprints = content_fingerprint(corpus, ["text"]).select("fingerprint")
+    index = dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=64, shingle_n=3, shingle_unit="word"
+    )
+    grams2 = bench_gram_index(bench, "text", "doc_id", n=2)
+
+    kw = dict(threshold=0.3, bands=16, shingle_n=3, shingle_unit="word", min_hits=3)
+    matched = {
+        r.doc_id
+        for r in streaming_curation(
+            spark, new, fingerprints, index, grams2, gram_n=2, **kw
+        ).collect()
+    }
+    assert 905 not in matched  # n=2 probe against the n=2 index flags it
+
+    mismatched = {
+        r.doc_id
+        for r in streaming_curation(
+            spark, new, fingerprints, index, grams2, **kw  # default gram_n=3
+        ).collect()
+    }
+    assert 905 in mismatched  # the silent-pass failure mode the param fixes
