@@ -116,7 +116,9 @@ BENCH_QUERIES = [
     "lm_quality_gate",
     "hybrid_retrieval_rrf",
     "fuzzy_name_pairs_k2",
-    "record_linkage_scores",
+    # the bounded production form; record_linkage_scores (full audit
+    # output, quadratic in name-collision density) stays registry-only
+    "record_linkage_review",
     "knn_ivf_incremental",
 ]
 

@@ -1269,7 +1269,7 @@ def cdc_chunk_duplicate_spans(
     )
 
 
-def edit_distance_pairs(
+def deletion_neighborhood_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -1277,42 +1277,17 @@ def edit_distance_pairs(
     max_dist: int = 1,
     max_len: int = 64,
 ) -> DataFrame:
-    """Edit-distance-≤``max_dist`` pairs by deletion-neighborhood
-    blocking (FastSS, Bocek et al. 2007; the symmetric-delete scheme
-    SymSpell popularized — public algorithms): each string emits
-    itself plus every variant reachable by deleting up to ``max_dist``
-    characters; two strings at Levenshtein distance ≤ k always share a
-    ≤k-deletion variant (align the edit script: a substitution deletes
-    the differing position from both sides, an insert/delete deletes
-    from the longer side only). Candidates equi-join on the hashed
-    variant, then the exact ``levenshtein`` filter verifies — a
-    SUPERSET-then-verify scheme, so results equal the naive blocked
-    self-join exactly.
-
-    Scale shape: ~(len+1) variant rows per string and one shuffle on
-    the 8-byte variant hash; bucket occupancy ≈ true near-dup group
-    sizes, NEVER the block size. Blocking a self-join on a
-    fixed-cardinality key (e.g. 25 nations) grows pairs QUADRATICALLY
-    with data — this path is what survives 100 TB. The candidate
-    stream through the variant equi-join and the dedup carries BARE
-    (id_a, id_b) pairs — 16 bytes/row, not full name strings — and
-    the names are re-attached only for the final levenshtein verify,
-    after the distinct has collapsed multi-variant duplicates (two
-    strings at distance ≤1 share several deletion variants, so the
-    pre-distinct stream is a small multiple of the true pair count;
-    shipping two full strings on every such row dominated shuffle
-    bytes at sf1).
-
-    Variant blow-up bound: a length-L string emits 1 + L variants at
-    ``max_dist=1`` and 1 + L + L·(L-1)/2 at ``max_dist=2`` — the
-    quadratic term is why symmetric-delete is a SHORT-STRING algorithm
-    (names, codes, tokens; L=64 → 2,081 variants/row). At
-    ``max_dist=2`` any row longer than ``max_len`` raises AT EXECUTION
-    TIME (a plan-side ``raise_error`` guard — no extra scan of the
-    input); for longer text use the n-gram/MinHash family instead.
-    Only ``max_dist`` ∈ {1, 2} is supported (k=3 would cube the
-    variant count).
-    """
+    """The CANDIDATE stage of FastSS/SymSpell fuzzy matching, factored
+    out as its own operator: bare ``(id_a, id_b)`` pairs whose strings
+    share a ≤``max_dist``-deletion variant — a SUPERSET of the true
+    edit-distance-≤k pairs (verify with :func:`verify_edit_distance`).
+    Factoring matters because candidate generation is the expensive
+    half (O(L·max_dist) variants per row + the variant-hash shuffle):
+    a pipeline that wants BOTH the verified fuzzy pairs and
+    record-linkage scores on top of them generates candidates ONCE and
+    fans out, instead of paying the variant stream per consumer.
+    See :func:`edit_distance_pairs` for the algorithm, bounds and
+    scale shape."""
     if max_dist not in (1, 2):
         raise ValueError(
             f"edit_distance_pairs supports max_dist in (1, 2), got {max_dist}"
@@ -1334,13 +1309,16 @@ def edit_distance_pairs(
                 )
             ).cast("string"),
         ).otherwise(name)
+
     def delete_at(s, positions):
         """s with the (ascending, 1-based) positions removed — pure
         substring arithmetic, no regex."""
         parts = []
         prev = F.lit(0)
         for p in positions:
-            parts.append(F.substring(s, (prev + 1).cast("int"), (p - prev - 1).cast("int")))
+            parts.append(
+                F.substring(s, (prev + 1).cast("int"), (p - prev - 1).cast("int"))
+            )
             prev = p
         parts.append(F.substring(s, (prev + 1).cast("int"), F.length(s).cast("int")))
         return F.concat(*parts)
@@ -1385,12 +1363,28 @@ def edit_distance_pairs(
     )
     a = variants.select(F.col("_vid").alias("id_a"), *blocks, "_vh")
     b = variants.select(F.col("_vid").alias("id_b"), *blocks, "_vh")
-    candidates = (
+    return (
         a.join(b, blocks + ["_vh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def verify_edit_distance(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """The VERIFY stage of FastSS/SymSpell fuzzy matching: re-attach
+    both strings to a bare ``(id_a, id_b)`` candidate stream and keep
+    exact ``levenshtein ≤ max_dist`` survivors, emitting
+    ``(id_a, id_b, dist)``. Runs AFTER the candidate distinct has
+    collapsed multi-variant duplicates, so the two string joins carry
+    only true-candidate rows."""
+    name, ident = F.col(text_col), F.col(id_col)
     names = df.select(ident.alias("_nid"), name.alias("_n"))
     return (
         candidates.join(
@@ -1403,3 +1397,57 @@ def edit_distance_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_dist: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """Edit-distance-≤``max_dist`` pairs by deletion-neighborhood
+    blocking (FastSS, Bocek et al. 2007; the symmetric-delete scheme
+    SymSpell popularized — public algorithms): each string emits
+    itself plus every variant reachable by deleting up to ``max_dist``
+    characters; two strings at Levenshtein distance ≤ k always share a
+    ≤k-deletion variant (align the edit script: a substitution deletes
+    the differing position from both sides, an insert/delete deletes
+    from the longer side only). Candidates equi-join on the hashed
+    variant, then the exact ``levenshtein`` filter verifies — a
+    SUPERSET-then-verify scheme, so results equal the naive blocked
+    self-join exactly. Composition of
+    :func:`deletion_neighborhood_candidates` and
+    :func:`verify_edit_distance` — consumers that fan one candidate
+    stream out to several verifiers/scorers call the stages directly.
+
+    Scale shape: ~(len+1) variant rows per string and one shuffle on
+    the 8-byte variant hash; bucket occupancy ≈ true near-dup group
+    sizes, NEVER the block size. Blocking a self-join on a
+    fixed-cardinality key (e.g. 25 nations) grows pairs QUADRATICALLY
+    with data — this path is what survives 100 TB. The candidate
+    stream through the variant equi-join and the dedup carries BARE
+    (id_a, id_b) pairs — 16 bytes/row, not full name strings — and
+    the names are re-attached only for the final levenshtein verify,
+    after the distinct has collapsed multi-variant duplicates (two
+    strings at distance ≤1 share several deletion variants, so the
+    pre-distinct stream is a small multiple of the true pair count;
+    shipping two full strings on every such row dominated shuffle
+    bytes at sf1).
+
+    Variant blow-up bound: a length-L string emits 1 + L variants at
+    ``max_dist=1`` and 1 + L + L·(L-1)/2 at ``max_dist=2`` — the
+    quadratic term is why symmetric-delete is a SHORT-STRING algorithm
+    (names, codes, tokens; L=64 → 2,081 variants/row). At
+    ``max_dist=2`` any row longer than ``max_len`` raises AT EXECUTION
+    TIME (a plan-side ``raise_error`` guard — no extra scan of the
+    input); for longer text use the n-gram/MinHash family instead.
+    Only ``max_dist`` ∈ {1, 2} is supported (k=3 would cube the
+    variant count).
+    """
+    candidates = deletion_neighborhood_candidates(
+        df, text_col, id_col, block_cols=block_cols, max_dist=max_dist,
+        max_len=max_len,
+    )
+    return verify_edit_distance(candidates, df, text_col, id_col, max_dist=max_dist)

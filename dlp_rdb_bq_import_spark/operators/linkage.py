@@ -53,6 +53,7 @@ def score_candidate_pairs(
     rules: list[FieldRule],
     upper: float,
     lower: float,
+    verdicts: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Score candidate pairs by summed field log-odds and classify.
 
@@ -63,12 +64,32 @@ def score_candidate_pairs(
     'match' (score ≥ upper), 'non_match' (score ≤ lower), else
     'possible' (the clerical-review band).
 
+    ``verdicts`` BOUNDS THE OUTPUT: when set (e.g. ``('match',
+    'possible')`` — the clerical-review feed), only pairs classified
+    into those bands are emitted. This is the steady-state shape at
+    scale: the candidate set from density-proportional blocking is
+    dominated by pairs that agree only on weak fields and classify
+    non_match — output quadratic in near-dup density if materialized
+    (26.9M rows on the 10× fixture). The verdict filter is one more
+    predicate in the SAME codegen projection (Catalyst fuses it; zero
+    extra exchanges), so the non_match bulk is discarded before
+    anything materializes and the emitted set tracks the TRUE
+    match/review density instead. The unfiltered form stays available
+    (``verdicts=None``) as the audit/oracle twin.
+
     Pure projection: one pass, no exchange, whole-stage codegen.
     """
     if not rules:
         raise ValueError("rules must be non-empty")
     if not upper > lower:
         raise ValueError(f"need upper > lower, got upper={upper}, lower={lower}")
+    allowed = ("match", "possible", "non_match")
+    if verdicts is not None:
+        bad = [v for v in verdicts if v not in allowed]
+        if bad or not verdicts:
+            raise ValueError(
+                f"verdicts must be a non-empty subset of {allowed}; got {verdicts}"
+            )
     score = F.lit(0.0)
     out = pairs
     for r in rules:
@@ -77,9 +98,12 @@ def score_candidate_pairs(
         score = score + F.when(
             F.col(f"agree_{r.name}") == 1, F.lit(r.agree_w)
         ).otherwise(F.lit(r.disagree_w))
-    return out.withColumn("score", F.round(score, 9)).withColumn(
+    out = out.withColumn("score", F.round(score, 9)).withColumn(
         "verdict",
         F.when(F.col("score") >= F.lit(upper), F.lit("match"))
         .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+    if verdicts is not None:
+        out = out.where(F.col("verdict").isin(*verdicts))
+    return out

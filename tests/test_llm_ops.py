@@ -2464,6 +2464,51 @@ def test_record_linkage_scoring_hand_computed(spark):
     )
     assert "Exchange" not in plan  # scoring is projection-only
 
+    # the verdicts bound: output = full output filtered, and the
+    # filter FUSES into the same exchange-free projection (the 100 TB
+    # path — non_match bulk never materializes)
+    bounded = score_candidate_pairs(
+        pairs, rules, upper=3.0, lower=-3.0, verdicts=("match", "possible")
+    )
+    got_b = {(r.id_a, r.id_b): r.verdict for r in bounded.collect()}
+    assert got_b == {(1, 2): "match", (2, 4): "possible"}
+    assert "Exchange" not in bounded._jdf.queryExecution().executedPlan().toString()
+    with _pytest.raises(ValueError, match="subset"):
+        score_candidate_pairs(
+            pairs, rules, upper=3.0, lower=-3.0, verdicts=("match", "maybe")
+        )
+    with _pytest.raises(ValueError, match="subset"):
+        score_candidate_pairs(pairs, rules, upper=3.0, lower=-3.0, verdicts=())
+
+
+def test_fuzzy_candidate_stages_compose(spark):
+    """deletion_neighborhood_candidates → verify_edit_distance is the
+    factored seam both the fuzzy-pair queries and record linkage
+    consume: the candidate stage is a SUPERSET of true pairs, the
+    verify stage cuts it to exactly edit_distance_pairs' answer, and
+    one candidate stream can fan out to multiple consumers."""
+    from dlp_rdb_bq_import_spark.operators.dedup import (
+        deletion_neighborhood_candidates,
+        edit_distance_pairs,
+        verify_edit_distance,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smith"), (4, "jones"), (5, "jonas")],
+        ["id", "name"],
+    )
+    cand = deletion_neighborhood_candidates(df, "name", "id", max_dist=1)
+    assert set(cand.columns) == {"id_a", "id_b"}
+    verified = sorted(
+        map(tuple, verify_edit_distance(cand, df, "name", "id", max_dist=1).collect())
+    )
+    composed = sorted(map(tuple, edit_distance_pairs(df, "name", "id").collect()))
+    assert verified == composed
+    assert (1, 3, 0) in verified and (1, 2, 1) in verified and (4, 5, 1) in verified
+    # superset-then-verify: candidates ⊇ verified pairs
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert {(a, b) for a, b, _ in verified} <= cand_set
+
 
 def test_model_index_merge_semantics(spark, sf_dir):
     """Persisted-artifact maintenance: merging two batches' LM counts

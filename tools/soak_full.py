@@ -29,6 +29,10 @@ from dlp_rdb_bq_import_spark.session import get_spark  # noqa: E402
 SKIP_QUADRATIC_TWINS = {
     "embedding_neardup": "exact all-pairs twin of embedding_neardup_lsh "
     "(1.25B candidate pairs at sf1)",
+    "record_linkage_scores": "full-audit twin of record_linkage_review: "
+    "materializes every scored candidate incl. the non_match bulk — "
+    "output quadratic in name-collision density (26.9M rows at sf1); "
+    "the bounded review form IS swept",
 }
 
 
