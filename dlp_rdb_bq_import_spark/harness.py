@@ -1890,7 +1890,8 @@ bg AS (
 ),
 lm AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-  FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+  FROM bg WHERE doc_id % 10 = 1 GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
 v AS (
@@ -1919,20 +1920,28 @@ FROM sc GROUP BY doc_id
 @query("lm_quality_scores", oracle=_LM_SCORES_SQL)
 def q_lm_quality_scores(spark, sf_dir):
     """EXT — CCNet-style LM fluency filtering: a word-bigram LM with
-    add-½ smoothing is trained on the in-domain corpus (%10≠0), its
-    count table persists through the warehouse sink (the model IS one
-    (w1,w2,c) table — context totals and vocabulary derive from it at
-    scoring time), and the incoming batch (%10==0) is scored under it
-    (text.ngram_lm_scores). Per-bigram log-probs quantize to integer
-    micro-logs before the per-doc sum, so the result is aggregation-
-    order-independent and hash-matches the full SQL restatement. Low
-    avg_logprob = improbable word transitions = the mangled/boiler-
-    plate docs a quality gate drops."""
+    add-½ smoothing is trained on a bounded in-domain REFERENCE slice
+    (%10==1 — CCNet trains its LM on a fixed reference corpus, e.g.
+    Wikipedia, never the target corpus itself, so training cost stays
+    FLAT as the target grows; same discipline as the bounded-sample
+    BPE trainer), its count table persists through the warehouse sink
+    (the model IS one (w1,w2,c) table — context totals and vocabulary
+    derive from it at scoring time), and the incoming batch (%10==0)
+    is scored under it (text.ngram_lm_scores). Per-bigram log-probs
+    quantize to integer micro-logs before the per-doc sum, so the
+    result is aggregation-order-independent and hash-matches the full
+    SQL restatement. Low avg_logprob = improbable word transitions =
+    the mangled/boilerplate docs a quality gate drops. min_count=2
+    prunes singleton bigrams (standard LM pruning; pruned pairs fall
+    back to the smoothed unseen path), keeping the model broadcast-
+    sized; the oracle prunes and slices identically."""
     from .operators.text import ngram_lm_counts, ngram_lm_scores
 
     d = t(spark, sf_dir, "documents")
     lm = scratch_roundtrip(
-        ngram_lm_counts(d.where(F.col("doc_id") % 10 != 0)), sf_dir, "bigram_lm"
+        ngram_lm_counts(d.where(F.col("doc_id") % 10 == 1), min_count=2),
+        sf_dir,
+        "bigram_lm"
     )
     return ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
 
@@ -1964,7 +1973,9 @@ def q_lm_quality_gate(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     lm = scratch_roundtrip(
-        ngram_lm_counts(d.where(F.col("doc_id") % 10 != 0)), sf_dir, "bigram_lm"
+        ngram_lm_counts(d.where(F.col("doc_id") % 10 == 1), min_count=2),
+        sf_dir,
+        "bigram_lm"
     )
     scored = ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
     w = Window.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
