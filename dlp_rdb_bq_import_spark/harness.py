@@ -1643,21 +1643,11 @@ def q_streaming_decontam(spark, sf_dir):
     return streaming_decontam(spark, new, index, n=3, min_hits=3)
 
 
-@query("streaming_curation")  # full screen, streaming form — rows-only
-def q_streaming_curation(spark, sf_dir):
-    """W-EXT — the full curation SCREEN in streaming form: each
-    micro-batch (one staged file per trigger) runs exact-fingerprint
-    dedup, near-dup vs the persisted MinHash index, and
-    decontamination vs the persisted bench-gram index — the same
-    operators incremental_curation composes in batch, via foreachBatch
-    against once-checkpointed artifacts. Admitted fingerprints
-    accumulate across micro-batches (first arrival wins), so a
-    duplicate arriving later in the stream is dropped exactly as the
-    batch path's lowest-id-wins would. Same plants as
-    incremental_curation: survivors exclude the verbatim corpus copy
-    (exact stage), the tail-edited copy (near-dup stage), and the
-    benchmark copy (decontam stage) — pinned ≡ the batch stages in
-    pytest."""
+def _streaming_curation_survivors(spark, sf_dir):
+    """Plants + artifacts + the streaming screen, shared by
+    streaming_curation (the screen itself) and
+    streaming_to_batch_packing (the batch hand-off on its
+    survivors)."""
     from .operators.decontam import bench_gram_index
     from .operators.dedup import content_fingerprint
     from .streaming.jobs import streaming_curation
@@ -1685,6 +1675,44 @@ def q_streaming_curation(spark, sf_dir):
         spark, new.repartitionByRange(2, "doc_id"), fingerprints, index, grams,
         threshold=0.35, bands=16, shingle_n=3, shingle_unit="word", min_hits=3,
     ).select("doc_id", "source", "n_chars")
+
+
+@query("streaming_curation")  # full screen, streaming form — rows-only
+def q_streaming_curation(spark, sf_dir):
+    """W-EXT — the full curation SCREEN in streaming form: each
+    micro-batch (one staged file per trigger) runs exact-fingerprint
+    dedup, near-dup vs the persisted MinHash index, and
+    decontamination vs the persisted bench-gram index — the same
+    operators incremental_curation composes in batch, via foreachBatch
+    against once-checkpointed artifacts. Admitted fingerprints
+    accumulate across micro-batches (first arrival wins), so a
+    duplicate arriving later in the stream is dropped exactly as the
+    batch path's lowest-id-wins would. Same plants as
+    incremental_curation: survivors exclude the verbatim corpus copy
+    (exact stage), the tail-edited copy (near-dup stage), and the
+    benchmark copy (decontam stage) — pinned ≡ the batch stages in
+    pytest."""
+    return _streaming_curation_survivors(spark, sf_dir)
+
+
+@query("streaming_to_batch_packing")  # stream→batch hand-off — rows-only
+def q_streaming_to_batch_packing(spark, sf_dir):
+    """W-EXT — the full streaming→batch LOOP: the streaming curation
+    screen's accumulated survivors hand off to BATCH sequence packing
+    (packing.pack_sequences, 4096-char budget per source stream).
+    Packing deliberately stays out of the stream — seq_id/seq_offset
+    are a corpus-level layout decision over the ACCUMULATED survivor
+    set (a per-micro-batch packer would renumber every time a batch
+    lands), so the steady-state pipeline is screen-in-stream, pack-in-
+    batch. Registered so the hand-off seam itself is swept: output is
+    the packed layout of exactly the streaming screen's survivors,
+    pytest-pinned ≡ packing the batch composition's survivors."""
+    from .operators.packing import pack_sequences
+
+    survivors = _streaming_curation_survivors(spark, sf_dir)
+    return pack_sequences(survivors, F.col("n_chars"), 4096).select(
+        "doc_id", "source", "n_tokens", "seq_id", "seq_offset"
+    )
 
 
 @query("dedup_partial_overlap")  # chunk-level near-dup rollup — rows-only

@@ -562,3 +562,30 @@ def test_streaming_curation_threads_gram_size_to_decontam(spark, sf_dir):
         ).collect()
     }
     assert 905 in mismatched  # the silent-pass failure mode the param fixes
+
+
+def test_streaming_to_batch_packing_is_packed_survivors(spark):
+    """The stream→batch hand-off query emits exactly the packed layout
+    of the streaming screen's survivors: same doc set, and
+    (seq_id, seq_offset) equal to pack_sequences run in batch over the
+    survivor rows."""
+    from dlp_rdb_bq_import_spark import harness
+    from dlp_rdb_bq_import_spark.operators.packing import pack_sequences
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    qs = harness.queries()
+    survivors = qs["streaming_curation"](spark, sf)
+    want = sorted(
+        map(
+            tuple,
+            pack_sequences(survivors, F.col("n_chars"), 4096)
+            .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, qs["streaming_to_batch_packing"](spark, sf).collect()))
+    assert got == want and got
+    # layout invariant: offsets stay inside the budget
+    assert all(0 <= off < 4096 for *_, off in got)
