@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     # output, quadratic in name-collision density) stays registry-only
     "record_linkage_review",
     "knn_ivf_incremental",
+    # round 8: boilerplate extraction (subsumes html_block_classify —
+    # same segmentation + features plus the reassembly groupBy)
+    "html_extract_main",
 ]
 
 

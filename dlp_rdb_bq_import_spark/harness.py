@@ -2338,6 +2338,168 @@ def q_text_analysis(spark, sf_dir):
     return text_ops.analyze_documents(t(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (operators/html_extract.py)
+# ---------------------------------------------------------------------------
+# Fixture HTML is synthesized DETERMINISTICALLY from the documents
+# table (driver-generated parquet stays the only input): each doc is
+# wrapped in a realistic page — head with title/style/script, nav and
+# share-bar link clusters, the doc text as the main <p>, a stopword-
+# free footer. Spark and the oracle build the identical string, so the
+# extraction pipeline hash-matches end to end.
+
+_HTML_STOPS = "'the','a','an','and','of','to','in','is','on','for','with'"
+_HTML_BLOCK_RE = (
+    "(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|nav|header|footer|"
+    "aside|article|section|main|body|html|blockquote|pre|form|br)[^>]*>"
+)
+_HTML_FIXTURE_SQL = """
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+    '<style>p { margin: 0; }</style>' ||
+    '<script>var tracker = "x < y";</script></head><body>' ||
+    '<nav><a href="/">home</a> <a href="/tags">tags</a> ' ||
+    '<a href="/login">login</a></nav>' ||
+    '<h1>doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+    '<p>' || text || '</p>' ||
+    '<div class="share"><a href="#">share</a> <a href="#">tweet</a> ' ||
+    '<a href="#">pin</a></div>' ||
+    '<footer>copyright 2026 example &amp; co. all rights reserved' ||
+    '</footer></body></html>' AS html
+  FROM documents
+"""
+_HTML_BLOCKS_SQL = f"""
+WITH h AS ({_HTML_FIXTURE_SQL}),
+cleaned AS (
+  SELECT doc_id,
+    regexp_replace(html,
+      '(?is)<(?:script|style|noscript|template)[^>]*>' ||
+      '.*?</(?:script|style|noscript|template)>|<!--.*?-->',
+      ' ', 'g') AS html
+  FROM h
+),
+parts AS (
+  SELECT doc_id, i AS pos,
+    string_split_regex(html, '{_HTML_BLOCK_RE}')[CAST(i AS BIGINT)] AS raw
+  FROM cleaned
+  JOIN generate_series(1, 100) g(i)
+    ON i <= len(string_split_regex(html, '{_HTML_BLOCK_RE}'))
+),
+feat0 AS (
+  SELECT doc_id, pos,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS text,
+    CAST(COALESCE(list_sum(list_transform(
+      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+      x -> length(x))), 0) AS BIGINT) AS link_chars
+  FROM parts
+),
+feat AS (
+  SELECT doc_id, pos, text, link_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains([{_HTML_STOPS}], x))) AS stop_words
+  FROM feat0 WHERE text <> ''
+),
+classified AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+      AS block_ord,
+    text, n_words, n_chars,
+    round(CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+      AS link_density,
+    round(CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
+      AS stop_density
+  FROM feat
+)
+SELECT doc_id, block_ord, text, n_words, n_chars, link_density, stop_density,
+  CASE WHEN n_words < 5 OR link_density > 0.4 OR stop_density < 0.02
+       THEN 'boilerplate' ELSE 'content' END AS verdict
+FROM classified
+"""
+
+
+def _fixture_html() -> F.Column:
+    """The Spark twin of _HTML_FIXTURE_SQL's page builder."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>doc "), did, F.lit("</title>"),
+        F.lit("<style>p { margin: 0; }</style>"),
+        F.lit('<script>var tracker = "x < y";</script></head><body>'),
+        F.lit('<nav><a href="/">home</a> <a href="/tags">tags</a> '),
+        F.lit('<a href="/login">login</a></nav>'),
+        F.lit("<h1>doc "), did, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<div class="share"><a href="#">share</a> <a href="#">tweet</a> '),
+        F.lit('<a href="#">pin</a></div>'),
+        F.lit("<footer>copyright 2026 example &amp; co. all rights reserved"),
+        F.lit("</footer></body></html>"),
+    )
+
+
+@query("html_block_classify", oracle=_HTML_BLOCKS_SQL)
+def q_html_block_classify(spark, sf_dir):
+    """EXT — jusText/Boilerpipe-family block classification
+    (operators/html_extract.py): pages segment at block-tag
+    boundaries after script/style/comment spans drop; each non-empty
+    block carries the three densitometric features (word count, link
+    density = anchor-chars/chars, stopword density) and classifies
+    content vs boilerplate (short OR link-dense OR stopword-free →
+    boilerplate). Segmentation, features and classification are pure
+    expression chains — regexp/split/explode/higher-order functions,
+    zero joins, zero UDFs — so at 100 TB the stage is a map over the
+    crawl; the only shuffle is the doc_id window numbering each
+    page's handful of blocks. The oracle restates every regex
+    (RE2-compatible subset) and the entity-decode chain."""
+    from .operators.html_extract import html_blocks
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _fixture_html().alias("html")
+    )
+    return html_blocks(
+        d, "html", "doc_id", min_words=5, max_link_density=0.4,
+        min_stop_density=0.02,
+    )
+
+
+@query(
+    "html_extract_main",
+    oracle=f"""
+WITH blocks AS ({_HTML_BLOCKS_SQL})
+SELECT doc_id,
+  string_agg(text, ' ' ORDER BY block_ord) AS main_text,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(length(string_agg(text, ' ' ORDER BY block_ord)) AS BIGINT) AS n_chars
+FROM blocks WHERE verdict = 'content'
+GROUP BY doc_id
+""",
+)
+def q_html_extract_main(spark, sf_dir):
+    """EXT — main-content extraction: the content blocks of each page
+    reassemble IN ORDER into the cleaned text that feeds dedup /
+    quality gates / decontamination; chrome (nav, share bar, footer,
+    head debris) is gone, entities are decoded, whitespace is
+    normalized. Pure-chrome pages drop out entirely. The per-document
+    reassembly is the one exchange; ordering is deterministic
+    (sorted (block_ord, text) structs, never collect_list order), so
+    the assembled STRING hash-matches the SQL string_agg ORDER BY
+    restatement."""
+    from .operators.html_extract import extract_main_content
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _fixture_html().alias("html")
+    )
+    return extract_main_content(
+        d, "html", "doc_id", min_words=5, max_link_density=0.4,
+        min_stop_density=0.02,
+    )
+
+
 @query(
     "interval_join",
     oracle="""

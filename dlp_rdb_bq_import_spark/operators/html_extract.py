@@ -1,0 +1,244 @@
+"""HTML/markup boilerplate extraction — the pre-dedup cleaning stage
+of a web-scale training-data pipeline.
+
+Raw crawled HTML is mostly chrome: navigation, share bars, footers,
+cookie banners. The public-algorithm family for separating main
+content from boilerplate is block-level shallow-text classification —
+jusText (Pomikálek, PhD thesis 2011) and Boilerpipe (Kohlschütter,
+Fankhauser & Nejdl, WSDM 2010) both segment the page into blocks at
+block-level tag boundaries and classify each block by densitometric
+features: block length, LINK DENSITY (fraction of block characters
+inside anchor tags), and STOPWORD DENSITY (fraction of words from a
+small function-word list — real prose has them, link lists and
+copyright lines don't). This module implements that family's core
+heuristics.
+
+Spark-first shape: everything is a JVM-side expression chain —
+``regexp_replace`` / ``split`` / ``posexplode`` / higher-order array
+functions — no Python UDFs anywhere, so the whole stage runs inside
+whole-stage codegen, scales as a pure map over the corpus (the only
+exchange is the per-document reassembly groupBy in
+:func:`extract_main_content`), and results hash-match an ANSI-SQL
+restatement (the correctness gate). Regexes are restricted to the
+RE2-compatible subset (no backrefs, no lookaround) so Java and
+DuckDB/RE2 agree.
+
+Simplifications vs the full jusText algorithm, documented honestly:
+no context-sensitive reclassification pass (jusText's "near-good"
+smoothing), and dropped-span matching pairs open/close tags by name
+without nesting awareness — both engines apply the identical rule, and
+the three densitometric features are the load-bearing part of the
+family.
+
+The reference has no text surface at all (its unit of work is an RDB
+row batch — common/TableToDbRowFn.java:41-108; the DLP transforms are
+delegated wholesale), so this module EXTENDS the engine the direction
+a 100 TB web-corpus curation pipeline needs, feeding the existing
+quality gates (text.quality_score, text.gopher_quality_flags) and the
+dedup/decontamination families with CLEANED text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Block-level tag boundaries (open or close): the segmentation points.
+# <title> is deliberately absent — head text then falls into the first
+# block and is dropped by the short-block rule, like jusText's header
+# handling. Non-capturing group: neither engine's split emits groups.
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|nav|header|footer|"
+    r"aside|article|section|main|body|html|blockquote|pre|form|br)[^>]*>"
+)
+# Spans whose CONTENT must go, not just the tags: scripts, styles,
+# comments. Non-greedy, dotall; pairs tags by the alternation without
+# nesting awareness (documented simplification).
+DROP_SPANS_RE = (
+    r"(?is)<(?:script|style|noscript|template)[^>]*>"
+    r".*?</(?:script|style|noscript|template)>|<!--.*?-->"
+)
+INLINE_TAG_RE = r"<[^>]*>"
+ANCHOR_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
+
+# Decode order matters: named/numeric entities first, &amp; LAST —
+# otherwise "&amp;lt;" would double-decode to "<" instead of "&lt;".
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# Function words for the stopword-density feature (jusText ships
+# per-language lists; this is the English core — callers pass their
+# own for other languages).
+DEFAULT_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with",
+)
+
+
+def decode_entities(col: Column) -> Column:
+    """The six core HTML entities as a fixed replace chain (identical
+    in any SQL engine; ``&amp;`` last — see _ENTITIES)."""
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def strip_tags(col: Column) -> Column:
+    """Flatten an HTML string to whitespace-normalized text: drop
+    script/style/comment SPANS, strip remaining tags, decode entities,
+    collapse whitespace. Pure expression — usable standalone as the
+    crude "just give me the text" path when block classification isn't
+    wanted."""
+    c = F.regexp_replace(col, DROP_SPANS_RE, " ")
+    c = F.regexp_replace(c, INLINE_TAG_RE, " ")
+    c = decode_entities(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_blocks(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    *,
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+    min_stop_density: float = 0.0,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Segment HTML into blocks and classify each content/boilerplate.
+
+    Output: ``(id_col, block_ord, text, n_words, n_chars,
+    link_density, stop_density, verdict)`` — one row per NON-EMPTY
+    block, ``block_ord`` numbering non-empty blocks 1..n in document
+    order (empty inter-tag fragments never get an ordinal, so
+    numbering is stable across engines' empty-split conventions).
+
+    Features (per jusText/Boilerpipe):
+    - ``n_words`` — whitespace token count of the stripped block text;
+    - ``link_density`` — anchor-text chars / block text chars (round
+      9); link-dense blocks are navigation;
+    - ``stop_density`` — stopword tokens / tokens (round 9); prose has
+      function words, chrome doesn't.
+
+    Verdict: 'boilerplate' when ``n_words < min_words`` OR
+    ``link_density > max_link_density`` OR ``stop_density <
+    min_stop_density`` — else 'content'. ``min_stop_density`` defaults
+    OFF (0.0) because it is language-dependent.
+
+    Scale shape: split/explode/feature/classify is a flat map over
+    documents — no joins, no UDFs; the one exchange is the
+    per-document window that numbers a page's handful of blocks
+    (payload bounded by blocks-per-page, shuffle key ``id_col``).
+    """
+    cleaned = F.regexp_replace(F.col(html_col), DROP_SPANS_RE, " ")
+    b = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("_pos", "_raw"),
+    )
+    text = F.trim(
+        F.regexp_replace(
+            decode_entities(F.regexp_replace(F.col("_raw"), INLINE_TAG_RE, " ")),
+            r"\s+",
+            " ",
+        )
+    )
+    link_chars = F.aggregate(
+        F.regexp_extract_all(F.col("_raw"), F.lit(ANCHOR_TEXT_RE), 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    b = (
+        b.withColumn("text", text)
+        .withColumn("_link_chars", link_chars)
+        .where(F.col("text") != "")
+    )
+    words = F.split(F.col("text"), " ")
+    stops = F.filter(words, lambda w: w.isin(*stopwords))
+    b = (
+        b.withColumn("n_words", F.size(words).cast("long"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn(
+            "link_density",
+            F.round(
+                F.col("_link_chars").cast("double")
+                / F.col("n_chars").cast("double"),
+                9,
+            ),
+        )
+        .withColumn(
+            "stop_density",
+            F.round(
+                F.size(stops).cast("double") / F.col("n_words").cast("double"), 9
+            ),
+        )
+    )
+    verdict = (
+        F.when(
+            (F.col("n_words") < F.lit(min_words))
+            | (F.col("link_density") > F.lit(max_link_density))
+            | (F.col("stop_density") < F.lit(min_stop_density)),
+            F.lit("boilerplate"),
+        )
+        .otherwise(F.lit("content"))
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return b.withColumn("verdict", verdict).select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("block_ord"),
+        "text",
+        "n_words",
+        "n_chars",
+        "link_density",
+        "stop_density",
+        "verdict",
+    )
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    *,
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+    min_stop_density: float = 0.0,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Reassemble each document's CONTENT blocks, in order, into the
+    cleaned main text: ``(id_col, main_text, n_blocks, n_chars)``.
+    Documents with zero content blocks (pure-chrome pages) drop out —
+    exactly the rows a curation pipeline wants gone before dedup.
+
+    The reassembly is the operator's one exchange: a per-document
+    groupBy whose payload is the kept block texts. Ordering is made
+    deterministic (hash-matchable) by sorting the collected
+    (block_ord, text) structs, never relying on collect_list order.
+    """
+    blocks = html_blocks(
+        df,
+        html_col,
+        id_col,
+        min_words=min_words,
+        max_link_density=max_link_density,
+        min_stop_density=min_stop_density,
+        stopwords=stopwords,
+    ).where(F.col("verdict") == "content")
+    assembled = blocks.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("block_ord"), F.col("text")))
+        ).alias("_blocks")
+    )
+    main = F.array_join(
+        F.transform(F.col("_blocks"), lambda s: s.getField("text")), " "
+    )
+    return assembled.select(
+        F.col(id_col),
+        main.alias("main_text"),
+        F.size("_blocks").cast("long").alias("n_blocks"),
+        F.length(main).cast("long").alias("n_chars"),
+    )

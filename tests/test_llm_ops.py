@@ -2779,3 +2779,78 @@ def test_partial_overlap_catches_shared_passage_whole_doc_misses(spark):
     assert whole == []  # doc-level Jaccard can't see the passage
     with pytest.raises(ValueError, match="chunk_words"):
         dedup.partial_overlap_pairs(df, chunk_words=10, stride_words=20)
+
+
+def test_html_boilerplate_extraction_planted(spark):
+    """Planted-page HTML extraction: chrome blocks (nav, share bar,
+    stopword-free footer) classify boilerplate and vanish from the
+    main text; real paragraphs survive IN ORDER with entities decoded
+    and script/style content (including a literal '<' inside a JS
+    string) never leaking; a pure-chrome page drops out entirely;
+    link density matches hand arithmetic."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import (
+        extract_main_content,
+        html_blocks,
+        strip_tags,
+    )
+
+    page = (
+        "<html><head><title>t</title><style>p{color:red}</style>"
+        '<script>var x = "a < b && c";</script></head><body>'
+        '<nav><a href="/">home</a> <a href="/x">archive</a></nav>'
+        "<p>the quick brown fox jumps over a lazy dog today</p>"
+        "<!-- hidden comment words -->"
+        "<p>second paragraph of the story continues with more of the tale</p>"
+        '<div class="share"><a href="#">share</a> <a href="#">tweet</a></div>'
+        "<footer>copyright 2026 example corp</footer></body></html>"
+    )
+    chrome_only = (
+        '<html><body><nav><a href="/">home</a> <a href="/y">next</a></nav>'
+        "<footer>copyright 2026</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, chrome_only)], ["doc_id", "html"]
+    )
+    kw = dict(min_words=5, max_link_density=0.4, min_stop_density=0.02)
+
+    blocks = {
+        (r.doc_id, r.block_ord): r
+        for r in html_blocks(df, "html", "doc_id", **kw).collect()
+    }
+    verdicts = {
+        k: v.verdict for k, v in blocks.items() if v.doc_id == 1
+    }
+    texts = {k: blocks[k].text for k in verdicts}
+    # nav: every char is anchor text -> link-dense boilerplate
+    nav_key = next(k for k, t in texts.items() if t == "home archive")
+    assert verdicts[nav_key] == "boilerplate"
+    # anchor chars 4 ("home") + 7 ("archive") = 11; stripped block
+    # text "home archive" = 12 chars (separator space is outside the
+    # anchors) -> 11/12, well over the 0.4 cap
+    assert blocks[nav_key].link_density == round(11 / 12, 9)
+    assert blocks[nav_key].n_chars == 12
+
+    main = {r.doc_id: r for r in extract_main_content(df, "html", "doc_id", **kw).collect()}
+    assert 2 not in main  # pure chrome page gone
+    got = main[1].main_text
+    assert got == (
+        "the quick brown fox jumps over a lazy dog today "
+        "second paragraph of the story continues with more of the tale"
+    )
+    assert main[1].n_blocks == 2
+    for leak in ("home", "share", "tweet", "copyright", "color:red",
+                 "tracker", "hidden comment"):
+        assert leak not in got
+
+    # strip_tags standalone: entities decode, &amp; last
+    flat = (
+        spark.range(1)
+        .select(
+            strip_tags(
+                F.lit("<p>a &amp;lt; b &lt; c &quot;d&quot; &#39;e&#39;</p>")
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    assert flat == "a &lt; b < c \"d\" 'e'"
