@@ -2702,6 +2702,86 @@ def q_text_normalize(spark, sf_dir):
     return d.select("doc_id", text_ops.normalize_text(F.col("text")).alias("norm"))
 
 
+# ---------------------------------------------------------------------------
+# Encoding repair (mojibake) — text.repair_mojibake
+# ---------------------------------------------------------------------------
+# Deterministic corruption fixtures, computed ONCE here by the real
+# codec round-trips and embedded as identical literals in both
+# engines: a CP1252 mojibake prefix, a double-encoded prefix, and a
+# LEGITIMATE accented/curly-quote prefix that must survive untouched.
+_MOJI_SINGLE = "café — naïve review ".encode("utf-8").decode("cp1252")
+_MOJI_DOUBLE = (
+    "déjà vu ".encode("utf-8").decode("latin-1").encode("utf-8").decode("cp1252")
+)
+_MOJI_LEGIT = "déjà vu — don’t fix "
+
+
+def _moji_sql_pass(prev: str) -> str:
+    """One repair pass as SQL over subquery ``prev`` (columns doc_id,
+    s) — the byte reconstruction goes char→codepoint→hex→unhex→UTF-8
+    decode, safe because the acceptance regex guarantees validity."""
+    from .operators.text import CP1252_AS_C1, CP1252_GLYPHS, MOJIBAKE_VALID_RE
+
+    return f"""
+SELECT doc_id, CASE
+  WHEN regexp_matches(tr, '{MOJIBAKE_VALID_RE}')
+   AND regexp_matches(tr, '[\\x80-\\xff]')
+  THEN decode(unhex(array_to_string(list_transform(
+         range(1, length(tr) + 1),
+         x -> lpad(to_hex(unicode(tr[x]))::VARCHAR, 2, '0')), '')))
+  ELSE s END AS s
+FROM (SELECT doc_id, s, translate(s, '{CP1252_GLYPHS}', '{CP1252_AS_C1}') AS tr
+      FROM ({prev}))
+"""
+
+
+@query(
+    "mojibake_repair",
+    oracle=f"""
+WITH fixed AS ({_moji_sql_pass(_moji_sql_pass(f'''
+SELECT doc_id, CASE CAST(doc_id % 4 AS BIGINT)
+  WHEN 0 THEN '{_MOJI_SINGLE}' || text
+  WHEN 2 THEN '{_MOJI_DOUBLE}' || text
+  WHEN 3 THEN '{_MOJI_LEGIT}' || text
+  ELSE text END AS s
+FROM documents'''))})
+SELECT doc_id, s AS repaired,
+  trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ' ', 'g'),
+                      ' +', ' ', 'g')) AS norm
+FROM fixed
+""",
+)
+def q_mojibake_repair(spark, sf_dir):
+    """EXT — ftfy-style encoding repair (text.repair_mojibake)
+    composed into the dedup-key normalizer: documents get a
+    deterministic corruption prefix by doc_id class — CP1252 mojibake
+    ('cafÃ© â€” naÃ¯ve'), DOUBLE-encoded mojibake ('ÃƒÂ©...', needs
+    both passes), legitimate accents + curly quotes (must pass
+    through untouched), or clean ASCII — and the two-pass repair
+    (translate → whole-string RFC 3629 validity gate → Latin-1/UTF-8
+    re-decode, all codegen expressions) restores the original text
+    before normalize_text builds the fingerprint key. The oracle
+    restates both passes byte-for-byte (char→hex→unhex→decode for the
+    re-decode step); hash-matching the repaired STRINGS pins every
+    branch including the do-not-touch ones."""
+    from .operators.text import normalize_text, repair_mojibake
+
+    d = t(spark, sf_dir, "documents")
+    cls = (F.col("doc_id") % 4).cast("long")
+    corrupted = (
+        F.when(cls == 0, F.concat(F.lit(_MOJI_SINGLE), F.col("text")))
+        .when(cls == 2, F.concat(F.lit(_MOJI_DOUBLE), F.col("text")))
+        .when(cls == 3, F.concat(F.lit(_MOJI_LEGIT), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    repaired = repair_mojibake(corrupted, passes=2)
+    return d.select(
+        "doc_id",
+        repaired.alias("repaired"),
+        normalize_text(repaired).alias("norm"),
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle="""

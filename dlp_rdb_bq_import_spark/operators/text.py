@@ -1107,6 +1107,78 @@ def tfidf_top_terms(
     )
 
 
+# --- encoding repair (mojibake) --------------------------------------------
+# The CP1252-specific glyphs (what bytes 0x80-0x9F display as when
+# mis-decoded through Windows-1252) and their byte-value codepoints —
+# ftfy's "sloppy windows-1252" table (public knowledge; the undefined
+# bytes 81 8D 8F 90 9D have no glyph and are omitted).
+CP1252_GLYPHS = "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+CP1252_AS_C1 = "".join(
+    chr(b)
+    for b in (
+        0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+        0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+        0x9A, 0x9B, 0x9C, 0x9E, 0x9F,
+    )
+)
+# Valid UTF-8, stated over CHARS-AS-BYTES (every char ≤ U+00FF stands
+# for the byte equal to its codepoint): the RFC 3629 byte-pattern as a
+# regex — RE2-compatible (no lookaround/backrefs), so Java and DuckDB
+# agree. A string containing any char > U+00FF matches no alternative
+# and therefore never repairs.
+MOJIBAKE_VALID_RE = (
+    "^(?:[\\x00-\\x7f]"
+    "|[\\xc2-\\xdf][\\x80-\\xbf]"
+    "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+    "|[\\xe1-\\xec][\\x80-\\xbf]{2}"
+    "|\\xed[\\x80-\\x9f][\\x80-\\xbf]"
+    "|[\\xee-\\xef][\\x80-\\xbf]{2}"
+    "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+    "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+    "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{3})*$"
+)
+_NONASCII_RE = "[\\x80-\\xff]"
+
+
+def repair_mojibake(text: Column, passes: int = 2) -> Column:
+    """Fix UTF-8-mis-decoded-as-CP1252/Latin-1 text (mojibake) — the
+    ftfy-style repair (ftfy is R. Speer's public library; the
+    algorithm is public knowledge): 'cafÃ©' → 'café', 'â€”' → '—',
+    and with the default two passes the double-encoded 'ÃƒÂ©' → 'é'.
+    The standard pre-dedup normalization stage — unrepaired mojibake
+    splits identical documents into distinct fingerprints and poisons
+    n-gram statistics.
+
+    Per pass, all JVM-side codegen:
+    1. ``translate`` CP1252-specific glyphs to their byte-value C1
+       codepoints (sloppy-windows-1252), so every char of a mojibake
+       string equals its original byte;
+    2. ACCEPT only if the chars-as-bytes string matches the full
+       RFC 3629 valid-UTF-8 pattern AND has ≥1 non-ASCII char —
+       legitimate accented text ('déjà vu'), curly quotes, CJK, and
+       plain ASCII all fail this test and pass through untouched;
+    3. re-decode: ``encode(·, 'ISO-8859-1')`` (lossless here — every
+       char ≤ U+00FF by step 2) then ``decode(·, 'UTF-8')`` (valid by
+       step 2, so no replacement chars can appear).
+
+    Whole-string acceptance is the documented simplification vs ftfy's
+    segment-level badness scoring: a string mixing mojibake with
+    legitimate >U+00FF chars is left alone rather than half-fixed —
+    the conservative choice for a dedup-key normalizer, where a missed
+    repair merely keeps today's fingerprint while a wrong "repair"
+    corrupts clean text.
+    """
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    for _ in range(passes):
+        tr = F.translate(text, CP1252_GLYPHS, CP1252_AS_C1)
+        fixable = tr.rlike(MOJIBAKE_VALID_RE) & tr.rlike(_NONASCII_RE)
+        text = F.when(fixable, F.decode(F.encode(tr, "ISO-8859-1"), "UTF-8")).otherwise(
+            text
+        )
+    return text
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text form for dedup keys and fuzzy matching: lowercase,
     strip everything but word characters and spaces, collapse whitespace

@@ -2854,3 +2854,51 @@ def test_html_boilerplate_extraction_planted(spark):
         .s
     )
     assert flat == "a &lt; b < c \"d\" 'e'"
+
+
+def test_repair_mojibake_planted(spark):
+    """ftfy-style repair against planted corruptions: single CP1252
+    and Latin-1 mojibake repair in one pass, double-encoded text needs
+    two; legitimate accents, curly quotes, CJK, plain ASCII, and a
+    MIXED string (mojibake next to a >U+00FF char) all pass through
+    untouched — the conservative whole-string acceptance contract."""
+    from dlp_rdb_bq_import_spark.operators.text import repair_mojibake
+
+    import pytest as _pytest
+
+    single = "café — naïve".encode("utf-8").decode("cp1252")
+    single_l1 = "café".encode("utf-8").decode("latin-1")
+    double = (
+        "déjà vu".encode("utf-8").decode("latin-1").encode("utf-8").decode("cp1252")
+    )
+    mixed = single + " 日本語"  # legit CJK blocks the whole-string gate
+    rows = [
+        (0, single, "café — naïve"),
+        (1, single_l1, "café"),
+        (2, double, "déjà vu"),
+        (3, "plain ascii", "plain ascii"),
+        (4, "déjà vu legit", "déjà vu legit"),
+        (5, "don’t touch", "don’t touch"),
+        (6, "日本語 text", "日本語 text"),
+        (7, "", ""),
+        (8, mixed, mixed),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows], ["i", "s"])
+    got = {
+        r.i: r.r
+        for r in df.select("i", repair_mojibake(F.col("s")).alias("r")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+    # one pass fixes single but NOT double corruption
+    got1 = {
+        r.i: r.r
+        for r in df.select(
+            "i", repair_mojibake(F.col("s"), passes=1).alias("r")
+        ).collect()
+    }
+    assert got1[0] == "café — naïve"
+    assert got1[2] == "déjà vu".encode("utf-8").decode("latin-1")
+    with _pytest.raises(ValueError, match="passes"):
+        repair_mojibake(F.col("s"), passes=0)
