@@ -2703,6 +2703,87 @@ def q_text_normalize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Free-text PII scrubbing — privacy.scrub_pii
+# ---------------------------------------------------------------------------
+_PII_FIXTURE_SQL = """
+SELECT doc_id, CASE CAST(doc_id % 5 AS BIGINT)
+  WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-867-5309'
+  WHEN 1 THEN text || ' origin 192.168.1.77 port 8080'
+  WHEN 2 THEN text || ' card 4111-1111-1111-1111 exp 11/26'
+  WHEN 3 THEN text || ' ssn 078-05-1120 desk 416.555.0199'
+  ELSE text END AS s
+FROM documents
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """The oracle twin of privacy.scrub_pii: one nested stage per info
+    type, counting then replacing in the SAME fixed order so the
+    cascade semantics (no double-count inside earlier replacements)
+    are restated exactly."""
+    from .operators.privacy import PII_PATTERNS
+
+    prev = _PII_FIXTURE_SQL
+    carry: list[str] = []
+    for t, pat in PII_PATTERNS.items():
+        cname = f"n_{t.lower()}"
+        keep = (", " + ", ".join(carry)) if carry else ""
+        prev = f"""
+SELECT doc_id{keep},
+  CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT) AS {cname},
+  regexp_replace(s, '{pat}', '[{t}]', 'g') AS s
+FROM ({prev})"""
+        carry.append(cname)
+    return (
+        f"SELECT doc_id, s AS text, {', '.join(carry)}, "
+        f"{' + '.join(carry)} AS n_pii FROM ({prev})"
+    )
+
+
+@query("pii_scrub", oracle=_pii_scrub_sql())
+def q_pii_scrub(spark, sf_dir):
+    """EXT — corpus-scale PII redaction (privacy.scrub_pii): the
+    free-text counterpart of the reference's structured-field DLP
+    transforms (DLPTokenizationDoFn.java:66-159 deidentifies RDB
+    column values through templates; a training corpus needs
+    irreversible IN-TEXT redaction before release). Deterministic PII
+    tails (email+phone / IP / card / SSN+dotted-phone / clean) attach
+    by doc_id class identically in both engines; each info type counts
+    then replaces in fixed cascade order (card before phone so the
+    3-3-4 pattern can't fire inside a 16-digit card; placeholders are
+    digit-free so later types never match inside them). Pure
+    regexp expression chain — no shuffle, no UDF; at 100 TB this
+    fuses into the scan."""
+    from .operators.privacy import scrub_pii
+
+    d = t(spark, sf_dir, "documents")
+    cls = (F.col("doc_id") % 5).cast("long")
+    s = (
+        F.when(
+            cls == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309"),
+            ),
+        )
+        .when(cls == 1, F.concat(F.col("text"), F.lit(" origin 192.168.1.77 port 8080")))
+        .when(
+            cls == 2,
+            F.concat(F.col("text"), F.lit(" card 4111-1111-1111-1111 exp 11/26")),
+        )
+        .when(
+            cls == 3,
+            F.concat(F.col("text"), F.lit(" ssn 078-05-1120 desk 416.555.0199")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return scrub_pii(d.select("doc_id", s.alias("text")), "text")
+
+
+# ---------------------------------------------------------------------------
 # Encoding repair (mojibake) — text.repair_mojibake
 # ---------------------------------------------------------------------------
 # Deterministic corruption fixtures, computed ONCE here by the real

@@ -83,3 +83,74 @@ def l_diversity_report(
         "distinct_sensitive",
         (F.col("distinct_sensitive") >= l).cast("long").alias("diverse"),
     )
+
+
+# --- free-text PII scrubbing (training-corpus redaction) -------------------
+# The free-text counterpart of the reference's structured-field DLP
+# transforms (DLPTokenizationDoFn.java:66-159 deidentifies RDB column
+# VALUES through templates; a web-scale TRAINING corpus instead needs
+# irreversible in-text redaction — the scrub pass public corpora apply
+# before release). Patterns are the RE2-compatible subset (no
+# lookaround — word boundaries instead), so the identical regex runs
+# in Spark (Java) and any RE2 engine, and the whole scrub is a chain
+# of JVM-side regexp_replace/regexp_extract_all calls: zero UDFs, a
+# pure map over the corpus.
+#
+# ORDER MATTERS and is part of the contract: each type counts and
+# replaces on the PREVIOUS type's output, so an email's digits are
+# never also counted as a phone, and a 16-digit card is consumed
+# before the 3-3-4 phone pattern could match inside it. Placeholders
+# contain no digits, so later patterns never match inside them.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL_ADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4_ADDRESS": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "CREDIT_CARD": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "SSN_US": r"\b\d{3}-\d{2}-\d{4}\b",
+    "PHONE_NUMBER": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    info_types: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Redact PII from a free-text column: each configured info type
+    is counted then replaced with its typed placeholder
+    (``[EMAIL_ADDRESS]`` …), in the fixed documented order. Adds
+    ``n_<type>`` (long) per type, ``n_pii`` (total), and replaces
+    ``text_col`` with the scrubbed text. Irreversible by design — the
+    training-data path wants the PII GONE, not format-preserved (the
+    reversible path is functions/tokenize.py's FPE pipeline).
+
+    Scale shape: a pure per-row expression chain (regexp count +
+    replace per type) — no shuffle, no UDF, whole-stage codegen; at
+    100 TB this fuses into whatever scan feeds it.
+    """
+    types = tuple(info_types) if info_types is not None else tuple(PII_PATTERNS)
+    bad = [t for t in types if t not in PII_PATTERNS]
+    if bad or not types:
+        raise ValueError(
+            f"info_types must be a non-empty subset of "
+            f"{tuple(PII_PATTERNS)}; got {types}"
+        )
+    # preserve the canonical order regardless of caller order — the
+    # count/replace cascade is only well-defined in one order
+    types = tuple(t for t in PII_PATTERNS if t in types)
+    cur = F.col(text_col)
+    counts = []
+    out_cols = [c for c in df.columns if c != text_col]
+    for t in types:
+        pat = PII_PATTERNS[t]
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        counts.append((f"n_{t.lower()}", n))
+        cur = F.regexp_replace(cur, pat, f"[{t}]")
+    total = counts[0][1]
+    for _, n in counts[1:]:
+        total = total + n
+    return df.select(
+        *out_cols,
+        cur.alias(text_col),
+        *[n.alias(name) for name, n in counts],
+        total.alias("n_pii"),
+    )

@@ -2902,3 +2902,52 @@ def test_repair_mojibake_planted(spark):
     assert got1[2] == "déjà vu".encode("utf-8").decode("latin-1")
     with _pytest.raises(ValueError, match="passes"):
         repair_mojibake(F.col("s"), passes=0)
+
+
+def test_scrub_pii_planted(spark):
+    """PII redaction against planted text: every type replaced by its
+    typed placeholder with exact counts; cascade order prevents
+    double-counting (an email's digits are not a phone, a 16-digit
+    card is consumed before the 3-3-4 phone pattern could fire inside
+    it); clean text untouched with zero counts; a type subset scrubs
+    only those types; bad type names fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.privacy import scrub_pii
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "write to a.b+c@ex-mail.co.uk and b@x.io today"),
+        (2, "phone 555-867-5309 or 416.555.0199 or 555 123 4567"),
+        (3, "card 4111-1111-1111-1111 and ip 10.0.255.1"),
+        (4, "ssn 078-05-1120 inside text"),
+        (5, "totally clean text with numbers 12345 and 3.14"),
+        (6, "mixed: u@v.com 1.2.3.4 4111 1111 1111 1111 078-05-1120 555-123-4567"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+
+    assert got[1].text == "write to [EMAIL_ADDRESS] and [EMAIL_ADDRESS] today"
+    assert (got[1].n_email_address, got[1].n_pii) == (2, 2)
+    assert got[2].text == "phone [PHONE_NUMBER] or [PHONE_NUMBER] or [PHONE_NUMBER]"
+    assert got[2].n_phone_number == 3
+    assert got[3].text == "card [CREDIT_CARD] and ip [IPV4_ADDRESS]"
+    assert (got[3].n_credit_card, got[3].n_ipv4_address, got[3].n_phone_number) == (
+        1, 1, 0,
+    )
+    assert got[4].text == "ssn [SSN_US] inside text"
+    assert got[5].text == rows[4][1] and got[5].n_pii == 0
+    assert got[6].text == (
+        "mixed: [EMAIL_ADDRESS] [IPV4_ADDRESS] [CREDIT_CARD] [SSN_US] "
+        "[PHONE_NUMBER]"
+    )
+    assert got[6].n_pii == 5
+
+    only_email = {
+        r.doc_id: r for r in scrub_pii(df, "text", ("EMAIL_ADDRESS",)).collect()
+    }
+    assert "555-867-5309" in only_email[2].text
+    assert only_email[1].text == got[1].text
+    with _pytest.raises(ValueError, match="subset"):
+        scrub_pii(df, "text", ("EMAIL_ADDRESS", "PASSPORT"))
+    with _pytest.raises(ValueError, match="subset"):
+        scrub_pii(df, "text", ())
