@@ -2703,6 +2703,118 @@ def q_text_normalize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization — operators/urls.py
+# ---------------------------------------------------------------------------
+# Fixture URLs synthesized deterministically from orders: mixed-case
+# scheme/host, default :443 port, www., a 500-way item space (so
+# distinct fetches collide on the canonical form), and three variant
+# tails — trailing-slash + tracking params, unsorted params + fragment,
+# bare slash.
+_URL_FIXTURE_SQL = """
+SELECT o_orderkey AS id,
+  'HTTPS://WWW.Shop' || CAST(o_custkey % 20 AS VARCHAR) ||
+  '.Example.COM:443/catalog/item/' || CAST(o_orderkey % 500 AS VARCHAR) ||
+  CASE CAST(o_orderkey % 3 AS BIGINT)
+    WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+    WHEN 1 THEN '?a=1&utm_campaign=x&b=2#top'
+    ELSE '/' END AS url
+FROM orders
+"""
+_URL_CANON_SQL = """
+WITH u AS ({fixture}),
+parsed AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS authority,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path0,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+),
+norm AS (
+  SELECT id, url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+           WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+           ELSE authority END, '^www\\.', '') AS host,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    list_sort(list_filter(string_split(q, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(utm_[a-z0-9]+|ref|fbclid|gclid|msclkid)='))) AS params
+  FROM parsed
+)
+SELECT id, url,
+  scheme || '://' || host || path ||
+    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+         ELSE '' END AS canon,
+  host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT)
+    AS path_depth
+FROM norm
+""".format(fixture=_URL_FIXTURE_SQL)
+
+
+def _fixture_urls(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(
+            F.lit("HTTPS://WWW.Shop"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".Example.COM:443/catalog/item/"),
+            (F.col("o_orderkey") % 500).cast("string"),
+            F.when((F.col("o_orderkey") % 3) == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+            .when((F.col("o_orderkey") % 3) == 1, F.lit("?a=1&utm_campaign=x&b=2#top"))
+            .otherwise(F.lit("/")),
+        ).alias("url"),
+    )
+
+
+@query("url_canonicalize", oracle=_URL_CANON_SQL)
+def q_url_canonicalize(spark, sf_dir):
+    """EXT — RFC 3986-style URL canonicalization (operators/urls.py):
+    scheme/host lowercase, default-port and www. strip, trailing-slash
+    collapse, fragment drop, tracking-parameter strip, parameter sort
+    — the first dedup key of a web crawl, computed BEFORE any page
+    body is read. Component parsing is anchored RE2-subset
+    regexp_extract (Spark's parse_url is deliberately avoided: Java-
+    only, no oracle twin); the whole chain is codegen expressions,
+    zero shuffle."""
+    from .operators.urls import canonicalize_url
+
+    u = _fixture_urls(spark, sf_dir)
+    c = canonicalize_url(F.col("url"))
+    return u.select(
+        "id", "url", c["canon"].alias("canon"), c["host"].alias("host"),
+        c["domain"].alias("domain"), c["path_depth"].alias("path_depth"),
+    )
+
+
+@query(
+    "url_dedup",
+    oracle=f"""
+WITH c AS ({_URL_CANON_SQL})
+SELECT canon, CAST(count(*) AS BIGINT) AS n_dupes,
+       CAST(min(id) AS BIGINT) AS first_id
+FROM c GROUP BY canon
+""",
+)
+def q_url_dedup(spark, sf_dir):
+    """EXT — URL-level dedup (urls.dedup_by_canonical_url): one row
+    per canonical URL with fetch count and the representative (lowest)
+    id — the same groupBy shape as exact-content dedup but running on
+    16-byte-ish canonical strings before any fetch body exists. On the
+    fixture, cosmetic variants (tracking params vs sorted params vs
+    bare path, 500-way item space) collapse ~15k fetches into their
+    true page set."""
+    from .operators.urls import dedup_by_canonical_url
+
+    return dedup_by_canonical_url(_fixture_urls(spark, sf_dir), "url", "id")
+
+
+# ---------------------------------------------------------------------------
 # Free-text PII scrubbing — privacy.scrub_pii
 # ---------------------------------------------------------------------------
 _PII_FIXTURE_SQL = """

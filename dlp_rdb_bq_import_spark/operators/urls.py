@@ -1,0 +1,117 @@
+"""URL canonicalization and URL-level dedup.
+
+A web-corpus pipeline's FIRST dedup key is the URL: crawls re-fetch
+the same page under cosmetically different URLs (scheme/host case,
+default ports, ``www.``, trailing slashes, tracking parameters,
+fragments), and canonicalizing before the content stages cuts the
+corpus before any text is even read. The normalization steps are the
+standard public ones (RFC 3986 §6 syntax-based normalization plus the
+universal tracking-parameter strip).
+
+Spark-first shape: parsing and every normalization step are JVM-side
+expression chains — ``regexp_extract`` component parsing (the
+RE2-compatible subset, so any SQL engine restates it), higher-order
+array functions for the parameter filter/sort — zero UDFs; the only
+shuffle anywhere in the family is the groupBy of
+:func:`dedup_by_canonical_url`, keyed on the canonical string. Spark's
+built-in ``parse_url`` is deliberately NOT used: it is Java-only
+(no oracle twin) and its component semantics differ subtly from the
+regex chain a cross-engine pipeline can pin.
+
+The reference has no URL surface (its sources are RDB tables —
+common/ServerUtil.java); this extends the engine toward the web-crawl
+ingestion a 100 TB training corpus starts from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+QUERY_RE = "\\?([^#]*)"
+# the universal tracking params every pipeline strips (utm_* plus the
+# common click ids); anchored at the key so 'ref=' matches but
+# 'prefix=' doesn't
+TRACKING_PARAM_RE = "^(utm_[a-z0-9]+|ref|fbclid|gclid|msclkid)="
+REGISTERED_DOMAIN_RE = "([^.]+\\.[^.]+)$"
+
+
+def url_components(url: Column) -> dict[str, Column]:
+    """Parse scheme / host / path / query via anchored component
+    regexes (missing components yield '' — both Java and RE2 agree).
+    Exposed for feature queries; :func:`canonicalize_url` composes
+    them."""
+    return {
+        "scheme": F.lower(F.regexp_extract(url, SCHEME_RE, 1)),
+        "authority": F.lower(F.regexp_extract(url, AUTHORITY_RE, 1)),
+        "path": F.regexp_extract(url, PATH_RE, 1),
+        "query": F.regexp_extract(url, QUERY_RE, 1),
+    }
+
+
+def canonicalize_url(url: Column) -> dict[str, Column]:
+    """RFC 3986-style syntax normalization: lowercase scheme+host,
+    strip the scheme-default port (:80 http / :443 https), strip
+    leading ``www.``, collapse trailing slashes to none ('' path →
+    '/'), drop the fragment, drop tracking parameters, SORT the
+    surviving query parameters (byte order — ASCII keys, identical in
+    any engine). Returns columns: ``canon``, ``host``, ``domain``
+    (registered domain = last two labels), ``path_depth``.
+
+    Semantics note, documented honestly: parameter ORDER is treated as
+    insignificant (sorting is what makes ?a=1&b=2 and ?b=2&a=1 the
+    same page — true for the overwhelming crawl majority, wrong for
+    the rare order-sensitive endpoint) and percent-encoding is NOT
+    re-normalized (%2F vs / ambiguity needs a decoder with
+    reserved-set awareness; a mechanical decode would MERGE distinct
+    URLs, the unsafe direction for a dedup key).
+    """
+    c = url_components(url)
+    host = c["authority"]
+    host = (
+        F.when(c["scheme"] == "https", F.regexp_replace(host, ":443$", ""))
+        .when(c["scheme"] == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, "^www\\.", "")
+    path = F.regexp_replace(c["path"], "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(c["query"], "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return {
+        "canon": F.concat(c["scheme"], F.lit("://"), host, path, qs),
+        "host": host,
+        "domain": F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1),
+        "path_depth": F.size(
+            F.filter(F.split(path, "/"), lambda x: x != "")
+        ).cast("long"),
+    }
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """URL-level dedup groups: one row per canonical URL with
+    ``n_dupes`` (fetch count) and ``first_id`` (lowest id — the
+    representative fetch a pipeline keeps). One groupBy on the
+    canonical string — the scale shape is exactly exact-content dedup,
+    but running BEFORE any page body is read."""
+    canon = canonicalize_url(F.col(url_col))["canon"]
+    return (
+        df.select(F.col(id_col), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min(id_col).alias("first_id"),
+        )
+    )

@@ -2951,3 +2951,52 @@ def test_scrub_pii_planted(spark):
         scrub_pii(df, "text", ("EMAIL_ADDRESS", "PASSPORT"))
     with _pytest.raises(ValueError, match="subset"):
         scrub_pii(df, "text", ())
+
+
+def test_url_canonicalize_hand_cases(spark):
+    """URL canonicalization against hand-derived forms: case folding,
+    default-port strip (http:80 / https:443 only — a real :8080
+    survives), leading-www strip only, trailing-slash collapse with
+    '' -> '/', fragment drop, tracking-param strip with param sort,
+    registered-domain extraction, path depth; dedup groups cosmetic
+    variants under one canonical form."""
+    from dlp_rdb_bq_import_spark.operators.urls import (
+        canonicalize_url,
+        dedup_by_canonical_url,
+    )
+
+    cases = [
+        (1, "HTTP://WWW.Example.COM:80/"),
+        (2, "http://example.com"),
+        (3, "https://Sub.Example.com:443/a/b//"),
+        (4, "https://example.com:8443/a"),
+        (5, "https://example.com/p?utm_source=x&ref=abc&fbclid=1"),
+        (6, "https://example.com/p?b=2&a=1&utm_medium=m#frag"),
+        (7, "https://example.com/p?a=1&b=2"),
+        (8, "https://wwwx.example.com/q"),
+    ]
+    df = spark.createDataFrame(cases, ["id", "url"])
+    c = canonicalize_url(F.col("url"))
+    got = {
+        r.id: (r.canon, r.host, r.domain, r.path_depth)
+        for r in df.select(
+            "id", c["canon"].alias("canon"), c["host"].alias("host"),
+            c["domain"].alias("domain"), c["path_depth"].alias("path_depth"),
+        ).collect()
+    }
+    assert got[1] == ("http://example.com/", "example.com", "example.com", 0)
+    assert got[2] == ("http://example.com/", "example.com", "example.com", 0)
+    assert got[3] == ("https://sub.example.com/a/b", "sub.example.com", "example.com", 2)
+    assert got[4][0] == "https://example.com:8443/a"  # non-default port kept
+    assert got[5][0] == "https://example.com/p"       # all params were tracking
+    assert got[6][0] == "https://example.com/p?a=1&b=2"  # sorted, frag gone
+    assert got[7][0] == "https://example.com/p?a=1&b=2"
+    assert got[8][1] == "wwwx.example.com"  # only a leading 'www.' strips
+
+    groups = {
+        r.canon: (r.n_dupes, r.first_id)
+        for r in dedup_by_canonical_url(df, "url", "id").collect()
+    }
+    assert groups["http://example.com/"] == (2, 1)
+    assert groups["https://example.com/p?a=1&b=2"] == (2, 6)
+    assert groups["https://example.com/p"] == (1, 5)
