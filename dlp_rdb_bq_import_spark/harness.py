@@ -2353,7 +2353,7 @@ _HTML_BLOCK_RE = (
     "(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|nav|header|footer|"
     "aside|article|section|main|body|html|blockquote|pre|form|br)[^>]*>"
 )
-_HTML_FIXTURE_SQL = """
+_HTML_FIXTURE_SQL_TMPL = """
   SELECT doc_id,
     '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
     '<style>p { margin: 0; }</style>' ||
@@ -2366,10 +2366,17 @@ _HTML_FIXTURE_SQL = """
     '<a href="#">pin</a></div>' ||
     '<footer>copyright 2026 example &amp; co. all rights reserved' ||
     '</footer></body></html>' AS html
-  FROM documents
+  FROM (__DOCS__)
 """
-_HTML_BLOCKS_SQL = f"""
-WITH h AS ({_HTML_FIXTURE_SQL}),
+_HTML_FIXTURE_SQL = _HTML_FIXTURE_SQL_TMPL.replace(
+    "__DOCS__", "SELECT doc_id, text FROM documents"
+)
+def _html_blocks_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """The block-classification SQL over any (doc_id, text) source —
+    shared by the two html queries and the web_curation composition."""
+    fixture = _HTML_FIXTURE_SQL_TMPL.replace("__DOCS__", docs_sql)
+    return f"""
+WITH h AS ({fixture}),
 cleaned AS (
   SELECT doc_id,
     regexp_replace(html,
@@ -2422,6 +2429,9 @@ SELECT doc_id, block_ord, text, n_words, n_chars, link_density, stop_density,
        THEN 'boilerplate' ELSE 'content' END AS verdict
 FROM classified
 """
+
+
+_HTML_BLOCKS_SQL = _html_blocks_sql()
 
 
 def _fixture_html() -> F.Column:
@@ -2909,6 +2919,29 @@ _MOJI_DOUBLE = (
 _MOJI_LEGIT = "déjà vu — don’t fix "
 
 
+def _moji_corrupt_sql(src: str = "SELECT doc_id, text FROM documents") -> str:
+    """The deterministic corruption CASE over any (doc_id, text)
+    source — shared by mojibake_repair and the web_curation
+    composition."""
+    return f"""SELECT doc_id, CASE CAST(doc_id % 4 AS BIGINT)
+  WHEN 0 THEN '{_MOJI_SINGLE}' || text
+  WHEN 2 THEN '{_MOJI_DOUBLE}' || text
+  WHEN 3 THEN '{_MOJI_LEGIT}' || text
+  ELSE text END AS s
+FROM ({src})"""
+
+
+def _moji_corrupt_col() -> F.Column:
+    """Spark twin of _moji_corrupt_sql's CASE."""
+    cls = (F.col("doc_id") % 4).cast("long")
+    return (
+        F.when(cls == 0, F.concat(F.lit(_MOJI_SINGLE), F.col("text")))
+        .when(cls == 2, F.concat(F.lit(_MOJI_DOUBLE), F.col("text")))
+        .when(cls == 3, F.concat(F.lit(_MOJI_LEGIT), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+
+
 def _moji_sql_pass(prev: str) -> str:
     """One repair pass as SQL over subquery ``prev`` (columns doc_id,
     s) — the byte reconstruction goes char→codepoint→hex→unhex→UTF-8
@@ -2931,13 +2964,7 @@ FROM (SELECT doc_id, s, translate(s, '{CP1252_GLYPHS}', '{CP1252_AS_C1}') AS tr
 @query(
     "mojibake_repair",
     oracle=f"""
-WITH fixed AS ({_moji_sql_pass(_moji_sql_pass(f'''
-SELECT doc_id, CASE CAST(doc_id % 4 AS BIGINT)
-  WHEN 0 THEN '{_MOJI_SINGLE}' || text
-  WHEN 2 THEN '{_MOJI_DOUBLE}' || text
-  WHEN 3 THEN '{_MOJI_LEGIT}' || text
-  ELSE text END AS s
-FROM documents'''))})
+WITH fixed AS ({_moji_sql_pass(_moji_sql_pass(_moji_corrupt_sql()))})
 SELECT doc_id, s AS repaired,
   trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ' ', 'g'),
                       ' +', ' ', 'g')) AS norm
@@ -2960,19 +2987,92 @@ def q_mojibake_repair(spark, sf_dir):
     from .operators.text import normalize_text, repair_mojibake
 
     d = t(spark, sf_dir, "documents")
-    cls = (F.col("doc_id") % 4).cast("long")
-    corrupted = (
-        F.when(cls == 0, F.concat(F.lit(_MOJI_SINGLE), F.col("text")))
-        .when(cls == 2, F.concat(F.lit(_MOJI_DOUBLE), F.col("text")))
-        .when(cls == 3, F.concat(F.lit(_MOJI_LEGIT), F.col("text")))
-        .otherwise(F.col("text"))
-    )
-    repaired = repair_mojibake(corrupted, passes=2)
+    repaired = repair_mojibake(_moji_corrupt_col(), passes=2)
     return d.select(
         "doc_id",
         repaired.alias("repaired"),
         normalize_text(repaired).alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web curation composition: HTML → mojibake → quality → dedup
+# ---------------------------------------------------------------------------
+_WEB_SRC_SQL = """SELECT doc_id, text FROM documents
+UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id = 1"""
+
+
+def _web_curation_sql() -> str:
+    corrupt = _moji_corrupt_sql(_WEB_SRC_SQL)
+    blocks = _html_blocks_sql(f"SELECT doc_id, s AS text FROM ({corrupt})")
+    fixed = _moji_sql_pass(_moji_sql_pass("SELECT doc_id, s FROM main"))
+    return f"""
+WITH main AS (
+  SELECT doc_id, string_agg(text, ' ' ORDER BY block_ord) AS s
+  FROM ({blocks}) WHERE verdict = 'content' GROUP BY doc_id
+),
+fixed AS ({fixed}),
+scored AS (
+  SELECT doc_id, s AS text FROM fixed
+),
+kept AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality, md5(text) AS fingerprint
+  FROM scored
+)
+SELECT k.doc_id, k.quality, k.fingerprint
+FROM (SELECT * FROM kept WHERE quality >= 0.55) k
+JOIN (SELECT fingerprint, min(doc_id) AS doc_id
+      FROM kept WHERE quality >= 0.55 GROUP BY fingerprint) r
+  ON k.fingerprint = r.fingerprint AND k.doc_id = r.doc_id
+"""
+
+
+@query("web_curation_pipeline", oracle=_web_curation_sql())
+def q_web_curation_pipeline(spark, sf_dir):
+    """EXT — the WEB ingestion path end to end, every stage an
+    operator this engine ships: crawl pages (fixture HTML around
+    mojibake-corrupted text, built identically in both engines, plus a
+    re-keyed duplicate plant at doc_id 100001) → jusText-family main-
+    content extraction (chrome dropped, pure-chrome pages gone) →
+    two-pass ftfy-style encoding repair → quality gate (composite
+    length/stopword/punctuation score ≥ 0.55 — drops ~30% of this
+    fixture) → exact-fingerprint dedup (md5 of the cleaned text,
+    lowest doc_id kept, so the plant loses to its original). Per-stage
+    semantics are each pinned by their own hash-matched query; this
+    composition pins that the stages COMPOSE — the whole path is
+    expression chains + two bounded groupBys (block reassembly,
+    fingerprint), the 100 TB shape of a crawl-to-corpus pipeline."""
+    from .operators.html_extract import extract_main_content
+    from .operators.text import quality_score, repair_mojibake
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.unionByName(
+        d.where(F.col("doc_id") == 1).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    corrupted = src.select("doc_id", _moji_corrupt_col().alias("text"))
+    pages = corrupted.select("doc_id", _fixture_html().alias("html"))
+    main = extract_main_content(
+        pages, "html", "doc_id", min_words=5, max_link_density=0.4,
+        min_stop_density=0.02,
+    )
+    fixed = main.select(
+        "doc_id", repair_mojibake(F.col("main_text"), passes=2).alias("text")
+    )
+    kept = (
+        fixed.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            F.md5("text").alias("fingerprint"),
+        )
+        .where(F.col("quality") >= 0.55)
+    )
+    rep = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(rep, ["fingerprint", "doc_id"], "left_semi").select(
+        "doc_id", "quality", "fingerprint"
+    )
+
 
 
 @query(

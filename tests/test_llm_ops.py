@@ -3000,3 +3000,22 @@ def test_url_canonicalize_hand_cases(spark):
     assert groups["http://example.com/"] == (2, 1)
     assert groups["https://example.com/p?a=1&b=2"] == (2, 6)
     assert groups["https://example.com/p"] == (1, 5)
+
+
+def test_web_curation_pipeline_stages(spark):
+    """The composed web path drops each planted row at exactly its
+    stage: the duplicate plant (doc 100001, same text as doc 1) is
+    removed by the fingerprint stage with the ORIGINAL kept; survivors
+    carry quality >= the gate; every surviving fingerprint is
+    unique."""
+    from dlp_rdb_bq_import_spark import harness
+
+    rows = harness.queries()["web_curation_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ids = {r.doc_id for r in rows}
+    assert 1 in ids and 100001 not in ids  # plant lost to its original
+    assert all(r.quality >= 0.55 for r in rows)
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))
+    assert rows  # the pipeline keeps a real survivor set
