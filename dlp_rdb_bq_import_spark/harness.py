@@ -2219,6 +2219,59 @@ def q_knn(spark, sf_dir):
     return similarity.brute_force_topk(queries_df, e, k=5)
 
 
+@query(
+    "embedding_outliers",
+    oracle="""
+WITH exl AS (
+  SELECT vec_id, label,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000, 0) AS BIGINT)
+           AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, CAST(SUM(x) AS BIGINT) AS s FROM exl GROUP BY 1, 2
+),
+cn AS (
+  SELECT label, SUM(CAST(s AS HUGEINT) * s) AS ns FROM cent GROUP BY 1
+),
+dots AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(e.x AS HUGEINT) * c.s) AS dot,
+         SUM(CAST(e.x AS HUGEINT) * e.x) AS nv
+  FROM exl e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.label,
+         ROUND(CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(d.nv AS DOUBLE)) * sqrt(CAST(cn.ns AS DOUBLE))), 9)
+           AS centroid_cosine
+  FROM dots d JOIN cn ON d.label = cn.label
+)
+SELECT vec_id, label, centroid_cosine,
+       CAST(row_number() OVER (
+         PARTITION BY label ORDER BY centroid_cosine ASC, vec_id ASC
+       ) AS BIGINT) AS rk
+FROM scored QUALIFY rk <= 20
+""",
+)
+def q_embedding_outliers(spark, sf_dir):
+    """EXT — embedding-space outlier screening
+    (similarity.embedding_group_outliers): each vector's cosine to its
+    label-group centroid, bottom-20 per group — the distance-to-
+    centroid quality filter (mislabeled/off-distribution items sit far
+    from their cluster center; complement of SemDeDup's too-close
+    screen). Centroids ride as UN-DIVIDED integer sum vectors (cosine
+    is 1/n-scale-invariant), so every aggregation is an exact
+    integer/decimal sum and the single final double expression
+    hash-matches; the oracle uses HUGEINT where Spark uses
+    decimal(38,0) — both exact, both rounding to the same double."""
+    from .operators.similarity import embedding_group_outliers
+
+    return embedding_group_outliers(t(spark, sf_dir, "embeddings"), k=20)
+
+
 @query("knn_lsh_topk")  # approximate — recall tested vs brute force in pytest
 def q_knn_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -2824,6 +2877,43 @@ def q_url_dedup(spark, sf_dir):
     return dedup_by_canonical_url(_fixture_urls(spark, sf_dir), "url", "id")
 
 
+@query(
+    "url_frontier",
+    oracle=f"""
+WITH c AS ({_URL_CANON_SQL}),
+seen AS (SELECT DISTINCT canon FROM c WHERE id % 4 = 0),
+cand AS (
+  SELECT canon, host, CAST(min(id) AS BIGINT) AS id
+  FROM c GROUP BY canon, host
+),
+fresh AS (
+  SELECT cand.canon, cand.host, cand.id
+  FROM cand LEFT JOIN seen ON cand.canon = seen.canon
+  WHERE seen.canon IS NULL
+)
+SELECT id, canon, host,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY id ASC) AS BIGINT) AS rk
+FROM fresh QUALIFY rk <= 3
+""",
+)
+def q_url_frontier(spark, sf_dir):
+    """EXT — the crawl-frontier step (urls.frontier_next_batch): the
+    next fetch batch from discovered candidates — canonical forms
+    anti-joined against the PERSISTED seen set (the URL twin of the
+    incremental-dedup family; here 'seen' is the %4==0 slice's
+    canonical set), duplicate discoveries collapsed to their lowest
+    id, and a 3-per-host politeness cap applied as a per-host window
+    over scalar rows. Everything shuffles on the keys crawl state is
+    naturally partitioned by (canon, host)."""
+    from .operators.urls import dedup_by_canonical_url, frontier_next_batch
+
+    u = _fixture_urls(spark, sf_dir)
+    seen = dedup_by_canonical_url(
+        u.where(F.col("id") % 4 == 0), "url", "id"
+    ).select("canon")
+    return frontier_next_batch(u, seen, "url", "id", per_host_cap=3)
+
+
 # ---------------------------------------------------------------------------
 # Free-text PII scrubbing — privacy.scrub_pii
 # ---------------------------------------------------------------------------
@@ -2879,6 +2969,12 @@ def q_pii_scrub(spark, sf_dir):
     fuses into the scan."""
     from .operators.privacy import scrub_pii
 
+    return scrub_pii(_pii_fixture_df(spark, sf_dir), "text")
+
+
+def _pii_fixture_df(spark, sf_dir):
+    """Spark twin of _PII_FIXTURE_SQL, shared by pii_scrub and
+    pii_report."""
     d = t(spark, sf_dir, "documents")
     cls = (F.col("doc_id") % 5).cast("long")
     s = (
@@ -2902,7 +2998,56 @@ def q_pii_scrub(spark, sf_dir):
         )
         .otherwise(F.col("text"))
     )
-    return scrub_pii(d.select("doc_id", s.alias("text")), "text")
+    return d.select("doc_id", s.alias("text"))
+
+
+def _pii_report_sql() -> str:
+    from .operators.privacy import PII_PATTERNS
+
+    sums = ",\n  ".join(
+        f"CAST(SUM(s.n_{t.lower()}) AS BIGINT) AS n_{t.lower()}"
+        for t in PII_PATTERNS
+    )
+    return f"""
+WITH s AS ({_pii_scrub_sql()})
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN s.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  {sums},
+  CAST(SUM(s.n_pii) AS BIGINT) AS n_pii
+FROM s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query("pii_report", oracle=_pii_report_sql())
+def q_pii_report(spark, sf_dir):
+    """EXT — the per-source PII AUDIT over the scrub output: document
+    counts, affected-document counts, and per-type finding totals by
+    source stream — the findings summary a DLP run reports (the
+    reference's import surfaces findings to BigQuery for exactly this
+    kind of inspection; here it is one partial-aggregated groupBy over
+    the scrub projection, so the audit costs one aggregation on top
+    of the redaction map)."""
+    from .operators.privacy import PII_PATTERNS, scrub_pii
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    s = scrub_pii(_pii_fixture_df(spark, sf_dir), "text")
+    return (
+        s.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_pii") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("docs_with_pii"),
+            *[
+                F.sum(f"n_{t.lower()}").alias(f"n_{t.lower()}")
+                for t in PII_PATTERNS
+            ],
+            F.sum("n_pii").alias("n_pii"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1063,3 +1063,93 @@ def quantize_embeddings_int8(
         q.cast("int").alias("q"),
         F.col("scale"),
     )
+
+
+def embedding_group_outliers(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    k: int = 20,
+) -> DataFrame:
+    """Embedding-space outlier screening: each vector's cosine to its
+    GROUP CENTROID, bottom-``k`` per group — the distance-to-centroid
+    quality filter large multimodal/text corpora run (mislabeled or
+    off-distribution items sit far from their cluster's center; the
+    LAION-style curation heuristic, SemDeDup's complement: SemDeDup
+    drops what is too CLOSE to something else, this flags what is too
+    FAR from everything in its group).
+
+    Exactness: vectors quantize once (``QUANT_SCALE``); the centroid
+    is carried as its un-divided integer SUM vector, because cosine to
+    the mean is invariant to the 1/n scale —
+    ``cos(v, S/n) = Σ(v·S) / (‖v‖·‖S‖)`` — so every aggregation is an
+    exact integer/decimal sum (order-independent; decimal(38,0) for
+    the v·S products, whose magnitude exceeds int64) and the one
+    double expression at the end is deterministic → hash-matchable.
+
+    Scale shape: centroid sums are one partial-aggregated groupBy over
+    the exploded stream into a (groups × dim)-row table — broadcast
+    territory — rebuilt as sorted arrays and broadcast-joined back on
+    the group key; the per-vector dot runs as a fixed-order fold over
+    the two arrays (no second explode, no self-join). The bottom-k
+    window partitions by group over scalar rows.
+
+    Output: ``(id_col, group_col, centroid_cosine, rk)`` with rk=1 the
+    furthest-from-centroid vector of its group; ties break by id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dec = "decimal(38,0)"
+    xq = df.select(
+        F.col(id_col), F.col(group_col), _quantize(F.col(emb_col)).alias("_xq")
+    )
+    ex = xq.select(
+        id_col, group_col, F.posexplode("_xq").alias("_i", "_x")
+    )
+    cent = (
+        ex.groupBy(group_col, "_i")
+        .agg(F.sum("_x").alias("_s"))  # ≤ n·QUANT_SCALE per element: int64-safe
+    )
+    cent_arr = cent.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_s"))),
+            lambda st: st.getField("_s"),
+        ).alias("_sarr"),
+        F.sum(
+            F.col("_s").cast(dec) * F.col("_s").cast(dec)
+        ).alias("_ns"),  # ‖S‖²: S² can exceed int64 → exact decimal
+    )
+    dotted = xq.join(F.broadcast(cent_arr), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.aggregate(
+            F.zip_with(
+                "_xq", "_sarr", lambda a, b: a.cast(dec) * b.cast(dec)
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, x: acc + x,
+        ).alias("_dot"),
+        F.aggregate(
+            F.col("_xq"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("_nv"),
+        F.col("_ns"),
+    )
+    cosine = F.round(
+        F.col("_dot").cast("double")
+        / (
+            F.sqrt(F.col("_nv").cast("double"))
+            * F.sqrt(F.col("_ns").cast("double"))
+        ),
+        9,
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("centroid_cosine").asc(), F.col(id_col).asc()
+    )
+    return (
+        dotted.select(id_col, group_col, cosine.alias("centroid_cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

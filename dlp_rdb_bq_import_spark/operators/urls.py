@@ -25,7 +25,7 @@ ingestion a 100 TB training corpus starts from.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -114,4 +114,48 @@ def dedup_by_canonical_url(
             F.count("*").alias("n_dupes"),
             F.min(id_col).alias("first_id"),
         )
+    )
+
+
+def frontier_next_batch(
+    candidates: DataFrame,
+    seen: DataFrame,
+    url_col: str,
+    id_col: str,
+    per_host_cap: int = 10,
+) -> DataFrame:
+    """The crawl-frontier step: from candidate URLs, the next fetch
+    batch — canonical forms NOT already fetched (anti-join against the
+    persisted ``seen`` canonical set — the URL twin of the engine's
+    incremental-dedup/persisted-index family), capped per HOST
+    (politeness: a batch must not hammer one server). Within a host,
+    lowest id wins (deterministic; id is discovery order in a real
+    frontier). Output: ``(id_col, canon, host, rk)`` with rk the
+    1-based slot inside the host's cap.
+
+    Scale shape: canonicalization is map-side; the anti-join and the
+    per-host top-k window shuffle on canon/host — both keys the crawl
+    state is naturally partitioned by. The seen set is the persisted
+    artifact; candidates are the (much smaller) discovery batch.
+    """
+    if per_host_cap < 1:
+        raise ValueError(f"per_host_cap must be >= 1, got {per_host_cap}")
+    if "canon" not in seen.columns:
+        raise ValueError(f"seen must carry a 'canon' column; got {seen.columns}")
+    c = canonicalize_url(F.col(url_col))
+    cand = candidates.select(
+        F.col(id_col), c["canon"].alias("canon"), c["host"].alias("host")
+    )
+    # one candidate slot per canonical URL (duplicate discoveries of
+    # the same page collapse first — lowest id represents)
+    cand = (
+        cand.groupBy("canon", "host")
+        .agg(F.min(id_col).alias(id_col))
+        .join(seen.select("canon").distinct(), "canon", "left_anti")
+    )
+    w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= per_host_cap)
+        .select(id_col, "canon", "host", "rk")
     )

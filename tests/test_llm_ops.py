@@ -3019,3 +3019,95 @@ def test_web_curation_pipeline_stages(spark):
     fps = [r.fingerprint for r in rows]
     assert len(fps) == len(set(fps))
     assert rows  # the pipeline keeps a real survivor set
+
+
+def test_frontier_next_batch_hand_cases(spark):
+    """Crawl frontier: already-fetched canonical forms are excluded,
+    duplicate discoveries collapse to their lowest id, and the
+    per-host politeness cap keeps the lowest-id slots; bad inputs
+    fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.urls import frontier_next_batch
+
+    import pytest as _pytest
+
+    cand = spark.createDataFrame(
+        [
+            (1, "https://a.com/p1"),
+            (2, "https://WWW.A.com/p1/"),   # duplicate discovery of p1
+            (3, "https://a.com/p2"),
+            (4, "https://a.com/p3"),
+            (5, "https://a.com/p4"),        # over the cap for host a.com
+            (6, "https://b.com/q1"),
+            (7, "https://b.com/q2"),        # q2 already fetched
+        ],
+        ["id", "url"],
+    )
+    seen = spark.createDataFrame(
+        [("https://b.com/q2",)], ["canon"]
+    )
+    got = {
+        (r.host, r.rk): (r.id, r.canon)
+        for r in frontier_next_batch(cand, seen, "url", "id", per_host_cap=3).collect()
+    }
+    assert got[("a.com", 1)] == (1, "https://a.com/p1")  # dup collapsed to id 1
+    assert got[("a.com", 2)] == (3, "https://a.com/p2")
+    assert got[("a.com", 3)] == (4, "https://a.com/p3")
+    assert ("a.com", 4) not in got                       # capped
+    assert got[("b.com", 1)] == (6, "https://b.com/q1")  # q2 excluded as seen
+    assert len(got) == 4
+    with _pytest.raises(ValueError, match="per_host_cap"):
+        frontier_next_batch(cand, seen, "url", "id", per_host_cap=0)
+    with _pytest.raises(ValueError, match="canon"):
+        frontier_next_batch(cand, seen.withColumnRenamed("canon", "u"), "url", "id")
+
+
+def test_embedding_group_outliers_numpy_parity(spark):
+    """Centroid-cosine outliers vs a numpy re-computation on the
+    quantized vectors: same scores (1e-6 — both sides are exact
+    integer sums feeding one double expression), same bottom-k
+    ordering; a planted far vector ranks first in its group."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        QUANT_SCALE,
+        embedding_group_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = {}
+    rows = []
+    for vid in range(40):
+        lbl = vid % 2
+        v = rng.normal(size=8) + (5.0 if lbl else -5.0)
+        rows.append((vid, [float(x) for x in v], lbl))
+        vecs[vid] = (lbl, v)
+    # plant: a vector pointing AWAY from group 0's center
+    rows.append((999, [float(x) for x in (np.ones(8) * 50.0)], 0))
+    vecs[999] = (0, np.ones(8) * 50.0)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    got = {
+        r.vec_id: (r.label, r.centroid_cosine, r.rk)
+        for r in embedding_group_outliers(df, k=5).collect()
+    }
+    # numpy reference on the same quantization
+    q = {
+        vid: np.round(np.array(v, dtype=np.float32).astype(np.float64) * QUANT_SCALE)
+        for vid, (_, v) in vecs.items()
+    }
+    for lbl in (0, 1):
+        ids = [vid for vid, (l, _) in vecs.items() if l == lbl]
+        S = np.sum([q[i] for i in ids], axis=0)
+        cos = {
+            i: float(q[i] @ S / (np.linalg.norm(q[i]) * np.linalg.norm(S)))
+            for i in ids
+        }
+        order = sorted(ids, key=lambda i: (cos[i], i))[:5]
+        got_order = sorted(
+            [vid for vid, (l, _, _) in got.items() if l == lbl],
+            key=lambda vid: got[vid][2],
+        )
+        assert got_order == order
+        for i in order:
+            assert abs(got[i][1] - round(cos[i], 9)) < 1e-6
+    assert got[999][2] == 1  # the planted far vector is its group's top outlier
