@@ -5343,6 +5343,113 @@ def q_train_val_test_split(spark, sf_dir):
 
 
 @query(
+    "temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+    round(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+               / CAST(n_docs AS DOUBLE)), 9) AS rate
+  FROM counts
+),
+kept AS (
+  SELECT d.source FROM documents d JOIN w ON d.source = w.source
+  WHERE {sampling.hash_uniform_sql('d.doc_id')} < w.rate
+)
+SELECT w.source, w.n_docs, w.rate, CAST(COALESCE(k.c, 0) AS BIGINT) AS n_kept
+FROM w LEFT JOIN (SELECT source, count(*) AS c FROM kept GROUP BY source) k
+  ON w.source = k.source
+""",
+)
+def q_temperature_mixture(spark, sf_dir):
+    """EXT — temperature-based mixture rebalancing
+    (sampling.temperature_weights + temperature_mixture_sample, α=0.5):
+    per-source sampling rates ∝ size^(α-1) normalized to the smallest
+    source — sampled mass ∝ size^α, the standard multi-source/
+    multilingual rebalancing rule — computed FROM THE DATA and applied
+    in the same plan (sources-sized weight table broadcast back, hash-
+    uniform predicate per row; no driver round-trip). α=0.5 rides on
+    sqrt, which is IEEE-correctly-rounded in both engines, so rates
+    AND kept-counts hash-match. Output: (source, n_docs, rate,
+    n_kept)."""
+    from .operators.sampling import temperature_mixture_sample, temperature_weights
+
+    d = t(spark, sf_dir, "documents")
+    w = temperature_weights(d, "source", alpha=0.5)
+    kept = (
+        temperature_mixture_sample(d, "doc_id", "source", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("_c"))
+    )
+    return w.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "rate",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 900001, text FROM documents WHERE doc_id = 1
+  UNION ALL SELECT 900003, text FROM documents WHERE doc_id = 1
+  UNION ALL SELECT 900002, text FROM documents WHERE doc_id = 2
+),
+f AS (SELECT doc_id, md5(text) AS fp FROM src),
+grp AS (
+  SELECT fp, CAST(min(doc_id) AS BIGINT) AS rep, count(*) AS n
+  FROM f GROUP BY fp
+),
+lab AS (
+  SELECT f.doc_id,
+         CASE WHEN grp.n > 1 THEN grp.rep ELSE f.doc_id END AS cluster_id
+  FROM f JOIN grp ON f.fp = grp.fp
+)
+SELECT doc_id, cluster_id,
+       {sampling.train_val_test_split_sql('cluster_id')} AS split
+FROM lab
+""",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """EXT — near-dup-aware corpus split (sampling.leakage_safe_split):
+    duplicate families (here: exact-fingerprint pairs over a fixture
+    with three planted copies — docs 900001/900003 of doc 1, 900002 of
+    doc 2) transitively close into clusters, and every document splits
+    by its CLUSTER REPRESENTATIVE's hash — a paraphrase/copy of a
+    training row can never land in eval (the leakage a per-doc hash
+    split allows). Singletons split by their own id, so the split
+    matches train_val_test_split wherever no duplicate exists. The
+    closure runs on the (tiny) pair graph; the corpus pays one left
+    join. Near-dup (MinHash) pair inputs are pytest-pinned; the exact-
+    fingerprint form is the hash-matched oracle twin."""
+    from .operators.sampling import leakage_safe_split
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    rekey = lambda i, nid: d.where(F.col("doc_id") == i).withColumn(
+        "doc_id", F.lit(nid).cast("long")
+    )
+    src = (
+        d.unionByName(rekey(1, 900001))
+        .unionByName(rekey(1, 900003))
+        .unionByName(rekey(2, 900002))
+    )
+    f = src.select("doc_id", F.md5("text").alias("fp"))
+    a = f.select(F.col("doc_id").alias("id_a"), "fp")
+    b = f.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return leakage_safe_split(src.select("doc_id"), pairs, "doc_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+@query(
     "corpus_heavy_hitters",
     oracle="""
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

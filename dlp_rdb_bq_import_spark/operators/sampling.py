@@ -281,3 +281,88 @@ def balance_classes(
         .where(hash_uniform(F.col(key_col)) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def temperature_weights(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture weights from the data itself: each
+    source's sampling rate ∝ n^(alpha-1), normalized so the SMALLEST
+    source keeps everything (rate 1.0) — the multilingual/multi-source
+    rebalancing rule (rate ∝ size^(α-1) ⇒ sampled mass ∝ size^α; α=1
+    is proportional/no-op, α→0 approaches uniform-over-sources;
+    public recipe from the multilingual-pretraining literature). Pure
+    downsampling: no rate exceeds 1, so no replication is implied.
+
+    Output ``(source_col, n_docs, rate)``, rate rounded to 9.
+    α = 0.5 computes via sqrt (IEEE-correctly-rounded in every engine,
+    so the rates hash-match an oracle); other α use ``pow``, whose
+    last-ulp behavior is libm-specific — fine for production, excluded
+    from the hash-matched query by design.
+
+    Scale shape: one partial-aggregated groupBy to source counts
+    (sources-sized table), a 1-row min scalar attach, arithmetic.
+    """
+    if alpha <= 0.0 or alpha > 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("_nmin"))
+    j = counts.crossJoin(F.broadcast(nmin))
+    if alpha == 0.5:
+        rate = F.sqrt(
+            F.col("_nmin").cast("double") / F.col("n_docs").cast("double")
+        )
+    else:
+        rate = F.pow(
+            F.col("n_docs").cast("double") / F.col("_nmin").cast("double"),
+            F.lit(alpha - 1.0),
+        )
+    return j.select(source_col, "n_docs", F.round(rate, 9).alias("rate"))
+
+
+def temperature_mixture_sample(
+    df: DataFrame, key_col: str, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Sample the corpus at its :func:`temperature_weights` rates —
+    rates come from the DATA (no driver round-trip: the sources-sized
+    weight table broadcast-joins back and the hash-uniform predicate
+    compares per row), so the operator composes into one plan. Keeps
+    the input columns."""
+    w = temperature_weights(df, source_col, alpha)
+    return (
+        df.join(F.broadcast(w), source_col)
+        .where(hash_uniform(F.col(key_col)) < F.col("rate"))
+        .drop("n_docs", "rate")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    out: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: transitive closure over
+    the duplicate ``pairs`` graph (``dedup.duplicate_clusters``), then
+    every document splits by its CLUSTER representative's hash — so a
+    near-duplicate family always lands in ONE split and eval can never
+    see a paraphrase of a training row (the leakage a naive per-doc
+    hash split silently allows). Docs absent from the pair graph are
+    their own singleton cluster. Adds ``cluster_id`` and ``out``.
+
+    The pair graph is the near-dup EDGE set — orders of magnitude
+    smaller than the corpus — so the closure runs on the graph and the
+    corpus pays one left join against the (doc→cluster) labels."""
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs)
+    if id_col != "doc_id":
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    joined = df.join(clusters, id_col, "left")
+    labeled = joined.withColumn(
+        "cluster_id",
+        F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+    )
+    return train_val_test_split(labeled, "cluster_id", train, val, out)

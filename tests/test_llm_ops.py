@@ -3111,3 +3111,90 @@ def test_embedding_group_outliers_numpy_parity(spark):
         for i in order:
             assert abs(got[i][1] - round(cos[i], 9)) < 1e-6
     assert got[999][2] == 1  # the planted far vector is its group's top outlier
+
+
+def test_temperature_mixture_hand_computed(spark):
+    """Temperature weights at α=0.5 equal hand arithmetic (rate =
+    sqrt(n_min/n_s), smallest source keeps rate 1.0); α=1 is the
+    proportional no-op; the sampler applies exactly those rates via
+    the hash predicate; invalid α fails loudly."""
+    import math
+
+    from dlp_rdb_bq_import_spark.operators.sampling import (
+        hash_uniform,
+        temperature_mixture_sample,
+        temperature_weights,
+    )
+
+    import pytest as _pytest
+
+    rows = [(i, "big" if i < 400 else ("mid" if i < 500 else "small"))
+            for i in range(525)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = {r.source: (r.n_docs, r.rate)
+         for r in temperature_weights(df, "source", alpha=0.5).collect()}
+    assert w["small"] == (25, 1.0)
+    assert w["mid"] == (100, 0.5)
+    assert w["big"] == (400, round(math.sqrt(25 / 400), 9))
+
+    w1 = {r.source: r.rate
+          for r in temperature_weights(df, "source", alpha=1.0).collect()}
+    assert set(w1.values()) == {1.0}
+
+    kept = temperature_mixture_sample(df, "doc_id", "source", alpha=0.5)
+    # the sampler's kept set is exactly the hash-predicate set per rate
+    want = {
+        r.doc_id
+        for r in df.withColumn("u", hash_uniform(F.col("doc_id")))
+        .collect()
+        if r.u < w[r.source][1]
+    }
+    assert {r.doc_id for r in kept.collect()} == want
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "source", alpha=0.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "source", alpha=1.5)
+
+
+def test_leakage_safe_split_neardup_families(spark):
+    """The near-dup-aware split never separates a duplicate family:
+    over a MinHash pair graph with planted near-dup chains, every pair
+    (and every transitive family) lands in one split; docs outside the
+    graph split exactly as the plain per-doc hash split would."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+    from dlp_rdb_bq_import_spark.operators.sampling import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+
+    d = t(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    # chain plant: 800001 copies doc 3; 800002 edits 800001's tail —
+    # a~b and b~c without a direct a~c edge
+    c1 = d.where(F.col("doc_id") == 3).withColumn("doc_id", F.lit(800001).cast("long"))
+    c2 = c1.withColumn("doc_id", F.lit(800002).cast("long")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail edit"))
+    )
+    src = d.unionByName(c1).unionByName(c2)
+    pairs = dedup.minhash_dedup_pairs(
+        src, "text", "doc_id", threshold=0.3, bands=16,
+        num_hashes=64, shingle_n=3, shingle_unit="word",
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(src.select("doc_id"), pairs, "doc_id")
+    split_of = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    # every pair agrees on split AND cluster
+    for r in pairs.collect():
+        assert split_of[r.id_a][1] == split_of[r.id_b][1]
+    # the planted chain is one family in one split
+    assert split_of[3] == split_of[800001] == split_of[800002]
+    # graph-free docs match the plain split
+    paired = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    plain = {
+        r.doc_id: r.split
+        for r in train_val_test_split(src.select("doc_id"), "doc_id").collect()
+    }
+    for did, (cid, sp) in split_of.items():
+        if did not in paired:
+            assert cid == did and sp == plain[did]

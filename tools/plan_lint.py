@@ -77,6 +77,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "same corpus (N, total_dl) scalar attach "
         "as bm25_topk_docs",
     },
+    "temperature_mixture": {
+        "BroadcastNestedLoopJoin": "n_min scalar attach: build side is a "
+        "broadcast single global-aggregate row (min source count) by "
+        "construction; the weight table itself is sources-sized",
+    },
     "skew_report": {
         "BroadcastNestedLoopJoin": "totals scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
