@@ -121,8 +121,15 @@ BENCH_QUERIES = [
     "record_linkage_review",
     "knn_ivf_incremental",
     # round 8: boilerplate extraction (subsumes html_block_classify —
-    # same segmentation + features plus the reassembly groupBy)
+    # same segmentation + features plus the reassembly groupBy), the
+    # composed web path (extract → mojibake → quality → dedup), URL
+    # dedup, corpus PII scrub, embedding outliers, leakage-safe split
     "html_extract_main",
+    "web_curation_pipeline",
+    "url_dedup",
+    "pii_scrub",
+    "embedding_outliers",
+    "leakage_safe_split",
 ]
 
 
