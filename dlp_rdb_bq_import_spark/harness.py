@@ -2914,6 +2914,31 @@ def q_url_frontier(spark, sf_dir):
     return frontier_next_batch(u, seen, "url", "id", per_host_cap=3)
 
 
+@query("streaming_url_frontier")  # crawl scheduling, streaming — rows-only
+def q_streaming_url_frontier(spark, sf_dir):
+    """W-EXT — the crawl frontier in STREAMING form
+    (streaming/jobs.py:streaming_url_frontier): discovery batches
+    arrive as a file stream and each micro-batch runs the batch
+    frontier operator against the persisted seen set, with emitted
+    canonical forms ACCUMULATING (a page re-discovered later is never
+    scheduled twice) and over-cap candidates RE-QUEUING into the next
+    round's pending set (politeness bounds a host per round, it
+    doesn't discard backlog). Pytest pins the no-double-schedule /
+    cap-per-round / backlog-drain invariants on a hand fixture;
+    here the %4==0 slice is pre-seen and three discovery rounds run at
+    3 fetches/host/round."""
+    from .operators.urls import dedup_by_canonical_url
+    from .streaming.jobs import streaming_url_frontier
+
+    u = _fixture_urls(spark, sf_dir)
+    seen = dedup_by_canonical_url(
+        u.where(F.col("id") % 4 == 0), "url", "id"
+    ).select("canon")
+    return streaming_url_frontier(
+        spark, u.repartitionByRange(3, "id"), seen, "url", "id", per_host_cap=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Free-text PII scrubbing — privacy.scrub_pii
 # ---------------------------------------------------------------------------

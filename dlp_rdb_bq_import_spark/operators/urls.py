@@ -123,6 +123,7 @@ def frontier_next_batch(
     url_col: str,
     id_col: str,
     per_host_cap: int = 10,
+    keep_overflow: bool = False,
 ) -> DataFrame:
     """The crawl-frontier step: from candidate URLs, the next fetch
     batch — canonical forms NOT already fetched (anti-join against the
@@ -137,6 +138,13 @@ def frontier_next_batch(
     per-host top-k window shuffle on canon/host — both keys the crawl
     state is naturally partitioned by. The seen set is the persisted
     artifact; candidates are the (much smaller) discovery batch.
+
+    ``keep_overflow=True`` skips the cap filter and returns EVERY
+    fresh candidate with its rk, so a caller managing a pending queue
+    (the streaming frontier) can split scheduled (rk ≤ cap) from
+    overflow (rk > cap) and re-queue the latter — canonicalization is
+    idempotent (pytest-pinned), so overflow canon strings round-trip
+    through the queue unchanged.
     """
     if per_host_cap < 1:
         raise ValueError(f"per_host_cap must be >= 1, got {per_host_cap}")
@@ -154,8 +162,7 @@ def frontier_next_batch(
         .join(seen.select("canon").distinct(), "canon", "left_anti")
     )
     w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
-    return (
-        cand.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= per_host_cap)
-        .select(id_col, "canon", "host", "rk")
-    )
+    out = cand.withColumn("rk", F.row_number().over(w).cast("long"))
+    if not keep_overflow:
+        out = out.where(F.col("rk") <= per_host_cap)
+    return out.select(id_col, "canon", "host", "rk")

@@ -782,3 +782,93 @@ def streaming_dedup_events(
         return _run_to_memory(deduped, "append")
     finally:
         shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+
+
+def streaming_url_frontier(
+    spark: SparkSession,
+    discovered: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    id_col: str = "id",
+    per_host_cap: int = 10,
+) -> DataFrame:
+    """The crawl frontier in STREAMING form: discovered URLs arrive as
+    a file stream (one staged file per trigger = one discovery batch),
+    and each micro-batch runs the BATCH operator
+    (``urls.frontier_next_batch``) unchanged via ``foreachBatch``
+    against the persisted seen set — with the two scheduling decisions
+    a real crawler needs:
+
+    1. canonical forms EMITTED by earlier micro-batches count as seen
+       (they are queued for fetch), so a page re-discovered later is
+       never scheduled twice — the same accumulation discipline as
+       ``streaming_curation``'s admitted fingerprints;
+    2. fresh candidates OVER a host's per-round cap are NOT dropped —
+       they re-queue into a pending set that joins the next round's
+       candidates (politeness means a host serves at most
+       ``per_host_cap`` fetches per round, not that its backlog is
+       discarded). Pending rows carry the canonical form, which is
+       safe because canonicalization is idempotent (pytest-pinned).
+
+    The initial seen set is checkpointed once. Candidates still
+    pending when the stream drains are simply the remaining backlog —
+    a real frontier would schedule them next round; the single-pass
+    form returns only what was scheduled.
+
+    Returns all scheduled fetches: (id_col, canon, host, rk, batch).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators import urls as url_ops
+
+    if "canon" not in seen.columns:
+        raise ValueError(f"seen must carry a 'canon' column; got {seen.columns}")
+    root = _tempfile.mkdtemp(prefix="frontier_stream_")
+    stage = _os.path.join(root, "staged")
+    out_dir = _os.path.join(root, "scheduled")
+    emitted_dir = _os.path.join(root, "emitted_canon")
+    pending_dir = _os.path.join(root, "pending")
+    src = discovered.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(url_col).alias(url_col)
+    )
+    src.write.parquet(stage)
+    seen0 = seen.select("canon").distinct().localCheckpoint(eager=True)
+
+    def schedule_batch(batch_df, epoch_id):
+        cand = batch_df
+        if _os.path.isdir(pending_dir):
+            cand = cand.unionByName(spark.read.parquet(pending_dir))
+        blocked = seen0
+        if _os.path.isdir(emitted_dir):
+            blocked = blocked.unionByName(spark.read.parquet(emitted_dir))
+        fresh = url_ops.frontier_next_batch(
+            cand, blocked, url_col, id_col,
+            per_host_cap=per_host_cap, keep_overflow=True,
+        ).localCheckpoint(eager=True)  # eager: pending is overwritten below
+        sched = fresh.where(F.col("rk") <= per_host_cap)
+        sched.select("canon").write.mode("append").parquet(emitted_dir)
+        sched.withColumn("batch", F.lit(int(epoch_id)).cast("long")).write.mode(
+            "append"
+        ).parquet(out_dir)
+        # over-cap backlog re-queues: canon doubles as the next round's
+        # url (canonicalization is idempotent)
+        fresh.where(F.col("rk") > per_host_cap).select(
+            F.col(id_col), F.col("canon").alias(url_col)
+        ).write.mode("overwrite").parquet(pending_dir)
+
+    try:
+        raw = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(schedule_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -589,3 +589,55 @@ def test_streaming_to_batch_packing_is_packed_survivors(spark):
     assert got == want and got
     # layout invariant: offsets stay inside the budget
     assert all(0 <= off < 4096 for *_, off in got)
+
+
+def test_streaming_url_frontier_requeues_and_never_doubles(spark):
+    """Streaming frontier invariants on a hand fixture: (a) a host's
+    backlog over the per-round cap re-queues and fully drains across
+    rounds instead of being dropped; (b) every canonical form is
+    scheduled at most once even when re-discovered in a later round;
+    (c) pre-seen URLs are never scheduled; (d) no (host, round)
+    exceeds the cap; (e) canonicalization is idempotent, so queued
+    canon strings survive the pending round-trip."""
+    from dlp_rdb_bq_import_spark.operators.urls import canonicalize_url
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_url_frontier
+
+    from pyspark.sql import functions as F
+
+    urls = [
+        (1, "https://a.com/p1"),
+        (2, "https://a.com/p2"),
+        (3, "https://a.com/p3"),
+        (4, "https://a.com/p4"),
+        (5, "https://a.com/p5"),
+        (10, "https://b.com/q1"),
+        (11, "https://WWW.A.com/p1/"),   # re-discovery of p1, later round
+        (20, "https://c.com/r1"),
+        (21, "https://b.com/q2"),        # pre-seen
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    seen = spark.createDataFrame([("https://b.com/q2",)], ["canon"])
+    out = streaming_url_frontier(
+        spark, df.repartitionByRange(3, "id"), seen, "url", "id", per_host_cap=2
+    ).collect()
+
+    canons = [r.canon for r in out]
+    assert len(canons) == len(set(canons))          # (b) never twice
+    assert "https://b.com/q2" not in canons         # (c) seen excluded
+    per_round = {}
+    for r in out:
+        per_round[(r.host, r.batch)] = per_round.get((r.host, r.batch), 0) + 1
+    assert all(n <= 2 for n in per_round.values())  # (d) cap per round
+    # (a) a.com's 5 fresh pages all schedule across the 3 rounds
+    assert sorted(c for c in canons if c.startswith("https://a.com")) == [
+        f"https://a.com/p{i}" for i in range(1, 6)
+    ]
+    assert "https://b.com/q1" in canons and "https://c.com/r1" in canons
+
+    # (e) canonicalization idempotence
+    c1 = canonicalize_url(F.col("url"))["canon"]
+    once = df.select(F.col("id"), c1.alias("url"))
+    twice = once.select(
+        "id", canonicalize_url(F.col("url"))["canon"].alias("url")
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
