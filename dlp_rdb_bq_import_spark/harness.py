@@ -4722,6 +4722,93 @@ def q_global_row_ids(spark, sf_dir):
     return global_row_ids(li, ["l_orderkey", "l_linenumber"])
 
 
+@query(
+    "deterministic_shuffle",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+""",
+)
+def q_deterministic_shuffle(spark, sf_dir):
+    """EXT — deterministic corpus shuffle (layout.deterministic_
+    shuffle): dense pseudo-random training order by keyed-hash sort,
+    stable across re-runs/engines/cluster sizes, re-seedable per
+    epoch. Realized through global_row_ids' range-exchange + offset
+    shape — the oracle is the naive single-partition ROW_NUMBER the
+    Spark plan specifically avoids."""
+    from .operators.layout import deterministic_shuffle
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed="ep0")
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 900001, text || ' and the extended tail of it' FROM documents
+  WHERE doc_id = 1
+),
+f AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         md5(substr(text, 1, 40)) AS fp
+  FROM src
+),
+grp AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS rep, count(*) AS n
+        FROM f GROUP BY fp),
+lab AS (
+  SELECT f.doc_id, f.n_chars,
+         CASE WHEN grp.n > 1 THEN grp.rep ELSE f.doc_id END AS cluster_id
+  FROM f JOIN grp ON f.fp = grp.fp
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM lab
+) WHERE rk = 1
+""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """EXT — quality-aware duplicate removal (dedup.dedup_keep_best):
+    per duplicate family, keep the BEST copy (here: the longest —
+    keep-the-longest is the classic crawl policy, since truncated
+    fetches lose tail content) instead of the first-seen lowest id.
+    Families come from 40-char-prefix blocking (a deliberately crude,
+    SQL-expressible dup relation for the oracle; the operator takes
+    any pair graph — MinHash pairs pytest-pinned elsewhere); the
+    planted longer copy of doc 1 at id 900001 WINS over its lower-id
+    original, which lowest-id-wins would have kept instead."""
+    from .operators.dedup import dedup_keep_best
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = d.where(F.col("doc_id") == 1).select(
+        F.lit(900001).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" and the extended tail of it")).alias(
+            "text"
+        ),
+    )
+    src = d.unionByName(plant).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+    )
+    a = src.select(F.col("doc_id").alias("id_a"), "fp")
+    b = src.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return dedup_keep_best(
+        src.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    ).select("doc_id", "n_chars")
+
+
 @query("weighted_sample")  # xxhash64 scoring — no DuckDB twin, rows-only
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES,

@@ -24,7 +24,7 @@ handles pushdown and AQE handles skew; no Python appears in any path.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Skew guard: shingles appearing in more than this many documents are
@@ -1451,3 +1451,39 @@ def edit_distance_pairs(
         max_len=max_len,
     )
     return verify_edit_distance(candidates, df, text_col, id_col, max_dist=max_dist)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup removal keeping the BEST copy per cluster
+    (highest ``score_col``; ties → lowest id) — the quality-aware
+    sibling of :func:`dedup_keep_representative`. Lowest-id-wins is
+    the right default for idempotent ingest, but a curation pipeline
+    often wants the longest / highest-quality / most-recent copy of a
+    duplicate family, not the first-seen one; pass whatever score
+    column encodes that policy. Singletons pass through untouched.
+
+    Same scale shape as the min-id form: transitive closure on the
+    (small) pair graph, one left join against the corpus, and a
+    per-cluster top-1 window over scalar rows."""
+    clusters = duplicate_clusters(pairs, id_a, id_b).withColumnRenamed(
+        "doc_id", id_col
+    )
+    labeled = df.join(clusters, id_col, "left").withColumn(
+        "cluster_id",
+        F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "cluster_id")
+    )

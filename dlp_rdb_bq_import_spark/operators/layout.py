@@ -192,3 +192,37 @@ def encode_categorical(
         num_partitions=num_partitions,
     )
     return df.join(vocab, col, "left")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "",
+    out: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random training order: dense positions
+    0..n-1 assigned by sorting on a keyed hash — the global shuffle a
+    training run needs (i.i.d.-looking order, stable across re-runs,
+    engines and cluster sizes; change ``seed`` per epoch for a fresh
+    permutation). Built on :func:`global_row_ids`, so the order is
+    realized with the scalable range-partition + per-partition
+    numbering shape, never the single-partition global window. The
+    key itself tiebreaks identical hashes (md5 collisions on the
+    concatenated seed:key string), keeping the order total."""
+    clash = sorted(set(df.columns) & {"_shufkey"})
+    if clash:
+        raise ValueError(
+            "deterministic_shuffle: input column '_shufkey' collides with "
+            "the reserved internal name; rename it before calling"
+        )
+    h = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    shuffled = global_row_ids(
+        df.withColumn("_shufkey", h),
+        ["_shufkey", key_col],
+        id_col=out,
+        num_partitions=num_partitions,
+    )
+    return shuffled.drop("_shufkey")

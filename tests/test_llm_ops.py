@@ -3198,3 +3198,89 @@ def test_leakage_safe_split_neardup_families(spark):
     for did, (cid, sp) in split_of.items():
         if did not in paired:
             assert cid == did and sp == plain[did]
+
+
+def test_deterministic_shuffle_properties(spark):
+    """Shuffle positions are a dense permutation of 0..n-1, identical
+    across partitionings, different under a different seed, and not
+    the identity ordering."""
+    from dlp_rdb_bq_import_spark.operators.layout import deterministic_shuffle
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.shuffle_pos
+         for r in deterministic_shuffle(df, "doc_id", seed="s1").collect()}
+    assert sorted(a.values()) == list(range(300))
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(
+            df.repartition(7), "doc_id", seed="s1", num_partitions=5
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    c = {r.doc_id: r.shuffle_pos
+         for r in deterministic_shuffle(df, "doc_id", seed="s2").collect()}
+    assert a != c  # a new seed is a new permutation
+    assert [a[i] for i in range(300)] != list(range(300))  # actually shuffled
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_shufkey"):
+        deterministic_shuffle(
+            df.withColumn("_shufkey", F.lit(1)), "doc_id"
+        )
+
+
+def test_dedup_keep_best_minhash_family(spark):
+    """Quality-aware keeper over a MinHash pair graph: the
+    higher-score copy of a near-dup family survives (not the lowest
+    id), ties fall back to lowest id, singletons pass through."""
+    from dlp_rdb_bq_import_spark.harness import t
+    from dlp_rdb_bq_import_spark.operators import dedup
+
+    d = t(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text")
+    longer = d.where(F.col("doc_id") == 3).select(
+        F.lit(700001).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" richer longer surviving copy")).alias("text"),
+    )
+    src = d.unionByName(longer).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        src, "text", "doc_id", threshold=0.3, bands=16,
+        num_hashes=64, shingle_n=3, shingle_unit="word",
+    ).select("id_a", "id_b")
+    edge_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert (3, 700001) in edge_list  # the plant is a family
+    kept = {r.doc_id for r in dedup.dedup_keep_best(
+        src.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    ).collect()}
+    assert 700001 in kept and 3 not in kept  # best copy wins over lower id
+
+    # independent union-find reference over ALL fixture families
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a2, b2 in edge_list:
+        ra, rb = find(a2), find(b2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    scores = {r.doc_id: r.n_chars for r in src.select("doc_id", "n_chars").collect()}
+    families = {}
+    for did in scores:
+        families.setdefault(find(did), []).append(did)
+    want = {
+        min(members, key=lambda i: (-scores[i], i))
+        for members in families.values()
+    }
+    assert kept == want
+
+    # tie on score -> lowest id (matches dedup_keep_representative)
+    tie = spark.createDataFrame([(1, 5), (2, 5), (9, 7)], ["doc_id", "s"])
+    tp = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert {r.doc_id for r in dedup.dedup_keep_best(tie, tp, "doc_id", "s").collect()} == {1, 9}
