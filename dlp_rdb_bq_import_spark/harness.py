@@ -4809,6 +4809,22 @@ def q_dedup_keep_best(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+@query("compression_ratio")  # zlib is not SQL-expressible — rows-only
+def q_compression_ratio(spark, sf_dir):
+    """EXT — zlib compression-ratio quality signal
+    (text.compression_ratio_scores): the classic cheap redundancy
+    filter (repetitive/templated text compresses far below prose;
+    incompressible blobs flag as noise). Deliberately the honest
+    Python path — DEFLATE exists in neither engine's SQL surface, so
+    it runs as one Arrow-batched pandas_udf over stdlib zlib
+    (vectorized per batch, no per-row round-trips, same discipline as
+    the media codecs); pytest pins each row against direct zlib
+    calls."""
+    from .operators.text import compression_ratio_scores
+
+    return compression_ratio_scores(t(spark, sf_dir, "documents"))
+
+
 @query("weighted_sample")  # xxhash64 scoring — no DuckDB twin, rows-only
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES,

@@ -1435,3 +1435,57 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+def compression_ratio_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal (used by public web-corpus quality filters,
+    e.g. the RefinedWeb/MassiveText-style "compression ratio" rule):
+    highly repetitive or templated text compresses far below prose, so
+    a LOW ratio flags keyboard-mash/boilerplate and an unusually HIGH
+    ratio flags incompressible noise (base64 blobs, minified data).
+
+    Output: ``(id_col, n_bytes, n_compressed, ratio)`` with ratio =
+    compressed/raw rounded to 9 (empty docs: ratio 1.0 by convention).
+
+    This is deliberately a PYTHON-path operator: DEFLATE is not
+    expressible in either engine's SQL surface, so it runs as an
+    Arrow-batched ``pandas_udf`` over stdlib ``zlib`` — the honest
+    slow path, vectorized per batch, no per-row Python round-trips
+    (the same discipline as the media codecs). No SQL oracle exists by
+    design; correctness pins against direct ``zlib`` calls in pytest,
+    and determinism holds because zlib output length at a fixed level
+    is a pure function of the bytes.
+    """
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in 1..9, got {level}")
+    import pandas as pd  # noqa: F401  (Arrow batch type)
+
+    @F.pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    raw_len = F.length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    out = df.select(
+        F.col(id_col),
+        raw_len.alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"),
+    )
+    ratio = F.when(F.col("n_bytes") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"),
+            9,
+        )
+    )
+    return out.withColumn("ratio", ratio)

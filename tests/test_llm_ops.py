@@ -3284,3 +3284,32 @@ def test_dedup_keep_best_minhash_family(spark):
     tie = spark.createDataFrame([(1, 5), (2, 5), (9, 7)], ["doc_id", "s"])
     tp = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     assert {r.doc_id for r in dedup.dedup_keep_best(tie, tp, "doc_id", "s").collect()} == {1, 9}
+
+
+def test_compression_ratio_scores(spark):
+    """Compression ratios pin against direct zlib calls row by row;
+    repetitive text scores far below prose; empty text takes the 1.0
+    convention; invalid level fails loudly."""
+    import zlib
+
+    from dlp_rdb_bq_import_spark.operators.text import compression_ratio_scores
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps going"),
+        (2, "spam " * 200),
+        (3, ""),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in compression_ratio_scores(df, "text", "doc_id").collect()}
+    for did, txt in rows:
+        raw = txt.encode("utf-8")
+        assert got[did].n_bytes == len(raw)
+        assert got[did].n_compressed == len(zlib.compress(raw, 6))
+        want = 1.0 if not raw else round(len(zlib.compress(raw, 6)) / len(raw), 9)
+        assert got[did].ratio == want
+    assert got[2].ratio < 0.1 < got[1].ratio  # repetition compresses away
+    with _pytest.raises(ValueError, match="level"):
+        compression_ratio_scores(df, "text", "doc_id", level=0)
