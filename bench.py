@@ -130,6 +130,12 @@ BENCH_QUERIES = [
     "pii_scrub",
     "embedding_outliers",
     "leakage_safe_split",
+    # round 8: trainable NB classifier, embedding-space decontam,
+    # cluster-balanced coreset, CCNet perplexity-bucketed mixture
+    "nb_classify_lang",
+    "semantic_decontam",
+    "cluster_balanced_sample",
+    "perplexity_bucket_mixture",
 ]
 
 

@@ -7031,6 +7031,299 @@ def q_image_phash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — Naive Bayes text classification (operators/classify.py)
+# ---------------------------------------------------------------------------
+
+
+_NB_CLASSIFY_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, w AS token
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+model_tok AS (
+  SELECT lang AS label, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % 10 <> 0
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+model_docs AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS docs_l
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM model_tok),
+total AS (SELECT CAST(SUM(docs_l) AS BIGINT) AS docs FROM model_docs),
+stats AS (
+  SELECT d.label,
+         CAST(round(ln(CAST(COALESCE(m.cl, 0) AS DOUBLE)
+                       + 0.5 * CAST(v.v AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS lp_denom,
+         CAST(round(ln(CAST(d.docs_l AS DOUBLE) / CAST(total.docs AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lp_prior
+  FROM model_docs d
+  LEFT JOIN (SELECT label, CAST(SUM(c) AS BIGINT) AS cl
+             FROM model_tok GROUP BY 1) m ON d.label = m.label
+  CROSS JOIN v CROSS JOIN total
+),
+score_tok AS (SELECT doc_id, token FROM tok WHERE doc_id % 10 = 0),
+ntok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM score_tok GROUP BY 1
+),
+hits AS (
+  SELECT s.doc_id, m.label,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(SUM(CAST(round(ln(CAST(m.c AS DOUBLE) + 0.5) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS lp_hits
+  FROM score_tok s JOIN model_tok m ON s.token = m.token
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, st.label, n.n_tokens,
+         CAST(COALESCE(h.lp_hits, 0)
+              + (n.n_tokens - COALESCE(h.n_hits, 0))
+                * CAST(round(ln(0.5) * 1000000.0) AS BIGINT)
+              - n.n_tokens * st.lp_denom
+              + st.lp_prior AS BIGINT) AS score_micro
+  FROM ntok n CROSS JOIN stats st
+  LEFT JOIN hits h ON n.doc_id = h.doc_id AND st.label = h.label
+)
+SELECT doc_id, label, n_tokens, score_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, label ASC) AS rk FROM scored)
+WHERE rk = 1
+"""
+
+
+@query("nb_classify_lang", oracle=_NB_CLASSIFY_SQL)
+def q_nb_classify_lang(spark, sf_dir):
+    """EXT — the trainable classifier stage of a curation pipeline
+    (classify.nb_train/nb_classify): a multinomial Naive Bayes
+    language classifier (McCallum & Nigam 1998 — the SQL-expressible
+    cousin of the fastText linear classifiers CCNet-family pipelines
+    run) trains on the labeled slice (doc_id %10 != 0, label = lang),
+    its count-table model PERSISTS through the warehouse sink (ONE
+    (label, token, c) table — priors, per-label mass and vocabulary
+    all derive from it at scoring time, the same artifact discipline
+    as the bigram LM), and the incoming batch (%10 == 0) is classified
+    under the read-back model. Per-token log-probs quantize to integer
+    micro-logs before any aggregation, so every (doc, label) score is
+    an exact int64 sum — aggregation-order-independent, hash-matching
+    the full SQL restatement. min_count=2 prunes singleton (label,
+    token) rows (model stays broadcast-sized; pruned tokens fall back
+    to the smoothed unseen floor); the oracle prunes identically."""
+    from .operators.classify import nb_classify, nb_train
+
+    d = t(spark, sf_dir, "documents")
+    model = scratch_roundtrip(
+        nb_train(d.where(F.col("doc_id") % 10 != 0), "lang", "text", min_count=2),
+        sf_dir,
+        "nb_model",
+    )
+    return nb_classify(d.where(F.col("doc_id") % 10 == 0), model)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semantic_decontam",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000, 0) AS BIGINT) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+         CAST(SUM(t.x * b.x) AS BIGINT) AS dot
+  FROM ex t JOIN ex b ON t.i = b.i
+  WHERE t.vec_id % 20 <> 7 AND b.vec_id % 20 = 7
+  GROUP BY 1, 2
+)
+SELECT train_id, bench_id,
+       ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 9) AS cosine
+FROM dots JOIN norms na ON train_id = na.vec_id
+          JOIN norms nb ON bench_id = nb.vec_id
+WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 9) >= 0.35
+""",
+)
+def q_semantic_decontam(spark, sf_dir):
+    """EXT — SEMANTIC decontamination
+    (similarity.semantic_contamination_pairs): training vectors within
+    threshold cosine of any benchmark vector. The n-gram family
+    (decontaminate_overlap / decontam_incremental) catches verbatim
+    and lightly-edited benchmark copies; this is the embedding-space
+    complement that catches PARAPHRASED contamination — eval hygiene
+    needs both. The benchmark side is small by nature (here the
+    %20==7 slice stands in for a frozen eval suite) and BROADCASTS,
+    so the corpus streams through one stage — |train|x|bench| exact
+    integer dots, linear in the corpus, no shuffle of the train side;
+    the banded sign-LSH variant (semantic_contamination_pairs_lsh,
+    recall-pinned in pytest) covers benchmark sets past broadcast
+    size. Quantized-integer cosine makes the output hash-match."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination_pairs(
+        e.where(F.col("vec_id") % 20 != 7),
+        e.where(F.col("vec_id") % 20 == 7),
+        threshold=0.35,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — cluster-balanced coreset selection (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_balanced_sample",
+    # the kcenter recursive-CTE replay composes underneath: centers
+    # from the same deterministic pick sequence, then exact-integer
+    # assignment + per-cell closest-cap — every comparison discrete
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), seed AS (
+  SELECT vec_id, qv FROM q
+  ORDER BY list_sum(list_transform(qv, x -> x * x)) DESC, vec_id ASC LIMIT 1
+), pick(r, ids, qvs) AS (
+  SELECT 1, [vec_id], [qv] FROM seed
+  UNION ALL
+  SELECT r + 1, list_append(ids, nxt.vec_id), list_append(qvs, nxt.qv)
+  FROM pick, LATERAL (
+    SELECT cand.vec_id, cand.qv FROM (
+      SELECT q.vec_id, q.qv,
+             min(list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - t.cqv[i]) * (q.qv[i] - t.cqv[i])))) AS md
+      FROM q, unnest(pick.qvs) AS t(cqv)
+      WHERE NOT list_contains(pick.ids, q.vec_id)
+      GROUP BY q.vec_id, q.qv
+    ) cand
+    ORDER BY cand.md DESC, cand.vec_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE r < 12
+), final AS (SELECT ids, qvs FROM pick ORDER BY r DESC LIMIT 1),
+centers AS (
+  SELECT CAST(i AS BIGINT) AS cell, qvs[i] AS cqv
+  FROM final, unnest(range(1, len(ids) + 1)) AS s(i)
+),
+assigned AS (
+  SELECT q.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+           i -> (q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i]))) AS BIGINT) AS dist2
+  FROM q CROSS JOIN centers c
+),
+nearest AS (
+  SELECT vec_id, cell, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist2 ASC, cell ASC) AS rk FROM assigned)
+  WHERE rk = 1
+)
+SELECT vec_id, cell, dist2, cell_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+    ORDER BY dist2 ASC, vec_id ASC) AS BIGINT) AS cell_rank FROM nearest)
+WHERE cell_rank <= 25
+""",
+)
+def q_cluster_balanced_sample(spark, sf_dir):
+    """EXT — cluster-balanced coreset selection
+    (sampling.cluster_balanced_sample): k-center cells (k=12) over the
+    embedding table, every vector assigned to its nearest center on
+    exact int64 squared distances, at most 25 CLOSEST vectors kept per
+    cell — the embedding-space balancing recipe (DataComp/SemDeDup
+    family) that stops dense regions from dominating a sample. The
+    center table (≤k rows) broadcasts; the corpus streams once; both
+    windows run on scalars. Deterministic end to end, so the whole
+    pipeline hash-matches the composed recursive-CTE replay."""
+    from .operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        t(spark, sf_dir, "embeddings"), k=12, cap=25
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — CCNet-style perplexity-bucketed mixture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_bucket_mixture",
+    oracle=f"""
+WITH scored AS ({_LM_SCORES_SQL}),
+ranked AS (
+  SELECT doc_id, avg_logprob,
+         round(percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id ASC), 9)
+           AS pct
+  FROM scored
+),
+bucketed AS (
+  SELECT doc_id, avg_logprob,
+         CASE WHEN pct < 0.333333333 THEN 'head'
+              WHEN pct < 0.666666667 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT doc_id, avg_logprob, bucket
+FROM bucketed
+WHERE bucket = 'head'
+   OR (bucket = 'middle'
+       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+""",
+)
+def q_perplexity_bucket_mixture(spark, sf_dir):
+    """EXT — the CCNet bucketing recipe (Wenzek et al. 2020, public):
+    score the batch under the persisted reference-slice bigram LM,
+    rank by fluency, split into head/middle/tail terciles, then keep
+    the head, sample HALF the middle (deterministic md5-prefix
+    predicate — partitioning-independent, engine-portable) and drop
+    the tail — the standard perplexity-stratified mixture that keeps
+    some mid-quality mass instead of a hard cutoff. Windows run over
+    batch-sized scalar rows; the sampling predicate adds no shuffle.
+    Shares _LM_SCORES_SQL with the scorer/gate queries so the three
+    oracles cannot silently diverge."""
+    from .operators.sampling import sample_predicate
+    from .operators.text import ngram_lm_counts, ngram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    lm = scratch_roundtrip(
+        ngram_lm_counts(d.where(F.col("doc_id") % 10 == 1), min_count=2),
+        sf_dir,
+        "bigram_lm",
+    )
+    scored = ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+    bucketed = scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.round(F.percent_rank().over(w), 9).alias("_pct"),
+    ).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("_pct") < 0.333333333, "head")
+        .when(F.col("_pct") < 0.666666667, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.where(
+        (F.col("bucket") == "head")
+        | (
+            (F.col("bucket") == "middle")
+            & sample_predicate(F.col("doc_id").cast("string"), 0.5)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -366,3 +366,75 @@ def leakage_safe_split(
         F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
     )
     return train_val_test_split(labeled, "cluster_id", train, val, out)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 12,
+    cap: int = 50,
+) -> DataFrame:
+    """Cluster-balanced coreset selection (the DataComp/SemDeDup-family
+    "balance the embedding space" recipe, public): partition the
+    corpus into ``k`` cells around GREEDY K-CENTER representatives
+    (similarity.kcenter_sample — coverage-maximizing, deterministic),
+    assign every vector to its nearest center, and keep at most
+    ``cap`` vectors per cell — the ``cap`` CLOSEST to the center, so
+    each kept cell is a tight, equally-sized neighborhood and no dense
+    region dominates the sample.
+
+    Exactness: assignment and ranking both run on EXACT INT64 squared
+    distances over the quantized vectors (QUANT_SCALE) — every argmin
+    and every rank is a discrete comparison (assignment ties break to
+    the lowest pick_order, rank ties to the lowest id), so the full
+    pipeline hash-matches a SQL oracle that replays the same center
+    sequence (the kcenter recursive-CTE oracle composes underneath).
+
+    Scale shape: the center table is ≤ k ≤ 256 rows (kcenter_sample's
+    own bound) and broadcasts; the corpus streams through ONE stage
+    computing k fold-dots per row (the k-row broadcast nested loop is
+    bounded by construction), then one per-vector argmin window over k
+    scalar rows and one per-cell top-``cap`` window on scalars. No
+    corpus self-join anywhere.
+
+    Output: ``(id_col, cell, dist2, cell_rank)`` — cell the center's
+    pick_order, dist2 the exact squared distance in quantized units.
+    """
+    from .similarity import _quantize, kcenter_sample
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    centers = kcenter_sample(df, vec_col, id_col, k)
+    cent = (
+        df.join(centers, id_col)
+        .select(
+            F.col("pick_order").alias("cell"),
+            _quantize(F.col(vec_col)).alias("_cv"),
+        )
+    )
+    x = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_qv"))
+    d2 = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assigned = x.crossJoin(F.broadcast(cent)).select(
+        id_col, "cell", d2.alias("dist2")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("dist2").asc(), F.col("cell").asc()
+    )
+    nearest = (
+        assigned.withColumn("_rk", F.row_number().over(w_assign))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    w_cell = Window.partitionBy("cell").orderBy(
+        F.col("dist2").asc(), F.col(id_col).asc()
+    )
+    return (
+        nearest.withColumn("cell_rank", F.row_number().over(w_cell).cast("long"))
+        .where(F.col("cell_rank") <= cap)
+        .select(id_col, "cell", "dist2", "cell_rank")
+    )

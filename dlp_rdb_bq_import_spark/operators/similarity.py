@@ -1153,3 +1153,132 @@ def embedding_group_outliers(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def semantic_contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC decontamination pairs: training vectors whose cosine to
+    ANY benchmark vector reaches ``threshold`` — the embedding-space
+    complement of the n-gram decontamination family
+    (`operators/decontam.py`): n-gram overlap catches verbatim and
+    lightly-edited benchmark copies, embedding cosine catches
+    PARAPHRASED ones (the contamination screen eval-suite hygiene
+    actually needs both halves of).
+
+    Production shape: the benchmark side is SMALL BY NATURE (eval
+    suites are thousands of rows, the corpus is billions), so bench is
+    broadcast and the corpus streams through ONE stage — cost is
+    |train| x |bench| exact integer dots with no shuffle of the train
+    side at all, linear in the corpus. For benchmark sets past
+    broadcast size use ``semantic_contamination_pairs_lsh``.
+
+    Exactness: the repo-wide quantized-integer cosine (QUANT_SCALE
+    components, int64 dots/norms, one rounded double division), so
+    output hash-matches a SQL oracle.
+
+    Output: ``(train_id, bench_id, cosine)``, one row per flagged
+    (train, bench) pair.
+    """
+    tr = with_norm(train, vec_col).select(
+        F.col(id_col).alias("train_id"),
+        F.col("_qv").alias("_tv"),
+        F.col("_norm").alias("_tn"),
+    )
+    be = with_norm(bench, vec_col).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("_qv").alias("_bv"),
+        F.col("_norm").alias("_bn"),
+    )
+    return (
+        tr.crossJoin(F.broadcast(be))
+        .withColumn(
+            "cosine",
+            F.round(
+                _int_dot(F.col("_tv"), F.col("_bv")).cast("double")
+                / (F.col("_tn") * F.col("_bn")),
+                9,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("train_id", "bench_id", "cosine")
+    )
+
+
+def semantic_contamination_pairs_lsh(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 16,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """Scale path for benchmark sets past broadcast size: banded
+    sign-LSH candidates ACROSS the two tables (equi-join on
+    (band, value) under the SAME deterministic hyperplanes — the
+    planes derive from (plane, dim) hashes, so both sides signature
+    identically with no RNG state) + exact integer-cosine rerank of
+    candidates only. Precision 1.0 by construction (candidates are
+    exactly verified); recall vs the exact path is pinned in pytest.
+    Cost: signature streams + the candidate set — never
+    |train| x |bench|."""
+    sig_t = sign_lsh_bands(train, vec_col, id_col, bands, bits_per_band).select(
+        F.col(id_col).alias("train_id"), "band", "val"
+    )
+    sig_b = sign_lsh_bands(bench, vec_col, id_col, bands, bits_per_band).select(
+        F.col(id_col).alias("bench_id"), "band", "val"
+    )
+    cand = (
+        sig_t.join(sig_b, ["band", "val"]).select("train_id", "bench_id").distinct()
+    )
+    tr = with_norm(train, vec_col).select(
+        F.col(id_col).alias("train_id"),
+        F.col("_qv").alias("_tv"),
+        F.col("_norm").alias("_tn"),
+    )
+    be = with_norm(bench, vec_col).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("_qv").alias("_bv"),
+        F.col("_norm").alias("_bn"),
+    )
+    return (
+        cand.join(tr, "train_id")
+        .join(be, "bench_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _int_dot(F.col("_tv"), F.col("_bv")).cast("double")
+                / (F.col("_tn") * F.col("_bn")),
+                9,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("train_id", "bench_id", "cosine")
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "broadcast",
+) -> DataFrame:
+    """The screen itself: training rows whose embedding is NOT within
+    ``threshold`` cosine of any benchmark vector (left-anti join on
+    the flagged id set — the decontaminate() twin of the n-gram
+    family)."""
+    if method == "broadcast":
+        pairs = semantic_contamination_pairs(train, bench, threshold, vec_col, id_col)
+    elif method == "lsh":
+        pairs = semantic_contamination_pairs_lsh(train, bench, threshold, vec_col, id_col)
+    else:
+        raise ValueError(f"method must be 'broadcast' or 'lsh', got {method!r}")
+    flagged = pairs.select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, id_col, "left_anti")

@@ -3313,3 +3313,186 @@ def test_compression_ratio_scores(spark):
     assert got[2].ratio < 0.1 < got[1].ratio  # repetition compresses away
     with _pytest.raises(ValueError, match="level"):
         compression_ratio_scores(df, "text", "doc_id", level=0)
+
+
+# ---------------------------------------------------------------------------
+# round 8: Naive Bayes classifier / semantic decontam / cluster-balanced sample
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classify_hand_computed(spark):
+    """NB scores equal an independent pure-Python computation of the
+    same micro-log closed form, and the argmax pick (with label-asc
+    tie-break) matches."""
+    import math
+
+    from dlp_rdb_bq_import_spark.operators.classify import nb_classify, nb_scores, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat"),
+            (2, "en", "the dog sat"),
+            (3, "fr", "le chat noir"),
+            (4, "fr", "le chien noir"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the chat sat"), (11, "le le noir")],
+        "doc_id long, text string",
+    )
+    model = nb_train(train, "lang", "text")
+    got = {
+        (r["doc_id"], r["label"]): (r["n_tokens"], r["score_micro"])
+        for r in nb_scores(batch, model).collect()
+    }
+
+    # independent reference
+    k = 0.5
+    counts: dict[tuple[str, str], int] = {}
+    docs_l = {"en": 2, "fr": 2}
+    for _, lab, txt in train.collect():
+        for w in txt.split(" "):
+            if w:
+                counts[(lab, w)] = counts.get((lab, w), 0) + 1
+    vocab = {w for (_, w) in counts}
+    v = len(vocab)
+    cl = {lab: sum(c for (l2, c) in ((l3, c3) for (l3, w3), c3 in counts.items() if l3 == lab)) for lab in docs_l}
+    mic = lambda x: round(math.log(x) * 1e6)
+    for doc_id, txt in [(10, "the chat sat"), (11, "le le noir")]:
+        toks = [w for w in txt.split(" ") if w]
+        for lab in docs_l:
+            hits = [counts[(lab, w)] for w in toks if (lab, w) in counts]
+            score = (
+                sum(mic(c + k) for c in hits)
+                + (len(toks) - len(hits)) * mic(k)
+                - len(toks) * mic(cl[lab] + k * v)
+                + mic(docs_l[lab] / sum(docs_l.values()))
+            )
+            assert got[(doc_id, lab)] == (len(toks), score), (doc_id, lab)
+
+    pred = {r["doc_id"]: r["label"] for r in nb_classify(batch, model).collect()}
+    assert pred == {10: "en", 11: "fr"}
+
+
+def test_nb_merge_and_edge_cases(spark):
+    """merge(train(A), train(B)) ≡ train(A ∪ B) exactly (both row
+    kinds); zero-token docs count toward the prior but are omitted
+    from scoring; all-unseen batches fall back to prior + floor."""
+    from dlp_rdb_bq_import_spark.operators.classify import (
+        merge_nb_model,
+        nb_classify,
+        nb_train,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", "aa bb"), (2, "y", "cc")], "doc_id long, lang string, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "x", "aa dd"), (4, "y", "")], "doc_id long, lang string, text string"
+    )
+    merged = merge_nb_model(
+        nb_train(a, "lang", "text"), nb_train(b, "lang", "text")
+    )
+    full = nb_train(a.unionByName(b), "lang", "text")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # doc 4 (empty text) contributed to y's prior
+    assert {(r["label"], r["c"]) for r in full.where("token = ''").collect()} == {
+        ("x", 2),
+        ("y", 2),
+    }
+
+    batch = spark.createDataFrame(
+        [(10, "zz qq"), (11, "")], "doc_id long, text string"
+    )
+    out = nb_classify(batch, full).collect()
+    # empty doc omitted; unseen doc still classified (priors tie 2:2 →
+    # per-token floor differs only via C_l; x has more token mass → lower
+    # per-token prob; y wins)
+    assert {r["doc_id"] for r in out} == {10}
+    assert out[0]["label"] == "y"
+
+
+def test_semantic_contamination_paths(spark):
+    """Planted paraphrase-contamination: the broadcast exact path flags
+    exactly the planted train vectors; the LSH path finds the same
+    high-cosine pairs (its operating regime); decontaminate removes
+    flagged rows only."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        semantic_contamination_pairs,
+        semantic_contamination_pairs_lsh,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    bench_vecs = rng.normal(size=(3, dim))
+    rows_b = [(100 + i, [float(x) for x in v]) for i, v in enumerate(bench_vecs)]
+    # two contaminated train vectors = bench + tiny noise; 20 random clean
+    cont = [
+        (i, [float(x) for x in bench_vecs[i] + rng.normal(scale=0.01, size=dim)])
+        for i in range(2)
+    ]
+    clean = [(10 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(20)]
+    train = spark.createDataFrame(cont + clean, "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(rows_b, "vec_id long, embedding array<float>")
+
+    exact = semantic_contamination_pairs(train, bench, threshold=0.9)
+    got = {(r["train_id"], r["bench_id"]) for r in exact.collect()}
+    assert got == {(0, 100), (1, 101)}
+
+    lsh = semantic_contamination_pairs_lsh(train, bench, threshold=0.9)
+    assert {(r["train_id"], r["bench_id"]) for r in lsh.collect()} == got
+    # precision 1.0 by construction: lsh output ⊆ exact (both verified)
+
+    kept = semantic_decontaminate(train, bench, threshold=0.9)
+    assert {r["vec_id"] for r in kept.collect()} == {10 + i for i in range(20)}
+
+
+def test_cluster_balanced_sample_properties(spark):
+    """Per-cell counts never exceed cap; every vector's cell is its
+    true nearest center (numpy recompute over the same quantized
+    integers); kept vectors are the closest-cap of their cell."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.sampling import cluster_balanced_sample
+    from dlp_rdb_bq_import_spark.operators.similarity import kcenter_sample
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    k, cap = 5, 10
+    out = cluster_balanced_sample(df, k=k, cap=cap).collect()
+    per_cell: dict[int, list] = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], []).append(r)
+    assert all(len(v) <= cap for v in per_cell.values())
+    assert len(per_cell) == k
+
+    centers = {r["pick_order"]: r["vec_id"] for r in kcenter_sample(df, k=k).collect()}
+    # mirror the engine exactly: values are stored float32, quantization
+    # rounds HALF AWAY FROM ZERO (Spark round), not numpy's banker's round
+    v64 = vecs.astype(np.float32).astype(np.float64) * 1e7
+    q = (np.sign(v64) * np.floor(np.abs(v64) + 0.5)).astype(np.int64)
+    cent = np.stack([q[centers[p]] for p in sorted(centers)])  # cell order 1..k
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    nearest = d2.argmin(axis=1) + 1  # ties: argmin picks lowest index = lowest cell
+    for r in out:
+        assert nearest[r["vec_id"]] == r["cell"]
+        assert d2[r["vec_id"], r["cell"] - 1] == r["dist2"]
+    # closest-cap: no unkept member of a cell is strictly closer than a kept one
+    kept_ids = {r["vec_id"] for r in out}
+    for vid in range(120):
+        if vid in kept_ids:
+            continue
+        cell = nearest[vid]
+        kept_cell = [r for r in out if r["cell"] == cell]
+        if len(kept_cell) < cap:
+            continue  # cell not full — vid must be in it, contradiction
+        worst_kept = max((r["dist2"], r["vec_id"]) for r in kept_cell)
+        assert (d2[vid, cell - 1], vid) > worst_kept

@@ -109,6 +109,29 @@ ALLOW: dict[str, dict[str, str]] = {
         "None): build side is a broadcast single global-aggregate row by "
         "construction; grouped mode uses a plain equi-join",
     },
+    "nb_classify_lang": {
+        "BroadcastNestedLoopJoin": "label-stats attach: build side is the "
+        "broadcast per-label stats table (#labels rows — bounded by class "
+        "cardinality, never data volume) plus the 1-row vocabulary/total "
+        "scalar attaches that derive it",
+    },
+    "semantic_decontam": {
+        "BroadcastNestedLoopJoin": "benchmark side is eval-suite-sized and "
+        "broadcast by construction (the corpus streams through one stage); "
+        "benchmark sets past broadcast size use the banded sign-LSH "
+        "variant (semantic_contamination_pairs_lsh, equi-join only)",
+    },
+    "cluster_balanced_sample": {
+        "BroadcastNestedLoopJoin": "center table is ≤ k ≤ 256 rows "
+        "(kcenter_sample's own bound) broadcast by construction; the "
+        "corpus streams once computing k fold-dots per row",
+    },
+    "perplexity_bucket_mixture": {
+        "BroadcastNestedLoopJoin": "inherited from the composed LM "
+        "scorer's vocabulary-size 1-row scalar attach (lm_quality_scores, "
+        "individually allowlisted); bucketing adds a batch-sized window "
+        "and a hash predicate only",
+    },
 }
 
 
