@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "semantic_decontam",
     "cluster_balanced_sample",
     "perplexity_bucket_mixture",
+    "dsir_select",
 ]
 
 

@@ -7324,6 +7324,111 @@ def q_perplexity_bucket_mixture(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — DSIR data selection (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_select",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, lang, ws[CAST(i AS BIGINT)] AS f
+    FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws)
+    UNION ALL
+    SELECT doc_id, lang,
+           ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i AS BIGINT)+1] AS f
+    FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws) - 1
+  )
+),
+tc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM feats
+  WHERE lang = 'fr' AND doc_id % 10 <> 0 GROUP BY 1
+),
+rc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM feats
+  WHERE doc_id % 10 = 1 GROUP BY 1
+),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM tc),
+rt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM rc),
+wt AS (
+  SELECT b.bucket,
+         CAST(round(ln((CAST(COALESCE(tc.c, 0) AS DOUBLE) + 0.5)
+                / (CAST(tt.tot AS DOUBLE) + 0.5 * 4096.0)) * 1000000.0) AS BIGINT)
+         - CAST(round(ln((CAST(COALESCE(rc.c, 0) AS DOUBLE) + 0.5)
+                / (CAST(rt.tot AS DOUBLE) + 0.5 * 4096.0)) * 1000000.0) AS BIGINT)
+           AS w_micro
+  FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 4096)) b
+  LEFT JOIN tc ON b.bucket = tc.bucket
+  LEFT JOIN rc ON b.bucket = rc.bucket
+  CROSS JOIN tt CROSS JOIN rt
+),
+scored AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(SUM(wt.w_micro) AS BIGINT) AS weight_micro
+  FROM feats f JOIN wt ON f.bucket = wt.bucket
+  WHERE f.doc_id % 10 = 0
+  GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_feats, weight_micro,
+         CAST(round(
+           CAST(weight_micro AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1.0
+           + (-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)))
+             * 1000000.0
+         ) AS BIGINT) AS key_micro
+  FROM scored
+)
+SELECT doc_id, n_feats, weight_micro, key_micro,
+       CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM keyed
+ORDER BY key_micro DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_dsir_select(spark, sf_dir):
+    """EXT — DSIR data selection (Xie et al. 2023, arXiv 2302.03169,
+    operators/dsir.py): fit hashed bag-of-ngrams models on a TARGET
+    domain sample (the French slice, doc_id %10 != 0 — standing in
+    for 'data that looks like my domain') and on a raw-corpus sample
+    (%10 == 1), persist both (bucket, c) tables through the warehouse
+    sink, then score the incoming batch (%10 == 0) by exact int64
+    micro-log importance weights and keep the Gumbel-top-20 — true
+    importance RESAMPLING, not a similarity ranking: the deterministic
+    md5-Gumbel perturbation draws without replacement from the softmax
+    of the length-normalized weights, so the selection matches the
+    target distribution in expectation instead of collapsing onto its
+    mode. Every arithmetic step (bucket hash, smoothing, micro-log
+    quantization, Gumbel key) is restated identically in the oracle —
+    the whole selection hash-matches."""
+    from .operators.dsir import dsir_bucket_weights, dsir_feature_counts, dsir_select
+
+    d = t(spark, sf_dir, "documents")
+    target = scratch_roundtrip(
+        dsir_feature_counts(
+            d.where((F.col("lang") == "fr") & (F.col("doc_id") % 10 != 0))
+        ),
+        sf_dir,
+        "dsir_target",
+    )
+    raw = scratch_roundtrip(
+        dsir_feature_counts(d.where(F.col("doc_id") % 10 == 1)),
+        sf_dir,
+        "dsir_raw",
+    )
+    weights = dsir_bucket_weights(target, raw)
+    return dsir_select(d.where(F.col("doc_id") % 10 == 0), weights, k=20)
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -3496,3 +3496,45 @@ def test_cluster_balanced_sample_properties(spark):
             continue  # cell not full — vid must be in it, contradiction
         worst_kept = max((r["dist2"], r["vec_id"]) for r in kept_cell)
         assert (d2[vid, cell - 1], vid) > worst_kept
+
+
+def test_dsir_selection_semantics(spark):
+    """DSIR importance weights favor documents drawn from the target
+    domain's vocabulary: merge ≡ fit-on-union; target-vocabulary docs
+    outscore off-domain docs; Gumbel-top-k is deterministic and ranks
+    by the perturbed key."""
+    from dlp_rdb_bq_import_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_feature_counts,
+        dsir_scores,
+        dsir_select,
+        merge_feature_counts,
+    )
+
+    tgt_rows = [(i, "alpha beta gamma delta " * 3) for i in range(10)]
+    raw_rows = [(100 + i, "one two three four five six " * 3) for i in range(20)]
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows + tgt_rows[:2], "doc_id long, text string")
+
+    # merge contract
+    m = merge_feature_counts(
+        dsir_feature_counts(target.where("doc_id < 5")),
+        dsir_feature_counts(target.where("doc_id >= 5")),
+    )
+    full = dsir_feature_counts(target)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, full.collect()))
+
+    w = dsir_bucket_weights(dsir_feature_counts(target), dsir_feature_counts(raw))
+    batch = spark.createDataFrame(
+        [(200, "alpha beta gamma delta"), (201, "one two three four")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["weight_micro"] / r["n_feats"] for r in
+         dsir_scores(batch, w).collect()}
+    assert s[200] > 0 > s[201]  # target-like up-weighted, raw-like down
+
+    sel = dsir_select(batch, w, k=2)
+    rows = sel.collect()
+    assert [r["rank"] for r in rows] == [1, 2]
+    again = {(r["doc_id"], r["key_micro"]) for r in dsir_select(batch, w, k=2).collect()}
+    assert {(r["doc_id"], r["key_micro"]) for r in rows} == again  # deterministic

@@ -126,6 +126,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(kcenter_sample's own bound) broadcast by construction; the "
         "corpus streams once computing k fold-dots per row",
     },
+    "dsir_select": {
+        "BroadcastNestedLoopJoin": "feature-total scalar attaches: build "
+        "sides are broadcast single global-aggregate rows (target/raw "
+        "model totals) by construction; the weight table itself is "
+        "n_buckets rows (constant) and joins by bucket equi-key",
+    },
     "perplexity_bucket_mixture": {
         "BroadcastNestedLoopJoin": "inherited from the composed LM "
         "scorer's vocabulary-size 1-row scalar attach (lm_quality_scores, "
