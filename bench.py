@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     "perplexity_bucket_mixture",
     "dsir_select",
+    "blocklist_screen",
+    "cms_term_estimates",
 ]
 
 

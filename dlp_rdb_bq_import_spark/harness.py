@@ -7429,6 +7429,131 @@ def q_dsir_select(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — blocklist screening (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "blocklist_screen",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, w AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE w <> ''
+),
+terms AS (SELECT lower(term) AS tok FROM (VALUES ('slow'), ('merge')) v(term)),
+h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(count(DISTINCT toks.tok) AS BIGINT) AS n_distinct_hits
+  FROM toks JOIN terms ON toks.tok = terms.tok
+  GROUP BY 1
+),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+SELECT n.doc_id, n.n_tokens,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_distinct_hits, 0) AS BIGINT) AS n_distinct_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE), 9)
+         AS hit_fraction
+FROM n LEFT JOIN h ON n.doc_id = h.doc_id
+""",
+)
+def q_blocklist_screen(spark, sf_dir):
+    """EXT — blocklist screening (text.blocklist_hits), the
+    UT1/RefinedWeb-family banned-term density stage: per-document hit
+    counts and fraction against a term TABLE via one broadcast token
+    equi-join — work ∝ corpus tokens with an O(1) probe each, where
+    an N-term alternation regex would scan O(N) states per character
+    and need a plan rebuild on every list change. The gate itself
+    (drop above a density threshold, zero-token docs kept) is
+    text.blocklist_filter, pytest-pinned; this report form keeps
+    every doc so the full density distribution hash-matches."""
+    terms = spark.createDataFrame([("slow",), ("merge",)], "term string")
+    return text_ops.blocklist_hits(t(spark, sf_dir, "documents"), terms)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT — count-min sketch (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_term_estimates",
+    oracle="""
+WITH vals AS (
+  SELECT w AS v FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+rows_ AS (SELECT CAST(range AS BIGINT) AS row FROM range(0, 4)),
+sk AS (
+  SELECT r.row,
+         CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || v), 1, 8))
+              AS BIGINT) % 512 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM vals CROSS JOIN rows_ r GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT v FROM vals),
+est AS (
+  SELECT p.v AS value, CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS est
+  FROM probes p CROSS JOIN rows_ r
+  LEFT JOIN sk ON sk.row = r.row
+   AND sk.bucket = CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || p.v),
+                         1, 8)) AS BIGINT) % 512
+  GROUP BY 1
+),
+exact AS (SELECT v AS value, CAST(count(*) AS BIGINT) AS exact_n FROM vals GROUP BY 1)
+SELECT e.value, e.est, x.exact_n FROM est e JOIN exact x USING (value)
+""",
+)
+def q_cms_term_estimates(spark, sf_dir):
+    """EXT — count-min sketch frequency estimation (Cormode &
+    Muthukrishnan 2005, profiling.cms_build/cms_estimate): the
+    CONSTANT-SIZE summary (4x512 counters here) that answers point
+    frequency queries for ANY value, never underestimating —
+    complementing the exact Misra-Gries heavy-hitter path, whose
+    output is only the heavy tail. The sketch is ONE persistable
+    (row, bucket, c) table with counter-addition maintenance
+    (merge ≡ build-on-union — which also makes the streaming fold
+    exact, see streaming_cms_terms) and round-trips the warehouse
+    sink here before probing. Estimates join the exact counts so the
+    overcount structure itself is part of the verified output; the
+    sketch is deterministic given the md5 hash family, so everything
+    hash-matches."""
+    from .operators.profiling import cms_build, cms_estimate
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    sketch = scratch_roundtrip(cms_build(words, "w"), sf_dir, "cms_sketch")
+    est = cms_estimate(words, sketch, "w")
+    exact = words.groupBy(F.col("w").alias("value")).agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    return est.join(exact, "value")
+
+
+@query("streaming_cms_terms")  # streaming fold — rows-only by design
+def q_streaming_cms_terms(spark, sf_dir):
+    """EXT — the STREAMING count-min fold (streaming/jobs.py:
+    streaming_cms): per-micro-batch sketches accumulate by counter
+    addition into a constant-size state (≤ depth·width rows forever —
+    the property exact streaming counters lack), and because
+    sketch-of-union = sum-of-sketches the accumulated table is
+    bit-identical to one batch build over everything seen
+    (pytest-pinned ≡ cms_build). Output: the folded sketch's non-zero
+    counters."""
+    from .streaming.jobs import streaming_cms
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return streaming_cms(spark, words, "w")
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

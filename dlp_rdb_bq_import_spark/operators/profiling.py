@@ -703,3 +703,127 @@ def heavy_hitters(
             ),
         )
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan
+    2005, public algorithm): ``depth`` independent hash rows x
+    ``width`` counters — the CONSTANT-SIZE frequency summary that
+    complements the exact Misra-Gries path (:func:`heavy_hitters`):
+    MG answers "which values are heavy" exactly; the sketch answers
+    "how often did THIS value occur" for any value, never
+    underestimating, from ≤ depth·width persisted rows regardless of
+    key-space size.
+
+    The sketch IS a table ``(row, bucket, c)`` — the same persistable-
+    artifact discipline as the LM/NB/DSIR count models, and because a
+    sketch of a union is the elementwise SUM of the sketches,
+    maintenance is the same ``merge ≡ build-on-union`` contract
+    (:func:`merge_cms`) — which is also what makes the STREAMING fold
+    exact: accumulating per-micro-batch sketches yields bit-identical
+    counters to one batch build over everything seen.
+
+    Hashing is md5-prefix seeded by the row index (engine-portable —
+    an oracle restates the identical bucket assignment; swap in
+    xxhash64 at production scale, the algorithm is hash-agnostic).
+    One groupBy over the depth-exploded stream; no shuffle carries
+    more than depth·width rows out.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}, {width}")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .select("_v", rows)
+        .select(
+            "row",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_v"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def merge_cms(sketch: DataFrame, new_sketch: DataFrame) -> DataFrame:
+    """Fold a new batch's sketch into a persisted one: union + one
+    groupBy sum — ``merge(build(A), build(B)) ≡ build(A ∪ B)``
+    exactly (counter addition is the sketch's defining property;
+    pytest-pinned)."""
+    for side, d in (("sketch", sketch), ("new_sketch", new_sketch)):
+        if not {"row", "bucket", "c"} <= set(d.columns):
+            raise ValueError(
+                f"{side} must be a cms_build result with (row, bucket, c); "
+                f"got {d.columns}"
+            )
+    return (
+        sketch.select("row", "bucket", "c")
+        .unionByName(new_sketch.select("row", "bucket", "c"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch: for each probe value, the MINIMUM of
+    its ``depth`` counters — ≥ the true count always (collisions only
+    ADD), within ε·N with the standard (e/width, (1/2)^depth)
+    guarantee. ``depth``/``width`` must match the build (they
+    parameterize the hash family — a mismatch probes garbage buckets,
+    so the join below naturally yields nulls and the call fails loudly
+    via the non-null contract on ``est``).
+
+    Shape: probes explode x depth and equi-join the ≤ depth·width-row
+    broadcast sketch; one min-groupBy per probe ends the plan. Output
+    ``(value, est)``."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}, {width}")
+    probes = (
+        items.select(F.col(col).cast("string").alias("value"))
+        .distinct()
+        .select("value", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+        .select(
+            "value",
+            "row",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("row").cast("string"), F.lit(":"), F.col("value"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -1489,3 +1489,74 @@ def compression_ratio_scores(
         )
     )
     return out.withColumn("ratio", ratio)
+
+
+def blocklist_hits(
+    df: DataFrame,
+    terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist screening — the UT1/RefinedWeb-family curation stage
+    (banned-term density gating, public recipe): count each document's
+    token-level hits against a term list. TOKEN EQUI-JOIN, not a
+    regex scan: the document side explodes once into its (lowercased)
+    token stream and joins the broadcast term table — work ∝ corpus
+    tokens with an O(1) probe each, where an N-term alternation regex
+    would pay O(N)-state scanning per character and rebuild the
+    pattern on every list update. The term list is a TABLE, not a
+    pattern: updating the blocklist is a data change, no plan change.
+
+    Matching is exact whole-token, case-insensitive (terms are
+    lowercased on the way in). Every doc appears in the output
+    (zero-hit docs carry 0/0.0) so the gate can keep them without a
+    second scan. Output: ``(id_col, n_tokens, n_hits, n_distinct_hits,
+    hit_fraction)`` — hit_fraction one exact int division."""
+    if "term" not in terms.columns:
+        raise ValueError(f"terms must carry a 'term' column; got {terms.columns}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("_tok"),
+    )
+    tl = terms.select(F.lower(F.col("term")).alias("_tok")).distinct()
+    hits = (
+        toks.join(F.broadcast(tl), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.count_distinct("_tok").cast("long").alias("n_distinct_hits"),
+        )
+    )
+    ntok = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tokens"))
+    return ntok.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_distinct_hits"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("hit_fraction"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fraction: float = 0.0,
+) -> DataFrame:
+    """The gate itself: keep documents whose banned-token fraction is
+    ≤ ``max_fraction`` (default 0.0 — any hit drops). Composes
+    :func:`blocklist_hits`; docs with zero tokens carry no evidence
+    and are kept (the shared tokenizer contract)."""
+    flagged = blocklist_hits(df, terms, text_col, id_col).where(
+        F.col("hit_fraction") > max_fraction
+    )
+    return df.join(flagged.select(id_col), id_col, "left_anti")

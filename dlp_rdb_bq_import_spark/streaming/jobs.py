@@ -872,3 +872,53 @@ def streaming_url_frontier(
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_cms(
+    spark: SparkSession,
+    values: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming count-min sketch: fold each micro-batch's sketch into
+    the accumulated counter table via ``foreachBatch`` — the sketch's
+    defining property (sketch-of-union = elementwise counter sum,
+    ``profiling.merge_cms``) makes the stream fold EXACT: after any
+    number of micro-batches the accumulated table is bit-identical to
+    one batch ``cms_build`` over everything seen (pytest-pinned).
+    This is the constant-state streaming frequency summary: state is
+    ≤ depth·width counters forever, where the exact streaming
+    alternatives grow with the key space.
+
+    Returns the accumulated ``(row, bucket, c)`` sketch.
+    """
+    from ..operators import profiling as prof
+
+    root = tempfile.mkdtemp(prefix="cms_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "sketch")
+    src = values.select(F.col(col).cast("string").alias(col))
+    src.write.parquet(stage)
+
+    def fold_batch(batch_df, _epoch_id):
+        batch_sketch = prof.cms_build(batch_df, col, depth=depth, width=width)
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            merged = prof.merge_cms(prev, batch_sketch).localCheckpoint(eager=True)
+        else:
+            merged = batch_sketch.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(acc_dir)
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

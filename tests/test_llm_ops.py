@@ -3538,3 +3538,74 @@ def test_dsir_selection_semantics(spark):
     assert [r["rank"] for r in rows] == [1, 2]
     again = {(r["doc_id"], r["key_micro"]) for r in dsir_select(batch, w, k=2).collect()}
     assert {(r["doc_id"], r["key_micro"]) for r in rows} == again  # deterministic
+
+
+def test_blocklist_filter_semantics(spark):
+    """Gate contract: density threshold honored, matching is exact
+    whole-token case-insensitive (no substring hits), zero-token docs
+    are kept, zero-hit docs carry 0/0.0 in the report."""
+    from dlp_rdb_bq_import_spark.operators.text import blocklist_filter, blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad word here"),          # 1/3 hits -> flagged at 0.1
+            (2, "clean text only"),         # 0 hits
+            (3, "BAD upper case"),          # case-insensitive hit
+            (4, "badge is not bad-word"),   # substring must NOT match
+            (5, ""),                        # zero tokens -> kept
+            (6, "one bad in ten tokens a b c d e"),  # 1/10 = 0.1 -> kept at 0.1
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame([("bad",), ("evil",)], "term string")
+    rep = {r["doc_id"]: r for r in blocklist_hits(docs, terms).collect()}
+    assert rep[1]["n_hits"] == 1 and abs(rep[1]["hit_fraction"] - 1 / 3) < 1e-9
+    assert rep[2]["n_hits"] == 0 and rep[2]["hit_fraction"] == 0.0
+    assert rep[3]["n_hits"] == 1
+    assert rep[4]["n_hits"] == 0  # 'badge' and 'bad-word' are not 'bad'
+    assert 5 not in rep  # zero tokens -> no report row
+    assert rep[6]["n_hits"] == 1 and rep[6]["hit_fraction"] == 0.1
+
+    kept = {r["doc_id"] for r in blocklist_filter(docs, terms, max_fraction=0.1).collect()}
+    assert kept == {2, 4, 5, 6}
+    strict = {r["doc_id"] for r in blocklist_filter(docs, terms, max_fraction=0.0).collect()}
+    assert strict == {2, 4, 5}
+
+
+def test_cms_properties_and_streaming_fold(spark):
+    """CMS guarantees: estimate >= true count for every value;
+    merge ≡ build-on-union exactly; the streaming fold equals one
+    batch build over everything seen; depth/width sanity guards."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        cms_build,
+        cms_estimate,
+        merge_cms,
+    )
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_cms
+
+    rows = [(w,) for w, n in [("a", 50), ("b", 20), ("c", 5), ("d", 1)] for _ in range(n)]
+    df = spark.createDataFrame(rows, "w string")
+    sk = cms_build(df, "w", depth=4, width=64)
+    est = {r["value"]: r["est"] for r in cms_estimate(df, sk, "w", depth=4, width=64).collect()}
+    true = {"a": 50, "b": 20, "c": 5, "d": 1}
+    for v, n in true.items():
+        assert est[v] >= n  # never underestimates
+    assert est["a"] >= 50 and est["a"] <= 76  # total mass bounds any bucket
+
+    half_a = spark.createDataFrame(rows[:38], "w string")
+    half_b = spark.createDataFrame(rows[38:], "w string")
+    merged = merge_cms(
+        cms_build(half_a, "w", depth=4, width=64),
+        cms_build(half_b, "w", depth=4, width=64),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+    folded = streaming_cms(spark, df, "w", depth=4, width=64)
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, sk.collect()))
+
+    with _pytest.raises(ValueError):
+        cms_build(df, "w", depth=0)
+    with _pytest.raises(ValueError):
+        cms_estimate(df, sk, "w", width=1)
