@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "blocklist_screen",
     "cms_term_estimates",
+    "balanced_file_layout",
 ]
 
 

@@ -7554,6 +7554,55 @@ def q_streaming_cms_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 EXT — balanced output-file layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "balanced_file_layout",
+    oracle="""
+WITH ids AS (
+  SELECT l_shipdate,
+         CAST(row_number() OVER
+           (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS BIGINT)
+           AS row_id
+  FROM lineitem
+)
+SELECT CAST(row_id // 5000 AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+FROM ids GROUP BY 1
+""",
+)
+def q_balanced_file_layout(spark, sf_dir):
+    """EXT — write-side file planning (layout.balanced_file_layout):
+    assign rows to SIZED, SORTED output files (5000 rows each, in
+    (l_shipdate, l_orderkey, l_linenumber) order) — the compaction
+    decision every large table write needs: no small-file shrapnel,
+    no straggler files, and contiguous sort slices so parquet footer
+    min/max stats prune whole files for range predicates. File ids
+    ride the scalable dense row-id path (range exchange +
+    per-partition offsets — NOT the single-partition ROW_NUMBER the
+    oracle states, which is the identical result but plans one task
+    for the whole table). Output: the per-file manifest (file_id,
+    n_rows, min/max sort key) — exactly the pruning statistics the
+    layout exists to produce."""
+    from .operators.layout import balanced_file_layout
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    planned = balanced_file_layout(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"], rows_per_file=5000
+    )
+    return planned.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

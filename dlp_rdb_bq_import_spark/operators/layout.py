@@ -226,3 +226,35 @@ def deterministic_shuffle(
         num_partitions=num_partitions,
     )
     return shuffled.drop("_shufkey")
+
+
+def balanced_file_layout(
+    df: DataFrame,
+    order_cols: list[str],
+    rows_per_file: int,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Write-side file planning: assign every row a target output file
+    so files are (a) SIZED — exactly ``rows_per_file`` rows each
+    except the last, no small-file shrapnel, no 10 GB stragglers —
+    and (b) SORTED — file k holds the k-th contiguous slice of the
+    ``order_cols`` order, so downstream range predicates prune whole
+    files (the min/max footer statistics a sorted layout gives
+    parquet). This is the compaction/layout decision every 100 TB
+    table write needs and the naive ``row_number() OVER (ORDER BY
+    ...)`` cannot provide past one task: file ids derive from the
+    scalable dense row-id path (``global_row_ids``: sampled range
+    exchange + per-partition offsets — no single-partition window).
+
+    Output: the input rows + ``id_col`` + ``file_id`` (0-based,
+    ``row_id div rows_per_file``). Callers either
+    ``df.repartition('file_id').sortWithinPartitions(...)`` and write
+    with one file per partition, or hand the plan to a compactor.
+    """
+    if rows_per_file < 1:
+        raise ValueError(f"rows_per_file must be >= 1, got {rows_per_file}")
+    ids = global_row_ids(df, order_cols, id_col=id_col)
+    return ids.withColumn(
+        "file_id",
+        F.expr(f"CAST({id_col} div {int(rows_per_file)} AS BIGINT)"),
+    )

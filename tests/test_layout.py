@@ -139,3 +139,33 @@ def test_encode_categorical_codes_dense_and_null_safe(spark):
     )
     out = {r.id: r.v_code for r in encode_categorical(df, "v").collect()}
     assert out == {2: 0, 4: 0, 1: 1, 3: 2, 5: None}  # lexicographic, null → null
+
+
+def test_balanced_file_layout_contracts(spark):
+    """Every file except the last holds exactly rows_per_file rows;
+    file slices are contiguous in sort order (file k's max key <=
+    file k+1's min key); guards reject nonsense sizes."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.layout import balanced_file_layout
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(95)], "id long, k long"
+    )
+    out = balanced_file_layout(df, ["k", "id"], rows_per_file=10).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["file_id"], []).append(r)
+    assert sorted(by_file) == list(range(10))
+    for fid in range(9):
+        assert len(by_file[fid]) == 10
+    assert len(by_file[9]) == 5
+    # contiguity in (k, id) order across file boundaries
+    for fid in range(9):
+        assert max((r["k"], r["id"]) for r in by_file[fid]) <= min(
+            (r["k"], r["id"]) for r in by_file[fid + 1]
+        )
+    # ids are dense 0..94
+    assert sorted(r["row_id"] for r in out) == list(range(95))
+    with _pytest.raises(ValueError):
+        balanced_file_layout(df, ["k"], rows_per_file=0)
