@@ -1359,8 +1359,9 @@ def deletion_neighborhood_candidates(
         # ever materializes. On dense keys (sequential digit-tailed
         # names) this is the difference between candidates ≈ true
         # pairs and a ~4x superset that must be shuffled through the
-        # distinct (sf1: 96.3M -> 27.5M candidates, the linkage
-        # query's 110s -> ~35s).
+        # distinct (sf1: 96.3M -> 26.9M candidates; with the
+        # shuffle-hash joins below, record_linkage_review 110s -> 20s
+        # and fuzzy_name_pairs 12.5s -> 5.4s).
         variants = (
             df.select(
                 ident.alias("_vid"),
@@ -1384,7 +1385,9 @@ def deletion_neighborhood_candidates(
         #     originals, i.e. equal strings);
         #   - insert/delete: the shorter string's ORIGINAL (pos 0)
         #     equals the longer string's deletion variant (pos > 0) —
-        #     originals-vs-deletions equi-join on _vh, both directions.
+        #     ONE originals-vs-deletions equi-join on _vh covers both
+        #     id orderings (the original is always the shorter side;
+        #     least/greatest canonicalizes the output pair).
         a = variants.select(
             F.col("_vid").alias("id_a"),
             *[F.col(c).alias(f"{c}_a") for c in blocks],

@@ -789,10 +789,11 @@ def cms_estimate(
     """Point-query the sketch: for each probe value, the MINIMUM of
     its ``depth`` counters — ≥ the true count always (collisions only
     ADD), within ε·N with the standard (e/width, (1/2)^depth)
-    guarantee. ``depth``/``width`` must match the build (they
-    parameterize the hash family — a mismatch probes garbage buckets,
-    so the join below naturally yields nulls and the call fails loudly
-    via the non-null contract on ``est``).
+    guarantee. ``depth``/``width`` MUST match the build: they
+    parameterize the hash family, and a mismatch probes the wrong
+    buckets — empty ones read as 0, so estimates can silently
+    UNDERESTIMATE, the one failure mode the sketch's contract
+    excludes. Keep the parameters with the persisted artifact.
 
     Shape: probes explode x depth and equi-join the ≤ depth·width-row
     broadcast sketch; one min-groupBy per probe ends the plan. Output
