@@ -4624,6 +4624,75 @@ def q_record_linkage_review(spark, sf_dir):
     return _linkage_scored(spark, sf_dir, verdicts=("match", "possible"))
 
 
+@query(
+    "entity_golden_records",
+    oracle=f"""
+WITH RECURSIVE scored AS (SELECT * FROM ({_LINKAGE_ORACLE})),
+m AS (SELECT id_a, id_b FROM scored WHERE verdict = 'match'),
+e AS (SELECT id_a AS s, id_b AS d FROM m
+      UNION SELECT id_b AS s, id_a AS d FROM m),
+reach(id, r) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+),
+lab AS (SELECT id, MIN(r) AS entity_of FROM reach GROUP BY id),
+assigned AS (
+  SELECT c.*, COALESCE(l.entity_of, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN lab l ON c.c_custkey = l.id
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       min_by(c_name, c_custkey) AS canonical_name,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents,
+       CAST(MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS max_bal_cents
+FROM assigned GROUP BY entity_id
+""",
+)
+def q_entity_golden_records(spark, sf_dir):
+    """EXT — entity CONSOLIDATION, the step after linkage scoring:
+    match verdicts → transitive closure → one golden record per entity
+    (operators/linkage.py assign_entity_ids + a survivorship
+    aggregation). Canonical attributes come from the minimum-id member
+    (min_by — deterministic because record ids are unique), fused
+    numerics are exact cent-quantized sums/maxes, and singleton
+    records pass through as their own entities. The oracle restates
+    closure as a DuckDB recursive-CTE reachability fixpoint with
+    MIN(reachable id) labels — the same min-id-labels-the-component
+    contract duplicate_clusters converges to.
+
+    Scale shape: the match-edge graph tracks true duplicate density
+    (not corpus size), closure runs on that small graph (driver
+    union-find below 1M edges, min-label rounds above), and the only
+    corpus-sized work is one left join against the cluster map plus
+    the golden-record groupBy on entity_id. The reference's import
+    pipeline ships duplicate source rows as-is (common/
+    TableToDbRowFn.java); this is the master-data consolidation a
+    deduplicating import needs."""
+    from .operators import linkage
+
+    c = t(spark, sf_dir, "customer")
+    matches = _linkage_scored(spark, sf_dir, verdicts=("match",)).select(
+        "id_a", "id_b"
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    return (
+        linkage.assign_entity_ids(c, matches, "c_custkey")
+        .withColumn("_cents", cents)
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.sum("_cents").alias("total_bal_cents"),
+            F.max("_cents").alias("max_bal_cents"),
+        )
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

@@ -29,6 +29,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def assign_entity_ids(
+    records: DataFrame,
+    match_pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Entity resolution's consolidation step: collapse pairwise MATCH
+    verdicts into entity ids so downstream survivorship/golden-record
+    aggregation has a grouping key. ``match_pairs`` is the (id_a, id_b)
+    edge list (typically :func:`score_candidate_pairs` filtered to
+    ``verdict = 'match'``); transitive closure assigns every matched
+    record the MINIMUM record id of its connected component
+    (``dedup.duplicate_clusters`` — driver union-find below its pair
+    threshold, min-label propagation above it), and unmatched records
+    become singleton entities labeled by their own id. Returns
+    ``records`` plus a long ``entity_id`` column.
+
+    Scale shape: the match-edge set is the true-duplicate graph —
+    orders of magnitude smaller than the corpus — so closure cost
+    tracks duplicate density, never corpus size; the final attach is
+    one left join of the corpus against the (small) cluster map,
+    broadcast/AQE territory. The reference imports RDB rows with no
+    cross-record consolidation at all (common/TableToDbRowFn.java
+    emits row batches as-is); this is the step a deduplicating master-
+    data import runs after linkage scoring."""
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(match_pairs, id_a, id_b).withColumnRenamed(
+        "doc_id", id_col
+    )
+    return (
+        records.join(clusters, id_col, "left")
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+        )
+        .drop("cluster_id")
+    )
+
+
 class FieldRule:
     """One field's linkage rule: an agreement predicate over the pair
     row plus the Fellegi-Sunter (m, u) probabilities — m = P(agree |

@@ -2481,6 +2481,32 @@ def test_record_linkage_scoring_hand_computed(spark):
         score_candidate_pairs(pairs, rules, upper=3.0, lower=-3.0, verdicts=())
 
 
+def test_assign_entity_ids_closure_and_singletons(spark):
+    """Entity consolidation: match pairs collapse transitively (a~b,
+    b~c → one entity labeled by the minimum id even though a~c was
+    never emitted), unmatched records become singleton entities under
+    their own id, and the added column is a long."""
+    from dlp_rdb_bq_import_spark.operators.linkage import assign_entity_ids
+
+    records = spark.createDataFrame(
+        [(i, f"rec{i}") for i in (1, 2, 3, 7, 9)], ["rid", "val"]
+    )
+    # chain 1-2, 2-3 (transitive); 9 pairs only with itself-absent 7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], ["id_a", "id_b"]
+    )
+    out = assign_entity_ids(records, pairs, "rid")
+    got = {r.rid: r.entity_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    assert dict(out.dtypes)["entity_id"] == "bigint"
+    # survivorship aggregation on top: one golden row per entity
+    golden = out.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min_by("val", "rid").alias("canon")
+    )
+    g = {r.entity_id: (r.n, r.canon) for r in golden.collect()}
+    assert g == {1: (3, "rec1"), 7: (2, "rec7")}
+
+
 def test_fuzzy_candidate_stages_compose(spark):
     """deletion_neighborhood_candidates → verify_edit_distance is the
     factored seam both the fuzzy-pair queries and record linkage
