@@ -4491,10 +4491,11 @@ def _fs_case(flag_sql: str, key: str) -> str:
     return f"CASE WHEN {flag_sql} THEN {wa!r} ELSE {wd!r} END"
 
 
-# shared by record_linkage_scores (full audit output, the oracle twin)
-# and record_linkage_review (the bounded production form)
-_LINKAGE_ORACLE = f"""
-WITH cand AS (
+# shared by record_linkage_scores (full audit output, the oracle twin),
+# record_linkage_review (the bounded production form), entity
+# consolidation, and the incremental probe — the candidate CTE is the
+# only part that differs per query
+_LINKAGE_CAND_SELF = """
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
          CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
          a.c_nationkey AS nat_a, b.c_nationkey AS nat_b,
@@ -4502,7 +4503,15 @@ WITH cand AS (
          a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
   FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
   WHERE levenshtein(a.c_name, b.c_name) <= 1
-),
+"""
+
+
+def _linkage_oracle_sql(cand_sql: str) -> str:
+    """Fellegi-Sunter flag/score/verdict SQL over any candidate CTE
+    producing (id_a, id_b, dist, nat_a, nat_b, seg_a, seg_b, bal_a,
+    bal_b)."""
+    return f"""
+WITH cand AS ({cand_sql}),
 flagged AS (
   SELECT id_a, id_b,
          CAST(CASE WHEN dist = 0 THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
@@ -4524,24 +4533,16 @@ FROM flagged
 """
 
 
-def _linkage_scored(spark, sf_dir, verdicts=None):
-    """Candidates → attribute attach → Fellegi-Sunter scoring, shared
-    by both linkage queries. Candidate generation is the factored
-    FastSS stage (dedup.deletion_neighborhood_candidates →
-    verify_edit_distance) — the SAME stream the fuzzy_name_pairs
-    family runs, generated once per plan (the variant stream is
-    lineage-cut inside the candidate stage), with scoring layered on
-    top rather than re-blocking."""
+_LINKAGE_ORACLE = _linkage_oracle_sql(_LINKAGE_CAND_SELF)
+
+
+def _score_linkage_pairs(c, cand, verdicts=None):
+    """Attribute attach + Fellegi-Sunter scoring over a verified
+    (id_a, id_b, dist) candidate stream — the part every linkage query
+    shares regardless of how candidates were generated (self-join
+    FastSS, persisted-index probe)."""
     from .operators.linkage import FieldRule, score_candidate_pairs
 
-    c = t(spark, sf_dir, "customer")
-    cand = dedup.verify_edit_distance(
-        dedup.deletion_neighborhood_candidates(c, "c_name", "c_custkey", max_dist=1),
-        c,
-        "c_name",
-        "c_custkey",
-        max_dist=1,
-    )
     sides = {
         "a": c.select(
             F.col("c_custkey").alias("id_a"),
@@ -4578,6 +4579,25 @@ def _linkage_scored(spark, sf_dir, verdicts=None):
         "score",
         "verdict",
     )
+
+
+def _linkage_scored(spark, sf_dir, verdicts=None):
+    """Candidates → attribute attach → Fellegi-Sunter scoring, shared
+    by the batch linkage queries. Candidate generation is the factored
+    FastSS stage (dedup.deletion_neighborhood_candidates →
+    verify_edit_distance) — the SAME stream the fuzzy_name_pairs
+    family runs, generated once per plan (the variant stream is
+    lineage-cut inside the candidate stage), with scoring layered on
+    top rather than re-blocking."""
+    c = t(spark, sf_dir, "customer")
+    cand = dedup.verify_edit_distance(
+        dedup.deletion_neighborhood_candidates(c, "c_name", "c_custkey", max_dist=1),
+        c,
+        "c_name",
+        "c_custkey",
+        max_dist=1,
+    )
+    return _score_linkage_pairs(c, cand, verdicts=verdicts)
 
 
 @query("record_linkage_scores", oracle=_LINKAGE_ORACLE)
@@ -4691,6 +4711,49 @@ def q_entity_golden_records(spark, sf_dir):
             F.max("_cents").alias("max_bal_cents"),
         )
     )
+
+
+@query(
+    "linkage_incremental",
+    oracle=f"""
+SELECT * FROM ({_linkage_oracle_sql('''
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+         a.c_nationkey AS nat_a, b.c_nationkey AS nat_b,
+         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey % 10 = 7 AND b.c_custkey % 10 != 7
+   AND levenshtein(a.c_name, b.c_name) <= 1
+''')}) WHERE verdict IN ('match', 'possible')
+""",
+)
+def q_linkage_incremental(spark, sf_dir):
+    """EXT — INCREMENTAL record linkage against a persisted FastSS
+    variant index (the fifth persisted-artifact family, after the
+    MinHash signature, bench-gram, LM-count and IVF indexes): the
+    standing corpus (custkey % 10 != 7) is variant-expanded ONCE into
+    the (id, pos, vh) index, round-tripped through the warehouse sink,
+    and the new batch (custkey % 10 == 7) probes it with the same
+    three position-compatible edit-shape equi-joins the self-join path
+    uses (dedup.probe_variant_index) — per-batch cost is
+    O(batch · len) slim variant rows against the index partitioning;
+    the corpus text is never re-read or re-expanded. Survivors verify
+    by exact levenshtein over the id-disjoint union, attach both
+    sides' attributes, and score through the SAME Fellegi-Sunter
+    projection as the batch queries, bounded to the match + possible
+    review bands. The oracle restates candidates as the naive
+    batch × corpus levenshtein join. Within-batch pairs are the cheap
+    self-join path's job, not this query's (documented in
+    probe_variant_index)."""
+    c = t(spark, sf_dir, "customer")
+    corpus = c.where(F.col("c_custkey") % 10 != 7)
+    batch = c.where(F.col("c_custkey") % 10 == 7)
+    index = dedup.fastss_variant_index(corpus, "c_name", "c_custkey")
+    index = scratch_roundtrip(index, sf_dir, "fastss_index")
+    cand = dedup.probe_variant_index(batch, index, "c_name", "c_custkey")
+    verified = dedup.verify_edit_distance(cand, c, "c_name", "c_custkey", max_dist=1)
+    return _score_linkage_pairs(c, verified, verdicts=("match", "possible"))
 
 
 _PROFILE_COLS = (

@@ -1269,6 +1269,137 @@ def cdc_chunk_duplicate_spans(
     )
 
 
+def _k1_variant_stream(
+    df: DataFrame, text_col: str, id_col: str, blocks: list[str]
+) -> DataFrame:
+    """The k=1 FastSS deletion-variant stream: one row per (string,
+    deletion position) with columns ``(id, <blocks...>, pos, vh)``
+    where ``pos`` is the 1-based deleted position (0 = the undeleted
+    original) and ``vh`` the xxhash64 of the variant text. Shared by
+    the self-join candidate path and the persisted-index incremental
+    path — the stream IS the index."""
+    name, ident = F.col(text_col), F.col(id_col)
+
+    def delete_at(s, p):
+        return F.concat(
+            F.substring(s, 1, (p - 1).cast("int")),
+            F.substring(s, (p + 1).cast("int"), F.length(s).cast("int")),
+        )
+
+    del1 = F.when(
+        F.length(name) >= 1,
+        F.transform(F.sequence(F.lit(1), F.length(name)), lambda i: delete_at(name, i)),
+    ).otherwise(F.array().cast("array<string>"))
+    all_vars = F.concat(F.array(name), del1)
+    return df.select(
+        ident.alias("id"),
+        *[F.col(c) for c in blocks],
+        F.posexplode(all_vars).alias("pos", "_var"),
+    ).select("id", *blocks, "pos", F.xxhash64("_var").alias("vh"))
+
+
+def fastss_variant_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the PERSISTABLE k=1 FastSS index for a standing corpus:
+    the deletion-variant stream ``(id, <blocks...>, pos, vh)`` of
+    :func:`_k1_variant_stream`, exposed as an artifact a warehouse can
+    keep between ingest batches. An incremental pipeline writes this
+    once at corpus freeze, then each new batch probes it with
+    :func:`probe_variant_index` — the corpus text is never re-read and
+    never re-variant-expanded at steady state, the same
+    persisted-artifact contract as the MinHash signature index,
+    bench-gram index, LM count table and IVF index families.
+    ~(len+1) slim rows (8-byte hash + 2 ints) per corpus string;
+    append new batches with :func:`variant_index_insert`."""
+    return _k1_variant_stream(df, text_col, id_col, list(block_cols or []))
+
+
+def variant_index_insert(index: DataFrame, additions: DataFrame) -> DataFrame:
+    """Index maintenance: append a new batch's variant stream (built
+    by :func:`fastss_variant_index` over the batch) to the standing
+    index. Pure unionByName — variant rows are keyed by (id, pos), so
+    disjoint-id batches union without dedup and
+    ``insert(index_of(A), variants_of(B)) ≡ rebuild over A ∪ B``
+    (the contract tests/test_llm_ops.py pins). Column sets must
+    match."""
+    if set(index.columns) != set(additions.columns):
+        raise ValueError(
+            f"variant_index_insert: column mismatch — index has "
+            f"{sorted(index.columns)}, additions have {sorted(additions.columns)}"
+        )
+    return index.unionByName(additions)
+
+
+def probe_variant_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental FastSS k=1 candidates: ``(id_a, id_b)`` pairs where
+    ``id_a`` is a NEW-batch record and ``id_b`` a standing-corpus
+    record whose strings share a position-compatible ≤1-deletion
+    variant — a superset of the true cross edit-distance-≤1 pairs
+    (verify with :func:`verify_edit_distance` over the id-disjoint
+    union of both record sets). The same three edit-shape equi-joins
+    as the self-join path (same deleted position = substitution/equal;
+    original-vs-deletion in EITHER direction = insert/delete), but
+    probing the persisted index instead of self-joining, so per-batch
+    cost is ``O(batch·len)`` variant rows shuffled against the index
+    partitioning — corpus-sized work never recurs. Within-batch pairs
+    are deliberately NOT emitted (run the cheap self-join path on the
+    batch for those). Only k=1 is supported: the position filter is a
+    k=1 construction; the k=2 path uses the plain variant scheme."""
+    blocks = list(block_cols or [])
+    needed = {"id", "pos", "vh", *blocks}
+    missing = needed - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"probe_variant_index: index is missing columns {sorted(missing)} "
+            f"(build it with fastss_variant_index)"
+        )
+    bv = _k1_variant_stream(batch, text_col, id_col, blocks).localCheckpoint(
+        eager=False
+    )
+    a = bv.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blocks],
+        F.col("pos").alias("_pa"),
+        F.col("vh").alias("_vha"),
+    )
+    b = index.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blocks],
+        F.col("pos").alias("_pb"),
+        F.col("vh").alias("_vhb"),
+    )
+
+    def keys(*extra):
+        cond = F.col("_vha") == F.col("_vhb")
+        for le, re_ in extra:
+            cond = cond & (F.col(le) == F.col(re_))
+        for c in blocks:
+            cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+        return cond
+
+    subst = a.join(b.hint("shuffle_hash"), keys(("_pa", "_pb")))
+    indel_ab = a.where(F.col("_pa") == 0).join(
+        b.where(F.col("_pb") > 0).hint("shuffle_hash"), keys()
+    )
+    indel_ba = a.where(F.col("_pa") > 0).join(
+        b.where(F.col("_pb") == 0).hint("shuffle_hash"), keys()
+    )
+    out = subst.unionByName(indel_ab).unionByName(indel_ba)
+    return (
+        out.where(F.col("id_a") != F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+
+
 def deletion_neighborhood_candidates(
     df: DataFrame,
     text_col: str,
@@ -1362,18 +1493,10 @@ def deletion_neighborhood_candidates(
         # distinct (sf1: 96.3M -> 26.9M candidates; with the
         # shuffle-hash joins below, record_linkage_review 110s -> 20s
         # and fuzzy_name_pairs 12.5s -> 5.4s).
-        variants = (
-            df.select(
-                ident.alias("_vid"),
-                *[F.col(c) for c in blocks],
-                F.posexplode(all_vars).alias("_pos", "_var"),
-            )
-            .select(
-                "_vid", *blocks, "_pos", F.xxhash64("_var").alias("_vh")
-            )
-            # all join branches consume this stream — cut the lineage
-            # so variant generation runs ONCE, not per branch
-            .localCheckpoint(eager=False)
+        # all join branches consume this stream — cut the lineage
+        # so variant generation runs ONCE, not per branch
+        variants = _k1_variant_stream(df, text_col, id_col, blocks).localCheckpoint(
+            eager=False
         )
         # position compatibility as TIGHT EQUI-JOINS, not a post-probe
         # filter: a single join on _vh alone would still scan every
@@ -1389,16 +1512,16 @@ def deletion_neighborhood_candidates(
         #     id orderings (the original is always the shorter side;
         #     least/greatest canonicalizes the output pair).
         a = variants.select(
-            F.col("_vid").alias("id_a"),
+            F.col("id").alias("id_a"),
             *[F.col(c).alias(f"{c}_a") for c in blocks],
-            F.col("_pos").alias("_pa"),
-            F.col("_vh").alias("_vha"),
+            F.col("pos").alias("_pa"),
+            F.col("vh").alias("_vha"),
         )
         b = variants.select(
-            F.col("_vid").alias("id_b"),
+            F.col("id").alias("id_b"),
             *[F.col(c).alias(f"{c}_b") for c in blocks],
-            F.col("_pos").alias("_pb"),
-            F.col("_vh").alias("_vhb"),
+            F.col("pos").alias("_pb"),
+            F.col("vh").alias("_vhb"),
         )
 
         def keys(l, r, *extra):

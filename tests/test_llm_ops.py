@@ -2507,6 +2507,62 @@ def test_assign_entity_ids_closure_and_singletons(spark):
     assert g == {1: (3, "rec1"), 7: (2, "rec7")}
 
 
+def test_variant_index_incremental_contract(spark):
+    """Persisted FastSS variant index: probing a corpus index with a
+    new batch finds exactly the cross batch↔corpus edit-distance-≤1
+    pairs the full self-join over the union finds (within-batch and
+    within-corpus pairs excluded by contract), and inserting a batch's
+    variants equals rebuilding the index from the union. Malformed
+    index columns fail loudly."""
+    from dlp_rdb_bq_import_spark.operators.dedup import (
+        edit_distance_pairs,
+        fastss_variant_index,
+        probe_variant_index,
+        variant_index_insert,
+        verify_edit_distance,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones"), (4, "brown")], ["id", "name"]
+    )
+    batch = spark.createDataFrame(
+        [(11, "smith"), (12, "jonas"), (13, "xavier"), (14, "browns")],
+        ["id", "name"],
+    )
+    union = corpus.unionByName(batch)
+    index = fastss_variant_index(corpus, "name", "id")
+    cand = probe_variant_index(batch, index, "name", "id")
+    got = sorted(
+        map(tuple, verify_edit_distance(cand, union, "name", "id").collect())
+    )
+    # full-path truth restricted to cross pairs (batch ids are > 10)
+    full = edit_distance_pairs(union, "name", "id")
+    expect = sorted(
+        (max(a, b), min(a, b), d)
+        for a, b, d in map(tuple, full.collect())
+        if (a > 10) != (b > 10)
+    )
+    assert got == expect
+    # planted shapes: exact dup, substitution, insert, delete all found
+    ids = {(a, b) for a, b, _ in got}
+    assert {(11, 1), (11, 2), (12, 3), (14, 4)} <= ids
+    assert (13, 4) not in ids  # distance 2 stays out
+
+    # maintenance: insert ≡ rebuild-from-union
+    inserted = variant_index_insert(index, fastss_variant_index(batch, "name", "id"))
+    rebuilt = fastss_variant_index(union, "name", "id")
+    assert sorted(map(tuple, inserted.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="column mismatch"):
+        variant_index_insert(index, batch)
+    with _pytest.raises(ValueError, match="missing columns"):
+        probe_variant_index(batch, corpus, "name", "id")
+
+
 def test_fuzzy_candidate_stages_compose(spark):
     """deletion_neighborhood_candidates → verify_edit_distance is the
     factored seam both the fuzzy-pair queries and record linkage
