@@ -2939,6 +2939,198 @@ def q_streaming_url_frontier(spark, sf_dir):
     )
 
 
+# Linked-page fixture for the outlink/host-graph family: same
+# deterministic-twin discipline as the boilerplate fixture, but with
+# VARIED absolute outlinks (host space shared with the orders URL
+# fixture, so link-graph authority can rank the crawl frontier).
+_LINKED_HTML_SQL = """
+SELECT doc_id,
+  '<html><body><nav><a href="/">home</a> <a href="/tags">tags</a></nav>' ||
+  '<p>see also</p>' ||
+  '<a href="https://shop' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR) ||
+    '.example.com/catalog/item/' || CAST(doc_id % 500 AS VARCHAR) ||
+    '">rel1</a>' ||
+  '<a href="https://shop' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) ||
+    '.example.com/catalog/item/' || CAST((doc_id * 3) % 500 AS VARCHAR) ||
+    '">rel2</a>' ||
+  CASE WHEN doc_id % 4 = 0
+       THEN '<a href="https://news' || CAST(doc_id % 5 AS VARCHAR) ||
+            '.example.org/a/' || CAST(doc_id % 97 AS VARCHAR) || '">news</a>'
+       ELSE '' END ||
+  '<footer><a href="#">top</a></footer></body></html>' AS html
+FROM documents
+"""
+
+_LINK_EXTRACT_SQL = f"""
+WITH pages AS ({_LINKED_HTML_SQL}),
+hl AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '(?is)<a[^>]*?href="([^"]*)"', 1) AS hrefs
+  FROM pages
+)
+SELECT doc_id, CAST(i AS BIGINT) AS link_ord, hrefs[CAST(i AS BIGINT)] AS href
+FROM hl JOIN generate_series(1, 20) g(i) ON i <= len(hrefs)
+"""
+
+
+def _linked_pages(spark, sf_dir):
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">home</a> <a href="/tags">tags</a></nav>'),
+        F.lit("<p>see also</p>"),
+        F.lit('<a href="https://shop'), ((F.col("doc_id") * 7 + 1) % 20).cast("string"),
+        F.lit(".example.com/catalog/item/"), (F.col("doc_id") % 500).cast("string"),
+        F.lit('">rel1</a>'),
+        F.lit('<a href="https://shop'), ((F.col("doc_id") * 13 + 3) % 20).cast("string"),
+        F.lit(".example.com/catalog/item/"), ((F.col("doc_id") * 3) % 500).cast("string"),
+        F.lit('">rel2</a>'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<a href="https://news'), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org/a/"), (F.col("doc_id") % 97).cast("string"),
+                F.lit('">news</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<footer><a href="#">top</a></footer></body></html>'),
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+
+
+# shared by crawl_prioritized_frontier and host_link_pagerank: the
+# host→host link graph from the extracted outlinks
+def _host_edges(spark, sf_dir):
+    from .operators.html_extract import extract_links
+
+    links = extract_links(_linked_pages(spark, sf_dir), "html", "doc_id")
+    return (
+        links.where(F.col("href").startswith("http"))
+        .select(
+            F.concat(
+                F.lit("shop"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com"),
+            ).alias("src"),
+            F.regexp_extract("href", r"^https?://([^/]+)", 1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+_HOST_EDGES_SQL = f"""
+SELECT 'shop' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
+       regexp_extract(href, '^https?://([^/]+)', 1) AS dst
+FROM ({_LINK_EXTRACT_SQL})
+WHERE href LIKE 'http%'
+  AND 'shop' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+      <> regexp_extract(href, '^https?://([^/]+)', 1)
+"""
+
+
+@query("html_link_extract", oracle=_LINK_EXTRACT_SQL)
+def q_html_link_extract(spark, sf_dir):
+    """EXT — outlink extraction (html_extract.extract_links): one row
+    per anchor href in document order, the crawl-expansion input for
+    frontier discovery and the edge stream for host-graph authority.
+    One anchored regexp_extract_all + posexplode — pure expression
+    chain, zero joins; the oracle restates the regex and the 1-based
+    ordinal join. Relative links, fragments and the varied absolute
+    outlinks all come through verbatim (resolution policy belongs to
+    the consumer)."""
+    from .operators.html_extract import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir), "html", "doc_id")
+
+
+@query(
+    "crawl_prioritized_frontier",
+    oracle=f"""
+WITH c AS ({_URL_CANON_SQL}),
+seen AS (SELECT DISTINCT canon FROM c WHERE id % 4 = 0),
+cand AS (
+  SELECT canon, host, CAST(min(id) AS BIGINT) AS id
+  FROM c GROUP BY canon, host
+),
+fresh AS (
+  SELECT cand.canon, cand.host, cand.id
+  FROM cand LEFT JOIN seen ON cand.canon = seen.canon
+  WHERE seen.canon IS NULL
+),
+frontier AS (
+  SELECT id, canon, host,
+    CAST(row_number() OVER (PARTITION BY host ORDER BY id ASC) AS BIGINT) AS rk
+  FROM fresh QUALIFY rk <= 3
+),
+auth AS (
+  SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS in_links,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS in_hosts
+  FROM ({_HOST_EDGES_SQL}) GROUP BY dst
+)
+SELECT f.id, f.canon, f.host, f.rk,
+       COALESCE(a.in_links, 0) AS in_links,
+       COALESCE(a.in_hosts, 0) AS in_hosts
+FROM frontier f LEFT JOIN auth a ON f.host = a.host
+""",
+)
+def q_crawl_prioritized_frontier(spark, sf_dir):
+    """EXT — authority-prioritized crawl frontier: the full loop a
+    focused crawler runs. Outlinks extracted from fetched pages
+    (extract_links) become the host→host link graph; per-host
+    authority (total in-links + distinct referring hosts — the
+    SQL-exact companion to the pagerank composition below) joins onto
+    the frontier batch (canonical-URL anti-join vs the seen set +
+    3-per-host politeness cap), so the scheduler can spend its fetch
+    budget on well-referenced hosts first. Ordering is left to the
+    consumer — no global sort/window is added; the join is
+    frontier-sized vs a host-cardinality authority table (broadcast
+    territory at any scale)."""
+    from .operators.urls import dedup_by_canonical_url, frontier_next_batch
+
+    u = _fixture_urls(spark, sf_dir)
+    seen = dedup_by_canonical_url(
+        u.where(F.col("id") % 4 == 0), "url", "id"
+    ).select("canon")
+    frontier = frontier_next_batch(u, seen, "url", "id", per_host_cap=3)
+    auth = _host_edges(spark, sf_dir).groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.countDistinct("src").alias("in_hosts"),
+    )
+    return frontier.join(auth, "host", "left").select(
+        "id",
+        "canon",
+        "host",
+        "rk",
+        F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+    )
+
+
+@query("host_link_pagerank")  # iterative power method — rows-only
+def q_host_link_pagerank(spark, sf_dir):
+    """EXT — weighted PageRank over the extracted host→host link
+    graph (the authority signal crawl schedulers and spam filters
+    actually use at web scale): parallel links pre-aggregate to edge
+    weights, then graph.pagerank's weighted power method ranks hosts.
+    Iterative fixpoint — not SQL-expressible, so rows-only here; the
+    pagerank operator itself is numpy-parity-pinned in
+    tests/test_triangles.py and the edge stream feeding it is the
+    hash-matched html_link_extract/_HOST_EDGES_SQL surface. Output
+    rounds to 9 (the operator's documented contract) and the graph is
+    host-cardinality — tiny next to the corpus that produced it."""
+    from .operators.graph import pagerank
+
+    edges = (
+        _host_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, weight_col="w").select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
+
+
 # ---------------------------------------------------------------------------
 # Free-text PII scrubbing — privacy.scrub_pii
 # ---------------------------------------------------------------------------

@@ -100,6 +100,35 @@ def strip_tags(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Outlink extraction — the crawl-expansion half of a web
+    pipeline: one row per ``<a href="...">`` in document order,
+    emitting ``(id_col, link_ord, href)`` with ``link_ord`` the
+    1-based position of the anchor within the page. Double-quoted
+    href values only (the overwhelmingly dominant form; a fixture can
+    assert its own coverage) via one anchored ``regexp_extract_all``
+    — RE2-subset, oracle-restatable — then a ``posexplode``. Pure
+    expression chain, zero joins/UDFs: at 100 TB this is a map over
+    the crawl, and the downstream host-graph aggregation is the first
+    shuffle. Pages with no links emit nothing (explode, not
+    explode_outer — a link TABLE, not a page audit)."""
+    hits = F.expr(
+        f"regexp_extract_all({html_col}, '(?is)<a[^>]*?href=\"([^\"]*)\"', 1)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(hits).alias("_p", "href"),
+    ).select(
+        id_col,
+        (F.col("_p") + 1).cast("long").alias("link_ord"),
+        "href",
+    )
+
+
 def html_blocks(
     df: DataFrame,
     html_col: str,

@@ -2938,6 +2938,38 @@ def test_html_boilerplate_extraction_planted(spark):
     assert flat == "a &lt; b < c \"d\" 'e'"
 
 
+def test_extract_links_planted(spark):
+    """Outlink extraction: hrefs come out verbatim in document order
+    with 1-based ordinals; anchors without an href, unquoted/single-
+    quoted hrefs, and non-anchor tags carrying href-like strings are
+    skipped (double-quote contract); multiline anchors and mixed-case
+    HREF= match; link-free pages emit nothing."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import extract_links
+
+    page = (
+        '<html><body><a href="/rel">r</a>'
+        "<a name='x'>no href</a>"
+        '<A\n  class="big"\n  HREF="https://h1.example.com/a">abs</A>'
+        "<a href='/single'>single-quoted skipped</a>"
+        '<link href="/style.css">'
+        '<a data-x="1" href="#frag">f</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<p>no links at all</p>")], ["doc_id", "html"]
+    )
+    got = [
+        (r.doc_id, r.link_ord, r.href)
+        for r in extract_links(df, "html", "doc_id")
+        .orderBy("doc_id", "link_ord")
+        .collect()
+    ]
+    assert got == [
+        (1, 1, "/rel"),
+        (1, 2, "https://h1.example.com/a"),
+        (1, 3, "#frag"),
+    ]
+
+
 def test_repair_mojibake_planted(spark):
     """ftfy-style repair against planted corruptions: single CP1252
     and Latin-1 mojibake repair in one pass, double-encoded text needs
