@@ -5843,6 +5843,51 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+_TB_BUDGETS = {f"src{i}": (3000 if i % 2 == 0 else 1500) for i in range(19)}
+
+
+def _tb_oracle() -> str:
+    from .operators.sampling import token_budget_sample_sql
+
+    before_sql, budget_sql = token_budget_sample_sql(
+        "doc_id", "source", "n_chars", _TB_BUDGETS
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         CAST({before_sql} AS BIGINT) AS cost_before
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, cost_before
+FROM c
+WHERE ({budget_sql}) IS NOT NULL AND cost_before < ({budget_sql})
+"""
+
+
+@query("token_budget_mixture", oracle=_tb_oracle())
+def q_token_budget_mixture(spark, sf_dir):
+    """EXT — budget-bounded mixture (sampling.token_budget_sample):
+    each source contributes documents until its TOKEN budget is spent
+    — the way production training mixes are specified ("30B tokens of
+    web, 5B of code") — rather than a row-count fraction. Rows order
+    within their source by the engine-portable md5 uniform, the
+    budget-crossing document is included (every source reaches at
+    least its budget when supply allows), unbudgeted sources (src19
+    here) drop by the conservative default, and ``cost_before`` rides
+    along for audit. One per-source window shuffle; the CASE budget
+    literal and hash order are emitted once for both engines by
+    token_budget_sample_sql."""
+    from .operators.sampling import token_budget_sample
+
+    d = t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        d, "doc_id", "source", "n_chars", _TB_BUDGETS
+    ).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "cost_before",
+    )
+
+
 @query(
     "leakage_safe_split",
     oracle=f"""

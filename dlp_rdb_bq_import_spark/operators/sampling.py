@@ -111,6 +111,84 @@ def mixture_sample(
     return df.where(pred)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Budget-bounded mixture: each group contributes documents until
+    its TOKEN budget is spent, not until a row-count fraction is hit —
+    the way real training mixes are specified ("30B tokens of web, 5B
+    of code"). Rows order within their group by the deterministic key
+    hash (ties by key), and a row is kept while the cumulative cost
+    BEFORE it is under the group's budget — so the budget-crossing
+    document is included and every group reaches at least its budget
+    whenever supply allows. Adds ``cost_before`` (long) for audit.
+    Groups absent from ``budgets`` take ``default_budget``; with the
+    default ``None`` they are dropped (conservative: a new upstream
+    source does not silently flood the mix).
+
+    One window shuffle partitioned by group — the same exchange a
+    per-group rank would pay; selection is engine-portable (the md5
+    hash order restates in ANSI SQL via hash_uniform_sql). Skewed
+    group sizes behave: the window is per-group sequential but each
+    group's scan stops mattering past the budget, and groups are
+    independent partitions."""
+    if not budgets:
+        raise ValueError("token_budget_sample: budgets must be non-empty")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"token_budget_sample: negative budget {b} for {g!r}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    before = (F.sum(F.col(cost_col)).over(w) - F.col(cost_col)).cast("long")
+    budget = (
+        F.lit(default_budget).cast("long")
+        if default_budget is not None
+        else F.lit(None).cast("long")
+    )
+    for g, b in budgets.items():
+        budget = F.when(F.col(group_col) == g, F.lit(b).cast("long")).otherwise(
+            budget
+        )
+    return df.withColumn("cost_before", before).where(
+        budget.isNotNull() & (F.col("cost_before") < budget)
+    )
+
+
+def token_budget_sample_sql(
+    key_expr: str,
+    group_expr: str,
+    cost_expr: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> tuple[str, str]:
+    """Oracle-side predicate pieces for :func:`token_budget_sample`:
+    returns ``(cost_before_window_sql, budget_case_sql)`` as one
+    WHERE-ready fragment pair embedded by the caller's query. Kept as
+    a helper so the CASE literal and the window ORDER BY are written
+    once and stay in lockstep with the Spark side."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN CAST({b} AS BIGINT)" for g, b in budgets.items()
+    )
+    dflt = (
+        f"CAST({default_budget} AS BIGINT)"
+        if default_budget is not None
+        else "CAST(NULL AS BIGINT)"
+    )
+    budget_sql = f"CASE {group_expr} {cases} ELSE {dflt} END"
+    before_sql = (
+        f"SUM({cost_expr}) OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {hash_uniform_sql(key_expr)}, {key_expr} "
+        f"ROWS UNBOUNDED PRECEDING) - {cost_expr}"
+    )
+    return before_sql, budget_sql
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,

@@ -3227,6 +3227,56 @@ def test_embedding_group_outliers_numpy_parity(spark):
     assert got[999][2] == 1  # the planted far vector is its group's top outlier
 
 
+def test_token_budget_sample_semantics(spark):
+    """Budget-bounded mixture: per-group kept cost reaches at least
+    the budget whenever the group has that much supply (the crossing
+    row is included), selection is the deterministic hash order
+    (repartitioning changes nothing), unbudgeted groups drop unless a
+    default budget is given, and bad inputs fail loudly."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + (i % 7)) for i in range(200)]
+    rows += [(1000 + i, "tiny", 5) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "cost"])
+    budgets = {"a": 300, "b": 150, "tiny": 10_000}
+
+    out = token_budget_sample(df, "doc_id", "grp", "cost", budgets)
+    got = out.groupBy("grp").agg(
+        F.sum("cost").alias("kept"), F.count(F.lit(1)).alias("n")
+    )
+    kept = {r.grp: r.kept for r in got.collect()}
+    # crossing row included -> kept >= budget (supply allows for a, b)
+    assert kept["a"] >= 300 and kept["b"] >= 150
+    # and no more than budget + one max-cost row
+    assert kept["a"] < 300 + 17 and kept["b"] < 150 + 17
+    # under-supplied group keeps everything
+    assert kept["tiny"] == 15
+
+    # determinism under repartition
+    again = token_budget_sample(
+        df.repartition(7, "cost"), "doc_id", "grp", "cost", budgets
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+    # unbudgeted group drops; default_budget revives it
+    no_tiny = token_budget_sample(
+        df, "doc_id", "grp", "cost", {"a": 300, "b": 150}
+    )
+    assert no_tiny.where(F.col("grp") == "tiny").count() == 0
+    dflt = token_budget_sample(
+        df, "doc_id", "grp", "cost", {"a": 300}, default_budget=150
+    )
+    assert dflt.where(F.col("grp") == "tiny").count() == 3
+    assert dflt.where(F.col("grp") == "b").count() > 0
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        token_budget_sample(df, "doc_id", "grp", "cost", {})
+    with _pytest.raises(ValueError, match="negative budget"):
+        token_budget_sample(df, "doc_id", "grp", "cost", {"a": -1})
+
+
 def test_temperature_mixture_hand_computed(spark):
     """Temperature weights at α=0.5 equal hand arithmetic (rate =
     sqrt(n_min/n_s), smallest source keeps rate 1.0); α=1 is the
