@@ -2220,6 +2220,54 @@ def q_knn(spark, sf_dir):
 
 
 @query(
+    "contrastive_mining",
+    oracle=f"""
+WITH {_EMB_EX},
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+  FROM ex q JOIN ex c ON q.i = c.i
+  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, ROUND(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 9) AS cosine
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id
+),
+pos AS (
+  SELECT qid, nid, cosine, 'positive' AS role,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid)
+              AS BIGINT) AS rank
+  FROM scored WHERE cosine >= 0.3
+),
+neg AS (
+  SELECT qid, nid, cosine, 'hard_negative' AS role,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid)
+              AS BIGINT) AS rank
+  FROM scored WHERE cosine < 0.3
+  QUALIFY rank <= 5
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+""",
+)
+def q_contrastive_mining(spark, sf_dir):
+    """EXT — contrastive-pair mining (similarity.
+    mine_contrastive_pairs): per anchor, positives (cosine ≥ 0.3 on
+    this isotropic fixture) plus the 5 hardest negatives — the most
+    similar items BELOW the band, the near-misses that carry training
+    signal for embedding models (DPR/RocketQA-style hard-negative
+    mining, public technique). One scored pass split by predicate;
+    int64-quantized exact cosine, so both bands hash-match the SQL
+    restatement. At scale the scored stream swaps for IVF/LSH
+    candidates with the same band-split; this exact form is the
+    recall oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    anchors = e.where(F.col("vec_id") < 20)
+    return similarity.mine_contrastive_pairs(
+        anchors, e, k_neg=5, pos_threshold=0.3
+    )
+
+
+@query(
     "embedding_outliers",
     oracle="""
 WITH exl AS (

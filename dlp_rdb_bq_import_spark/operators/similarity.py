@@ -183,6 +183,57 @@ def brute_force_topk(
     )
 
 
+def mine_contrastive_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_neg: int = 5,
+    pos_threshold: float = 0.9,
+    neg_ceiling: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: per
+    anchor, every corpus item at cosine ≥ ``pos_threshold`` becomes a
+    ``positive`` (ranked by similarity), and the ``k_neg`` MOST
+    similar items strictly below ``neg_ceiling`` (default: the
+    positive threshold) become ``hard_negative`` — the near-miss
+    examples that carry the training signal easy random negatives
+    lack (public technique: hard/in-batch negative mining, e.g. DPR,
+    Karpukhin et al. 2020; RocketQA). Output:
+    ``(qid, nid, cosine, role, rank)`` with rank dense per (anchor,
+    role), ties broken by neighbor id.
+
+    This is the EXACT path (one scored pass, broadcast anchors): both
+    bands come from the same cosine stream, so the plan scores each
+    (anchor, item) pair once and splits by predicate — anchor sets
+    are query-sized (bounded), corpus-sized work is one broadcast
+    scan. At 100 TB swap the scored stream for IVF/LSH candidates
+    (``ivf_topk``/``lsh_topk``) and keep the same band-split; the
+    exact form stays as the recall oracle."""
+    if k_neg < 1:
+        raise ValueError(f"k_neg must be >= 1, got {k_neg}")
+    ceiling = pos_threshold if neg_ceiling is None else neg_ceiling
+    if ceiling > pos_threshold:
+        raise ValueError(
+            f"neg_ceiling {ceiling} must not exceed pos_threshold "
+            f"{pos_threshold} (a pair cannot be both bands)"
+        )
+    scored = cosine_pairs(queries, corpus, vec_col, id_col)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    pos = (
+        scored.where(F.col("cosine") >= pos_threshold)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("role", F.lit("positive"))
+    )
+    neg = (
+        scored.where(F.col("cosine") < ceiling)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neg)
+        .withColumn("role", F.lit("hard_negative"))
+    )
+    return pos.unionByName(neg).select("qid", "nid", "cosine", "role", "rank")
+
+
 def embedding_neardup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.9,

@@ -2413,6 +2413,51 @@ def test_ivf_persisted_index_equivalences(spark, sf_dir, tmp_path):
         ivf_topk_index(queries, cents.where(F.col("cell") > 3), vecs)
 
 
+def test_mine_contrastive_pairs_planted(spark):
+    """Hard-negative mining on planted geometry: an exact duplicate is
+    the rank-1 positive at cosine 1.0, near-misses below the band fill
+    hard_negative in similarity order capped at k_neg, the same pair
+    never appears in both bands, and invalid parameters fail loudly."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),       # anchor
+        (10, [1.0, 0.0, 0.0]),      # exact dup -> positive
+        (11, [0.95, 0.3122, 0.0]),  # high cos -> positive (>= 0.9)
+        (12, [0.6, 0.8, 0.0]),      # cos 0.6 -> hard negative
+        (13, [0.5, 0.866, 0.0]),    # cos 0.5 -> hard negative
+        (14, [0.0, 1.0, 0.0]),      # cos 0 -> negative, rank 3
+        (15, [-1.0, 0.0, 0.0]),     # cos -1 -> beyond k_neg=3 cut
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    anchors = df.where(F.col("vec_id") == 1)
+    out = mine_contrastive_pairs(anchors, df, k_neg=3, pos_threshold=0.9)
+    got = {(r.role, r.rank): (r.nid, r.cosine) for r in out.collect()}
+    assert got[("positive", 1)] == (10, 1.0)
+    assert got[("positive", 2)][0] == 11
+    assert [got[("hard_negative", i)][0] for i in (1, 2, 3)] == [12, 13, 14]
+    assert ("hard_negative", 4) not in got  # k_neg cap; id 15 out
+    both = [k for k in got if got[k][0] in (10, 11)]
+    assert all(r == "positive" for r, _ in both)
+
+    with _pytest.raises(ValueError, match="k_neg"):
+        mine_contrastive_pairs(anchors, df, k_neg=0)
+    with _pytest.raises(ValueError, match="not exceed"):
+        mine_contrastive_pairs(anchors, df, neg_ceiling=0.95, pos_threshold=0.9)
+    # explicit lower ceiling: nothing in [ceiling, pos) mined at all
+    gap = mine_contrastive_pairs(
+        anchors, df, k_neg=3, pos_threshold=0.9, neg_ceiling=0.55
+    )
+    negs = {r.nid for r in gap.where(F.col("role") == "hard_negative").collect()}
+    assert 12 not in negs and 13 in negs
+
+
 def test_record_linkage_scoring_hand_computed(spark):
     """Fellegi-Sunter pair scoring against hand arithmetic: agreement
     adds log2(m/u), disagreement adds log2((1-m)/(1-u)); thresholds

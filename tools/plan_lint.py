@@ -40,6 +40,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "query side is a fixed small probe set, "
         "broadcast by construction; corpus side streams — bounded work per row",
     },
+    "contrastive_mining": {
+        "BroadcastNestedLoopJoin": "anchor side is a fixed small probe set, "
+        "broadcast by construction (same scored pass as "
+        "knn_bruteforce_topk); at scale the scored stream swaps for "
+        "IVF/LSH candidates with the same band-split",
+    },
     "dedup_ngram_jaccard": {
         "BroadcastNestedLoopJoin": "doc-freq skew cap constant (1-row) "
         "broadcast into the posting filter",
