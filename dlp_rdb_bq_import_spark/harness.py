@@ -5197,6 +5197,44 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio_scores(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "char_entropy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+    list_filter(list_sort(list_distinct(string_split_regex(text, ''))),
+                c -> c <> '') AS dc
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    round(-list_reduce(list_transform(dc,
+      c -> (CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE))
+           * log2(CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE))),
+      (a, b) -> a + b), 9) + 0.0
+  END AS entropy
+FROM d
+""",
+)
+def q_char_entropy(spark, sf_dir):
+    """EXT — character-entropy quality signal (text.
+    char_entropy_scores): bits/char Shannon entropy per document, the
+    SQL-exact companion to the zlib compression-ratio signal
+    (near-zero → padding/mash, unusually high → base64/minified
+    blobs). Pure codegen expression chain — sorted distinct chars →
+    replace-based counts → explicit left fold of -Σ p·log2(p), the
+    identical fold order restated as the oracle's list_reduce, so the
+    doubles hash-match bit-for-bit. Zero shuffles: this runs as a map
+    over the corpus at any scale."""
+    from .operators.text import char_entropy_scores
+
+    return char_entropy_scores(t(spark, sf_dir, "documents"))
+
+
 @query("weighted_sample")  # xxhash64 scoring — no DuckDB twin, rows-only
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES,

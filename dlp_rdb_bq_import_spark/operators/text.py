@@ -1491,6 +1491,52 @@ def compression_ratio_scores(
     return out.withColumn("ratio", ratio)
 
 
+def char_entropy_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character Shannon entropy in bits/char — the
+    other half of the cheap redundancy family next to
+    :func:`compression_ratio_scores`: near-zero entropy flags
+    single-character mash / padding, unusually HIGH entropy flags
+    base64/hex blobs and minified data (a standard public web-corpus
+    quality signal). Output ``(id_col, n_chars, n_distinct_chars,
+    entropy)`` with entropy rounded to 9 and empty docs at 0.0.
+
+    Shape: pure expression chain, zero shuffles/joins/UDFs — the
+    distinct character set of the doc (sorted, so the fold order is
+    engine-identical) maps to occurrence counts via
+    ``length(text) - length(replace(text, c))`` and folds
+    ``-Σ p·log2(p)`` left-to-right; per-doc work is
+    O(distinct_chars · len) inside codegen, which beats shuffling an
+    exploded char stream through a groupBy at any scale. The ``+ 0.0``
+    normalizes IEEE ``-0.0`` (single-character docs) so the value
+    hash-matches the SQL restatement."""
+    text = F.col(text_col)
+    length = F.length(text)
+    dc = F.filter(
+        F.array_sort(F.array_distinct(F.split(text, ""))),
+        lambda c: c != F.lit(""),
+    )
+    p = lambda c: (  # noqa: E731 — local expression shorthand
+        (length - F.length(F.replace(text, c))).cast("double")
+        / length.cast("double")
+    )
+    folded = F.aggregate(
+        dc, F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
+    )
+    entropy = F.when(length == 0, F.lit(0.0)).otherwise(
+        F.round(-folded, 9) + F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        length.cast("long").alias("n_chars"),
+        F.size(dc).cast("long").alias("n_distinct_chars"),
+        entropy.alias("entropy"),
+    )
+
+
 def blocklist_hits(
     df: DataFrame,
     terms: DataFrame,

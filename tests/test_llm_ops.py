@@ -3272,6 +3272,38 @@ def test_embedding_group_outliers_numpy_parity(spark):
     assert got[999][2] == 1  # the planted far vector is its group's top outlier
 
 
+def test_char_entropy_hand_computed(spark):
+    """Character entropy against hand arithmetic: uniform 2-char and
+    4-char alphabets give exactly 1 and 2 bits, single-char text gives
+    +0.0 (the -0.0 IEEE case normalized), empty text 0.0, a 3:1 skew
+    matches the closed form, and the plan stays exchange-free."""
+    import math
+
+    from dlp_rdb_bq_import_spark.operators.text import char_entropy_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "aabb"),
+            (2, "abcd"),
+            (3, "aaaa"),
+            (4, ""),
+            (5, "aaab"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in char_entropy_scores(df).collect()}
+    assert (out[1].entropy, out[1].n_distinct_chars, out[1].n_chars) == (1.0, 2, 4)
+    assert out[2].entropy == 2.0
+    assert out[3].entropy == 0.0 and math.copysign(1.0, out[3].entropy) == 1.0
+    assert (out[4].entropy, out[4].n_distinct_chars) == (0.0, 0)
+    expect5 = round(-(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25)), 9)
+    assert out[5].entropy == expect5
+    plan = (
+        char_entropy_scores(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_token_budget_sample_semantics(spark):
     """Budget-bounded mixture: per-group kept cost reaches at least
     the budget whenever the group has that much supply (the crossing
