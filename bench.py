@@ -140,6 +140,16 @@ BENCH_QUERIES = [
     "blocklist_screen",
     "cms_term_estimates",
     "balanced_file_layout",
+    # round 8 (late): entity consolidation on top of linkage matches,
+    # the persisted-FastSS incremental linkage probe, link-graph crawl
+    # prioritization, budget-bounded mixture, contrastive mining,
+    # char entropy
+    "entity_golden_records",
+    "linkage_incremental",
+    "crawl_prioritized_frontier",
+    "token_budget_mixture",
+    "contrastive_mining",
+    "char_entropy",
 ]
 
 
