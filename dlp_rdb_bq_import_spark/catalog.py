@@ -123,3 +123,48 @@ def attach_dlp_configs(
     for cfg in configs:
         by_name.setdefault(cfg.table_name, cfg)  # first match wins (findFirst)
     return [t.with_dlp_config(by_name.get(t.name)) for t in tables]
+
+
+def schema_drift(old, new):
+    """Schema-drift report between two catalog snapshots — the check a
+    recurring import pipeline runs before writing: the reference
+    re-discovers every table's schema from INFORMATION_SCHEMA on each
+    run (common/ServerUtil.java:47-52,179-204) and would silently
+    produce a differently-shaped BigQuery table when the source
+    evolved; this surfaces the evolution instead. Inputs are two
+    DataFrames with ``(table_name, column_name, data_type)`` (one row
+    per column — the natural materialization of the catalog scan);
+    output is one row per difference: ``change`` ∈ 'added' /
+    'removed' / 'retyped' with both sides' types attached. Unchanged
+    columns are omitted. A rename reports as removed + added — the
+    catalog carries no identity beyond the name.
+
+    One full-outer equi-join on (table, column): catalogs are
+    metadata-sized (thousands of rows at worst), so this is broadcast
+    territory at any data scale — drift cost never depends on row
+    counts.
+    """
+    from pyspark.sql import functions as F
+
+    cols = {"table_name", "column_name", "data_type"}
+    for side, df in (("old", old), ("new", new)):
+        missing = cols - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"schema_drift: {side} snapshot is missing columns "
+                f"{sorted(missing)}"
+            )
+    o = old.select(
+        "table_name", "column_name", F.col("data_type").alias("old_type")
+    )
+    n = new.select(
+        "table_name", "column_name", F.col("data_type").alias("new_type")
+    )
+    j = o.join(n, ["table_name", "column_name"], "full_outer")
+    change = (
+        F.when(F.col("old_type").isNull(), F.lit("added"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .when(F.col("old_type") != F.col("new_type"), F.lit("retyped"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.withColumn("change", change).where(F.col("change").isNotNull())

@@ -4996,6 +4996,99 @@ def q_linkage_incremental(spark, sf_dir):
     return _score_linkage_pairs(c, verified, verdicts=("match", "possible"))
 
 
+# ---------------------------------------------------------------------------
+# Schema drift (catalog.schema_drift) — the pre-write evolution check a
+# recurring import runs. Snapshots are LITERAL catalog fixtures (the
+# real parquet schemas in Spark type names, stable across sf — a
+# catalog is metadata, it does not scale with data), rendered once for
+# both engines.
+_CATALOG_OLD = [
+    ("customer", "c_custkey", "bigint"),
+    ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int"),
+    ("customer", "c_acctbal", "double"),
+    ("customer", "c_mktsegment", "string"),
+    ("orders", "o_orderkey", "bigint"),
+    ("orders", "o_custkey", "bigint"),
+    ("orders", "o_orderstatus", "string"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "timestamp"),
+    ("orders", "o_orderpriority", "string"),
+    ("part", "p_partkey", "bigint"),
+    ("part", "p_name", "string"),
+    ("part", "p_brand", "string"),
+    ("part", "p_type", "string"),
+    ("part", "p_size", "int"),
+    ("part", "p_retailprice", "double"),
+    ("supplier", "s_suppkey", "bigint"),
+    ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "int"),
+    ("supplier", "s_acctbal", "double"),
+]
+# the evolved source: customer loses a column, orders gains one, part
+# retypes its price, the supplier table disappears entirely
+_CATALOG_NEW = [
+    r for r in _CATALOG_OLD
+    if r[0] != "supplier" and r[1] != "c_mktsegment"
+    and r[1] != "p_retailprice"
+] + [
+    ("part", "p_retailprice", "decimal(12,2)"),
+    ("orders", "o_channel", "string"),
+]
+
+
+def _catalog_values_sql(rows) -> str:
+    vals = ", ".join(
+        f"('{t}', '{c}', '{ty}')" for t, c, ty in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS v(table_name, column_name, data_type)"
+    )
+
+
+@query(
+    "schema_drift",
+    oracle=f"""
+WITH o AS ({_catalog_values_sql(_CATALOG_OLD)}),
+n AS ({_catalog_values_sql(_CATALOG_NEW)}),
+j AS (
+  SELECT COALESCE(o.table_name, n.table_name) AS table_name,
+         COALESCE(o.column_name, n.column_name) AS column_name,
+         o.data_type AS old_type, n.data_type AS new_type
+  FROM o FULL OUTER JOIN n
+    ON o.table_name = n.table_name AND o.column_name = n.column_name
+)
+SELECT table_name, column_name, old_type, new_type,
+       CASE WHEN old_type IS NULL THEN 'added'
+            WHEN new_type IS NULL THEN 'removed'
+            ELSE 'retyped' END AS change
+FROM j
+WHERE old_type IS NULL OR new_type IS NULL OR old_type <> new_type
+""",
+)
+def q_schema_drift(spark, sf_dir):
+    """EXT (REF-adjacent) — schema-drift report between two catalog
+    snapshots (catalog.schema_drift): the check a recurring import
+    runs before writing. The reference re-discovers schemas from
+    INFORMATION_SCHEMA every run (common/ServerUtil.java:47-52) and
+    silently reshapes its BigQuery output when the source evolves;
+    this surfaces added / removed / retyped columns instead (a rename
+    is removed + added — names are the only identity a catalog
+    carries). One full-outer join on (table, column) over
+    metadata-sized inputs — drift cost never depends on data volume.
+    Fixture: the real parquet-table schemas with a dropped column, an
+    added column, a retype, and a vanished table."""
+    from .catalog import schema_drift
+
+    schema = "table_name string, column_name string, data_type string"
+    old = spark.createDataFrame(_CATALOG_OLD, schema)
+    new = spark.createDataFrame(_CATALOG_NEW, schema)
+    return schema_drift(old, new).select(
+        "table_name", "column_name", "old_type", "new_type", "change"
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

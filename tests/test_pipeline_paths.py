@@ -677,3 +677,46 @@ def test_read_log_replays_legacy_single_token_markers(tmp_path):
     (out / "commit-bad1").write_text("notanumber")
     with _pytest.raises(ValueError, match="not an integer"):
         read_log(str(out))
+
+
+def test_schema_drift_classification(spark):
+    """Schema drift between catalog snapshots: added / removed /
+    retyped classify correctly, unchanged columns stay silent, a
+    vanished table reports one removal per column, a rename shows as
+    removed + added, and malformed snapshots fail loudly."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.catalog import schema_drift
+
+    schema = "table_name string, column_name string, data_type string"
+    old = spark.createDataFrame(
+        [
+            ("t1", "id", "bigint"),
+            ("t1", "name", "string"),
+            ("t1", "bal", "double"),
+            ("gone", "x", "int"),
+            ("gone", "y", "int"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("t1", "id", "bigint"),          # unchanged
+            ("t1", "full_name", "string"),   # rename: removed + added
+            ("t1", "bal", "decimal(12,2)"),  # retyped
+        ],
+        schema,
+    )
+    got = {
+        (r.table_name, r.column_name): (r.change, r.old_type, r.new_type)
+        for r in schema_drift(old, new).collect()
+    }
+    assert got[("t1", "name")] == ("removed", "string", None)
+    assert got[("t1", "full_name")] == ("added", None, "string")
+    assert got[("t1", "bal")] == ("retyped", "double", "decimal(12,2)")
+    assert got[("gone", "x")][0] == "removed" and got[("gone", "y")][0] == "removed"
+    assert ("t1", "id") not in got
+    assert len(got) == 5
+
+    with _pytest.raises(ValueError, match="old snapshot is missing"):
+        schema_drift(old.drop("data_type"), new)
