@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "token_budget_mixture",
     "contrastive_mining",
     "char_entropy",
+    "schema_drift",
+    "streaming_linkage",
 ]
 
 

@@ -4996,6 +4996,37 @@ def q_linkage_incremental(spark, sf_dir):
     return _score_linkage_pairs(c, verified, verdicts=("match", "possible"))
 
 
+@query("streaming_linkage")  # stream probe vs persisted index — rows-only
+def q_streaming_linkage(spark, sf_dir):
+    """W-EXT — record linkage in STREAMING form (streaming/jobs.py:
+    streaming_linkage_probe): new-record batches arrive as a file
+    stream and each micro-batch probes the PERSISTED FastSS variant
+    index via foreachBatch (the same batch probe linkage_incremental
+    runs; per-pair verification is independent, so per-batch results
+    union to the all-at-once answer — pytest-pinned). Verified pairs
+    then score through the shared Fellegi-Sunter projection bounded
+    to the review bands, downstream of the stream where a projection
+    belongs. Same fixture split as linkage_incremental (corpus
+    custkey % 10 != 7, three arrival rounds of the rest), so the two
+    queries' results coincide by construction."""
+    from .streaming.jobs import streaming_linkage_probe
+
+    c = t(spark, sf_dir, "customer")
+    corpus = c.where(F.col("c_custkey") % 10 != 7)
+    batch = c.where(F.col("c_custkey") % 10 == 7)
+    index = dedup.fastss_variant_index(corpus, "c_name", "c_custkey")
+    index = scratch_roundtrip(index, sf_dir, "fastss_index")
+    verified = streaming_linkage_probe(
+        spark,
+        batch.repartitionByRange(3, "c_custkey"),
+        corpus,
+        index,
+        "c_name",
+        "c_custkey",
+    )
+    return _score_linkage_pairs(c, verified, verdicts=("match", "possible"))
+
+
 # ---------------------------------------------------------------------------
 # Schema drift (catalog.schema_drift) — the pre-write evolution check a
 # recurring import runs. Snapshots are LITERAL catalog fixtures (the

@@ -922,3 +922,72 @@ def streaming_cms(
         return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_linkage_probe(
+    spark: SparkSession,
+    new_records: DataFrame,
+    corpus: DataFrame,
+    variant_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Streaming record-linkage candidates against a PERSISTED FastSS
+    variant index — the linkage twin of :func:`streaming_decontam`,
+    same design: new records arrive as a file stream and each
+    micro-batch runs the BATCH probe unchanged via ``foreachBatch``
+    (``dedup.probe_variant_index`` → ``verify_edit_distance``). The
+    standing corpus is variant-expanded once at freeze time into
+    ``variant_index`` and checkpointed here, never re-expanded per
+    micro-batch; the verify joins names from the static corpus plus
+    the micro-batch itself (id-disjoint by contract), and batch↔batch
+    pairs are deliberately NOT emitted (same contract as the batch
+    probe — run the cheap self-join path over the accumulated batch
+    set for those). Per-pair verification is independent, so per-batch
+    results union to the all-at-once probe answer with no cross-batch
+    state (pytest-pinned).
+
+    Returns ``(id_a, id_b, dist)`` — id_a the new record, id_b the
+    corpus record — across all micro-batches. Scoring (e.g.
+    Fellegi-Sunter) composes downstream; it is a pure projection.
+    """
+    from ..operators import dedup as dedup_ops
+
+    needed = {"id", "pos", "vh"}
+    if not needed <= set(variant_index.columns):
+        raise ValueError(
+            f"variant_index must be a fastss_variant_index result; got "
+            f"{variant_index.columns}"
+        )
+    root = tempfile.mkdtemp(prefix="linkage_stream_")
+    stage = os.path.join(root, "staged")
+    out_dir = os.path.join(root, "verified")
+    src = new_records.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    )
+    src.write.parquet(stage)
+    variant_index = variant_index.localCheckpoint(eager=True)
+    corpus_names = corpus.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).localCheckpoint(eager=True)
+
+    def probe_batch(batch_df, _epoch_id):
+        cand = dedup_ops.probe_variant_index(
+            batch_df, variant_index, text_col, id_col
+        )
+        names = corpus_names.unionByName(batch_df.select(id_col, text_col))
+        dedup_ops.verify_edit_distance(
+            cand, names, text_col, id_col, max_dist=max_dist
+        ).write.mode("append").parquet(out_dir)
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(probe_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2608,6 +2608,43 @@ def test_variant_index_incremental_contract(spark):
         probe_variant_index(batch, corpus, "name", "id")
 
 
+def test_streaming_linkage_probe_equals_batch(spark):
+    """The streaming probe ≡ the batch probe on the same data: new
+    records arriving across micro-batches against the persisted
+    variant index produce exactly the all-at-once candidate/verify
+    answer (per-pair verification is independent — no cross-batch
+    state to get wrong), and a malformed index fails loudly."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.dedup import (
+        fastss_variant_index,
+        probe_variant_index,
+        verify_edit_distance,
+    )
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_linkage_probe
+
+    corpus = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones"), (4, "brown")], ["id", "name"]
+    )
+    batch = spark.createDataFrame(
+        [(11, "smith"), (12, "jonas"), (13, "xavier"), (14, "browns")],
+        ["id", "name"],
+    )
+    index = fastss_variant_index(corpus, "name", "id")
+    streamed = streaming_linkage_probe(
+        spark, batch.repartition(3), corpus, index, "name", "id"
+    )
+    union = corpus.unionByName(batch)
+    batch_answer = verify_edit_distance(
+        probe_variant_index(batch, index, "name", "id"), union, "name", "id"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_answer.collect())
+    )
+    with _pytest.raises(ValueError, match="fastss_variant_index"):
+        streaming_linkage_probe(spark, batch, corpus, corpus, "name", "id")
+
+
 def test_fuzzy_candidate_stages_compose(spark):
     """deletion_neighborhood_candidates → verify_edit_distance is the
     factored seam both the fuzzy-pair queries and record linkage
