@@ -3013,7 +3013,7 @@ _LINK_EXTRACT_SQL = f"""
 WITH pages AS ({_LINKED_HTML_SQL}),
 hl AS (
   SELECT doc_id,
-         regexp_extract_all(html, '(?is)<a[^>]*?href="([^"]*)"', 1) AS hrefs
+         regexp_extract_all(html, '(?is)<a\\s[^>]*?href="([^"]*)"', 1) AS hrefs
   FROM pages
 )
 SELECT doc_id, CAST(i AS BIGINT) AS link_ord, hrefs[CAST(i AS BIGINT)] AS href

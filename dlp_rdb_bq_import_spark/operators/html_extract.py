@@ -110,14 +110,16 @@ def extract_links(
     emitting ``(id_col, link_ord, href)`` with ``link_ord`` the
     1-based position of the anchor within the page. Double-quoted
     href values only (the overwhelmingly dominant form; a fixture can
-    assert its own coverage) via one anchored ``regexp_extract_all``
-    — RE2-subset, oracle-restatable — then a ``posexplode``. Pure
+    assert its own coverage), and only true ``<a>`` tags — the
+    required whitespace after the tag name keeps ``<area>``/``<abbr>``
+    and friends out — via one anchored ``regexp_extract_all`` —
+    RE2-subset, oracle-restatable — then a ``posexplode``. Pure
     expression chain, zero joins/UDFs: at 100 TB this is a map over
     the crawl, and the downstream host-graph aggregation is the first
     shuffle. Pages with no links emit nothing (explode, not
     explode_outer — a link TABLE, not a page audit)."""
     hits = F.expr(
-        f"regexp_extract_all({html_col}, '(?is)<a[^>]*?href=\"([^\"]*)\"', 1)"
+        f"regexp_extract_all({html_col}, '(?is)<a\\\\s[^>]*?href=\"([^\"]*)\"', 1)"
     )
     return df.select(
         F.col(id_col),

@@ -3023,9 +3023,10 @@ def test_html_boilerplate_extraction_planted(spark):
 def test_extract_links_planted(spark):
     """Outlink extraction: hrefs come out verbatim in document order
     with 1-based ordinals; anchors without an href, unquoted/single-
-    quoted hrefs, and non-anchor tags carrying href-like strings are
-    skipped (double-quote contract); multiline anchors and mixed-case
-    HREF= match; link-free pages emit nothing."""
+    quoted hrefs, and non-anchor tags carrying hrefs (<link>, <area> —
+    the whitespace-after-tag-name requirement) are skipped; multiline
+    anchors and mixed-case HREF= match; link-free pages emit
+    nothing."""
     from dlp_rdb_bq_import_spark.operators.html_extract import extract_links
 
     page = (
@@ -3034,6 +3035,7 @@ def test_extract_links_planted(spark):
         '<A\n  class="big"\n  HREF="https://h1.example.com/a">abs</A>'
         "<a href='/single'>single-quoted skipped</a>"
         '<link href="/style.css">'
+        '<area href="/image-map">'
         '<a data-x="1" href="#frag">f</a></body></html>'
     )
     df = spark.createDataFrame(
