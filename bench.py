@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "schema_drift",
     "streaming_linkage",
+    "entity_incremental",
 ]
 
 

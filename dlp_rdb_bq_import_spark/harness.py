@@ -5120,6 +5120,84 @@ def q_schema_drift(spark, sf_dir):
     )
 
 
+@query(
+    "entity_incremental",
+    oracle=f"""
+WITH RECURSIVE scored AS (SELECT * FROM ({_LINKAGE_ORACLE})),
+m AS (
+  SELECT id_a, id_b FROM scored
+  WHERE verdict = 'match' AND NOT (id_a % 10 = 7 AND id_b % 10 = 7)
+),
+e AS (SELECT id_a AS s, id_b AS d FROM m
+      UNION SELECT id_b AS s, id_a AS d FROM m),
+reach(id, r) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+),
+lab AS (SELECT id, MIN(r) AS entity_of FROM reach GROUP BY id)
+SELECT c.c_custkey AS doc_id,
+       COALESCE(l.entity_of, c.c_custkey) AS entity_id
+FROM customer c LEFT JOIN lab l ON c.c_custkey = l.id
+""",
+)
+def q_entity_incremental(spark, sf_dir):
+    """EXT — INCREMENTAL entity maintenance (linkage.
+    merge_entity_assignments): the standing corpus's entity
+    assignment (self-join FastSS matches among custkey % 10 != 7,
+    consolidated once) absorbs a new batch's CROSS match edges (the
+    persisted-index probe of linkage_incremental, match band only)
+    WITHOUT re-reading historical match pairs — the union-find
+    invariant makes folding (doc → entity) links + new edges exactly
+    equal to a rebuild over all edges ever seen, including the fusion
+    case where a new record bridges two standing entities. Batch-
+    internal pairs are the batch self-join path's job (excluded from
+    both engines by contract). Output: every customer's entity id;
+    the oracle restates the closure over the same edge union. Cost
+    tracks assignment + new-edge graph size, never corpus text."""
+    from .operators import linkage
+
+    c = t(spark, sf_dir, "customer")
+    corpus = c.where(F.col("c_custkey") % 10 != 7)
+    corpus_matches = _score_linkage_pairs(
+        c,
+        dedup.verify_edit_distance(
+            dedup.deletion_neighborhood_candidates(
+                corpus, "c_name", "c_custkey", max_dist=1
+            ),
+            corpus,
+            "c_name",
+            "c_custkey",
+            max_dist=1,
+        ),
+        verdicts=("match",),
+    ).select("id_a", "id_b")
+    assignment = (
+        linkage.assign_entity_ids(corpus, corpus_matches, "c_custkey")
+        .select(F.col("c_custkey").alias("doc_id"), "entity_id")
+    )
+    batch = c.where(F.col("c_custkey") % 10 == 7)
+    index = dedup.fastss_variant_index(corpus, "c_name", "c_custkey")
+    cross_matches = _score_linkage_pairs(
+        c,
+        dedup.verify_edit_distance(
+            dedup.probe_variant_index(batch, index, "c_name", "c_custkey"),
+            c,
+            "c_name",
+            "c_custkey",
+            max_dist=1,
+        ),
+        verdicts=("match",),
+    ).select("id_a", "id_b")
+    merged = linkage.merge_entity_assignments(assignment, cross_matches)
+    return c.select(F.col("c_custkey").alias("doc_id")).join(
+        merged, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+    )
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",

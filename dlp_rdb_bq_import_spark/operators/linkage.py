@@ -70,6 +70,59 @@ def assign_entity_ids(
     )
 
 
+def merge_entity_assignments(
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Entity-assignment MAINTENANCE: fold a new batch's match edges
+    into an existing ``(doc_id, entity_id)`` assignment without
+    re-reading the corpus or its historical match pairs. Union-find
+    invariant makes this exact: connecting every record to its
+    component representative preserves components, so clustering the
+    assignment's (doc_id → entity_id) links together with the new
+    edges yields the SAME min-id entities as a rebuild over the union
+    of all match edges ever seen — including the fusion case where a
+    new edge bridges two existing entities (both collapse to the
+    smaller label). ``merge(assign(A), B) ≡ assign(A ∪ B)`` is the
+    pytest-pinned contract, the same maintenance shape as the MinHash
+    /bench-gram/LM-count/IVF/variant-index families. Ids seen only in
+    ``new_pairs`` enter the assignment; untouched singletons pass
+    through. Cost tracks the (small) assignment + new-edge graph,
+    never corpus text."""
+    from .dedup import duplicate_clusters
+
+    needed = {"doc_id", "entity_id"}
+    if not needed <= set(assignment.columns):
+        raise ValueError(
+            f"merge_entity_assignments: assignment needs columns "
+            f"{sorted(needed)}; got {assignment.columns}"
+        )
+    links = assignment.where(F.col("doc_id") != F.col("entity_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("entity_id").alias("id_b")
+    )
+    edges = links.unionByName(
+        new_pairs.select(
+            F.col(id_a).cast("long").alias("id_a"),
+            F.col(id_b).cast("long").alias("id_b"),
+        )
+    )
+    clusters = duplicate_clusters(edges)
+    ids = (
+        assignment.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col(id_a).cast("long").alias("doc_id")))
+        .unionByName(new_pairs.select(F.col(id_b).cast("long").alias("doc_id")))
+        .distinct()
+    )
+    return ids.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        .cast("long")
+        .alias("entity_id"),
+    )
+
+
 class FieldRule:
     """One field's linkage rule: an agreement predicate over the pair
     row plus the Fellegi-Sunter (m, u) probabilities — m = P(agree |

@@ -2608,6 +2608,47 @@ def test_variant_index_incremental_contract(spark):
         probe_variant_index(batch, corpus, "name", "id")
 
 
+def test_merge_entity_assignments_contract(spark):
+    """Entity-assignment maintenance: folding new match edges into an
+    existing assignment equals rebuilding from the union of all edges
+    — including the fusion case where one new edge bridges two
+    standing entities — new-only ids enter as entities, untouched
+    singletons pass through, and malformed assignments fail loudly."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.linkage import (
+        assign_entity_ids,
+        merge_entity_assignments,
+    )
+
+    records = spark.createDataFrame(
+        [(i, f"r{i}") for i in (1, 2, 3, 4, 5, 6, 9)], ["rid", "val"]
+    )
+    old_edges = [(1, 2), (3, 4)]  # entities {1,2}, {3,4}; 5,6,9 singles
+    new_edges = [(2, 3), (5, 20)]  # fuses {1,2}+{3,4}; brings in 20
+    old_df = spark.createDataFrame(old_edges, ["id_a", "id_b"])
+    new_df = spark.createDataFrame(new_edges, ["id_a", "id_b"])
+
+    assignment = assign_entity_ids(records, old_df, "rid").select(
+        F.col("rid").alias("doc_id"), "entity_id"
+    )
+    merged = merge_entity_assignments(assignment, new_df)
+    got = {r.doc_id: r.entity_id for r in merged.collect()}
+
+    rebuilt = assign_entity_ids(
+        records.unionByName(spark.createDataFrame([(20, "r20")], ["rid", "val"])),
+        spark.createDataFrame(old_edges + new_edges, ["id_a", "id_b"]),
+        "rid",
+    )
+    expect = {r.rid: r.entity_id for r in rebuilt.collect()}
+    assert got == expect
+    assert got[4] == 1 and got[3] == 1  # fusion collapsed to min label
+    assert got[20] == 5 and got[9] == 9
+
+    with _pytest.raises(ValueError, match="assignment needs columns"):
+        merge_entity_assignments(records, new_df)
+
+
 def test_streaming_linkage_probe_equals_batch(spark):
     """The streaming probe ≡ the batch probe on the same data: new
     records arriving across micro-batches against the persisted
