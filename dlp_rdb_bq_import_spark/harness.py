@@ -7833,6 +7833,27 @@ def q_semantic_decontam(spark, sf_dir):
     )
 
 
+@query("semantic_decontam_lsh")  # banded candidates — recall pinned in pytest
+def q_semantic_decontam_lsh(spark, sf_dir):
+    """EXT — the PRODUCTION semantic-decontamination path
+    (similarity.semantic_contamination_pairs_lsh): banded sign-LSH
+    candidates ACROSS train/bench under shared deterministic
+    hyperplanes + exact integer-cosine rerank of candidates only —
+    cost is the signature streams plus the candidate set, never
+    |train| × |bench| exact dots (the exact broadcast form above is
+    139s at sf1 vs ~7s here; it stays registered as the hash-matched
+    oracle twin and the sf1 soak skips it with a printed reason, the
+    same twin discipline as embedding_neardup). Precision 1.0 by
+    construction; recall vs the exact path in LSH's operating regime
+    is pinned in tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination_pairs_lsh(
+        e.where(F.col("vec_id") % 20 != 7),
+        e.where(F.col("vec_id") % 20 == 7),
+        threshold=0.35,
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.12 EXT — cluster-balanced coreset selection (operators/sampling.py)
 # ---------------------------------------------------------------------------

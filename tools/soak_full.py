@@ -33,6 +33,9 @@ SKIP_QUADRATIC_TWINS = {
     "materializes every scored candidate incl. the non_match bulk — "
     "output quadratic in name-collision density (26.9M rows at sf1); "
     "the bounded review form IS swept",
+    "semantic_decontam": "exact |train|x|bench| broadcast-dots twin of "
+    "semantic_decontam_lsh (19M pair-dots of dim 64 at sf1, 139.6s); "
+    "the banded sign-LSH production form IS swept",
 }
 
 
