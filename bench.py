@@ -133,7 +133,7 @@ BENCH_QUERIES = [
     # round 8: trainable NB classifier, embedding-space decontam,
     # cluster-balanced coreset, CCNet perplexity-bucketed mixture
     "nb_classify_lang",
-    "semantic_decontam",
+    "semantic_decontam_lsh",
     "cluster_balanced_sample",
     "perplexity_bucket_mixture",
     "dsir_select",
