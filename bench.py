@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "schema_drift",
     "streaming_linkage",
     "entity_incremental",
+    "funnel_analysis",
+    "rake_keywords",
 ]
 
 

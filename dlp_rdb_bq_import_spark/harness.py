@@ -5437,6 +5437,63 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy_scores(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "rake_keywords",
+    oracle=r"""
+WITH occ0 AS (
+  SELECT doc_id, trim(regexp_replace(p, '\s+', ' ', 'g')) AS phrase
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(text, '\b(?:row|hash|join|scan)\b', '|', 'g'),
+                 '|')) AS p
+        FROM documents)
+),
+occ AS (
+  SELECT doc_id, phrase,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS L
+  FROM occ0 WHERE phrase <> ''
+),
+ow AS (
+  SELECT doc_id, L, unnest(string_split(phrase, ' ')) AS w FROM occ
+),
+stats AS (
+  SELECT doc_id, w,
+         CAST(ROUND(CAST(SUM(L) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e9,
+                    0) AS BIGINT) AS q
+  FROM ow GROUP BY 1, 2
+),
+dp AS (SELECT DISTINCT doc_id, phrase, L FROM occ),
+dw AS (
+  SELECT doc_id, phrase, L, unnest(string_split(phrase, ' ')) AS w FROM dp
+),
+scored AS (
+  SELECT dw.doc_id, dw.phrase, MIN(dw.L) AS n_words,
+         ROUND(CAST(SUM(s.q) AS DOUBLE) / 1e9, 9) AS score
+  FROM dw JOIN stats s ON dw.doc_id = s.doc_id AND dw.w = s.w
+  GROUP BY 1, 2
+)
+SELECT doc_id, phrase, n_words, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS BIGINT) AS rk
+FROM scored QUALIFY rk <= 5
+""",
+)
+def q_rake_keywords(spark, sf_dir):
+    """EXT — RAKE keyword extraction (text.rake_keywords, Rose et al.
+    2010): candidate phrases between stopword delimiters, word score
+    = degree/frequency over all phrase occurrences, phrase score =
+    sum of word scores, top-5 distinct phrases per document. Word
+    scores quantize to int64 nano-units so the phrase sums are
+    order-independent exact adds and the doubles hash-match the SQL
+    restatement. Delimiters here are four high-frequency fixture
+    tokens standing in for a stopword list."""
+    from .operators.text import rake_keywords
+
+    return rake_keywords(
+        t(spark, sf_dir, "documents"), ["row", "hash", "join", "scan"], k=5
+    )
+
+
 @query("weighted_sample")  # xxhash64 scoring — no DuckDB twin, rows-only
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (A-ES,
@@ -6449,6 +6506,62 @@ def q_cohort_retention(spark, sf_dir):
 
     return cohort_retention(
         t(spark, sf_dir, "events"), user_col="user_id", ts_col="ts"
+    )
+
+
+@query(
+    "funnel_analysis",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+),
+c AS (
+  SELECT CAST(1 AS BIGINT) AS step_ord, 'view' AS step,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase',
+         CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+)
+SELECT step_ord, step, n_users,
+  CASE WHEN step_ord = 1 THEN 1.0
+       WHEN lag(n_users) OVER (ORDER BY step_ord) = 0 THEN 0.0
+       ELSE round(CAST(n_users AS DOUBLE)
+                  / lag(n_users) OVER (ORDER BY step_ord), 9) END AS conversion
+FROM c
+""",
+)
+def q_funnel_analysis(spark, sf_dir):
+    """EXT — ordered funnel analysis (timeseries.funnel_steps):
+    view → click → purchase completion, each step's event strictly
+    after the user's earliest completion of the previous step (the
+    standard product-analytics definition; repeats fine, earliest
+    valid event counts). One per-user min-timestamp aggregation per
+    step joined against the previous (shrinking) completion table —
+    a constant number of co-partitioned user-key exchanges, never a
+    time self-join; the summary window runs over len(steps) rows.
+    Counts exact; conversion ratios are one double division rounded
+    to 9, identical in both engines."""
+    from .operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
     )
 
 

@@ -1491,6 +1491,90 @@ def compression_ratio_scores(
     return out.withColumn("ratio", ratio)
 
 
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — public algorithm):
+    candidate phrases are the maximal token runs BETWEEN stopword
+    delimiters; each word scores degree/frequency where frequency
+    counts the word's appearances across all candidate-phrase
+    occurrences and degree sums the lengths of the phrases it appears
+    in (co-occurrence weight); a phrase scores the sum of its words'
+    scores (per occurrence of the word in the phrase), and each
+    document keeps its top-``k`` DISTINCT phrases. Output:
+    ``(id_col, phrase, n_words, score, rk)``, score rounded to 9.
+
+    Determinism: word scores quantize to int64 nano-units
+    (round(deg/freq · 1e9)) so phrase sums are order-independent
+    exact integer adds — the same micro-quantization discipline as
+    the LM scorer; ties in the final rank break on the phrase string.
+
+    Shape: one regexp_replace + two splits (pure expressions), then
+    two groupBy exchanges keyed by (doc, word) / (doc, phrase) and a
+    per-doc top-k window — everything partitions by document-local
+    keys; no corpus-wide state. Stopword-token matching is exact and
+    case-sensitive (normalize upstream via text_normalize)."""
+    if not stopwords:
+        raise ValueError("rake_keywords: stopwords must be non-empty")
+    if k < 1:
+        raise ValueError(f"rake_keywords: k must be >= 1, got {k}")
+    for s in stopwords:
+        if not s or not s.replace("_", "").isalnum():
+            raise ValueError(
+                f"rake_keywords: stopwords must be plain tokens, got {s!r}"
+            )
+    from pyspark.sql.window import Window
+
+    sw_re = r"\b(?:" + "|".join(stopwords) + r")\b"
+    ident = F.col(id_col)
+    raw = F.split(F.regexp_replace(F.col(text_col), sw_re, "|"), r"\|")
+    phrase = F.trim(F.regexp_replace(F.col("_p"), r"\s+", " "))
+    occurrences = (
+        df.select(ident.alias("_id"), F.explode(raw).alias("_p"))
+        .select("_id", phrase.alias("phrase"))
+        .where(F.col("phrase") != "")
+        .withColumn("_words", F.split(F.col("phrase"), " "))
+        .withColumn("_len", F.size("_words").cast("long"))
+    )
+    occ_words = occurrences.select(
+        "_id", "_len", F.explode("_words").alias("_w")
+    )
+    stats = occ_words.groupBy("_id", "_w").agg(
+        F.round(
+            (F.sum("_len").cast("double") / F.count(F.lit(1)).cast("double"))
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("_q")
+    )
+    distinct_words = (
+        occurrences.select("_id", "phrase", "_words", "_len")
+        .dropDuplicates(["_id", "phrase"])
+        .select("_id", "phrase", "_len", F.explode("_words").alias("_w"))
+    )
+    scored = (
+        distinct_words.join(stats, ["_id", "_w"])
+        .groupBy("_id", "phrase")
+        .agg(
+            F.min("_len").alias("n_words"),
+            F.round(F.sum("_q").cast("double") / F.lit(1e9), 9).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(F.col("_id").alias(id_col), "phrase", "n_words", "score", "rk")
+    )
+
+
 def char_entropy_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -146,6 +146,72 @@ def cohort_retention(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Classic ordered-funnel analysis: how many users complete each
+    prefix of ``steps`` IN ORDER (each step's event strictly after the
+    user's earliest completion of the previous step — the standard
+    product-analytics definition; repeated events are fine, only the
+    earliest valid one per step counts). Output one row per step:
+    ``(step_ord, step, n_users, conversion)`` with conversion =
+    n_users / step-1 users rounded to 9 (1.0 for the first step; all
+    counts exact).
+
+    Shape: one per-user min-timestamp aggregation per step, each a
+    single shuffle on ``user_col`` joined user-to-user against the
+    previous step's (small, shrinking) completion table — len(steps)
+    is a constant (3-5), so the whole funnel is a handful of
+    co-partitioned user-key exchanges, never a self-join on time. The
+    final summary is a count per step over per-user rows."""
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    user, ts, typ = F.col(user_col), F.col(ts_col), F.col(type_col)
+    reached = []  # per step: DataFrame(user, _t = earliest valid ts)
+    cur = (
+        events.where(typ == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("_t"))
+    )
+    reached.append(cur)
+    for s in steps[1:]:
+        nxt = (
+            events.where(typ == s)
+            .select(user_col, ts.alias("_ts"))
+            .join(cur.select(user_col, "_t"), user_col)
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        reached.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (s, df) in enumerate(zip(steps, reached), start=1):
+        row = df.agg(
+            F.lit(i).cast("long").alias("step_ord"),
+            F.lit(s).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    # single global window over len(steps) rows — bounded by construction
+    prev = F.lag("n_users").over(Window.orderBy("step_ord"))
+    return counts.withColumn(
+        "conversion",
+        F.when(F.col("step_ord") == 1, F.lit(1.0)).otherwise(
+            F.when(prev == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_users").cast("double") / prev.cast("double"), 9)
+            )
+        ),
+    )
+
+
 def event_transitions(
     events: DataFrame,
     *,

@@ -3352,6 +3352,42 @@ def test_embedding_group_outliers_numpy_parity(spark):
     assert got[999][2] == 1  # the planted far vector is its group's top outlier
 
 
+def test_rake_keywords_hand_computed(spark):
+    """RAKE against hand arithmetic on the canonical toy: phrases
+    split at stopwords, word score = degree/frequency over ALL phrase
+    occurrences, repeated phrases score once but weigh the stats,
+    top-k caps per doc with phrase-string tie-break, and guards fire
+    on empty stopwords / bad k / non-token stopwords."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.text import rake_keywords
+
+    # phrases: "deep learning" x2, "learning rate", "decay"
+    text = "deep learning and learning rate of decay and deep learning"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {
+        r.phrase: (r.n_words, r.score, r.rk)
+        for r in rake_keywords(df, ["and", "of"], k=10).collect()
+    }
+    # freq: deep 2, learning 3, rate 1, decay 1
+    # deg:  deep 2+2=4, learning 2+2+2=6, rate 2, decay 1
+    s_deep, s_learning, s_rate, s_decay = 4 / 2, 6 / 3, 2 / 1, 1 / 1
+    assert out["deep learning"] == (2, round(s_deep + s_learning, 9), 1)
+    assert out["learning rate"] == (2, round(s_learning + s_rate, 9), 2)
+    assert out["decay"] == (1, 1.0, 3)
+    assert len(out) == 3  # duplicate "deep learning" emitted once
+
+    top1 = rake_keywords(df, ["and", "of"], k=1)
+    assert [r.phrase for r in top1.collect()] == ["deep learning"]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rake_keywords(df, [])
+    with _pytest.raises(ValueError, match="k must be"):
+        rake_keywords(df, ["and"], k=0)
+    with _pytest.raises(ValueError, match="plain tokens"):
+        rake_keywords(df, ["a|b"])
+
+
 def test_char_entropy_hand_computed(spark):
     """Character entropy against hand arithmetic: uniform 2-char and
     4-char alphabets give exactly 1 and 2 bits, single-char text gives

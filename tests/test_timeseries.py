@@ -242,3 +242,51 @@ def test_concurrency_per_key_independent(spark):
     assert out[("a", ts(1))] == 2
     assert out[("b", ts(0))] == 1
     assert out[("b", ts(1))] == 0
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Funnel completion requires strict temporal order per user: a
+    click BEFORE the first view does not count (but a later one does),
+    repeats only count once, step events at the exact same timestamp
+    as the previous step do not qualify (strictly after), conversion
+    ratios divide adjacent counts, and bad step lists fail loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.timeseries import funnel_steps
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 completes all three in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click precedes view, another click after -> completes 2
+        (2, ts(0), "click"), (2, ts(1), "view"), (2, ts(3), "click"),
+        # u3: click at the same instant as view -> NOT strictly after
+        (3, ts(0), "view"), (3, ts(0), "click"),
+        # u4: purchase before click -> stops at click
+        (4, ts(0), "view"), (4, ts(1), "purchase"), (4, ts(2), "click"),
+        # u5: never views -> not even step 1
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+        # u1 repeats don't double-count
+        (1, ts(5), "view"), (1, ts(6), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r.step_ord: (r.step, r.n_users, r.conversion)
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"],
+            user_col="user_id", ts_col="ts", type_col="event_type",
+        ).collect()
+    }
+    assert out[1] == ("view", 4, 1.0)          # u1 u2 u3 u4
+    assert out[2] == ("click", 3, 0.75)        # u1 u2 u4 (u3 same-instant)
+    assert out[3] == ("purchase", 1, round(1 / 3, 9))  # u1 only
+    with _pytest.raises(ValueError, match=">= 2 steps"):
+        funnel_steps(df, ["view"], user_col="user_id", ts_col="ts",
+                     type_col="event_type")
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_steps(df, ["view", "view"], user_col="user_id", ts_col="ts",
+                     type_col="event_type")
