@@ -1387,12 +1387,14 @@ def probe_variant_index(
             cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
         return cond
 
-    subst = a.join(b.hint("shuffle_hash"), keys(("_pa", "_pb")))
-    indel_ab = a.where(F.col("_pa") == 0).join(
-        b.where(F.col("_pb") > 0).hint("shuffle_hash"), keys()
+    # the hash table builds from the BATCH side (a) — batch variants
+    # are the small relation next to a corpus-sized index
+    subst = a.hint("shuffle_hash").join(b, keys(("_pa", "_pb")))
+    indel_ab = a.where(F.col("_pa") == 0).hint("shuffle_hash").join(
+        b.where(F.col("_pb") > 0), keys()
     )
-    indel_ba = a.where(F.col("_pa") > 0).join(
-        b.where(F.col("_pb") == 0).hint("shuffle_hash"), keys()
+    indel_ba = a.where(F.col("_pa") > 0).hint("shuffle_hash").join(
+        b.where(F.col("_pb") == 0), keys()
     )
     out = subst.unionByName(indel_ab).unionByName(indel_ba)
     return (
