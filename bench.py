@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "entity_incremental",
     "funnel_analysis",
     "rake_keywords",
+    "ab_test_purchase",
 ]
 
 

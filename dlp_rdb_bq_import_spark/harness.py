@@ -6565,6 +6565,90 @@ def q_funnel_analysis(spark, sf_dir):
     )
 
 
+@query(
+    "ab_test_purchase",
+    oracle="""
+WITH units AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END) AS BIGINT)
+      AS x_c,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END) AS BIGINT)
+      AS x_t
+  FROM units
+),
+z AS (
+  SELECT n_c, x_c, n_t, x_t,
+    (CAST(x_c AS DOUBLE) + CAST(x_t AS DOUBLE))
+      / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS pool
+  FROM agg
+)
+SELECT n_c, x_c, n_t, x_t,
+  round(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9) AS rate_c,
+  round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 9) AS rate_t,
+  CASE WHEN n_c = 0 OR n_t = 0
+         OR sqrt(pool * (1.0 - pool)
+                 * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))) = 0.0
+       THEN 0.0
+       ELSE round(
+         (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+          - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+         / sqrt(pool * (1.0 - pool)
+                * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 9)
+  END AS z_score,
+  abs(CASE WHEN n_c = 0 OR n_t = 0
+             OR sqrt(pool * (1.0 - pool)
+                     * (1.0 / CAST(n_c AS DOUBLE)
+                        + 1.0 / CAST(n_t AS DOUBLE))) = 0.0
+           THEN 0.0
+           ELSE round(
+             (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / sqrt(pool * (1.0 - pool)
+                    * (1.0 / CAST(n_c AS DOUBLE)
+                       + 1.0 / CAST(n_t AS DOUBLE))), 9)
+      END) > 1.959963985 AS significant
+FROM z
+""",
+)
+def q_ab_test_purchase(spark, sf_dir):
+    """EXT — two-proportion z-test A/B readout (profiling.
+    ab_test_ztest): users split into arms by id parity, success = at
+    least one purchase event, pooled-variance z statistic with the
+    two-sided 95% critical value. Unit-level dedup happens FIRST (one
+    row per user via max-flag aggregation — the mistake every naive
+    A/B query makes is testing event rows); the test itself is one
+    conditional-sum aggregation plus a fixed-order double expression
+    tree, so the z restates identically in SQL. IEEE sqrt is
+    correctly-rounded in both engines."""
+    from .operators.profiling import ab_test_ztest
+
+    e = t(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "converted",
+    )
+    return ab_test_ztest(units, "arm", "converted", "control", "treatment")
+
+
 # ---------------------------------------------------------------------------
 # §2.12 EXT — exact correlation matrix (operators/profiling.py)
 # ---------------------------------------------------------------------------

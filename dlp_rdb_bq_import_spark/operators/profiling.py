@@ -705,6 +705,63 @@ def heavy_hitters(
     )
 
 
+def ab_test_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    z_critical: float = 1.959963985,
+) -> DataFrame:
+    """Two-proportion z-test — the standard A/B experiment readout
+    (public statistics; z_critical defaults to the two-sided 95%
+    normal quantile). ``success_col`` is a boolean/0-1 column per
+    unit; the test compares treatment vs control conversion with the
+    pooled-variance z statistic
+    ``z = (p_t - p_c) / sqrt(p(1-p)(1/n_c + 1/n_t))``.
+
+    Output: ONE row — n/conversions/rate per arm (counts exact, rates
+    rounded to 9), ``z_score`` (rounded to 9) and ``significant``.
+    Deterministic: a single fixed-order expression tree over exact
+    integer counts, so the doubles restate identically in SQL.
+
+    Shape: one aggregation over the experiment table (conditional
+    sums — no shuffle beyond the global agg's two-stage combine);
+    unit-level dedup is the caller's job (aggregate to one row per
+    unit first). Degenerate pools (p ∈ {0,1} or an empty arm) yield
+    z = 0.0 / not significant rather than NaN poison."""
+    if control == treatment:
+        raise ValueError(f"control and treatment must differ, got {control!r}")
+    g, s = F.col(group_col), F.col(success_col).cast("long")
+    agg = df.where(g.isin(control, treatment)).agg(
+        F.sum(F.when(g == control, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(g == control, s).otherwise(0)).cast("long").alias("x_c"),
+        F.sum(F.when(g == treatment, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(g == treatment, s).otherwise(0)).cast("long").alias("x_t"),
+    )
+    n_c, x_c = F.col("n_c").cast("double"), F.col("x_c").cast("double")
+    n_t, x_t = F.col("n_t").cast("double"), F.col("x_t").cast("double")
+
+    def safe_div(num, den):
+        # ANSI mode raises on double 0-division; NULL is the honest
+        # value for an empty arm's rate and the z guard absorbs it
+        return num / F.nullif(den, F.lit(0.0))
+
+    pool = safe_div(x_c + x_t, n_c + n_t)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.nullif(n_c, F.lit(0.0)) + F.lit(1.0) / F.nullif(n_t, F.lit(0.0))))
+    z = (
+        F.when((F.col("n_c") == 0) | (F.col("n_t") == 0), F.lit(0.0))
+        .when(se.isNull() | (se == 0.0), F.lit(0.0))
+        .otherwise(F.round((x_t / n_t - x_c / n_c) / se, 9))
+    )
+    return (
+        agg.withColumn("rate_c", F.round(safe_div(x_c, n_c), 9))
+        .withColumn("rate_t", F.round(safe_div(x_t, n_t), 9))
+        .withColumn("z_score", z)
+        .withColumn("significant", F.abs(F.col("z_score")) > F.lit(z_critical))
+    )
+
+
 def cms_build(
     df: DataFrame,
     col: str,

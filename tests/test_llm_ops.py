@@ -3966,3 +3966,46 @@ def test_cms_properties_and_streaming_fold(spark):
         cms_build(df, "w", depth=0)
     with _pytest.raises(ValueError):
         cms_estimate(df, sk, "w", width=1)
+
+
+def test_ab_test_ztest_hand_computed(spark):
+    """Two-proportion z-test against hand arithmetic: counts, rates
+    and the pooled-variance z match the closed form; degenerate pools
+    (all-success) and an empty arm yield z = 0 / not significant
+    instead of NaN; rows outside the two arms are ignored; identical
+    arm names fail loudly."""
+    import math
+
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.profiling import ab_test_ztest
+
+    rows = (
+        [("control", 1)] * 30 + [("control", 0)] * 70
+        + [("treatment", 1)] * 45 + [("treatment", 0)] * 55
+        + [("holdout", 1)] * 10  # ignored third arm
+    )
+    df = spark.createDataFrame(rows, ["arm", "converted"])
+    r = ab_test_ztest(df, "arm", "converted", "control", "treatment").first()
+    assert (r.n_c, r.x_c, r.n_t, r.x_t) == (100, 30, 100, 45)
+    assert (r.rate_c, r.rate_t) == (0.3, 0.45)
+    pool = 75 / 200
+    z = (0.45 - 0.3) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r.z_score == round(z, 9)
+    assert bool(r.significant) is (abs(z) > 1.959963985)
+
+    # degenerate: every unit converts -> se = 0 -> z = 0, not significant
+    allwin = spark.createDataFrame(
+        [("control", 1)] * 5 + [("treatment", 1)] * 5, ["arm", "converted"]
+    )
+    d = ab_test_ztest(allwin, "arm", "converted", "control", "treatment").first()
+    assert d.z_score == 0.0 and bool(d.significant) is False
+
+    # empty treatment arm: z 0, not significant, its rate honest NULL
+    onearm = spark.createDataFrame([("control", 1)] * 3, ["arm", "converted"])
+    e = ab_test_ztest(onearm, "arm", "converted", "control", "treatment").first()
+    assert e.n_t == 0 and e.z_score == 0.0 and bool(e.significant) is False
+    assert e.rate_t is None and e.rate_c == 1.0
+
+    with _pytest.raises(ValueError, match="must differ"):
+        ab_test_ztest(df, "arm", "converted", "control", "control")
