@@ -82,9 +82,15 @@ def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFram
     execution, but pruning keys on RUN LIVENESS, not wall clock alone:
     the table name embeds the writer's pid, and a version whose pid is
     still alive is never pruned — a concurrent soak holding a lazy
-    reference past the age cutoff keeps its files. Only dead-pid (or
-    legacy unparseable) versions past the cutoff go."""
+    reference past the age cutoff keeps its files. Only dead-pid
+    versions past the cutoff go, and only directories matching this
+    function's EXACT name shape (``{prefix}_{pid}_{uuid8}``) are ever
+    candidates — a prefix that extends another ('bigram_lm' vs
+    'bigram_lm_v2') must not make the longer prefix's live dirs parse
+    as garbage-pid under the shorter one and get deleted under a live
+    writer; anything shape-unparseable is left alone."""
     import hashlib
+    import re
     import shutil
     import tempfile
     import time
@@ -97,15 +103,13 @@ def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFram
         f"curation_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     ds_dir = os.path.join(root, "curation")
+    name_re = re.compile(
+        "^" + re.escape(table_prefix) + r"_(\d+)_[0-9a-f]{8}$"
+    )
 
-    def _writer_alive(name: str) -> bool:
-        # name shape: {table_prefix}_{pid}_{uuid8}; unparseable → not alive
-        tail = name[len(table_prefix) + 1 :]
-        pid_part = tail.split("_", 1)[0]
-        if not pid_part.isdigit():
-            return False
+    def _writer_alive(pid: int) -> bool:
         try:
-            os.kill(int(pid_part), 0)
+            os.kill(pid, 0)
         except ProcessLookupError:
             return False
         except (PermissionError, OSError):
@@ -115,11 +119,14 @@ def scratch_roundtrip(df: DataFrame, sf_dir: str, table_prefix: str) -> DataFram
     if os.path.isdir(ds_dir):
         cutoff = time.time() - 3600
         for name in os.listdir(ds_dir):
+            m = name_re.match(name)
+            if not m:
+                continue  # not this prefix's exact shape: never prunable
             p = os.path.join(ds_dir, name)
-            if not name.startswith(table_prefix + "_"):
-                continue
             try:
-                stale = os.path.getmtime(p) < cutoff and not _writer_alive(name)
+                stale = os.path.getmtime(p) < cutoff and not _writer_alive(
+                    int(m.group(1))
+                )
             except OSError:
                 continue  # pruned by a concurrent run between listdir and stat
             if stale:
@@ -2503,7 +2510,12 @@ feat0 AS (
       '\\s+', ' ', 'g')) AS text,
     CAST(COALESCE(list_sum(list_transform(
       regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
-      x -> length(x))), 0) AS BIGINT) AS link_chars
+      x -> length(trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(x, '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\\s+', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
   FROM parts
 ),
 feat AS (
@@ -2511,24 +2523,32 @@ feat AS (
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
     CAST(length(text) AS BIGINT) AS n_chars,
     len(list_filter(string_split(text, ' '),
-        x -> list_contains([{_HTML_STOPS}], x))) AS stop_words
+        x -> list_contains([{_HTML_STOPS}], lower(x)))) AS stop_words
   FROM feat0 WHERE text <> ''
 ),
 classified AS (
-  SELECT doc_id,
-    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
-      AS block_ord,
-    text, n_words, n_chars,
+  SELECT doc_id, pos, text, n_words, n_chars,
     round(CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
       AS link_density,
     round(CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
-      AS stop_density
+      AS stop_density,
+    CASE WHEN round(CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+              > 0.4
+           OR round(CAST(stop_words AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
+              < 0.02
+         THEN 'bad'
+         WHEN n_words >= 5 THEN 'good' ELSE 'near' END AS k
   FROM feat
 )
-SELECT doc_id, block_ord, text, n_words, n_chars, link_density, stop_density,
-  CASE WHEN n_words < 5 OR link_density > 0.4 OR stop_density < 0.02
-       THEN 'boilerplate' ELSE 'content' END AS verdict
+SELECT doc_id,
+  CAST(row_number() OVER w AS BIGINT) AS block_ord,
+  text, n_words, n_chars, link_density, stop_density,
+  CASE WHEN k = 'good'
+         OR (k = 'near'
+             AND (lag(k) OVER w = 'good' OR lead(k) OVER w = 'good'))
+       THEN 'content' ELSE 'boilerplate' END AS verdict
 FROM classified
+WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 """
 
 
@@ -2909,7 +2929,7 @@ def q_url_canonicalize(spark, sf_dir):
 WITH c AS ({_URL_CANON_SQL})
 SELECT canon, CAST(count(*) AS BIGINT) AS n_dupes,
        CAST(min(id) AS BIGINT) AS first_id
-FROM c GROUP BY canon
+FROM c WHERE host <> '' GROUP BY canon
 """,
 )
 def q_url_dedup(spark, sf_dir):
@@ -2932,7 +2952,7 @@ WITH c AS ({_URL_CANON_SQL}),
 seen AS (SELECT DISTINCT canon FROM c WHERE id % 4 = 0),
 cand AS (
   SELECT canon, host, CAST(min(id) AS BIGINT) AS id
-  FROM c GROUP BY canon, host
+  FROM c WHERE host <> '' GROUP BY canon, host
 ),
 fresh AS (
   SELECT cand.canon, cand.host, cand.id
@@ -3005,6 +3025,7 @@ SELECT doc_id,
        THEN '<a href="https://news' || CAST(doc_id % 5 AS VARCHAR) ||
             '.example.org/a/' || CAST(doc_id % 97 AS VARCHAR) || '">news</a>'
        ELSE '' END ||
+  '<a href=''/faq''>faq</a><a href=/about>about</a>' ||
   '<footer><a href="#">top</a></footer></body></html>' AS html
 FROM documents
 """
@@ -3013,7 +3034,12 @@ _LINK_EXTRACT_SQL = f"""
 WITH pages AS ({_LINKED_HTML_SQL}),
 hl AS (
   SELECT doc_id,
-         regexp_extract_all(html, '(?is)<a\\s[^>]*?href="([^"]*)"', 1) AS hrefs
+         list_transform(
+           regexp_extract_all(html,
+             '(?is)<a\\s[^>]*?href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>"''][^\\s>]*)',
+             1),
+           h -> CASE WHEN substr(h, 1, 1) IN ('"', '''')
+                     THEN substr(h, 2, length(h) - 2) ELSE h END) AS hrefs
   FROM pages
 )
 SELECT doc_id, CAST(i AS BIGINT) AS link_ord, hrefs[CAST(i AS BIGINT)] AS href
@@ -3040,6 +3066,7 @@ def _linked_pages(spark, sf_dir):
                 F.lit('">news</a>'),
             ),
         ).otherwise(F.lit("")),
+        F.lit("<a href='/faq'>faq</a><a href=/about>about</a>"),
         F.lit('<footer><a href="#">top</a></footer></body></html>'),
     )
     return t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
@@ -3097,7 +3124,7 @@ WITH c AS ({_URL_CANON_SQL}),
 seen AS (SELECT DISTINCT canon FROM c WHERE id % 4 = 0),
 cand AS (
   SELECT canon, host, CAST(min(id) AS BIGINT) AS id
-  FROM c GROUP BY canon, host
+  FROM c WHERE host <> '' GROUP BY canon, host
 ),
 fresh AS (
   SELECT cand.canon, cand.host, cand.id
@@ -5443,9 +5470,8 @@ def q_char_entropy(spark, sf_dir):
 WITH occ0 AS (
   SELECT doc_id, trim(regexp_replace(p, '\s+', ' ', 'g')) AS phrase
   FROM (SELECT doc_id,
-               unnest(string_split(
-                 regexp_replace(text, '\b(?:row|hash|join|scan)\b', '|', 'g'),
-                 '|')) AS p
+               unnest(string_split_regex(
+                 text, '\b(?:row|hash|join|scan)\b')) AS p
         FROM documents)
 ),
 occ AS (

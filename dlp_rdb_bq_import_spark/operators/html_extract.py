@@ -24,11 +24,12 @@ RE2-compatible subset (no backrefs, no lookaround) so Java and
 DuckDB/RE2 agree.
 
 Simplifications vs the full jusText algorithm, documented honestly:
-no context-sensitive reclassification pass (jusText's "near-good"
-smoothing), and dropped-span matching pairs open/close tags by name
-without nesting awareness — both engines apply the identical rule, and
-the three densitometric features are the load-bearing part of the
-family.
+the context-sensitive reclassification is a SINGLE pass over the
+initial classes (a near-good block adjacent to an initially-good
+neighbor becomes content) rather than jusText's iterated smoothing,
+and dropped-span matching pairs open/close tags by name without
+nesting awareness — both engines apply the identical rule, and the
+densitometric features are the load-bearing part of the family.
 
 The reference has no text surface at all (its unit of work is an RDB
 row batch — common/TableToDbRowFn.java:41-108; the DLP transforms are
@@ -60,6 +61,12 @@ DROP_SPANS_RE = (
 )
 INLINE_TAG_RE = r"<[^>]*>"
 ANCHOR_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
+# href in any of the three HTML attribute-value forms; the single
+# capture group keeps quotes (stripped exactly by the caller's slice)
+HREF_RE = (
+    "(?is)<a\\s[^>]*?href\\s*=\\s*"
+    "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+)
 
 # Decode order matters: named/numeric entities first, &amp; LAST —
 # otherwise "&amp;lt;" would double-decode to "<" instead of "&lt;".
@@ -106,24 +113,37 @@ def extract_links(
     id_col: str,
 ) -> DataFrame:
     """Outlink extraction — the crawl-expansion half of a web
-    pipeline: one row per ``<a href="...">`` in document order,
+    pipeline: one row per ``<a href=...>`` in document order,
     emitting ``(id_col, link_ord, href)`` with ``link_ord`` the
-    1-based position of the anchor within the page. Double-quoted
-    href values only (the overwhelmingly dominant form; a fixture can
-    assert its own coverage), and only true ``<a>`` tags — the
-    required whitespace after the tag name keeps ``<area>``/``<abbr>``
-    and friends out — via one anchored ``regexp_extract_all`` —
-    RE2-subset, oracle-restatable — then a ``posexplode``. Pure
-    expression chain, zero joins/UDFs: at 100 TB this is a map over
-    the crawl, and the downstream host-graph aggregation is the first
-    shuffle. Pages with no links emit nothing (explode, not
-    explode_outer — a link TABLE, not a page audit)."""
-    hits = F.expr(
-        f"regexp_extract_all({html_col}, '(?is)<a\\\\s[^>]*?href=\"([^\"]*)\"', 1)"
+    1-based position of the anchor within the page. All three HTML
+    attribute-value forms are supported — double-quoted,
+    single-quoted, and unquoted (``href=x`` up to whitespace/``>``;
+    an EMPTY unquoted value never matches, per the HTML spec's own
+    prohibition) — via ONE alternation regex whose single capture
+    group keeps the quotes, stripped afterwards by an exact
+    first/last-char slice (quoted captures always carry matching
+    quotes, so the slice is precise where a char-class trim would eat
+    legitimate quote characters inside the value). Only true ``<a>``
+    tags — the required whitespace after the tag name keeps
+    ``<area>``/``<abbr>`` and friends out. RE2-subset,
+    oracle-restatable; then a ``posexplode``. Pure expression chain,
+    zero joins/UDFs: at 100 TB this is a map over the crawl, and the
+    downstream host-graph aggregation is the first shuffle. Pages
+    with no links emit nothing (explode, not explode_outer — a link
+    TABLE, not a page audit)."""
+    hits = F.regexp_extract_all(
+        F.col(html_col), F.lit(HREF_RE), 1
+    )
+    unquoted = F.transform(
+        hits,
+        lambda h: F.when(
+            F.substring(h, 1, 1).isin('"', "'"),
+            h.substr(F.lit(2), F.length(h) - 2),
+        ).otherwise(h),
     )
     return df.select(
         F.col(id_col),
-        F.posexplode(hits).alias("_p", "href"),
+        F.posexplode(unquoted).alias("_p", "href"),
     ).select(
         id_col,
         (F.col("_p") + 1).cast("long").alias("link_ord"),
@@ -151,37 +171,54 @@ def html_blocks(
 
     Features (per jusText/Boilerpipe):
     - ``n_words`` — whitespace token count of the stripped block text;
-    - ``link_density`` — anchor-text chars / block text chars (round
-      9); link-dense blocks are navigation;
-    - ``stop_density`` — stopword tokens / tokens (round 9); prose has
-      function words, chrome doesn't.
+    - ``link_density`` — anchor TEXT chars / block text chars (round
+      9), where anchor text is the anchors' inner HTML put through the
+      SAME strip-tags/decode-entities/normalize chain as the block
+      text (jusText's feature is visible anchor characters — raw inner
+      HTML would count markup and can exceed 1.0); link-dense blocks
+      are navigation;
+    - ``stop_density`` — stopword tokens / tokens (round 9), matched
+      case-INsensitively (sentence-initial "The" is still a stopword);
+      prose has function words, chrome doesn't.
 
-    Verdict: 'boilerplate' when ``n_words < min_words`` OR
-    ``link_density > max_link_density`` OR ``stop_density <
-    min_stop_density`` — else 'content'. ``min_stop_density`` defaults
-    OFF (0.0) because it is language-dependent.
+    Classification (the simplified jusText two-stage):
+    initial class is 'bad' when ``link_density > max_link_density`` OR
+    ``stop_density < min_stop_density``; else 'good' when ``n_words >=
+    min_words``; else 'near' (short but prose-shaped — passes both
+    density gates). The context pass then turns a 'near' block into
+    content iff an ADJACENT block (prev/next non-empty block in
+    document order) is initially 'good' — jusText's near-good
+    smoothing, single-pass over initial classes (documented
+    simplification: no fixpoint iteration). Final ``verdict`` is
+    'content' / 'boilerplate'. ``min_stop_density`` defaults OFF (0.0)
+    because it is language-dependent.
 
     Scale shape: split/explode/feature/classify is a flat map over
     documents — no joins, no UDFs; the one exchange is the
-    per-document window that numbers a page's handful of blocks
-    (payload bounded by blocks-per-page, shuffle key ``id_col``).
+    per-document sort that numbers a page's handful of blocks and
+    feeds the lag/lead context pass (same window spec, one shuffle on
+    ``id_col``, payload bounded by blocks-per-page).
     """
     cleaned = F.regexp_replace(F.col(html_col), DROP_SPANS_RE, " ")
     b = df.select(
         F.col(id_col),
         F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("_pos", "_raw"),
     )
-    text = F.trim(
-        F.regexp_replace(
-            decode_entities(F.regexp_replace(F.col("_raw"), INLINE_TAG_RE, " ")),
-            r"\s+",
-            " ",
+
+    def _visible(col: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                decode_entities(F.regexp_replace(col, INLINE_TAG_RE, " ")),
+                r"\s+",
+                " ",
+            )
         )
-    )
+
+    text = _visible(F.col("_raw"))
     link_chars = F.aggregate(
         F.regexp_extract_all(F.col("_raw"), F.lit(ANCHOR_TEXT_RE), 1),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
+        lambda acc, x: acc + F.length(_visible(x)),
     )
     b = (
         b.withColumn("text", text)
@@ -189,7 +226,7 @@ def html_blocks(
         .where(F.col("text") != "")
     )
     words = F.split(F.col("text"), " ")
-    stops = F.filter(words, lambda w: w.isin(*stopwords))
+    stops = F.filter(words, lambda w: F.lower(w).isin(*stopwords))
     b = (
         b.withColumn("n_words", F.size(words).cast("long"))
         .withColumn("n_chars", F.length("text").cast("long"))
@@ -208,16 +245,28 @@ def html_blocks(
             ),
         )
     )
-    verdict = (
+    klass = (
         F.when(
-            (F.col("n_words") < F.lit(min_words))
-            | (F.col("link_density") > F.lit(max_link_density))
+            (F.col("link_density") > F.lit(max_link_density))
             | (F.col("stop_density") < F.lit(min_stop_density)),
-            F.lit("boilerplate"),
+            F.lit("bad"),
         )
-        .otherwise(F.lit("content"))
+        .when(F.col("n_words") >= F.lit(min_words), F.lit("good"))
+        .otherwise(F.lit("near"))
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
+    b = b.withColumn("_k", klass)
+    verdict = F.when(
+        (F.col("_k") == "good")
+        | (
+            (F.col("_k") == "near")
+            & (
+                (F.lag("_k").over(w) == "good")
+                | (F.lead("_k").over(w) == "good")
+            )
+        ),
+        F.lit("content"),
+    ).otherwise(F.lit("boilerplate"))
     return b.withColumn("verdict", verdict).select(
         F.col(id_col),
         F.row_number().over(w).cast("long").alias("block_ord"),

@@ -142,8 +142,15 @@ def token_budget_sample(
     for g, b in budgets.items():
         if b < 0:
             raise ValueError(f"token_budget_sample: negative budget {b} for {g!r}")
-    w = Window.partitionBy(group_col).orderBy(
-        hash_uniform(F.col(key_col)).asc(), F.col(key_col).asc()
+    # explicit ROWS frame: Spark's default for an ordered window is
+    # RANGE (peer rows — duplicate (hash, key) orderings — would share
+    # one cumulative sum), while the SQL twin emits ROWS UNBOUNDED
+    # PRECEDING; pinning ROWS keeps the engines in lockstep even if
+    # key_col is not unique
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_uniform(F.col(key_col)).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     before = (F.sum(F.col(cost_col)).over(w) - F.col(cost_col)).cast("long")
     budget = (

@@ -1513,7 +1513,9 @@ def rake_keywords(
     exact integer adds — the same micro-quantization discipline as
     the LM scorer; ties in the final rank break on the phrase string.
 
-    Shape: one regexp_replace + two splits (pure expressions), then
+    Shape: a regex split on the stopword alternation (pure
+    expressions — no in-band delimiter substitution, so documents
+    containing any literal character are safe), then
     two groupBy exchanges keyed by (doc, word) / (doc, phrase) and a
     per-doc top-k window — everything partitions by document-local
     keys; no corpus-wide state. Stopword-token matching is exact and
@@ -1529,9 +1531,12 @@ def rake_keywords(
             )
     from pyspark.sql.window import Window
 
+    # split DIRECTLY on the stopword regex — never via an in-band
+    # sentinel character, which a document containing that literal
+    # character would silently corrupt with phantom phrase breaks
     sw_re = r"\b(?:" + "|".join(stopwords) + r")\b"
     ident = F.col(id_col)
-    raw = F.split(F.regexp_replace(F.col(text_col), sw_re, "|"), r"\|")
+    raw = F.split(F.col(text_col), sw_re)
     phrase = F.trim(F.regexp_replace(F.col("_p"), r"\s+", " "))
     occurrences = (
         df.select(ident.alias("_id"), F.explode(raw).alias("_p"))

@@ -105,10 +105,20 @@ def dedup_by_canonical_url(
     ``n_dupes`` (fetch count) and ``first_id`` (lowest id — the
     representative fetch a pipeline keeps). One groupBy on the
     canonical string — the scale shape is exactly exact-content dedup,
-    but running BEFORE any page body is read."""
-    canon = canonicalize_url(F.col(url_col))["canon"]
+    but running BEFORE any page body is read.
+
+    Relative or schemeless inputs (empty host after parsing — e.g. the
+    ``/rel`` and ``#frag`` hrefs :func:`extract_links` emits verbatim)
+    are DROPPED, not collapsed: their canonical forms would all share
+    the degenerate ``:///...`` shape under host ``''`` and merge
+    unrelated links into one row. Callers wanting them must resolve to
+    absolute URLs against the page base first."""
+    c = canonicalize_url(F.col(url_col))
     return (
-        df.select(F.col(id_col), canon.alias("canon"))
+        df.select(F.col(id_col), c["canon"].alias("canon"),
+                  c["host"].alias("_host"))
+        .where(F.col("_host") != "")
+        .drop("_host")
         .groupBy("canon")
         .agg(
             F.count("*").alias("n_dupes"),
@@ -151,9 +161,12 @@ def frontier_next_batch(
     if "canon" not in seen.columns:
         raise ValueError(f"seen must carry a 'canon' column; got {seen.columns}")
     c = canonicalize_url(F.col(url_col))
+    # relative/schemeless candidates (empty host) are dropped — see
+    # dedup_by_canonical_url: their degenerate ':///...' canonical
+    # forms would collapse unrelated links into one frontier slot
     cand = candidates.select(
         F.col(id_col), c["canon"].alias("canon"), c["host"].alias("host")
-    )
+    ).where(F.col("host") != "")
     # one candidate slot per canonical URL (duplicate discoveries of
     # the same page collapse first — lowest id represents)
     cand = (

@@ -3062,19 +3062,24 @@ def test_html_boilerplate_extraction_planted(spark):
 
 
 def test_extract_links_planted(spark):
-    """Outlink extraction: hrefs come out verbatim in document order
-    with 1-based ordinals; anchors without an href, unquoted/single-
-    quoted hrefs, and non-anchor tags carrying hrefs (<link>, <area> —
-    the whitespace-after-tag-name requirement) are skipped; multiline
-    anchors and mixed-case HREF= match; link-free pages emit
-    nothing."""
+    """Outlink extraction: hrefs come out in document order with
+    1-based ordinals across all three attribute-value forms (double-
+    quoted, single-quoted, unquoted — quotes stripped exactly, a
+    single quote INSIDE a double-quoted value survives); anchors
+    without an href and non-anchor tags carrying hrefs (<link>,
+    <area> — the whitespace-after-tag-name requirement) are skipped;
+    multiline anchors, mixed-case HREF=, and spaces around '=' match;
+    link-free pages emit nothing."""
     from dlp_rdb_bq_import_spark.operators.html_extract import extract_links
 
     page = (
         '<html><body><a href="/rel">r</a>'
         "<a name='x'>no href</a>"
         '<A\n  class="big"\n  HREF="https://h1.example.com/a">abs</A>'
-        "<a href='/single'>single-quoted skipped</a>"
+        "<a href='/single'>single-quoted</a>"
+        "<a href=/bare>unquoted</a>"
+        '<a href = "/spaced">spaces around =</a>'
+        "<a href=\"/it's\">inner quote kept</a>"
         '<link href="/style.css">'
         '<area href="/image-map">'
         '<a data-x="1" href="#frag">f</a></body></html>'
@@ -3091,8 +3096,50 @@ def test_extract_links_planted(spark):
     assert got == [
         (1, 1, "/rel"),
         (1, 2, "https://h1.example.com/a"),
-        (1, 3, "#frag"),
+        (1, 3, "/single"),
+        (1, 4, "/bare"),
+        (1, 5, "/spaced"),
+        (1, 6, "/it's"),
+        (1, 7, "#frag"),
     ]
+
+
+def test_html_near_good_context_pass(spark):
+    """jusText near-good smoothing: a SHORT prose block (passes both
+    density gates but under min_words) flips to content when adjacent
+    to an initially-good block, and stays boilerplate when surrounded
+    by chrome. The planted block's only stopword is sentence-initial
+    'The' — so the flip also proves stopword matching is
+    case-insensitive (case-sensitive matching would classify it 'bad'
+    at min_stop_density=0.02 and the context pass would never see
+    it)."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import html_blocks
+
+    rescued = (
+        "<html><body>"
+        "<p>the quick brown fox jumps over a lazy dog today</p>"
+        "<p>The end game.</p>"
+        "<footer>copyright 2026 example corp</footer></body></html>"
+    )
+    stranded = (
+        '<html><body><nav><a href="/">home</a> <a href="/x">archive</a></nav>'
+        "<p>The end game.</p>"
+        "<footer>copyright 2026 example corp</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, rescued), (2, stranded)], ["doc_id", "html"]
+    )
+    rows = html_blocks(
+        df, "html", "doc_id",
+        min_words=5, max_link_density=0.4, min_stop_density=0.02,
+    ).collect()
+    verdict = {(r.doc_id, r.text): r.verdict for r in rows}
+    assert verdict[(1, "The end game.")] == "content"  # next to good prose
+    assert verdict[(2, "The end game.")] == "boilerplate"  # chrome on both sides
+    # the good neighbor itself is unaffected by the context pass
+    assert verdict[(1, "the quick brown fox jumps over a lazy dog today")] == "content"
+    # footers (zero stopwords) remain hard-bad and never rescue anyone
+    assert verdict[(1, "copyright 2026 example corp")] == "boilerplate"
 
 
 def test_repair_mojibake_planted(spark):
