@@ -67,6 +67,10 @@ HREF_RE = (
     "(?is)<a\\s[^>]*?href\\s*=\\s*"
     "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
 )
+# a FULL href-carrying anchor element, open tag through </a> —
+# non-greedy body (anchors cannot nest in HTML); group 0 is the
+# element, re-parsed per match for href + inner text
+FULL_ANCHOR_RE = HREF_RE + "[^>]*>.*?</a>"
 
 # Decode order matters: named/numeric entities first, &amp; LAST —
 # otherwise "&amp;lt;" would double-decode to "<" instead of "&lt;".
@@ -93,6 +97,21 @@ def decode_entities(col: Column) -> Column:
     for ent, ch in _ENTITIES:
         col = F.replace(col, F.lit(ent), F.lit(ch))
     return col
+
+
+def visible_text(col: Column) -> Column:
+    """The shared fragment-to-visible-text chain: strip inline tags,
+    decode entities, collapse/trim whitespace. Applied identically to
+    block text, anchor text (link_density's numerator), and extracted
+    anchor strings so every feature measures the same rendered
+    characters."""
+    return F.trim(
+        F.regexp_replace(
+            decode_entities(F.regexp_replace(col, INLINE_TAG_RE, " ")),
+            r"\s+",
+            " ",
+        )
+    )
 
 
 def strip_tags(col: Column) -> Column:
@@ -134,13 +153,7 @@ def extract_links(
     hits = F.regexp_extract_all(
         F.col(html_col), F.lit(HREF_RE), 1
     )
-    unquoted = F.transform(
-        hits,
-        lambda h: F.when(
-            F.substring(h, 1, 1).isin('"', "'"),
-            h.substr(F.lit(2), F.length(h) - 2),
-        ).otherwise(h),
-    )
+    unquoted = F.transform(hits, _strip_href_quotes)
     return df.select(
         F.col(id_col),
         F.posexplode(unquoted).alias("_p", "href"),
@@ -148,6 +161,49 @@ def extract_links(
         id_col,
         (F.col("_p") + 1).cast("long").alias("link_ord"),
         "href",
+    )
+
+
+def _strip_href_quotes(h: Column) -> Column:
+    """Exact first/last-char slice for HREF_RE captures (quoted
+    captures always carry matching quotes; unquoted never start with
+    one)."""
+    return F.when(
+        F.substring(h, 1, 1).isin('"', "'"),
+        h.substr(F.lit(2), F.length(h) - 2),
+    ).otherwise(h)
+
+
+def extract_links_with_text(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+) -> DataFrame:
+    """:func:`extract_links` plus the VISIBLE anchor text — the input
+    the inbound anchor-text signal (``urls.anchor_text_index``) needs:
+    one row per href-carrying anchor in document order, emitting
+    ``(id_col, link_ord, href, anchor_text)``. Full anchor elements
+    match once (all three href forms, same contract as
+    extract_links), then each element re-parses for its href
+    (quote-stripped exactly) and its inner HTML, which flattens
+    through the same strip/decode/normalize chain as block text —
+    ``<a href="/x"><b>Read&nbsp;more</b></a>`` yields ``Read more``.
+    Pure expression chain, zero joins/UDFs; a map over the crawl at
+    any scale. Anchors without an href don't emit (no href, no edge);
+    empty anchor text comes through as ``''`` (image links — real
+    rows, the aggregation's tokenizer drops them naturally)."""
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(FULL_ANCHOR_RE), 0)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(anchors).alias("_p", "_a"),
+    )
+    href = _strip_href_quotes(F.regexp_extract(F.col("_a"), HREF_RE, 1))
+    atext = visible_text(F.regexp_extract(F.col("_a"), ANCHOR_TEXT_RE, 1))
+    return out.select(
+        id_col,
+        (F.col("_p") + 1).cast("long").alias("link_ord"),
+        href.alias("href"),
+        atext.alias("anchor_text"),
     )
 
 
@@ -204,21 +260,11 @@ def html_blocks(
         F.col(id_col),
         F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("_pos", "_raw"),
     )
-
-    def _visible(col: Column) -> Column:
-        return F.trim(
-            F.regexp_replace(
-                decode_entities(F.regexp_replace(col, INLINE_TAG_RE, " ")),
-                r"\s+",
-                " ",
-            )
-        )
-
-    text = _visible(F.col("_raw"))
+    text = visible_text(F.col("_raw"))
     link_chars = F.aggregate(
         F.regexp_extract_all(F.col("_raw"), F.lit(ANCHOR_TEXT_RE), 1),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(_visible(x)),
+        lambda acc, x: acc + F.length(visible_text(x)),
     )
     b = (
         b.withColumn("text", text)

@@ -127,6 +127,57 @@ def dedup_by_canonical_url(
     )
 
 
+def anchor_text_index(
+    links: DataFrame,
+    id_col: str,
+    url_col: str = "href",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """Inbound anchor-text aggregation — the classic web-corpus signal
+    every search-engine-derived dataset carries (anchor text describes
+    the TARGET page better than the target's own boilerplate; it feeds
+    retrieval fields and quality/spam scoring). Input is a link table
+    with the linking document id, the raw href, and its visible anchor
+    text (``html_extract.extract_links_with_text`` emits exactly
+    this); output is one row per (target canonical URL, anchor token):
+
+    ``(canon, token, tf, n_docs)`` — ``tf`` the token's total
+    occurrences across all inbound anchors, ``n_docs`` the distinct
+    linking documents (the spam-resistance denominator: one page
+    repeating a token a thousand times is not a thousand votes).
+
+    Tokenization is the engine's canonical lowercase alphanumeric
+    split (restatable in ANSI SQL); hrefs canonicalize through
+    :func:`canonicalize_url` so cosmetic variants of the same target
+    pool their anchors, and relative/schemeless hrefs are dropped
+    (same guard and reason as :func:`dedup_by_canonical_url` —
+    resolve to absolute first if you want them).
+
+    Scale shape: canonicalize + tokenize + explode are map-side; the
+    one shuffle is the groupBy on (canon, token) with partial
+    aggregation — the same shape as a word-count, keyed by exactly
+    what downstream consumers (retrieval field build, per-target
+    joins) are partitioned by."""
+    c = canonicalize_url(F.col(url_col))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    exploded = (
+        links.select(
+            F.col(id_col),
+            c["canon"].alias("canon"),
+            c["host"].alias("_host"),
+            F.explode(toks).alias("token"),
+        )
+        .where(F.col("_host") != "")
+    )
+    return exploded.groupBy("canon", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
 def frontier_next_batch(
     candidates: DataFrame,
     seen: DataFrame,

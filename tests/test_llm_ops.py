@@ -994,6 +994,75 @@ def test_pack_sequences_invariants_random(spark):
             before += r["n_tokens"]
 
 
+def test_bin_pack_exact_small_case(spark):
+    """Best-fit-decreasing on a hand case (budget 10, sizes
+    6,5,4,3,2, one shard): sorted descending, 6 opens bin0 (rem 4),
+    5 opens bin1 (rem 5), 4 best-fits bin0 exactly, 3 then 2 fill
+    bin1 — two bins, zero waste, the textbook BFD trace. An oversized
+    document (15 > budget) gets a bin of its own and never absorbs
+    anyone."""
+    from dlp_rdb_bq_import_spark.operators.packing import bin_pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 15)],
+        "doc_id long, toks long",
+    )
+    out = {
+        r.doc_id: r.bin_id
+        for r in bin_pack_sequences(
+            df, "toks", 10, key_col="doc_id", n_shards=1
+        ).collect()
+    }
+    # oversized 15 sorts first -> bin 0 alone; 6+4 share; 5+3+2 share
+    assert out[6] not in {out[k] for k in (1, 2, 3, 4, 5)}
+    assert out[1] == out[3]
+    assert out[2] == out[4] == out[5]
+    assert out[1] != out[2]
+    assert len({out[1], out[2], out[6]}) == 3
+
+
+def test_bin_pack_waste_beats_contiguous_and_is_deterministic(spark):
+    """On a deterministic 400-doc fixture: (a) BFD total padding is <=
+    the contiguous-arrival baseline (one open bin, next doc that
+    doesn't fit opens a new one — what a naive non-splitting packer
+    does); (b) no bin exceeds the budget (oversized docs alone
+    excepted); (c) the assignment is identical under a different input
+    partitioning (hash-shard determinism)."""
+    from dlp_rdb_bq_import_spark.operators.packing import bin_pack_sequences
+
+    budget = 1024
+    sizes = [(i, (i * 37) % 900 + 50) for i in range(400)]
+    df = spark.createDataFrame(sizes, "doc_id long, toks long")
+    rows = bin_pack_sequences(
+        df, "toks", budget, key_col="doc_id", n_shards=4
+    ).collect()
+    assert len(rows) == 400
+
+    fill: dict[int, int] = {}
+    for r in rows:
+        fill[r.bin_id] = fill.get(r.bin_id, 0) + r.n_tokens
+    assert all(v <= budget for v in fill.values())  # no oversized here
+    bfd_waste = sum(budget - v for v in fill.values())
+
+    # contiguous-arrival (next-fit) baseline in doc_id order
+    nf_bins, cur = 0, budget + 1
+    for _, s in sizes:
+        if cur + s > budget:
+            nf_bins += 1
+            cur = 0
+        cur += s
+    nf_waste = nf_bins * budget - sum(s for _, s in sizes)
+    assert bfd_waste <= nf_waste
+
+    again = {
+        r.doc_id: r.bin_id
+        for r in bin_pack_sequences(
+            df.repartition(7), "toks", budget, key_col="doc_id", n_shards=4
+        ).collect()
+    }
+    assert again == {r.doc_id: r.bin_id for r in rows}
+
+
 def test_resize_images_deterministic_and_fixed_width(spark, sf_dir):
     """Resize output is partitioning-independent and fixed-width:
     n_bytes == out_w*out_h*3 for every row, and digests are stable
@@ -3102,6 +3171,51 @@ def test_extract_links_planted(spark):
         (1, 6, "/it's"),
         (1, 7, "#frag"),
     ]
+
+
+def test_anchor_text_index_planted(spark):
+    """Inbound anchor-text aggregation on planted anchors: visible
+    anchor text flattens (nested tags stripped, entities decoded);
+    cosmetic URL variants of one target pool their anchors under one
+    canonical form; tf counts occurrences while n_docs counts distinct
+    linking pages; relative hrefs drop; empty anchor text (image
+    links) contributes no tokens."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import (
+        extract_links_with_text,
+    )
+    from dlp_rdb_bq_import_spark.operators.urls import anchor_text_index
+
+    p1 = (
+        '<html><body><a href="https://T.example.com/page/">'
+        "<b>Great&nbsp;guide</b></a>"
+        '<a href="https://t.example.com/page?utm_source=x">guide here</a>'
+        '<a href="/relative">dropped</a>'
+        '<a href="https://t.example.com/page"><img src="x.png"></a>'
+        "</body></html>"
+    )
+    p2 = '<html><body><a href="https://t.example.com/page">guide</a></body></html>'
+    df = spark.createDataFrame([(1, p1), (2, p2)], ["doc_id", "html"])
+
+    links = extract_links_with_text(df, "html", "doc_id")
+    got = {
+        (r.doc_id, r.link_ord): (r.href, r.anchor_text)
+        for r in links.collect()
+    }
+    assert got[(1, 1)] == ("https://T.example.com/page/", "Great guide")
+    assert got[(1, 4)] == ("https://t.example.com/page", "")  # image link
+
+    idx = {
+        (r.canon, r.token): (r.tf, r.n_docs)
+        for r in anchor_text_index(links, "doc_id").collect()
+    }
+    target = "https://t.example.com/page"
+    # 'guide' appears in three anchors across both docs: p1's two text
+    # anchors + p2's one -> tf=3, n_docs=2
+    assert idx[(target, "guide")] == (3, 2)
+    assert idx[(target, "great")] == (1, 1)
+    assert idx[(target, "here")] == (1, 1)
+    # nothing under a relative target, no empty tokens
+    assert all(c == target for (c, _t) in idx)
 
 
 def test_html_near_good_context_pass(spark):

@@ -82,6 +82,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write a per-query JSON summary (the committed full-gate "
+        "artifact — VERDICT r8 item 7; the driver's own gate samples "
+        "only the first 50 registry entries)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -92,6 +99,7 @@ def main() -> int:
     names = args.names or list(qs)
 
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         spark.catalog.clearCache()  # isolate queries' cached intermediates
         t0 = time.time()
@@ -105,15 +113,18 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e).splitlines()[0][:300]}")
             failures += 1
+            records[name] = {"status": "spark_error", "err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
             continue
         if name not in oracles:
             print(f"ok-   {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            records[name] = {"status": "rows_only", "spark_rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {str(e).splitlines()[0][:300]}")
             failures += 1
+            records[name] = {"status": "oracle_error", "err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
@@ -121,10 +132,40 @@ def main() -> int:
             print(f"FAIL  {name} ({len(spark_pdf)} vs {len(duck_pdf)} rows):")
             for p in problems:
                 print(f"      {p}")
+            records[name] = {
+                "status": "mismatch",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(duck_pdf),
+                "problems": problems[:5],
+            }
         else:
             print(f"OK    {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
+            records[name] = {
+                "status": "hash_match",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(duck_pdf),
+            }
     spark.stop()
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.out:
+        import json
+
+        summary = {
+            "sf_dir": args.sf,
+            "queries": len(names),
+            "passed": len(names) - failures,
+            "failed": failures,
+            "hash_matched": sum(
+                1 for r in records.values() if r["status"] == "hash_match"
+            ),
+            "rows_only": sum(
+                1 for r in records.values() if r["status"] == "rows_only"
+            ),
+            "results": records,
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.out}")
     return 1 if failures else 0
 
 
