@@ -156,6 +156,12 @@ BENCH_QUERIES = [
     "funnel_analysis",
     "rake_keywords",
     "ab_test_purchase",
+    # round 9: inbound anchor-text signal (subsumes
+    # html_link_text_extract — same extraction plus the index
+    # groupBy), robots screening, whole-document BFD bin packing
+    "anchor_text_index",
+    "robots_screen",
+    "bin_packed_sequences",
 ]
 
 

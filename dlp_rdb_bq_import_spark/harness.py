@@ -3195,9 +3195,7 @@ def q_html_link_text_extract(spark, sf_dir):
     return extract_links_with_text(_linked_pages(spark, sf_dir), "html", "doc_id")
 
 
-@query(
-    "anchor_text_index",
-    oracle=f"""
+_ANCHOR_INDEX_ORACLE = f"""
 WITH links AS ({_LINK_TEXT_SQL}),
 c AS (
 {_URL_CANON_TMPL.format(fixture="SELECT doc_id, href AS url, anchor_text FROM links")}
@@ -3210,8 +3208,10 @@ FROM (
                        x -> x <> '')) AS token
   FROM c WHERE host <> ''
 ) GROUP BY canon, token
-""",
-)
+"""
+
+
+@query("anchor_text_index", oracle=_ANCHOR_INDEX_ORACLE)
 def q_anchor_text_index(spark, sf_dir):
     """EXT — inbound anchor-text aggregation (urls.anchor_text_index):
     the classic search-engine-derived corpus signal — what OTHER pages
@@ -3230,6 +3230,114 @@ def q_anchor_text_index(spark, sf_dir):
 
     links = extract_links_with_text(_linked_pages(spark, sf_dir), "html", "doc_id")
     return anchor_text_index(links, "doc_id")
+
+
+@query("anchor_index_incremental", oracle=_ANCHOR_INDEX_ORACLE)
+def q_anchor_index_incremental(spark, sf_dir):
+    """EXT — anchor-index MAINTENANCE (urls.merge_anchor_index, the
+    seventh persisted-artifact family): the standing anchor index
+    (pages with doc_id % 4 != 0, aggregated once and round-tripped
+    through the warehouse sink) absorbs a new crawl batch's aggregate
+    (doc_id % 4 == 0) by summing per (canon, token) — each page's
+    links arrive in exactly one batch, so tf and n_docs are
+    disjoint-partition sums and the fold equals a full rebuild over
+    the union, which is EXACTLY what the oracle computes (the same
+    SQL as anchor_text_index over all pages). Standing pages are
+    never re-read; per-batch cost is the batch's own extraction plus
+    one index-keyed groupBy."""
+    from .operators.html_extract import extract_links_with_text
+    from .operators.urls import anchor_text_index, merge_anchor_index
+
+    pages = _linked_pages(spark, sf_dir)
+    standing = anchor_text_index(
+        extract_links_with_text(
+            pages.where(F.col("doc_id") % 4 != 0), "html", "doc_id"
+        ),
+        "doc_id",
+    )
+    standing = scratch_roundtrip(standing, sf_dir, "anchor_index")
+    batch = anchor_text_index(
+        extract_links_with_text(
+            pages.where(F.col("doc_id") % 4 == 0), "html", "doc_id"
+        ),
+        "doc_id",
+    )
+    return merge_anchor_index(standing, batch)
+
+
+# robots.txt rules fixture: one Python literal builder renders BOTH
+# engines' rule tables, so the planted REP semantics (longest match,
+# allow wins ties, default-allow) are bit-identical.
+def _robots_rules_py() -> list[tuple[str, str, bool]]:
+    rules: list[tuple[str, str, bool]] = []
+    for k in range(20):
+        h = f"shop{k}.example.com"
+        rules.append((h, "/login", False))
+        if k % 3 == 0:
+            # general section allowed, item pages denied (longest wins)
+            rules.append((h, "/catalog/", True))
+            rules.append((h, "/catalog/item/", False))
+        if k == 1:
+            # equal-length allow/disallow pair: allow must win the tie
+            rules.append((h, "/catalog/item/", True))
+            rules.append((h, "/catalog/item/", False))
+    return rules
+
+
+_ROBOTS_RULES_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _robots_rules_py()
+) + ") AS t(host, path_prefix, allow)"
+
+
+@query(
+    "robots_screen",
+    oracle=f"""
+WITH c AS ({_URL_CANON_SQL}),
+rules AS ({_ROBOTS_RULES_SQL}),
+cand AS (
+  SELECT id, canon, host,
+    CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+         THEN '/'
+         ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
+  FROM c WHERE host <> ''
+),
+m AS (
+  SELECT cand.*, r.path_prefix, r.allow
+  FROM cand LEFT JOIN rules r
+    ON cand.host = r.host AND starts_with(cand.path, r.path_prefix)
+),
+pick AS (
+  SELECT id, canon, host, path, path_prefix, allow,
+    row_number() OVER (
+      PARTITION BY id
+      ORDER BY length(path_prefix) DESC NULLS LAST,
+               allow DESC, path_prefix DESC) AS rn
+  FROM m
+)
+SELECT id, canon, host, path,
+       COALESCE(allow, TRUE) AS allowed,
+       path_prefix AS rule
+FROM pick WHERE rn = 1
+""",
+)
+def q_robots_screen(spark, sf_dir):
+    """EXT — robots-exclusion screening (urls.robots_filter, RFC 9309
+    REP semantics): every frontier candidate checks its host's parsed
+    allow/disallow prefix rules — LONGEST match decides, allow wins an
+    equal-length tie (planted on host shop1), hosts with no matching
+    rule default to allowed. Rules are robots.txt-cardinality so the
+    join broadcasts; the longest-match pick is one lexicographic
+    max(struct) aggregation keyed by candidate — no window over
+    corpus-sized data, no all-pairs. The oracle restates the prefix
+    join and the (length, allow, prefix) ordering."""
+    from .operators.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        _robots_rules_py(), "host string, path_prefix string, allow boolean"
+    )
+    return robots_filter(_fixture_urls(spark, sf_dir), rules, "url", "id")
 
 
 @query(

@@ -178,6 +178,113 @@ def anchor_text_index(
     )
 
 
+def merge_anchor_index(standing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a new batch's anchor aggregate into the STANDING anchor
+    index — the anchor-text family's maintenance step (the same
+    persisted-artifact discipline as the MinHash/bench-gram/LM/NB/
+    IVF/FastSS indexes): per (canon, token), counts add. Valid under
+    the natural batching contract that each linking document's links
+    arrive in exactly ONE batch (a crawl emits a page once) — then
+    both ``tf`` and ``n_docs`` are disjoint-partition sums and
+    merge ≡ rebuild-from-union exactly (pytest-pinned). One groupBy
+    on the index's own key; the standing corpus's pages are never
+    re-read."""
+    cols = {"canon", "token", "tf", "n_docs"}
+    for side, df in (("standing", standing), ("batch", batch)):
+        if not cols.issubset(df.columns):
+            raise ValueError(
+                f"merge_anchor_index: {side} needs columns {sorted(cols)}, "
+                f"got {df.columns}"
+            )
+    return (
+        standing.select("canon", "token", "tf", "n_docs")
+        .unionByName(batch.select("canon", "token", "tf", "n_docs"))
+        .groupBy("canon", "token")
+        .agg(F.sum("tf").alias("tf"), F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def robots_filter(
+    candidates: DataFrame,
+    rules: DataFrame,
+    url_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Robots-exclusion screening for the crawl frontier (RFC 9309,
+    the public Robots Exclusion Protocol): each candidate URL is
+    checked against its host's allow/disallow path rules; the
+    LONGEST-matching rule decides, an allow wins a length tie, and a
+    URL whose host has no matching rule is allowed (REP's default).
+    ``rules`` carries one row per (host, path_prefix, allow boolean) —
+    the parsed form of each host's robots.txt, with the empty-
+    ``Disallow:`` (allow-all) line represented by emitting no rule.
+    Literal path prefixes only — RFC 9309's ``*``/``$`` wildcards are
+    a documented simplification (both engines restate the same rule).
+
+    Output: one row per candidate —
+    ``(id_col, canon, host, path, allowed, rule)`` where ``path`` is
+    the path-and-query the server would see (fragment stripped, ''
+    normalized to '/') and ``rule`` is the deciding prefix (NULL when
+    no rule matched). Relative/schemeless candidates drop (the
+    family's guard).
+
+    Scale shape: rules are robots.txt-cardinality (per-host dozens) —
+    the join is broadcast territory; prefix matching is a codegen
+    substring compare, and the longest-match pick is one max(struct)
+    aggregation keyed by candidate (lexicographic struct max =
+    longest-then-allow-then-prefix, deterministic). No window, no
+    all-pairs."""
+    if not {"host", "path_prefix", "allow"}.issubset(rules.columns):
+        raise ValueError(
+            f"robots_filter: rules needs (host, path_prefix, allow), "
+            f"got {rules.columns}"
+        )
+    c = canonicalize_url(F.col(url_col))
+    # REP matches the path-and-query as sent ('' requests match as '/');
+    # the fragment never reaches the server
+    pathq = F.regexp_extract(
+        F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    cand = candidates.select(
+        F.col(id_col),
+        c["canon"].alias("canon"),
+        c["host"].alias("host"),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq).alias("path"),
+    ).where(F.col("host") != "")
+    r = rules.select(
+        F.col("host").alias("_rhost"), "path_prefix", "allow"
+    )
+    # prefix match INSIDE the left join: a candidate whose host has
+    # rules but none matching must survive as a single null-rule row
+    # (REP default-allow), not be filtered away
+    matched = cand.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("_rhost"))
+        & F.col("path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    pick = matched.groupBy(id_col, "canon", "host", "path").agg(
+        F.max(
+            F.when(
+                F.col("path_prefix").isNotNull(),
+                F.struct(
+                    F.length("path_prefix").alias("_len"),
+                    F.col("allow").alias("_allow"),
+                    F.col("path_prefix").alias("_rule"),
+                ),
+            )
+        ).alias("_best")
+    )
+    return pick.select(
+        id_col,
+        "canon",
+        "host",
+        "path",
+        F.coalesce(F.col("_best._allow"), F.lit(True)).alias("allowed"),
+        F.col("_best._rule").alias("rule"),
+    )
+
+
 def frontier_next_batch(
     candidates: DataFrame,
     seen: DataFrame,

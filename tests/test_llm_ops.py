@@ -3218,6 +3218,79 @@ def test_anchor_text_index_planted(spark):
     assert all(c == target for (c, _t) in idx)
 
 
+def test_merge_anchor_index_equals_rebuild(spark):
+    """Anchor-index maintenance contract: folding a doc-disjoint
+    batch's aggregate into the standing index equals rebuilding from
+    the union of all links — for both tf and the distinct-doc count
+    (valid exactly because each doc's links live in one batch)."""
+    from dlp_rdb_bq_import_spark.operators.urls import (
+        anchor_text_index,
+        merge_anchor_index,
+    )
+
+    rows = [
+        (d, f"https://t{d % 2}.example.com/p", " ".join(["guide"] * (d % 3 + 1)))
+        for d in range(1, 9)
+    ] + [(d, "https://t0.example.com/p", "extra words") for d in (2, 4)]
+    links = spark.createDataFrame(
+        rows, "doc_id long, href string, anchor_text string"
+    )
+    full = anchor_text_index(links, "doc_id")
+    standing = anchor_text_index(links.where("doc_id % 2 = 1"), "doc_id")
+    batch = anchor_text_index(links.where("doc_id % 2 = 0"), "doc_id")
+    merged = merge_anchor_index(standing, batch)
+    key = lambda df: {
+        (r.canon, r.token): (r.tf, r.n_docs) for r in df.collect()
+    }
+    assert key(merged) == key(full)
+
+
+def test_robots_filter_rep_semantics(spark):
+    """RFC 9309 planted semantics: longest matching prefix decides
+    (allow /catalog/ loses to disallow /catalog/item/ on item pages,
+    wins on other catalog pages); an equal-length allow/disallow pair
+    resolves to allow; a host with rules but no matching prefix and a
+    host with no rules at all both default to allowed; relative URLs
+    drop; path matching includes the query string."""
+    from dlp_rdb_bq_import_spark.operators.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.example.com", "/catalog/", True),
+            ("a.example.com", "/catalog/item/", False),
+            ("b.example.com", "/x", True),
+            ("b.example.com", "/x", False),
+            ("c.example.com", "/private", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/catalog/item/7"),
+            (2, "https://a.example.com/catalog/specials"),
+            (3, "https://b.example.com/x"),
+            (4, "https://c.example.com/public/page"),
+            (5, "https://d.example.com/anything"),
+            (6, "/relative/path"),
+            (7, "https://c.example.com/page?path=/private"),
+            (8, "https://c.example.com/private?q=1"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r.id: (r.allowed, r.rule)
+        for r in robots_filter(cands, rules, "url", "id").collect()
+    }
+    assert got[1] == (False, "/catalog/item/")  # longest match wins
+    assert got[2] == (True, "/catalog/")
+    assert got[3] == (True, "/x")  # equal-length tie -> allow
+    assert got[4] == (True, None)  # rules exist, none match
+    assert got[5] == (True, None)  # no rules for host
+    assert 6 not in got  # relative dropped
+    assert got[7] == (True, None)  # /private inside query, not path start
+    assert got[8] == (False, "/private")  # prefix match with query appended
+
+
 def test_html_near_good_context_pass(spark):
     """jusText near-good smoothing: a SHORT prose block (passes both
     density gates but under min_words) flips to content when adjacent
