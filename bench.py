@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "robots_screen",
     "bin_packed_sequences",
+    "fd_discovery",
 ]
 
 

@@ -3341,6 +3341,82 @@ def q_robots_screen(spark, sf_dir):
 
 
 @query(
+    "robots_screened_frontier",
+    oracle=f"""
+WITH c AS ({_URL_CANON_SQL}),
+rules AS ({_ROBOTS_RULES_SQL}),
+cand0 AS (
+  SELECT id, host,
+    CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+         THEN '/'
+         ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
+  FROM c WHERE host <> ''
+),
+m AS (
+  SELECT cand0.*, r.path_prefix, r.allow
+  FROM cand0 LEFT JOIN rules r
+    ON cand0.host = r.host AND starts_with(cand0.path, r.path_prefix)
+),
+pick AS (
+  SELECT id, allow,
+    row_number() OVER (
+      PARTITION BY id
+      ORDER BY length(path_prefix) DESC NULLS LAST,
+               allow DESC, path_prefix DESC) AS rn
+  FROM m
+),
+permitted AS (SELECT id FROM pick WHERE rn = 1 AND COALESCE(allow, TRUE)),
+seen AS (SELECT DISTINCT canon FROM c WHERE id % 4 = 0),
+cand AS (
+  SELECT canon, host, CAST(min(c.id) AS BIGINT) AS id
+  FROM c JOIN permitted p ON c.id = p.id
+  WHERE host <> '' GROUP BY canon, host
+),
+fresh AS (
+  SELECT cand.canon, cand.host, cand.id
+  FROM cand LEFT JOIN seen ON cand.canon = seen.canon
+  WHERE seen.canon IS NULL
+)
+SELECT id, canon, host,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY id ASC) AS BIGINT) AS rk
+FROM fresh QUALIFY rk <= 3
+""",
+)
+def q_robots_screened_frontier(spark, sf_dir):
+    """EXT — the POLITE crawl loop end-to-end: candidates pass the
+    RFC 9309 robots screen first (on the fixture, every item page of
+    the k%3==0 shop hosts is disallowed by their longest-match rule,
+    shop1's equal-length tie resolves to allow), and only permitted
+    URLs enter the frontier step — canonical anti-join vs the
+    persisted seen set plus the 3-per-host politeness cap. Pure
+    composition of two hash-matched operators; the robots verdict
+    table is candidate-sized and joins back semi-style on id before
+    the frontier's own exchanges."""
+    from .operators.urls import (
+        dedup_by_canonical_url,
+        frontier_next_batch,
+        robots_filter,
+    )
+
+    u = _fixture_urls(spark, sf_dir)
+    rules = spark.createDataFrame(
+        _robots_rules_py(), "host string, path_prefix string, allow boolean"
+    )
+    permitted = u.join(
+        robots_filter(u, rules, "url", "id")
+        .where(F.col("allowed"))
+        .select("id"),
+        "id",
+    )
+    seen = dedup_by_canonical_url(
+        u.where(F.col("id") % 4 == 0), "url", "id"
+    ).select("canon")
+    return frontier_next_batch(permitted, seen, "url", "id", per_host_cap=3)
+
+
+@query(
     "crawl_prioritized_frontier",
     oracle=f"""
 WITH c AS ({_URL_CANON_SQL}),
@@ -5486,6 +5562,68 @@ def q_table_profile(spark, sf_dir):
     from .operators.profiling import profile_table
 
     return profile_table(t(spark, sf_dir, "orders"), list(_PROFILE_COLS))
+
+
+_FD_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "prio_class")
+_FD_SRC = (
+    "SELECT o_custkey, o_orderstatus, o_orderpriority, "
+    "CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2') "
+    "THEN 'high' ELSE 'low' END AS prio_class FROM orders"
+)
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for det in _FD_COLS:
+        deps = [c for c in _FD_COLS if c != det]
+        inner = (
+            f"SELECT {det}, "
+            + ", ".join(f"COUNT(DISTINCT {c}) AS {c}" for c in deps)
+            + f" FROM ({_FD_SRC}) WHERE {det} IS NOT NULL GROUP BY {det}"
+        )
+        fold = (
+            "SELECT COUNT(*) AS g, "
+            + ", ".join(f"SUM(GREATEST({c} - 1, 0)) AS {c}" for c in deps)
+            + f" FROM ({inner})"
+        )
+        for dep in deps:
+            blocks.append(
+                f"SELECT '{det}' AS determinant, '{dep}' AS dependent, "
+                f"CAST(g AS BIGINT) AS n_groups, "
+                f"CAST({dep} AS BIGINT) AS n_violations, "
+                f"({dep} = 0) AS holds, "
+                f"ROUND(CAST({dep} AS DOUBLE) / CAST(g AS DOUBLE), 9) "
+                f"AS violation_rate FROM ({fold})"
+            )
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query("fd_discovery", oracle=_fd_oracle())
+def q_fd_discovery(spark, sf_dir):
+    """EXT — approximate functional-dependency discovery
+    (profiling.fd_discovery): for every ordered column pair A→B, the
+    distinct-excess violation count and whether the FD holds exactly —
+    the catalog-intelligence step past the reference's `PK%`
+    primary-key probe (ServerUtil.java:103-124 discovers DECLARED
+    keys; this measures the determinations actually in the data). The
+    fixture plants an asymmetric pair: o_orderpriority → prio_class
+    (its own CASE bucketing) holds, prio_class → o_orderpriority
+    fails. One groupBy per determinant computes every dependent's
+    per-group distinct count in the same exchange; output is
+    metadata-sized scalar rows."""
+    from .operators.profiling import fd_discovery
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), F.lit("high")
+        )
+        .otherwise(F.lit("low"))
+        .alias("prio_class"),
+    )
+    return fd_discovery(o, list(_FD_COLS))
 
 
 @query(

@@ -41,6 +41,76 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool 
     )
 
 
+def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Approximate functional-dependency discovery over a column list
+    — the catalog-intelligence step beyond the reference's primary-key
+    probe (common/ServerUtil.java's `PK%` heuristic finds declared
+    keys; FD profiling finds the A→B determinations actually present
+    in the data, the public data-profiling staple behind key
+    discovery, normalization advice and join-inference). For every
+    ordered pair (determinant A, dependent B) from ``columns``:
+
+    ``(determinant, dependent, n_groups, n_violations, holds,
+    violation_rate)`` — ``n_violations`` is the distinct-excess count
+    ``Σ over A-groups (distinct B values − 1)`` (0 ⟺ the FD holds
+    exactly), ``violation_rate`` its per-group mean rounded to 9.
+    Rows with a NULL determinant are excluded; NULL dependent values
+    are ignored by the distinct count (COUNT(DISTINCT) semantics,
+    identical in any SQL engine — both documented contracts).
+
+    Scale shape: ONE groupBy per determinant computes every
+    dependent's per-group distinct count in the same exchange
+    (map-side partials), then a scalar fold per determinant; total
+    cost is |columns| keyed shuffles over slim projections — never
+    the |columns|² separate passes of the naive pairwise loop, and
+    nothing pairwise ever materializes row-wise. The final result is
+    |columns|·(|columns|−1) scalar rows unioned together —
+    metadata-sized."""
+    if len(columns) < 2:
+        raise ValueError(f"fd_discovery: need >= 2 columns, got {columns}")
+    if len(set(columns)) != len(columns):
+        raise ValueError(f"fd_discovery: duplicate columns in {columns}")
+    parts = []
+    for det in columns:
+        deps = [c for c in columns if c != det]
+        grouped = (
+            df.where(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(*[F.count_distinct(F.col(c)).alias(c) for c in deps])
+        )
+        # per-group excess clamps at 0: a group whose dependent is
+        # entirely NULL has COUNT(DISTINCT)=0 and must not SUBTRACT a
+        # violation
+        folded = grouped.agg(
+            F.count(F.lit(1)).alias("_g"),
+            *[F.sum(F.greatest(F.col(c) - 1, F.lit(0))).alias(c) for c in deps],
+        )
+        # melt the one folded row to a row per dependent via stack()
+        # instead of per-dependent union branches — the aggregation
+        # subtree appears ONCE per determinant in the plan
+        stack_args = ", ".join(f"'{dep}', `{dep}`" for dep in deps)
+        parts.append(
+            folded.selectExpr(
+                f"'{det}' AS determinant",
+                f"stack({len(deps)}, {stack_args}) AS (dependent, _v)",
+                "_g",
+            ).select(
+                "determinant",
+                "dependent",
+                F.col("_g").cast("long").alias("n_groups"),
+                F.col("_v").cast("long").alias("n_violations"),
+                (F.col("_v") == 0).alias("holds"),
+                F.round(
+                    F.col("_v").cast("double") / F.col("_g").cast("double"), 9
+                ).alias("violation_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Join/groupBy-key skew diagnostic: the top-N heaviest keys with
     their row counts and share of the table, plus the p99-style context

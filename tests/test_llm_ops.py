@@ -3291,6 +3291,46 @@ def test_robots_filter_rep_semantics(spark):
     assert got[8] == (False, "/private")  # prefix match with query appended
 
 
+def test_fd_discovery_planted(spark):
+    """FD discovery on a hand table: a -> b holds exactly (every a
+    value maps to one b), b -> a fails with the exact distinct-excess
+    count, NULL determinant rows are excluded, NULL dependent values
+    don't count as a distinct value, and guards reject short or
+    duplicated column lists."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.profiling import fd_discovery
+
+    rows = [
+        (1, "x", 10),
+        (1, "x", 11),
+        (2, "y", 10),
+        (3, "y", None),
+        (None, "z", 12),  # NULL determinant: excluded from a-> groups
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c int")
+    got = {
+        (r.determinant, r.dependent): (
+            r.n_groups,
+            r.n_violations,
+            r.holds,
+        )
+        for r in fd_discovery(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == (3, 0, True)  # 1->x, 2->y, 3->y
+    # b groups: x->{1}, y->{2,3}, z->{NULL a}; the all-NULL 'z' group
+    # has COUNT(DISTINCT)=0 and clamps to 0 excess (never -1), so
+    # exactly y's extra value counts
+    assert got[("b", "a")] == (3, 1, False)
+    # c=10 maps to a in {1,2}: c -> a fails with exactly 1 excess
+    assert got[("c", "a")] == (3, 1, False)
+
+    with _pytest.raises(ValueError):
+        fd_discovery(df, ["a"])
+    with _pytest.raises(ValueError):
+        fd_discovery(df, ["a", "a"])
+
+
 def test_html_near_good_context_pass(spark):
     """jusText near-good smoothing: a SHORT prose block (passes both
     density gates but under min_words) flips to content when adjacent
