@@ -3298,6 +3298,27 @@ def q_anchor_index_incremental(spark, sf_dir):
     return merge_anchor_index(standing, batch)
 
 
+@query("streaming_anchor_index", oracle=_ANCHOR_INDEX_ORACLE)
+def q_streaming_anchor_index(spark, sf_dir):
+    """W-EXT — anchor-index maintenance in STREAMING form
+    (streaming/jobs.py:streaming_anchor_index): crawled pages arrive
+    as a file stream in three discovery rounds; each micro-batch
+    extracts outlinks + visible anchor text, aggregates, and folds
+    into the accumulated standing index via foreachBatch. Because a
+    page's links live in exactly one micro-batch, tf and n_docs are
+    disjoint-partition sums and the accumulated index EQUALS the
+    batch rebuild over all pages — so this streaming query
+    hash-matches the same full-rebuild SQL oracle as the batch fold
+    (a stronger gate than the usual rows-only streaming check).
+    State is (canon, token) counters, never the crawl."""
+    from .streaming.jobs import streaming_anchor_index
+
+    pages = _linked_pages(spark, sf_dir)
+    return streaming_anchor_index(
+        spark, pages.repartitionByRange(3, "doc_id"), "html", "doc_id"
+    )
+
+
 # robots.txt rules fixture: one Python literal builder renders BOTH
 # engines' rule tables, so the planted REP semantics (longest match,
 # allow wins ties, default-allow) are bit-identical.
@@ -5935,6 +5956,78 @@ def q_rake_keywords(spark, sf_dir):
 
     return rake_keywords(
         t(spark, sf_dir, "documents"), ["row", "hash", "join", "scan"], k=5
+    )
+
+
+_BOTTOMK_ORACLE = """
+SELECT doc_id, source, n_chars, hkey FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS hkey
+  FROM documents
+) ORDER BY hkey ASC, doc_id ASC LIMIT 100
+"""
+
+
+@query("bottomk_sample", oracle=_BOTTOMK_ORACLE)
+def q_bottomk_sample(spark, sf_dir):
+    """EXT — bottom-k (KMV) uniform sample (sampling.bottomk_sample):
+    the 100 documents with the smallest engine-portable md5-uniform
+    key hash — a without-replacement uniform sample that is MERGEABLE
+    (bottomk of a union = bottomk of the per-part bottomks, the KMV
+    sketch property), which is what makes it the right sampler for
+    partitions, micro-batches and standing state. Plans as
+    TakeOrderedAndProject (per-partition top-k + k-sized merge), never
+    a global sort or SinglePartition window; the hash is a 32-bit
+    integer over 2^32, exact in binary64, so the selected SET and the
+    hkey doubles hash-match the ANSI ORDER BY/LIMIT oracle."""
+    from .operators.sampling import bottomk_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return bottomk_sample(d, "doc_id", k=100)
+
+
+@query(
+    "kmv_distinct",
+    oracle=f"""
+WITH s AS ({_BOTTOMK_ORACLE})
+SELECT CAST(count(*) AS BIGINT) AS n_retained,
+  CASE WHEN count(*) < 100 THEN CAST(count(*) AS DOUBLE)
+       ELSE ROUND(99.0 / max(hkey), 3) END AS est_distinct
+FROM s
+""",
+)
+def q_kmv_distinct(spark, sf_dir):
+    """EXT — KMV distinct-count estimator (sampling.
+    kmv_distinct_estimate): (k−1)/h_k over the bottom-k sample's
+    largest retained hash (Bar-Yossef et al. 2002) — the free
+    cardinality estimate a maintained bottom-k sample carries, next
+    to the HLL sketch for when no sample is kept. Exact count
+    returned when the population is smaller than k. One k-row
+    aggregate; the estimator arithmetic restates exactly (the uniform
+    is exact in binary64), so unlike most sketches this one
+    HASH-matches its oracle."""
+    from .operators.sampling import bottomk_sample, kmv_distinct_estimate
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return kmv_distinct_estimate(bottomk_sample(d, "doc_id", k=100), k=100)
+
+
+@query("streaming_bottomk", oracle=_BOTTOMK_ORACLE)
+def q_streaming_bottomk(spark, sf_dir):
+    """W-EXT — the bottom-k sample in STREAMING form
+    (streaming/jobs.py:streaming_bottomk): documents arrive as a file
+    stream in three micro-batches and each batch's bottom-k folds
+    into the standing sample — the KMV merge property makes the fold
+    EXACT, so this streaming query hash-matches the same batch
+    ORDER BY/LIMIT oracle (the bounded-state streaming uniform sample;
+    k rows of state forever, where a classic reservoir's per-row RNG
+    can never be restated cross-engine)."""
+    from .streaming.jobs import streaming_bottomk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return streaming_bottomk(
+        spark, d.repartitionByRange(3, "doc_id"), "doc_id", k=100
     )
 
 

@@ -196,6 +196,73 @@ def token_budget_sample_sql(
     return before_sql, budget_sql
 
 
+def bottomk_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Bottom-k (KMV) sample: the ``k`` rows whose deterministic key
+    hash is smallest (ties by key) — a uniform
+    without-replacement sample with the property every streaming/
+    distributed sampler wants: it is MERGEABLE.
+    ``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))``, so
+    partitions, micro-batches and standing samples fold exactly
+    (Bar-Yossef et al. 2002's KMV sketch; the k-th smallest hash also
+    estimates distinct keys as (k−1)/h_k — see
+    :func:`kmv_distinct_estimate`). Unlike ``weighted_sample``'s A-ES
+    keys (xxhash64, Spark-only), the hash here is the engine-portable
+    md5 uniform, so the selected SET hash-matches an ANSI
+    ``ORDER BY hash LIMIT k`` oracle.
+
+    Output: the input columns plus ``hkey`` (the uniform, kept because
+    the merge/fold and the estimator need it; a 32-bit integer over
+    2^32 is exact in binary64, so it hash-matches cross-engine with no
+    rounding).
+
+    Scale shape: sort-limit plans as TakeOrderedAndProject —
+    per-partition top-k then a k-sized merge on the driver side of
+    the exchange; no global sort materializes, no SinglePartition
+    window."""
+    if k < 1:
+        raise ValueError(f"bottomk_sample: k must be >= 1, got {k}")
+    h = hash_uniform(F.col(key_col))
+    return (
+        df.withColumn("hkey", h)
+        .orderBy(F.col("hkey").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def merge_bottomk(standing: DataFrame, batch: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Fold a new batch's bottom-k sample into the standing one: union
+    and re-take the k smallest — exactly ``bottomk`` over everything
+    seen (the KMV merge property; pytest-pinned ≡ rebuild). State is
+    k rows forever."""
+    return (
+        standing.unionByName(batch)
+        .orderBy(F.col("hkey").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(sample: DataFrame, k: int) -> DataFrame:
+    """KMV distinct-count estimator from a :func:`bottomk_sample`:
+    ``(k-1) / h_k`` with ``h_k`` the largest retained hash
+    (Bar-Yossef et al. 2002) — the cheap companion to the HLL sketch
+    when a bottom-k sample is already being maintained. When the
+    sample holds fewer than ``k`` rows the population was smaller
+    than ``k`` and the exact count is returned. Output one row:
+    ``(n_retained, est_distinct)``."""
+    agg = sample.agg(
+        F.count(F.lit(1)).alias("n_retained"),
+        F.max("hkey").alias("_hk"),
+    )
+    return agg.select(
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.when(F.col("n_retained") < k, F.col("n_retained").cast("double"))
+        .otherwise(
+            F.round((F.lit(k) - 1).cast("double") / F.col("_hk"), 3)
+        )
+        .alias("est_distinct"),
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,

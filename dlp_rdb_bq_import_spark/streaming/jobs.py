@@ -924,6 +924,115 @@ def streaming_cms(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def streaming_anchor_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    html_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming anchor-text index maintenance — the streaming twin of
+    the batch fold (``urls.merge_anchor_index``), same design as
+    :func:`streaming_cms`: crawled pages arrive as a file stream, each
+    micro-batch extracts its outlinks + visible anchor text
+    (``html_extract.extract_links_with_text``), aggregates them
+    (``urls.anchor_text_index``) and folds the batch aggregate into
+    the accumulated standing index via ``foreachBatch``. A page's
+    links live in exactly one micro-batch (a crawl emits a page once),
+    so per-(canon, token) ``tf`` AND ``n_docs`` are disjoint-partition
+    sums and the accumulated index is EXACTLY the batch rebuild over
+    everything seen (pytest-pinned; the registered query hash-matches
+    the full-rebuild SQL oracle). State is index-sized — (canon,
+    token) counters — never the crawl.
+
+    Returns the accumulated ``(canon, token, tf, n_docs)`` index.
+    """
+    from ..operators.html_extract import extract_links_with_text
+    from ..operators.urls import anchor_text_index, merge_anchor_index
+
+    root = tempfile.mkdtemp(prefix="anchor_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "index")
+    src = pages.select(F.col(id_col), F.col(html_col))
+    src.write.parquet(stage)
+
+    def fold_batch(batch_df, _epoch_id):
+        batch_index = anchor_text_index(
+            extract_links_with_text(batch_df, html_col, id_col), id_col
+        )
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            merged = merge_anchor_index(prev, batch_index).localCheckpoint(
+                eager=True
+            )
+        else:
+            merged = batch_index.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(acc_dir)
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_bottomk(
+    spark: SparkSession,
+    values: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Streaming bottom-k (KMV) uniform sample: fold each
+    micro-batch's bottom-k into the standing sample via
+    ``foreachBatch`` — the KMV merge property
+    (``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))``,
+    ``sampling.merge_bottomk``) makes the stream fold EXACT: after any
+    number of micro-batches the standing sample is the batch
+    ``bottomk_sample`` over everything seen (pytest-pinned; the
+    registered query hash-matches the batch oracle). This is the
+    bounded-state streaming uniform sample — k rows forever — where a
+    naive reservoir needs per-row RNG state that no SQL engine can
+    restate; the same k rows also carry the KMV distinct-count
+    estimator."""
+    from ..operators import sampling as samp
+
+    root = tempfile.mkdtemp(prefix="bottomk_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "sample")
+    src = values
+    src.write.parquet(stage)
+
+    def fold_batch(batch_df, _epoch_id):
+        batch_k = samp.bottomk_sample(batch_df, key_col, k)
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            merged = samp.merge_bottomk(prev, batch_k, key_col, k).localCheckpoint(
+                eager=True
+            )
+        else:
+            merged = batch_k.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(acc_dir)
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def streaming_linkage_probe(
     spark: SparkSession,
     new_records: DataFrame,

@@ -2718,6 +2718,83 @@ def test_merge_entity_assignments_contract(spark):
         merge_entity_assignments(records, new_df)
 
 
+def test_bottomk_merge_and_estimator(spark):
+    """KMV contracts: (a) bottomk over a union equals the merge of the
+    parts' bottomks (the property that makes the sampler streamable);
+    (b) the sample is partitioning-independent; (c) the distinct
+    estimate is exact below k and within 2 relative standard errors
+    (rse = 1/sqrt(k-2) ~ 12.7% at k=64) of truth on the md5 uniform —
+    the draw is deterministic, the bound documents the estimator's
+    design accuracy; (d) streamed fold equals the batch sample."""
+    from dlp_rdb_bq_import_spark.operators.sampling import (
+        bottomk_sample,
+        kmv_distinct_estimate,
+        merge_bottomk,
+    )
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_bottomk
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(2000)], "doc_id long, grp long"
+    )
+    k = 64
+    full = bottomk_sample(df, "doc_id", k)
+    ids = lambda d: sorted(r.doc_id for r in d.collect())
+    base = ids(full)
+    assert len(base) == k
+    assert ids(bottomk_sample(df.repartition(11), "doc_id", k)) == base
+
+    a = bottomk_sample(df.where("doc_id < 900"), "doc_id", k)
+    b = bottomk_sample(df.where("doc_id >= 900"), "doc_id", k)
+    assert ids(merge_bottomk(a, b, "doc_id", k)) == base
+
+    est = kmv_distinct_estimate(full, k).first()
+    assert est.n_retained == k
+    assert abs(est.est_distinct - 2000) / 2000 < 2 / (k - 2) ** 0.5
+
+    small = bottomk_sample(df.where("doc_id < 10"), "doc_id", k)
+    e2 = kmv_distinct_estimate(small, k).first()
+    assert (e2.n_retained, e2.est_distinct) == (10, 10.0)
+
+    streamed = streaming_bottomk(
+        spark, df.repartitionByRange(4, "doc_id"), "doc_id", k
+    )
+    assert ids(streamed) == base
+
+
+def test_streaming_anchor_index_equals_batch(spark):
+    """The streaming anchor-index fold accumulated over micro-batches
+    equals the batch rebuild over all pages — both tf and the
+    distinct-doc count (each page's links live in exactly one
+    micro-batch, so both counters are disjoint-partition sums)."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import (
+        extract_links_with_text,
+    )
+    from dlp_rdb_bq_import_spark.operators.urls import anchor_text_index
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_anchor_index
+
+    rows = [
+        (
+            d,
+            f'<html><body><a href="https://t{d % 2}.example.com/p">'
+            f'guide {"deep " * (d % 3)}</a>'
+            '<a href="https://t0.example.com/q">other guide</a>'
+            "</body></html>",
+        )
+        for d in range(1, 10)
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, html string")
+    batch = anchor_text_index(
+        extract_links_with_text(pages, "html", "doc_id"), "doc_id"
+    )
+    streamed = streaming_anchor_index(
+        spark, pages.repartitionByRange(3, "doc_id"), "html", "doc_id"
+    )
+    key = lambda df: {
+        (r.canon, r.token): (r.tf, r.n_docs) for r in df.collect()
+    }
+    assert key(streamed) == key(batch)
+
+
 def test_streaming_linkage_probe_equals_batch(spark):
     """The streaming probe ≡ the batch probe on the same data: new
     records arriving across micro-batches against the persisted
