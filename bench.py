@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "robots_screen",
     "bin_packed_sequences",
     "fd_discovery",
+    "inclusion_deps",
+    "group_quantiles",
 ]
 
 

@@ -5691,6 +5691,86 @@ def q_fd_discovery(spark, sf_dir):
     return fd_discovery(o, list(_FD_COLS))
 
 
+_IND_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{lt}.{lc}' AS lhs, '{rt}.{rc}' AS rhs,
+  CAST(count(*) AS BIGINT) AS n_lhs_distinct,
+  CAST(COALESCE(SUM(CASE WHEN r._v IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_unmatched,
+  (COALESCE(SUM(CASE WHEN r._v IS NULL THEN 1 ELSE 0 END), 0) = 0) AS holds,
+  CASE WHEN count(*) = 0 THEN 1.0
+       ELSE ROUND(CAST(count(*) - SUM(CASE WHEN r._v IS NULL THEN 1 ELSE 0
+                  END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) END
+    AS coverage
+FROM (SELECT DISTINCT {lc} AS _v FROM {lt} WHERE {lc} IS NOT NULL) l
+LEFT JOIN (SELECT DISTINCT {rc} AS _v FROM {rt} WHERE {rc} IS NOT NULL) r
+  ON l._v = r._v
+"""
+    for lt, lc, rt, rc in (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    )
+)
+
+
+@query(
+    "group_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(count(o_totalprice) AS BIGINT) AS n,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_group_quantiles(spark, sf_dir):
+    """EXT — per-group exact quantiles (profiling.group_quantiles):
+    p50/p90/p99 of order value per priority class — the distribution
+    half of table profiling. Spark's exact percentile aggregate and
+    DuckDB's quantile_cont implement the same ANSI percentile_cont
+    linear interpolation, so the values hash-match after the round-4
+    ulp pin. One groupBy over dimension-cardinality groups (the
+    profiling case; corpus-scale groups take approx_percentile and
+    give up the oracle, documented in the operator)."""
+    from .operators.profiling import group_quantiles
+
+    return group_quantiles(
+        t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@query("inclusion_deps", oracle=_IND_ORACLE)
+def q_inclusion_deps(spark, sf_dir):
+    """EXT — inclusion-dependency / foreign-key discovery
+    (profiling.inclusion_dependencies): for candidate column pairs,
+    does every distinct LHS value appear in RHS — the join-inference
+    step after cataloging that the reference's per-run re-discovery
+    (ServerUtil.java) never attempts. Candidates here: two true FKs
+    (orders→customer, lineitem→orders), one direction that FAILS by
+    construction (customer→orders: customers without orders), and
+    supplier→nation (holds). Each candidate is distinct-project +
+    one left join over distinct keys + one conditional-count
+    aggregation — shuffles carry distinct values only, output is
+    metadata-sized."""
+    from .operators.profiling import inclusion_dependencies
+
+    return inclusion_dependencies(
+        [
+            ("orders", t(spark, sf_dir, "orders"), "o_custkey",
+             "customer", t(spark, sf_dir, "customer"), "c_custkey"),
+            ("lineitem", t(spark, sf_dir, "lineitem"), "l_orderkey",
+             "orders", t(spark, sf_dir, "orders"), "o_orderkey"),
+            ("customer", t(spark, sf_dir, "customer"), "c_custkey",
+             "orders", t(spark, sf_dir, "orders"), "o_custkey"),
+            ("supplier", t(spark, sf_dir, "supplier"), "s_nationkey",
+             "nation", t(spark, sf_dir, "nation"), "n_nationkey"),
+        ]
+    )
+
+
 @query(
     "skew_report",
     oracle="""

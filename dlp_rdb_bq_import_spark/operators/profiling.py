@@ -111,6 +111,120 @@ def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
     return out
 
 
+def inclusion_dependencies(
+    candidates: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery — the cross-table
+    companion to :func:`fd_discovery` and the join-inference step an
+    RDB import wants after cataloging (the reference discovers tables
+    and primary keys — common/ServerUtil.java — but never which
+    columns JOIN; a declared-FK-free warehouse is the norm). For each
+    candidate ``(lhs_name, lhs_df, lhs_col, rhs_name, rhs_df,
+    rhs_col)``: does every (non-NULL, distinct) LHS value appear in
+    RHS?
+
+    Output per candidate: ``(lhs, rhs, n_lhs_distinct, n_unmatched,
+    holds, coverage)`` — ``n_unmatched`` the distinct LHS values
+    absent from RHS (0 ⟺ the IND holds and lhs_col can FK-join
+    rhs_col), ``coverage`` the matched fraction rounded to 9. NULLs
+    are excluded on both sides (SQL FK semantics).
+
+    Scale shape: per candidate, distinct-project each side (map-side
+    partial), LEFT join LHS-distinct against RHS-distinct and count
+    the misses in one aggregation — both shuffles carry only distinct
+    key values, never rows; the result is one scalar row per
+    candidate, unioned (metadata-sized). Candidate pairs come from the caller (typically
+    type-compatible column pairs from the catalog) — this operator
+    does not enumerate the quadratic column space."""
+    if not candidates:
+        raise ValueError("inclusion_dependencies: need >= 1 candidate")
+    parts = []
+    for lhs_name, lhs_df, lhs_col, rhs_name, rhs_df, rhs_col in candidates:
+        lhs = (
+            lhs_df.select(F.col(lhs_col).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+        rhs = (
+            rhs_df.select(F.col(rhs_col).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+        joined = lhs.join(rhs.withColumn("_hit", F.lit(1)), "_v", "left")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("_n"),
+            # coalesce: SUM over an empty LHS is NULL, and a vacuous
+            # inclusion must hold with 0 unmatched, not NULL
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("_miss"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{lhs_name}.{lhs_col}").alias("lhs"),
+                F.lit(f"{rhs_name}.{rhs_col}").alias("rhs"),
+                F.col("_n").cast("long").alias("n_lhs_distinct"),
+                F.col("_miss").cast("long").alias("n_unmatched"),
+                (F.col("_miss") == 0).alias("holds"),
+                F.when(F.col("_n") == 0, F.lit(1.0))
+                .otherwise(
+                    F.round(
+                        (F.col("_n") - F.col("_miss")).cast("double")
+                        / F.col("_n").cast("double"),
+                        9,
+                    )
+                )
+                .alias("coverage"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group EXACT quantiles (linear interpolation on the sorted
+    values — the ANSI ``percentile_cont`` definition both Spark's
+    exact ``percentile`` aggregate and DuckDB's ``quantile_cont``
+    implement) — the distribution half of table profiling next to
+    counts/distincts/outliers: p50/p90/p99 of a measure per dimension
+    is the first question a data audit asks. Output: one row per
+    group with ``n`` and a ``p<q>`` column per requested quantile,
+    rounded to ``round_to`` (interpolation's two float ops can differ
+    in the last ulp across engines; the round pins the cross-engine
+    hash while keeping audit precision).
+
+    Scale shape: ONE groupBy; Spark's exact percentile collects each
+    group's values once per aggregate buffer — right for
+    dimension-cardinality groups (profiling's case). For quantiles of
+    corpus-scale groups use approx_percentile and give up the oracle
+    (documented trade)."""
+    if not group_cols:
+        raise ValueError("group_quantiles: need >= 1 group column")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"group_quantiles: quantile {q} outside [0, 1]")
+    aggs = [F.count(F.col(value_col)).alias("n")]
+    for q in quantiles:
+        label = "p" + f"{q * 100:g}".replace(".", "_")  # 0.999 -> p99_9
+        aggs.append(
+            F.round(F.percentile(F.col(value_col), F.lit(q)), round_to).alias(
+                label
+            )
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Join/groupBy-key skew diagnostic: the top-N heaviest keys with
     their row counts and share of the table, plus the p99-style context

@@ -3368,6 +3368,64 @@ def test_robots_filter_rep_semantics(spark):
     assert got[8] == (False, "/private")  # prefix match with query appended
 
 
+def test_inclusion_dependencies_planted(spark):
+    """FK discovery on hand tables: a true inclusion holds with full
+    coverage; the reverse direction reports the exact unmatched count
+    and fraction; NULLs on either side are excluded (SQL FK
+    semantics); an empty LHS holds vacuously with coverage 1.0."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        inclusion_dependencies,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (None,)], "pk int"
+    )
+    empty = spark.createDataFrame([], "fk int")
+    got = {
+        (r.lhs, r.rhs): (r.n_lhs_distinct, r.n_unmatched, r.holds, r.coverage)
+        for r in inclusion_dependencies(
+            [
+                ("child", child, "fk", "parent", parent, "pk"),
+                ("parent", parent, "pk", "child", child, "fk"),
+                ("empty", empty, "fk", "parent", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert got[("child.fk", "parent.pk")] == (2, 0, True, 1.0)
+    assert got[("parent.pk", "child.fk")] == (4, 2, False, 0.5)
+    assert got[("empty.fk", "parent.pk")] == (0, 0, True, 1.0)
+
+    with _pytest.raises(ValueError):
+        inclusion_dependencies([])
+
+
+def test_group_quantiles_hand_case(spark):
+    """Exact interpolated quantiles on a hand group: values 10..40,
+    p50 = 25 (midpoint interpolation), p100 = max; NULL values are
+    excluded from n and the quantile; guards reject empty group lists
+    and out-of-range quantiles."""
+    import pytest as _pytest
+
+    from dlp_rdb_bq_import_spark.operators.profiling import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), ("a", None)],
+        "g string, v double",
+    )
+    r = group_quantiles(df, "v", ["g"], quantiles=(0.5, 1.0)).first()
+    assert (r.n, r.p50, r.p100) == (4, 25.0, 40.0)
+
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "v", [])
+    with _pytest.raises(ValueError):
+        group_quantiles(df, "v", ["g"], quantiles=(1.5,))
+
+
 def test_fd_discovery_planted(spark):
     """FD discovery on a hand table: a -> b holds exactly (every a
     value maps to one b), b -> a fails with the exact distinct-excess
