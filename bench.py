@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "fd_discovery",
     "inclusion_deps",
     "group_quantiles",
+    "markdown_extract_text",
+    "code_normalize",
 ]
 
 

@@ -2888,6 +2888,177 @@ def q_text_normalize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Markdown / code normalization — operators/markup.py. Fixtures are
+# deterministic twins (same discipline as the HTML fixture): each doc
+# wraps into a markdown page / source file with every construct the
+# normalizers claim to handle.
+# ---------------------------------------------------------------------------
+_MD_FIXTURE_SQL = """
+SELECT doc_id,
+  '# doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+  'intro [link ' || CAST(doc_id % 7 AS VARCHAR) ||
+  '](https://ex.example.com/a) and ![pic alt](i.png) with `x=1` inline' ||
+  chr(10) ||
+  '## part ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+  '- ' || text || chr(10) ||
+  '1. second *item*' || chr(10) ||
+  '```' || chr(10) || '# not a heading' || chr(10) || 'int x = 1;' ||
+  chr(10) || '```' || chr(10) ||
+  '> good prose quote' || chr(10) || '---' || chr(10) AS md
+FROM documents
+"""
+
+
+def _fixture_markdown(spark, sf_dir):
+    did = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# doc "), did, nl,
+        F.lit("intro [link "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("](https://ex.example.com/a) and ![pic alt](i.png) with `x=1` inline"),
+        nl,
+        F.lit("## part "), (F.col("doc_id") % 5).cast("string"), nl,
+        F.lit("- "), F.col("text"), nl,
+        F.lit("1. second *item*"), nl,
+        F.lit("```"), nl, F.lit("# not a heading"), nl, F.lit("int x = 1;"),
+        nl, F.lit("```"), nl,
+        F.lit("> good prose quote"), nl, F.lit("---"), nl,
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", md.alias("md"))
+
+
+_MD_STRIP_SQL_CHAIN = r"""
+trim(regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(
+  regexp_replace(md,
+    '(?s)```.*?```', ' ', 'g'),
+    '`[^`]*`', ' ', 'g'),
+    '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+    '(?m)^[-*]{3,}[ \t]*$', ' ', 'g'),
+    '(?m)^#{1,6}[ \t]*', '', 'g'),
+    '(?m)^>[ \t]?', '', 'g'),
+    '(?m)^[ \t]*[-+*][ \t]+', '', 'g'),
+    '(?m)^[ \t]*[0-9]+[.)][ \t]+', '', 'g'),
+    '\*{1,3}', '', 'g'),
+  '\s+', ' ', 'g'))
+"""
+
+
+@query(
+    "markdown_extract_text",
+    oracle=f"""
+WITH m AS ({_MD_FIXTURE_SQL})
+SELECT doc_id, {_MD_STRIP_SQL_CHAIN} AS md_text FROM m
+""",
+)
+def q_markdown_extract_text(spark, sf_dir):
+    """EXT — markdown-to-prose normalization (markup.markdown_strip):
+    fenced + inline code spans drop (quality/language features must
+    not see code), links and images keep their visible text, heading/
+    list/blockquote/rule markers and * emphasis strip, whitespace
+    collapses — the README/wiki/forum cleaning stage next to
+    html_extract. Pure fixed-order regexp_replace chain, zero
+    UDFs/joins — a map over the corpus; the oracle restates every
+    regex (RE2 subset) in the same order."""
+    from .operators.markup import markdown_strip
+
+    m = _fixture_markdown(spark, sf_dir)
+    return m.select("doc_id", markdown_strip(F.col("md")).alias("md_text"))
+
+
+@query(
+    "markdown_outline",
+    oracle=f"""
+WITH m AS ({_MD_FIXTURE_SQL}),
+hl AS (
+  SELECT doc_id,
+    regexp_extract_all(
+      regexp_replace(md, '(?s)```.*?```', ' ', 'g'),
+      '(?m)^#{{1,6}}[ \t]+[^\n]+$', 0) AS hs
+  FROM m
+)
+SELECT doc_id, CAST(i AS BIGINT) AS heading_ord,
+  CAST(length(regexp_extract(hs[CAST(i AS BIGINT)], '^(#{{1,6}})', 1))
+       AS BIGINT) AS level,
+  trim(regexp_replace(
+    regexp_replace(hs[CAST(i AS BIGINT)], '^#{{1,6}}[ \t]+', ''),
+    '\\s+', ' ', 'g')) AS title
+FROM hl JOIN generate_series(1, 20) g(i) ON i <= len(hs)
+""",
+)
+def q_markdown_outline(spark, sf_dir):
+    """EXT — markdown structure extraction (markup.markdown_outline):
+    one row per heading in document order with level (# count) and
+    normalized title; headings inside fenced code blocks do NOT count
+    (fences drop first — '# comment' in a code sample is not
+    structure; the fixture plants exactly that). Match-once then
+    re-parse per element — the extract_links_with_text shape; one
+    posexplode, zero joins."""
+    from .operators.markup import markdown_outline
+
+    return markdown_outline(_fixture_markdown(spark, sf_dir), "md", "doc_id")
+
+
+_CODE_FIXTURE_SQL = """
+SELECT doc_id,
+  '/* header ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+  ' * multi // line */' || chr(10) ||
+  'int main() { // entry point' || chr(10) ||
+  '  return ' || CAST(doc_id % 3 AS VARCHAR) || '; # trailing note' ||
+  chr(10) || '}' || chr(10) AS src
+FROM documents
+"""
+
+
+@query(
+    "code_normalize",
+    oracle=f"""
+WITH c AS ({_CODE_FIXTURE_SQL})
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+    regexp_replace(src,
+      '(?s)/\\*.*?\\*/', ' ', 'g'),
+      '(?m)(//|#)[^\n]*', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS norm_src
+FROM c
+""",
+)
+def q_code_normalize(spark, sf_dir):
+    """EXT — comment/whitespace-insensitive code normalization
+    (markup.code_normalize, the BigCode/CodeParrot dedup-key form):
+    block comments, then //-style and #-style line comments strip,
+    whitespace collapses — two files differing only in comments and
+    formatting map to one fingerprint; compose with the exact-dedup
+    family downstream exactly like normalize_text. Lexer-free by
+    documented design (a comment-shaped sequence inside a string
+    literal strips too — the standard dedup-key trade). Pure codegen
+    map; the oracle restates the chain."""
+    from .operators.markup import code_normalize
+
+    did = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    src = F.concat(
+        F.lit("/* header "), did, nl,
+        F.lit(" * multi // line */"), nl,
+        F.lit("int main() { // entry point"), nl,
+        F.lit("  return "), (F.col("doc_id") % 3).cast("string"),
+        F.lit("; # trailing note"), nl, F.lit("}"), nl,
+    )
+    c = t(spark, sf_dir, "documents").select("doc_id", src.alias("src"))
+    return c.select("doc_id", code_normalize(F.col("src")).alias("norm_src"))
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization — operators/urls.py
 # ---------------------------------------------------------------------------
 # Fixture URLs synthesized deterministically from orders: mixed-case

@@ -3426,6 +3426,57 @@ def test_group_quantiles_hand_case(spark):
         group_quantiles(df, "v", ["g"], quantiles=(1.5,))
 
 
+def test_markup_normalizers_planted(spark):
+    """Markdown/code normalization plants: fenced + inline code drop
+    from prose (including a #-heading lookalike inside the fence, the
+    outline must skip it too); links/images keep visible text; list/
+    quote/rule/emphasis markers strip; code comments strip block-then-
+    line with formatting-only variants mapping to one normal form."""
+    from dlp_rdb_bq_import_spark.operators.markup import (
+        code_normalize,
+        markdown_outline,
+        markdown_strip,
+    )
+
+    md = (
+        "# Title\n"
+        "intro [visible](http://x) and ![alt text](i.png) plus `rm -rf` span\n"
+        "## Sub *sec*\n"
+        "- bullet one\n"
+        "2. numbered\n"
+        "> quoted\n"
+        "---\n"
+        "```\n# fenced pseudo heading\ncode();\n```\n"
+        "tail\n"
+    )
+    df = spark.createDataFrame([(1, md)], "doc_id long, md string")
+    flat = df.select(markdown_strip(F.col("md")).alias("s")).first().s
+    assert flat == (
+        "Title intro visible and alt text plus span "
+        "Sub sec bullet one numbered quoted tail"
+    )
+    heads = [
+        (r.heading_ord, r.level, r.title)
+        for r in markdown_outline(df, "md", "doc_id")
+        .orderBy("heading_ord")
+        .collect()
+    ]
+    assert heads == [(1, 1, "Title"), (2, 2, "Sub *sec*")]
+
+    code_a = "/* c */\nint  f()   { // x\n  return 1; # y\n}\n"
+    code_b = "int f() {\n\n\treturn 1;\n}"
+    cdf = spark.createDataFrame(
+        [(1, code_a), (2, code_b)], "doc_id long, src string"
+    )
+    out = {
+        r.doc_id: r.n
+        for r in cdf.select(
+            "doc_id", code_normalize(F.col("src")).alias("n")
+        ).collect()
+    }
+    assert out[1] == out[2] == "int f() { return 1; }"
+
+
 def test_fd_discovery_planted(spark):
     """FD discovery on a hand table: a -> b holds exactly (every a
     value maps to one b), b -> a fails with the exact distinct-excess
