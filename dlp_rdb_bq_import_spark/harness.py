@@ -5826,9 +5826,10 @@ def _fd_oracle() -> str:
             blocks.append(
                 f"SELECT '{det}' AS determinant, '{dep}' AS dependent, "
                 f"CAST(g AS BIGINT) AS n_groups, "
-                f"CAST({dep} AS BIGINT) AS n_violations, "
-                f"({dep} = 0) AS holds, "
-                f"ROUND(CAST({dep} AS DOUBLE) / CAST(g AS DOUBLE), 9) "
+                f"CAST(COALESCE({dep}, 0) AS BIGINT) AS n_violations, "
+                f"(COALESCE({dep}, 0) = 0) AS holds, "
+                f"CASE WHEN g = 0 THEN 0.0 ELSE "
+                f"ROUND(CAST({dep} AS DOUBLE) / CAST(g AS DOUBLE), 9) END "
                 f"AS violation_rate FROM ({fold})"
             )
     return "\nUNION ALL\n".join(blocks)

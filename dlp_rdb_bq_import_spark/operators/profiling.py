@@ -98,11 +98,23 @@ def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
                 "determinant",
                 "dependent",
                 F.col("_g").cast("long").alias("n_groups"),
-                F.col("_v").cast("long").alias("n_violations"),
-                (F.col("_v") == 0).alias("holds"),
-                F.round(
-                    F.col("_v").cast("double") / F.col("_g").cast("double"), 9
-                ).alias("violation_rate"),
+                # an all-NULL determinant yields ZERO groups: the sum
+                # is NULL and the rate divides by zero — pin the
+                # vacuous case (0 violations, holds, rate 0.0) so the
+                # output never carries engine-dependent NULL/NaN
+                F.coalesce(F.col("_v"), F.lit(0)).cast("long").alias(
+                    "n_violations"
+                ),
+                (F.coalesce(F.col("_v"), F.lit(0)) == 0).alias("holds"),
+                F.when(F.col("_g") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        F.col("_v").cast("double")
+                        / F.col("_g").cast("double"),
+                        9,
+                    )
+                )
+                .alias("violation_rate"),
             )
         )
     out = parts[0]

@@ -3516,6 +3516,18 @@ def test_fd_discovery_planted(spark):
     with _pytest.raises(ValueError):
         fd_discovery(df, ["a", "a"])
 
+    # all-NULL determinant -> zero groups: vacuous hold, never
+    # NULL/NaN outputs
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "d int, x int")
+    r = {
+        (q.determinant, q.dependent): (
+            q.n_groups, q.n_violations, q.holds, q.violation_rate
+        )
+        for q in fd_discovery(nulls, ["d", "x"]).collect()
+    }
+    assert r[("d", "x")] == (0, 0, True, 0.0)
+    assert r[("x", "d")] == (2, 0, True, 0.0)  # d all-NULL: cd=0 clamps
+
 
 def test_html_near_good_context_pass(spark):
     """jusText near-good smoothing: a SHORT prose block (passes both
