@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "group_quantiles",
     "markdown_extract_text",
     "code_normalize",
+    "anchor_bm25_topk",
 ]
 
 

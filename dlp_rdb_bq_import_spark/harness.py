@@ -3469,6 +3469,75 @@ def q_anchor_index_incremental(spark, sf_dir):
     return merge_anchor_index(standing, batch)
 
 
+@query(
+    "anchor_bm25_topk",
+    oracle=f"""
+WITH idx AS ({_ANCHOR_INDEX_ORACLE}),
+perdoc AS (
+  SELECT canon, CAST(SUM(tf) AS BIGINT) AS dl,
+    CAST(COALESCE(SUM(CASE WHEN token = 'news' THEN tf END), 0) AS BIGINT)
+      AS tf0,
+    CAST(COALESCE(SUM(CASE WHEN token = 'rel2' THEN tf END), 0) AS BIGINT)
+      AS tf1
+  FROM idx GROUP BY canon
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+  FROM perdoc
+),
+scored AS (
+  SELECT canon,
+    round(
+      (CASE WHEN tf0 > 0 THEN
+        (((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df0 AS DOUBLE) + 1.0))
+         * CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf0 AS DOUBLE)
+           + (1.2 * ((1.0 - 0.75)
+                     + ((0.75 * CAST(dl AS DOUBLE))
+                        / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       ELSE 0.0 END
+      +
+      CASE WHEN tf1 > 0 THEN
+        (((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df1 AS DOUBLE) + 1.0))
+         * CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf1 AS DOUBLE)
+           + (1.2 * ((1.0 - 0.75)
+                     + ((0.75 * CAST(dl AS DOUBLE))
+                        / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       ELSE 0.0 END), 9) AS score
+  FROM perdoc CROSS JOIN corpus
+  WHERE tf0 > 0 OR tf1 > 0
+)
+SELECT canon, score,
+  CAST(row_number() OVER (ORDER BY score DESC, canon ASC) AS BIGINT) AS rk
+FROM scored ORDER BY score DESC, canon ASC LIMIT 15
+""",
+)
+def q_anchor_bm25_topk(spark, sf_dir):
+    """EXT — anchor-text retrieval (text.bm25_topk_from_tf over
+    urls.anchor_text_index): rank target pages by BM25 over their
+    INBOUND anchor tokens — the classic web signal (what other pages
+    call a target describes it better than its own body; the original
+    search-engine ranking field). The tf table IS the persisted
+    anchor index, so retrieval runs without the crawl text: one
+    groupBy pivot to fixed-width term columns, a broadcast 1-row
+    corpus aggregate, TakeOrderedAndProject top-k — scores
+    bit-identical to the oracle via the shared explicit-association
+    BM25 expression."""
+    from .operators.html_extract import extract_links_with_text
+    from .operators.text import bm25_topk_from_tf
+    from .operators.urls import anchor_text_index
+
+    idx = anchor_text_index(
+        extract_links_with_text(_linked_pages(spark, sf_dir), "html", "doc_id"),
+        "doc_id",
+    )
+    return bm25_topk_from_tf(idx, ["news", "rel2"], id_col="canon", k=15)
+
+
 @query("streaming_anchor_index", oracle=_ANCHOR_INDEX_ORACLE)
 def q_streaming_anchor_index(spark, sf_dir):
     """W-EXT — anchor-index maintenance in STREAMING form

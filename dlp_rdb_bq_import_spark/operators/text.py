@@ -535,6 +535,82 @@ def bm25_topk(
     )
 
 
+def bm25_topk_from_tf(
+    tf_table: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    term_col: str = "token",
+    tf_col: str = "tf",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`bm25_topk` over a PRE-AGGREGATED term-frequency table
+    ``(id, term, tf)`` instead of raw text — the form that ranks
+    targets by their INBOUND ANCHOR TEXT (``urls.anchor_text_index``
+    emits exactly this shape, keyed by canonical URL: the classic
+    anchor-text retrieval signal — what other pages call a target
+    ranks it better than its own body) or any other persisted index
+    whose text is long gone. Document length is the table's own
+    Σtf per id; scoring/idf/top-k are byte-identical to bm25_topk
+    (the shared ``_bm25_term_score`` expression — the association
+    order is load-bearing for the oracle-hash contract).
+
+    Scale shape: one groupBy(id) pivots the literal term list to
+    fixed-width conditional sums, a 1-row corpus aggregate broadcasts
+    back, top-k via TakeOrderedAndProject — the same plan as
+    bm25_topk minus the word-explode (already paid when the tf table
+    was built)."""
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    if k < 1:
+        raise ValueError(f"bm25_topk_from_tf: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    perdoc = tf_table.groupBy(id_col).agg(
+        F.sum(F.col(tf_col)).cast("long").alias("dl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(term_col) == t, F.col(tf_col))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = perdoc.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    def term_score(i: int):
+        return F.when(
+            F.col(f"_tf{i}") > 0,
+            _bm25_term_score(F.col(f"_tf{i}"), F.col(f"_df{i}"), F.col("dl"), k1, b),
+        ).otherwise(F.lit(0.0))
+
+    total = F.lit(0.0)
+    for i in range(len(query_terms)):
+        total = total + term_score(i)
+    match = None
+    for i in range(len(query_terms)):
+        cond = F.col(f"_tf{i}") > 0
+        match = cond if match is None else (match | cond)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        perdoc.where(match)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(total, 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+
+
 def bm25_batch_topk(
     docs: DataFrame,
     queries: DataFrame,

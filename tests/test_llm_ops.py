@@ -2718,6 +2718,40 @@ def test_merge_entity_assignments_contract(spark):
         merge_entity_assignments(records, new_df)
 
 
+def test_bm25_from_tf_equals_text_path(spark):
+    """bm25_topk_from_tf over the exploded-and-counted words of a
+    corpus returns byte-identical scores/ranks to bm25_topk over the
+    raw text (same shared scoring expression, dl = Σtf), and a term
+    missing from the tf table simply contributes nothing."""
+    from dlp_rdb_bq_import_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "beta beta beta"),
+            (3, "alpha gamma gamma delta"),
+            (4, "delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["alpha", "beta", "zzz_absent"]
+    via_text = bm25_topk(docs, terms, k=4)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    via_tf = bm25_topk_from_tf(tf, terms, id_col="doc_id", k=4)
+    a = [(r.doc_id, r.score, r.rk) for r in via_text.collect()]
+    b = [(r.doc_id, r.score, r.rk) for r in via_tf.collect()]
+    assert sorted(a) == sorted(b) and len(a) == 3  # doc 4 matches no term
+
+
 def test_bottomk_merge_and_estimator(spark):
     """KMV contracts: (a) bottomk over a union equals the merge of the
     parts' bottomks (the property that makes the sampler streamable);

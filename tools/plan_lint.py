@@ -59,6 +59,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is a broadcast single global-aggregate row by "
         "construction",
     },
+    "anchor_bm25_topk": {
+        "BroadcastNestedLoopJoin": "same corpus-stats scalar attach as "
+        "bm25_topk_docs (shared scoring path over the anchor tf table)",
+    },
     "heavy_hitter_terms": {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
