@@ -68,6 +68,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SCRATCH_MEMO: dict[tuple, str] = {}
+# Hit counter so timing harnesses (tools/soak_full.py) can tell a warm
+# memo-served re-run apart from a cold run — the two have different
+# timing semantics and must be distinguishable in committed artifacts.
+_SCRATCH_MEMO_HITS: int = 0
 
 
 def scratch_roundtrip(
@@ -128,7 +132,19 @@ def scratch_roundtrip(
     if memo_key is not None:
         dest = _SCRATCH_MEMO.get(memo_key)
         if dest and os.path.isdir(dest):
-            return df.sparkSession.read.parquet(dest)
+            global _SCRATCH_MEMO_HITS
+            _SCRATCH_MEMO_HITS += 1
+            cached = df.sparkSession.read.parquet(dest)
+            # The memo key carries no trace of df's construction; a call
+            # site that reuses a (prefix, memo) pair for a DIFFERENT
+            # plan would silently be served the other plan's rows.
+            # Column-set equality is a cheap metadata-only tripwire.
+            if set(cached.columns) != set(df.columns):
+                raise ValueError(
+                    f"scratch memo {memo_key} column mismatch: cached "
+                    f"{sorted(cached.columns)} vs requested {sorted(df.columns)}"
+                )
+            return cached
 
     name_re = re.compile(
         "^" + re.escape(table_prefix) + r"_(\d+)_[0-9a-f]{8}$"

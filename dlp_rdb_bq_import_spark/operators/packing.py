@@ -112,6 +112,20 @@ def bin_pack_sequences(
     def _pack(pdf):
         import pandas as pd
 
+        # Non-positive sizes corrupt the greedy: a 0-token doc opens a
+        # full-capacity bin no size==budget doc can ever join, and a
+        # negative size breaks the sorted remaining-capacity invariant.
+        # Token counts come from upstream tokenizers and must be >= 1;
+        # anything else is a data bug to surface, not absorb.
+        if len(pdf) and (
+            pdf["_tok"].isna().any() or int(pdf["_tok"].min()) <= 0
+        ):
+            mask = pdf["_tok"].isna() | (pdf["_tok"] <= 0)
+            bad = pdf.loc[mask, key_col].iloc[0]
+            raise ValueError(
+                f"bin_pack_sequences: non-positive or null token count "
+                f"for key={bad!r}; token counts must be >= 1"
+            )
         pdf = pdf.sort_values(
             ["_tok", key_col], ascending=[False, True], kind="mergesort"
         )

@@ -41,7 +41,6 @@ def test_scratch_memo_rerun_is_identical(spark, sf_dir):
     EXACTLY the first run's rows — reuse must be a pure speedup,
     never a semantic change."""
     qs = harness.queries()
-    key = ("doc_id", "n_hits")
 
     def run():
         rows = qs["decontam_incremental"](spark, sf_dir).collect()
@@ -52,6 +51,9 @@ def test_scratch_memo_rerun_is_identical(spark, sf_dir):
         k[1] == "bench_grams" for k in harness._SCRATCH_MEMO
     ), "memo never populated"
     assert run() == first
+
+
+def test_gate_queries_emit_scalar_columns_only(spark):
     """The driver canonicalizes by sorting all columns; array/map/struct
     output columns make pandas sort_values throw. Every registered
     query's schema must be scalar-only (checked at plan time — no

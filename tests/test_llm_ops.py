@@ -1063,6 +1063,26 @@ def test_bin_pack_waste_beats_contiguous_and_is_deterministic(spark):
     assert again == {r.doc_id: r.bin_id for r in rows}
 
 
+def test_bin_pack_rejects_nonpositive_token_counts(spark):
+    """A 0-token doc would open a full-capacity bin nothing can join
+    and a negative size corrupts the sorted capacity list (ADVICE r9):
+    both raise instead of silently skewing the packing."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from dlp_rdb_bq_import_spark.operators.packing import bin_pack_sequences
+
+    for bad in (0, -3, None):
+        df = spark.createDataFrame(
+            [(1, 5), (2, bad)], "doc_id long, toks long"
+        )
+        with pytest.raises((Py4JJavaError, Exception)) as ei:
+            bin_pack_sequences(
+                df, "toks", 10, key_col="doc_id", n_shards=1
+            ).collect()
+        assert "non-positive or null token count" in str(ei.value)
+
+
 def test_resize_images_deterministic_and_fixed_width(spark, sf_dir):
     """Resize output is partitioning-independent and fixed-width:
     n_bytes == out_w*out_h*3 for every row, and digests are stable

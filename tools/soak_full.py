@@ -69,30 +69,47 @@ def main() -> None:
             results[name] = {"status": "skipped_quadratic_twin", "sec": 0.0, "why": why}
             del qs[name]
 
-    def _once(fn, sf: str) -> tuple[int, float]:
+    def _once(fn, sf: str) -> tuple[int, float, bool]:
         t0 = time.time()
+        hits0 = harness._SCRATCH_MEMO_HITS
         n = fn(spark, sf).count()
-        return n, round(time.time() - t0, 2)
+        memoized = harness._SCRATCH_MEMO_HITS > hits0
+        return n, round(time.time() - t0, 2), memoized
 
     for i, (name, fn) in enumerate(sorted(qs.items())):
         t0 = time.time()
         try:
-            n, sec = _once(fn, args.sf)
+            n, sec, memo0 = _once(fn, args.sf)
             runs = [sec]
+            memoized_rerun = False
             # min-of-N on the slow tail: session noise inflates, it
             # never deflates, so the min is the honest per-query cost
             if sec >= args.rethreshold:
                 spark.catalog.clearCache()
-                runs.append(_once(fn, args.sf)[1])
+                _, s2, m2 = _once(fn, args.sf)
+                runs.append(s2)
+                memoized_rerun = memoized_rerun or m2
                 if abs(runs[0] - runs[1]) / max(min(runs), 0.01) > 0.3:
                     spark.catalog.clearCache()
-                    runs.append(_once(fn, args.sf)[1])
+                    _, s3, m3 = _once(fn, args.sf)
+                    runs.append(s3)
+                    memoized_rerun = memoized_rerun or m3
             results[name] = {
                 "status": "ok",
                 "rows": n,
                 "sec": min(runs),
                 "runs": runs,
             }
+            # ADVICE r9: a memo-served re-run measures the warm
+            # steady-state path while runs[0] is cold — mark mixed
+            # timing semantics so artifact readers can tell them apart
+            # (runs[0] is always the cold cost either way).
+            if memoized_rerun:
+                results[name]["memoized_rerun"] = True
+                results[name]["cold_sec"] = runs[0]
+            if memo0:
+                # even the FIRST run hit a memo another query populated
+                results[name]["memoized_first_run"] = True
         except Exception as e:  # capture, keep sweeping
             results[name] = {
                 "status": "error",
