@@ -3813,6 +3813,87 @@ def q_host_link_pagerank(spark, sf_dir):
     )
 
 
+@query("host_hits_scores")  # iterative mutual recursion — rows-only
+def q_host_hits_scores(spark, sf_dir):
+    """EXT — HITS hubs & authorities (graph.hits, Kleinberg 1999) over
+    the same extracted host→host link graph as host_link_pagerank:
+    the second classic link-authority axis — a catalog host that
+    links every shop is a HUB even if nothing cites it, and link-spam
+    separates as high-hub/low-authority. Iterative normalize-multiply
+    fixpoint — not SQL-expressible, so rows-only here; the operator is
+    numpy-parity-pinned in tests/test_triangles.py and the edge
+    stream feeding it is the hash-matched _HOST_EDGES_SQL surface.
+    Rounded to 9 like the pagerank twin."""
+    from .operators.graph import hits
+
+    return hits(_host_edges(spark, sf_dir).distinct()).select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({_HOST_EDGES_SQL})),
+seeds AS (
+  SELECT DISTINCT src AS node FROM e WHERE src LIKE 'shop0.%' OR src LIKE 'shop1.%'
+),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
+
+
+@query("host_distance_bfs", oracle=_BFS_ORACLE)
+def q_host_distance_bfs(spark, sf_dir):
+    """EXT — multi-source BFS seed distance (graph.bfs_distances) over
+    the host link graph: hop count from the nearest trusted seed, the
+    TrustRank-family (Gyöngyi et al. 2004) corpus-weighting signal —
+    "pages near good seeds are good" is the standard crawl-priority
+    prior. Seeds are the shop0/shop1 hosts; 3-hop horizon. Spark runs
+    the frontier expansion (first-reach minimality via per-round
+    anti-join); the oracle restates it as a depth-bounded recursive
+    CTE with MIN(dist) — hash-matched because BFS distance is exact,
+    not approximate."""
+    from .operators.graph import bfs_distances
+
+    edges = _host_edges(spark, sf_dir)
+    seeds = edges.where(
+        F.col("src").startswith("shop0.") | F.col("src").startswith("shop1.")
+    ).select(F.col("src").alias("node"))
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+_COCITATION_ORACLE = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_HOST_EDGES_SQL}))
+SELECT l.dst AS node_a, r.dst AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cosources
+FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("host_cocitation", oracle=_COCITATION_ORACLE)
+def q_host_cocitation(spark, sf_dir):
+    """EXT — co-citation pair counts (graph.cocitation_counts, Small
+    1973) over the host link graph: hosts endorsed by the same
+    sources are related even when neither links the other — the
+    classic related-pages / spam-cluster signal. Distinct edges, self
+    join on src, unordered pairs, min_count=2 to drop the
+    single-cosource noise tail; the oracle restates the identical
+    join. The quadratic-per-source hazard is documented on the
+    operator and capped via max_out_degree in production use; the
+    host graph here is host-cardinality so the uncapped form is the
+    honest restatable query."""
+    from .operators.graph import cocitation_counts
+
+    return cocitation_counts(_host_edges(spark, sf_dir), min_count=2)
+
+
 
 
 # ---------------------------------------------------------------------------

@@ -353,3 +353,217 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 20,
+    norm_every: int = 4,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, Kleinberg 1999 JACM):
+    iterate ``auth = Eᵀ·hub``, ``hub = E·auth``, L1-normalizing every
+    ``norm_every``-th round (and always on the last) so scores are
+    scale-free and deterministic. Normalization is mathematically a
+    no-op on the final answer (the update is linear, so scale divides
+    out); doing it lazily just skips the scalar-aggregate broadcast
+    on most rounds — one full un-normalized iteration grows mass by at
+    most max_outdeg·max_indeg, so even 1e15-fold growth per round
+    stays far inside double range across 4 deferred rounds.
+    Returns one row per node appearing as src or dst:
+    ``(node, hub, authority)``, each column summing to 1 (on a graph
+    with at least one edge). Parallel edges count as repeated
+    endorsements — pre-aggregate upstream if that is not wanted.
+
+    The complement of :func:`pagerank` for web-corpus curation: a page
+    can matter as a DIRECTORY (hub: links to many good pages) without
+    being an endpoint anyone cites — link-spam farms score high hub /
+    near-zero authority, which is exactly the signal crawl schedulers
+    and quality filters split on.
+
+    Spark shape mirrors :func:`pagerank`: each half-iteration is one
+    shuffle (scores grouped by the receiving endpoint) joined against
+    the |V|-sized score table, with a single-row L1 aggregate
+    broadcast for normalization; ``localCheckpoint`` per round cuts
+    the replanned-lineage blowup. Nodes on only one side of the edge
+    relation simply hold score 0 on the other axis — no dangling-mass
+    machinery is needed because HITS normalizes explicitly."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    # Iterate SPARSELY: scores rows exist only for nodes with nonzero
+    # mass (absent = 0, which contributes nothing to either sum), so
+    # the per-round plan is two edge joins + two groupBys + two scalar
+    # L1 aggregates and ONE outer join — no |V| densification until
+    # the end. One localCheckpoint per round keeps the replanned
+    # lineage flat; the scalar totals ride the same job as broadcast
+    # subplans.
+    scores = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("hub"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(iterations):
+        normalize = (it + 1) % norm_every == 0 or it == iterations - 1
+        # auth(v) = Σ_{(u,v)∈E} hub(u)
+        a = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("araw"))
+        )
+        if normalize:
+            a_tot = a.agg(F.sum("araw").alias("atot"))
+            auth = a.crossJoin(F.broadcast(a_tot)).select(
+                "node", (F.col("araw") / F.col("atot")).alias("authority")
+            )
+        else:
+            auth = a.select("node", F.col("araw").alias("authority"))
+        # hub(u) = Σ_{(u,v)∈E} auth(v)
+        h = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hraw"))
+        )
+        if normalize:
+            h_tot = h.agg(F.sum("hraw").alias("htot"))
+            hub = h.crossJoin(F.broadcast(h_tot)).select(
+                "node", (F.col("hraw") / F.col("htot")).alias("hub")
+            )
+        else:
+            hub = h.select("node", F.col("hraw").alias("hub"))
+        scores = (
+            hub.join(auth, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(scores, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distance over a directed edge set: returns
+    ``(node, dist)`` for every node reachable from any seed within
+    ``max_hops``, with ``dist`` = fewest edges from the NEAREST seed
+    (seeds themselves at 0). Unreachable nodes are absent — distance
+    is undefined, and emitting a sentinel would force every consumer
+    to special-case it.
+
+    The crawl-scheduling primitive behind "seed distance" corpus
+    weighting (pages few hops from trusted seeds are higher-quality
+    with high probability — the TrustRank/seed-expansion family,
+    Gyöngyi et al. 2004) and blast-radius queries over dependency
+    graphs.
+
+    Spark shape: classic frontier expansion — each hop is one join of
+    the CURRENT frontier (nodes first reached last round, shrinking)
+    against the edge table, anti-joined against the visited set so a
+    node is assigned the round it is FIRST reached (that minimality is
+    what makes per-round distance correct). Frontier and visited sets
+    are |V|-bounded and checkpointed per round; the join is
+    frontier×out-edges, so cost tracks the expanding wave, not
+    |V|·|E|. Early-exits when the frontier empties."""
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def cocitation_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_out_degree: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Co-citation pair counts (Small 1973): for every unordered pair
+    of targets, how many distinct sources link to BOTH. Returns
+    ``(node_a, node_b, n_cosources)`` with ``node_a < node_b``.
+    Parallel edges dedup first — a source endorsing a target five
+    times is still one co-citing source.
+
+    The classic related-item signal over a link graph (co-cited hosts
+    are topically related even when neither links the other) — the
+    backbone of "related pages" and of link-graph spam clustering.
+
+    Spark shape: distinct (src,dst), then a self-join on src — the
+    output is Σ_src C(outdeg(src), 2), so a handful of mega-hubs
+    (a sitemap page linking 10⁵ targets) dominates cost quadratically.
+    ``max_out_degree`` drops those super-spreader sources up front
+    (standard practice: a source citing everything carries no pairwise
+    signal), turning the worst case into a bounded
+    per-source fan-out; ``min_count`` prunes the long noise tail at
+    the final aggregate."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    if max_out_degree is not None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        e = e.join(
+            deg.where(F.col("outdeg") <= max_out_degree).select("src"), "src"
+        )
+    left = e
+    right = e.select(F.col("src"), F.col("dst").alias("dst_b"))
+    return (
+        left.join(right, "src")
+        .where(F.col("dst") < F.col("dst_b"))
+        .groupBy(F.col("dst").alias("node_a"), F.col("dst_b").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("n_cosources"))
+        .where(F.col("n_cosources") >= min_count)
+    )

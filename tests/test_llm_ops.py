@@ -1409,6 +1409,94 @@ def test_pagerank_empty_and_bad_damping(spark):
         pagerank(empty, damping=1.0)
 
 
+def test_hits_matches_numpy_power_iteration(spark):
+    """hits() L1-normalized hubs/authorities match the textbook numpy
+    power iteration exactly (the deferred normalization is a no-op on
+    the answer), including a pure-sink node (authority only), a
+    pure-source node (hub only), and a self-loop."""
+    from dlp_rdb_bq_import_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 3), (4, 0), (6, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iterations=20).collect()}
+
+    import numpy as np
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, t in edges:
+        A[idx[s], idx[t]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(20):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    for u in nodes:
+        assert abs(got[u][0] - h[idx[u]]) < 1e-9, u
+        assert abs(got[u][1] - a[idx[u]]) < 1e-9, u
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+    # node 5 never appears; node 4 is a pure source: authority 0
+    assert got[4][1] == 0.0
+    # node 6 only ever links out; nothing links it: authority 0, hub > 0
+    assert got[6][1] == 0.0 and got[6][0] > 0
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty).count() == 0
+
+
+def test_bfs_distances_chain_fork_and_horizon(spark):
+    """Multi-source BFS: nearest-seed minimality on a fork, max_hops
+    horizon cut, unreachable nodes absent, and seeds at 0 even when
+    another path reaches them later."""
+    from dlp_rdb_bq_import_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (9, 2), (4, 0), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=10).collect()}
+    # 2 is 1 hop from seed 9 (not 2 hops from seed 0)
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    # horizon: max_hops=1 stops the wave
+    got1 = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=1).collect()}
+    assert got1 == {0: 0, 9: 0, 1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        bfs_distances(edges, seeds, max_hops=-1)
+
+
+def test_cocitation_counts_pairs_cap_and_threshold(spark):
+    """Co-citation: unordered pairs with distinct-source counts;
+    parallel edges dedup; max_out_degree drops super-spreader sources;
+    min_count prunes."""
+    from dlp_rdb_bq_import_spark.operators.graph import cocitation_counts
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 11), (3, 10), (3, 11), (3, 12)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node_a, r.node_b): r.n_cosources
+        for r in cocitation_counts(edges).collect()
+    }
+    assert got[(10, 11)] == 3
+    assert got[(10, 12)] == 1 and got[(11, 12)] == 1
+    # source 3 cites three targets; cap at 2 removes its pairs
+    capped = {
+        (r.node_a, r.node_b): r.n_cosources
+        for r in cocitation_counts(edges, max_out_degree=2).collect()
+    }
+    assert capped == {(10, 11): 2}
+    thr = {
+        (r.node_a, r.node_b): r.n_cosources
+        for r in cocitation_counts(edges, min_count=2).collect()
+    }
+    assert thr == {(10, 11): 3}
+
+
 def test_check_expectations_planted_violations(spark):
     from dlp_rdb_bq_import_spark.operators.profiling import check_expectations
 
