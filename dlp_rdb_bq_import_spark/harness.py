@@ -9437,6 +9437,132 @@ def q_balanced_file_layout(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Language-model retrieval, collocations, graph keywords (round 10)
+# ---------------------------------------------------------------------------
+
+_QL_SQL = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN word = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+         CAST(sum(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+         CAST(sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+  FROM words GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS c_len,
+         CAST(sum(tf0) AS BIGINT) AS ctf0,
+         CAST(sum(tf1) AS BIGINT) AS ctf1,
+         CAST(sum(tf2) AS BIGINT) AS ctf2
+  FROM perdoc
+), scored AS (
+  SELECT doc_id,
+    round(
+      (CASE WHEN ctf0 > 0 THEN 1.0 + (CAST(tf0 AS DOUBLE) * CAST(c_len AS DOUBLE))
+                                     / (2000.0 * CAST(ctf0 AS DOUBLE))
+            ELSE 1.0 END)
+      * (CASE WHEN ctf1 > 0 THEN 1.0 + (CAST(tf1 AS DOUBLE) * CAST(c_len AS DOUBLE))
+                                       / (2000.0 * CAST(ctf1 AS DOUBLE))
+              ELSE 1.0 END)
+      * (CASE WHEN ctf2 > 0 THEN 1.0 + (CAST(tf2 AS DOUBLE) * CAST(c_len AS DOUBLE))
+                                       / (2000.0 * CAST(ctf2 AS DOUBLE))
+              ELSE 1.0 END)
+      * (2000.0 / (CAST(dl AS DOUBLE) + 2000.0))
+      * (2000.0 / (CAST(dl AS DOUBLE) + 2000.0))
+      * (2000.0 / (CAST(dl AS DOUBLE) + 2000.0)), 9) AS score
+  FROM perdoc CROSS JOIN stats
+  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@query("query_likelihood_topk", oracle=_QL_SQL)
+def q_query_likelihood_topk(spark, sf_dir):
+    """EXT — Dirichlet-smoothed query-likelihood retrieval
+    (text_ops.query_likelihood_topk, Zhai & Lafferty 2001): the
+    language-model ranking rival to BM25, over the same query
+    {dup, merge, window} so the two retrievers are directly
+    comparable fields for rrf_fuse. Scored in the odds form — every
+    op a correctly-rounded mul/div, per-term factors multiplied in
+    written query order, the |q|-power doc norm expanded as three
+    explicit multiplications — so scores are bit-identical to the
+    DuckDB oracle stating the same association. One groupBy over the
+    word stream + a 1-row broadcast stats attach; top-k via
+    TakeOrderedAndProject."""
+    return text_ops.query_likelihood_topk(
+        t(spark, sf_dir, "documents"), ["dup", "merge", "window"], k=15
+    )
+
+
+_PMI_SQL = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM ws) WHERE w <> '' GROUP BY 1
+), pos AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM ws
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.w <> '' AND b.w <> ''
+  GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(sum(n_pair) AS BIGINT) FROM bi) AS n_bi
+)
+SELECT w1, w2, n_pair,
+       round((CAST(n_pair AS DOUBLE) * CAST(n_uni AS DOUBLE)
+              * CAST(n_uni AS DOUBLE))
+             / (CAST(n_bi AS DOUBLE) * CAST(c1 AS DOUBLE)
+                * CAST(c2 AS DOUBLE)), 9) AS lift
+FROM bi
+JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 100
+"""
+
+
+@query("pmi_collocations", oracle=_PMI_SQL)
+def q_pmi_collocations(spark, sf_dir):
+    """EXT — PMI collocation mining (text_ops.pmi_collocations,
+    Church & Hanks 1990): adjacent-pair lift over the independence
+    baseline, the classic phrase-discovery signal (and the public
+    recipe behind word2phrase-style multiword tokens in tokenizer
+    pipelines). Bigrams come from an index transform inside the scan
+    (no shuffle), unigram/bigram tables are vocabulary-sized, and the
+    lift states ONE division over counts multiplied in fixed written
+    order — bit-identical to the oracle; ranking by lift is ranking
+    by PMI because log is monotone, so the non-correctly-rounded ln
+    never enters. min_count=5 floors the rare-pair blowup."""
+    return text_ops.pmi_collocations(
+        t(spark, sf_dir, "documents"), min_count=5, top_n=100
+    )
+
+
+@query("textrank_keywords")  # iterative pagerank fixpoint — rows-only
+def q_textrank_keywords(spark, sf_dir):
+    """EXT — corpus TextRank keywords (text_ops.textrank_keywords,
+    Mihalcea & Tarau 2004): weighted PageRank over the word
+    co-occurrence graph (window 2, stopwords excluded) — the global
+    recursive-centrality complement of the per-document RAKE scorer.
+    Iterative fixpoint — rows-only here; the pagerank core is
+    numpy-parity-pinned and the co-occurrence banded self-join is the
+    same bounded-difference shape as the interval joins. Top-50
+    keywords, rank rounded to 9."""
+    return text_ops.textrank_keywords(
+        t(spark, sf_dir, "documents"), list(text_ops.STOPWORDS), top_n=50
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -1771,3 +1771,232 @@ def blocklist_filter(
         F.col("hit_fraction") > max_fraction
     )
     return df.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+    k: int = 10,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    SIGIR 2001 — the standard language-model ranking, BM25's main
+    rival): rank documents by Πₜ p(t|d) with
+    ``p(t|d) = (tf + μ·p(t|C)) / (dl + μ)``. Output
+    ``(doc_id, score, rk)`` for documents matching >= 1 query term,
+    score desc / id asc, top-k.
+
+    Scored in the odds form that keeps every op a correctly-rounded
+    IEEE mul/div (the engine's bit-identical-across-engines contract —
+    no ln, no pow):
+    ``score = Πₜ (1 + tf·|C| / (μ·ctfₜ)) · (μ/(dl+μ))^|q|``
+    with the doc-norm power expanded as |q| explicit multiplications
+    and the per-term factors multiplied in the FIXED written order of
+    ``query_terms``. Query terms absent from the whole collection
+    (ctf=0) contribute factor 1 per the smoothing limit — their mass
+    is pure background and cancels in ranking.
+
+    Scale shape mirrors bm25_topk: one groupBy(doc) over the word
+    stream computes dl + fixed-width per-term tfs, a 1-row global
+    aggregate yields collection length and per-term collection
+    frequencies, broadcast back; top-k via orderBy+limit
+    (TakeOrderedAndProject). No joins besides the 1-row scalar
+    attach."""
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    if mu <= 0:
+        raise ValueError(f"query_likelihood_topk: mu must be > 0, got {mu}")
+    from pyspark.sql import Window
+
+    from . import fan_out
+
+    words = (
+        fan_out(df)
+        .select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    perdoc = words.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("word") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = perdoc.groupBy().agg(
+        F.sum("dl").alias("c_len"),
+        *[F.sum(f"_tf{i}").alias(f"_ctf{i}") for i in range(len(query_terms))],
+    )
+    score = None
+    for i in range(len(query_terms)):
+        factor = F.when(
+            F.col(f"_ctf{i}") > 0,
+            F.lit(1.0)
+            + (F.col(f"_tf{i}").cast("double") * F.col("c_len").cast("double"))
+            / (F.lit(float(mu)) * F.col(f"_ctf{i}").cast("double")),
+        ).otherwise(F.lit(1.0))
+        score = factor if score is None else score * factor
+    doc_norm = F.lit(float(mu)) / (F.col("dl").cast("double") + F.lit(float(mu)))
+    for _ in range(len(query_terms)):
+        score = score * doc_norm
+    match = None
+    for i in range(len(query_terms)):
+        cond = F.col(f"_tf{i}") > 0
+        match = cond if match is None else (match | cond)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        perdoc.where(match)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus collocation mining by pointwise mutual information
+    (Church & Hanks 1990): adjacent word pairs whose co-occurrence
+    beats the independence baseline. Output
+    ``(w1, w2, n_pair, lift)`` — ``lift`` is the PMI ratio
+    ``p(w1,w2) / (p(w1)·p(w2))`` stated with one division so every op
+    is correctly rounded:
+    ``(n_pair · N_uni · N_uni) / (N_bi · c1 · c2)`` (counts cast to
+    double, multiplied in that written order), rounded to 9; PMI
+    itself is ``log lift`` — monotone, so ranking by lift IS ranking
+    by PMI without the non-correctly-rounded ln. Top ``top_n`` by
+    lift desc / (w1,w2) asc; pairs below ``min_count`` drop first
+    (rare-pair PMI explodes — the classic failure mode the count
+    floor exists for).
+
+    Shape: bigrams come from an index transform over each document's
+    split array (JVM lambda, zero shuffle, pairs stay inside the
+    scan), then two word-keyed groupBys (unigrams, bigrams) and a
+    1-row totals aggregate broadcast back onto the pair table. At
+    corpus scale both aggregates are vocabulary-sized; the heavy
+    stream is the one explode pass."""
+    from . import fan_out
+
+    ws = fan_out(df).select(F.split(F.col(text_col), " ").alias("ws"))
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                    "(x, i) -> struct(x AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = uni.groupBy().agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.groupBy().agg(F.sum("n_pair").alias("n_bi"))
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_bi").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        bi.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", F.round(lift, 9).alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_n)
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    stopwords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    top_n: int = 50,
+    iterations: int = 20,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau, EMNLP 2004):
+    build the word co-occurrence graph — an undirected edge between
+    content words appearing within ``window`` positions of each other
+    in any document, weighted by co-occurrence count — and rank words
+    by weighted PageRank over it. Output ``(word, rank)``, top
+    ``top_n`` by rank desc / word asc, rank rounded to 9.
+
+    RAKE (rake_keywords) scores phrases per document from local
+    degree/frequency; TextRank is its global-graph complement — a
+    word matters because it co-occurs with words that matter,
+    recursively. Stopwords and empty tokens are excluded as graph
+    nodes (standard candidate filter; matching is exact and
+    case-sensitive like RAKE's — normalize upstream).
+
+    Shape: positions explode once; co-occurrence pairs come from a
+    bounded self-range join per document (pos difference 1..window —
+    an equi-join on doc_id with a banded predicate, cost ∝
+    window·corpus length, never all-pairs); the graph aggregates to
+    vocabulary-sized edges; pagerank's power method does the rest
+    (one shuffle per iteration, lineage cut per round). Edges are
+    symmetrized (both directions) so the directed pagerank walks the
+    undirected TextRank graph."""
+    if window < 1:
+        raise ValueError(f"textrank_keywords: window must be >= 1, got {window}")
+    from . import fan_out
+    from .graph import pagerank
+
+    stop = set(stopwords)
+    pos = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("d"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("i", "w"),
+        )
+        .where((F.col("w") != "") & (~F.col("w").isin(*stop) if stop else F.lit(True)))
+    )
+    right = pos.select(
+        F.col("d").alias("d2"), F.col("i").alias("j"), F.col("w").alias("w2")
+    )
+    cooc = (
+        pos.join(
+            right,
+            (F.col("d") == F.col("d2"))
+            & (F.col("j") > F.col("i"))
+            & (F.col("j") <= F.col("i") + window),
+        )
+        .where(F.col("w") != F.col("w2"))
+        .groupBy("w", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    edges = cooc.select(
+        F.col("w").alias("src"), F.col("w2").alias("dst"), F.col("n")
+    ).unionByName(
+        cooc.select(
+            F.col("w2").alias("src"), F.col("w").alias("dst"), F.col("n")
+        )
+    )
+    return (
+        pagerank(edges, weight_col="n", iterations=iterations)
+        .select(F.col("node").alias("word"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("word").asc())
+        .limit(top_n)
+    )

@@ -4623,3 +4623,74 @@ def test_ab_test_ztest_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="must differ"):
         ab_test_ztest(df, "arm", "converted", "control", "control")
+
+
+def test_query_likelihood_matches_hand_computation(spark):
+    """Dirichlet-QL scores on a 3-doc corpus match the odds-form
+    product computed in plain Python (same association order), and
+    only term-matching docs are returned."""
+    from dlp_rdb_bq_import_spark.operators.text import query_likelihood_topk
+
+    docs = [(0, "cat sat mat"), (1, "cat cat dog"), (2, "bird song")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mu = 10.0
+    got = {r.doc_id: r.score for r in
+           query_likelihood_topk(df, ["cat", "dog"], mu=mu, k=10).collect()}
+    assert set(got) == {0, 1}  # doc 2 matches neither term
+
+    toks = {d: t.split() for d, t in docs}
+    c_len = sum(len(v) for v in toks.values())
+    ctf = {w: sum(v.count(w) for v in toks.values()) for w in ("cat", "dog")}
+    for d in (0, 1):
+        score = 1.0 + (toks[d].count("cat") * float(c_len)) / (mu * ctf["cat"])
+        score = score * (1.0 + (toks[d].count("dog") * float(c_len)) / (mu * ctf["dog"]))
+        dn = mu / (len(toks[d]) + mu)
+        score = score * dn
+        score = score * dn
+        assert abs(got[d] - round(score, 9)) < 1e-12, d
+    assert got[1] > got[0]  # doc 1 has both terms, higher likelihood
+
+    with pytest.raises(ValueError):
+        query_likelihood_topk(df, [], k=5)
+    with pytest.raises(ValueError):
+        query_likelihood_topk(df, ["cat"], mu=0.0)
+
+
+def test_pmi_collocations_planted_pair_and_floor(spark):
+    """A planted always-adjacent pair tops the lift ranking; the
+    min_count floor drops rare pairs; lift matches the one-division
+    closed form."""
+    from dlp_rdb_bq_import_spark.operators.text import pmi_collocations
+
+    rows = [(i, "alpha beta filler%d common common" % (i % 7)) for i in range(20)]
+    rows.append((99, "rare pair"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.n_pair, r.lift)
+           for r in pmi_collocations(df, min_count=3, top_n=50).collect()}
+    assert ("rare", "pair") not in got  # below the floor
+    assert ("alpha", "beta") in got
+    n_uni = 20 * 5 + 2
+    n_bi = 20 * 4 + 1
+    c_alpha = 20
+    c_beta = 20
+    expect = (20.0 * n_uni * n_uni) / (float(n_bi) * c_alpha * c_beta)
+    assert abs(got[("alpha", "beta")][1] - round(expect, 9)) < 1e-12
+    # always-adjacent exclusive pair beats the high-frequency common pair
+    assert got[("alpha", "beta")][1] > got[("common", "common")][1]
+
+
+def test_textrank_central_word_wins_and_is_deterministic(spark):
+    """A hub word co-occurring with every other content word ranks
+    first; stopwords never appear as nodes; reruns are identical."""
+    from dlp_rdb_bq_import_spark.operators.text import textrank_keywords
+
+    rows = [(i, f"hub term{i} the hub term{(i + 1) % 8}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(df, ["the"], top_n=20).collect()
+    words = [r.word for r in out]
+    assert "the" not in words
+    assert words[0] == "hub"
+    again = textrank_keywords(df, ["the"], top_n=20).collect()
+    assert [(r.word, r.rank) for r in out] == [(r.word, r.rank) for r in again]
+    with pytest.raises(ValueError):
+        textrank_keywords(df, ["the"], window=0)
