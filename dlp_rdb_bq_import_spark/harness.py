@@ -9562,6 +9562,117 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def _ucc_branch(cols: list[str]) -> str:
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    tup = f"({', '.join(cols)})" if len(cols) > 1 else cols[0]
+    return f"""
+SELECT '{",".join(cols)}' AS combination,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+       count(*) > 0 AND count(DISTINCT {tup}) = count(*) AS is_unique,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE round(CAST(count(DISTINCT {tup}) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 9) END AS uniqueness
+FROM orders WHERE {nn}"""
+
+
+_UCC_SQL = " UNION ALL ".join(
+    _ucc_branch(list(c))
+    for c in (
+        ["o_orderkey"], ["o_custkey"], ["o_orderstatus"],
+        ["o_orderkey", "o_custkey"], ["o_orderkey", "o_orderstatus"],
+        ["o_custkey", "o_orderstatus"],
+    )
+)
+
+
+@query("ucc_discovery", oracle=_UCC_SQL)
+def q_ucc_discovery(spark, sf_dir):
+    """EXT — unique-column-combination (candidate-key) discovery
+    (profiling.ucc_discovery): the uniqueness half of schema
+    profiling next to fd_discovery — the reference only probes keys
+    DECLARED in the catalog (`PK%` heuristic,
+    common/ServerUtil.java:47-52); this measures which combinations
+    are keys IN THE DATA, the input a merge/upsert or dedup planner
+    actually needs. Singles + pairs over (o_orderkey, o_custkey,
+    o_orderstatus): the orderkey is unique, its supersets are, and
+    nothing else — exact distinct counts with NULL-complete-tuple
+    exclusion, one slim aggregate pass per combination, metadata-
+    sized result."""
+    from .operators.profiling import ucc_discovery
+
+    return ucc_discovery(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        max_size=2,
+    )
+
+
+def _benford_sql() -> str:
+    from .operators.profiling import BENFORD_P
+
+    ns = ", ".join(
+        f"CAST(sum(CASE WHEN d = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS n{d}"
+        for d in range(1, 10)
+    )
+    n_total = " + ".join(f"n{d}" for d in range(1, 10))
+    # `{p!r}e0`: E-notation so DuckDB parses the constant as DOUBLE
+    # (a plain decimal literal parses as DECIMAL and the coercion can
+    # differ from the Spark double by one ulp)
+    terms = " + ".join(
+        f"(CAST(n{d} AS DOUBLE) / CAST(n_total AS DOUBLE) - {p!r}e0)"
+        f" * (CAST(n{d} AS DOUBLE) / CAST(n_total AS DOUBLE) - {p!r}e0) / {p!r}e0"
+        for d, p in zip(range(1, 10), BENFORD_P)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {d} AS digit, n{d} AS n, n_total, chi2 FROM one"
+        for d in range(1, 10)
+    )
+    p_case = " ".join(
+        f"WHEN digit = {d} THEN {p!r}e0" for d, p in zip(range(1, 10), BENFORD_P)
+    )
+    return f"""
+WITH base AS (
+  SELECT regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS d
+  FROM orders WHERE o_totalprice > 0
+), agg AS (
+  SELECT {ns} FROM base
+), one AS (
+  SELECT *, CAST({n_total} AS BIGINT) AS n_total,
+         CASE WHEN {n_total} = 0 THEN 0.0
+              ELSE round(CAST({n_total} AS DOUBLE) * ({terms}), 9) END AS chi2
+  FROM agg
+), tall AS ({branches})
+SELECT CAST(digit AS INTEGER) AS digit, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n_total = 0 THEN 0.0
+                  ELSE CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END, 9)
+         AS share,
+       CASE {p_case} ELSE 0.0 END AS benford_p,
+       round((CASE WHEN n_total = 0 THEN 0.0
+                   ELSE CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END)
+             - (CASE {p_case} ELSE 0.0 END), 9) AS deviation,
+       chi2
+FROM tall
+"""
+
+
+@query("benford_first_digit", oracle=_benford_sql())
+def q_benford_first_digit(spark, sf_dir):
+    """EXT — Benford first-significant-digit screen
+    (profiling.benford_deviation) over order totals: the classic
+    fabricated-data / corrupted-feed detector (Nigrini's audit
+    practice). Engine parity without log: the digit is the first
+    nonzero digit of the shortest-roundtrip string (notation-
+    independent), the Benford probabilities are shared hardcoded
+    literals, and the digit histogram is ONE conditional aggregate —
+    closed 1..9 domain, no groupBy, no shuffle — with shares and the
+    chi-square folding in fixed digit order. At 100 TB this is a scan
+    plus a 9-column partial aggregate."""
+    from .operators.profiling import benford_deviation
+
+    return benford_deviation(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

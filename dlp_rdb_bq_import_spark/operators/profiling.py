@@ -1081,3 +1081,171 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def ucc_discovery(
+    df: DataFrame, columns: list[str], max_size: int = 2
+) -> DataFrame:
+    """Unique-column-combination (candidate-key) discovery — the
+    uniqueness half of schema profiling next to :func:`fd_discovery`'s
+    determination half (public profiling staple: HyUCC/DUCC family;
+    the reference only ever PROBES declared keys via the ``PK%``
+    heuristic, common/ServerUtil.java — this finds the keys actually
+    present in the data). For every combination of 1..``max_size``
+    columns:
+
+    ``(combination, n_rows, n_distinct, is_unique, uniqueness)`` —
+    ``combination`` is the comma-joined column list in the caller's
+    order, ``n_rows`` counts rows where EVERY member is non-NULL (a
+    NULL cannot attest uniqueness — standard UCC semantics, identical
+    to a multi-column UNIQUE constraint), ``n_distinct`` the distinct
+    complete tuples among them, ``is_unique`` ⟺ equality, and
+    ``uniqueness`` their ratio rounded to 9 (0.0 for a fully-NULL
+    column: vacuous, pinned like fd_discovery's all-NULL case).
+
+    Scale shape: one aggregate pass per combination over a slim
+    projection — C(|columns|, ≤max_size) passes, each a map-side
+    partial count + exact distinct; the result is metadata-sized.
+    Exact distincts (not approx) because candidate-keyness is a
+    boolean the downstream merge/upsert planner trusts; swap in
+    approx_count_distinct upstream if a survey pass over hundreds of
+    columns is wanted first."""
+    import itertools
+
+    if not columns:
+        raise ValueError("ucc_discovery: columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        raise ValueError(f"ucc_discovery: duplicate columns in {columns}")
+    if max_size < 1:
+        raise ValueError(f"ucc_discovery: max_size must be >= 1, got {max_size}")
+    parts = []
+    for size in range(1, min(max_size, len(columns)) + 1):
+        for combo in itertools.combinations(columns, size):
+            nn = None
+            for c in combo:
+                cond = F.col(c).isNotNull()
+                nn = cond if nn is None else (nn & cond)
+            tup = F.struct(*[F.col(c) for c in combo]) if size > 1 else F.col(combo[0])
+            agg = df.select(
+                F.when(nn, tup).alias("_t")
+            ).agg(
+                F.count("_t").alias("n_rows"),
+                F.count_distinct(F.col("_t")).alias("n_distinct"),
+            )
+            parts.append(
+                agg.select(
+                    F.lit(",".join(combo)).alias("combination"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    (
+                        (F.col("n_rows") > 0)
+                        & (F.col("n_distinct") == F.col("n_rows"))
+                    ).alias("is_unique"),
+                    F.when(F.col("n_rows") == 0, F.lit(0.0))
+                    .otherwise(
+                        F.round(
+                            F.col("n_distinct").cast("double")
+                            / F.col("n_rows").cast("double"),
+                            9,
+                        )
+                    )
+                    .alias("uniqueness"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# log10(1 + 1/d) for d = 1..9, written as shortest-roundtrip literals
+# so BOTH engines use the identical constants and no engine's log
+# implementation (not correctly rounded by IEEE) ever enters the
+# computation.
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829993,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column against Benford's law — the classic fabricated-data /
+    corrupted-feed screen (Benford 1938; Nigrini's audit practice):
+    organically-grown magnitudes put digit d first with probability
+    log10(1+1/d); uniform generators, truncations and unit bugs show
+    up as flat or spiked digit histograms.
+
+    Output: 9 rows ``(digit, n, share, benford_p, deviation, chi2)``
+    — ``share`` the observed fraction among strictly-positive values,
+    ``deviation = share − benford_p``, and ``chi2`` the Pearson
+    statistic ``N·Σ_d (share_d − p_d)²/p_d`` (same value on every
+    row; ≳ 20.09 rejects Benford at α=0.01 with 8 df). All three
+    rounded to 9.
+
+    Determinism & engine-parity: the first significant digit is the
+    first nonzero digit of the value's shortest-roundtrip string form
+    — notation-independent ('0.00015' and '1.5E-4' both yield 1), so
+    a regexp extract states it identically in any engine without
+    calling log. The digit histogram is ONE conditional aggregate
+    over the scan (digits have a closed 1..9 domain — no groupBy, no
+    shuffle); shares, deviations and the chi2 fold in fixed digit
+    order 1..9, every op a correctly-rounded IEEE mul/div/add against
+    the hardcoded BENFORD_P literals."""
+    x = F.col(value_col)
+    digit = F.regexp_extract(x.cast("string"), "[1-9]", 0)
+    base = df.select(
+        F.when(x > 0, digit).alias("_d")
+    )
+    aggs = [
+        F.sum((F.col("_d") == str(d)).cast("long")).alias(f"n{d}")
+        for d in range(1, 10)
+    ]
+    one = base.where(F.col("_d").isNotNull()).agg(*aggs)
+    n_tot = None
+    for d in range(1, 10):
+        c = F.coalesce(F.col(f"n{d}"), F.lit(0))
+        n_tot = c if n_tot is None else n_tot + c
+    one = one.select(
+        *[F.coalesce(F.col(f"n{d}"), F.lit(0)).cast("long").alias(f"n{d}")
+          for d in range(1, 10)],
+        n_tot.cast("long").alias("n_total"),
+    )
+    chi2 = None
+    for d, p in zip(range(1, 10), BENFORD_P):
+        share = F.col(f"n{d}").cast("double") / F.col("n_total").cast("double")
+        term = (share - F.lit(p)) * (share - F.lit(p)) / F.lit(p)
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.col("n_total").cast("double") * chi2
+    # no positive values ⟹ pin shares/chi2 to 0.0 instead of the
+    # engine-dependent 0/0 (NaN vs NULL vs error) a raw division gives
+    one = one.withColumn(
+        "chi2",
+        F.when(F.col("n_total") == 0, F.lit(0.0)).otherwise(F.round(chi2, 9)),
+    )
+    stack_args = ", ".join(f"{d}, n{d}" for d in range(1, 10))
+    tall = one.selectExpr(
+        f"stack(9, {stack_args}) AS (digit, n)", "n_total", "chi2"
+    )
+    p_expr = None
+    for d, p in zip(range(1, 10), BENFORD_P):
+        branch = F.when(F.col("digit") == d, F.lit(p))
+        p_expr = branch if p_expr is None else p_expr.when(F.col("digit") == d, F.lit(p))
+    p_col = p_expr.otherwise(F.lit(0.0))
+    share_raw = F.col("n").cast("double") / F.col("n_total").cast("double")
+    share = F.when(F.col("n_total") == 0, F.lit(0.0)).otherwise(share_raw)
+    return tall.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 9).alias("share"),
+        p_col.alias("benford_p"),
+        F.round(share - p_col, 9).alias("deviation"),
+        "chi2",
+    )

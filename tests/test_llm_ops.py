@@ -4694,3 +4694,75 @@ def test_textrank_central_word_wins_and_is_deterministic(spark):
     assert [(r.word, r.rank) for r in out] == [(r.word, r.rank) for r in again]
     with pytest.raises(ValueError):
         textrank_keywords(df, ["the"], window=0)
+
+
+def test_ucc_discovery_keys_nulls_and_guards(spark):
+    """Candidate-key detection on a hand table: unique single, unique
+    only-as-pair, NULL-bearing rows excluded from the combination's
+    counts, fully-NULL column pinned to uniqueness 0.0."""
+    from dlp_rdb_bq_import_spark.operators.profiling import ucc_discovery
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, None),
+            (2, "a", 20, None),
+            (3, "b", 10, None),
+            (None, "b", 20, None),
+        ],
+        "k int, g string, v int, z string",
+    )
+    got = {r.combination: r for r in ucc_discovery(df, ["k", "g", "v", "z"]).collect()}
+    assert len(got) == 4 + 6
+    # k unique among its 3 non-null rows
+    assert got["k"].is_unique and got["k"].n_rows == 3
+    assert not got["g"].is_unique and got["g"].n_distinct == 2
+    # (g, v) is a key over all 4 rows; neither member alone is
+    assert got["g,v"].is_unique and got["g,v"].n_rows == 4
+    assert not got["v"].is_unique
+    # all-NULL column: vacuous, pinned
+    assert got["z"].n_rows == 0 and not got["z"].is_unique
+    assert got["z"].uniqueness == 0.0
+    assert got["g"].uniqueness == 0.5
+
+    with pytest.raises(ValueError):
+        ucc_discovery(df, [])
+    with pytest.raises(ValueError):
+        ucc_discovery(df, ["k", "k"])
+    with pytest.raises(ValueError):
+        ucc_discovery(df, ["k"], max_size=0)
+
+
+def test_benford_deviation_planted_digits(spark):
+    """First-significant-digit extraction is notation-independent
+    (sub-1 magnitudes, large magnitudes); non-positive and NULL values
+    are excluded; shares and chi2 match hand arithmetic; a
+    Benford-perfect-ish vs uniform-digit corpus separates on chi2."""
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        BENFORD_P,
+        benford_deviation,
+    )
+
+    vals = [0.00015, 1.5e-4, 23000.0, 2.3, 9.0, -5.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_deviation(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1].n == 2 and rows[2].n == 2 and rows[9].n == 1
+    assert rows[5].n == 0  # -5.0 excluded
+    n_total = 5
+    assert abs(rows[1].share - round(2 / 5, 9)) < 1e-12
+    chi2 = n_total * sum(
+        (rows[d].n / n_total - p) ** 2 / p
+        for d, p in zip(range(1, 10), BENFORD_P)
+    )
+    assert abs(rows[1].chi2 - chi2) < 1e-6
+    # uniform digits 1..9 repeated: a clear Benford violation
+    uni = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10) for _ in range(30)], "x double"
+    )
+    chi_uni = benford_deviation(uni, "x").collect()[0].chi2
+    assert chi_uni > 20.09  # rejects at alpha=0.01, 8 df
+    # empty input: 9 pinned zero rows, no NaN
+    empty = spark.createDataFrame([], "x double")
+    erows = benford_deviation(empty, "x").collect()
+    assert len(erows) == 9
+    assert all(r.n == 0 and r.share == 0.0 and r.chi2 == 0.0 for r in erows)
