@@ -9674,6 +9674,200 @@ def q_benford_first_digit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HTML table extraction + sitemap parsing (round 10 web-ingestion adds)
+# ---------------------------------------------------------------------------
+
+_TABLE_HTML_SQL = """
+SELECT doc_id,
+  '<html><body><h1>catalog</h1>' ||
+  CASE WHEN doc_id % 3 <> 2 THEN
+    '<table class="data"><thead><tr><th>item</th><th>qty &amp; price</th></tr></thead>' ||
+    '<tbody><tr><td>sku-' || CAST(doc_id % 500 AS VARCHAR) || '</td><td>' ||
+    CAST(doc_id % 97 AS VARCHAR) || '</td></tr>' ||
+    '<tr><td><b>sku-' || CAST((doc_id * 3) % 500 AS VARCHAR) || '</b></td><td>' ||
+    CAST((doc_id * 7) % 89 AS VARCHAR) || '</td></tr></tbody></table>'
+  ELSE '<p>no tables here</p>' END ||
+  CASE WHEN doc_id % 6 = 1
+       THEN '<table><tr><td> spare </td><td>parts</td></tr></table>'
+       ELSE '' END ||
+  '</body></html>' AS html
+FROM documents
+"""
+
+
+def _table_pages(spark, sf_dir):
+    """Spark twin of _TABLE_HTML_SQL (same strings, same classes)."""
+    did = F.col("doc_id")
+    main_table = F.concat(
+        F.lit(
+            '<table class="data"><thead><tr><th>item</th>'
+            "<th>qty &amp; price</th></tr></thead>"
+        ),
+        F.lit("<tbody><tr><td>sku-"),
+        (did % 500).cast("string"),
+        F.lit("</td><td>"),
+        (did % 97).cast("string"),
+        F.lit("</td></tr>"),
+        F.lit("<tr><td><b>sku-"),
+        ((did * 3) % 500).cast("string"),
+        F.lit("</b></td><td>"),
+        ((did * 7) % 89).cast("string"),
+        F.lit("</td></tr></tbody></table>"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>catalog</h1>"),
+        F.when(did % 3 != 2, main_table).otherwise(
+            F.lit("<p>no tables here</p>")
+        ),
+        F.when(
+            did % 6 == 1,
+            F.lit("<table><tr><td> spare </td><td>parts</td></tr></table>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+
+
+_VISIBLE_TEXT_SQL_TMPL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace({x}, '<[^>]*>', ' ', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
+    " '&nbsp;', ' '), '&amp;', '&'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_CELL_RE_SQL = "'(?is)<(t[dh])[^>]*>(.*?)</t[dh]\\s*>'"
+
+_TABLE_EXTRACT_SQL = f"""
+WITH pages AS ({_TABLE_HTML_SQL}),
+tl AS (
+  SELECT doc_id, regexp_extract_all(html, '(?is)<table[^>]*>.*?</table>', 0) AS tbls
+  FROM pages
+),
+tt AS (
+  SELECT doc_id, CAST(ti AS BIGINT) AS table_ord, tbls[CAST(ti AS BIGINT)] AS tbl
+  FROM tl JOIN generate_series(1, 4) g(ti) ON ti <= len(tbls)
+),
+rl AS (
+  SELECT doc_id, table_ord, regexp_extract_all(tbl, '(?is)<tr[^>]*>.*?</tr>', 0) AS trs
+  FROM tt
+),
+rr AS (
+  SELECT doc_id, table_ord, CAST(ri AS BIGINT) AS row_ord, trs[CAST(ri AS BIGINT)] AS tr
+  FROM rl JOIN generate_series(1, 8) g(ri) ON ri <= len(trs)
+),
+cl AS (
+  SELECT doc_id, table_ord, row_ord,
+         regexp_extract_all(tr, {_CELL_RE_SQL}, 0) AS cells
+  FROM rr
+),
+cc AS (
+  SELECT doc_id, table_ord, row_ord, CAST(ci AS BIGINT) AS col_ord,
+         cells[CAST(ci AS BIGINT)] AS cell
+  FROM cl JOIN generate_series(1, 8) g(ci) ON ci <= len(cells)
+)
+SELECT doc_id, table_ord, row_ord, col_ord,
+       lower(regexp_extract(cell, {_CELL_RE_SQL}, 1)) = 'th' AS is_header,
+       {_VISIBLE_TEXT_SQL_TMPL.format(x=f"regexp_extract(cell, {_CELL_RE_SQL}, 2)")}
+         AS cell_text
+FROM cc
+"""
+
+
+@query("html_table_extract", oracle=_TABLE_EXTRACT_SQL)
+def q_html_table_extract(spark, sf_dir):
+    """EXT — HTML table extraction (html_extract.extract_tables): the
+    structured-data harvest of a web pipeline (the WebTables/WDC
+    recipe), one row per cell with 1-based (table, row, col) ordinals,
+    th-vs-td header flags, and cell text through the SAME visible-text
+    chain as blocks/anchors (the fixture plants an inline <b> and an
+    &amp; entity to pin it). Three-level regexp_extract_all +
+    posexplode — pure expression chain, zero joins/UDFs; the oracle
+    restates the identical regexes and ordinal joins. Docs without
+    tables emit nothing; the second small table pins multi-table
+    ordinals."""
+    from .operators.html_extract import extract_tables
+
+    return extract_tables(_table_pages(spark, sf_dir), "html", "doc_id")
+
+
+_SITEMAP_XML_SQL = """
+SELECT doc_id,
+  '<?xml version="1.0"?><urlset>' ||
+  '<url><loc>  https://shop' || CAST(doc_id % 20 AS VARCHAR) ||
+  '.example.com/catalog/item/' || CAST(doc_id % 500 AS VARCHAR) ||
+  '  </loc><lastmod>2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+  '-11</lastmod></url>' ||
+  '<url><loc>https://shop' || CAST(doc_id % 20 AS VARCHAR) ||
+  '.example.com/about</loc></url>' ||
+  CASE WHEN doc_id % 5 = 0 THEN '<url><priority>0.5</priority></url>' ELSE '' END ||
+  '</urlset>' AS xml
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SITEMAP_EXTRACT_SQL = f"""
+WITH maps AS ({_SITEMAP_XML_SQL}),
+el AS (
+  SELECT doc_id, regexp_extract_all(xml, '(?is)<url\\s*>.*?</url\\s*>', 0) AS es
+  FROM maps
+),
+ee AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS entry_ord, es[CAST(i AS BIGINT)] AS e
+  FROM el JOIN generate_series(1, 4) g(i) ON i <= len(es)
+)
+SELECT doc_id, entry_ord,
+       regexp_extract(e, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) AS loc,
+       NULLIF(regexp_extract(e, '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), '')
+         AS lastmod
+FROM ee
+WHERE regexp_extract(e, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) <> ''
+"""
+
+
+def _sitemap_docs(spark, sf_dir):
+    """Spark twin of _SITEMAP_XML_SQL."""
+    did = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>  https://shop"),
+        (did % 20).cast("string"),
+        F.lit(".example.com/catalog/item/"),
+        (did % 500).cast("string"),
+        F.lit("  </loc><lastmod>2026-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("-11</lastmod></url>"),
+        F.lit("<url><loc>https://shop"),
+        (did % 20).cast("string"),
+        F.lit(".example.com/about</loc></url>"),
+        F.when(
+            did % 5 == 0, F.lit("<url><priority>0.5</priority></url>")
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", xml.alias("xml"))
+    )
+
+
+@query("sitemap_extract", oracle=_SITEMAP_EXTRACT_SQL)
+def q_sitemap_extract(spark, sf_dir):
+    """EXT — sitemap-protocol parsing (urls.extract_sitemap_entries,
+    sitemaps.org): the crawl-seed channel next to outlink discovery —
+    loc URLs with optional lastmod freshness hints, feeding
+    frontier_next_batch with the site's own recency signal. The
+    fixture plants whitespace-padded locs (regex-trimmed), entries
+    without lastmod (NULL), and loc-less entries (dropped, per the
+    spec's required-loc rule). Single regexp_extract_all + posexplode
+    expression chain; the oracle restates the identical regexes."""
+    from .operators.urls import extract_sitemap_entries
+
+    return extract_sitemap_entries(_sitemap_docs(spark, sf_dir), "xml", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

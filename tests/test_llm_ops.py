@@ -4766,3 +4766,62 @@ def test_benford_deviation_planted_digits(spark):
     erows = benford_deviation(empty, "x").collect()
     assert len(erows) == 9
     assert all(r.n == 0 and r.share == 0.0 and r.chi2 == 0.0 for r in erows)
+
+
+def test_extract_tables_planted_structure(spark):
+    """Cell-level extraction: thead/tbody wrappers transparent, th
+    flagged, inline markup stripped + entities decoded in cell text,
+    multi-table ordinals, no-table docs emit nothing."""
+    from dlp_rdb_bq_import_spark.operators.html_extract import extract_tables
+
+    html = (
+        "<table><thead><tr><th>A &amp; B</th><th>c</th></tr></thead>"
+        "<tbody><tr><td><i>x</i></td><td> y </td></tr></tbody></table>"
+        "<p>between</p>"
+        "<TABLE class=z><tr><td>only</td></tr></TABLE>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>plain</p>")], "doc_id long, html string"
+    )
+    rows = sorted(
+        extract_tables(df, "html", "doc_id").collect(),
+        key=lambda r: (r.doc_id, r.table_ord, r.row_ord, r.col_ord),
+    )
+    assert all(r.doc_id == 1 for r in rows)
+    got = [
+        (r.table_ord, r.row_ord, r.col_ord, r.is_header, r.cell_text)
+        for r in rows
+    ]
+    assert got == [
+        (1, 1, 1, True, "A & B"),
+        (1, 1, 2, True, "c"),
+        (1, 2, 1, False, "x"),
+        (1, 2, 2, False, "y"),
+        (2, 1, 1, False, "only"),
+    ]
+
+
+def test_extract_sitemap_entries_trim_null_and_required_loc(spark):
+    """Sitemap parsing: loc whitespace trimmed, missing lastmod NULL,
+    loc-less entries dropped, ordinals in document order, sitemapindex
+    bodies yield zero rows."""
+    from dlp_rdb_bq_import_spark.operators.urls import extract_sitemap_entries
+
+    xml = (
+        "<urlset><url><loc>\n  https://a.example/x </loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><priority>0.3</priority></url>"
+        "<url><loc>https://a.example/y</loc></url></urlset>"
+    )
+    idx = "<sitemapindex><sitemap><loc>https://a.example/s.xml</loc></sitemap></sitemapindex>"
+    df = spark.createDataFrame(
+        [(1, xml), (2, idx)], "doc_id long, xml string"
+    )
+    rows = sorted(
+        extract_sitemap_entries(df, "xml", "doc_id").collect(),
+        key=lambda r: (r.doc_id, r.entry_ord),
+    )
+    assert [(r.doc_id, r.entry_ord, r.loc, r.lastmod) for r in rows] == [
+        (1, 1, "https://a.example/x", "2026-01-02"),
+        (1, 3, "https://a.example/y", None),
+    ]
