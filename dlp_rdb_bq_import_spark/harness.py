@@ -9868,6 +9868,140 @@ def q_sitemap_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus line dedup + EWMA anomaly monitor (round 10)
+# ---------------------------------------------------------------------------
+
+_MULTILINE_DOCS_SQL = """
+SELECT doc_id,
+  'promo: subscribe to our newsletter' || chr(10) ||
+  'body: ' || text || chr(10) ||
+  'footer: (c) ' || source || chr(10) ||
+  'tail: ' || CAST(doc_id AS VARCHAR) AS text
+FROM documents
+"""
+
+
+def _multiline_docs(spark, sf_dir):
+    """Spark twin of _MULTILINE_DOCS_SQL: every doc carries a global
+    promo line (dropped), a per-source footer (dropped — each source
+    spans many docs), a body line (kept unless the underlying text is
+    a widespread exact dup), and a per-doc tail (always kept)."""
+    d = t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("promo: subscribe to our newsletter\n"),
+        F.lit("body: "),
+        F.col("text"),
+        F.lit("\nfooter: (c) "),
+        F.col("source"),
+        F.lit("\ntail: "),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+_LINE_DEDUP_SQL = f"""
+WITH d AS ({_MULTILINE_DOCS_SQL}),
+parts AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+),
+docfreq AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+  FROM parts GROUP BY 1
+),
+fl AS (
+  SELECT p.doc_id, p.pos, p.line, docs >= 5 AS dropped
+  FROM parts p JOIN docfreq USING (line)
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM fl GROUP BY 1
+"""
+
+
+@query("corpus_line_dedup", oracle=_LINE_DEDUP_SQL)
+def q_corpus_line_dedup(spark, sf_dir):
+    """EXT — cross-corpus line deduplication (text_ops.
+    corpus_line_dedup): the CCNet recipe (Wenzek et al. 2020) — drop
+    every copy of lines appearing in >= 5 distinct documents
+    (planted: a global promo line and per-source footers vanish, the
+    per-doc tail survives, body lines survive except widespread exact
+    dups). Distinct-docs frequency over the exploded line stream
+    (line-vocabulary-sized), verdict join back, ordered reassembly —
+    three keyed shuffles, all JVM; the oracle restates the identical
+    threshold and string_agg reassembly."""
+    return text_ops.corpus_line_dedup(
+        _multiline_docs(spark, sf_dir), "text", "doc_id", sep="\n", min_docs=5
+    )
+
+
+def _ewma_sql() -> str:
+    alpha, window_n, thr = 0.3, 8, 150.0
+    weights = [alpha * (1.0 - alpha) ** (i - 1) for i in range(1, window_n + 1)]
+    lag = (
+        "lag(CAST(value AS DOUBLE), {i}) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id)"
+    )
+    num = " + ".join(
+        f"(CASE WHEN {lag.format(i=i)} IS NOT NULL "
+        f"THEN {lag.format(i=i)} * {w!r}e0 ELSE 0.0e0 END)"
+        for i, w in enumerate(weights, start=1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag.format(i=i)} IS NOT NULL "
+        f"THEN {w!r}e0 ELSE 0.0e0 END)"
+        for i, w in enumerate(weights, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id, value,
+         ({num}) AS num, ({den}) AS den
+  FROM events
+), sm AS (
+  SELECT event_type, ts, event_id, value,
+         CASE WHEN den > 0 THEN num / den END AS ewma_raw
+  FROM base
+)
+SELECT event_type, ts, event_id, value,
+       round(ewma_raw, 9) AS ewma,
+       round(CAST(value AS DOUBLE) - ewma_raw, 9) AS deviation,
+       COALESCE(abs(CAST(value AS DOUBLE) - ewma_raw) > {thr!r}e0, false)
+         AS is_anomaly
+FROM sm
+"""
+
+
+@query("ewma_anomaly", oracle=_ewma_sql())
+def q_ewma_anomaly(spark, sf_dir):
+    """EXT — EWMA control-chart anomaly monitor (timeseries.
+    ewma_outliers, Roberts 1959): per event type, predict each value
+    from the exponentially-weighted mean of its 8 preceding values
+    (α=0.3) and flag |deviation| > 150 — the standard streaming-
+    metrics spike detector. The truncated-window closed form makes the
+    sequential textbook recursion a plain per-group window with 8 lag
+    expressions folded in fixed order over precomputed weight
+    literals — one shuffle by event_type, bit-identical to the
+    oracle; first-of-group rows carry NULL prediction and a pinned
+    false flag."""
+    from .operators.timeseries import ewma_outliers
+
+    return ewma_outliers(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "value",
+        ["event_type"],
+        order_tiebreak=["event_id"],
+        alpha=0.3,
+        window_n=8,
+        threshold=150.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -2000,3 +2000,76 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("word").asc())
         .limit(top_n)
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus line deduplication — the CCNet recipe (Wenzek et
+    al. 2020): hash every line, count how many DISTINCT documents each
+    line appears in, and drop EVERY copy of lines seen in
+    ``min_docs``-or-more documents (cookie banners, nav footers,
+    "subscribe" chrome — the page furniture that survives per-document
+    cleaning precisely because it repeats across pages, which is also
+    why this is the signal that finds it). The within-document
+    complement is :func:`drop_repeated_paragraphs`.
+
+    Output per input row: ``(id_col, text_col, n_lines, n_dropped)``
+    — the reassembled text (original order, original separator),
+    total and dropped line counts. Documents whose every line is
+    boilerplate are KEPT with text '' (an empty doc is a quality
+    signal downstream gates act on; silently deleting rows is not
+    this operator's decision). Duplicate lines WITHIN one document
+    count once toward the document frequency (distinct-docs
+    semantics) and are all dropped together when the line crosses the
+    threshold.
+
+    Scale shape: posexplode once; document frequency is a
+    groupBy(line) over the (doc, line)-distinct projection
+    (line-vocabulary-sized — boilerplate by definition repeats, so
+    this table is far smaller than the corpus); the verdict joins
+    back onto the line stream by line key and the doc reassembles
+    with the same sort_array/array_join groupBy as
+    drop_repeated_paragraphs. Three keyed shuffles, all JVM, nothing
+    ever holds a whole document in one row except the final
+    concat."""
+    import re as _re
+
+    if min_docs < 1:
+        raise ValueError(f"corpus_line_dedup: min_docs must be >= 1, got {min_docs}")
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("_pos", "_line"),
+    )
+    docfreq = (
+        parts.select(id_col, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    flagged = parts.join(docfreq, "_line").select(
+        id_col, "_pos", "_line", (F.col("_df") >= min_docs).alias("_drop")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"), F.struct("_pos", "_line")
+                        )
+                    )
+                ),
+                lambda x: x["_line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
+    )

@@ -414,3 +414,78 @@ def period_over_period(
             / F.col("_prev").cast("double"),
         ).alias("pct_change"),
     )
+
+
+def ewma_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+    alpha: float = 0.3,
+    window_n: int = 8,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """One-step-ahead EWMA smoothing with an anomaly flag — the
+    classic streaming-metrics monitor (Roberts 1959 EWMA control
+    chart; Holt's level-only case): per group, predict each point
+    from the exponentially-weighted mean of its ``window_n``
+    PRECEDING values and flag points whose absolute deviation from
+    the prediction exceeds ``threshold``.
+
+    Output: the group/ts/tiebreak/value columns plus
+    ``(ewma, deviation, is_anomaly)``, ewma/deviation rounded to 9;
+    the first point of each group (no history) carries NULL
+    ewma/deviation and ``is_anomaly = false`` — no history, no
+    verdict.
+
+    Exactness over the textbook recursion: the infinite-history
+    recursive EWMA is order-sequential (unbounded lineage per row),
+    but the TRUNCATED form is a closed weighted mean over ``window_n``
+    lags — ``Σ wᵢ·x_{t-i} / Σ wᵢ`` with ``wᵢ = α(1−α)^{i-1}``
+    computed once as Python float literals and both sums folded in
+    fixed i=1..window_n order, skipping NULL lags (missing history
+    near the group head renormalizes over what exists). Every op is a
+    correctly-rounded IEEE mul/div/add, so results hash-match a SQL
+    oracle stating the same association — and the window is a plain
+    per-group sort with ``window_n`` lag expressions: one shuffle by
+    group, no UDF, no self-join, scale-indifferent.
+
+    Ties: ``order_tiebreak`` (default ``[value_col]``) breaks equal
+    timestamps deterministically — a nondeterministic lag order would
+    change every downstream value."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"ewma_outliers: alpha must be in (0,1), got {alpha}")
+    if window_n < 1:
+        raise ValueError(
+            f"ewma_outliers: window_n must be >= 1, got {window_n}"
+        )
+    from pyspark.sql import Window
+
+    tiebreak = order_tiebreak if order_tiebreak is not None else [value_col]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    weights = [alpha * (1.0 - alpha) ** (i - 1) for i in range(1, window_n + 1)]
+    x = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for i, wt in enumerate(weights, start=1):
+        li = F.lag(x, i).over(w)
+        term = F.when(li.isNotNull(), li * F.lit(wt)).otherwise(F.lit(0.0))
+        pres = F.when(li.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    ewma = F.when(den > 0, num / den)
+    deviation = x - ewma
+    return df.select(
+        *group_cols,
+        ts_col,
+        *[c for c in tiebreak if c not in (*group_cols, ts_col, value_col)],
+        value_col,
+        F.round(ewma, 9).alias("ewma"),
+        F.round(deviation, 9).alias("deviation"),
+        F.coalesce(
+            F.abs(deviation) > F.lit(float(threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -4825,3 +4825,64 @@ def test_extract_sitemap_entries_trim_null_and_required_loc(spark):
         (1, 1, "https://a.example/x", "2026-01-02"),
         (1, 3, "https://a.example/y", None),
     ]
+
+
+def test_corpus_line_dedup_planted_boilerplate(spark):
+    """A line repeated across >= min_docs documents vanishes from ALL
+    of them (including its within-doc duplicate copies); per-doc
+    unique lines survive in order; an all-boilerplate doc is kept
+    with text ''."""
+    from dlp_rdb_bq_import_spark.operators.text import corpus_line_dedup
+
+    promo = "subscribe now"
+    docs = [
+        (1, f"{promo}\nalpha one\n{promo}\nbeta one"),
+        (2, f"{promo}\nalpha two"),
+        (3, f"{promo}\ngamma three"),
+        (4, promo),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           corpus_line_dedup(df, min_docs=3).collect()}
+    assert got[1].text == "alpha one\nbeta one"
+    assert got[1].n_lines == 4 and got[1].n_dropped == 2
+    assert got[2].text == "alpha two" and got[2].n_dropped == 1
+    assert got[4].text == "" and got[4].n_dropped == 1  # kept, emptied
+    assert got[5].text == "" and got[5].n_lines == 1  # NULL -> one '' line
+    # min_docs=5: nothing crosses the threshold, texts unchanged
+    none = {r.doc_id: r for r in corpus_line_dedup(df, min_docs=5).collect()}
+    assert none[1].text == docs[0][1] and none[1].n_dropped == 0
+    with pytest.raises(ValueError):
+        corpus_line_dedup(df, min_docs=0)
+
+
+def test_ewma_outliers_hand_series(spark):
+    """EWMA prediction on a hand series matches the truncated weighted
+    mean; the first point has NULL prediction and a false flag; a
+    planted spike flags; groups are independent."""
+    from dlp_rdb_bq_import_spark.operators.timeseries import ewma_outliers
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0), ("a", 4, 500.0),
+        ("b", 1, 1.0), ("b", 2, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, x double")
+    got = {(r.g, r.ts): r for r in
+           ewma_outliers(df, "ts", "x", ["g"], order_tiebreak=["ts"],
+                         alpha=0.5, window_n=3, threshold=100.0).collect()}
+    assert got[("a", 1)].ewma is None and not got[("a", 1)].is_anomaly
+    # t=2: one lag -> renormalized mean = 10
+    assert abs(got[("a", 2)].ewma - 10.0) < 1e-12
+    # t=4: lags 11, 12, 10 with w = .5, .25, .125
+    w = [0.5, 0.25, 0.125]
+    expect = (11.0 * w[0] + 12.0 * w[1] + 10.0 * w[2]) / sum(w)
+    assert abs(got[("a", 4)].ewma - round(expect, 9)) < 1e-12
+    assert got[("a", 4)].is_anomaly
+    assert not got[("a", 3)].is_anomaly
+    # group b never sees group a's history
+    assert abs(got[("b", 2)].ewma - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        ewma_outliers(df, "ts", "x", ["g"], alpha=1.0)
+    with pytest.raises(ValueError):
+        ewma_outliers(df, "ts", "x", ["g"], window_n=0)
