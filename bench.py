@@ -168,6 +168,22 @@ BENCH_QUERIES = [
     "markdown_extract_text",
     "code_normalize",
     "anchor_bm25_topk",
+    # round 10: link-authority second axis + seed distance, LM
+    # retrieval, collocations, key discovery, structured-table
+    # harvest, CCNet line dedup, EWMA monitoring
+    "host_hits_scores",
+    "host_distance_bfs",
+    "query_likelihood_topk",
+    "pmi_collocations",
+    "ucc_discovery",
+    "benford_first_digit",
+    "html_table_extract",
+    "sitemap_extract",
+    "corpus_line_dedup",
+    "ewma_anomaly",
+    "cdc_chunks",
+    "salted_group_stats",
+    "kmeans_clusters",
 ]
 
 

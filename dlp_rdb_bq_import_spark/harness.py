@@ -10002,6 +10002,98 @@ def q_ewma_anomaly(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking + skew-safe salted aggregation (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query("cdc_chunks")  # rolling-hash boundaries — not SQL-expressible
+def q_cdc_chunks(spark, sf_dir):
+    """EXT — content-defined chunking (multimodal.cdc_chunk_table, the
+    Rabin/LBFS storage-dedup recipe): rolling-hash chunk boundaries
+    over real encoded media payloads, emitting the (chunk_ord, offset,
+    length, chunk_md5) block table that joins on chunk_md5 for
+    block-level dedup. Rows-only — the rolling hash is byte-sequential
+    inside each payload (the honest Arrow-batched mapInPandas case);
+    the operator's contracts (reassembly, min/max clamps,
+    insertion-shift realignment — CDC's entire reason to exist) are
+    pytest-pinned. Aggregated per doc to keep the gate output scalar
+    and bounded: (doc_id, n_chunks, total_len, n_distinct_chunks)."""
+    from .operators.multimodal import attach_media, cdc_chunk_table
+
+    d = attach_media(t(spark, sf_dir, "documents"))
+    chunks = cdc_chunk_table(d, "payload", "doc_id")
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("total_len"),
+        F.count_distinct("chunk_md5").cast("long").alias("n_distinct_chunks"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber,
+       min(l_shipdate) AS min_l_shipdate,
+       max(l_shipdate) AS max_l_shipdate
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query("salted_group_stats", oracle=_SALTED_AGG_SQL)
+def q_salted_group_stats(spark, sf_dir):
+    """EXT — skew-safe two-phase aggregation (common.salted_aggregate):
+    the explicit salting recipe for mega-hot groupBy keys — phase 1
+    groups by (key, deterministic salt) so a hot key's rows spread
+    over 32 reducers, phase 2 folds the |keys|·32 partials. Exercised
+    on lineitem's 3×2-key returnflag/linestatus rollup (each key owns
+    ~1/6 of the table — exactly the hot-key regime) with
+    associative-commutative aggregates only (count, integer sum,
+    min/max), so the result — and the hash — is EXACTLY the plain
+    GROUP BY the oracle states. The salt is xxhash64 over the orderkey
+    projection: deterministic, partitioning-independent, retry-
+    idempotent."""
+    from .operators.common import salted_aggregate
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_orderkey", "count"),
+            ("l_linenumber", "sum"),
+            ("l_shipdate", "min"),
+            ("l_shipdate", "max"),
+        ],
+        n_salts=32,
+        salt_source=["l_orderkey"],
+    )
+
+
+@query("kmeans_clusters")  # iterative Lloyd fixpoint — rows-only
+def q_kmeans_clusters(spark, sf_dir):
+    """EXT — distributed full-corpus Lloyd k-means
+    (similarity.kmeans_fit_assign): the iterative-ML workhorse behind
+    cluster-balanced coresets, SemDeDup cells and IVF structure, run
+    over ALL vectors per round (the driver-sample quantizer
+    train_ivf_centroids is the other regime). Deterministic hash-min
+    init, exact-integer-sum centroid updates (fold-order-proof),
+    model-sized driver traffic only. Rows-only — iterative fixpoint;
+    the operator is numpy-parity-pinned in pytest. Gate output folds
+    the assignment to per-cluster (n_members, mean_sq_dist)."""
+    from .operators.similarity import kmeans_fit_assign
+
+    asg = kmeans_fit_assign(
+        t(spark, sf_dir, "embeddings"), k=8, iterations=5
+    )
+    return asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("sq_dist"), 3).alias("mean_sq_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------
 

@@ -510,3 +510,121 @@ def image_neardup_pairs(
 
     sigs = image_dhash(df, id_col=id_col, payload_col=payload_col)
     return hamming_neardup_pairs(sigs, "doc_id", "dhash", max_hamming)
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 8,
+    min_size: int = 64,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS recipe — Muthitacharoen
+    et al., SOSP 2001; the storage- and artifact-dedup standard): cut
+    each binary payload at positions where a rolling hash of the
+    trailing ``window`` bytes hits a magic value (all-ones in the low
+    ``mask_bits``), clamped to [min_size, max_size]. Because
+    boundaries depend only on LOCAL content, an insertion near the
+    front of a payload re-chunks only the chunks it touches — every
+    later chunk realigns byte-identically, which is the whole point:
+    fixed-size blocking loses all alignment after one inserted byte,
+    CDC loses one chunk. Output, one row per chunk:
+
+    ``(id_col, chunk_ord, offset, length, chunk_md5)``
+
+    — the chunk table that joins on chunk_md5 for cross-payload
+    block-level dedup exactly like doc-level fingerprint dedup joins
+    on content digests. Expected chunk size ≈ min_size + 2^mask_bits.
+
+    Distribution: Arrow-batched mapInPandas; per payload the rolling
+    hash is one vectorized sliding-window dot with a precomputed
+    power kernel (mod 2^32 via uint64 masking — overflow-safe:
+    16 products < 2^40 each), then a short Python walk over CANDIDATE
+    boundaries only (≈ payload/2^mask_bits of them) applies the
+    min/max clamps. Deterministic and partitioning-independent by
+    construction. Payloads shorter than ``window`` are one chunk.
+
+    Cites the reference only by contrast: its unit of transfer is an
+    RDB row (common/TableToDbRowFn.java) — binary artifact dedup has
+    no counterpart there."""
+    if window < 2:
+        raise ValueError(f"cdc_chunk_table: window must be >= 2, got {window}")
+    if not 1 <= mask_bits <= 30:
+        raise ValueError(
+            f"cdc_chunk_table: mask_bits must be in [1,30], got {mask_bits}"
+        )
+    if not 0 < min_size < max_size:
+        raise ValueError(
+            f"cdc_chunk_table: need 0 < min_size < max_size, got "
+            f"{min_size}, {max_size}"
+        )
+    key_dt = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"`{id_col}` {key_dt}, chunk_ord long, offset long, "
+        "length long, chunk_md5 string"
+    )
+    p = 31
+    mod_mask = (1 << 32) - 1
+    kernel = np.array(
+        [pow(p, window - 1 - j, 1 << 32) for j in range(window)],
+        dtype=np.uint64,
+    )
+    magic = np.uint64((1 << mask_bits) - 1)
+    low = np.uint64(mod_mask)
+
+    def cuts(buf: bytes) -> list[int]:
+        n = len(buf)
+        if n <= min_size:
+            return [n] if n else []
+        arr = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        if n >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(arr, window)
+            h = (sw @ kernel) & low
+            # candidate boundary AFTER byte i+window-1
+            cand = np.nonzero((h & magic) == magic)[0] + window
+        else:
+            cand = np.empty(0, dtype=np.int64)
+        out, last, ci = [], 0, 0
+        while last < n:
+            hard = last + max_size
+            cut = None
+            while ci < len(cand) and cand[ci] <= hard:
+                c = int(cand[ci])
+                ci += 1
+                if c >= last + min_size and c < n:
+                    cut = c
+                    break
+            if cut is None:
+                cut = min(hard, n)
+                while ci < len(cand) and cand[ci] <= cut:
+                    ci += 1
+            out.append(cut)
+            last = cut
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ords, offs, lens, digs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload) if payload is not None else b""
+                last = 0
+                for k, cut in enumerate(cuts(buf), start=1):
+                    ids.append(rid)
+                    ords.append(k)
+                    offs.append(last)
+                    lens.append(cut - last)
+                    digs.append(hashlib.md5(buf[last:cut]).hexdigest())
+                    last = cut
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_ord": ords,
+                    "offset": offs,
+                    "length": lens,
+                    "chunk_md5": digs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -1333,3 +1333,117 @@ def semantic_decontaminate(
         raise ValueError(f"method must be 'broadcast' or 'lsh', got {method!r}")
     flagged = pairs.select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, id_col, "left_anti")
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 10,
+) -> DataFrame:
+    """Distributed full-corpus Lloyd's k-means (Lloyd 1957/1982 —
+    MLlib's own recipe re-expressed on DataFrames): assign every
+    vector to its nearest centroid (squared Euclidean), recompute
+    centroids as member means, repeat a FIXED ``iterations`` times;
+    returns the final assignment ``(id_col, cluster_id, sq_dist)``.
+
+    Complements :func:`train_ivf_centroids`, which trains the IVF
+    quantizer driver-side on a bounded hash-sample (right for a tiny
+    quantizer); THIS path scans the whole corpus per round — the
+    regime where cluster structure must reflect ALL the data
+    (cluster-balanced coresets, per-cluster mixture caps, SemDeDup
+    cells at full fidelity).
+
+    Determinism: init centroids are the k vectors with the smallest
+    (xxhash64(id), id) — partitioning-independent, no RNG; per-round
+    member means compute per-DIMENSION from exact integer sums of the
+    1e7-quantized components (the module's standard trick), divided
+    once — so the fold order the shuffle picks cannot change a
+    centroid by even one ulp, and reruns are byte-identical. Empty
+    clusters keep their previous centroid (the standard fixed-k
+    convention).
+
+    Shape per round: one Arrow-batched assignment pass (centroid
+    matrix rides the closure — k·dim doubles, broadcast-sized by
+    definition) + one groupBy(cluster) over posexploded quantized
+    components; the k·dim partial-sum table collects to the driver
+    exactly like MLlib's reduce — bounded by the model size, never the
+    corpus. Iterations times two jobs; assignment lineage never
+    stacks (each round reads the parquet scan afresh with new
+    centroids)."""
+    from typing import Iterator as _Iterator
+
+    if k < 1:
+        raise ValueError(f"kmeans_fit_assign: k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(
+            f"kmeans_fit_assign: iterations must be >= 1, got {iterations}"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"), _quantize(F.col(vec_col)).alias("_q")
+    ).localCheckpoint(eager=True)
+
+    init = (
+        base.withColumn("_h", F.xxhash64(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select("_q")
+        .collect()
+    )
+    if not init:
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` long, cluster_id long, sq_dist double"
+        )
+    cent = np.array([r["_q"] for r in init], dtype=np.float64)
+
+    def assign_with(c: np.ndarray):
+        cc = c.copy()
+
+        def run(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+            for pdf in batches:
+                X = np.array(pdf["_q"].tolist(), dtype=np.float64)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
+                d = (
+                    -2.0 * (X @ cc.T)
+                    + (cc * cc).sum(axis=1)[None, :]
+                )
+                a = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].values,
+                        "cluster_id": a.astype("int64"),
+                        "_sq": d[np.arange(len(a)), a]
+                        + (X * X).sum(axis=1),
+                    }
+                )
+
+        return base.mapInPandas(run, "_id long, cluster_id long, _sq double")
+
+    for _ in range(iterations):
+        asg = assign_with(cent)
+        sums = (
+            asg.join(base, "_id")
+            .select("cluster_id", F.posexplode("_q").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)
+        for cid, dims in acc.items():
+            vec = np.array(
+                [dims[j][0] / dims[j][1] for j in sorted(dims)], dtype=np.float64
+            )
+            new[cid] = vec
+        cent = new
+
+    final = assign_with(cent)
+    return final.select(
+        F.col("_id").alias(id_col),
+        "cluster_id",
+        # distances are in quantized units²; scale back to float units
+        F.round(F.col("_sq") / float(QUANT_SCALE) ** 2, 6).alias("sq_dist"),
+    )

@@ -4886,3 +4886,151 @@ def test_ewma_outliers_hand_series(spark):
         ewma_outliers(df, "ts", "x", ["g"], alpha=1.0)
     with pytest.raises(ValueError):
         ewma_outliers(df, "ts", "x", ["g"], window_n=0)
+
+
+def test_cdc_chunks_reassembly_clamps_and_shift_invariance(spark):
+    """CDC contracts: chunks tile the payload exactly; every chunk
+    obeys max_size and (tail excepted) min_size; inserting bytes at
+    the FRONT re-aligns all but the first few chunks (the reason CDC
+    exists — fixed blocking loses every boundary); deterministic
+    across partitionings; empty payload emits nothing."""
+    import hashlib
+
+    from dlp_rdb_bq_import_spark.operators.multimodal import cdc_chunk_table
+
+    rng = __import__("random").Random(7)
+    base = bytes(rng.randrange(256) for _ in range(20000))
+    shifted = b"INSERTED-PREFIX-BYTES!" + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted)), (3, bytearray(b"")),
+         (4, bytearray(b"tiny"))],
+        "doc_id long, payload binary",
+    )
+    rows = cdc_chunk_table(df, min_size=64, max_size=1024).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in by_doc:
+        by_doc[d].sort(key=lambda r: r.chunk_ord)
+    assert 3 not in by_doc  # empty payload: no chunks
+    assert len(by_doc[4]) == 1 and by_doc[4][0].length == 4
+
+    # exact tiling + digests + clamps on the big payload
+    pos = 0
+    for r in by_doc[1]:
+        assert r.offset == pos
+        assert r.chunk_md5 == hashlib.md5(base[pos:pos + r.length]).hexdigest()
+        assert r.length <= 1024
+        pos += r.length
+    assert pos == len(base)
+    assert all(r.length >= 64 for r in by_doc[1][:-1])
+
+    # shift invariance: the shifted payload shares almost every chunk
+    d1 = {r.chunk_md5 for r in by_doc[1]}
+    d2 = {r.chunk_md5 for r in by_doc[2]}
+    assert len(d1 & d2) >= len(by_doc[1]) - 2
+
+    again = cdc_chunk_table(df.repartition(5), min_size=64, max_size=1024).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError):
+        cdc_chunk_table(df, min_size=0)
+    with pytest.raises(ValueError):
+        cdc_chunk_table(df, min_size=100, max_size=100)
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    """Two-phase salted aggregation is EXACTLY the plain groupBy for
+    its semigroup aggregates, on every key including NULL; guards on
+    bad fn names and salt-less schemas."""
+    from dlp_rdb_bq_import_spark.operators.common import salted_aggregate
+
+    rows = [(k, i, i * 2) for k in ("a", "b", None) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        r.k: (r.n, r.sum_x, r.min_y, r.max_y)
+        for r in salted_aggregate(
+            df, ["k"],
+            [("x", "count"), ("x", "sum"), ("y", "min"), ("y", "max")],
+            n_salts=8,
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.k: (r.n, r.sum_x, r.min_y, r.max_y)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .collect()
+    }
+    assert got == want and None in got
+
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("x", "avg")])
+    with pytest.raises(ValueError):
+        salted_aggregate(df.select("k"), ["k"], [("k", "count")])
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("x", "count")], n_salts=0)
+
+
+def test_kmeans_matches_numpy_lloyd_from_same_init(spark):
+    """Distributed Lloyd ≡ a numpy reference run from the SAME
+    deterministic init (k smallest xxhash64(id) vectors) on the same
+    quantized data; assignments identical, partitioning-independent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from dlp_rdb_bq_import_spark.operators.similarity import (
+        QUANT_SCALE,
+        kmeans_fit_assign,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = np.vstack(
+        [rng.normal(c, 0.4, size=(25, 4)) for c in (0.0, 5.0, -5.0)]
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: r.cluster_id
+           for r in kmeans_fit_assign(df, k=3, iterations=6).collect()}
+
+    # replicate init: the 3 rows with smallest (xxhash64(id), id)
+    init_ids = [
+        r.vec_id
+        for r in df.select("vec_id")
+        .withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id")
+        .limit(3)
+        .collect()
+    ]
+    Xq = np.round(pts.astype(np.float64) * QUANT_SCALE)
+    cent = Xq[init_ids].copy()
+    for _ in range(6):
+        d = ((Xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(3):
+            if (a == j).any():
+                cent[j] = Xq[a == j].sum(axis=0) / (a == j).sum()
+    want = dict(enumerate(((Xq[:, None, :] - cent[None, :, :]) ** 2)
+                          .sum(axis=2).argmin(axis=1)))
+    assert got == {i: int(want[i]) for i in want}
+    # three real clusters were found
+    assert len(set(got.values())) == 3
+
+    again = {r.vec_id: r.cluster_id
+             for r in kmeans_fit_assign(df.repartition(7), k=3,
+                                        iterations=6).collect()}
+    assert again == got
+
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(df, k=2, iterations=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_fit_assign(empty, k=2).count() == 0
