@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "salted_group_stats",
     "kmeans_clusters",
+    "sorted_neighborhood_pairs",
+    "classifier_auc",
 ]
 
 

@@ -10093,6 +10093,87 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+_SNM_SQL = """
+WITH ranked AS (
+  SELECT c_custkey,
+         CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 2
+"""
+
+
+@query("sorted_neighborhood_pairs", oracle=_SNM_SQL)
+def q_sorted_neighborhood_pairs(spark, sf_dir):
+    """EXT — sorted-neighborhood blocking (linkage.
+    sorted_neighborhood_pairs, Hernández & Stolfo 1995): the
+    merge/purge candidate generator — every pair within 3 sort
+    positions of the name key, linear in n·window where equality
+    blocking blows up quadratically per hot block. Complements the
+    FastSS/SymSpell typo-neighborhood path; production linkage unions
+    several blocking passes. The engine path rides
+    layout.global_row_ids (range exchange + offsets — never the
+    single-partition row_number the oracle states) plus window−1
+    equi-joins on rn+d; same rows exactly."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        t(spark, sf_dir, "customer"), "c_name", "c_custkey", window=3
+    )
+
+
+_AUC_SQL = """
+WITH sc AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT s, CAST(sum(l) AS BIGINT) AS np,
+         CAST(count(*) - sum(l) AS BIGINT) AS nn
+  FROM sc GROUP BY 1
+), cum AS (
+  SELECT np, nn,
+         COALESCE(CAST(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS below
+  FROM per
+), tot AS (
+  SELECT CAST(COALESCE(sum(np), 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(sum(nn), 0) AS BIGINT) AS n_neg,
+         CAST(sum(2 * np * below + np * nn) AS BIGINT) AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 9)
+       END AS auc
+FROM tot
+"""
+
+
+@query("classifier_auc", oracle=_AUC_SQL)
+def q_classifier_auc(spark, sf_dir):
+    """EXT — exact ROC-AUC via the Mann-Whitney rank identity
+    (profiling.classifier_auc, Hanley & McNeil 1982): the standard
+    eval for the engine's trained scorers (bigram-LM, NB, linkage
+    weights), here scoring event value against the purchase label
+    (≈0.5 by construction — the fixture's value is type-independent,
+    which the exact rank arithmetic states precisely rather than
+    approximately). Distinct-score groupBy + one exclusive-preceding
+    running sum + a single exact-int64 division — tie handling by
+    construction, no per-row ranking, engine-identical."""
+    from .operators.profiling import classifier_auc
+
+    e = t(spark, sf_dir, "events")
+    return classifier_auc(
+        e.select("value", (F.col("event_type") == "purchase").alias("is_purchase")),
+        "value",
+        "is_purchase",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -5034,3 +5034,64 @@ def test_kmeans_matches_numpy_lloyd_from_same_init(spark):
         kmeans_fit_assign(df, k=2, iterations=0)
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_fit_assign(empty, k=2).count() == 0
+
+
+def test_sorted_neighborhood_pairs_window_and_determinism(spark):
+    """SNM blocking: exactly the pairs within `window` sort positions
+    (near-miss names adjacent in sort order pair up even when an
+    equality block would split them), deterministic under
+    repartitioning, guard on window < 2."""
+    from dlp_rdb_bq_import_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "smith john"), (2, "smith jon"), (3, "smyth john"),
+        (4, "adams a"), (5, "zzz far away"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r.id_a, r.id_b): r.rank_dist
+        for r in sorted_neighborhood_pairs(df, "name", "rid", window=3).collect()
+    }
+    # sort order: adams(4), smith john(1), smith jon(2), smyth john(3), zzz(5)
+    assert got == {
+        (4, 1): 1, (4, 2): 2,
+        (1, 2): 1, (1, 3): 2,
+        (2, 3): 1, (2, 5): 2,
+        (3, 5): 1,
+    }
+    again = {
+        (r.id_a, r.id_b): r.rank_dist
+        for r in sorted_neighborhood_pairs(
+            df.repartition(4), "name", "rid", window=3
+        ).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", "rid", window=1)
+
+
+def test_classifier_auc_hand_cases(spark):
+    """AUC: perfect separation = 1, inverted = 0, all-tied = 0.5, a
+    mixed hand case matches the rank-sum formula, degenerate inputs
+    pin NULL, NULL scores/labels excluded."""
+    from dlp_rdb_bq_import_spark.operators.profiling import classifier_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "s double, l boolean")
+        return classifier_auc(df, "s", "l").collect()[0]
+
+    perfect = auc_of([(1.0, False), (2.0, False), (3.0, True), (4.0, True)])
+    assert perfect.auc == 1.0 and perfect.n_pos == 2 and perfect.n_neg == 2
+    assert auc_of([(4.0, False), (3.0, False), (1.0, True), (2.0, True)]).auc == 0.0
+    assert auc_of([(1.0, True), (1.0, False), (1.0, True), (1.0, False)]).auc == 0.5
+    # hand case: pos {3, 2}, neg {1, 2}: pairs (3>1)=1 (3>2)=1 (2>1)=1
+    # (2==2)=.5 -> AUC = 3.5/4
+    mixed = auc_of([(3.0, True), (2.0, True), (1.0, False), (2.0, False)])
+    assert abs(mixed.auc - 0.875) < 1e-12
+    # degenerate: one class only
+    assert auc_of([(1.0, True), (2.0, True)]).auc is None
+    # NULLs excluded
+    withnull = auc_of(
+        [(3.0, True), (1.0, False), (None, True), (5.0, None)]
+    )
+    assert withnull.n_pos == 1 and withnull.n_neg == 1 and withnull.auc == 1.0

@@ -63,6 +63,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "same corpus-stats scalar attach as "
         "bm25_topk_docs (shared scoring path over the anchor tf table)",
     },
+    "query_likelihood_topk": {
+        "BroadcastNestedLoopJoin": "collection (c_len, per-term ctf) scalar "
+        "attach: build side is a broadcast single global-aggregate row by "
+        "construction (same shape as bm25_topk_docs)",
+    },
+    "pmi_collocations": {
+        "BroadcastNestedLoopJoin": "(n_uni, n_bi) totals scalar attach: "
+        "build side is the cross of two broadcast single global-aggregate "
+        "rows by construction",
+    },
     "heavy_hitter_terms": {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
