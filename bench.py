@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "sorted_neighborhood_pairs",
     "classifier_auc",
+    "phrase_search",
+    "quantile_binning",
 ]
 
 

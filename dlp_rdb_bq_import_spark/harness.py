@@ -10174,6 +10174,79 @@ def q_classifier_auc(spark, sf_dir):
     )
 
 
+_PHRASE_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, unnest(ws) AS w,
+         CAST(generate_subscripts(ws, 1) AS BIGINT) AS p
+  FROM ws
+),
+m0 AS (SELECT doc_id, p FROM pos WHERE w = 'value'),
+m1 AS (
+  SELECT m0.doc_id, m0.p FROM m0
+  JOIN pos t ON t.doc_id = m0.doc_id AND t.p = m0.p + 1 AND t.w = 'table'
+),
+m2 AS (
+  SELECT m1.doc_id, m1.p FROM m1
+  JOIN pos t ON t.doc_id = m1.doc_id AND t.p = m1.p + 2 AND t.w = 'part'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m2 GROUP BY 1
+"""
+
+
+@query("phrase_search", oracle=_PHRASE_SQL)
+def q_phrase_search(spark, sf_dir):
+    """EXT — positional phrase search (text_ops.phrase_match): the
+    quoted-query adjacency join of a positional inverted index
+    (Manning et al. ch.2) for the 3-gram "value table part" —
+    documents where the terms occupy consecutive positions, each
+    occurrence counted. The position stream filters to the phrase's
+    terms BEFORE any join (cost ∝ those terms' corpus frequency),
+    then two (doc, position) equi-joins and one per-doc count; the
+    oracle restates the identical joins 1-based. Runs unchanged over
+    a persisted (id, pos, term) index — no raw text at query time,
+    like anchor-term retrieval."""
+    return text_ops.phrase_match(
+        t(spark, sf_dir, "documents"), ["value", "table", "part"]
+    )
+
+
+_QBIN_SQL = """
+WITH b AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS b1,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS b2,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS b3
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+tagged AS (
+  SELECT CAST(1
+    + (CASE WHEN CAST(o_totalprice AS DOUBLE) > b1 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(o_totalprice AS DOUBLE) > b2 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(o_totalprice AS DOUBLE) > b3 THEN 1 ELSE 0 END)
+    AS BIGINT) AS bin,
+    CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders CROSS JOIN b WHERE o_totalprice IS NOT NULL
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n, min(x) AS min_v, max(x) AS max_v
+FROM tagged GROUP BY 1
+"""
+
+
+@query("quantile_binning", oracle=_QBIN_SQL)
+def q_quantile_binning(spark, sf_dir):
+    """EXT — equal-frequency discretization (profiling.
+    quantile_binning): quartile bins over order totals — the
+    feature-binning/bucketed-mixture cut, boundaries from ONE exact
+    percentile aggregate (percentile ≡ quantile_cont, the engine's
+    pinned cross-engine interpolation) broadcast back, ties to the
+    lower bin by the > comparison in both engines. No ntile, no
+    single-partition window — a 1-row attach plus a closed-domain
+    groupBy."""
+    from .operators.profiling import quantile_binning
+
+    return quantile_binning(t(spark, sf_dir, "orders"), "o_totalprice", n_bins=4)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -1320,3 +1320,56 @@ def classifier_auc(
             ),
         ).alias("auc"),
     )
+
+
+def quantile_binning(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-frequency (quantile) discretization — the standard
+    feature-binning / mixture-bucketing primitive (the same cut the
+    perplexity-bucketed CCNet mixture makes on model scores, offered
+    here for any numeric column): boundaries at the exact
+    ``i/n_bins`` percentiles (ANSI percentile_cont interpolation —
+    the engine's pinned cross-engine-exact form, see group_quantiles),
+    values assigned ``bin = 1 + Σᵢ (x > bᵢ)`` so ties land in the
+    LOWER bin deterministically in any engine. NULL values are
+    excluded (no value, no bin).
+
+    Output: one row per bin actually populated —
+    ``(bin, n, min_v, max_v)`` — the audit form (bounded output);
+    the same boundary attach + sum-of-comparisons expression tags
+    full rows upstream of any mixture/balance operator.
+
+    Shape: ONE exact-percentile aggregate produces every boundary in
+    a single row (sort-based percentile over the column — the exact
+    path; swap approx_percentile at 100 TB, same plan shape),
+    broadcast back, then a groupBy over the closed bin domain.
+    No window, no per-row ranking — ntile would serialize the table
+    through one partition."""
+    if n_bins < 2:
+        raise ValueError(f"quantile_binning: n_bins must be >= 2, got {n_bins}")
+    x = F.col(value_col).cast("double")
+    bounds = df.where(x.isNotNull()).agg(
+        *[
+            F.expr(
+                f"percentile(CAST({value_col} AS DOUBLE), {i / n_bins!r})"
+            ).alias(f"_b{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    binned = None
+    bin_expr = F.lit(1)
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + (x > F.col(f"_b{i}")).cast("int")
+    binned = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bin_expr.cast("long").alias("bin"), x.alias("_x"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_x").alias("min_v"),
+        F.max("_x").alias("max_v"),
+    )

@@ -2073,3 +2073,55 @@ def corpus_line_dedup(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase search — the inverted-index adjacency join
+    every IR engine runs for quoted queries (Manning/Raghavan/Schütze
+    ch.2's positional-index algorithm): a document matches where
+    term_i appears at position p+i for ALL i. Output
+    ``(id_col, n_matches)`` for documents with >= 1 occurrence —
+    overlapping occurrences each count (the index semantics; a regex
+    engine would disagree on overlaps, which is why the contract is
+    stated here).
+
+    Shape: the position table filters to the PHRASE'S terms before
+    anything joins — the stream entering the joins is term-selective,
+    ∝ the phrase terms' corpus frequency, not corpus size — then
+    ``len(phrase)−1`` equi-joins on (doc, adjacent position), each a
+    keyed hash join, and one count per doc. Works identically over a
+    PERSISTED positional index (id, pos, term) via the same joins —
+    the raw text is only needed to build positions, exactly like
+    anchor-term retrieval needs no crawl text."""
+    if len(phrase_terms) < 2:
+        raise ValueError(
+            f"phrase_match: need >= 2 phrase terms, got {phrase_terms}"
+        )
+    from . import fan_out
+
+    pos = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_d"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_w"),
+        )
+        .where(F.col("_w").isin(*set(phrase_terms)))
+        .localCheckpoint(eager=True)
+    )
+    matched = pos.where(F.col("_w") == phrase_terms[0]).select("_d", "_p")
+    for i, term in enumerate(phrase_terms[1:], start=1):
+        nxt = pos.where(F.col("_w") == term).select(
+            F.col("_d").alias("_d2"), (F.col("_p") - i).alias("_p2")
+        )
+        matched = matched.join(
+            nxt,
+            (matched._d == nxt._d2) & (matched._p == nxt._p2),
+        ).select("_d", "_p")
+    return matched.groupBy(F.col("_d").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

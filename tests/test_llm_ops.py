@@ -5095,3 +5095,47 @@ def test_classifier_auc_hand_cases(spark):
         [(3.0, True), (1.0, False), (None, True), (5.0, None)]
     )
     assert withnull.n_pos == 1 and withnull.n_neg == 1 and withnull.auc == 1.0
+
+
+def test_phrase_match_adjacency_overlaps_and_guard(spark):
+    """Positional phrase search: only consecutive-position runs match,
+    occurrences count (including overlapping runs), scrambled term
+    order does not match, 2-term guard."""
+    from dlp_rdb_bq_import_spark.operators.text import phrase_match
+
+    docs = [
+        (1, "a b c x a b c"),     # two occurrences of "a b c"
+        (2, "a x b c"),            # terms present, never adjacent
+        (3, "c b a"),              # reversed
+        (4, "a a a a"),            # overlapping runs of "a a"
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches
+           for r in phrase_match(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 2}
+    pairs = {r.doc_id: r.n_matches for r in phrase_match(df, ["a", "a"]).collect()}
+    assert pairs == {4: 3}  # positions (0,1),(1,2),(2,3)
+    with pytest.raises(ValueError):
+        phrase_match(df, ["a"])
+
+
+def test_quantile_binning_equal_frequency_and_ties(spark):
+    """Quartile binning on 1..100: four bins of 25 with contiguous
+    ranges; ties at a boundary go to the LOWER bin; NULLs excluded;
+    guard on n_bins < 2."""
+    from dlp_rdb_bq_import_spark.operators.profiling import quantile_binning
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "x double"
+    )
+    rows = {r.bin: r for r in quantile_binning(df, "x", n_bins=4).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert all(rows[b].n == 25 for b in rows)
+    assert rows[1].min_v == 1.0 and rows[4].max_v == 100.0
+    assert rows[1].max_v < rows[2].min_v
+    # ties: all-equal values land in one bin (the lowest)
+    ties = spark.createDataFrame([(5.0,)] * 10, "x double")
+    trows = quantile_binning(ties, "x", n_bins=4).collect()
+    assert len(trows) == 1 and trows[0].bin == 1 and trows[0].n == 10
+    with pytest.raises(ValueError):
+        quantile_binning(df, "x", n_bins=1)

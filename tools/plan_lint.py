@@ -73,6 +73,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is the cross of two broadcast single global-aggregate "
         "rows by construction",
     },
+    "quantile_binning": {
+        "BroadcastNestedLoopJoin": "percentile-boundary scalar attach: "
+        "build side is a broadcast single global-aggregate row (n_bins-1 "
+        "columns) by construction",
+    },
     "heavy_hitter_terms": {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
