@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "classifier_auc",
     "phrase_search",
     "quantile_binning",
+    "streaming_ewma",
 ]
 
 

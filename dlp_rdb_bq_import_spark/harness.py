@@ -10247,6 +10247,24 @@ def q_quantile_binning(spark, sf_dir):
     return quantile_binning(t(spark, sf_dir, "orders"), "o_totalprice", n_bins=4)
 
 
+@query("streaming_ewma")  # stateful cross-batch recursion — rows-only
+def q_streaming_ewma(spark, sf_dir):
+    """EXT §2.10 — streaming recursive EWMA (streaming/jobs.
+    streaming_ewma): the TRUE infinite-history control-chart fold
+    e_t = α·x_t + (1−α)·e_{t−1} carried across micro-batches with
+    one scalar of state per key — the sequential statistic the batch
+    ewma_anomaly deliberately truncates to stay SQL-closed-form. Time-
+    range-sliced micro-batches (pinned mod-time order), per-key
+    applyInPandas fold seeded from the fenced state table, append
+    output + overwrite state per batch (streaming_cms discipline).
+    Rows-only: the recursion is order-sequential by definition;
+    slice-boundary invariance and the pandas-reference parity are
+    pytest-pinned."""
+    from .streaming.jobs import streaming_ewma
+
+    return streaming_ewma(spark, t(spark, sf_dir, "events"), alpha=0.3, n_slices=4)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -1100,3 +1100,154 @@ def streaming_linkage_probe(
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_ewma(
+    spark: SparkSession,
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming RECURSIVE EWMA — the infinite-history fold
+    ``e_t = α·x_t + (1−α)·e_{t−1}`` (e_0 = x_0) carried across
+    micro-batches: the true sequential control-chart statistic whose
+    batch counterpart (timeseries.ewma_outliers) deliberately
+    truncates the window to stay a closed-form SQL expression. In a
+    stream the recursion is natural — per key the state is ONE number
+    (the running EWMA), folded forward each micro-batch.
+
+    Mechanics: the input stages as time-range slices written in
+    order + maxFilesPerTrigger=1, so micro-batches arrive in event-
+    time order (the file-source guarantee a real queue provides via
+    per-key ordering); ``foreachBatch`` left-joins the standing
+    per-key state onto the batch, an ``applyInPandas`` per key folds
+    the batch's rows in (ts, id) order seeded from the state, the
+    rows append to the output, and the new state (each key's last
+    EWMA) overwrites the state table — per-key-scalar state forever,
+    the same fenced fold discipline as streaming_cms. The result is
+    EXACTLY the single-pass recursion over the whole ordered input
+    regardless of slice boundaries (pytest-pinned against a pandas
+    reference), because EWMA folding is associative over ordered
+    segments given the carried seed.
+
+    Returns every row with its EWMA: ``(key, ts, id, value, ewma)``,
+    ewma rounded to 9."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"streaming_ewma: alpha must be in (0,1), got {alpha}")
+    if n_slices < 1:
+        raise ValueError(f"streaming_ewma: n_slices must be >= 1, got {n_slices}")
+    import pandas as pd
+
+    root = tempfile.mkdtemp(prefix="ewma_stream_")
+    stage = os.path.join(root, "staged")
+    state_dir = os.path.join(root, "state")
+    out_dir = os.path.join(root, "out")
+    os.makedirs(stage)
+
+    src = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        # NTZ-safe epoch seconds for range slicing (NTZ has no direct
+        # BIGINT cast; the TIMESTAMP hop only shifts by a constant tz
+        # offset, which cannot reorder anything)
+        F.col(ts_col).cast("timestamp").cast("long").alias("tsl"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(value_col).cast("double").alias("x"),
+    ).where(F.col("x").isNotNull() & F.col("ts").isNotNull())
+    # slice by ntile-free ts range cutpoints: exact percentiles of the
+    # epoch seconds give n_slices non-overlapping, ordered segments
+    bounds = src.select(
+        *[
+            F.expr(f"percentile(tsl, {i / n_slices!r})").alias(f"b{i}")
+            for i in range(1, n_slices)
+        ]
+    ).first()
+    cuts = [bounds[f"b{i}"] for i in range(1, n_slices)] if n_slices > 1 else []
+    lo = None
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        hi = cuts[i] if i < len(cuts) else None
+        part = src
+        if lo is not None:
+            part = part.where(F.col("tsl") > lo)
+        if hi is not None:
+            part = part.where(F.col("tsl") <= hi)
+        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
+        part.coalesce(1).write.mode("append").parquet(stage)
+        # pin STRICTLY increasing mod times per slice — the file source
+        # orders batches by modTime, and two sub-millisecond writes
+        # must not race the event-time ordering the fold depends on
+        for name in set(os.listdir(stage)) - before:
+            os.utime(
+                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
+            )
+        lo = hi
+
+    state_schema = "k string, ewma double"
+    out_schema = "k string, ts timestamp, eid long, x double, ewma double"
+
+    def fold_batch(batch_df, _epoch_id):
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        seeded = batch_df.drop("tsl").join(
+            state.withColumnRenamed("ewma", "_seed"), "k", "left"
+        )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts", "eid"])
+            seed = pdf["_seed"].iloc[0]
+            e = None if pd.isna(seed) else float(seed)
+            out = []
+            for x in pdf["x"].tolist():
+                e = float(x) if e is None else alpha * float(x) + (1.0 - alpha) * e
+                out.append(e)
+            pdf = pdf.drop(columns=["_seed"]).copy()
+            pdf["ewma"] = out
+            return pdf
+
+        folded = seeded.groupBy("k").applyInPandas(fn, out_schema)
+        folded = folded.localCheckpoint(eager=True)
+        folded.write.mode("append").parquet(out_dir)
+        last = folded.groupBy("k").agg(
+            F.max_by("ewma", F.struct("ts", "eid")).alias("ewma")
+        )
+        new_state = (
+            state.join(last.select("k"), "k", "left_anti")
+            .unionByName(last)
+            .localCheckpoint(eager=True)
+        )
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    try:
+        batch0 = spark.read.parquet(stage)
+        raw = (
+            spark.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("k").alias(key_col),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(ts_col),
+                F.col("eid").alias(id_col),
+                F.col("x").alias(value_col),
+                F.round("ewma", 9).alias("ewma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -641,3 +641,44 @@ def test_streaming_url_frontier_requeues_and_never_doubles(spark):
         "id", canonicalize_url(F.col("url"))["canon"].alias("url")
     )
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_streaming_ewma_equals_single_pass_recursion(spark, sf_dir):
+    """The micro-batched recursive EWMA is EXACTLY the single-pass
+    pandas recursion over the whole ordered input — slice boundaries
+    must be invisible (the carried per-key seed makes the segmented
+    fold associative). Also pins: first value seeds e_0 = x_0, every
+    input row is emitted exactly once."""
+    import pandas as pd
+
+    from dlp_rdb_bq_import_spark import harness
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_ewma
+
+    events = harness.t(spark, sf_dir, "events")
+    got = streaming_ewma(spark, events, alpha=0.3, n_slices=4).collect()
+
+    pdf = events.select("event_type", "ts", "event_id", "value").toPandas()
+    pdf = pdf.dropna(subset=["value", "ts"]).sort_values(["ts", "event_id"])
+    want = {}
+    for k, grp in pdf.groupby("event_type"):
+        e = None
+        for _, row in grp.iterrows():
+            x = float(row["value"])
+            e = x if e is None else 0.3 * x + 0.7 * e
+            want[int(row["event_id"])] = round(e, 9)
+    assert len(got) == len(want)
+    for r in got:
+        assert abs(r["ewma"] - want[r["event_id"]]) < 1e-9, r["event_id"]
+
+    # a different slicing gives the identical result
+    again = streaming_ewma(spark, events, alpha=0.3, n_slices=2).collect()
+    a = {r["event_id"]: r["ewma"] for r in again}
+    g = {r["event_id"]: r["ewma"] for r in got}
+    assert a == g
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_ewma(spark, events, alpha=1.5)
+    with pytest.raises(ValueError):
+        streaming_ewma(spark, events, n_slices=0)
