@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "quantile_binning",
     "streaming_ewma",
+    "t_closeness",
 ]
 
 

@@ -10265,6 +10265,53 @@ def q_streaming_ewma(spark, sf_dir):
     return streaming_ewma(spark, t(spark, sf_dir, "events"), alpha=0.3, n_slices=4)
 
 
+_TCLOSE_SQL = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment AS v FROM customer
+  WHERE c_mktsegment IS NOT NULL
+),
+spine AS (SELECT v, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS ntot FROM spine),
+cls AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+cnt AS (
+  SELECT c_nationkey, v, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT cls.c_nationkey, cls.n, tot.ntot,
+         abs(COALESCE(cnt.c, 0) * tot.ntot - spine.g * cls.n) AS absnum
+  FROM cls CROSS JOIN spine CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
+               AND cnt.v = spine.v
+)
+SELECT c_nationkey, n AS class_size,
+       round(CAST(sum(absnum) AS DOUBLE) / (2.0 * CAST(n * ntot AS DOUBLE)), 9)
+         AS tvd,
+       CAST(CASE WHEN round(CAST(sum(absnum) AS DOUBLE)
+                            / (2.0 * CAST(n * ntot AS DOUBLE)), 9) <= 0.2
+                 THEN 1 ELSE 0 END AS BIGINT) AS close
+FROM grid GROUP BY c_nationkey, n, ntot
+"""
+
+
+@query("t_closeness", oracle=_TCLOSE_SQL)
+def q_t_closeness(spark, sf_dir):
+    """EXT — t-closeness report (privacy.t_closeness_report, Li et
+    al. ICDE 2007): the third rung of the release-risk ladder after
+    k_anonymity and l_diversity — a nation whose market-segment
+    distribution diverges from the global one leaks segment
+    information even when k-anonymous and l-diverse (skewness
+    attack). Total-variation distance over the |classes|×|segments|
+    grid with exact-integer numerators and ONE division per class
+    (½·Σ|c·N − g·n|/(n·N)) — bit-identical to the oracle; NULL-safe
+    QI pairing, broadcast value spine."""
+    from .operators.privacy import t_closeness_report
+
+    return t_closeness_report(
+        t(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment", t=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -154,3 +154,89 @@ def scrub_pii(
         *[n.alias(name) for name, n in counts],
         total.alias("n_pii"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness per equivalence class (Li, Li & Venkatasubramanian,
+    ICDE 2007 — the third rung of the k-anonymity ladder): a class
+    whose SENSITIVE-value distribution sits far from the global
+    distribution leaks information even when it is k-anonymous AND
+    l-diverse (skewness attack: "everyone in this class is 10× more
+    likely to have X"). Distance here is total variation
+    ``½·Σ_v |q_v − p_v|`` — the paper's categorical-attribute choice;
+    for ordered domains compose with quantile_binning first and read
+    the bins as categories (the EMD variant is the rank-cumulative
+    extension of the same grid).
+
+    Output: ``quasi_cols…, class_size (long), tvd (double), close
+    (long 0/1 — tvd ≤ t)``. NULL sensitive values are excluded from
+    both distributions (same convention as l-diversity); NULL QI
+    values form their own classes (conservative, as in k-anonymity).
+
+    Exactness: with exact integer counts, ``q_v − p_v =
+    (c_v·N − g_v·n) / (n·N)`` — the numerators are exact int64s, so
+    ``tvd = Σ|c_v·N − g_v·n| / (2·n·N)`` is ONE IEEE division of
+    exact integers (rounded to 9): bit-identical in any engine, no
+    per-term float accumulation.
+
+    Shape: a |classes|×|values| grid (classes cross-join the
+    broadcast value spine, left-join per-class counts) — the right
+    shape for the LOW-cardinality sensitive domains t-closeness is
+    defined over; one groupBy folds the grid back to classes."""
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"t_closeness_report: t must be in (0,1], got {t}")
+    reserved = {"class_size", "tvd", "close", "_g", "_c", "_n", "_tot", "_v"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(clash)}"
+        )
+    base = df.where(F.col(sensitive_col).isNotNull())
+    spine = (
+        base.groupBy(F.col(sensitive_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_g"))
+    )
+    total = spine.agg(F.sum("_g").alias("_tot"))
+    classes = base.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    counts = base.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    # null-safe QI equality: a NULL QI value is its own class and must
+    # pair with its own counts, not vanish through a plain equi-join
+    renames = {c: f"_q{i}" for i, c in enumerate(quasi_cols)}
+    counts_r = counts.withColumnsRenamed({**renames, "_v": "_v2"})
+    cgrid = classes.crossJoin(F.broadcast(spine))
+    cond = cgrid["_v"] == counts_r["_v2"]
+    for c, a in renames.items():
+        cond = cond & cgrid[c].eqNullSafe(counts_r[a])
+    grid = (
+        cgrid.join(counts_r, cond, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            *[cgrid[c] for c in quasi_cols],
+            "_n",
+            "_tot",
+            F.abs(
+                F.coalesce(F.col("_c"), F.lit(0)) * F.col("_tot")
+                - F.col("_g") * F.col("_n")
+            ).alias("_absnum"),
+        )
+    )
+    tvd = F.col("_sum").cast("double") / (
+        F.lit(2.0) * (F.col("_n") * F.col("_tot")).cast("double")
+    )
+    return (
+        grid.groupBy(*quasi_cols, "_n", "_tot")
+        .agg(F.sum("_absnum").alias("_sum"))
+        .select(
+            *quasi_cols,
+            F.col("_n").cast("long").alias("class_size"),
+            F.round(tvd, 9).alias("tvd"),
+            (F.round(tvd, 9) <= F.lit(float(t))).cast("long").alias("close"),
+        )
+    )

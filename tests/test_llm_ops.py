@@ -5139,3 +5139,30 @@ def test_quantile_binning_equal_frequency_and_ties(spark):
     assert len(trows) == 1 and trows[0].bin == 1 and trows[0].n == 10
     with pytest.raises(ValueError):
         quantile_binning(df, "x", n_bins=1)
+
+
+def test_t_closeness_hand_distributions(spark):
+    """TVD per class on a hand table: a class mirroring the global
+    distribution scores 0; a fully skewed class scores its exact TVD;
+    NULL sensitive rows excluded; NULL QI forms its own class; guard
+    on t out of range."""
+    from dlp_rdb_bq_import_spark.operators.privacy import t_closeness_report
+
+    # global: 6 A, 6 B -> p = (.5, .5)
+    rows = (
+        [("g1", "A")] * 3 + [("g1", "B")] * 3          # mirrors global: tvd 0
+        + [("g2", "A")] * 3                             # all-A: tvd 0.5
+        + [("g2", None)]                                # excluded
+        + [(None, "B")] * 3                             # NULL QI class, all-B
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r.qi: r for r in t_closeness_report(df, ["qi"], "s", t=0.2).collect()}
+    assert got["g1"].tvd == 0.0 and got["g1"].close == 1
+    assert abs(got["g2"].tvd - 0.5) < 1e-12 and got["g2"].close == 0
+    assert got["g2"].class_size == 3  # NULL sensitive row excluded
+    assert None in got and abs(got[None].tvd - 0.5) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        t_closeness_report(df, ["qi"], "s", t=0.0)
