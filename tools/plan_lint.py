@@ -78,6 +78,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is a broadcast single global-aggregate row (n_bins-1 "
         "columns) by construction",
     },
+    "t_closeness": {
+        "BroadcastNestedLoopJoin": "deliberate |classes|x|values| grid: "
+        "build sides are the broadcast sensitive-value spine (low-"
+        "cardinality by the metric's definition) and the 1-row global "
+        "total — documented on t_closeness_report",
+    },
     "heavy_hitter_terms": {
         "BroadcastNestedLoopJoin": "N-total scalar attach: build side is a "
         "broadcast single global-aggregate row by construction",
