@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "quantile_binning",
     "streaming_ewma",
     "t_closeness",
+    "kmv_set_overlap",
 ]
 
 

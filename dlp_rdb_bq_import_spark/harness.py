@@ -10312,6 +10312,82 @@ def q_t_closeness(spark, sf_dir):
     )
 
 
+_KMV_OVERLAP_SQL = """
+WITH a AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS hkey
+  FROM (SELECT DISTINCT o_custkey AS user_id FROM orders)
+  ORDER BY hkey, user_id LIMIT 128
+), b AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS hkey
+  FROM (SELECT DISTINCT c_custkey AS user_id FROM customer)
+  ORDER BY hkey, user_id LIMIT 128
+), u AS (
+  SELECT user_id, hkey FROM (
+    SELECT DISTINCT user_id, hkey FROM (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+    )
+  ) ORDER BY hkey, user_id LIMIT 128
+), fl AS (
+  SELECT u.hkey,
+         (CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         * (CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS is_both
+  FROM u LEFT JOIN a ON u.user_id = a.user_id
+         LEFT JOIN b ON u.user_id = b.user_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sample,
+         CAST(sum(is_both) AS BIGINT) AS nboth,
+         max(hkey) AS hk
+  FROM fl
+)
+SELECT n_union_sample,
+       round(CAST(nboth AS DOUBLE) / CAST(n_union_sample AS DOUBLE), 9)
+         AS jaccard,
+       round(CASE WHEN n_union_sample < 128
+                  THEN CAST(n_union_sample AS DOUBLE)
+                  ELSE 127.0 / hk END, 3) AS est_union,
+       round((CAST(nboth AS DOUBLE) / CAST(n_union_sample AS DOUBLE))
+             * (CASE WHEN n_union_sample < 128
+                     THEN CAST(n_union_sample AS DOUBLE)
+                     ELSE 127.0 / hk END), 3) AS est_intersection
+FROM agg
+"""
+
+
+@query("kmv_set_overlap", oracle=_KMV_OVERLAP_SQL)
+def q_kmv_set_overlap(spark, sf_dir):
+    """EXT — KMV set-operation synopsis (sampling.kmv_overlap_estimate,
+    Beyer et al. SIGMOD 2007): Jaccard / |A∪B| / |A∩B| estimates for
+    the ordering-customers vs all-customers key sets from two 128-row
+    bottom-k samples ALONE — the audience-overlap / cross-corpus-
+    contamination readout maintained samples give without rescanning
+    data. The md5-uniform keys make every quantity a pure function of
+    the key sets, so the whole readout hash-matches the ANSI oracle —
+    the cross-engine-exact set algebra HLL sketches cannot offer.
+    Everything after sample construction is synopsis-sized."""
+    from .operators.sampling import bottomk_sample, kmv_overlap_estimate
+
+    k = 128
+    a = bottomk_sample(
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .distinct(),
+        "user_id",
+        k,
+    )
+    b = bottomk_sample(
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct(),
+        "user_id",
+        k,
+    )
+    return kmv_overlap_estimate(a, b, "user_id", k)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

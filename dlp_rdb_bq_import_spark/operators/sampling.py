@@ -590,3 +590,80 @@ def cluster_balanced_sample(
         .where(F.col("cell_rank") <= cap)
         .select(id_col, "cell", "dist2", "cell_rank")
     )
+
+
+def kmv_overlap_estimate(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Set-overlap estimation from two bottom-k (KMV) samples — the
+    Beyer et al. (SIGMOD 2007) distinct-value synopsis algebra:
+    given :func:`bottomk_sample`\\ s of key sets A and B, estimate
+    Jaccard, |A∪B| and |A∩B| WITHOUT touching the underlying data —
+    the audience-overlap / cross-corpus-contamination readout two
+    maintained samples give for free.
+
+    Method: the k smallest distinct hashes of the MERGED samples are
+    exactly bottom-k of A∪B (the KMV merge property); within that
+    union synopsis the fraction of keys present in BOTH input samples
+    is an unbiased Jaccard estimate, |A∪B| comes from the synopsis's
+    k-th hash ((K−1)/h_K, exact below k), and |A∩B| = Ĵ·|A∪B|̂.
+    Output one row:
+
+    ``(n_union_sample, jaccard, est_union, est_intersection)``
+
+    — jaccard/est rounded to (9, 3, 3). Deterministic: the md5
+    uniform makes every quantity a pure function of the key sets, so
+    the whole readout hash-matches an ANSI oracle (unlike HLL
+    intersection, which has no cross-engine-exact form).
+
+    Scale shape: inputs are k-row synopses — everything here is
+    synopsis-sized (two broadcast semi-joins + one k-row sort-limit +
+    a 1-row aggregate); the corpus was only touched when the samples
+    were built/folded."""
+    if k < 1:
+        raise ValueError(f"kmv_overlap_estimate: k must be >= 1, got {k}")
+    a_keys = sample_a.select(F.col(key_col), F.col("hkey")).distinct()
+    b_keys = sample_b.select(F.col(key_col), F.col("hkey")).distinct()
+    union_k = (
+        a_keys.unionByName(b_keys)
+        .distinct()
+        .orderBy(F.col("hkey").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    flagged = (
+        union_k.join(
+            a_keys.select(F.col(key_col), F.lit(1).alias("_ina")),
+            key_col,
+            "left",
+        )
+        .join(
+            b_keys.select(F.col(key_col), F.lit(1).alias("_inb")),
+            key_col,
+            "left",
+        )
+        .select(
+            "hkey",
+            (
+                F.coalesce(F.col("_ina"), F.lit(0))
+                * F.coalesce(F.col("_inb"), F.lit(0))
+            ).alias("_both"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.sum("_both").alias("_nboth"),
+        F.max("hkey").alias("_hk"),
+    )
+    jacc = F.col("_nboth").cast("double") / F.col("n_union_sample").cast("double")
+    est_union = F.when(
+        F.col("n_union_sample") < k, F.col("n_union_sample").cast("double")
+    ).otherwise((F.lit(k) - 1).cast("double") / F.col("_hk"))
+    return agg.select(
+        F.col("n_union_sample").cast("long").alias("n_union_sample"),
+        F.round(jacc, 9).alias("jaccard"),
+        F.round(est_union, 3).alias("est_union"),
+        F.round(jacc * est_union, 3).alias("est_intersection"),
+    )

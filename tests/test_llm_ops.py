@@ -5166,3 +5166,50 @@ def test_t_closeness_hand_distributions(spark):
 
     with pytest.raises(ValueError):
         t_closeness_report(df, ["qi"], "s", t=0.0)
+
+
+def test_kmv_overlap_estimates_known_sets(spark):
+    """Overlap synopsis accuracy on constructed sets: disjoint sets
+    estimate jaccard 0; identical sets estimate 1 with est_intersection
+    == est_union; a 50%-overlap pair lands within the KMV error band;
+    the below-k path returns exact union counts."""
+    from dlp_rdb_bq_import_spark.operators.sampling import (
+        bottomk_sample,
+        kmv_overlap_estimate,
+    )
+
+    def sample(ids, k):
+        df = spark.createDataFrame([(i,) for i in ids], "uid long")
+        return bottomk_sample(df, "uid", k)
+
+    # identical 5000-element sets, k=128
+    a = sample(range(5000), 128)
+    r = kmv_overlap_estimate(a, sample(range(5000), 128), "uid", 128).collect()[0]
+    assert r.jaccard == 1.0 and r.est_intersection == r.est_union
+    assert abs(r.est_union - 5000) / 5000 < 0.3  # ~1/sqrt(k) band
+
+    # disjoint
+    r = kmv_overlap_estimate(
+        sample(range(3000), 128), sample(range(10000, 13000), 128), "uid", 128
+    ).collect()[0]
+    assert r.jaccard == 0.0 and r.est_intersection == 0.0
+    assert abs(r.est_union - 6000) / 6000 < 0.3
+
+    # true jaccard 1/3 (A = 0..5999, B = 3000..8999, |A∩B|=3000, |A∪B|=9000)
+    r = kmv_overlap_estimate(
+        sample(range(6000), 256), sample(range(3000, 9000), 256), "uid", 256
+    ).collect()[0]
+    assert abs(r.jaccard - 1 / 3) < 0.12
+    assert abs(r.est_union - 9000) / 9000 < 0.25
+
+    # below-k: exact
+    r = kmv_overlap_estimate(
+        sample(range(10), 128), sample(range(5, 15), 128), "uid", 128
+    ).collect()[0]
+    assert r.n_union_sample == 15 and r.est_union == 15.0
+    assert abs(r.jaccard - 5 / 15) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmv_overlap_estimate(a, a, "uid", 0)
