@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "streaming_ewma",
     "t_closeness",
     "kmv_set_overlap",
+    "host_weighted_sssp",
 ]
 
 

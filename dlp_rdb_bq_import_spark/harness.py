@@ -10388,6 +10388,51 @@ def q_kmv_set_overlap(spark, sf_dir):
     return kmv_overlap_estimate(a, b, "user_id", k)
 
 
+_SSSP_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst, 1.0 / CAST(count(*) AS DOUBLE) AS w
+  FROM ({_HOST_EDGES_SQL}) GROUP BY src, dst
+),
+seeds AS (
+  SELECT DISTINCT src AS node FROM e
+  WHERE src LIKE 'shop0.%' OR src LIKE 'shop1.%'
+),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS DOUBLE), 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.cost + e.w, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 3
+)
+SELECT node, round(min(cost), 9) AS cost FROM walk GROUP BY node
+"""
+
+
+@query("host_weighted_sssp", oracle=_SSSP_ORACLE)
+def q_host_weighted_sssp(spark, sf_dir):
+    """EXT — bounded-hop weighted shortest paths
+    (graph.sssp_distances, distributed Bellman-Ford / Pregel
+    relaxation): cheapest ≤3-hop route from the shop0/shop1 seed
+    hosts where an edge costs the RECIPROCAL of its parallel-link
+    count — heavily-linked host pairs are "close", the standard
+    link-strength metric for crawl-authority propagation. The
+    improved-frontier iteration computes the exact ≤k-hop minimum,
+    and because every path's cost accumulates left-to-right in both
+    engines, min() over the identical walk set is the identical
+    double — hash-matched against the depth-bounded recursive-CTE
+    oracle (the weighted sibling of host_distance_bfs)."""
+    from .operators.graph import sssp_distances
+
+    edges = (
+        _host_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg((F.lit(1.0) / F.count(F.lit(1)).cast("double")).alias("cost"))
+    )
+    seeds = edges.where(
+        F.col("src").startswith("shop0.") | F.col("src").startswith("shop1.")
+    ).select(F.col("src").alias("node"))
+    return sssp_distances(edges, seeds, max_hops=3)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

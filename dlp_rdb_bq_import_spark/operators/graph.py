@@ -567,3 +567,79 @@ def cocitation_counts(
         .agg(F.count(F.lit(1)).alias("n_cosources"))
         .where(F.col("n_cosources") >= min_count)
     )
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cost_col: str = "cost",
+    seed_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Bounded-hop single-source(-set) shortest paths — distributed
+    Bellman-Ford (the Pregel-style relaxation every graph engine
+    ships): per round, the improved frontier joins the edge table,
+    candidate costs fold by min, and only nodes whose best-known cost
+    IMPROVED re-enter the frontier; after ``max_hops`` rounds every
+    node carries the cheapest path of ≤ max_hops edges from the
+    nearest seed. Returns ``(node, cost)`` (seeds at 0.0; unreachable
+    nodes absent). The weighted generalization of
+    :func:`bfs_distances` — same frontier discipline, costs instead
+    of hop counts.
+
+    Determinism & restatability: each path's cost accumulates
+    left-to-right along the path (the iteration order), exactly how a
+    depth-bounded recursive-CTE walk accumulates it — so the min over
+    the identical finite walk set is the identical double, and the
+    result hash-matches a SQL oracle. min() over doubles needs no
+    rounding discipline (no summation across paths, only along them).
+    Negative costs are rejected (Bellman-Ford tolerates them only
+    with convergence detection; a bounded-hop min over walks does
+    not).
+
+    Shape: per round one frontier×edges equi-join + one groupBy(min)
+    + one improvement anti-filter against the |V|-bounded dist table,
+    checkpointed; early-exits when nothing improves. Cost tracks the
+    expanding improved wave — the Pregel bound — not |V|·|E|."""
+    if max_hops < 0:
+        raise ValueError(f"sssp_distances: max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(cost_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    if not e.where(F.col("w") < 0).isEmpty():
+        raise ValueError("sssp_distances: negative edge costs are not supported")
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0.0).alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        prev = dist.select(F.col("node"), F.col("cost").alias("_old"))
+        improved = (
+            cand.join(prev, "node", "left")
+            .where(F.col("_old").isNull() | (F.col("cost") < F.col("_old")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist.select("node", F.round("cost", 9).alias("cost"))

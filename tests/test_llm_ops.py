@@ -5213,3 +5213,31 @@ def test_kmv_overlap_estimates_known_sets(spark):
 
     with pytest.raises(ValueError):
         kmv_overlap_estimate(a, a, "uid", 0)
+
+
+def test_sssp_weighted_hand_graph(spark):
+    """Bellman-Ford on a hand graph: a 2-hop cheap route beats a 1-hop
+    expensive edge; hop bound cuts long routes; unreachable absent;
+    negative costs rejected; deterministic under repartition."""
+    from dlp_rdb_bq_import_spark.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0), (9, 9, 1.0)],
+        "src long, dst long, cost double",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.cost for r in sssp_distances(edges, seeds, max_hops=5).collect()}
+    assert got == {0: 0.0, 2: 1.0, 1: 2.0, 3: 3.0}  # via 0->2->1, not 0->1
+    # hop bound 1: only direct edges
+    got1 = {r.node: r.cost for r in sssp_distances(edges, seeds, max_hops=1).collect()}
+    assert got1 == {0: 0.0, 1: 10.0, 2: 1.0}
+    again = {
+        r.node: r.cost
+        for r in sssp_distances(edges.repartition(4), seeds, max_hops=5).collect()
+    }
+    assert again == got
+    neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, cost double")
+    with pytest.raises(ValueError):
+        sssp_distances(neg, seeds)
+    with pytest.raises(ValueError):
+        sssp_distances(edges, seeds, max_hops=-1)
