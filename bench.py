@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "t_closeness",
     "kmv_set_overlap",
     "host_weighted_sssp",
+    "unigram_lm_vocab",
+    "unigram_encode_tokens",
 ]
 
 

@@ -10433,6 +10433,44 @@ def q_host_weighted_sssp(spark, sf_dir):
     return sssp_distances(edges, seeds, max_hops=3)
 
 
+@query("unigram_lm_vocab")  # EM fixpoint — rows-only
+def q_unigram_lm_vocab(spark, sf_dir):
+    """EXT — unigram-LM tokenizer induction (text_ops.unigram_lm_learn,
+    Kudo ACL 2018 / SentencePiece 'unigram'): BPE's principled rival —
+    pieces carry probabilities, segmentation maximizes likelihood.
+    Corpus touched once (word-frequency table); EM + pruning work on
+    the vocab table with the model-sized dict riding the closure (the
+    bigram-LM / IVF-centroid discipline). Hard-EM + count-pruning are
+    the documented public simplifications. Rows-only — iterative EM;
+    Viterbi optimality, coverage, reassembly and determinism are
+    pytest-pinned. Output: (piece, logprob, rank)."""
+    return text_ops.unigram_lm_learn(
+        t(spark, sf_dir, "documents"), vocab_size=120, iterations=3
+    )
+
+
+@query("unigram_encode_tokens")  # Viterbi DP per word — rows-only
+def q_unigram_encode_tokens(spark, sf_dir):
+    """EXT — maximum-likelihood tokenization with the learned unigram
+    vocabulary (text_ops.unigram_encode): Viterbi-best pieces per
+    word, one row per token in document order, folded to per-doc
+    scalars for the gate: (doc_id, n_tokens, sum_logprob). Runs on
+    the deterministic doc_id%10 demo slice (training sees the full
+    corpus; encoding everything is linear and embarrassingly parallel
+    — the slice keeps the sweep entry honest without making a Python
+    DP the soak headline). Reassembly (pieces concatenate to the
+    word) is pytest-pinned."""
+    d = t(spark, sf_dir, "documents")
+    vocab = text_ops.unigram_lm_learn(d, vocab_size=120, iterations=3)
+    enc = text_ops.unigram_encode(
+        d.where(F.col("doc_id") % 10 == 0), vocab
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("logprob"), 6).alias("sum_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -2125,3 +2125,241 @@ def phrase_match(
     return matched.groupBy(F.col("_d").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def _viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: classic
+    Viterbi over cut positions (ties prefer the FEWER-piece path, then
+    the lexicographically-earlier backpointer — total and deterministic).
+    Single characters are guaranteed present in ``logp`` by the
+    trainer, so every word is reachable."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    nseg = [0] * (n + 1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or best[j] == NEG:
+                continue
+            cand = best[j] + lp
+            better = cand > best[i] or (
+                cand == best[i]
+                and back[i] is not None
+                and (
+                    nseg[j] + 1 < nseg[i]
+                    or (nseg[j] + 1 == nseg[i] and piece < back[i][1])
+                )
+            )
+            if back[i] is None or better:
+                best[i] = cand
+                nseg[i] = nseg[j] + 1
+                back[i] = (j, piece)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j, piece = back[i]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_lm_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 6,
+    min_freq: int = 2,
+    iterations: int = 3,
+    prune_frac: float = 0.2,
+) -> DataFrame:
+    """Unigram-language-model tokenizer induction (Kudo, ACL 2018 —
+    the SentencePiece 'unigram' algorithm, BPE's principled rival:
+    pieces carry probabilities and segmentation MAXIMIZES likelihood
+    instead of replaying greedy merges). Distributed the same way
+    :func:`bpe_learn` is: the corpus is touched ONCE (one groupBy to
+    the word-frequency table); everything after works on the vocab
+    table, and the model itself (piece → log-prob) is model-sized and
+    rides the driver/closure exactly like the IVF centroids and the
+    pruned bigram-LM.
+
+    Algorithm (documented public simplifications of the paper's
+    full recipe, each standard practice: hard-EM instead of
+    forward-backward expected counts, count-mass pruning instead of
+    likelihood-loss pruning):
+
+    1. SEED: every substring of length ≤ ``max_piece_len`` of every
+       word, weighted by word frequency; substrings under ``min_freq``
+       drop; ALL single characters are kept unconditionally (coverage:
+       every word stays segmentable forever).
+    2. EM rounds: E — Viterbi-segment each DISTINCT word under the
+       current log-probs (Arrow-batched over the vocab table, model in
+       the closure); piece counts accumulate word-frequency-weighted.
+       M — re-normalize counts to probabilities.
+    3. PRUNE ``prune_frac`` of the lowest-count multi-character pieces
+       per round until ≤ ``vocab_size`` pieces remain, then one final
+       EM round re-scores the survivors.
+
+    Returns ``(piece, logprob, rank)`` — rank 1 = most probable;
+    log-probs rounded to 9. Deterministic end-to-end: seeding,
+    segmentation ties, pruning ties (count asc, piece asc) and
+    normalization are all total orders or fixed-order arithmetic."""
+    if vocab_size < 2:
+        raise ValueError(f"unigram_lm_learn: vocab_size must be >= 2, got {vocab_size}")
+    if max_piece_len < 1 or iterations < 1 or not 0.0 < prune_frac < 1.0:
+        raise ValueError(
+            "unigram_lm_learn: need max_piece_len >= 1, iterations >= 1, "
+            f"0 < prune_frac < 1; got {max_piece_len}, {iterations}, {prune_frac}"
+        )
+    import math
+
+    from . import fan_out
+
+    words = (
+        fan_out(df)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+
+    # 1. seed counts: substring explode over the VOCAB table
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, "
+                    "length(word) - i + 1)), l -> substring(word, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+    seed_rows = subs.where(
+        (F.length("piece") == 1) | (F.col("c") >= min_freq)
+    ).collect()
+    counts: dict[str, float] = {r.piece: float(r.c) for r in seed_rows}
+    chars = {p for p in counts if len(p) == 1}
+
+    def normalize(c: dict[str, float]) -> dict[str, float]:
+        total = sum(c.values())
+        return {p: math.log(v / total) for p, v in c.items() if v > 0} | {
+            # zero-count single chars stay at a tiny floor probability:
+            # coverage demands their presence, honesty demands a low score
+            p: math.log(0.5 / total)
+            for p in chars
+            if c.get(p, 0) <= 0
+        }
+
+    logp = normalize(counts)
+
+    def em_counts(model: dict[str, float]) -> dict[str, float]:
+        import pandas as pd
+
+        frozen = dict(model)
+
+        def run(batches):
+            for pdf in batches:
+                pieces: list[str] = []
+                ws: list[float] = []
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    for piece in _viterbi_segment(str(w), frozen, max_piece_len):
+                        pieces.append(piece)
+                        ws.append(float(f))
+                yield pd.DataFrame({"piece": pieces, "w": ws})
+
+        out = (
+            words.mapInPandas(run, "piece string, w double")
+            .groupBy("piece")
+            .agg(F.sum("w").alias("c"))
+            .collect()
+        )
+        return {r.piece: float(r.c) for r in out}
+
+    for _ in range(iterations):
+        counts = em_counts(logp)
+        # prune lowest-count multi-char pieces toward the target size
+        multi = sorted(
+            ((c, p) for p, c in counts.items() if len(p) > 1),
+        )
+        n_now = len(chars) + len(multi)
+        if n_now > vocab_size:
+            excess = n_now - vocab_size
+            n_drop = min(max(int(len(multi) * prune_frac), 1), excess)
+            for c, p in multi[:n_drop]:
+                del counts[p]
+        logp = normalize(counts)
+
+    # final pruning straight to the target if EM rounds didn't get there
+    multi = sorted(((c, p) for p, c in counts.items() if len(p) > 1))
+    excess = (len(chars) + len(multi)) - vocab_size
+    if excess > 0:
+        for c, p in multi[:excess]:
+            del counts[p]
+        logp = normalize(em_counts(normalize(counts)))
+
+    rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(p, round(lp, 9), i + 1) for i, (p, lp) in enumerate(rows)],
+        "piece string, logprob double, rank long",
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Tokenize a corpus with a learned unigram-LM vocabulary
+    (:func:`unigram_lm_learn`): Viterbi-best segmentation per word —
+    maximum-likelihood, not greedy-merge — emitting one row per token
+    in document order: ``(id_col, token_ord, piece, logprob)``.
+
+    Shape: the model collects driver-side (model-sized, the same
+    discipline as bpe_encode's merge list and the IVF centroids) and
+    rides the Arrow closure; encoding is one mapInPandas over the
+    corpus. Words are whitespace tokens, same contract as the BPE
+    path; concatenating a word's pieces reproduces the word exactly
+    (pytest-pinned)."""
+    model = {r.piece: float(r.logprob) for r in vocab.collect()}
+    if not model:
+        raise ValueError("unigram_encode: empty vocabulary")
+    import pandas as pd
+
+    key_dt = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"`{id_col}` {key_dt}, token_ord long, piece string, logprob double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, ords, ps, lps = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                k = 0
+                for w in str(text or "").split(" "):
+                    if not w:
+                        continue
+                    for piece in _viterbi_segment(w, model, max_piece_len):
+                        k += 1
+                        ids.append(rid)
+                        ords.append(k)
+                        ps.append(piece)
+                        lps.append(model[piece])
+            yield pd.DataFrame(
+                {id_col: ids, "token_ord": ords, "piece": ps, "logprob": lps}
+            )
+
+    from . import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
