@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "host_weighted_sssp",
     "unigram_lm_vocab",
     "unigram_encode_tokens",
+    "bloom_semi_join",
 ]
 
 

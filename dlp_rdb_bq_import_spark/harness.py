@@ -10471,6 +10471,42 @@ def q_unigram_encode_tokens(spark, sf_dir):
     )
 
 
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+GROUP BY 1
+"""
+
+
+@query("bloom_semi_join", oracle=_BLOOM_SEMI_SQL)
+def q_bloom_semi_join(spark, sf_dir):
+    """EXT — Bloom-prefiltered semi-join (joins.
+    bloom_filtered_semi_join): lineitem rows restricted to the
+    size-1 parts (≈2% selectivity), screened inside the scan by a
+    broadcast one-row Bloom bitmap BEFORE the exact semi-join — at
+    100 TB the screen moves ~1/50th the bytes into the shuffle, and
+    unlike Spark's adaptive runtime bloom the explicit bitmap can be
+    persisted and reused across batches (the decontam index
+    discipline). Result is EXACTLY the plain semi-join (no false
+    negatives; false positives die in the exact join) — which IS the
+    oracle; aggregated per returnflag for a bounded gate output.
+    l_quantity is integral in the fixture, so the integer sum is
+    fold-order-proof."""
+    from .operators.joins import bloom_filtered_semi_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    p1 = t(spark, sf_dir, "part").where(F.col("p_size") == 1).select("p_partkey")
+    out = bloom_filtered_semi_join(li, p1, "l_partkey", "p_partkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

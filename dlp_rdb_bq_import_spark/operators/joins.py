@@ -304,3 +304,46 @@ def range_overlap_join(
         & (F.floor(F.greatest(F.col("_ls"), F.col("_rs")) / bucket) == F.col("_bkt"))
     )
     return joined.drop("_ls", "_le", "_rs", "_re", "_bkt")
+
+
+def bloom_filtered_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+) -> DataFrame:
+    """Bloom-prefiltered semi-join — the classic big-join shuffle
+    reducer made first-class: build a Bloom filter over the SMALL
+    side's keys (one-row dense bitmap, broadcast as a scalar attach),
+    screen the big side INSIDE its scan with O(1) codegen bit probes,
+    then run the exact semi-join over the survivors. The result is
+    EXACTLY the plain semi-join — a Bloom has no false negatives, so
+    every true match survives the screen, and false positives die in
+    the exact join behind it; the filter only shrinks what reaches
+    the shuffle (at fpp ≈ 0.24%, a 99%-selective semi-join moves
+    ~1/100th the bytes).
+
+    Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter)
+    does this adaptively inside one query; the explicit operator
+    exists for what the optimizer cannot do — persist the bitmap once
+    and reuse it across MANY queries/batches (the decontam index
+    discipline), or screen before an expensive non-join stage.
+
+    Reuses the decontam module's Kirsch-Mitzenmacher bitmap
+    (build_hash_bloom / bloom_might_contain). NULL big-side keys may
+    pass the screen but never match the exact semi-join — same
+    semantics as the plain join."""
+    from .decontam import bloom_might_contain, build_hash_bloom
+
+    sk = small_key or big_key
+    hashes = small.select(F.xxhash64(F.col(sk)).alias("_h"))
+    bloom, m_bits = build_hash_bloom(hashes)
+    screened = (
+        big.withColumn("_h", F.xxhash64(F.col(big_key)))
+        .crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col("_h"), m_bits))
+        .drop("_h", "_bloom")
+    )
+    return screened.join(
+        small.select(F.col(sk).alias(big_key)).distinct(), big_key, "leftsemi"
+    )

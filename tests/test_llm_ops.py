@@ -5328,3 +5328,30 @@ def test_unigram_lm_learn_and_encode_contracts(spark):
         unigram_lm_learn(df, vocab_size=1)
     with pytest.raises(ValueError):
         unigram_encode(df, vocab.where("piece = '___nope___'"))
+
+
+def test_bloom_filtered_semi_join_equals_plain(spark):
+    """The Bloom screen + exact semi-join returns EXACTLY the plain
+    semi-join on every input — including NULL keys on the big side
+    (pass the screen, die in the join) and an empty small side."""
+    from dlp_rdb_bq_import_spark.operators.joins import bloom_filtered_semi_join
+
+    big = spark.createDataFrame(
+        [(i % 100, i) for i in range(2000)] + [(None, -1)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(3,), (7,), (42,)], "sk long")
+    got = sorted(
+        map(tuple, bloom_filtered_semi_join(big, small, "k", "sk").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            big.join(
+                small.select(F.col("sk").alias("k")).distinct(), "k", "leftsemi"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 60
+    empty = spark.createDataFrame([], "sk long")
+    assert bloom_filtered_semi_join(big, empty, "k", "sk").count() == 0

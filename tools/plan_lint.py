@@ -78,6 +78,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is a broadcast single global-aggregate row (n_bins-1 "
         "columns) by construction",
     },
+    "bloom_semi_join": {
+        "BroadcastNestedLoopJoin": "Bloom bitmap scalar attach: build "
+        "side is the broadcast ONE-ROW dense bitmap (same shape as the "
+        "decontam bloom prefilter entries)",
+    },
     "t_closeness": {
         "BroadcastNestedLoopJoin": "deliberate |classes|x|values| grid: "
         "build sides are the broadcast sensitive-value spine (low-"
