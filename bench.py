@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "unigram_lm_vocab",
     "unigram_encode_tokens",
     "bloom_semi_join",
+    "calibration_curve",
 ]
 
 

@@ -10507,6 +10507,72 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+def _calibration_sql() -> str:
+    n_bins = 10
+    uni = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    bs = ", ".join(
+        f"quantile_cont(_s, {i / n_bins!r}) AS _b{i}" for i in range(1, n_bins)
+    )
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN _s > _b{i} THEN 1 ELSE 0 END)" for i in range(1, n_bins)
+    )
+    return f"""
+WITH base AS (
+  SELECT {uni} AS _s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS _p
+  FROM events WHERE event_type IS NOT NULL
+), bounds AS (
+  SELECT {bs} FROM base
+), tagged AS (
+  SELECT CAST({bin_expr} AS BIGINT) AS bin,
+         CAST(round(_s * 1000000000.0, 0) AS BIGINT) AS _q,
+         CAST(_p AS BIGINT) AS _p
+  FROM base CROSS JOIN bounds
+), agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(_p) AS BIGINT) AS n_pos,
+         CAST(sum(_q) AS BIGINT) AS _sq
+  FROM tagged GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate,
+       round(CAST(_sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0), 9)
+         AS mean_score,
+       round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             - (CAST(_sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)), 9)
+         AS gap
+FROM agg
+"""
+
+
+@query("calibration_curve", oracle=_calibration_sql())
+def q_calibration_curve(spark, sf_dir):
+    """EXT — reliability diagram (profiling.calibration_curve, the
+    calibration companion to classifier_auc): decile bins of a
+    hash-uniform "model score" against the purchase label — a random
+    scorer, whose per-bin positive rate sits at the base rate while
+    mean_score climbs the deciles: the textbook UNCALIBRATED
+    signature, stated exactly (nano-unit integer score sums, one
+    division per readout) rather than approximately. Boundaries from
+    one exact-percentile row (percentile ≡ quantile_cont, the pinned
+    interpolation), closed-domain groupBy, no window."""
+    from .operators.profiling import calibration_curve
+    from .operators.sampling import hash_uniform
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            hash_uniform(F.col("event_id")).alias("score"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return calibration_curve(e, "score", "is_purchase", n_bins=10)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

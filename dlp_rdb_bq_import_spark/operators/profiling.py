@@ -1373,3 +1373,76 @@ def quantile_binning(
         F.min("_x").alias("min_v"),
         F.max("_x").alias("max_v"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic scorer (the calibration
+    companion to :func:`classifier_auc` — AUC measures RANKING,
+    calibration measures whether "0.8" MEANS 80%; Murphy 1973 /
+    DeGroot & Fienberg 1983): scores bucket into ``n_bins``
+    equal-frequency bins (exact-percentile boundaries, the
+    quantile_binning cut), and each bin reports its empirical
+    positive rate against its mean predicted score. One row per
+    populated bin:
+
+    ``(bin, n, n_pos, pos_rate, mean_score, gap)``
+
+    — ``gap = pos_rate − mean_score`` (signed; a well-calibrated
+    scorer's gaps hover near 0, over-confidence shows negative).
+    pos_rate/mean_score/gap rounded to 9. NULL scores/labels excluded.
+
+    Exactness: scores quantize to int64 nano-units (round(s·1e9) — the
+    module-standard trick, see similarity.QUANT_SCALE and
+    rake_keywords), so per-bin sums are order-free exact integers and
+    ``mean_score = Σq / (n·1e9)``, ``pos_rate = n_pos / n`` are each
+    ONE IEEE division — engine-identical, hash-matching the oracle.
+
+    Shape: one exact-percentile aggregate row broadcast back (the
+    boundary attach), one closed-domain groupBy — no window, no
+    per-row ranking."""
+    if n_bins < 2:
+        raise ValueError(f"calibration_curve: n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("boolean")
+    base = df.select(s.alias("_s"), lab.alias("_l")).where(
+        F.col("_s").isNotNull() & F.col("_l").isNotNull()
+    )
+    bounds = base.agg(
+        *[
+            F.expr(f"percentile(_s, {i / n_bins!r})").alias(f"_b{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + (F.col("_s") > F.col(f"_b{i}")).cast("int")
+    tagged = base.crossJoin(F.broadcast(bounds)).select(
+        bin_expr.cast("long").alias("bin"),
+        F.round(F.col("_s") * F.lit(1e9), 0).cast("long").alias("_q"),
+        F.col("_l").cast("long").alias("_p"),
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    mean_score = F.col("_sq").cast("double") / (
+        F.col("n").cast("double") * F.lit(1e9)
+    )
+    return (
+        tagged.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_p").cast("long").alias("n_pos"),
+            F.sum("_q").cast("long").alias("_sq"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(pos_rate, 9).alias("pos_rate"),
+            F.round(mean_score, 9).alias("mean_score"),
+            F.round(pos_rate - mean_score, 9).alias("gap"),
+        )
+    )

@@ -5355,3 +5355,34 @@ def test_bloom_filtered_semi_join_equals_plain(spark):
     assert got == want and len(got) == 60
     empty = spark.createDataFrame([], "sk long")
     assert bloom_filtered_semi_join(big, empty, "k", "sk").count() == 0
+
+
+def test_calibration_curve_perfect_and_skewed(spark):
+    """A perfectly calibrated synthetic scorer has near-zero gaps; a
+    constant over-confident scorer shows the negative gap exactly;
+    NULLs excluded; equal-frequency bins; guard."""
+    from dlp_rdb_bq_import_spark.operators.profiling import calibration_curve
+
+    # deterministic 'perfectly calibrated' set: for score s=k/10,
+    # exactly k of 10 rows positive
+    rows = []
+    for k in range(1, 10):
+        for j in range(10):
+            rows.append((k / 10.0, j < k))
+    df = spark.createDataFrame(rows, "s double, l boolean")
+    out = calibration_curve(df, "s", "l", n_bins=3).collect()
+    assert sum(r.n for r in out) == 90
+    assert all(abs(r.gap) < 0.12 for r in out)  # calibrated within bin width
+
+    over = spark.createDataFrame(
+        [(0.9, i < 3) for i in range(10)] + [(None, True), (0.5, None)],
+        "s double, l boolean",
+    )
+    r = calibration_curve(over, "s", "l", n_bins=2).collect()
+    assert len(r) == 1 and r[0].n == 10  # NULLs excluded; all scores tied
+    assert abs(r[0].gap - (0.3 - 0.9)) < 1e-9  # over-confident: negative
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibration_curve(df, "s", "l", n_bins=1)

@@ -78,6 +78,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "build side is a broadcast single global-aggregate row (n_bins-1 "
         "columns) by construction",
     },
+    "calibration_curve": {
+        "BroadcastNestedLoopJoin": "percentile-boundary scalar attach: "
+        "build side is a broadcast single global-aggregate row (n_bins-1 "
+        "columns), same shape as quantile_binning",
+    },
     "bloom_semi_join": {
         "BroadcastNestedLoopJoin": "Bloom bitmap scalar attach: build "
         "side is the broadcast ONE-ROW dense bitmap (same shape as the "
