@@ -235,3 +235,84 @@ def test_global_row_ids_no_single_partition_window(spark, qs):
         "row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid"
     )
     assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
+
+
+def test_round10_host_graph_paths_no_cartesian(spark, qs):
+    """BFS, SSSP and co-citation over the host graph stay keyed
+    equi-joins: no cartesian/BNLJ spelling anywhere (the graph is
+    small at fixture scale, but the PLAN must be the web-scale one)."""
+    for name in ("host_distance_bfs", "host_weighted_sssp", "host_cocitation"):
+        plan = final_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_phrase_search_joins_are_keyed_on_planted_matches(spark):
+    """On a planted corpus WITH matches (the sf0.001 fixture has none,
+    which would let AQE collapse to EmptyRelation and make any plan
+    assertion vacuous), the adjacency joins are keyed hash joins —
+    no cartesian, no nested-loop. The term pre-filter itself sits
+    behind the operator's eager checkpoint and is pinned by the unit
+    tests; this guards the join phase."""
+    from dlp_rdb_bq_import_spark.operators.text import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, "x value table part y") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = phrase_match(df, ["value", "table", "part"])
+    plan = final_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 50
+
+
+def test_sorted_neighborhood_avoids_single_partition_window(spark, qs):
+    """The SNM pairing must ride the range-exchange row-id path: no
+    SinglePartition exchange anywhere and no all-pairs join spelling.
+    (The range exchange itself sits behind global_row_ids' checkpoint
+    and is pinned by the layout tests — this guards the join side.)"""
+    plan = final_plan(qs["sorted_neighborhood_pairs"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binning_boundary_attach_uses_array_percentile(spark, qs):
+    """quantile_binning/calibration_curve: the boundary aggregate must
+    be the ARRAY form (one shared buffer), never n_bins-1 separate
+    percentile expressions each buffering the column — the round-10
+    perf lesson (21.3s -> 6.2s at sf1) pinned as a plan shape."""
+    # the ANALYZED plan prints aggregate expressions untruncated (the
+    # formatted physical plan elides long literals behind "..."). ONE
+    # percentile occurrence with an array literal IS the array form —
+    # the scalar form would occur n_bins-1 times with no array.
+    for name in ("quantile_binning", "calibration_curve"):
+        an = qs[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+        assert an.count("percentile(") == 1, name
+        assert "array(0." in an, name
+
+
+def test_bloom_semi_join_screens_before_exact_join(spark, qs):
+    """The Bloom screen must sit beneath an exact HASH semi-join: the
+    plan carries the bitmap attach (the only nested-loop node) plus a
+    LeftSemi hash join — never a nested-loop for the exact phase and
+    never a cartesian."""
+    plan = final_plan(qs["bloom_semi_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    semi_lines = [
+        ln for ln in plan.splitlines() if "LeftSemi" in ln
+    ]
+    assert semi_lines and all(
+        "NestedLoop" not in ln for ln in semi_lines
+    )  # the exact semi-join is a hash join; only the bitmap attach nests
+
+
+def test_salted_aggregate_keyed_exchanges_only(spark, qs):
+    """The two-phase fold is keyed exchanges only: hash partitioning,
+    no SinglePartition funnel, no join nodes at all."""
+    plan = final_plan(qs["salted_group_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "hashpartitioning" in plan
