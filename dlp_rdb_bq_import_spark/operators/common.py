@@ -78,6 +78,18 @@ def salted_aggregate(
         raise ValueError(f"salted_aggregate: unsupported aggs {sorted(bad)}")
     if n_salts < 1:
         raise ValueError(f"salted_aggregate: n_salts must be >= 1, got {n_salts}")
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_aggregate: input column '_salt' collides with the "
+            "reserved internal name; rename it before calling"
+        )
+    out_names = [f"{how}_{col}" if how != "count" else "n" for col, how in aggs]
+    dupes = sorted({o for o in out_names if out_names.count(o) > 1})
+    if dupes:
+        raise ValueError(
+            f"salted_aggregate: duplicate output aliases {dupes} — at most "
+            "one count entry, and no repeated (col, fn) pair"
+        )
     src = salt_source or [c for c in df.columns if c not in group_cols]
     if not src:
         raise ValueError(

@@ -389,6 +389,10 @@ def hits(
     the replanned-lineage blowup. Nodes on only one side of the edge
     relation simply hold score 0 on the other axis — no dangling-mass
     machinery is needed because HITS normalizes explicitly."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
+    if norm_every < 1:
+        raise ValueError(f"hits: norm_every must be >= 1, got {norm_every}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)

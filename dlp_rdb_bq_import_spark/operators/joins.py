@@ -336,10 +336,23 @@ def bloom_filtered_semi_join(
     from .decontam import bloom_might_contain, build_hash_bloom
 
     sk = small_key or big_key
-    hashes = small.select(F.xxhash64(F.col(sk)).alias("_h"))
+    clash = sorted(set(big.columns) & {"_h", "_bloom"})
+    if clash:
+        raise ValueError(
+            f"bloom_filtered_semi_join: big-side columns {clash} collide "
+            "with reserved internal names ['_bloom', '_h']; rename them "
+            "before calling"
+        )
+    # xxhash64 is type-dependent (INT 5 and BIGINT 5 hash differently), so
+    # hashing the two key columns on their native types would let equal
+    # values miss the screen — a silent false negative that breaks the
+    # "EXACTLY the plain semi-join" contract. Hash both sides through a
+    # common STRING rendering instead; the exact semi-join behind the
+    # screen still compares native values.
+    hashes = small.select(F.xxhash64(F.col(sk).cast("string")).alias("_h"))
     bloom, m_bits = build_hash_bloom(hashes)
     screened = (
-        big.withColumn("_h", F.xxhash64(F.col(big_key)))
+        big.withColumn("_h", F.xxhash64(F.col(big_key).cast("string")))
         .crossJoin(F.broadcast(bloom))
         .where(bloom_might_contain(F.col("_h"), m_bits))
         .drop("_h", "_bloom")

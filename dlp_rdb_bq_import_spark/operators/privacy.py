@@ -179,10 +179,12 @@ def t_closeness_report(
     values form their own classes (conservative, as in k-anonymity).
 
     Exactness: with exact integer counts, ``q_v − p_v =
-    (c_v·N − g_v·n) / (n·N)`` — the numerators are exact int64s, so
-    ``tvd = Σ|c_v·N − g_v·n| / (2·n·N)`` is ONE IEEE division of
-    exact integers (rounded to 9): bit-identical in any engine, no
-    per-term float accumulation.
+    (c_v·N − g_v·n) / (n·N)`` — the numerators are computed in
+    DECIMAL(38,0) (int64 would silently wrap once n·N passes 2^63,
+    which happens beyond ~3e9 rows — exactly the scale this repo
+    advertises), so ``tvd = Σ|c_v·N − g_v·n| / (2·n·N)`` is ONE IEEE
+    division of exact integers (rounded to 9): bit-identical in any
+    engine, no per-term float accumulation.
 
     Shape: a |classes|×|values| grid (classes cross-join the
     broadcast value spine, left-join per-class counts) — the right
@@ -222,13 +224,18 @@ def t_closeness_report(
             "_n",
             "_tot",
             F.abs(
-                F.coalesce(F.col("_c"), F.lit(0)) * F.col("_tot")
-                - F.col("_g") * F.col("_n")
+                F.coalesce(F.col("_c"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("_tot").cast("decimal(38,0)")
+                - F.col("_g").cast("decimal(38,0)")
+                * F.col("_n").cast("decimal(38,0)")
             ).alias("_absnum"),
         )
     )
     tvd = F.col("_sum").cast("double") / (
-        F.lit(2.0) * (F.col("_n") * F.col("_tot")).cast("double")
+        F.lit(2.0)
+        * (
+            F.col("_n").cast("decimal(38,0)") * F.col("_tot").cast("decimal(38,0)")
+        ).cast("double")
     )
     return (
         grid.groupBy(*quasi_cols, "_n", "_tot")

@@ -1255,6 +1255,7 @@ def classifier_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC of a score column against a boolean label via the
     Mann-Whitney rank identity (AUC = P(score⁺ > score⁻) + ½·P(tie) —
@@ -1266,8 +1267,10 @@ def classifier_auc(
     score, accumulate negatives strictly below each score with an
     exclusive-preceding running sum, then
     ``AUC = (2·Σ n⁺(s)·below(s) + Σ n⁺(s)·n⁻(s)) / (2·P·N)`` — every
-    term an exact int64, ONE final IEEE division, rounded to 9: ties
-    handled by construction, no per-row ranking, engine-identical.
+    term exact (accumulated in DECIMAL(38,0): the 2·n⁺·below product
+    reaches P·N, which passes 2^63 beyond ~3e9 rows of each class, so
+    int64 would silently wrap), ONE final IEEE division, rounded to 9:
+    ties handled by construction, no per-row ranking, engine-identical.
     Degenerate inputs (no positives or no negatives) yield NULL auc —
     undefined, and a pinned NULL beats an arbitrary 0.5 that would
     read as "random classifier".
@@ -1275,14 +1278,28 @@ def classifier_auc(
     Scale shape: one groupBy to score grain (partial-agg combines
     map-side), then the running sum serializes the DISTINCT-SCORE
     table through one ordered window — fine while distinct scores fit
-    one executor (the usual case: scores are rounded model outputs,
-    cardinality ≪ rows; same documented trade as pareto_class's
-    global mode), and NULL labels/scores are excluded up front (no
+    one executor. That bound is the caller's contract: model scores
+    are normally already quantized (rounded model outputs, cardinality
+    ≪ rows); for RAW continuous scores pass ``score_round`` to
+    pre-round to that many decimals BEFORE ranking, capping distinct
+    scores at ``(range)·10^score_round`` (e.g. 6 ⟹ ≤ ~2e6 distinct
+    rows for scores in [0,1] — kilobytes per executor). Rounding
+    merges ties, which is the standard quantized-AUC estimator: the
+    tie term ½·P(tie) absorbs merged pairs, so the result differs
+    from the raw-score AUC by at most the probability mass within a
+    rounding bucket. NULL labels/scores are excluded up front (no
     verdict, no rank)."""
+    if score_round is not None and score_round < 0:
+        raise ValueError(
+            f"classifier_auc: score_round must be >= 0, got {score_round}"
+        )
     from pyspark.sql import Window
 
+    s_in = F.col(score_col).cast("double")
+    if score_round is not None:
+        s_in = F.round(s_in, score_round)
     sc = df.select(
-        F.col(score_col).cast("double").alias("_s"),
+        s_in.alias("_s"),
         F.col(label_col).cast("boolean").alias("_l"),
     ).where(F.col("_s").isNotNull() & F.col("_l").isNotNull())
     per = sc.groupBy("_s").agg(
@@ -1300,11 +1317,12 @@ def classifier_auc(
         F.sum("_np").cast("long").alias("n_pos"),
         F.sum("_nn").cast("long").alias("n_neg"),
         F.sum(
-            F.lit(2) * F.col("_np") * F.col("_below")
-            + F.col("_np") * F.col("_nn")
-        )
-        .cast("long")
-        .alias("_u2"),
+            F.lit(2).cast("decimal(38,0)")
+            * F.col("_np").cast("decimal(38,0)")
+            * F.col("_below").cast("decimal(38,0)")
+            + F.col("_np").cast("decimal(38,0)")
+            * F.col("_nn").cast("decimal(38,0)")
+        ).alias("_u2"),
     )
     return tot.select(
         F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
@@ -1313,9 +1331,11 @@ def classifier_auc(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.round(
                 F.col("_u2").cast("double")
-                / (F.lit(2).cast("long") * F.col("n_pos") * F.col("n_neg")).cast(
-                    "double"
-                ),
+                / (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.col("n_pos").cast("decimal(38,0)")
+                    * F.col("n_neg").cast("decimal(38,0)")
+                ).cast("double"),
                 9,
             ),
         ).alias("auc"),

@@ -2131,10 +2131,17 @@ def _viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[st
     """Best segmentation of ``word`` under piece log-probs: classic
     Viterbi over cut positions (ties prefer the FEWER-piece path, then
     the lexicographically-earlier backpointer — total and deterministic).
-    Single characters are guaranteed present in ``logp`` by the
-    trainer, so every word is reachable."""
+    The trainer guarantees char coverage of its OWN corpus, but
+    ``unigram_encode`` accepts any caller vocab/corpus, so a character
+    absent from ``logp`` (the normal cross-corpus case) is emitted as a
+    single-char piece at a floor log-prob instead of crashing — the
+    standard <unk>-as-byte fallback SentencePiece uses."""
     n = len(word)
     NEG = float("-inf")
+    # Floor score for unknown single characters: worse than every real
+    # piece so a known segmentation always wins, but finite so every
+    # word stays reachable.
+    unk_floor = (min(logp.values()) if logp else 0.0) - 100.0
     best = [NEG] * (n + 1)
     nseg = [0] * (n + 1)
     back: list[tuple[int, str] | None] = [None] * (n + 1)
@@ -2143,6 +2150,8 @@ def _viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[st
         for j in range(max(0, i - max_len), i):
             piece = word[j:i]
             lp = logp.get(piece)
+            if lp is None and i - j == 1:
+                lp = unk_floor
             if lp is None or best[j] == NEG:
                 continue
             cand = best[j] + lp
@@ -2335,6 +2344,10 @@ def unigram_encode(
     model = {r.piece: float(r.logprob) for r in vocab.collect()}
     if not model:
         raise ValueError("unigram_encode: empty vocabulary")
+    # Characters absent from the vocab (cross-corpus encode) come back
+    # from the Viterbi as single-char pieces at this floor log-prob —
+    # must match _viterbi_segment's fallback exactly.
+    unk_floor = min(model.values()) - 100.0
     import pandas as pd
 
     key_dt = dict(df.dtypes)[id_col]
@@ -2355,7 +2368,7 @@ def unigram_encode(
                         ids.append(rid)
                         ords.append(k)
                         ps.append(piece)
-                        lps.append(model[piece])
+                        lps.append(model.get(piece, unk_floor))
             yield pd.DataFrame(
                 {id_col: ids, "token_ord": ords, "piece": ps, "logprob": lps}
             )
