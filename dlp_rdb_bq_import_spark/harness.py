@@ -2054,25 +2054,27 @@ def q_lm_quality_scores(spark, sf_dir):
     "lm_quality_gate",
     oracle=f"""
 WITH scored AS ({_LM_SCORES_SQL}),
-ranked AS (
-  SELECT doc_id, n_bigrams, logprob_micro, avg_logprob,
-         round(percent_rank() OVER (ORDER BY avg_logprob ASC, doc_id ASC), 9)
-           AS pct
-  FROM scored
-)
-SELECT doc_id, n_bigrams, logprob_micro, avg_logprob, pct
-FROM ranked WHERE pct >= 0.1
+th AS (SELECT quantile_cont(avg_logprob, 0.1) AS p10 FROM scored)
+SELECT doc_id, n_bigrams, logprob_micro, avg_logprob,
+       round(p10, 9) AS p10_threshold
+FROM scored CROSS JOIN th
+WHERE avg_logprob >= p10
 """,
 )
 def q_lm_quality_gate(spark, sf_dir):
     """EXT — the quality GATE on top of the LM scorer: score the
-    incoming batch under the persisted bigram LM, rank by fluency, and
-    drop the bottom decile (percent_rank < 0.1) — the relative-
-    threshold drop rule quality filters actually apply (an absolute
-    logprob cut would need recalibration per domain). The window runs
-    over the SCORED (doc_id, score) pairs — batch-sized, scalars only
-    — never the document text; ties break by doc_id so both engines
-    rank identically."""
+    incoming batch under the persisted bigram LM and drop the bottom
+    decile of fluency — the relative-threshold drop rule quality
+    filters actually apply (an absolute logprob cut would need
+    recalibration per domain). The decile boundary comes from ONE
+    exact-percentile aggregate (percentile ≡ quantile_cont, the
+    engine's pinned cross-engine interpolation) broadcast back as a
+    1-row scalar attach and applied as a plain filter — the
+    quantile_binning shape. NO global percent_rank window: the old
+    rank form forced |corpus| scored rows through a single partition,
+    which is exactly the shape that dies at 100 TB; the value
+    threshold keeps the plan fully parallel (ties AT the boundary are
+    kept in both engines by the >= comparison)."""
     from .operators.text import ngram_lm_counts, ngram_lm_scores
 
     d = t(spark, sf_dir, "documents")
@@ -2083,11 +2085,17 @@ def q_lm_quality_gate(spark, sf_dir):
         memo="lm_mod10_1_mc2",
     )
     scored = ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
-    w = Window.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+    th = scored.agg(F.expr("percentile(avg_logprob, 0.1)").alias("_p10"))
     return (
-        scored.withColumn("pct", F.round(F.percent_rank().over(w), 9))
-        .where(F.col("pct") >= 0.1)
-        .select("doc_id", "n_bigrams", "logprob_micro", "avg_logprob", "pct")
+        scored.crossJoin(F.broadcast(th))
+        .where(F.col("avg_logprob") >= F.col("_p10"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_micro",
+            "avg_logprob",
+            F.round(F.col("_p10"), 9).alias("p10_threshold"),
+        )
     )
 
 
@@ -5297,9 +5305,19 @@ def q_winsorize_prices(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    bounds = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    # ONE array-percentile aggregate: one sort buffer per group for
+    # both bounds (two separate percentile() exprs buffer the column
+    # twice — the calibration_curve lesson, commit 85b10ef)
+    bounds = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.05, 0.95))").alias("_bs")
+        )
+        .select(
+            "o_orderpriority",
+            F.element_at("_bs", 1).alias("lo"),
+            F.element_at("_bs", 2).alias("hi"),
+        )
     )
     return o.join(F.broadcast(bounds), "o_orderpriority").select(
         "o_orderkey",
@@ -5324,16 +5342,23 @@ FROM orders GROUP BY o_orderpriority
 def q_percentile_summary(spark, sf_dir):
     """Exact distribution summary: Spark's percentile aggregate and
     DuckDB's quantile_cont share the linear-interpolation (R-7)
-    definition, so the doubles match bit-for-bit. (At 100 TB the
-    approximate twin is percentile_approx — same plan shape, bounded
-    state; the exact form is the oracle.)"""
+    definition, so the doubles match bit-for-bit. ONE array-percentile
+    aggregate — one sort buffer per group for all three points instead
+    of three. (At 100 TB the approximate twin is percentile_approx —
+    same plan shape, bounded state; the exact form is the oracle.)"""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+            F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias(
+                "_ps"
+            )
+        )
+        .select(
+            "o_orderpriority",
+            F.element_at("_ps", 1).alias("p50"),
+            F.element_at("_ps", 2).alias("p90"),
+            F.element_at("_ps", 3).alias("p99"),
         )
     )
 
@@ -9091,18 +9116,17 @@ def q_cluster_balanced_sample(spark, sf_dir):
     "perplexity_bucket_mixture",
     oracle=f"""
 WITH scored AS ({_LM_SCORES_SQL}),
-ranked AS (
-  SELECT doc_id, avg_logprob,
-         round(percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id ASC), 9)
-           AS pct
+b AS (
+  SELECT quantile_cont(avg_logprob, 0.3333333333333333e0) AS b1,
+         quantile_cont(avg_logprob, 0.6666666666666666e0) AS b2
   FROM scored
 ),
 bucketed AS (
   SELECT doc_id, avg_logprob,
-         CASE WHEN pct < 0.333333333 THEN 'head'
-              WHEN pct < 0.666666667 THEN 'middle'
+         CASE WHEN avg_logprob > b2 THEN 'head'
+              WHEN avg_logprob > b1 THEN 'middle'
               ELSE 'tail' END AS bucket
-  FROM ranked
+  FROM scored CROSS JOIN b
 )
 SELECT doc_id, avg_logprob, bucket
 FROM bucketed
@@ -9114,14 +9138,19 @@ WHERE bucket = 'head'
 def q_perplexity_bucket_mixture(spark, sf_dir):
     """EXT — the CCNet bucketing recipe (Wenzek et al. 2020, public):
     score the batch under the persisted reference-slice bigram LM,
-    rank by fluency, split into head/middle/tail terciles, then keep
-    the head, sample HALF the middle (deterministic md5-prefix
-    predicate — partitioning-independent, engine-portable) and drop
-    the tail — the standard perplexity-stratified mixture that keeps
-    some mid-quality mass instead of a hard cutoff. Windows run over
-    batch-sized scalar rows; the sampling predicate adds no shuffle.
-    Shares _LM_SCORES_SQL with the scorer/gate queries so the three
-    oracles cannot silently diverge."""
+    split into head/middle/tail terciles, then keep the head, sample
+    HALF the middle (deterministic md5-prefix predicate —
+    partitioning-independent, engine-portable) and drop the tail —
+    the standard perplexity-stratified mixture that keeps some
+    mid-quality mass instead of a hard cutoff. Tercile boundaries
+    come from ONE array-percentile aggregate (percentile ≡
+    quantile_cont) broadcast back as a 1-row scalar attach — the
+    quantile_binning shape; NO global percent_rank window (the old
+    rank form serialized |corpus| scored rows through one partition —
+    the documented 100 TB scale-killer). Boundary ties land in the
+    LOWER bucket via the > comparison in both engines. Shares
+    _LM_SCORES_SQL with the scorer/gate queries so the three oracles
+    cannot silently diverge."""
     from .operators.sampling import sample_predicate
     from .operators.text import ngram_lm_counts, ngram_lm_scores
 
@@ -9133,16 +9162,20 @@ def q_perplexity_bucket_mixture(spark, sf_dir):
         memo="lm_mod10_1_mc2",
     )
     scored = ngram_lm_scores(d.where(F.col("doc_id") % 10 == 0), lm)
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
-    bucketed = scored.select(
-        "doc_id",
-        "avg_logprob",
-        F.round(F.percent_rank().over(w), 9).alias("_pct"),
+    b = scored.agg(
+        F.expr(
+            "percentile(avg_logprob, "
+            "array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("_bs")
     ).select(
+        F.element_at("_bs", 1).alias("_b1"),
+        F.element_at("_bs", 2).alias("_b2"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(b)).select(
         "doc_id",
         "avg_logprob",
-        F.when(F.col("_pct") < 0.333333333, "head")
-        .when(F.col("_pct") < 0.666666667, "middle")
+        F.when(F.col("avg_logprob") > F.col("_b2"), "head")
+        .when(F.col("avg_logprob") > F.col("_b1"), "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -216,25 +216,34 @@ def group_quantiles(
     in the last ulp across engines; the round pins the cross-engine
     hash while keeping audit precision).
 
-    Scale shape: ONE groupBy; Spark's exact percentile collects each
-    group's values once per aggregate buffer — right for
-    dimension-cardinality groups (profiling's case). For quantiles of
-    corpus-scale groups use approx_percentile and give up the oracle
-    (documented trade)."""
+    Scale shape: ONE groupBy with ONE array-percentile aggregate —
+    a single sort buffer per group covers every requested quantile
+    (N separate percentile() expressions would each buffer the group's
+    values; measured 3-8x slower — the calibration_curve lesson).
+    For quantiles of corpus-scale groups use approx_percentile and
+    give up the oracle (documented trade)."""
     if not group_cols:
         raise ValueError("group_quantiles: need >= 1 group column")
     for q in quantiles:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"group_quantiles: quantile {q} outside [0, 1]")
-    aggs = [F.count(F.col(value_col)).alias("n")]
-    for q in quantiles:
-        label = "p" + f"{q * 100:g}".replace(".", "_")  # 0.999 -> p99_9
-        aggs.append(
-            F.round(F.percentile(F.col(value_col), F.lit(q)), round_to).alias(
-                label
-            )
-        )
-    return df.groupBy(*group_cols).agg(*aggs)
+    labels = [
+        "p" + f"{q * 100:g}".replace(".", "_") for q in quantiles
+    ]  # 0.999 -> p99_9
+    arr = F.percentile(
+        F.col(value_col), F.array(*[F.lit(q) for q in quantiles])
+    ).alias("_qs")
+    out = df.groupBy(*group_cols).agg(
+        F.count(F.col(value_col)).alias("n"), arr
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        *[
+            F.round(F.element_at("_qs", i + 1), round_to).alias(label)
+            for i, label in enumerate(labels)
+        ],
+    )
 
 
 def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:

@@ -328,12 +328,15 @@ def interval_concurrency(
     Exact integer arithmetic end to end. Scale shape: one explode (2
     rows per interval), one (key, ts) pre-aggregation, one running-sum
     window per key — all linear, no joins. A global profile (key_cols
-    None) serializes the running sum through one partition: shard by a
-    coarse time bucket and offset-merge (the global_row_ids pattern)
-    when a single key's boundary count outgrows one executor.
+    None) does NOT serialize through one partition: the running sum is
+    computed as a distributed prefix sum — range-exchange the instants,
+    one tiny job sums each partition's deltas into cumulative offsets
+    (#partitions longs, broadcast back), then the window runs WITHIN
+    each range partition + offset (the global_row_ids pattern; exact
+    because integer addition is associative across ordered segments).
     """
     keys = key_cols or []
-    reserved = {"ts", "delta", "concurrent"}
+    reserved = {"ts", "delta", "concurrent", "_pid", "_off"}
     clash = reserved & set(keys)
     if clash:
         raise ValueError(f"key columns collide with reserved names: {sorted(clash)}")
@@ -351,16 +354,54 @@ def interval_concurrency(
     per_instant = bounds.groupBy(*keys, "ts").agg(
         F.sum("delta").cast("long").alias("delta")
     )
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return per_instant.select(
+            *keys,
+            "ts",
+            "delta",
+            F.sum("delta").over(w).cast("long").alias("concurrent"),
+        )
+    # Global profile: distributed prefix sum. ts is unique after the
+    # pre-aggregation, so range partitioning gives a total order of
+    # disjoint segments; each partition's concurrency = its local
+    # running sum + the sum of every earlier partition's deltas.
+    spark = per_instant.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        per_instant.repartitionByRange(parts, F.col("ts"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # offsets job and window must see ONE sampled exchange
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("delta").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(psums):
+        offsets.append((pid, acc))
+        acc += int(psums[pid])
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy("_pid")
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return per_instant.select(
-        *keys,
-        "ts",
-        "delta",
-        F.sum("delta").over(w).cast("long").alias("concurrent"),
+    return (
+        ranged.join(off_df, "_pid")
+        .select(
+            "ts",
+            "delta",
+            (F.sum("delta").over(w) + F.col("_off")).cast("long").alias(
+                "concurrent"
+            ),
+        )
     )
 
 

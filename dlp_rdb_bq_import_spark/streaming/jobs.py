@@ -1159,14 +1159,18 @@ def streaming_ewma(
         F.col(value_col).cast("double").alias("x"),
     ).where(F.col("x").isNotNull() & F.col("ts").isNotNull())
     # slice by ntile-free ts range cutpoints: exact percentiles of the
-    # epoch seconds give n_slices non-overlapping, ordered segments
-    bounds = src.select(
-        *[
-            F.expr(f"percentile(tsl, {i / n_slices!r})").alias(f"b{i}")
-            for i in range(1, n_slices)
-        ]
-    ).first()
-    cuts = [bounds[f"b{i}"] for i in range(1, n_slices)] if n_slices > 1 else []
+    # epoch seconds give n_slices non-overlapping, ordered segments.
+    # ONE array-percentile aggregate — N separate percentile() exprs
+    # would each buffer the full column (the calibration_curve fix)
+    if n_slices > 1:
+        fracs = ", ".join(repr(i / n_slices) for i in range(1, n_slices))
+        cuts = list(
+            src.select(
+                F.expr(f"percentile(tsl, array({fracs}))").alias("_bs")
+            ).first()["_bs"]
+        )
+    else:
+        cuts = []
     lo = None
     base_mtime = int(__import__("time").time()) - 3600
     for i in range(n_slices):

@@ -8,6 +8,14 @@ Hazards:
 - BatchEvalPython — row-at-a-time Python UDF in the plan (the slow
   path; Arrow/pandas evals show as ArrowEvalPython/MapInPandas and are
   fine where Python is genuinely needed).
+- SinglePartitionWindow — a Window whose required child distribution
+  is Exchange SinglePartition (an UNPARTITIONED window): every input
+  row serializes through ONE task. Fine on provably bounded inputs
+  (post-limit(k) candidate lists, distinct-score tables); a
+  scale-killer on anything corpus-sized — the round-10 verdict's
+  lm_quality_gate / perplexity_bucket_mixture finding, now reshaped
+  to broadcast percentile thresholds and linted so the class cannot
+  reappear silently.
 
 Queries where a hazard is intentional carry an allowlist entry with
 the justification; a NEW hazard anywhere else fails the run (exit 1).
@@ -19,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -176,10 +185,51 @@ ALLOW: dict[str, dict[str, str]] = {
     "perplexity_bucket_mixture": {
         "BroadcastNestedLoopJoin": "inherited from the composed LM "
         "scorer's vocabulary-size 1-row scalar attach (lm_quality_scores, "
-        "individually allowlisted); bucketing adds a batch-sized window "
-        "and a hash predicate only",
+        "individually allowlisted); bucketing adds a hash predicate only "
+        "(tercile thresholds are a broadcast percentile row since r11 — "
+        "no global window)",
+    },
+    "classifier_auc": {
+        "SinglePartitionWindow": "running sum over the DISTINCT-SCORE "
+        "table, not rows: cardinality is bounded by score quantization "
+        "(documented; score_round caps it explicitly for raw continuous "
+        "scores) — kilobytes through the window at any corpus size",
+    },
+    "pareto_part_revenue": {
+        "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
+        "None): build side is a broadcast single global-aggregate row by "
+        "construction; grouped mode uses a plain equi-join",
+        "SinglePartitionWindow": "documented global mode: the running "
+        "share is over the PER-ITEM aggregate (|parts| rows, dimension-"
+        "sized), not lineitem rows; grouped mode partitions by group",
+    },
+    "period_over_period": {
+        "SinglePartitionWindow": "lag over PERIOD aggregates: one row "
+        "per calendar month by construction — decades fit in one page",
+    },
+    "rank_dense_rank": {
+        "SinglePartitionWindow": "REF-parity SQL-surface demo of global "
+        "rank()/dense_rank() over the supplier DIMENSION table "
+        "(|suppliers| rows); corpus-scale ranking uses the partitioned "
+        "windows / topk_per_group / global_row_ids forms",
     },
 }
+
+
+def _has_single_partition_window(tree: str) -> bool:
+    """True when a Window node sits directly on an Exchange
+    SinglePartition (modulo the Sort the window requires) in the
+    executed-plan tree string — the unpartitioned-window shape."""
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow(GroupLimit)? ", ln):
+            continue
+        for la in lines[i + 1 : i + 4]:
+            if "Exchange SinglePartition" in la:
+                return True
+            if "Exchange" in la or re.search(r"\bWindow(GroupLimit)? ", la):
+                break  # a partitioned exchange / nested window ends the probe
+    return False
 
 
 def lint_one(spark, name: str, fn, sf_dir: str) -> dict:
@@ -188,8 +238,11 @@ def lint_one(spark, name: str, fn, sf_dir: str) -> dict:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    plan = df._jdf.queryExecution().explainString(mode)
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(mode)
     found = [h for h in HAZARDS if h in plan]
+    if _has_single_partition_window(qe.executedPlan().toString()):
+        found.append("SinglePartitionWindow")
     allowed = ALLOW.get(name, {})
     return {
         "query": name,
