@@ -829,18 +829,33 @@ def duplicate_clusters(
         return plain.sparkSession.createDataFrame(
             list(labels.items()), "doc_id long, cluster_id long"
         )
-    edges = (
-        plain.union(plain.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # staged on dst — the per-round label-join key — so each round
+    # reuses the edge partitioning and shuffles only the |V|-sized
+    # label table (graph._stage_edges: cached repartition survives AQE
+    # where a checkpoint's partitioning does not)
+    from .graph import _stage_edges
+
+    edges = _stage_edges(
+        plain.union(
+            plain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        "dst",
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    from .graph import _score_side
+
+    n_nodes = labels.count()
     for _ in range(max_iterations):
         nbr = (
             edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                _score_side(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                    ),
+                    n_nodes,
+                ),
                 "dst",
             )
             .groupBy("src")

@@ -19,12 +19,70 @@ any scale.
 At 100 TB the iteration cost is dominated by the contributions shuffle
 (|E| rows hashed by dst); skewed in-degree (every web graph) is AQE
 skew-split territory, and the rank/degree tables stay |V|-sized.
+
+Edge tables are staged ONCE per iterative operator with
+``_stage_edges``: repartitioned on the per-round join key and pinned
+(MEMORY_AND_DISK — the cached plan's hash partitioning survives AQE,
+unlike localCheckpoint, whose adaptive root reports unknown
+partitioning). Every round's rank↔edge join then reuses the edge
+partitioning and shuffles only the |V|-sized score table — without
+this, k iterations re-shuffle |E| k times, which at 100 TB of edges ×
+20 rounds is 20 full-corpus shuffles for nothing.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _stage_edges(e: DataFrame, key: str) -> DataFrame:
+    """Partition an edge table on its per-round join key and pin it.
+
+    MEMORY_AND_DISK persist (not localCheckpoint): with AQE enabled a
+    checkpointed plan's root is adaptive, so its outputPartitioning
+    degrades to unknown and every round's join re-exchanges |E|; a
+    cached repartition keeps HashPartitioning(key, P) visible to
+    downstream planners (canChangeCachedPlanOutputPartitioning=false,
+    the default), so per-round joins exchange only the node-sized
+    side. The cache also holds each partition SORTED on the key: the
+    cached plan's outputOrdering survives too, so a sort-merge round
+    join skips both the edge exchange AND the edge sort — steady-state
+    per-round cost is exchange+sort of the |V|-sized score table plus
+    the merge. The eager count() materializes the cache so round 1
+    doesn't race it.
+
+    Callers pair this with ``_score_side``: while |V| provably fits a
+    broadcast the score side ships as a BHJ build (zero exchanges of
+    any kind per round — measured faster than the co-partitioned SMJ
+    at local scales); past the broadcast bound the staged partitioning
+    takes over and each round exchanges only |V| rows. Both regimes
+    leave the |E| table untouched after staging."""
+    spark = e.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from pyspark import StorageLevel
+
+    staged = (
+        e.repartition(parts, key)
+        .sortWithinPartitions(key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    staged.count()
+    return staged
+
+
+# Above this many nodes the per-round score table stops being a safe
+# broadcast build (hundreds of MB at ~30-50 B/row) and the staged edge
+# partitioning carries the join instead. A measured-cardinality switch,
+# not a guess: every caller counts |V| anyway.
+_BROADCAST_NODE_BOUND = 5_000_000
+
+
+def _score_side(df: DataFrame, n_nodes: int) -> DataFrame:
+    """The |V|-sized side of a per-round join: broadcast while it
+    provably fits (n_nodes from an already-run count), plain otherwise
+    so the join rides the staged edge partitioning."""
+    return F.broadcast(df) if n_nodes <= _BROADCAST_NODE_BOUND else df
 
 
 def triangle_count(
@@ -145,14 +203,19 @@ def kcore(
     if clash:
         raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
 
-    live = (
+    # staged on _u each round: the first (larger-side) semi-join then
+    # reuses the edge partitioning and shuffles only the |V|-sized keep
+    # set; the surviving-edge _v semi-join is the round's one edge
+    # exchange. The previous round's cache unpins once its successor
+    # materializes.
+    live = _stage_edges(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
         )
         .where(F.col("_u") < F.col("_v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "_u",
     )
 
     deg = None
@@ -166,15 +229,19 @@ def kcore(
         keep = deg.where(F.col("degree") >= k).select("node")
         n_keep = keep.count()
         if n_keep == deg.count():
+            live.unpersist()
             return deg.where(F.col("degree") >= k)
-        pruned = (
-            live.join(keep.withColumnRenamed("node", "_u"), "_u", "leftsemi")
-            .join(keep.withColumnRenamed("node", "_v"), "_v", "leftsemi")
-            .select("_u", "_v")
-            .localCheckpoint(eager=True)
+        ks = _score_side(keep, n_keep)
+        pruned = _stage_edges(
+            live.join(ks.withColumnRenamed("node", "_u"), "_u", "leftsemi")
+            .join(ks.withColumnRenamed("node", "_v"), "_v", "leftsemi")
+            .select("_u", "_v"),
+            "_u",
         )
+        live.unpersist()
         live = pruned
         if n_keep == 0:
+            live.unpersist()
             return deg.where(F.lit(False))
     raise RuntimeError(
         f"kcore did not converge in {max_iterations} iterations "
@@ -219,22 +286,27 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # adjacency in both directions: (node, _nbr)
-    adj = (
+    # adjacency in both directions: (node, _nbr) — staged on _nbr, the
+    # per-round label-join key, so each round shuffles only the
+    # |V|-sized label table (module docstring)
+    adj = _stage_edges(
         canon.select(F.col("_u").alias("node"), F.col("_v").alias("_nbr"))
-        .unionByName(canon.select(F.col("_v").alias("node"), F.col("_u").alias("_nbr")))
-        .localCheckpoint(eager=True)
+        .unionByName(
+            canon.select(F.col("_v").alias("node"), F.col("_u").alias("_nbr"))
+        ),
+        "_nbr",
     )
     labels = (
         adj.select("node").distinct().withColumn("community", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    n = labels.count()
     w = Window.partitionBy("node").orderBy(
         F.col("_cnt").desc(), F.col("community").asc()
     )
     for _ in range(max_iterations):
         nbr_labels = adj.join(
-            labels.withColumnsRenamed({"node": "_nbr"}), "_nbr"
+            _score_side(labels.withColumnsRenamed({"node": "_nbr"}), n), "_nbr"
         ).select("node", "community")
         # the node's own label votes too (standard oscillation breaker:
         # a bare edge would otherwise swap labels forever under
@@ -301,7 +373,9 @@ def pagerank(
         )
         e = e.select("src", "dst", checked.alias("w")).where(F.col("w") > 0)
     try:
-        e = e.localCheckpoint(eager=True)
+        # staged on src — the per-round rank join key — so iterations
+        # shuffle only the |V|-sized rank table (module docstring)
+        e = _stage_edges(e, "src")
     except Exception as ex:  # surface the in-plan guard as the API's ValueError
         if "NULL weights" in str(ex):
             raise ValueError(f"pagerank: NULL weights in {weight_col!r}") from None
@@ -332,7 +406,7 @@ def pagerank(
         )
         contribs = (
             e.join(
-                with_deg.where(F.col("deg").isNotNull()),
+                _score_side(with_deg.where(F.col("deg").isNotNull()), n),
                 e.src == F.col("node"),
             )
             .select("dst", (F.col("rank") * F.col("w") / F.col("deg")).alias("c"))
@@ -393,9 +467,15 @@ def hits(
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     if norm_every < 1:
         raise ValueError(f"hits: norm_every must be >= 1, got {norm_every}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    # two staged copies — each half-iteration joins scores on a
+    # DIFFERENT edge endpoint, so one copy per key keeps both joins
+    # edge-shuffle-free across all rounds (2·|E| cached once vs
+    # 2·iterations·|E| shuffled)
+    e = _stage_edges(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+    )
+    e_dst = _stage_edges(e, "dst")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -425,7 +505,10 @@ def hits(
         # auth(v) = Σ_{(u,v)∈E} hub(u)
         a = (
             e.join(
-                scores.select(F.col("node").alias("src"), "hub"), "src"
+                _score_side(
+                    scores.select(F.col("node").alias("src"), "hub"), n
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("araw"))
@@ -439,8 +522,11 @@ def hits(
             auth = a.select("node", F.col("araw").alias("authority"))
         # hub(u) = Σ_{(u,v)∈E} auth(v)
         h = (
-            e.join(
-                auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            e_dst.join(
+                _score_side(
+                    auth.select(F.col("node").alias("dst"), "authority"), n
+                ),
+                "dst",
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hraw"))
@@ -502,26 +588,31 @@ def bfs_distances(
     |V|·|E|. Early-exits when the frontier empties."""
     if max_hops < 0:
         raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    # staged on src: each hop's frontier join reuses the edge
+    # partitioning and shuffles only the frontier (module docstring)
+    e = _stage_edges(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+    )
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    frontier, n_frontier = visited, visited.count()
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(e, frontier.node == e.src)
+            _score_side(frontier, n_frontier)
+            .join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -609,11 +700,16 @@ def sssp_distances(
     expanding improved wave — the Pregel bound — not |V|·|E|."""
     if max_hops < 0:
         raise ValueError(f"sssp_distances: max_hops must be >= 0, got {max_hops}")
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(cost_col).cast("double").alias("w"),
-    ).localCheckpoint(eager=True)
+    # staged on src: each relaxation round's frontier join reuses the
+    # edge partitioning and shuffles only the frontier
+    e = _stage_edges(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(cost_col).cast("double").alias("w"),
+        ),
+        "src",
+    )
     if not e.where(F.col("w") < 0).isEmpty():
         raise ValueError("sssp_distances: negative edge costs are not supported")
     dist = (
@@ -622,10 +718,11 @@ def sssp_distances(
         .select("node", F.lit(0.0).alias("cost"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist
+    frontier, n_frontier = dist, dist.count()
     for _ in range(max_hops):
         cand = (
-            frontier.join(e, frontier.node == e.src)
+            _score_side(frontier, n_frontier)
+            .join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
@@ -637,7 +734,8 @@ def sssp_distances(
             .select("node", "cost")
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        n_frontier = improved.count()
+        if n_frontier == 0:
             break
         dist = (
             dist.unionByName(improved)
