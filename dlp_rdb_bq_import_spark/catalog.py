@@ -168,3 +168,31 @@ def schema_drift(old, new):
         .otherwise(F.lit(None).cast("string"))
     )
     return j.withColumn("change", change).where(F.col("change").isNotNull())
+
+
+def evolution_plan(old, new):
+    """Schema-drift report + the APPLY verdict the warehouse sink
+    executes (``Warehouse.write_evolved`` — sinks/warehouse.py): the
+    reference silently reshapes its output when the source evolves
+    (common/ServerUtil.java:47-52 re-discovers per run); this makes the
+    policy explicit and auditable BEFORE any write happens.
+
+    Adds ``action`` to each drift row:
+    - added   → 'add_nullable' (widen the destination, history reads
+                as NULL),
+    - removed → 'fill_null' (incoming rows carry typed NULLs, the
+                destination keeps its superset schema),
+    - retyped → 'reject' (dead-letter: no append reconciles two types
+                under one name).
+
+    Same metadata-sized full-outer join as :func:`schema_drift`; the
+    verdict is a pure CASE over the change column, so the plan stays a
+    broadcast-scale expression chain."""
+    from pyspark.sql import functions as F
+
+    action = (
+        F.when(F.col("change") == "added", F.lit("add_nullable"))
+        .when(F.col("change") == "removed", F.lit("fill_null"))
+        .otherwise(F.lit("reject"))
+    )
+    return schema_drift(old, new).withColumn("action", action)

@@ -5863,6 +5863,50 @@ def q_schema_drift(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_plan",
+    oracle=f"""
+WITH o AS ({_catalog_values_sql(_CATALOG_OLD)}),
+n AS ({_catalog_values_sql(_CATALOG_NEW)}),
+j AS (
+  SELECT COALESCE(o.table_name, n.table_name) AS table_name,
+         COALESCE(o.column_name, n.column_name) AS column_name,
+         o.data_type AS old_type, n.data_type AS new_type
+  FROM o FULL OUTER JOIN n
+    ON o.table_name = n.table_name AND o.column_name = n.column_name
+)
+SELECT table_name, column_name, old_type, new_type,
+       CASE WHEN old_type IS NULL THEN 'added'
+            WHEN new_type IS NULL THEN 'removed'
+            ELSE 'retyped' END AS change,
+       CASE WHEN old_type IS NULL THEN 'add_nullable'
+            WHEN new_type IS NULL THEN 'fill_null'
+            ELSE 'reject' END AS action
+FROM j
+WHERE old_type IS NULL OR new_type IS NULL OR old_type <> new_type
+""",
+)
+def q_schema_evolution_plan(spark, sf_dir):
+    """EXT (REF-adjacent) — drift → apply policy (catalog.
+    evolution_plan, executed by sinks/warehouse.Warehouse.
+    write_evolved): the verdict each drifted column gets BEFORE the
+    write — added→add_nullable (widen, history reads NULL),
+    removed→fill_null (incoming rows carry typed NULLs, superset
+    schema survives), retyped→reject (dead-letter; no append
+    reconciles two types under one name). The reference silently
+    reshapes output on source evolution (ServerUtil.java:47-52
+    re-discovers per run); this gates it. Same metadata-sized
+    full-outer join as schema_drift + a pure CASE."""
+    from .catalog import evolution_plan
+
+    schema = "table_name string, column_name string, data_type string"
+    old = spark.createDataFrame(_CATALOG_OLD, schema)
+    new = spark.createDataFrame(_CATALOG_NEW, schema)
+    return evolution_plan(old, new).select(
+        "table_name", "column_name", "old_type", "new_type", "change", "action"
+    )
+
+
+@query(
     "entity_incremental",
     oracle=f"""
 WITH RECURSIVE scored AS (SELECT * FROM ({_LINKAGE_ORACLE})),

@@ -161,7 +161,124 @@ class Warehouse:
         shutil.rmtree(staged)
 
     def read(self, spark: SparkSession, dataset: str, full_name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(dataset, full_name))
+        """Read a table; when an evolution sidecar exists the saved
+        canonical schema is applied, so files written BEFORE a column
+        was added surface typed NULLs for it (parquet fills missing
+        user-schema columns with null)."""
+        path = self.table_path(dataset, full_name)
+        saved = self._load_schema(path)
+        if saved is not None:
+            return spark.read.schema(saved).parquet(path)
+        return spark.read.parquet(path)
+
+    # -- schema evolution --------------------------------------------------
+
+    _SCHEMA_SIDECAR = "_schema.json"
+
+    def _schema_path(self, path: str) -> str:
+        return os.path.join(path, self._SCHEMA_SIDECAR)
+
+    def _load_schema(self, path: str):
+        sp = self._schema_path(path)
+        if not os.path.isfile(sp):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(sp) as f:
+            return StructType.fromJson(json.load(f))
+
+    def _save_schema(self, path: str, schema) -> None:
+        # underscore prefix ⟹ invisible to Spark's parquet file listing
+        with open(self._schema_path(path), "w") as f:
+            json.dump(schema.jsonValue(), f)
+
+    def write_evolved(
+        self,
+        df: DataFrame,
+        dataset: str,
+        full_name: str,
+        mode: str = "append",
+        max_retries: int = 2,
+    ) -> WriteResult:
+        """Schema-evolution-aware write: drift between the incoming
+        frame and the existing table is APPLIED by policy instead of
+        silently reshaping the output the way the reference does (it
+        re-discovers the source schema every run, ServerUtil.java:47-52,
+        and its BigQuery table just changes shape):
+
+        - ADDED columns  → accepted: the canonical schema widens
+          (nullable), and files written before the column existed read
+          back as typed NULLs via the sidecar schema;
+        - REMOVED columns → incoming rows are filled with typed NULLs
+          so the table keeps its superset schema (history survives —
+          a recurring import must not lose last month's column);
+        - RETYPED columns → REJECTED to the dead-letter channel: no
+          append can reconcile two types under one name, and guessing
+          a cast silently corrupts whichever side loses. The write
+          fails closed with the retype list; nothing lands.
+
+        ``overwrite`` resets the canonical schema to the frame's.
+        Evolution state rides a ``_schema.json`` sidecar (underscore
+        prefix — ignored by parquet listings); tables written by plain
+        ``write`` evolve from their on-disk parquet schema the first
+        time this method touches them."""
+        path = self.table_path(dataset, full_name)
+        if mode == "overwrite" or not os.path.isdir(path):
+            res = self.write(df, dataset, full_name, mode, max_retries)
+            if res.status == "ok":
+                self._save_schema(path, df.schema)
+            return res
+        current = self._load_schema(path)
+        if current is None:
+            current = df.sparkSession.read.parquet(path).schema
+        cur_types = {f.name: f.dataType for f in current.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        retyped = sorted(
+            n
+            for n in cur_types.keys() & new_types.keys()
+            if cur_types[n] != new_types[n]
+        )
+        if retyped:
+            detail = "; ".join(
+                f"{n}: {cur_types[n].simpleString()} -> "
+                f"{new_types[n].simpleString()}"
+                for n in retyped
+            )
+            self.quarantine(
+                dataset,
+                [
+                    {
+                        "table": full_name,
+                        "error": f"schema retype rejected: {detail}",
+                        "policy": "write_evolved",
+                    }
+                ],
+            )
+            return WriteResult(
+                full_name, path, "failed", f"schema retype rejected: {detail}"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        evolved = StructType(
+            [StructField(f.name, f.dataType, True) for f in current.fields]
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if f.name not in cur_types
+            ]
+        )
+        aligned = df.select(
+            *[
+                F.col(f.name)
+                if f.name in new_types
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ]
+        )
+        res = self.write(aligned, dataset, full_name, mode, max_retries)
+        if res.status == "ok":
+            self._save_schema(path, evolved)
+        return res
 
     def quarantine(self, dataset: str, records: list[dict]) -> None:
         """Dead-letter channel: one JSONL file per job run (replaces the
