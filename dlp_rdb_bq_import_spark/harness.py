@@ -4577,6 +4577,33 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(d).select("doc_id", "byte_len", "width", "height", "mean_px")
 
 
+@query("jpeg_decode_features")  # real baseline-JPEG decode — rows-only
+def q_jpeg_decode_features(spark, sf_dir):
+    """Decode → featurize over REAL baseline JPEG bytes (the dominant
+    crawl image format): payloads are synthesized per doc_id as actual
+    T.81 baseline streams (Annex K tables, huffman entropy coding) by
+    the stdlib encoder and decoded by the stdlib decoder
+    (operators/jpeg_codec.py — huffman + zigzag + dequant + batched
+    IDCT + JFIF YCbCr→RGB) inside the same Arrow-batched mapInPandas
+    stage the BMP/PPM/PNG path uses. Features are real pixel
+    statistics of the DECODED (lossy) image. Deterministic synth ⟹
+    stable rows-only check; decoded-pixel parity, hand-built stream
+    fixtures, and phash compression-invariance are pinned in
+    tests/test_jpeg_codec.py. Reference analogue: IMAGE columns
+    shipped opaquely in BigQueryTableRowDoFn.java:42-46."""
+    from .operators.multimodal import attach_media, extract_features
+
+    d = attach_media(
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .repartition(32, "doc_id"),
+        container="jpeg",
+    )
+    return extract_features(d).select(
+        "doc_id", "byte_len", "width", "height", "mean_px"
+    )
+
+
 @query("multimodal_audio_features")  # real RIFF/PCM WAV decode — rows-only
 def q_multimodal_audio(spark, sf_dir):
     """WAV decode → signal features (duration, RMS, zero crossings)

@@ -1,10 +1,13 @@
 """Pure-stdlib codecs for honest, public, uncompressed media formats.
 
-The container ships no image/audio codec libraries, but that only rules
-out formats whose compression needs one (JPEG/MP3/H.264). PNG's only
-compression is DEFLATE — stdlib ``zlib`` — so it decodes for real here
-too, and the classic uncompressed interchange formats are fully
-specified public byte layouts that ``struct`` + numpy decode exactly:
+The container ships no image/audio codec libraries, but that rules out
+less than it seems. PNG's only compression is DEFLATE — stdlib
+``zlib`` — so it decodes for real here; baseline JPEG is huffman +
+zigzag + IDCT, all fully specified in public ITU-T T.81 and
+implemented stdlib-only in ``operators/jpeg_codec.py`` (this module
+dispatches to it); and the classic uncompressed interchange formats
+are fully specified public byte layouts that ``struct`` + numpy decode
+exactly:
 
 - **BMP** (Windows bitmap, 24-bit ``BI_RGB``): 14-byte file header,
   40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded to 4 bytes.
@@ -19,11 +22,12 @@ specified public byte layouts that ``struct`` + numpy decode exactly:
   chunks, IHDR fields, IDAT DEFLATE stream, five per-row predictor
   filters — all from the public spec, inflated with stdlib ``zlib``.
 
-These are the real production formats a training-data lake stores for
-"decode-free" access paths, so the decode stage of the multimodal
-operators (``operators/multimodal.py``) is genuinely real: bytes in,
-pixels/samples out, no fake. Compressed formats still raise
-``NotImplementedError`` — honestly, at the sniffing layer.
+These are the real production formats a training-data lake stores, so
+the decode stage of the multimodal operators
+(``operators/multimodal.py``) is genuinely real: bytes in,
+pixels/samples out, no fake — including JPEG, the dominant crawl
+format. Formats still needing a codec library (GIF's LZW, MP3, H.264)
+raise ``NotImplementedError`` — honestly, at the sniffing layer.
 
 Everything here is driver/executor-agnostic plain Python over
 ``bytes`` — it runs inside Arrow-batched pandas UDFs, one call per
@@ -284,9 +288,11 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image_payload(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB. PNG decodes via
     stdlib zlib (greyscale broadcast to 3 channels, alpha dropped —
-    the feature/phash stages want opaque RGB); formats needing a real
-    codec library (JPEG/GIF) raise ``NotImplementedError``; unknown
-    bytes raise ``ValueError``."""
+    the feature/phash stages want opaque RGB); baseline JPEG decodes
+    via the pure-stdlib T.81 codec (``operators/jpeg_codec.py`` —
+    huffman + zigzag + IDCT; progressive/arithmetic still raise
+    inside it); GIF needs LZW and stays ``NotImplementedError``;
+    unknown bytes raise ``ValueError``."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -299,8 +305,12 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
         if px.shape[2] == 1:  # grey → RGB
             px = np.repeat(px, 3, axis=2)
         return np.ascontiguousarray(px)
-    if fmt in ("jpeg", "gif"):
-        raise NotImplementedError(f"{fmt} decode requires a codec library (not in this environment)")
+    if fmt == "jpeg":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
+    if fmt == "gif":
+        raise NotImplementedError("gif decode requires LZW (not implemented)")
     raise ValueError(f"not an image payload (sniffed {fmt!r})")
 
 
@@ -510,6 +520,12 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
                         )
                     break  # sample body follows — nothing left to read
                 i += 8 + clen + (clen & 1)
+        elif fmt == "jpeg":
+            from .jpeg_codec import probe_jpeg_header
+
+            w, h, nch = probe_jpeg_header(prefix)
+            if w is not None:
+                out.update(width=w, height=h, n_channels=nch)
         elif fmt == "y4m" and b"\n" in prefix:
             nl = prefix.index(b"\n")
             header = prefix[:nl].decode("ascii", "replace")
@@ -544,9 +560,12 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
     """Real BMP (even seeds) / PPM (odd seeds) bytes: a two-axis
     gradient plus seeded noise, size varying with the seed so decoders
     see many shapes (including widths that force BMP row padding).
-    ``container`` pins the format ("bmp"/"ppm"/"png") instead of the
-    seed-parity default — same pixels either way, so cross-container
-    decode-parity tests come for free."""
+    ``container`` pins the format ("bmp"/"ppm"/"png"/"jpeg") instead
+    of the seed-parity default — the lossless three carry identical
+    pixels (cross-container decode-parity tests come for free); "jpeg"
+    is real baseline compression of the same source pixels, so its
+    decode is CLOSE to the others (quality-bounded), never equal —
+    exactly the corpus reality the multimodal operators face."""
     seed = int(seed) & 0x7FFFFFFF
     w = 5 + seed % 12
     h = 4 + (seed // 12) % 10
@@ -557,6 +576,10 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
     rgb = np.stack([r, g, b], axis=-1)
     if container is None:
         container = "ppm" if seed % 2 else "bmp"
+    if container == "jpeg":
+        from .jpeg_codec import encode_jpeg
+
+        return encode_jpeg(rgb, quality=90)
     enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
     return enc[container](rgb)
 
