@@ -5479,6 +5479,103 @@ def q_fuzzy_name_pairs_k2(spark, sf_dir):
     )
 
 
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority,
+       round(n + {{noise}}, 9) AS noisy_n
+FROM c
+""".replace(
+        "{noise}",
+        "__DP_NOISE__",
+    ),
+)
+def q_dp_noisy_counts(spark, sf_dir):
+    """EXT — ε-differentially-private group counts (privacy.
+    dp_noisy_counts; Dwork et al. 2006 Laplace mechanism, ε=0.5):
+    order counts per priority released under formal DP. The Laplace
+    draw is DETERMINISTIC-SEEDED — inverse CDF over the engine's md5
+    uniform keyed by seed|group — so task retries never re-draw
+    (silently spending extra ε) and the identical noise restates in
+    ANSI SQL: the release itself is the hash-matched artifact. One
+    groupBy + expression noise; the true count never leaves the
+    operator."""
+    from .operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        epsilon=0.5,
+        seed="release-r11",
+    )
+
+
+def _finalize_dp_oracle():
+    from .operators.privacy import dp_noise_sql
+
+    key = "'release-r11' || '|' || COALESCE(CAST(o_orderpriority AS VARCHAR), 'NULL')"
+    ORACLES["dp_noisy_counts"] = ORACLES["dp_noisy_counts"].replace(
+        "__DP_NOISE__", dp_noise_sql(key, 0.5)
+    )
+
+
+_finalize_dp_oracle()
+
+
+@query(
+    "jaro_winkler_pairs",
+    oracle="""
+SELECT id_a, id_b, jw FROM (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         round(jaro_winkler_similarity(a.c_name, b.c_name), 9) AS jw
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE a.c_custkey % 8 = 0 AND b.c_custkey % 8 = 0
+)
+WHERE jw >= 0.93
+""",
+)
+def q_jaro_winkler_pairs(spark, sf_dir):
+    """EXT — Jaro-Winkler verify stage over blocked candidate pairs
+    (linkage.jaro_winkler_pairs; Jaro 1989 / Winkler 1990, the Census
+    Bureau name metric): nation-blocked customer pairs scored by the
+    Arrow-batched JW UDF, high-similarity pairs kept — the
+    length-normalized scorer Fellegi-Sunter name rules consume where
+    raw edit distance over-penalizes long fields. The Python
+    implementation is pinned EXACTLY to DuckDB's
+    jaro_winkler_similarity (classic window/transposition/0.7-boost
+    parameters; full pair-grid parity in tests), so the composed
+    query hash-matches. Cost is per candidate pair — the blocking
+    join upstream bounds it, the UDF never sees the quadratic space."""
+    from .operators.linkage import jaro_winkler_pairs
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .where(F.col("c_custkey") % 8 == 0)
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_na"),
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_nb"),
+        "c_nationkey",
+    )
+    pairs = a.join(b, "c_nationkey").where(F.col("id_a") < F.col("id_b"))
+    return (
+        jaro_winkler_pairs(pairs, "_na", "_nb", out="jw")
+        .where(F.col("jw") >= 0.93)
+        .select("id_a", "id_b", "jw")
+    )
+
+
 # Fellegi-Sunter (m, u) per field for the record-linkage query; the
 # log2 weights are computed ONCE here and embedded as identical double
 # literals in both the Spark plan and the DuckDB oracle (repr round-
@@ -10105,6 +10202,101 @@ def q_ewma_anomaly(spark, sf_dir):
     )
 
 
+@query(
+    "join_size_report",
+    oracle="""
+WITH lc AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cl
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+), rc AS (
+  SELECT ps_partkey AS k, CAST(count(*) AS BIGINT) AS cr
+  FROM (SELECT l_partkey AS ps_partkey FROM lineitem WHERE l_suppkey % 3 = 0)
+  WHERE ps_partkey IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT CAST(k AS VARCHAR) AS ks,
+         CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT) AS prod
+  FROM lc JOIN rc USING (k)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lc) AS n_keys_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM rc) AS n_keys_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_keys_matched,
+       (SELECT CAST(COALESCE(SUM(prod), 0) AS BIGINT) FROM m) AS join_rows,
+       (SELECT CAST(COALESCE(MAX(prod), 0) AS BIGINT) FROM m) AS max_key_product,
+       (SELECT ks FROM m ORDER BY prod DESC, ks DESC LIMIT 1) AS hot_key
+""",
+)
+def q_join_size_report(spark, sf_dir):
+    """EXT — pre-flight join-cardinality report (profiling.
+    join_size_report): the EXACT inner-join row count Σ cnt_L(k)·
+    cnt_R(k) from two keys-only count aggregations plus the hottest
+    key's contribution (the skew signal salting/AQE-skew decisions
+    read) — what you run BEFORE a 100 TB join to catch the
+    key-not-as-unique-as-believed blow-up at count-table cost.
+    Here: lineitem self-join shape on part key (one side sliced to
+    suppkey%3) — a realistically fan-out-heavy profile. Products
+    accumulate in DECIMAL(38,0)/HUGEINT on both engines; the hot-key
+    tie breaks by (product, key) struct order, deterministic
+    everywhere."""
+    from .operators.profiling import join_size_report
+
+    li = t(spark, sf_dir, "lineitem")
+    return join_size_report(
+        li, li.where(F.col("l_suppkey") % 3 == 0), "l_partkey"
+    )
+
+
+def _holt_sql() -> str:
+    a, g = 0.4, 0.3
+    one_a, one_g = 1.0 - a, 1.0 - g
+    lvl = (
+        f"{a!r}e0 * CAST(o.value AS DOUBLE) "
+        f"+ {one_a!r}e0 * (h.level + h.trend)"
+    )
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn
+  FROM events
+  WHERE user_id % 5 = 0 AND value IS NOT NULL AND ts IS NOT NULL
+), hw AS (
+  SELECT user_id, rn, ts, event_id, value,
+         value AS level, 0.0e0 AS trend
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.ts, o.event_id, o.value,
+         ({lvl}),
+         {g!r}e0 * (({lvl}) - h.level) + {one_g!r}e0 * h.trend
+  FROM hw h JOIN ordered o ON o.user_id = h.user_id AND o.rn = h.rn + 1
+)
+SELECT user_id, ts, event_id, value,
+       round(level, 9) AS level, round(trend, 9) AS trend,
+       round(level + trend, 9) AS forecast_next
+FROM hw
+"""
+
+
+@query("holt_linear_forecast", oracle=_holt_sql())
+def q_holt_linear_forecast(spark, sf_dir):
+    """EXT — Holt double-exponential smoothing (timeseries.
+    holt_linear; Holt 1957): per-user level+trend state over the event
+    value series (α=0.4, β=0.3) with the one-step-ahead forecast —
+    the drift-following upgrade of the EWMA chart (an EWMA lags a
+    trending series forever; Holt's trend term closes the gap). The
+    coupled recursion has no truncated-window closed form, so the
+    engine folds it in an Arrow-batched applyInPandas per key
+    replaying the textbook operation order exactly — which is why the
+    result hash-matches the oracle's recursive-CTE restatement of the
+    same fixed-order IEEE arithmetic (the smoothing constants are
+    embedded as identical double literals on both sides)."""
+    from .operators.timeseries import holt_linear
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
+    return holt_linear(
+        ev, "ts", "value", ["user_id"], "event_id", alpha=0.4, beta=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking + skew-safe salted aggregation (round 10)
 # ---------------------------------------------------------------------------
@@ -10349,6 +10541,109 @@ def q_quantile_binning(spark, sf_dir):
     from .operators.profiling import quantile_binning
 
     return quantile_binning(t(spark, sf_dir, "orders"), "o_totalprice", n_bins=4)
+
+
+@query(
+    "cube_rollup_revenue",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_cube_rollup_revenue(spark, sf_dir):
+    """§2.4/§2.7 SQL surface — CUBE with GROUPING(): all four
+    aggregation grains of (priority, status) in ONE pass — the OLAP
+    subtotal/grand-total shape (ANSI GROUPING SETS; Spark expands the
+    cube into a single expand+aggregate, no self-union of scans).
+    GROUPING() flags distinguish a rolled-up NULL from a data NULL —
+    the detail every BI consumer of subtotal rows needs. Sums carry
+    DECIMAL(30,6) so every grain is bit-identical to a direct
+    aggregation (the cascading_rollup discipline); one cast to double
+    at the end."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "g_pri", "g_st", "n", "revenue"
+        )
+    )
+
+
+_QDIGEST_FRACS = ", ".join(repr(i / 8) for i in range(9))
+
+
+@query(
+    "quantile_digest",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), [{_QDIGEST_FRACS}]) AS qs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+)
+SELECT o_orderpriority, unnest([{_QDIGEST_FRACS}]) AS rank_frac,
+       unnest(qs) AS value, n
+FROM a
+""",
+)
+def q_quantile_digest(spark, sf_dir):
+    """EXT — mergeable quantile digest build (rollup.quantile_digest,
+    k=8): the equi-depth summary per order priority — k+1 exact
+    percentile points + count, the persistable sketch that answers any
+    later rank query within 1/(2k) and FOLDS across partitions/days
+    via digest_merge without re-reading raw data (merge accuracy and
+    the merge ≡ union property are pytest-pinned; the BUILD is the
+    hash-matched artifact, one array-percentile aggregate per group —
+    the same single-sort-buffer discipline as quantile_binning)."""
+    from .operators.rollup import quantile_digest
+
+    return quantile_digest(
+        t(spark, sf_dir, "orders"), "o_totalprice", k=8,
+        group_cols=["o_orderpriority"],
+    )
+
+
+@query("digest_merge_fold")  # two-level sketch fold — rows-only; merge≡union pytests
+def q_digest_merge_fold(spark, sf_dir):
+    """EXT — the digest FOLD path a partitioned warehouse runs: build
+    one k=16 digest per order-priority SLICE (two halves of the table
+    by order key parity — standing for two partitions/days), then
+    digest_merge folds each group's pair into the cross-slice summary
+    without touching raw rows again. Deterministic build + pandas
+    merge over (k+1)-row tables ⟹ stable rows-only check; the
+    merge-error bound (≤ 2/k rank) and fixpoint/one-sided-group
+    behavior are pytest-pinned in test_quantile_digest.py."""
+    from .operators.rollup import digest_merge, quantile_digest
+
+    o = t(spark, sf_dir, "orders")
+    d1 = quantile_digest(
+        o.where(F.col("o_orderkey") % 2 == 0), "o_totalprice", k=16,
+        group_cols=["o_orderpriority"],
+    )
+    d2 = quantile_digest(
+        o.where(F.col("o_orderkey") % 2 == 1), "o_totalprice", k=16,
+        group_cols=["o_orderpriority"],
+    )
+    merged = digest_merge(d1, d2, group_cols=["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.round("rank_frac", 9).alias("rank_frac"),
+        F.round("value", 6).alias("value"),
+        "n",
+    )
 
 
 @query("streaming_ewma")  # stateful cross-batch recursion — rows-only

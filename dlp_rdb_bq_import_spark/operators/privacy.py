@@ -247,3 +247,76 @@ def t_closeness_report(
             (F.round(tvd, 9) <= F.lit(float(t))).cast("long").alias("close"),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+    out: str = "noisy_n",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al., TCC 2006 — the canonical DP release for counting
+    queries; a unit-sensitivity count gets Laplace(1/ε) noise). The
+    k/l/t-family above AUDITS a table's re-identification risk; this
+    operator is the other half of the privacy surface — releasing an
+    aggregate under a formal guarantee instead of reporting on it.
+
+    Noise is DETERMINISTIC-SEEDED: the Laplace draw comes from the
+    inverse CDF ``-(1/ε)·sign(u−½)·ln(1−2|u−½|)`` applied to the
+    engine's standard md5 uniform (sampling.hash_uniform) over
+    ``seed || group key`` — retried tasks and both oracle engines
+    produce the SAME noise (a ``rand()`` draw would make the release
+    non-idempotent under Spark task retry, silently spending extra ε).
+    One seed = one release; a NEW release must use a new seed and
+    accounts for its own ε (composition is the caller's budget,
+    documented not enforced). NULL group keys form their own group
+    (render as the string 'NULL' in the noise key, distinct from the
+    literal).
+
+    Output: ``group_cols…, noisy_n (double, rounded to 9)``. The true
+    count never leaves the operator. Shape: ONE groupBy + expression
+    noise — aggregate-sized at any corpus scale."""
+    if epsilon <= 0:
+        raise ValueError(f"dp_noisy_counts: epsilon must be > 0, got {epsilon}")
+    if not group_cols:
+        raise ValueError("dp_noisy_counts: need >= 1 group column")
+    if out in group_cols:
+        raise ValueError(f"dp_noisy_counts: output column {out!r} collides")
+    from .sampling import hash_uniform
+
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            for c in group_cols
+        ],
+    )
+    u = hash_uniform(key)
+    centered = u - F.lit(0.5)
+    sign = F.when(centered < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        *group_cols,
+        F.round(F.col("_n").cast("double") + noise, 9).alias(out),
+    )
+
+
+def dp_noise_sql(key_expr: str, epsilon: float) -> str:
+    """Oracle-side rendering of the deterministic Laplace draw —
+    MUST mirror :func:`dp_noisy_counts` op for op."""
+    from .sampling import hash_uniform_sql
+
+    u = hash_uniform_sql(key_expr)
+    return (
+        f"({-1.0 / float(epsilon)!r}) * "
+        f"(CASE WHEN ({u}) - 0.5 < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"ln(1.0 - 2.0 * abs(({u}) - 0.5))"
+    )

@@ -1486,3 +1486,76 @@ def calibration_curve(
             F.round(pos_rate - mean_score, 9).alias("gap"),
         )
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE running it — the
+    pre-flight check that catches the classic blow-up (a key that is
+    not as unique as believed turns a join into a near-cross-product
+    and a 100 TB shuffle into a cluster-killer). Inner-join
+    cardinality is EXACTLY ``Σ_k cnt_L(k)·cnt_R(k)`` over matched
+    keys, so two per-key count aggregations (partial-agg combines
+    map-side; keys-only projections, never payload columns) and one
+    key-grain join of the two COUNT TABLES — orders of magnitude
+    smaller than the data — give the exact number the real join would
+    produce, at a fraction of its cost. The same identity underlies
+    sketch-based estimators (KMV/theta); with exact counts it is not
+    an estimate at all.
+
+    One row out: ``n_keys_left, n_keys_right, n_keys_matched (long),
+    join_rows (long — exact inner-join cardinality), max_key_product
+    (long — the single hottest key's contribution, the skew signal
+    AQE skew-join / salting decisions read), hot_key (string)``.
+    NULL keys never match an equi-join and are excluded. Products and
+    their sum accumulate in DECIMAL(38,0) — two billion-row sides
+    sharing a hot key overflow int64 easily."""
+    rk = right_key or left_key
+    lc = (
+        left.select(F.col(left_key).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_cl"))
+    )
+    rc = (
+        right.select(F.col(rk).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    matched = lc.join(rc, "_k").select(
+        F.col("_k").cast("string").alias("_ks"),
+        (
+            F.col("_cl").cast("decimal(38,0)") * F.col("_cr").cast("decimal(38,0)")
+        ).alias("_prod"),
+    )
+    stats = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_matched"),
+        F.coalesce(F.sum("_prod"), F.lit(0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("join_rows"),
+        F.coalesce(F.max("_prod"), F.lit(0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("max_key_product"),
+        # ties on the max product break by key string (struct order is
+        # lexicographic by field) — deterministic in any engine
+        F.max(F.struct("_prod", "_ks"))["_ks"].alias("hot_key"),
+    )
+    nl = lc.agg(F.count(F.lit(1)).cast("long").alias("n_keys_left"))
+    nr = rc.agg(F.count(F.lit(1)).cast("long").alias("n_keys_right"))
+    return (
+        nl.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_matched",
+            "join_rows",
+            "max_key_product",
+            "hot_key",
+        )
+    )

@@ -146,3 +146,181 @@ def approx_distinct_rollup(
             F.hll_sketch_estimate("sketch").alias("approx_distinct"),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile digest (equi-depth summary)
+# ---------------------------------------------------------------------------
+
+
+def quantile_digest(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable quantile summary: k+1 exact percentile points at ranks
+    0, 1/k, …, 1 plus the population count — the equi-depth-histogram
+    summary (the classic distributed-quantile technique behind
+    Greenwald-Khanna/KLL-style sketches, public; this is the
+    deterministic grid form). Any rank query interpolates between
+    points with rank error ≤ 1/(2k); two digests MERGE without
+    touching raw data (:func:`digest_merge` — average the piecewise-
+    linear CDFs weighted by count), which is what lets a 100 TB
+    warehouse keep one tiny persisted digest per partition/day and
+    answer cross-slice quantiles by folding digests, the same
+    persistence discipline as the HLL/CMS/KMV/Bloom sketches above.
+
+    Output: ``group_cols…, rank_frac (double), value (double), n
+    (long)`` — k+1 rows per group, NULL values excluded. Build cost is
+    ONE array-percentile aggregate (single sort buffer per group);
+    exact percentile ≡ DuckDB quantile_cont, so the BUILD is
+    hash-matched; merge/query accuracy is pytest-bounded."""
+    if k < 2:
+        raise ValueError(f"quantile_digest: k must be >= 2, got {k}")
+    keys = group_cols or []
+    reserved = {"rank_frac", "value", "n", "_qs"}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(f"group columns collide with reserved names: {sorted(clash)}")
+    fracs = [i / k for i in range(k + 1)]
+    x = F.col(value_col).cast("double")
+    agg = (
+        df.where(x.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.percentile(x, F.array(*[F.lit(q) for q in fracs])).alias("_qs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in fracs]).alias("rank_frac"),
+        F.col("_qs").alias("value"),
+    )
+    return agg.select(
+        *keys, F.explode(pairs).alias("_p"), "n"
+    ).select(
+        *keys,
+        F.col("_p.rank_frac").alias("rank_frac"),
+        F.col("_p.value").alias("value"),
+        "n",
+    )
+
+
+def digest_query(
+    digest: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rank queries against a digest: linear interpolation between the
+    stored (rank_frac, value) points — rank error ≤ 1/(2k) by the
+    equi-depth guarantee. Output: ``group_cols…, q (double), value
+    (double)``. Pure DataFrame algebra: each requested q joins its
+    bracketing points via two keyed aggregations (no pandas, no
+    collect), so querying a million per-partition digests stays
+    distributed."""
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"digest_query: quantile {q} outside [0, 1]")
+    keys = group_cols or []
+    qdf = digest.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    j = digest.crossJoin(F.broadcast(qdf))
+    lo = (
+        j.where(F.col("rank_frac") <= F.col("q"))
+        .groupBy(*keys, "q")
+        .agg(F.max_by(F.struct("rank_frac", "value"), F.col("rank_frac")).alias("_lo"))
+    )
+    hi = (
+        j.where(F.col("rank_frac") >= F.col("q"))
+        .groupBy(*keys, "q")
+        .agg(F.min_by(F.struct("rank_frac", "value"), F.col("rank_frac")).alias("_hi"))
+    )
+    both = lo.join(hi, [*keys, "q"])
+    r0, v0 = F.col("_lo.rank_frac"), F.col("_lo.value")
+    r1, v1 = F.col("_hi.rank_frac"), F.col("_hi.value")
+    interp = F.when(r1 == r0, v0).otherwise(
+        v0 + (F.col("q") - r0) / (r1 - r0) * (v1 - v0)
+    )
+    return both.select(*keys, "q", interp.alias("value"))
+
+
+def digest_merge(
+    d1: DataFrame,
+    d2: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Merge two digests into one WITHOUT raw data: the merged CDF is
+    the count-weighted average of the two piecewise-linear CDFs,
+    re-sampled at the output grid ranks (equi-depth histogram merge —
+    exactly how distributed quantile summaries fold across partitions/
+    days). Output schema matches :func:`quantile_digest`; ``k``
+    defaults to the finer input grid. Rank error grows by at most the
+    inputs' bounds plus 1/(2k) for the re-sampling (pytest-pinned).
+
+    Shape: digests are (k+1)-row summaries, so the merge is an
+    applyInPandas over grouped tiny tables — model-sized work per
+    group regardless of the corpora the digests summarize."""
+    import pandas as pd
+
+    keys = group_cols or []
+    u = d1.select(*keys, "rank_frac", "value", "n").withColumn(
+        "_src", F.lit(1)
+    ).unionByName(
+        d2.select(*keys, "rank_frac", "value", "n").withColumn("_src", F.lit(2))
+    )
+    out_schema = ", ".join(
+        [*(f"`{c}` {dict(u.dtypes)[c]}" for c in keys),
+         "rank_frac double", "value double", "n long"]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        parts = []
+        for _, sub in pdf.groupby("_src"):
+            sub = sub.sort_values("rank_frac")
+            parts.append(
+                (sub["value"].to_numpy(), sub["rank_frac"].to_numpy(), int(sub["n"].iloc[0]))
+            )
+        if len(parts) == 1:  # group present on one side only
+            (vs, rs, n) = parts[0]
+            out_k = k if k is not None else len(rs) - 1
+            grid = np.array([i / out_k for i in range(out_k + 1)])
+            vals = np.interp(grid, rs, vs)
+            res = pd.DataFrame({"rank_frac": grid, "value": vals})
+            res["n"] = n
+        else:
+            (v1s, r1s, n1), (v2s, r2s, n2) = parts
+            xs = np.unique(np.concatenate([v1s, v2s]))
+            f1 = np.interp(xs, v1s, r1s, left=0.0, right=1.0)
+            f2 = np.interp(xs, v2s, r2s, left=0.0, right=1.0)
+            # a digest's CDF is 0 strictly below its min and 1 at/above
+            # its max; np.interp's edge fill handles both ends given the
+            # digests store rank 0 at min and rank 1 at max
+            n_tot = n1 + n2
+            fm = (n1 * f1 + n2 * f2) / n_tot
+            out_k = (
+                k
+                if k is not None
+                else max(len(r1s), len(r2s)) - 1
+            )
+            grid = np.array([i / out_k for i in range(out_k + 1)])
+            vals = np.interp(grid, fm, xs)
+            # exact endpoints survive the inversion regardless of CDF
+            # plateaus: min/max of a union are the min/max of the mins/maxes
+            vals[0] = min(v1s[0], v2s[0])
+            vals[-1] = max(v1s[-1], v2s[-1])
+            res = pd.DataFrame({"rank_frac": grid, "value": vals})
+            res["n"] = n_tot
+        for c in keys:
+            res[c] = pdf[c].iloc[0]
+        return res[[*keys, "rank_frac", "value", "n"]]
+
+    if keys:
+        return u.groupBy(*keys).applyInPandas(merge, out_schema)
+    return u.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        merge, out_schema
+    )

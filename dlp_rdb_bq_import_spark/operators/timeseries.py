@@ -530,3 +530,83 @@ def ewma_outliers(
             F.abs(deviation) > F.lit(float(threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    id_col: str,
+    alpha: float = 0.4,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957 — the classic
+    level+trend forecaster, the step past :func:`ewma_outliers` when a
+    series DRIFTS: an EWMA lags a trending metric forever, Holt's
+    trend state closes the gap). Per key, in (ts, id) order:
+
+    ``level₁ = y₁``, ``trend₁ = 0``;
+    ``levelₜ = α·yₜ + (1−α)·(levelₜ₋₁ + trendₜ₋₁)``;
+    ``trendₜ = β·(levelₜ − levelₜ₋₁) + (1−β)·trendₜ₋₁``.
+
+    Output: ``key_cols…, ts, id, value, level, trend, forecast_next``
+    (= level + trend, the one-step-ahead forecast), doubles rounded to
+    9. NULL values/timestamps are excluded (no state without an
+    observation).
+
+    Unlike the EWMA chart there is NO truncated-window closed form
+    that keeps the coupled (level, trend) recursion bit-faithful, so
+    the fold runs as an Arrow-batched applyInPandas per key — the
+    per-key state is two doubles and the arithmetic replays the
+    textbook order exactly, which is what lets the result hash-match
+    a recursive-CTE restatement. Scale: one shuffle by key; per-key
+    sequential cost is the recursion's own data dependency (same
+    contract as streaming_ewma's fold)."""
+    if not 0.0 < alpha < 1.0 or not 0.0 < beta < 1.0:
+        raise ValueError(
+            f"holt_linear: alpha/beta must be in (0,1), got {alpha}, {beta}"
+        )
+    if not key_cols:
+        raise ValueError("holt_linear: need >= 1 key column")
+    import pandas as pd
+
+    a, g = float(alpha), float(beta)
+    one_a, one_g = 1.0 - a, 1.0 - g
+    dt = dict(df.dtypes)
+    key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, `{ts_col}` {dt[ts_col]}, `{id_col}` {dt[id_col]}, "
+        "value double, level double, trend double, forecast_next double"
+    )
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("_y"),
+    ).where(F.col("_y").isNotNull() & F.col(ts_col).isNotNull())
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        levels, trends = [], []
+        level = trend = None
+        for y in pdf["_y"]:
+            y = float(y)
+            if level is None:
+                level, trend = y, 0.0
+            else:
+                new_level = a * y + one_a * (level + trend)
+                trend = g * (new_level - level) + one_g * trend
+                level = new_level
+            levels.append(level)
+            trends.append(trend)
+        out = pdf[[*key_cols, ts_col, id_col]].copy()
+        out["value"] = pdf["_y"].astype(float)
+        out["level"] = [round(v, 9) for v in levels]
+        out["trend"] = [round(v, 9) for v in trends]
+        out["forecast_next"] = [
+            round(lv + tr, 9) for lv, tr in zip(levels, trends)
+        ]
+        return out
+
+    return base.groupBy(*key_cols).applyInPandas(fold, out_schema)

@@ -1,0 +1,208 @@
+"""Property tests for the round-11 operator wave: Jaro-Winkler pinned
+to DuckDB on a full pair grid, deterministic-DP release properties,
+Holt smoothing vs an independent reference fold, join-size prediction
+vs the actual join, and the CUBE grains vs direct aggregations."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler ≡ DuckDB on a pair grid (the oracle-parity contract)
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_matches_duckdb_grid():
+    import duckdb
+
+    from dlp_rdb_bq_import_spark.operators.linkage import jaro_winkler
+
+    names = [
+        "MARTHA", "MARHTA", "DIXON", "DICKSONX", "DWAYNE", "DUANE",
+        "JELLYFISH", "SMELLYFISH", "CRATE", "TRACE", "apple", "appel",
+        "", "a", "ab", "ba", "aaaa", "aaab", "x" * 9,
+        "Customer#000000042", "Customer#000000420", "ABCVWXYZ", "CABVWXYZ",
+    ]
+    con = duckdb.connect()
+    for a, b in itertools.product(names, repeat=2):
+        mine = jaro_winkler(a, b)
+        duck = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert mine == pytest.approx(duck, abs=1e-12), (a, b)
+    assert jaro_winkler(None, "x") is None and jaro_winkler("x", None) is None
+    # textbook values survive (Winkler 1990 worked examples)
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611111111, abs=1e-9)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133333333, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# deterministic DP release
+# ---------------------------------------------------------------------------
+
+
+def test_dp_noisy_counts_deterministic_and_scales_with_epsilon(spark):
+    from dlp_rdb_bq_import_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"g{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "g string")
+    r1 = {r.g: r.noisy_n for r in dp_noisy_counts(df, ["g"], 1.0, "s1").collect()}
+    r2 = {r.g: r.noisy_n for r in dp_noisy_counts(df, ["g"], 1.0, "s1").collect()}
+    assert r1 == r2  # same seed ⟹ same release (retry-idempotent)
+    r3 = {r.g: r.noisy_n for r in dp_noisy_counts(df, ["g"], 1.0, "s2").collect()}
+    assert r1 != r3  # new seed ⟹ new draw
+    # noise magnitude scales like 1/ε: ε=0.1 noise is 10x the ε=1 noise
+    n_eps01 = {
+        r.g: r.noisy_n for r in dp_noisy_counts(df, ["g"], 0.1, "s1").collect()
+    }
+    for g in r1:
+        noise_1 = r1[g] - 100.0
+        noise_01 = n_eps01[g] - 100.0
+        assert noise_01 == pytest.approx(10.0 * noise_1, rel=1e-6, abs=1e-6)
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], 0.0)
+
+
+def test_dp_noise_distribution_is_laplace_shaped(spark):
+    """Across many groups the deterministic draws behave like Laplace
+    (1/ε) samples: symmetric, mean ≈ 0, |noise| mean ≈ 1/ε."""
+    from dlp_rdb_bq_import_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"g{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string")  # every group count = 1
+    eps = 0.5
+    noise = np.array(
+        [r.noisy_n - 1.0 for r in dp_noisy_counts(df, ["g"], eps, "nz").collect()]
+    )
+    assert abs(float(np.mean(noise))) < 0.25  # symmetric around 0
+    assert float(np.mean(np.abs(noise))) == pytest.approx(1.0 / eps, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear ≡ independent reference fold
+# ---------------------------------------------------------------------------
+
+
+def test_holt_linear_matches_reference_fold(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import holt_linear
+
+    rng = np.random.RandomState(3)
+    rows = []
+    series = {}
+    for k in ("a", "b"):
+        vals = list(np.cumsum(rng.randn(40)) + 50.0)
+        series[k] = vals
+        for i, v in enumerate(vals):
+            rows.append((k, i, float(v)))
+    df = spark.createDataFrame(rows, "k string, i long, v double").select(
+        "k", F.timestamp_micros(F.col("i") * 1000000).alias("ts"), "i", "v"
+    )
+    a, g = 0.35, 0.2
+    got = {
+        (r.k, r.i): (r.level, r.trend, r.forecast_next)
+        for r in holt_linear(df, "ts", "v", ["k"], "i", alpha=a, beta=g).collect()
+    }
+    for k, vals in series.items():
+        level, trend = vals[0], 0.0
+        for i, y in enumerate(vals):
+            if i > 0:
+                nl = a * y + (1.0 - a) * (level + trend)
+                trend = g * (nl - level) + (1.0 - g) * trend
+                level = nl
+            assert got[(k, i)][0] == pytest.approx(level, abs=1e-9)
+            assert got[(k, i)][1] == pytest.approx(trend, abs=1e-9)
+            assert got[(k, i)][2] == pytest.approx(level + trend, abs=1e-9)
+
+
+def test_holt_tracks_linear_trend_ewma_lags(spark):
+    """On a pure linear ramp Holt's forecast converges to the truth
+    while a plain EWMA lags by a constant — the reason the operator
+    exists."""
+    from dlp_rdb_bq_import_spark.operators.timeseries import holt_linear
+
+    n = 200
+    rows = [("k", i, float(10 + 2 * i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, i long, v double").select(
+        "k", F.timestamp_micros(F.col("i") * 1000000).alias("ts"), "i", "v"
+    )
+    out = {r.i: r for r in holt_linear(df, "ts", "v", ["k"], "i").collect()}
+    last = out[n - 1]
+    assert last.trend == pytest.approx(2.0, abs=1e-3)  # learned the slope
+    assert last.forecast_next == pytest.approx(10 + 2 * n, abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# join-size prediction is exact
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_report_exact_vs_actual_join(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import join_size_report
+
+    rng = np.random.RandomState(9)
+    left = spark.createDataFrame(
+        [(int(rng.zipf(1.7) % 50),) for _ in range(3000)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(int(rng.zipf(1.7) % 80),) for _ in range(2000)], "k int"
+    )
+    rep = join_size_report(left, right, "k").first()
+    actual = left.join(right, "k").count()
+    assert rep.join_rows == actual
+    hot = (
+        left.groupBy("k").count().withColumnRenamed("count", "cl")
+        .join(right.groupBy("k").count().withColumnRenamed("count", "cr"), "k")
+        .select((F.col("cl") * F.col("cr")).alias("p"))
+        .agg(F.max("p"))
+        .first()[0]
+    )
+    assert rep.max_key_product == hot
+    # NULL keys never match and never count
+    left_n = left.unionByName(spark.createDataFrame([(None,)], "k int"))
+    rep2 = join_size_report(left_n, right, "k").first()
+    assert rep2.join_rows == actual and rep2.n_keys_left == rep.n_keys_left
+
+
+def test_join_size_report_empty_intersection(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import join_size_report
+
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(7,), (9,)], "k int")
+    r = join_size_report(a, b, "k").first()
+    assert (r.n_keys_matched, r.join_rows, r.max_key_product) == (0, 0, 0)
+    assert r.hot_key is None
+
+
+# ---------------------------------------------------------------------------
+# CUBE grains ≡ direct aggregations
+# ---------------------------------------------------------------------------
+
+
+def test_cube_grains_match_direct_aggregations(spark, sf_dir):
+    from dlp_rdb_bq_import_spark.harness import QUERIES
+
+    rows = QUERIES["cube_rollup_revenue"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = o.count()
+    # grand total row (both rolled up)
+    gt = [r for r in rows if r.g_pri == 1 and r.g_st == 1]
+    assert len(gt) == 1 and gt[0].n == total
+    # per-priority subtotals match a direct groupBy
+    direct = {
+        r.o_orderpriority: r["count"]
+        for r in o.groupBy("o_orderpriority").count().collect()
+    }
+    cube_pri = {
+        r.o_orderpriority: r.n for r in rows if r.g_pri == 0 and r.g_st == 1
+    }
+    assert cube_pri == direct
+    # all four grains present, detail rows sum to the total
+    detail = [r for r in rows if r.g_pri == 0 and r.g_st == 0]
+    assert sum(r.n for r in detail) == total
