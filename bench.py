@@ -196,6 +196,18 @@ BENCH_QUERIES = [
     "unigram_encode_tokens",
     "bloom_semi_join",
     "calibration_curve",
+    # round 11: linkage JW verify, DP release, mergeable quantile
+    # digest (build + two-slice fold), CUBE grains, Holt forecaster,
+    # pre-flight join sizing, baseline-JPEG decode, schema evolution
+    "jaro_winkler_pairs",
+    "dp_noisy_counts",
+    "quantile_digest",
+    "digest_merge_fold",
+    "cube_rollup_revenue",
+    "holt_linear_forecast",
+    "join_size_report",
+    "jpeg_decode_features",
+    "schema_evolution_plan",
 ]
 
 

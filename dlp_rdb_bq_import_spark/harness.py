@@ -2840,6 +2840,35 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+@query("personalized_pagerank_seeds")  # iterative float fixpoint — rows-only
+def q_personalized_pagerank(spark, sf_dir):
+    """EXT — personalized PageRank from a trusted seed set (graph.
+    personalized_pagerank; Page et al. 1999 §6 / TrustRank, Gyöngyi
+    et al. 2004): same supplier→part edge universe as the global
+    pagerank query, but ALL teleport mass returns to the %40==0
+    supplier seeds — scores become proximity-weighted reachability
+    FROM the seeds, the crawl-prioritization / spam-demotion signal
+    (nodes unreachable from seeds score exactly 0, pinned in tests
+    along with numpy power-iteration parity). Iterative fixpoint ⟹
+    rows-only gate, same contract as pagerank_supplier_part."""
+    from .operators.graph import personalized_pagerank
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 40 == 0)
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iterations=8).select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 12).alias("rank"),
+    )
+
+
 @query("curation_pipeline")  # composition over iterative clustering — rows-only
 def q_curation_pipeline(spark, sf_dir):
     """The end-to-end curation shape a training-data run executes:
@@ -10243,6 +10272,71 @@ def q_join_size_report(spark, sf_dir):
     return join_size_report(
         li, li.where(F.col("l_suppkey") % 3 == 0), "l_partkey"
     )
+
+
+@query(
+    "cohens_kappa",
+    oracle="""
+WITH labeled AS (
+  SELECT CASE WHEN length(text) >= 400 THEN 'keep' ELSE 'drop' END AS a,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= 80 THEN 'keep' ELSE 'drop' END AS b
+  FROM documents WHERE text IS NOT NULL
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM labeled
+), ma AS (SELECT a AS c, CAST(count(*) AS HUGEINT) AS na FROM labeled GROUP BY 1),
+mb AS (SELECT b AS c, CAST(count(*) AS HUGEINT) AS nb FROM labeled GROUP BY 1),
+pe AS (
+  SELECT COALESCE(CAST(SUM(na * nb) AS HUGEINT), 0) AS pe_num
+  FROM ma JOIN mb USING (c)
+)
+SELECT n_items, n_agree,
+       round(CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE), 9) AS p_observed,
+       round(CAST(pe_num AS DOUBLE)
+             / CAST(CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT) AS DOUBLE),
+             9) AS p_expected,
+       CASE WHEN CAST(pe_num AS DOUBLE)
+                 / CAST(CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT) AS DOUBLE)
+                 < 1.0
+            THEN round(
+              (CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE)
+               - CAST(pe_num AS DOUBLE)
+                 / CAST(CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT) AS DOUBLE))
+              / (1.0 - CAST(pe_num AS DOUBLE)
+                 / CAST(CAST(n_items AS HUGEINT) * CAST(n_items AS HUGEINT) AS DOUBLE)),
+              9)
+       END AS kappa
+FROM tot CROSS JOIN pe
+""",
+)
+def q_cohens_kappa(spark, sf_dir):
+    """EXT — Cohen's kappa label-quality audit (profiling.
+    cohens_kappa; Cohen 1960): chance-corrected agreement between two
+    deterministic quality 'annotators' over the corpus (a char-length
+    rule vs a word-count rule — the heuristic-vs-heuristic agreement
+    check a labeling pipeline runs before trusting either as training
+    signal; raw percent agreement rewards majority-class collusion,
+    kappa subtracts the marginal-product chance rate). Exact integer
+    counts, DECIMAL(38,0)/HUGEINT marginal products, one IEEE division
+    per rate — hash-matched end to end."""
+    from .operators.profiling import cohens_kappa
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    labeled = d.select(
+        F.when(F.length("text") >= 400, "keep").otherwise("drop").alias("a"),
+        F.when(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+            >= 80,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")
 
 
 def _holt_sql() -> str:

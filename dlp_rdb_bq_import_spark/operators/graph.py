@@ -745,3 +745,107 @@ def sssp_distances(
         )
         frontier = improved
     return dist.select("node", F.round("cost", 9).alias("cost"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6 'personalized'
+    teleport; the TrustRank recipe of Gyöngyi et al. VLDB 2004):
+    identical power method to :func:`pagerank` except ALL teleport
+    mass — the (1−d) reset AND dangling-node mass — returns to the
+    SEED set uniformly instead of to every node. Scores then measure
+    proximity-weighted reachability FROM the seeds: the crawl-
+    scheduling / spam-demotion signal (pages trusted seeds link near
+    rank high; link farms unreachable from seeds get exactly zero —
+    pinned in tests), and the weighted upgrade of
+    :func:`bfs_distances`' hop counts.
+
+    Returns ``(node, rank)`` over all edge-endpoint nodes, ranks
+    summing to 1 (seeds not in the edge set still receive teleport
+    mass but are absent from the output node universe — pass them as
+    self-loop edges to include them). Unknown seeds raise. Same scale
+    shape as pagerank: staged edge table (zero per-round edge
+    shuffles), node-sized score exchanges, one broadcast scalar
+    aggregate per round, localCheckpoint lineage cuts."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(
+            f"personalized_pagerank: iterations must be >= 1, got {iterations}"
+        )
+    e = _stage_edges(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    missing = s.join(nodes, "node", "left_anti").count()
+    if missing:
+        raise ValueError(
+            f"personalized_pagerank: {missing} seed(s) not present as an "
+            "edge endpoint — add self-loop edges to include isolated seeds"
+        )
+    # teleport distribution e_v: 1/|S| on seeds, 0 elsewhere — attached
+    # once to the dense node table (seed set is dimension-sized)
+    nodes_e = nodes.join(
+        F.broadcast(s.withColumn("_e", F.lit(1.0 / n_seeds))), "node", "left"
+    ).select("node", F.coalesce("_e", F.lit(0.0)).alias("_e")).localCheckpoint(
+        eager=True
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes_e.select("node", F.col("_e").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            e.join(
+                _score_side(with_deg.where(F.col("deg").isNotNull()), n),
+                e.src == F.col("node"),
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes_e.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("_e")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") * F.col("_e")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

@@ -1559,3 +1559,77 @@ def join_size_report(
             "hot_key",
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected inter-annotator
+    agreement over a categorical label: THE label-quality gate before
+    any rater/model/heuristic output becomes training signal (raw
+    percent agreement rewards majority-class collusion; kappa's
+    ``(p_o − p_e)/(1 − p_e)`` subtracts the agreement two independent
+    raters with these marginals would reach by chance).
+
+    Input: one row per doubly-annotated item; rows where either label
+    is NULL are excluded (no verdict without both). One row out:
+    ``n_items, n_agree (long), p_observed, p_expected, kappa (double,
+    rounded to 9; NULL when p_e = 1 — a single shared category makes
+    chance correction undefined, and a pinned NULL beats a fake 1.0)``.
+
+    Exactness: agreement and the marginal products are exact int64
+    counts folded into ``p_e = Σ_c n_A(c)·n_B(c) / n²`` with
+    DECIMAL(38,0) numerators (billion-item audits overflow int64),
+    ONE IEEE division each for p_o/p_e and one final combination —
+    engine-identical. Shape: one two-column projection, one groupBy
+    per side over the CATEGORY domain (tiny), one broadcast-scale
+    join of the two marginal tables — aggregate-sized at any corpus."""
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    base = df.select(a.alias("_a"), b.alias("_b")).where(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ma = base.groupBy(F.col("_a").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    mb = base.groupBy(F.col("_b").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    pe_num = (
+        ma.join(mb, "_c")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_na").cast("decimal(38,0)")
+                    * F.col("_nb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pe_num")
+        )
+    )
+    n = F.col("n_items").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("n_items").cast("decimal(38,0)")
+        * F.col("n_items").cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        totals.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n_items",
+            "n_agree",
+            F.round(po, 9).alias("p_observed"),
+            F.round(pe, 9).alias("p_expected"),
+            F.when(
+                pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 9)
+            ).alias("kappa"),
+        )
+    )

@@ -206,3 +206,100 @@ def test_cube_grains_match_direct_aggregations(spark, sf_dir):
     # all four grains present, detail rows sum to the total
     detail = [r for r in rows if r.g_pri == 0 and r.g_st == 0]
     assert sum(r.n for r in detail) == total
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 3), (4, 4)]
+    seeds = [0, 5]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    d, iters = 0.85, 30
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(df, sdf, damping=d, iterations=iters).collect()
+    }
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: [] for v in nodes}
+    for s_, t_ in edges:
+        out[s_].append(t_)
+    e_vec = np.array([1.0 / len(seeds) if v in seeds else 0.0 for v in nodes])
+    r = e_vec.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        dm = 0.0
+        for v in nodes:
+            if out[v]:
+                share = r[idx[v]] / len(out[v])
+                for w in out[v]:
+                    contrib[idx[w]] += share
+            else:
+                dm += r[idx[v]]
+        r = (1 - d) * e_vec + d * (contrib + dm * e_vec)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-8), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_unreachable_is_zero_and_guards(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import personalized_pagerank
+
+    # component {0,1} seeded; component {10,11} unreachable from seeds
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.rank for r in personalized_pagerank(df, seeds).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert got[0] > got[1] > 0.0
+    with pytest.raises(ValueError, match="empty seed"):
+        personalized_pagerank(df, seeds.where(F.col("node") < 0))
+    with pytest.raises(ValueError, match="not present"):
+        personalized_pagerank(
+            df, spark.createDataFrame([(999,)], "node long")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa hand cases
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_hand_cases(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import cohens_kappa
+
+    # perfect agreement over 2 classes -> kappa 1
+    rows = [("k", "k")] * 6 + [("d", "d")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").first()
+    assert r.kappa == 1.0 and r.p_observed == 1.0
+
+    # independent raters at 50/50 marginals -> kappa 0
+    rows = [("k", "k"), ("k", "d"), ("d", "k"), ("d", "d")] * 5
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.kappa == pytest.approx(0.0, abs=1e-12)
+    assert r.p_expected == pytest.approx(0.5, abs=1e-12)
+
+    # single shared category: p_e = 1 -> NULL kappa (undefined)
+    rows = [("k", "k")] * 5
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.kappa is None
+
+    # NULL labels excluded
+    rows = [("k", "k"), ("k", None), (None, "d"), ("d", "d")]
+    r = cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.n_items == 2 and r.n_agree == 2
