@@ -10740,6 +10740,33 @@ def q_digest_merge_fold(spark, sf_dir):
     )
 
 
+@query("streaming_quantile_digest")  # cross-batch sketch fold — rows-only
+def q_streaming_quantile_digest(spark, sf_dir):
+    """EXT §2.10 — streaming quantile summary (streaming/jobs.
+    streaming_quantile_digest): each micro-batch builds a k=16
+    equi-depth digest of its order totals per priority and
+    digest_merge folds it into the standing digest — the quantile
+    sibling of streaming_bottomk (KMV folds exactly; digests fold
+    within the pytest-pinned ≤2/k rank bound — the price a
+    bounded-state quantile pays). State is the (k+1)-row digest per
+    group forever, the per-partition/day monitor shape. Deterministic
+    staging ⟹ stable rows-only check; fold accuracy vs the batch
+    build over everything seen is pinned in tests."""
+    from .streaming.jobs import streaming_quantile_digest
+
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    out = streaming_quantile_digest(
+        spark, o, "o_totalprice", k=16,
+        group_cols=["o_orderpriority"], n_slices=3,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("rank_frac", 9).alias("rank_frac"),
+        F.round("value", 6).alias("value"),
+        "n",
+    )
+
+
 @query("streaming_ewma")  # stateful cross-batch recursion — rows-only
 def q_streaming_ewma(spark, sf_dir):
     """EXT §2.10 — streaming recursive EWMA (streaming/jobs.

@@ -1255,3 +1255,75 @@ def streaming_ewma(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_quantile_digest(
+    spark: SparkSession,
+    values: DataFrame,
+    value_col: str,
+    k: int = 32,
+    group_cols: list[str] | None = None,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming quantile summary: build a k-point equi-depth digest
+    per micro-batch and FOLD it into the standing digest via
+    ``foreachBatch`` + ``rollup.digest_merge`` — the quantile sibling
+    of :func:`streaming_bottomk` (bottom-k folds exactly by the KMV
+    merge property; digests fold within the pytest-pinned ≤2/k rank
+    bound, the price a bounded-state quantile pays — an exact
+    streaming quantile needs every value forever). State is the
+    (k+1)-row digest per group regardless of stream length — the
+    bounded-state monitor a 100 TB ingest keeps per partition/day.
+
+    Staging mirrors streaming_ewma: the input splits into
+    ``n_slices`` ordered file slices (mod-time pinned) so the file
+    source replays a multi-micro-batch history deterministically.
+    Returns the standing digest in :func:`rollup.quantile_digest`'s
+    schema after the stream drains."""
+    from ..operators.rollup import digest_merge, quantile_digest
+
+    keys = group_cols or []
+    root = tempfile.mkdtemp(prefix="qdigest_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "digest")
+    os.makedirs(stage)
+    src = values.select(
+        *keys, F.col(value_col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        part = src.where(F.pmod(F.xxhash64("_v"), F.lit(n_slices)) == i)
+        before = set(os.listdir(stage))
+        part.coalesce(1).write.mode("append").parquet(stage)
+        for name in set(os.listdir(stage)) - before:
+            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
+
+    def fold_batch(batch_df, _epoch_id):
+        batch_digest = quantile_digest(
+            batch_df, "_v", k=k, group_cols=keys or None
+        ).localCheckpoint(eager=True)
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            merged = digest_merge(
+                prev, batch_digest, group_cols=keys or None, k=k
+            ).localCheckpoint(eager=True)
+        else:
+            merged = batch_digest
+        merged.write.mode("overwrite").parquet(acc_dir)
+
+    try:
+        raw = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

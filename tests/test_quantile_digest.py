@@ -124,3 +124,26 @@ def test_merge_grouped_one_sided_group(spark):
     assert got[("only_b", 0.5)] == (10.0, 21)
     assert got[("x", 0.0)][0] == 0.0 and got[("x", 1.0)][0] == 150.0
     assert got[("x", 0.5)][1] == 102
+
+
+def test_streaming_digest_fold_tracks_batch_build(spark):
+    """The standing digest after a 4-slice stream fold answers ranks
+    within 2/k of the batch digest built over everything seen — the
+    bounded-state streaming quantile contract."""
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_quantile_digest
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0, 1.2, 3000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    k = 32
+    out = streaming_quantile_digest(spark, df, "v", k=k, n_slices=4)
+    rows = out.collect()
+    assert len(rows) == k + 1 and all(r.n == 3000 for r in rows)
+    sv = np.sort(vals)
+    for r in rows:
+        rank = _rank_of(sv, r.value)
+        assert abs(rank - r.rank_frac) <= 2.0 / k, (r.rank_frac, rank)
+    # exact extremes survive every fold
+    vals_by_rank = {round(r.rank_frac, 12): r.value for r in rows}
+    assert vals_by_rank[0.0] == pytest.approx(sv[0], abs=1e-9)
+    assert vals_by_rank[1.0] == pytest.approx(sv[-1], abs=1e-9)
