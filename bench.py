@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "join_size_report",
     "jpeg_decode_features",
     "schema_evolution_plan",
+    "cohens_kappa",
+    "personalized_pagerank_seeds",
+    "streaming_quantile_digest",
 ]
 
 
