@@ -36,29 +36,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this many nodes the per-round score table stops being a safe
+# broadcast build (hundreds of MB at ~30-50 B/row) and the staged edge
+# partitioning carries the join instead. A measured-cardinality switch,
+# not a guess: every caller counts |V| anyway.
+_BROADCAST_NODE_BOUND = 5_000_000
+
+# Edge tables above this stage as a sorted co-partitioned cache; at or
+# below it a plain eager checkpoint wins. Coherence with the node
+# bound: an unstaged graph has |V| ≤ 2·|E| ≤ _BROADCAST_NODE_BOUND, so
+# whenever the edge table skips staging the score side is GUARANTEED
+# to ride the broadcast path — no regime exists where both the edge
+# partitioning is unknown and the score table must shuffle.
+_EDGE_STAGE_BOUND = _BROADCAST_NODE_BOUND // 2
+
+
 def _stage_edges(e: DataFrame, key: str) -> DataFrame:
-    """Partition an edge table on its per-round join key and pin it.
+    """Materialize an edge table for iterative reuse; above
+    ``_EDGE_STAGE_BOUND`` rows, ALSO partition+sort it on the
+    per-round join key and pin it.
 
-    MEMORY_AND_DISK persist (not localCheckpoint): with AQE enabled a
-    checkpointed plan's root is adaptive, so its outputPartitioning
-    degrades to unknown and every round's join re-exchanges |E|; a
-    cached repartition keeps HashPartitioning(key, P) visible to
-    downstream planners (canChangeCachedPlanOutputPartitioning=false,
-    the default), so per-round joins exchange only the node-sized
-    side. The cache also holds each partition SORTED on the key: the
-    cached plan's outputOrdering survives too, so a sort-merge round
-    join skips both the edge exchange AND the edge sort — steady-state
-    per-round cost is exchange+sort of the |V|-sized score table plus
-    the merge. The eager count() materializes the cache so round 1
-    doesn't race it.
+    Two regimes, switched on a measured count (the materialization
+    pays it anyway):
 
-    Callers pair this with ``_score_side``: while |V| provably fits a
-    broadcast the score side ships as a BHJ build (zero exchanges of
-    any kind per round — measured faster than the co-partitioned SMJ
-    at local scales); past the broadcast bound the staged partitioning
-    takes over and each round exchanges only |V| rows. Both regimes
-    leave the |E| table untouched after staging."""
+    - SMALL (≤ bound): eager localCheckpoint. |V| ≤ 2·|E| then sits
+      under ``_BROADCAST_NODE_BOUND``, so ``_score_side`` broadcasts
+      the score table and every round is a BHJ over the checkpoint —
+      zero exchanges of ANY kind per round. Paying a repartition +
+      sort + cache write here is measured pure overhead (~2s fixed at
+      sf0.1 local[32] for nothing the broadcast path doesn't already
+      give).
+    - LARGE (> bound): MEMORY_AND_DISK cached
+      ``repartition(key).sortWithinPartitions(key)`` — NOT a
+      localCheckpoint: with AQE enabled a checkpointed plan's root is
+      adaptive, so its outputPartitioning degrades to unknown and
+      every round's join re-exchanges |E|; a cached repartition keeps
+      HashPartitioning(key, P) AND the sort order visible to
+      downstream planners (canChangeCachedPlanOutputPartitioning=
+      false, the default). A sort-merge round join then skips both
+      the edge exchange and the edge sort — steady-state per-round
+      cost is exchange+sort of the |V|-sized score table plus the
+      merge, instead of 20 rounds × a full |E| shuffle at 100 TB.
+
+    Either way the caller gets a materialized table it can join every
+    round; ``unpersist()`` on the small regime's checkpoint is a
+    harmless no-op."""
     spark = e.sparkSession
+    e = e.localCheckpoint(eager=True)
+    if e.count() <= _EDGE_STAGE_BOUND:
+        return e
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     from pyspark import StorageLevel
 
@@ -69,13 +95,6 @@ def _stage_edges(e: DataFrame, key: str) -> DataFrame:
     )
     staged.count()
     return staged
-
-
-# Above this many nodes the per-round score table stops being a safe
-# broadcast build (hundreds of MB at ~30-50 B/row) and the staged edge
-# partitioning carries the join instead. A measured-cardinality switch,
-# not a guess: every caller counts |V| anyway.
-_BROADCAST_NODE_BOUND = 5_000_000
 
 
 def _score_side(df: DataFrame, n_nodes: int) -> DataFrame:
