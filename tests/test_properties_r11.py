@@ -303,3 +303,56 @@ def test_cohens_kappa_hand_cases(spark):
         spark.createDataFrame(rows, "a string, b string"), "a", "b"
     ).first()
     assert r.n_items == 2 and r.n_agree == 2
+
+
+# ---------------------------------------------------------------------------
+# edge-staging regimes (graph._stage_edges)
+# ---------------------------------------------------------------------------
+
+
+def test_stage_edges_large_regime_reuses_cache_partitioning(spark, monkeypatch):
+    """Above the bound the staged cache carries HashPartitioning AND
+    sort order: a rank-side SMJ consumes it with ZERO edge-side
+    exchange and ZERO edge-side sort in the round plan."""
+    from dlp_rdb_bq_import_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_EDGE_STAGE_BOUND", 100)
+    e = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("src"), (F.col("id") % 97).alias("dst")
+    )
+    staged = graph._stage_edges(e, "src")
+    ranks = spark.range(0, 500).select(
+        F.col("id").alias("node"), F.lit(1.0).alias("rank")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = staged.join(ranks, staged.src == ranks.node)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        outer = final.split("InMemoryRelation")[0]  # above the cache
+        assert "InMemoryTableScan" in outer
+        assert "Exchange hashpartitioning(src" not in outer
+        # the only Sort above the cache is the rank side's (on node)
+        import re
+
+        sorts = re.findall(r"Sort \[(\w+)", outer)
+        assert all(s.startswith("node") for s in sorts), sorts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        staged.unpersist()
+
+
+def test_stage_edges_small_regime_skips_cache(spark):
+    """At or under the bound staging returns a plain checkpoint — no
+    cache, no repartition job — because |V| <= 2|E| guarantees the
+    broadcast regime downstream."""
+    from dlp_rdb_bq_import_spark.operators import graph
+
+    e = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("src"), (F.col("id") % 9).alias("dst")
+    )
+    staged = graph._stage_edges(e, "src")
+    assert staged.count() == 1000
+    assert staged.storageLevel.useMemory is False  # checkpoint, not cache
