@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "cohens_kappa",
     "personalized_pagerank_seeds",
     "streaming_quantile_digest",
+    "classification_report",
+    "mutual_information",
+    "ndcg_retrieval_eval",
 ]
 
 

@@ -10339,6 +10339,184 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(labeled, "a", "b")
 
 
+@query(
+    "classification_report",
+    oracle="""
+WITH labeled AS (
+  SELECT CASE WHEN length(text) >= 400 THEN 'keep' ELSE 'drop' END AS y,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= 80 THEN 'keep' ELSE 'drop' END AS p
+  FROM documents WHERE text IS NOT NULL
+), truths AS (SELECT y AS label, CAST(count(*) AS BIGINT) AS n_true FROM labeled GROUP BY 1),
+preds AS (SELECT p AS label, CAST(count(*) AS BIGINT) AS n_pred FROM labeled GROUP BY 1),
+tps AS (SELECT y AS label, CAST(count(*) AS BIGINT) AS tp FROM labeled WHERE y = p GROUP BY 1),
+m AS (
+  SELECT COALESCE(t.label, pr.label) AS label,
+         COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+  FROM truths t FULL OUTER JOIN preds pr ON t.label = pr.label
+)
+SELECT m.label, m.n_true, m.n_pred, COALESCE(tp, 0) AS tp,
+       CASE WHEN m.n_pred > 0
+            THEN round(CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(m.n_pred AS DOUBLE), 9) END
+         AS precision,
+       CASE WHEN m.n_true > 0
+            THEN round(CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(m.n_true AS DOUBLE), 9) END
+         AS recall,
+       CASE WHEN m.n_pred > 0 AND m.n_true > 0
+            THEN round(2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(m.n_pred + m.n_true AS DOUBLE), 9) END AS f1
+FROM m LEFT JOIN tps ON m.label = tps.label
+""",
+)
+def q_classification_report(spark, sf_dir):
+    """EXT — per-class precision/recall/F1 (profiling.
+    classification_report): the word-count quality rule evaluated
+    AGAINST the char-length rule as ground truth — the same annotator
+    pair the kappa query measures agreement on, now read as an
+    operating-point report (the confusion-matrix summary completing
+    the eval family: AUC ranks, calibration calibrates, kappa agrees,
+    this reports per class). Exact integer counts to two final
+    divisions; NULL where a denominator is 0."""
+    from .operators.profiling import classification_report
+
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    labeled = d.select(
+        F.when(F.length("text") >= 400, "keep").otherwise("drop").alias("y"),
+        F.when(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+            >= 80,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("p"),
+    )
+    return classification_report(labeled, "y", "p")
+
+
+@query(
+    "mutual_information",
+    oracle="""
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a, count(*) AS ca FROM base GROUP BY 1),
+mb AS (SELECT b, count(*) AS cb FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+terms AS (
+  SELECT CAST(COALESCE(SUM(
+           c * CAST(round(ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                 / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0)
+               AS BIGINT)), 0) AS BIGINT) AS mi_micro
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT n, mi_micro,
+       CASE WHEN n > 0
+            THEN round(CAST(mi_micro AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000.0), 9) END AS mi_nats
+FROM tot CROSS JOIN terms
+""",
+)
+def q_mutual_information(spark, sf_dir):
+    """EXT — exact mutual information between language and source
+    (profiling.mutual_information; Shannon 1948): the dependence
+    audit behind feature selection and leakage hunting — a split
+    column with high MI against the label IS the leak. Each cell's
+    log-likelihood ratio quantizes to an int64 micro-log BEFORE the
+    count-weighted integer sum (the bigram-LM/PMI discipline), so the
+    fold is aggregation-order-proof and hash-matches; cells/marginals
+    are |A|·|B|-sized, never row grain."""
+    from .operators.profiling import mutual_information
+
+    return mutual_information(t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _ndcg_sql() -> str:
+    import math as _m
+
+    k = 10
+    disc_case = " ".join(
+        f"WHEN rnk = {r} THEN {1.0 / _m.log2(r + 1)!r}e0"
+        for r in range(1, k + 1)
+    )
+    gain = (
+        "CAST(('0x' || substr(md5('q1:' || CAST(doc_id AS VARCHAR)), 1, 2)) "
+        "AS BIGINT) % 4"
+    )
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+run AS (SELECT 'q1' AS q, doc_id AS d, CAST(rk AS INT) AS rnk FROM bm WHERE rk <= 10),
+qrels AS (SELECT 'q1' AS q, doc_id AS d, {gain} AS g FROM bm),
+dcg AS (
+  SELECT run.q,
+         CAST(SUM(CAST(round(CAST(COALESCE(qr.g, 0) AS DOUBLE)
+               * (CASE {disc_case} END) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS dcg_micro
+  FROM run LEFT JOIN qrels qr ON run.q = qr.q AND run.d = qr.d
+  GROUP BY 1
+),
+ideal AS (
+  SELECT q, CAST(SUM(CAST(round(CAST(g AS DOUBLE)
+               * (CASE {disc_case} END) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS idcg_micro
+  FROM (
+    SELECT q, g, CAST(row_number() OVER
+        (PARTITION BY q ORDER BY g DESC, d ASC) AS INT) AS rnk
+    FROM qrels WHERE g > 0
+  ) WHERE rnk <= 10
+  GROUP BY 1
+)
+SELECT dcg.q AS query_id, dcg_micro,
+       CAST(COALESCE(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       CASE WHEN COALESCE(idcg_micro, 0) > 0
+            THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 9)
+       END AS ndcg
+FROM dcg LEFT JOIN ideal ON dcg.q = ideal.q
+"""
+
+
+@query("ndcg_retrieval_eval", oracle=_ndcg_sql())
+def q_ndcg_retrieval_eval(spark, sf_dir):
+    """EXT — nDCG@10 of the BM25 run (retrieval.ndcg_at_k; Järvelin &
+    Kekäläinen 2002): the graded-relevance ranking eval for the
+    BM25/QL/RRF family, the way classifier_auc evals scorers. The run
+    is the engine's own bm25_topk ranking; qrels carry deterministic
+    md5-derived gains 0-3 over the run's doc universe (a fixture
+    judgment set — REAL qrels join in identically). Per-rank
+    discounts are precomputed double literals (rank ≤ k), every term
+    micro-quantized to int64 before the per-query integer sum — the
+    aggregation-order-proof discipline that lets a float ranking
+    metric hash-match; the ideal ranking breaks gain ties by doc id,
+    total in both engines."""
+    from .operators import text as text_ops
+    from .operators.retrieval import ndcg_at_k
+
+    bm = text_ops.bm25_topk(
+        t(spark, sf_dir, "documents"), ["dup", "merge", "window"], k=15
+    )
+    run = bm.select(
+        F.lit("q1").alias("query_id"),
+        "doc_id",
+        F.col("rk").alias("rank"),
+    )
+    gain = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q1:"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    qrels = bm.select(
+        F.lit("q1").alias("query_id"), "doc_id", gain.alias("gain")
+    )
+    return ndcg_at_k(run, qrels, k=10)
+
+
 def _holt_sql() -> str:
     a, g = 0.4, 0.3
     one_a, one_g = 1.0 - a, 1.0 - g

@@ -1633,3 +1633,127 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 — the confusion-matrix summary
+    completing the scorer-eval family (classifier_auc ranks,
+    calibration_curve calibrates, cohens_kappa agrees; this is the
+    per-class operating-point report every labeler/filter/router model
+    ships with). One row per class appearing in EITHER column:
+    ``label, n_true, n_pred, tp (long), precision, recall, f1
+    (double, rounded to 9; NULL when the denominator is 0 — no
+    predictions ⟹ precision undefined, no true members ⟹ recall
+    undefined, either ⟹ f1 undefined: pinned NULLs beat fake
+    zeros)``. Rows with a NULL on either side are excluded (no
+    verdict).
+
+    Shape: three count aggregations at class grain (tp's groupBy
+    filters to label = prediction first) full-outer-merged on the
+    class — aggregate-sized at any corpus, exact integers until the
+    two final divisions."""
+    a = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    base = df.select(a.alias("_y"), p.alias("_p")).where(
+        F.col("_y").isNotNull() & F.col("_p").isNotNull()
+    )
+    truths = base.groupBy(F.col("_y").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    preds = base.groupBy(F.col("_p").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    tps = (
+        base.where(F.col("_y") == F.col("_p"))
+        .groupBy(F.col("_y").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    merged = (
+        truths.join(preds, "label", "full_outer")
+        .join(tps, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("tp").cast("double") / F.col("n_true").cast("double")
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("n_pred") + F.col("n_true")).cast("double")
+    )
+    return merged.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.round(prec, 9)).alias("precision"),
+        F.when(F.col("n_true") > 0, F.round(rec, 9)).alias("recall"),
+        F.when(
+            (F.col("n_pred") > 0) & (F.col("n_true") > 0), F.round(f1, 9)
+        ).alias("f1"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Exact mutual information between two categorical columns in
+    nats (Shannon 1948; the dependence audit behind feature selection
+    and leakage hunting — a 'random' split column with high MI against
+    the label IS the leak). ``I(A;B) = Σ_{xy} p(xy)·ln(N·c_xy /
+    (c_x·c_y))`` over exact integer counts; each cell's log quantizes
+    to an int64 micro-log BEFORE the count-weighted integer sum (the
+    bigram-LM/PMI discipline), so the fold is aggregation-order-proof
+    and restates bit-identically in any engine. NULLs on either side
+    are excluded (pairwise-complete convention).
+
+    One row out: ``n (long), mi_micro (long — Σ c_xy·round(ln(N·c_xy/
+    (c_x·c_y))·1e6)), mi_nats (double — mi_micro/(n·1e6), rounded to
+    9)``. Shape: one (a,b) cell aggregation + two broadcast marginal
+    tables joined back at CELL grain — |A|·|B| cells at most, never
+    row grain."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    term = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("_c").cast("double")
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("_c") * term).alias("_t"))
+        .agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("mi_micro"))
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        "mi_micro",
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("mi_micro").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                9,
+            ),
+        ).alias("mi_nats"),
+    )

@@ -82,3 +82,98 @@ def rrf_fuse(
     if top_n is not None:
         out = out.limit(top_n)
     return out.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """nDCG@k per query (Järvelin & Kekäläinen, TOIS 2002 — the
+    standard graded-relevance retrieval metric; the ranking-quality
+    eval for the BM25/QL/RRF family the way classifier_auc is for
+    scorers): ``DCG@k = Σ_{r≤k} gain_r / log2(r+1)`` over the run's
+    ranking, normalized by the ideal DCG of the query's own qrels
+    (top-k gains in descending order).
+
+    Exactness discipline: ranks are bounded by k, so each rank's
+    ``1/log2(r+1)`` discount is a precomputed double literal; every
+    term quantizes to int64 micro-units (``round(gain·disc·1e6)``)
+    BEFORE the per-query integer sum — aggregation-order-proof and
+    restatable (the bigram-LM/PMI micro-log discipline). The ideal
+    ranking orders by (gain DESC, doc ASC): total, so IDCG is
+    deterministic under gain ties in any engine.
+
+    Output: one row per query appearing in the run —
+    ``query_col, dcg_micro, idcg_micro (long), ndcg (double rounded
+    to 9; NULL when the query has no positive qrels — undefined, not
+    0)``. Unjudged run docs contribute gain 0 (the standard
+    convention). Shape: a k-bounded run join against the qrels table
+    plus a per-query top-k of qrels (window over judged docs only) —
+    everything at (query, doc) grain, never corpus grain."""
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1, got {k}")
+    discounts = {r: 1.0 / __import__("math").log2(r + 1) for r in range(1, k + 1)}
+    disc = None
+    for r, d in discounts.items():
+        branch = (F.col("_r") == r, F.lit(d))
+        disc = F.when(*branch) if disc is None else disc.when(*branch)
+    topk = run.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    ).where(F.col("_r") <= k)
+    judged = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(gain_col).cast("long").alias("_g"),
+    )
+    dcg = (
+        topk.join(judged, ["_q", "_d"], "left")
+        .select(
+            "_q",
+            F.round(
+                F.coalesce(F.col("_g"), F.lit(0)).cast("double")
+                * disc
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("_t"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_t").cast("long").alias("dcg_micro"))
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_g").desc(), F.col("_d").asc())
+    ideal = (
+        judged.where(F.col("_g") > 0)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(
+            "_q",
+            F.round(F.col("_g").cast("double") * disc * F.lit(1000000.0))
+            .cast("long")
+            .alias("_t"),
+        )
+        .groupBy("_q")
+        .agg(F.sum("_t").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(ideal, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "dcg_micro",
+            F.coalesce("idcg_micro", F.lit(0)).cast("long").alias("idcg_micro"),
+            F.when(
+                F.coalesce(F.col("idcg_micro"), F.lit(0)) > 0,
+                F.round(
+                    F.col("dcg_micro").cast("double")
+                    / F.col("idcg_micro").cast("double"),
+                    9,
+                ),
+            ).alias("ndcg"),
+        )
+    )

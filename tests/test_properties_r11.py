@@ -356,3 +356,87 @@ def test_stage_edges_small_regime_skips_cache(spark):
     staged = graph._stage_edges(e, "src")
     assert staged.count() == 1000
     assert staged.storageLevel.useMemory is False  # checkpoint, not cache
+
+
+# ---------------------------------------------------------------------------
+# eval family: classification report, mutual information, nDCG
+# ---------------------------------------------------------------------------
+
+
+def test_classification_report_hand_case(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import classification_report
+
+    rows = (
+        [("a", "a")] * 3          # 3 tp for a
+        + [("a", "b")] * 2        # fn for a, fp for b
+        + [("b", "b")] * 4
+        + [("b", "c")]            # c predicted but never true
+        + [(None, "a"), ("a", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r.label: r for r in classification_report(df, "y", "p").collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a.n_true, a.n_pred, a.tp) == (5, 3, 3)
+    assert a.precision == 1.0 and a.recall == 0.6
+    assert a.f1 == pytest.approx(2 * 3 / (3 + 5), abs=1e-9)
+    assert (b.n_true, b.n_pred, b.tp) == (5, 6, 4)
+    assert (c.n_true, c.n_pred, c.tp) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall is None and c.f1 is None
+
+
+def test_mutual_information_identities(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import mutual_information
+
+    # independent uniform columns -> MI 0 (micro-exact)
+    rows = [(str(i % 2), str(i % 3)) for i in range(60)]
+    r = mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.n == 60 and r.mi_micro == 0 and r.mi_nats == 0.0
+
+    # identical columns -> MI = H(A) = ln 2 for a fair binary column
+    rows = [(str(i % 2), str(i % 2)) for i in range(64)]
+    r = mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.mi_nats == pytest.approx(math.log(2), abs=2e-6)
+
+    # NULLs excluded pairwise
+    rows = [("x", "u"), ("x", None), (None, "v")]
+    r = mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.n == 1
+
+
+def test_ndcg_hand_cases(spark):
+    from dlp_rdb_bq_import_spark.operators.retrieval import ndcg_at_k
+
+    run = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    # perfect ordering -> ndcg 1
+    qrels = spark.createDataFrame(
+        [("q", "d1", 3), ("q", "d2", 2), ("q", "d3", 1)],
+        "query_id string, doc_id string, gain int",
+    )
+    assert ndcg_at_k(run, qrels, k=3).first().ndcg == 1.0
+    # reversed gains -> the textbook ratio, computed independently
+    qrels_rev = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query_id string, doc_id string, gain int",
+    )
+    got = ndcg_at_k(run, qrels_rev, k=3).first()
+    disc = [1.0 / math.log2(r + 1) for r in (1, 2, 3)]
+    dcg = round(1 * disc[0] * 1e6) + round(2 * disc[1] * 1e6) + round(3 * disc[2] * 1e6)
+    idcg = round(3 * disc[0] * 1e6) + round(2 * disc[1] * 1e6) + round(1 * disc[2] * 1e6)
+    assert got.dcg_micro == dcg and got.idcg_micro == idcg
+    assert got.ndcg == pytest.approx(dcg / idcg, abs=1e-9)
+    # no positive qrels -> NULL ndcg, not zero
+    empty_q = spark.createDataFrame(
+        [("q", "d9", 0)], "query_id string, doc_id string, gain int"
+    )
+    assert ndcg_at_k(run, empty_q, k=3).first().ndcg is None
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(run, qrels, k=0)
