@@ -213,6 +213,26 @@ ALLOW: dict[str, dict[str, str]] = {
         "(|suppliers| rows); corpus-scale ranking uses the partitioned "
         "windows / topk_per_group / global_row_ids forms",
     },
+    "cohens_kappa": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar attaches by "
+        "construction: the (n_items, n_agree) global aggregate and the "
+        "marginal-product sum — both broadcast single-row builds",
+    },
+    "mutual_information": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
+        "the global count and the summed micro-log term — broadcast "
+        "single-row builds over cell-grain inputs",
+    },
+    "join_size_report": {
+        "BroadcastNestedLoopJoin": "three 1-row aggregate attaches "
+        "(left keys, right keys, matched stats) crossed into the single "
+        "report row — all broadcast single-row builds",
+    },
+    "ndcg_retrieval_eval": {
+        "BroadcastNestedLoopJoin": "inherited from the BM25 run's corpus "
+        "(N, total_dl) 1-row scalar attach (bm25_topk_docs, individually "
+        "allowlisted); the eval itself adds k-bounded equi-joins only",
+    },
 }
 
 
