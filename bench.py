@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "classification_report",
     "mutual_information",
     "ndcg_retrieval_eval",
+    "psi_drift",
+    "chi_square_independence",
 ]
 
 

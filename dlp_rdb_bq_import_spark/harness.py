@@ -10517,6 +10517,124 @@ def q_ndcg_retrieval_eval(spark, sf_dir):
     return ndcg_at_k(run, qrels, k=10)
 
 
+def _psi_sql() -> str:
+    n_bins = 10
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    bin_fold = " + ".join(
+        f"(CASE WHEN x > b[{i}] THEN 1 ELSE 0 END)" for i in range(1, n_bins)
+    )
+    return f"""
+WITH refv AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+), curv AS (
+  SELECT CAST(o_totalprice AS DOUBLE) * 1.1e0 AS x FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+), b AS (
+  SELECT quantile_cont(x, [{fracs}]) AS b FROM refv
+), rbin AS (
+  SELECT CAST(1 + {bin_fold} AS BIGINT) AS bin, count(*) AS n
+  FROM refv CROSS JOIN b GROUP BY 1
+), cbin AS (
+  SELECT CAST(1 + {bin_fold} AS BIGINT) AS bin, count(*) AS n
+  FROM curv CROSS JOIN b GROUP BY 1
+), spine AS (SELECT CAST(range + 1 AS BIGINT) AS bin FROM range(0, {n_bins})),
+cells AS (
+  SELECT spine.bin,
+         CAST(COALESCE(rbin.n, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(cbin.n, 0) AS BIGINT) AS n_cur
+  FROM spine LEFT JOIN rbin ON spine.bin = rbin.bin
+             LEFT JOIN cbin ON spine.bin = cbin.bin
+), tt AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM cells
+), terms AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(round(
+           ((CAST(n_cur AS DOUBLE) + 0.5e0) / (CAST(tc AS DOUBLE) + {n_bins * 0.5!r}e0)
+            - (CAST(n_ref AS DOUBLE) + 0.5e0) / (CAST(tr AS DOUBLE) + {n_bins * 0.5!r}e0))
+           * ln(((CAST(n_cur AS DOUBLE) + 0.5e0) / (CAST(tc AS DOUBLE) + {n_bins * 0.5!r}e0))
+                / ((CAST(n_ref AS DOUBLE) + 0.5e0) / (CAST(tr AS DOUBLE) + {n_bins * 0.5!r}e0)))
+           * 1000000000.0e0) AS BIGINT) AS term_nano
+  FROM cells CROSS JOIN tt
+)
+SELECT bin, n_ref, n_cur, term_nano,
+       round(CAST((SELECT SUM(term_nano) FROM terms) AS DOUBLE)
+             / 1000000000.0e0, 9) AS psi
+FROM terms
+"""
+
+
+@query("psi_drift", oracle=_psi_sql())
+def q_psi_drift(spark, sf_dir):
+    """EXT — Population Stability Index drift monitor (profiling.
+    population_stability_index): the even-orderkey half of orders is
+    the REFERENCE snapshot, the odd half with a 10% price inflation is
+    the CURRENT one — the recurring-import drift scenario the metric
+    exists for (conventional gates: <0.1 stable, >0.25 drifted).
+    Boundaries come from the reference's deciles only (one array-
+    percentile), both sides share the ties-low bin fold, add-half
+    smoothing keeps empty bins defined, and every bin's term is an
+    int64 nano-unit before the sum — aggregation-order-proof, hash-
+    matched per bin AND on the readout."""
+    from .operators.profiling import population_stability_index
+
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("double") * F.lit(1.1)).alias(
+            "o_totalprice"
+        )
+    )
+    return population_stability_index(ref, cur, "o_totalprice", n_bins=10)
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a, count(*) AS ca FROM base GROUP BY 1),
+mb AS (SELECT b, count(*) AS cb FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+grid AS (
+  SELECT CAST(COALESCE(c, 0) AS DOUBLE) AS o,
+         CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM ma CROSS JOIN mb
+  LEFT JOIN cells ON ma.a = cells.a AND mb.b = cells.b
+  CROSS JOIN tot
+), s AS (
+  SELECT CAST(COALESCE(SUM(CAST(round((o - e) * (o - e) / e
+           * 1000000000.0e0) AS BIGINT)), 0) AS BIGINT) AS chi_nano
+  FROM grid
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS ra,
+         (SELECT CAST(count(*) AS BIGINT) FROM mb) AS rb
+)
+SELECT n, CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+       CASE WHEN ra > 1 AND rb > 1
+            THEN round(CAST(chi_nano AS DOUBLE) / 1000000000.0e0, 9) END AS chi2
+FROM tot CROSS JOIN dims CROSS JOIN s
+""",
+)
+def q_chi_square_independence(spark, sf_dir):
+    """EXT — Pearson chi-square independence test over the same
+    (lang, source) contingency the MI query measures (profiling.
+    chi_square_independence; Pearson 1900): MI gives the dependence
+    in nats, chi2/dof locates it against the independence null. The
+    cell sum covers the FULL marginal cross (absent cells still
+    contribute their expected-count mass — skipping them understates
+    the statistic); nano-unit int64 terms make the float sum
+    aggregation-order-proof and hash-matched."""
+    from .operators.profiling import chi_square_independence
+
+    return chi_square_independence(
+        t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def _holt_sql() -> str:
     a, g = 0.4, 0.3
     one_a, one_g = 1.0 - a, 1.0 - g

@@ -1757,3 +1757,165 @@ def mutual_information(
             ),
         ).alias("mi_nats"),
     )
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one (the standard model/data drift monitor — credit-risk
+    lineage, public: ``PSI = Σ_i (q_i − p_i)·ln(q_i / p_i)`` over the
+    REFERENCE's equal-frequency bins; <0.1 stable, 0.1-0.25 shifting,
+    >0.25 drifted are the conventional gates). The monitoring
+    companion to :func:`quantile_binning`: boundaries come from the
+    reference ONLY, so a shifted current distribution piles into edge
+    bins instead of redefining them.
+
+    Determinism/exactness: boundaries are ONE array-percentile
+    aggregate over the reference; both sides bin by the shared
+    ``1 + Σ(x > bᵢ)`` fold (ties low); bin counts get add-half
+    smoothing (+0.5 per bin on both sides — the documented convention
+    that keeps empty bins finite and the metric defined, restated
+    identically in the oracle); each bin's PSI term quantizes to an
+    int64 nano-unit BEFORE the sum, so the fold is aggregation-order-
+    proof. Output: one row per bin ``(bin, n_ref, n_cur (long),
+    term_nano (long))`` plus the readout columns ``psi (double,
+    rounded to 9)`` repeated per row — bounded output, and the single
+    scalar is auditable per bin. NULL values excluded both sides."""
+    if n_bins < 2:
+        raise ValueError(
+            f"population_stability_index: n_bins must be >= 2, got {n_bins}"
+        )
+    x = F.col(value_col).cast("double")
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    bounds = (
+        ref.where(x.isNotNull())
+        .agg(
+            F.expr(
+                f"percentile(CAST({value_col} AS DOUBLE), array({fracs}))"
+            ).alias("_bs")
+        )
+        .select(
+            *[F.element_at("_bs", i).alias(f"_b{i}") for i in range(1, n_bins)]
+        )
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, n_bins):
+        bin_expr = bin_expr + (x > F.col(f"_b{i}")).cast("int")
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(x.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(bin_expr.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(1, n_bins + 1).select(F.col("id").alias("bin"))
+    cells = (
+        spine.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n_ref").cast("long").alias("_tr"),
+        F.sum("n_cur").cast("long").alias("_tc"),
+    )
+    # add-half smoothed shares: (n + 0.5) / (total + n_bins/2)
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("_tr").cast("double") + F.lit(n_bins * 0.5)
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("_tc").cast("double") + F.lit(n_bins * 0.5)
+    )
+    term_nano = F.round((q - p) * F.log(q / p) * F.lit(1e9)).cast("long")
+    with_terms = (
+        cells.crossJoin(F.broadcast(totals))
+        .select("bin", "n_ref", "n_cur", term_nano.alias("term_nano"))
+    )
+    psi = with_terms.agg(
+        F.coalesce(F.sum("term_nano"), F.lit(0)).cast("long").alias("_s")
+    )
+    return with_terms.crossJoin(F.broadcast(psi)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "term_nano",
+        F.round(F.col("_s").cast("double") / F.lit(1e9), 9).alias("psi"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900): ``χ² = Σ_{xy} (o_xy − e_xy)²/e_xy`` with
+    ``e_xy = c_x·c_y/N`` — the frequentist sibling of
+    :func:`mutual_information` (MI measures the dependence in nats;
+    χ²/dof locates it against a null). One row out: ``n (long), dof
+    (long — (|A|−1)(|B|−1)), chi2 (double, rounded to 9; NULL when
+    dof = 0 — a single-category column makes the test undefined)``.
+
+    The cell sum runs over the FULL |A|×|B| grid (absent cells carry
+    o = 0 but still contribute o²-free e terms — skipping them
+    understates χ²): the grid is the cross of the two broadcast
+    marginal tables, never row grain. Each cell's term quantizes to
+    int64 nano-units before the sum (aggregation-order-proof). NULLs
+    excluded pairwise."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .join(cells, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.coalesce("_c", F.lit(0)).cast("double").alias("_o"),
+            (
+                F.col("_ca").cast("double")
+                * F.col("_cb").cast("double")
+                / F.col("n").cast("double")
+            ).alias("_e"),
+        )
+    )
+    term_nano = F.round(
+        (F.col("_o") - F.col("_e"))
+        * (F.col("_o") - F.col("_e"))
+        / F.col("_e")
+        * F.lit(1e9)
+    ).cast("long")
+    summed = grid.select(term_nano.alias("_t")).agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_chi_nano")
+    )
+    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("_ra")).crossJoin(
+        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("_rb")))
+    )
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(summed))
+        .select(
+            "n",
+            ((F.col("_ra") - 1) * (F.col("_rb") - 1)).cast("long").alias("dof"),
+            F.when(
+                (F.col("_ra") > 1) & (F.col("_rb") > 1),
+                F.round(F.col("_chi_nano").cast("double") / F.lit(1e9), 9),
+            ).alias("chi2"),
+        )
+    )

@@ -440,3 +440,84 @@ def test_ndcg_hand_cases(spark):
     assert ndcg_at_k(run, empty_q, k=3).first().ndcg is None
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(run, qrels, k=0)
+
+
+# ---------------------------------------------------------------------------
+# drift + independence monitors
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        population_stability_index,
+    )
+
+    rng = np.random.RandomState(4)
+    vals = rng.gamma(2.0, 50.0, 4000)
+    ref = spark.createDataFrame([(float(v),) for v in vals[:2000]], "v double")
+    cur = spark.createDataFrame([(float(v),) for v in vals[2000:]], "v double")
+    rows = population_stability_index(ref, cur, "v", n_bins=10).collect()
+    assert len(rows) == 10
+    psi = rows[0].psi
+    assert all(r.psi == psi for r in rows)
+    assert psi < 0.05  # same distribution ⟹ comfortably 'stable'
+    # a hard shift blows past the 0.25 drift gate
+    shifted = spark.createDataFrame(
+        [(float(v * 3 + 500),) for v in vals[2000:]], "v double"
+    )
+    psi2 = population_stability_index(ref, shifted, "v", n_bins=10).first().psi
+    assert psi2 > 0.25
+    with pytest.raises(ValueError, match="n_bins"):
+        population_stability_index(ref, cur, "v", n_bins=1)
+
+
+def test_psi_matches_reference_formula(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        population_stability_index,
+    )
+
+    rng = np.random.RandomState(8)
+    a = rng.normal(0, 1, 1000)
+    b = rng.normal(0.5, 1.3, 800)
+    ref = spark.createDataFrame([(float(v),) for v in a], "v double")
+    cur = spark.createDataFrame([(float(v),) for v in b], "v double")
+    k = 10
+    rows = population_stability_index(ref, cur, "v", n_bins=k).collect()
+    bounds = np.percentile(a, [100 * i / k for i in range(1, k)])
+    rbin = np.array([1 + np.sum(v > bounds) for v in a])
+    cbin = np.array([1 + np.sum(v > bounds) for v in b])
+    expect = 0.0
+    for i in range(1, k + 1):
+        nr, nc = int(np.sum(rbin == i)), int(np.sum(cbin == i))
+        p = (nr + 0.5) / (1000 + k * 0.5)
+        q = (nc + 0.5) / (800 + k * 0.5)
+        expect += round((q - p) * math.log(q / p) * 1e9) / 1e9
+    got = rows[0].psi
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_chi_square_identities(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2x3 design -> chi2 exactly 0
+    rows = [(str(i % 2), str(i % 3)) for i in range(60)]
+    r = chi_square_independence(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.chi2 == 0.0 and r.dof == 2 and r.n == 60
+
+    # perfect dependence on a 2x2 -> chi2 = n
+    rows = [(str(i % 2), str(i % 2)) for i in range(40)]
+    r = chi_square_independence(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.chi2 == pytest.approx(40.0, abs=1e-6) and r.dof == 1
+
+    # single-category column -> dof 0, NULL chi2
+    rows = [("x", str(i % 3)) for i in range(9)]
+    r = chi_square_independence(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert r.dof == 0 and r.chi2 is None

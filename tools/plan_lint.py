@@ -233,6 +233,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "(N, total_dl) 1-row scalar attach (bm25_topk_docs, individually "
         "allowlisted); the eval itself adds k-bounded equi-joins only",
     },
+    "psi_drift": {
+        "BroadcastNestedLoopJoin": "scalar attaches by construction: the "
+        "reference decile-boundary row, the 1-row bin-total pair, and the "
+        "1-row summed readout — all broadcast single-row builds over the "
+        "n_bins-row cell table",
+    },
+    "chi_square_independence": {
+        "BroadcastNestedLoopJoin": "the |A|x|B| grid is the DELIBERATE "
+        "cross of the two broadcast marginal tables (category-domain-"
+        "sized, never rows) plus 1-row total/dims/sum scalar attaches",
+    },
 }
 
 
