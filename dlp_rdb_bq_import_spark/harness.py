@@ -5558,49 +5558,55 @@ _finalize_dp_oracle()
 @query(
     "jaro_winkler_pairs",
     oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_name,
+         CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) AS rn
+  FROM customer
+)
 SELECT id_a, id_b, jw FROM (
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
          round(jaro_winkler_similarity(a.c_name, b.c_name), 9) AS jw
-  FROM customer a JOIN customer b
-    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-  WHERE a.c_custkey % 8 = 0 AND b.c_custkey % 8 = 0
+  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3
 )
-WHERE jw >= 0.93
+WHERE jw >= 0.95
 """,
 )
 def q_jaro_winkler_pairs(spark, sf_dir):
-    """EXT — Jaro-Winkler verify stage over blocked candidate pairs
-    (linkage.jaro_winkler_pairs; Jaro 1989 / Winkler 1990, the Census
-    Bureau name metric): nation-blocked customer pairs scored by the
-    Arrow-batched JW UDF, high-similarity pairs kept — the
-    length-normalized scorer Fellegi-Sunter name rules consume where
-    raw edit distance over-penalizes long fields. The Python
-    implementation is pinned EXACTLY to DuckDB's
-    jaro_winkler_similarity (classic window/transposition/0.7-boost
-    parameters; full pair-grid parity in tests), so the composed
-    query hash-matches. Cost is per candidate pair — the blocking
-    join upstream bounds it, the UDF never sees the quadratic space."""
-    from .operators.linkage import jaro_winkler_pairs
+    """EXT — Jaro-Winkler verify stage over sorted-neighborhood
+    blocking candidates (linkage.jaro_winkler_pairs on
+    sorted_neighborhood_pairs output; Jaro 1989 / Winkler 1990, the
+    Census Bureau name metric): BLOCK first (every pair within 4 name
+    sort positions — n·window candidates, the merge/purge shape), THEN
+    score with the Arrow-batched JW UDF and keep high-similarity
+    pairs — the production two-stage linkage pipeline, and the reason
+    the UDF's per-pair cost stays linear in the corpus (an unblocked
+    nation self-join went near-quadratic: 7M pairs / 128s at sf1; this
+    shape is ~450k / ~8s). The Python JW is pinned EXACTLY to DuckDB's
+    jaro_winkler_similarity (full pair-grid parity in tests), so the
+    composed block→score→filter query hash-matches; the engine's
+    blocking rides global_row_ids (range exchange + offsets), never
+    the single-partition row_number the oracle states."""
+    from .operators.linkage import jaro_winkler_pairs, sorted_neighborhood_pairs
 
-    c = (
-        t(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_nationkey")
-        .where(F.col("c_custkey") % 8 == 0)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cands = sorted_neighborhood_pairs(c, "c_name", "c_custkey", window=4)
+    named = (
+        cands.join(
+            c.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb")
+            ),
+            "id_b",
+        )
     )
-    a = c.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("_na"),
-        "c_nationkey",
-    )
-    b = c.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("_nb"),
-        "c_nationkey",
-    )
-    pairs = a.join(b, "c_nationkey").where(F.col("id_a") < F.col("id_b"))
     return (
-        jaro_winkler_pairs(pairs, "_na", "_nb", out="jw")
-        .where(F.col("jw") >= 0.93)
+        jaro_winkler_pairs(named, "_na", "_nb", out="jw")
+        .where(F.col("jw") >= 0.95)
         .select("id_a", "id_b", "jw")
     )
 
