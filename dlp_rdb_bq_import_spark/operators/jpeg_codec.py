@@ -351,6 +351,12 @@ def _decode_scan(
     fh, fw, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan (non-interleaved) JPEG not supported")
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition
+        # (T.81 A.2.2): MCU = one block, declared sampling factors do
+        # not apply — normalize them so the MCU grid is per-block
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))

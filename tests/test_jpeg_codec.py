@@ -289,3 +289,46 @@ def test_phash_stable_across_jpeg_compression(spark):
         a, b = int(got[i * 2]) & mask, int(got[i * 2 + 1]) & mask
         ham = bin(a ^ b).count("1")
         assert ham <= 4, (i, ham)  # 64-bit dHash, compression-stable
+
+
+def test_single_component_sampling_factors_normalized():
+    """T.81 A.2.2: a single-component scan is non-interleaved — MCU is
+    one block regardless of declared sampling factors. A grey stream
+    declaring 0x22 must decode identically to one declaring 0x11."""
+    def build(hv):
+        out = bytearray(b"\xff\xd8")
+        q = np.full(64, 8, dtype=np.int64)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+            int(x) for x in q
+        )
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes(
+            [1, hv, 0]
+        )
+        for tc, th, bits, vals in (
+            (0, 0, jc.DC_LUMA_BITS, jc.DC_LUMA_VALS),
+            (1, 0, jc.AC_LUMA_BITS, jc.AC_LUMA_VALS),
+        ):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        out += b"\x00\x3f\x00"
+        wtr = jc._BitWriter()
+        edc = jc._build_huff_encode(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+        eac = jc._build_huff_encode(jc.AC_LUMA_BITS, jc.AC_LUMA_VALS)
+        pred = 0
+        for v in (160, 64):
+            s, bits = jc._magnitude((v - 128) - pred)
+            pred = v - 128
+            code, ln = edc[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(bits, s)
+            code, ln = eac[0x00]
+            wtr.write(code, ln)
+        wtr.flush()
+        return bytes(out) + bytes(wtr.out) + b"\xff\xd9"
+
+    a = jc.decode_jpeg(build(0x11))
+    b = jc.decode_jpeg(build(0x22))
+    assert np.array_equal(a, b)
+    assert np.all(a[:, :8, 0] == 160) and np.all(a[:, 8:, 0] == 64)
