@@ -216,6 +216,13 @@ BENCH_QUERIES = [
     "ndcg_retrieval_eval",
     "psi_drift",
     "chi_square_independence",
+    # round 11 wave 3: two-sample tests + concentration + series decomposition
+    "ks_drift_test",
+    "mann_whitney_priority",
+    "gini_revenue_concentration",
+    "cusum_shift_detection",
+    "acf_daily_revenue",
+    "seasonal_decompose_revenue",
 ]
 
 

@@ -11395,6 +11395,394 @@ def q_calibration_curve(spark, sf_dir):
     return calibration_curve(e, "score", "is_purchase", n_bins=10)
 
 
+@query(
+    "ks_drift_test",
+    oracle="""
+WITH av AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+), bv AS (
+  SELECT CAST(o_totalprice AS DOUBLE) * 1.1e0 AS v FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+), per AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM (SELECT v, 1 AS ia, 0 AS ib FROM av
+        UNION ALL SELECT v, 0 AS ia, 1 AS ib FROM bv)
+  GROUP BY v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM per
+), gaps AS (
+  SELECT MAX(abs(CAST(fa AS HUGEINT) * CAST(n_b AS HUGEINT)
+              - CAST(fb AS HUGEINT) * CAST(n_a AS HUGEINT))) AS dnum
+  FROM cum CROSS JOIN tot
+)
+SELECT n_a, n_b,
+       round(CAST(dnum AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE),
+             9) AS d,
+       round(CAST(dnum AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+             * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)),
+             9) AS ks_z
+FROM tot CROSS JOIN gaps
+""",
+)
+def q_ks_drift_test(spark, sf_dir):
+    """EXT — two-sample Kolmogorov-Smirnov drift test (profiling.
+    ks_test_2sample; Smirnov 1939) on the SAME drift scenario
+    psi_drift monitors — even-orderkey prices as the reference
+    snapshot, odd-orderkey prices inflated 10% as the current one —
+    so the two monitors corroborate: PSI localizes drift to bins, KS
+    tests the full CDFs bin-free. ECDF gaps are exact integers over
+    the common denominator (HUGEINT/DECIMAL(38,0) both sides), one
+    final division, rounded to 9 — hash-matched."""
+    from .operators.profiling import ks_test_2sample
+
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("double") * F.lit(1.1)).alias(
+            "o_totalprice"
+        )
+    )
+    return ks_test_2sample(ref, cur, "o_totalprice")
+
+
+@query(
+    "mann_whitney_priority",
+    oracle="""
+WITH av AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL
+), bv AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL
+), per AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM (SELECT v, 1 AS ia, 0 AS ib FROM av
+        UNION ALL SELECT v, 0 AS ia, 1 AS ib FROM bv)
+  GROUP BY v
+), cum AS (
+  SELECT ca, cb, ca + cb AS c,
+         COALESCE(SUM(ca + cb) OVER
+           (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS p
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         SUM(CAST(ca AS HUGEINT)
+             * (2 * CAST(p AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS r2a,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+             - CAST(c AS HUGEINT)) AS ties
+  FROM cum
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1)
+                    AS DOUBLE) / 2.0e0, 9) END AS u,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+         (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0
+          * ((CAST(n_a + n_b AS DOUBLE) + 1.0e0)
+             - CAST(ties AS DOUBLE)
+               / (CAST(n_a + n_b AS DOUBLE)
+                  * (CAST(n_a + n_b AS DOUBLE) - 1.0e0)))) > 0 THEN
+         round((CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1)
+                     AS DOUBLE) / 2.0e0
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0e0)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0e0
+                      * ((CAST(n_a + n_b AS DOUBLE) + 1.0e0)
+                         - CAST(ties AS DOUBLE)
+                           / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0e0)))),
+               9) END AS z
+FROM tot
+""",
+)
+def q_mann_whitney_priority(spark, sf_dir):
+    """EXT — Mann-Whitney U rank-sum test (profiling.mann_whitney_u;
+    Mann & Whitney 1947): do URGENT orders carry systematically
+    different totals than LOW-priority ones? The nonparametric
+    A/B-location companion to ab_test_purchase's z-test (that one
+    compares Bernoulli rates; this one compares full value
+    distributions rank-wise, tie-corrected). Doubled rank sums stay
+    exact integers (HUGEINT/DECIMAL(38,0) both sides); one final
+    division chain, rounded to 9 — hash-matched."""
+    from .operators.profiling import mann_whitney_u
+
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_totalprice")
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select("o_totalprice")
+    return mann_whitney_u(a, b, "o_totalprice")
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY o_custkey
+), per AS (
+  SELECT CAST(round(x * 100) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM spend WHERE x IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER
+           (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS p
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS t,
+         SUM(CAST(v AS HUGEINT)
+             * (CAST(c AS HUGEINT) * CAST(p AS HUGEINT)
+                + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1) // 2)) AS s
+  FROM cum
+)
+SELECT n,
+       CASE WHEN n > 0 AND t > 0 THEN
+         round(CAST(2 * s - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * t AS DOUBLE), 9) END AS gini
+FROM tot
+""",
+)
+def q_gini_revenue_concentration(spark, sf_dir):
+    """EXT — Gini concentration of per-customer revenue (profiling.
+    gini_coefficient; Gini 1912, rank formula): the scalar Lorenz
+    summary behind pareto_part_revenue's discrete 80/20 head — "how
+    unequal is customer spend?" as one auditable number. Per-customer
+    totals use the house decimal-sum trick (order-proof), quantize to
+    cents, and the rank-weighted sums stay exact integers
+    (HUGEINT/DECIMAL(38,0) both sides) until one final division,
+    rounded to 9 — hash-matched."""
+    from .operators.profiling import gini_coefficient
+
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    return gini_coefficient(spend, "x", unit_scale=100)
+
+
+_DAILY_REV_SQL = """
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) * 100)
+              AS BIGINT) AS x
+  FROM vals GROUP BY 1
+"""
+
+
+@query(
+    "cusum_shift_detection",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts,
+         CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+              THEN CAST(o_totalprice AS DOUBLE) * 1.15e0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS t
+  FROM daily
+), staged AS (
+  SELECT day, x, n,
+         CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t
+           - CAST(n AS HUGEINT) * 1000000 AS du,
+         CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t
+           + CAST(n AS HUGEINT) * 1000000 AS dd
+  FROM daily CROSS JOIN tot
+), sums AS (
+  SELECT day, x, n,
+         SUM(du) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cu,
+         SUM(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cd
+  FROM staged
+), cum AS (
+  SELECT day, x, n,
+         cu - LEAST(CAST(0 AS HUGEINT),
+                    MIN(cu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+           AS su,
+         GREATEST(CAST(0 AS HUGEINT),
+                  MAX(cd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) - cd
+           AS sd
+  FROM sums
+)
+SELECT day,
+       CAST(x AS DOUBLE) / 100.0e0 AS x,
+       CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0e0) AS s_up,
+       CAST(sd AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0e0) AS s_dn,
+       su > CAST(n AS HUGEINT) * 50000000 AS alarm_up,
+       sd > CAST(n AS HUGEINT) * 50000000 AS alarm_dn
+FROM cum
+""",
+)
+def q_cusum_shift_detection(spark, sf_dir):
+    """EXT — two-sided CUSUM changepoint chart (timeseries.
+    cusum_changepoints; Page 1954) over daily order revenue with a
+    planted +15% level shift from 1999-01-01 — the small-persistent-
+    shift scenario EWMA spike detection misses by design. The
+    max(0, S+dev) recursion runs as its exact scan form (running sum
+    minus running min, with the virtual C₀=0 in the extremes);
+    n-scaled integer deviations keep every S_t an exact rational
+    (DECIMAL(38,0)/HUGEINT) and the alarm compare integer-exact.
+    slack = $10k/day, threshold = $500k — centering on the GLOBAL mean
+    makes both one-sided charts informative: the lower chart alarms
+    across the below-mean pre-shift regime, the upper across the
+    post-shift regime, and the crossover day localizes the
+    changepoint. Hash-matched per day."""
+    from .operators.timeseries import cusum_changepoints
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    shifted = o.select(
+        F.col("o_orderdate").alias("ts"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"),
+            F.col("o_totalprice").cast("double") * F.lit(1.15),
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("v"),
+    )
+    return cusum_changepoints(
+        shifted,
+        ts_col="ts",
+        value_col="v",
+        unit_scale=100,
+        slack_units=1_000_000,
+        threshold_units=50_000_000,
+    )
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS t
+  FROM daily
+), lags AS (SELECT CAST(range + 1 AS BIGINT) AS lag FROM range(0, 7)),
+pairs AS (
+  SELECT l.lag,
+         CAST(tot.n AS HUGEINT) * CAST(a.x AS HUGEINT) - tot.t AS da,
+         CAST(tot.n AS HUGEINT) * CAST(b.x AS HUGEINT) - tot.t AS db
+  FROM daily a CROSS JOIN lags l CROSS JOIN tot
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+), num AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, SUM(da * db) AS nm
+  FROM pairs GROUP BY 1
+), den AS (
+  SELECT SUM((CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t)
+             * (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t)) AS dn
+  FROM daily CROSS JOIN tot
+)
+SELECT l.lag, CAST(COALESCE(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN dn > 0 AND nm IS NOT NULL
+            THEN round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 9) END AS acf
+FROM lags l LEFT JOIN num ON l.lag = num.lag CROSS JOIN den
+""",
+)
+def q_acf_daily_revenue(spark, sf_dir):
+    """EXT — sample autocorrelation of daily order revenue at lags
+    1..7 (timeseries.autocorrelation; Box & Jenkins 1970) — the
+    seasonality/persistence probe that decides whether the forecast
+    family (holt_linear_forecast) needs a seasonal term. Mean
+    subtraction stays integer by n-scaling; lag pairs come from a
+    date-shift equi-join (no windows, no cartesian); one division per
+    lag, rounded to 9 — hash-matched. TPC-H order dates are uniform,
+    so the truthful readout is ≈0 at every lag: the null-hypothesis
+    pin (seasonal_decompose_revenue plants the positive case)."""
+    from .operators.timeseries import autocorrelation
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return autocorrelation(
+        o.select(
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        ),
+        ts_col="ts",
+        value_col="v",
+        max_lag=7,
+        unit_scale=100,
+    )
+
+
+@query(
+    "seasonal_decompose_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts,
+         CAST(o_totalprice AS DOUBLE)
+           * (CASE WHEN dayofweek(o_orderdate) + 1 = 2
+                   THEN 1.2e0 ELSE 1.0e0 END) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+offs AS (SELECT range - 3 AS off FROM range(0, 7)),
+shifted AS (
+  SELECT d.day + CAST(o.off AS INT) AS day, d.x
+  FROM daily d CROSS JOIN offs o
+), neigh AS (
+  SELECT day, CAST(SUM(x) AS HUGEINT) AS t7
+  FROM shifted GROUP BY day HAVING count(*) = 7
+), base AS (
+  SELECT d.day, d.x, n.t7,
+         7 * CAST(d.x AS HUGEINT) - n.t7 AS d7,
+         CAST(dayofweek(d.day) + 1 AS BIGINT) AS dow
+  FROM daily d LEFT JOIN neigh n ON d.day = n.day
+), dowm AS (
+  SELECT dow, SUM(d7) AS sd, CAST(count(*) AS BIGINT) AS m
+  FROM base WHERE t7 IS NOT NULL GROUP BY dow
+)
+SELECT b.day, b.dow,
+       CAST(b.x AS DOUBLE) / 100.0e0 AS x,
+       CAST(b.t7 AS DOUBLE) / (7.0e0 * 100.0e0) AS trend,
+       CAST(m.sd AS DOUBLE)
+         / (7.0e0 * CAST(m.m AS DOUBLE) * 100.0e0) AS seasonal,
+       CASE WHEN b.t7 IS NOT NULL AND m.sd IS NOT NULL THEN
+         CAST(b.d7 AS DOUBLE) / (7.0e0 * 100.0e0)
+           - CAST(m.sd AS DOUBLE)
+             / (7.0e0 * CAST(m.m AS DOUBLE) * 100.0e0) END AS resid
+FROM base b LEFT JOIN dowm m ON b.dow = m.dow
+""",
+)
+def q_seasonal_decompose_revenue(spark, sf_dir):
+    """EXT — classical additive seasonal decomposition (timeseries.
+    seasonal_decompose; Macaulay 1931) of daily revenue with a PLANTED
+    weekly cycle (+20% on Mondays — dayofweek 2 in the shared
+    Spark/oracle 1=Sunday convention): the decomposition recovers it
+    as a positive Monday seasonal with the other six below baseline.
+    The 7-day trend sum, detrended 1/7-units and day-of-week means
+    all stay exact integers (DECIMAL(38,0)/HUGEINT) until one IEEE
+    division per readout — hash-matched per day. No windows: the
+    moving average is a constant 7-offset date equi-join."""
+    from .operators.timeseries import seasonal_decompose
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    planted = o.select(
+        F.col("o_orderdate").alias("ts"),
+        (
+            F.col("o_totalprice").cast("double")
+            * F.when(F.dayofweek("o_orderdate") == 2, F.lit(1.2)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("v"),
+    )
+    return seasonal_decompose(
+        planted, ts_col="ts", value_col="v", unit_scale=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -1919,3 +1919,307 @@ def chi_square_independence(
             ).alias("chi2"),
         )
     )
+
+
+def _distinct_value_counts(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    value_round: int | None,
+) -> DataFrame:
+    """Shared staging for the two-sample rank/ECDF tests: one row per
+    DISTINCT value with per-sample counts ``(_v, _ca, _cb)``. NULLs
+    excluded (no value, no rank). ``value_round`` pre-rounds to that
+    many decimals, capping the distinct domain the downstream ordered
+    window serializes (the :func:`classifier_auc` contract)."""
+    if value_round is not None and value_round < 0:
+        raise ValueError(
+            f"two-sample test: value_round must be >= 0, got {value_round}"
+        )
+
+    def side(df: DataFrame, tag_a: int) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        if value_round is not None:
+            v = F.round(v, value_round)
+        return df.select(v.alias("_v")).where(F.col("_v").isNotNull()).select(
+            "_v",
+            F.lit(tag_a).alias("_ia"),
+            F.lit(1 - tag_a).alias("_ib"),
+        )
+
+    return (
+        side(a, 1)
+        .unionByName(side(b, 0))
+        .groupBy("_v")
+        .agg(
+            F.sum("_ia").cast("long").alias("_ca"),
+            F.sum("_ib").cast("long").alias("_cb"),
+        )
+    )
+
+
+def ks_test_2sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    value_round: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (Smirnov 1939; the standard
+    distribution-drift test — the nonparametric companion to
+    :func:`population_stability_index`, which needs a bin count; KS
+    compares the FULL empirical CDFs). One row out: ``(n_a, n_b,
+    d, ks_z)`` where ``d = sup_x |F_a(x) − F_b(x)|`` and ``ks_z =
+    d·√(n_a·n_b/(n_a+n_b))`` (the asymptotic statistic fed to the
+    Kolmogorov distribution; >1.36 ≈ p<0.05, >1.63 ≈ p<0.01).
+
+    Exactness: group to DISTINCT values, inclusive running counts per
+    side, and the ECDF gap per value as the EXACT integer
+    ``|ca·n_b − cb·n_a|`` over the common denominator ``n_a·n_b``
+    (accumulated in DECIMAL(38,0) — the product passes 2^63 beyond
+    ~3e9 rows per side); ONE final IEEE division, rounded to 9.
+    Degenerate inputs (either side empty) yield NULL d/ks_z.
+
+    Scale shape: one groupBy to value grain (map-side combine), then
+    the running sum serializes the DISTINCT-VALUE table through one
+    ordered window — fine while distinct values fit one executor
+    (the :func:`classifier_auc` contract; pass ``value_round`` to cap
+    the domain for raw continuous values)."""
+    from pyspark.sql import Window
+
+    per = _distinct_value_counts(a, b, value_col, value_round)
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("_ca").over(w).alias("_fa"),
+        F.sum("_cb").over(w).alias("_fb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("_fa").cast("decimal(38,0)")
+                * F.col("n_b").cast("decimal(38,0)")
+                - F.col("_fb").cast("decimal(38,0)")
+                * F.col("n_a").cast("decimal(38,0)")
+            )
+        ).alias("_dnum")
+    )
+    return tot.crossJoin(F.broadcast(gaps)).select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("_dnum").cast("double")
+                / (
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ).cast("double"),
+                9,
+            ),
+        ).alias("d"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("_dnum").cast("double")
+                / (
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ).cast("double")
+                * F.sqrt(
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                    / (F.col("n_a") + F.col("n_b")).cast("double")
+                ),
+                9,
+            ),
+        ).alias("ks_z"),
+    )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    value_round: int | None = None,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum test (Mann &
+    Whitney 1947): does sample A stochastically dominate sample B? The
+    location-shift sibling of :func:`ks_test_2sample` (KS sees ANY
+    distributional difference; U targets median shift) and the
+    two-sample face of the rank identity :func:`classifier_auc` uses.
+    One row out: ``(n_a, n_b, u, z)`` — ``u`` is A's U statistic and
+    ``z`` its normal approximation WITH tie correction and WITHOUT
+    continuity correction (both conventions restated identically in
+    the oracle; |z| > 1.96 ≈ p<0.05 two-sided).
+
+    Exactness: group to DISTINCT values; a value with combined count
+    c and exclusive-preceding total p spans ranks p+1..p+c, so its
+    average rank doubled is the EXACT integer ``2p + c + 1`` and A's
+    doubled rank sum is ``Σ ca·(2p + c + 1)`` (DECIMAL(38,0) — the
+    rank products pass 2^63 beyond ~3e9 rows). ``2U = 2R_a −
+    n_a(n_a+1)`` stays exact; the tie term ``Σ(c³−c)`` is likewise
+    DECIMAL-exact. ONE final IEEE division chain produces z, rounded
+    to 9. Degenerate inputs (either side empty, or every value tied)
+    yield NULL z.
+
+    Scale shape: identical to :func:`classifier_auc` — value-grain
+    groupBy, then one ordered window over the DISTINCT-VALUE table
+    (``value_round`` caps the domain for raw continuous values)."""
+    from pyspark.sql import Window
+
+    per = _distinct_value_counts(a, b, value_col, value_round)
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.select(
+        "_ca",
+        "_cb",
+        (F.col("_ca") + F.col("_cb")).alias("_c"),
+        F.coalesce(
+            F.sum(F.col("_ca") + F.col("_cb")).over(w), F.lit(0)
+        ).alias("_p"),
+    )
+    tot = cum.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_ca").cast("decimal(38,0)")
+            * (
+                F.lit(2).cast("decimal(38,0)")
+                * F.col("_p").cast("decimal(38,0)")
+                + F.col("_c").cast("decimal(38,0)")
+                + F.lit(1).cast("decimal(38,0)")
+            )
+        ).alias("_r2a"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+            * F.col("_c").cast("decimal(38,0)")
+            - F.col("_c").cast("decimal(38,0)")
+        ).alias("_ties"),
+    )
+    u2 = F.col("_r2a") - F.col("n_a").cast("decimal(38,0)") * (
+        F.col("n_a").cast("decimal(38,0)") + F.lit(1).cast("decimal(38,0)")
+    )
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    mu2 = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    var_u = (
+        mu2
+        / F.lit(12.0)
+        * (
+            (n_tot + F.lit(1.0))
+            - F.col("_ties").cast("double")
+            / (n_tot * (n_tot - F.lit(1.0)))
+        )
+    )
+    return tot.select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(u2.cast("double") / F.lit(2.0), 9),
+        ).alias("u"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_u > 0),
+            F.round(
+                (u2.cast("double") / F.lit(2.0) - mu2 / F.lit(2.0))
+                / F.sqrt(var_u),
+                9,
+            ),
+        ).alias("z"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative value column
+    (Gini 1912 via the rank formula ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    (n·Σx)`` over ascending-sorted values) — the inequality readout
+    behind every "top-1% of domains hold 60% of documents" curation
+    question; the scalar summary of the Lorenz curve whose discrete
+    head :func:`pareto_class` reports. One row out: ``(n, gini)``;
+    0 = perfectly equal, →1 = fully concentrated.
+
+    Exactness: values quantize to integers at ``unit_scale`` (default
+    100 = cents — exact for 2-decimal money), group to DISTINCT
+    values; a value v with count c and exclusive-preceding count p
+    occupies ranks p+1..p+c, so ``Σᵢ i·xᵢ`` gains the EXACT term
+    ``v·(c·p + c(c+1)/2)`` — all accumulated in DECIMAL(38,0) (the
+    rank-weighted sums reach n·Σx, far past 2^63 at corpus scale).
+    ONE final IEEE division, rounded to 9. Negative values raise
+    (the Lorenz construction is undefined); empty/zero-total input
+    yields NULL gini.
+
+    Scale shape: value-grain groupBy, then one ordered window over
+    the DISTINCT-VALUE table — bounded by the quantized value domain
+    (``unit_scale·max(x)`` buckets), the :func:`classifier_auc`
+    contract."""
+    if unit_scale < 1:
+        raise ValueError(
+            f"gini_coefficient: unit_scale must be >= 1, got {unit_scale}"
+        )
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    per = (
+        df.select(v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.select(
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_p"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = cum.agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.min("_v").alias("_mn"),
+        F.sum(dec("_v") * dec("_c")).alias("_t"),
+        F.sum(
+            dec("_v")
+            * (
+                dec("_c") * dec("_p")
+                + (
+                    dec("_c") * (dec("_c") + F.lit(1).cast("decimal(38,0)"))
+                    / F.lit(2).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            )
+        ).alias("_s"),
+    )
+    return tot.select(
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("_mn") < 0, F.raise_error("gini_coefficient: negative values"))
+        .when(
+            (F.col("n") > 0) & (F.col("_t") > 0),
+            F.round(
+                (
+                    F.lit(2).cast("decimal(38,0)") * F.col("_s")
+                    - (
+                        F.col("n").cast("decimal(38,0)")
+                        + F.lit(1).cast("decimal(38,0)")
+                    )
+                    * F.col("_t")
+                ).cast("double")
+                / (F.col("n").cast("decimal(38,0)") * F.col("_t")).cast(
+                    "double"
+                ),
+                9,
+            ),
+        )
+        .alias("gini"),
+    )

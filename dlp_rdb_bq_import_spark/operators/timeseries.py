@@ -610,3 +610,295 @@ def holt_linear(
         return out
 
     return base.groupBy(*key_cols).applyInPandas(fold, out_schema)
+
+
+def _daily_units(
+    df: DataFrame, ts_col: str, value_col: str, unit_scale: int
+) -> DataFrame:
+    """Shared staging for the exact-series operators: one row per
+    PRESENT day with the day's total quantized to integer units
+    (``round(Σ value · unit_scale)`` — exact for values with
+    ``log10(unit_scale)`` decimals; the per-day sum is DECIMAL(30,6)
+    so it is aggregation-order-proof before quantization). Missing
+    days simply don't appear — compose with :func:`resample_gapfill`
+    upstream when strict-calendar adjacency matters."""
+    if unit_scale < 1:
+        raise ValueError(f"unit_scale must be >= 1, got {unit_scale}")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double")
+                * F.lit(unit_scale)
+            )
+            .cast("long")
+            .alias("_x")
+        )
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+    slack_units: int = 0,
+    threshold_units: int,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detector over a daily series (Page
+    1954 — the classic sequential changepoint chart): accumulate
+    deviations from the series mean with a slack allowance; a
+    sustained shift drives the one-sided sums past the threshold
+    while noise resets them to zero. The monitoring complement to
+    :func:`ewma_outliers` (EWMA flags single spikes; CUSUM flags
+    small persistent level shifts).
+
+    Exactness: the recursion ``S_t = max(0, S_{t-1} + dev_t)`` has
+    the closed scan form ``S_t = C_t − min_{j≤t} C_j`` with C the
+    running sum of deviations — both a running SUM of exact integers
+    and a running MIN, order-independent. Mean subtraction stays
+    integer by n-scaling: ``dev_t = n·x_t − total ∓ n·slack`` in
+    DECIMAL(38,0) (per-day daily totals are ``unit_scale`` integer
+    units; HUGEINT in the oracle), so every S_t is an exact rational
+    with denominator ``n·unit_scale`` and the alarm compare
+    ``S_t > n·threshold`` is integer-exact. Readouts are ONE IEEE
+    division of exact integers (< 2^53, documented) — bit-identical
+    cross-engine with no rounding step (round(·,9) is ill-conditioned
+    at these magnitudes: 9 decimals on a 1e7-dollar value asks for 17
+    significant digits, past double precision).
+
+    Parameters are in scaled units: ``slack_units``/``threshold_units``
+    are value·unit_scale integers (the usual tuning: slack ≈ half the
+    shift you want to catch, threshold ≈ 4-5σ of the daily noise).
+
+    Output per present day: ``(day, x, s_up, s_dn (double), alarm_up,
+    alarm_dn (boolean))``.
+
+    Scale shape: one groupBy to DAY grain, then ordered windows over
+    the day series — bounded by calendar (decades = thousands of
+    rows), the period_over_period contract."""
+    if threshold_units < 0 or slack_units < 0:
+        raise ValueError(
+            "cusum_changepoints: slack_units/threshold_units must be >= 0"
+        )
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_t"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    staged = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "_x",
+        "_n",
+        (
+            dec("_n") * dec("_x")
+            - F.col("_t")
+            - dec("_n") * F.lit(slack_units).cast("decimal(38,0)")
+        ).alias("_du"),
+        (
+            dec("_n") * dec("_x")
+            - F.col("_t")
+            + dec("_n") * F.lit(slack_units).cast("decimal(38,0)")
+        ).alias("_dd"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    sums = staged.select(
+        "day",
+        "_x",
+        "_n",
+        F.sum("_du").over(w).alias("_cu"),
+        F.sum("_dd").over(w).alias("_cd"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    cum = sums.select(
+        "day",
+        "_x",
+        "_n",
+        # S_t = C_t − min(0, min_{j≤t} C_j): the C_0 = 0 virtual start
+        # must participate in the running extremes (max(0, ·) recursion)
+        (F.col("_cu") - F.least(zero, F.min("_cu").over(w))).alias("_su"),
+        (F.greatest(zero, F.max("_cd").over(w)) - F.col("_cd")).alias("_sd"),
+    )
+    denom = (F.col("_n").cast("double") * F.lit(float(unit_scale)))
+    thr = F.col("_n").cast("decimal(38,0)") * F.lit(threshold_units).cast(
+        "decimal(38,0)"
+    )
+    return cum.select(
+        "day",
+        (F.col("_x").cast("double") / F.lit(float(unit_scale))).alias("x"),
+        (F.col("_su").cast("double") / denom).alias("s_up"),
+        (F.col("_sd").cast("double") / denom).alias("s_dn"),
+        (F.col("_su") > thr).alias("alarm_up"),
+        (F.col("_sd") > thr).alias("alarm_dn"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Sample autocorrelation function of a daily series at lags
+    1..``max_lag`` (Box & Jenkins 1970: ``r_ℓ = Σ(x_t−μ)(x_{t+ℓ}−μ) /
+    Σ(x_t−μ)²`` with the GLOBAL mean and the FULL-series denominator —
+    the convention that keeps r a positive-definite sequence). The
+    seasonality probe: a weekly cycle shows as a spike at lag 7.
+
+    Exactness: mean subtraction stays integer by n-scaling —
+    ``(n·x_t − T)(n·x_{t+ℓ} − T)`` accumulated in DECIMAL(38,0)
+    (HUGEINT in the oracle; magnitudes reach (n·Σx)²/n, documented to
+    fit DECIMAL(38) through ~1e12 daily units × decades), ONE final
+    division, rounded to 9. Lag pairs come from a date-shift
+    equi-join — days missing from the series simply don't pair.
+
+    Output: one row per lag ``(lag (long), n_pairs (long), acf
+    (double; NULL when the series is constant or the lag has no
+    pairs))``.
+
+    Scale shape: groupBy to DAY grain, then a |days|×max_lag
+    date-equi-join against the day series and one lag-grain
+    aggregation — no windows, no cartesian."""
+    if max_lag < 1:
+        raise ValueError(f"autocorrelation: max_lag must be >= 1, got {max_lag}")
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    spark = df.sparkSession
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_t"),
+    )
+    dec38 = "decimal(38,0)"
+    dev = lambda xcol: (  # noqa: E731
+        F.col("_n").cast(dec38) * F.col(xcol).cast(dec38) - F.col("_t")
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    left = (
+        daily.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            F.date_add("day", F.col("lag").cast("int")).alias("_pday"),
+            dev("_x").alias("_da"),
+            "_n",
+            "_t",
+        )
+    )
+    right = daily.select(F.col("day").alias("_pday"), F.col("_x").alias("_xb"))
+    pairs = left.join(right, "_pday").select(
+        "lag", "_da", dev("_xb").alias("_db")
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("_da") * F.col("_db")).alias("_num"),
+    )
+    den = daily.crossJoin(F.broadcast(tot)).agg(
+        F.sum(dev("_x") * dev("_x")).alias("_den")
+    )
+    return (
+        lags.join(num, "lag", "left")
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.when(
+                (F.col("_den") > 0) & F.col("_num").isNotNull(),
+                F.round(
+                    F.col("_num").cast("double") / F.col("_den").cast("double"),
+                    9,
+                ),
+            ).alias("acf"),
+        )
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series with
+    weekly seasonality (Macaulay 1931 / the textbook moving-average
+    method): ``x = trend + seasonal + resid`` where trend is the
+    centered 7-day moving average (defined only where all 7 neighbor
+    days are present), seasonal is the day-of-week mean of the
+    detrended interior, and resid is what's left.
+
+    Exactness: the 7-day neighbor sum ``t7_t`` is an exact integer
+    (units), so the detrended series ``7·x_t − t7_t`` is exact in
+    1/7-units; day-of-week means accumulate those integers in
+    DECIMAL(38,0) (HUGEINT oracle) and divide ONCE per readout —
+    trend, seasonal and resid are each a single IEEE expression over
+    exact integers, rounded to 9 and engine-identical.
+
+    Output per present day: ``(day, dow (long, 1=Sunday…7=Saturday —
+    Spark dayofweek convention, restated in the oracle), x, trend,
+    seasonal, resid (double; trend/resid NULL at series edges and
+    around gaps))``.
+
+    Scale shape: groupBy to DAY grain, a constant 7-offset date
+    equi-join for the window sum, a 7-row day-of-week aggregate
+    broadcast back — no windows, no cartesian."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    spark = df.sparkSession
+    offs = spark.range(-3, 4).select(F.col("id").alias("_off"))
+    neigh = (
+        daily.crossJoin(F.broadcast(offs))
+        .select(
+            F.date_add("day", F.col("_off").cast("int")).alias("_cday"),
+            "_x",
+        )
+        .groupBy(F.col("_cday").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum("_x").cast("decimal(38,0)").alias("_t7"),
+        )
+        .where(F.col("_k") == 7)
+        .select("day", "_t7")
+    )
+    # interior days: present AND full 7-day neighborhood
+    base = daily.join(neigh, "day", "left").select(
+        "day",
+        "_x",
+        "_t7",
+        (
+            F.lit(7).cast("decimal(38,0)") * F.col("_x").cast("decimal(38,0)")
+            - F.col("_t7")
+        ).alias("_d7"),
+        F.dayofweek("day").cast("long").alias("dow"),
+    )
+    dow_means = (
+        base.where(F.col("_t7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("_d7").alias("_sd"),
+            F.count(F.lit(1)).cast("long").alias("_m"),
+        )
+    )
+    scale = F.lit(float(unit_scale))
+    seasonal = F.col("_sd").cast("double") / (
+        F.lit(7.0) * F.col("_m").cast("double") * scale
+    )
+    return (
+        base.join(F.broadcast(dow_means), "dow", "left")
+        .select(
+            "day",
+            "dow",
+            (F.col("_x").cast("double") / scale).alias("x"),
+            (F.col("_t7").cast("double") / (F.lit(7.0) * scale)).alias(
+                "trend"
+            ),
+            seasonal.alias("seasonal"),
+            F.when(
+                F.col("_t7").isNotNull() & F.col("_sd").isNotNull(),
+                F.col("_d7").cast("double") / (F.lit(7.0) * scale)
+                - seasonal,
+            ).alias("resid"),
+        )
+    )

@@ -195,6 +195,46 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "cusum_shift_detection": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (n, total) "
+        "global-aggregate row broadcasts onto the DAY-grain series "
+        "(thousands of rows) before the deviation scan",
+        "SinglePartitionWindow": "running sum/extremes over the DAY-grain "
+        "series — bounded by calendar (decades = thousands of rows), the "
+        "period_over_period contract; the raw events never enter a window",
+    },
+    "acf_daily_revenue": {
+        "BroadcastNestedLoopJoin": "constant-factor expansions only: the "
+        "max_lag-row lag spine (7 rows) and the 1-row (n, total) scalar "
+        "row broadcast onto the DAY-grain series; the lag pairing itself "
+        "is a date equi-join",
+    },
+    "seasonal_decompose_revenue": {
+        "BroadcastNestedLoopJoin": "constant-factor expansion: the 7-row "
+        "moving-average offset spine broadcast onto the DAY-grain series; "
+        "neighbor pairing and day-of-week attach are equi-joins",
+    },
+    "ks_drift_test": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (n_a, n_b) "
+        "totals row broadcasts onto the distinct-value ECDF table before "
+        "the gap max — build side is a single global-aggregate row by "
+        "construction",
+        "SinglePartitionWindow": "running ECDF counts over the DISTINCT-"
+        "VALUE table, not rows: the classifier_auc contract (documented; "
+        "value_round caps the domain for raw continuous values) — the "
+        "2-decimal price domain is bounded by its range in cents",
+    },
+    "mann_whitney_priority": {
+        "SinglePartitionWindow": "exclusive running rank offsets over the "
+        "DISTINCT-VALUE table (classifier_auc contract, value_round caps "
+        "raw continuous domains) — bounded by the cents price domain",
+    },
+    "gini_revenue_concentration": {
+        "SinglePartitionWindow": "rank-weighted running counts over the "
+        "DISTINCT quantized-value table (unit_scale cents buckets — "
+        "domain bounded by value range, not rows; classifier_auc "
+        "contract)",
+    },
     "pareto_part_revenue": {
         "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
         "None): build side is a broadcast single global-aggregate row by "
