@@ -223,6 +223,10 @@ BENCH_QUERIES = [
     "cusum_shift_detection",
     "acf_daily_revenue",
     "seasonal_decompose_revenue",
+    "target_encoding_priority",
+    "hashed_text_features",
+    "skyline_parts",
+    "isotonic_calibration",
 ]
 
 

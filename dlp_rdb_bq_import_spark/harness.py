@@ -34,7 +34,7 @@ from .functions.tokenize import (
     deidentify,
     reidentify,
 )
-from .operators import dedup, sampling, similarity, text as text_ops
+from .operators import dedup, features, sampling, similarity, text as text_ops
 from .operators.multimodal import attach_payload, payload_stats
 from .streaming.jobs import windowed_event_counts
 
@@ -11781,6 +11781,136 @@ def q_seasonal_decompose_revenue(spark, sf_dir):
     return seasonal_decompose(
         planted, ts_col="ts", value_col="v", unit_scale=100
     )
+
+
+@query(
+    "target_encoding_priority",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS cat,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), per AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy
+  FROM base GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS nn, CAST(SUM(y) AS HUGEINT) AS t
+  FROM base
+)
+SELECT cat AS category, n,
+       CAST(nn * sy + 10 * t AS DOUBLE)
+         / CAST(nn * (CAST(n AS HUGEINT) + 10) * 100 AS DOUBLE) AS enc
+FROM per CROSS JOIN g
+""",
+)
+def q_target_encoding_priority(spark, sf_dir):
+    """EXT — smoothed mean target encoding (features.target_encode;
+    Micci-Barreca 2001) of order priority against order value: the
+    shrinkage estimator that replaces a high-cardinality categorical
+    with a leak-resistant numeric before tabular model training —
+    rare categories pull toward the global mean, frequent ones toward
+    their own. Cents-quantized integer sums keep numerator and
+    denominator exact (DECIMAL(38,0)/HUGEINT); ONE division, no
+    rounding step — hash-matched."""
+    from .operators.features import target_encode
+
+    return target_encode(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        smoothing=10,
+        unit_scale=100,
+    )
+
+
+@query(
+    "hashed_text_features",
+    oracle=features.hashed_features_sql("documents", "doc_id", "text", 256),
+)
+def q_hashed_text_features(spark, sf_dir):
+    """EXT — hashing-trick bag-of-words features (features.
+    hashed_features; Weinberger et al. ICML 2009): fixed-dimension
+    sparse token vectors with NO vocabulary build — the feature
+    front-end for the NB/bigram-LM scorer family when the vocabulary
+    itself would be a shuffle (the hash IS the dictionary). md5
+    bucket + parity sign hash are the engine-portable
+    deterministic_sample discipline, restated verbatim in the oracle;
+    signed counts are exact integers — hash-matched long-form."""
+    from .operators.features import hashed_features
+
+    return hashed_features(
+        t(spark, sf_dir, "documents"), "doc_id", "text", dim=256
+    )
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+SELECT a.p_partkey, CAST(a.p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(a.p_size AS BIGINT) AS p_size
+FROM part a
+WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""",
+)
+def q_skyline_parts(spark, sf_dir):
+    """EXT — skyline / Pareto-optimal selection (sampling.skyline;
+    Börzsönyi, Kossmann & Stocker ICDE 2001): the parts no other part
+    beats on BOTH price (lower better) and size (higher better) — the
+    multi-objective shortlist no single ORDER BY expresses. The Spark
+    plan is the published partition-and-merge identity (local skyline
+    per Arrow batch, one merge pass over the union — dominance is
+    transitive, so local losers are global losers); the oracle is the
+    textbook quadratic NOT EXISTS dominance predicate, tractable at
+    gate scale only — the two compute the same unique set. Pure
+    comparisons, no arithmetic — hash-matched."""
+    from .operators.sampling import skyline
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
+
+
+@query("isotonic_calibration")
+def q_isotonic_calibration(spark, sf_dir):
+    """EXT — isotonic (PAV) score calibration (features.isotonic_fit;
+    Ayer et al. 1955, Zadrozny & Elkan KDD 2002): the monotone upgrade
+    of calibration_curve's fixed deciles, fitted on a synthetic
+    well-ordered scorer (hash-uniform noise + 0.3·label — a stand-in
+    for a trained quality scorer whose ranking is informative but
+    whose raw scores need calibrating). Scores pre-round to 3 decimals
+    (the classifier_auc distinct-domain contract); each pool's rate is
+    one exact-integer division. Rows-only gate (PAV is a fixpoint no
+    SQL oracle states); the pytest pins PAV against an independent
+    reference implementation plus the monotonicity and pool-mean
+    invariants."""
+    from .operators.features import isotonic_fit
+    from .operators.sampling import hash_uniform
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            (
+                F.round(
+                    hash_uniform(F.col("event_id")) * F.lit(0.7)
+                    + (F.col("event_type") == "purchase").cast("double")
+                    * F.lit(0.3),
+                    3,
+                )
+            ).alias("score"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return isotonic_fit(e, "score", "is_purchase")
 
 
 # ---------------------------------------------------------------------------

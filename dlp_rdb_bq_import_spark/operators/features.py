@@ -1,0 +1,248 @@
+"""ML feature-engineering operators: smoothed target encoding, the
+hashing trick for bag-of-words vectors, and isotonic (PAV) score
+calibration.
+
+The reference has no feature surface (its DLP pipeline ships values
+verbatim, BigQueryTableRowDoFn.java:33-48); these are north-star
+operators for the model-training side of a curation pipeline: target
+encoding replaces high-cardinality categoricals before tabular model
+training, feature hashing fixes the dimensionality of unbounded token
+vocabularies without a vocabulary build, and isotonic regression is
+the standard post-hoc calibrator for the quality/classifier scores
+this engine trains (the monotone upgrade of calibration_curve's
+fixed-bin diagnosis).
+
+Scale posture
+-------------
+``target_encode`` is one category-grain aggregation plus a 1-row
+global attach — map-side combine everywhere. ``hashed_features`` is
+explode → (id, bucket) aggregation, the text_analysis shape; the
+output is bounded by min(tokens, dim) per doc regardless of
+vocabulary. ``isotonic_fit`` groups to DISTINCT scores first (the
+classifier_auc contract — score_round caps raw continuous domains)
+and runs PAV once over that bounded table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 10,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Smoothed mean target encoding of a categorical column
+    (Micci-Barreca, SIGKDD Explorations 2001): each category maps to
+    ``(Σy + m·ȳ_global)/(n + m)`` — the shrinkage estimator that keeps
+    rare categories from memorizing their few labels (as raw per-
+    category means would) while letting frequent ones approach their
+    own mean. One row per category: ``(category (string), n (long),
+    enc (double))``.
+
+    Exactness: targets quantize to integers at ``unit_scale`` (100 =
+    cents, exact for 2-decimal money); with N the global row count
+    and T the global unit sum, the encoding equals
+    ``(N·Σy + m·T) / (N·(n + m)·unit_scale)`` — numerator and
+    denominator both exact DECIMAL(38,0)/HUGEINT integers, ONE IEEE
+    division, engine-identical with no rounding step. NULL
+    categories/targets are excluded.
+
+    Scale shape: one category-grain aggregation (map-side combine) and
+    a broadcast 1-row global attach — no windows, no row-grain join."""
+    if smoothing < 0:
+        raise ValueError(f"target_encode: smoothing must be >= 0, got {smoothing}")
+    if unit_scale < 1:
+        raise ValueError(f"target_encode: unit_scale must be >= 1, got {unit_scale}")
+    base = df.select(
+        F.col(cat_col).cast("string").alias("_cat"),
+        F.round(F.col(target_col).cast("double") * F.lit(unit_scale))
+        .cast("long")
+        .alias("_y"),
+    ).where(F.col("_cat").isNotNull() & F.col("_y").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per = base.groupBy("_cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_nn"),
+        F.sum("_y").cast("decimal(38,0)").alias("_t"),
+    )
+    m = F.lit(smoothing).cast("decimal(38,0)")
+    num = F.col("_nn") * F.col("_sy") + m * F.col("_t")
+    den = (
+        F.col("_nn")
+        * (dec("n") + m)
+        * F.lit(unit_scale).cast("decimal(38,0)")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("_cat").alias("category"),
+            "n",
+            (num.cast("double") / den.cast("double")).alias("enc"),
+        )
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashing-trick bag-of-words features (Weinberger et al., ICML
+    2009): every token hashes to one of ``dim`` buckets with a ±1 sign
+    hash, and the feature value is the signed count — fixed
+    dimensionality with no vocabulary build, no dictionary shuffle,
+    and unbiased inner products (the sign hash cancels collision
+    bias in expectation). Long-form sparse output: one row per
+    ``(doc, bucket)`` with nonzero value — ``(id, bucket (long),
+    value (long))``.
+
+    Portable hashing: bucket = first 8 md5 hex chars of the token mod
+    ``dim``; sign = parity of the 9th hex char — both engine-portable
+    (the deterministic_sample md5 discipline), so a SQL oracle states
+    the identical expressions. Tokens are single-space splits of the
+    lowercased text (the fixture-text convention token_count pins);
+    empty tokens drop. Exact-zero features (collision cancellation)
+    are filtered — the sparse convention.
+
+    Scale shape: explode → (id, bucket) aggregation with map-side
+    combine; output ≤ min(n_tokens, dim) rows per doc regardless of
+    vocabulary size."""
+    if dim < 1:
+        raise ValueError(f"hashed_features: dim must be >= 1, got {dim}")
+    tok = F.explode(
+        F.split(F.lower(F.col(text_col)), " ")
+    ).alias("_tok")
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tok)
+        .where(F.col("_tok") != "")
+    )
+    h = F.md5(F.col("_tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
+    ).alias("bucket")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("id", bucket, sign.alias("_s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("_s").cast("long").alias("value"))
+        .where(F.col("value") != 0)
+    )
+
+
+def hashed_features_sql(
+    table: str, id_expr: str, text_expr: str, dim: int
+) -> str:
+    """The oracle-side (DuckDB/ANSI) rendering of
+    :func:`hashed_features` — identical md5 bucket/sign expressions."""
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS id, t.tok AS tok
+  FROM {table},
+       LATERAL unnest(string_split(lower({text_expr}), ' ')) AS t(tok)
+  WHERE {text_expr} IS NOT NULL AND t.tok <> ''
+), hashed AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {dim} AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+)
+SELECT id, bucket, CAST(SUM(s) AS BIGINT) AS value
+FROM hashed GROUP BY id, bucket
+HAVING SUM(s) <> 0
+"""
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Isotonic regression of a binary label on a score via
+    pool-adjacent-violators (Ayer et al., Ann. Math. Stat. 1955;
+    Zadrozny & Elkan KDD 2002 for classifier calibration): the
+    least-squares MONOTONE fit — the nonparametric upgrade of
+    :func:`calibration_curve`'s fixed deciles (bins adapt to where
+    the score actually violates monotonicity; the fitted value IS the
+    calibrated probability). One row per distinct score: ``(score
+    (double), n (long), pos (long), iso_rate (double))`` with
+    ``iso_rate`` non-decreasing in score.
+
+    Algorithm: group to DISTINCT scores (exact integer ``(n, Σy)``
+    per score), then one PAV pass over that bounded table — pools are
+    ``(weight, sum)`` pairs merged while the rate decreases, so each
+    pool's rate is ONE exact-integer division (engine-deterministic;
+    no float accumulation). PAV is inherently sequential, but its
+    input is the distinct-score table, not rows: the classifier_auc
+    contract (``score_round`` caps raw continuous domains; model
+    scores are normally already quantized).
+
+    Scale shape: one score-grain aggregation with map-side combine,
+    then a single-group applyInPandas over the bounded distinct-score
+    table. No SQL oracle exists for the fixpoint (rows-only gate);
+    the pytest pins PAV against an independent reference and the
+    monotonicity/pool-mean invariants."""
+    if score_round is not None and score_round < 0:
+        raise ValueError(
+            f"isotonic_fit: score_round must be >= 0, got {score_round}"
+        )
+    s_in = F.col(score_col).cast("double")
+    if score_round is not None:
+        s_in = F.round(s_in, score_round)
+    per = (
+        df.select(
+            s_in.alias("score"),
+            F.col(label_col).cast("boolean").cast("long").alias("_y"),
+        )
+        .where(F.col("score").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+
+    import pandas as pd
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # pools: [start_idx, weight, pos_sum]
+        pools: list[list[int]] = []
+        for i in range(len(pdf)):
+            pools.append([i, int(pdf["n"][i]), int(pdf["pos"][i])])
+            # merge while the previous pool's rate exceeds the new one
+            while (
+                len(pools) > 1
+                and pools[-2][2] * pools[-1][1] >= pools[-1][2] * pools[-2][1]
+            ):
+                _, w, p = pools.pop()
+                pools[-1][1] += w
+                pools[-1][2] += p
+        rates = [0.0] * len(pdf)
+        for k, (start, w, p) in enumerate(pools):
+            end = pools[k + 1][0] if k + 1 < len(pools) else len(pdf)
+            r = p / w
+            for i in range(start, end):
+                rates[i] = r
+        out = pdf[["score", "n", "pos"]].copy()
+        out["iso_rate"] = rates
+        return out
+
+    return per.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda key, pdf: pav(pdf),
+        schema="score double, n long, pos long, iso_rate double",
+    )

@@ -667,3 +667,95 @@ def kmv_overlap_estimate(
         F.round(est_union, 3).alias("est_union"),
         F.round(jacc * est_union, 3).alias("est_intersection"),
     )
+
+
+def skyline(
+    df: DataFrame,
+    *,
+    minimize: list[str] | None = None,
+    maximize: list[str] | None = None,
+) -> DataFrame:
+    """Skyline / Pareto-optimal selection (Börzsönyi, Kossmann &
+    Stocker, ICDE 2001): keep exactly the rows no other row dominates,
+    where row b dominates row a when b is ≤ a on every minimized
+    dimension, ≥ on every maximized one, and strictly better on at
+    least one. The multi-objective curation primitive ("cheapest for
+    its quality tier" / "highest quality for its length budget") that
+    no single ORDER BY can express. All input columns pass through;
+    duplicate-coordinate rows never dominate each other, so the
+    skyline SET is unique and deterministic.
+
+    Distributed shape (the published partition-and-merge identity:
+    ``skyline(S) = skyline(∪ᵢ skyline(Pᵢ))`` — dominance is
+    transitive, so a locally dominated row is globally dominated):
+    phase 1 computes each partition's local skyline with a vectorized
+    numpy filter inside ``mapInPandas`` (rows stream per Arrow batch;
+    candidates accumulate per partition), phase 2 repeats the same
+    filter once over the UNION of local skylines on one partition —
+    bounded by the global skyline's size times the partition count,
+    the anti-correlated worst case the caller controls by dimension
+    choice (2-4 dims keep skylines tiny; every-dim-skylines degenerate
+    to the full table by definition, not by plan).
+
+    Exactness: pure comparisons — no arithmetic at all; NULL in any
+    skyline dimension drops the row (incomparable)."""
+    mins = list(minimize or [])
+    maxs = list(maximize or [])
+    dims = mins + maxs
+    if not dims:
+        raise ValueError("skyline: need at least one minimize/maximize column")
+    dupes = {d for d in dims if dims.count(d) > 1}
+    if dupes:
+        raise ValueError(f"skyline: duplicate dimension columns {sorted(dupes)}")
+    missing = [d for d in dims if d not in df.columns]
+    if missing:
+        raise ValueError(f"skyline: columns not in input: {missing}")
+
+    import numpy as np
+    import pandas as pd
+
+    cols = df.columns
+    sgn = {**{c: 1.0 for c in mins}, **{c: -1.0 for c in maxs}}
+
+    def _local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+        # all-minimize normalized coordinate matrix
+        m = np.column_stack(
+            [pdf[c].to_numpy(dtype=float) * sgn[c] for c in dims]
+        )
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        # sort by coordinate sum: a dominator always has a <= sum, so
+        # each row need only be checked against earlier kept rows
+        order = np.argsort(m.sum(axis=1), kind="mergesort")
+        kept_rows: list[int] = []
+        for idx in order:
+            row = m[idx]
+            dominated = False
+            for j in kept_rows:
+                other = m[j]
+                if (other <= row).all() and (other < row).any():
+                    dominated = True
+                    break
+            if dominated:
+                keep[idx] = False
+            else:
+                kept_rows.append(idx)
+        return pdf[keep]
+
+    def _phase(it):
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf.dropna(subset=dims)
+            if len(pdf):
+                yield _local_skyline(pdf)
+
+    local = df.dropna(subset=dims).mapInPandas(_phase, schema=df.schema)
+
+    def _merge(it):
+        batches = [pdf for pdf in it if len(pdf)]
+        if batches:
+            yield from _phase([pd.concat(batches, ignore_index=True)])
+
+    # phase 2: one pass over the union of local skylines (bounded by
+    # |skyline| x partitions — the merge identity makes this exact)
+    return local.coalesce(1).mapInPandas(_merge, schema=df.schema)

@@ -195,6 +195,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "target_encoding_priority": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the global "
+        "(N, T) aggregate row broadcasts onto the CATEGORY-grain table "
+        "(|priorities| rows) for the shrinkage blend",
+    },
     "cusum_shift_detection": {
         "BroadcastNestedLoopJoin": "1-row scalar attach: the (n, total) "
         "global-aggregate row broadcasts onto the DAY-grain series "
