@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "hashed_text_features",
     "skyline_parts",
     "isotonic_calibration",
+    "gif_decode_features",
 ]
 
 

@@ -11913,6 +11913,32 @@ def q_isotonic_calibration(spark, sf_dir):
     return isotonic_fit(e, "score", "is_purchase")
 
 
+@query("gif_decode_features")  # real LZW GIF decode — rows-only
+def q_gif_decode_features(spark, sf_dir):
+    """Decode → featurize over REAL GIF bytes: payloads are synthesized
+    per doc_id as actual GIF89a streams (palette color table +
+    variable-width LZW per the public spec) by the stdlib encoder and
+    decoded by the stdlib decoder (operators/gif_codec.py) inside the
+    same Arrow-batched mapInPandas stage the BMP/PPM/PNG/JPEG paths
+    use. GIF here is LOSSLESS (the synthesized images stay ≤256 unique
+    colors), so features equal the BMP/PPM/PNG decode bit-for-bit —
+    pinned in tests/test_gif_codec.py along with a hand-assembled
+    LZW stream whose codes were packed manually from the spec.
+    Deterministic synth ⟹ stable rows-only check. Reference analogue:
+    IMAGE columns shipped opaquely in BigQueryTableRowDoFn.java:42-46."""
+    from .operators.multimodal import attach_media, extract_features
+
+    d = attach_media(
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 5)
+        .repartition(32, "doc_id"),
+        container="gif",
+    )
+    return extract_features(d).select(
+        "doc_id", "byte_len", "width", "height", "mean_px"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -26,7 +26,9 @@ These are the real production formats a training-data lake stores, so
 the decode stage of the multimodal operators
 (``operators/multimodal.py``) is genuinely real: bytes in,
 pixels/samples out, no fake — including JPEG, the dominant crawl
-format. Formats still needing a codec library (GIF's LZW, MP3, H.264)
+format, and GIF (LZW is fully specified in the public GIF89a document;
+``operators/gif_codec.py`` implements it stdlib-only, and this module
+dispatches to it). Formats still needing a codec library (MP3, H.264)
 raise ``NotImplementedError`` — honestly, at the sniffing layer.
 
 Everything here is driver/executor-agnostic plain Python over
@@ -291,8 +293,10 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
     the feature/phash stages want opaque RGB); baseline JPEG decodes
     via the pure-stdlib T.81 codec (``operators/jpeg_codec.py`` —
     huffman + zigzag + IDCT; progressive/arithmetic still raise
-    inside it); GIF needs LZW and stays ``NotImplementedError``;
-    unknown bytes raise ``ValueError``."""
+    inside it); GIF decodes via the pure-stdlib LZW codec
+    (``operators/gif_codec.py`` — first frame, palette mapped to RGB,
+    transparency ignored like the PNG alpha-drop); unknown bytes raise
+    ``ValueError``."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -310,7 +314,9 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     if fmt == "gif":
-        raise NotImplementedError("gif decode requires LZW (not implemented)")
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(f"not an image payload (sniffed {fmt!r})")
 
 
@@ -456,6 +462,11 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
             w, h_signed = struct.unpack_from("<ii", prefix, 18)
             (bpp,) = struct.unpack_from("<H", prefix, 28)
             out.update(width=w, height=abs(h_signed), n_channels=bpp // 8)
+        elif fmt == "gif" and len(prefix) >= 10:
+            # logical screen descriptor sits at a fixed offset — the
+            # canonical header-only probe (no LZW byte is touched)
+            w, h = struct.unpack_from("<HH", prefix, 6)
+            out.update(width=w, height=h, n_channels=3)
         elif fmt == "ppm":
             tokens: list[int] = []
             i = 2
@@ -560,12 +571,14 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
     """Real BMP (even seeds) / PPM (odd seeds) bytes: a two-axis
     gradient plus seeded noise, size varying with the seed so decoders
     see many shapes (including widths that force BMP row padding).
-    ``container`` pins the format ("bmp"/"ppm"/"png"/"jpeg") instead
-    of the seed-parity default — the lossless three carry identical
-    pixels (cross-container decode-parity tests come for free); "jpeg"
-    is real baseline compression of the same source pixels, so its
-    decode is CLOSE to the others (quality-bounded), never equal —
-    exactly the corpus reality the multimodal operators face."""
+    ``container`` pins the format ("bmp"/"ppm"/"png"/"gif"/"jpeg")
+    instead of the seed-parity default — the lossless FOUR (gif's
+    palette is exact here: the gradient-plus-noise source has ≤256
+    unique colors by construction, w·h ≤ 208) carry identical pixels
+    (cross-container decode-parity tests come for free); "jpeg" is
+    real baseline compression of the same source pixels, so its decode
+    is CLOSE to the others (quality-bounded), never equal — exactly
+    the corpus reality the multimodal operators face."""
     seed = int(seed) & 0x7FFFFFFF
     w = 5 + seed % 12
     h = 4 + (seed // 12) % 10
@@ -580,6 +593,10 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
         from .jpeg_codec import encode_jpeg
 
         return encode_jpeg(rgb, quality=90)
+    if container == "gif":
+        from .gif_codec import encode_gif
+
+        return encode_gif(rgb)
     enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
     return enc[container](rgb)
 

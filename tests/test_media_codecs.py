@@ -222,8 +222,10 @@ def test_compressed_formats_raise():
         # JPEG decodes for real now (baseline, jpeg_codec.py) —
         # truncated garbage after SOI is a ValueError, not a gap
         mc.decode_image_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    with pytest.raises(NotImplementedError):
-        mc.decode_image_payload(b"GIF89a" + b"\x00" * 32)  # LZW still out
+    with pytest.raises(ValueError):
+        # GIF decodes for real now (LZW, gif_codec.py) — a header with
+        # no image block is a ValueError, not a codec-library gap
+        mc.decode_image_payload(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(ValueError):
         # PNG decodes for real now — corrupt chunk bytes are a
         # ValueError (CRC/structure), not a codec-library gap
