@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "skyline_parts",
     "isotonic_calibration",
     "gif_decode_features",
+    "hilbert_layout",
+    "embedding_random_projection",
+    "connected_components_star",
 ]
 
 

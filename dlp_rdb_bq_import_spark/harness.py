@@ -11939,6 +11939,118 @@ def q_gif_decode_features(spark, sf_dir):
     )
 
 
+def _hilbert_oracle() -> str:
+    from .operators.layout import hilbert_sql
+
+    base = """
+SELECT l_orderkey, l_linenumber,
+       LEAST(CAST(FLOOR((CAST(l_partkey AS DOUBLE) - mn0) * 256.0 / (mx0 - mn0 + 1e-9)) AS BIGINT), 255) AS b0,
+       LEAST(CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - mn1) * 256.0 / (mx1 - mn1 + 1e-9)) AS BIGINT), 255) AS b1
+FROM lineitem, (
+  SELECT min(CAST(l_partkey AS DOUBLE)) AS mn0, max(CAST(l_partkey AS DOUBLE)) AS mx0,
+         min(CAST(l_suppkey AS DOUBLE)) AS mn1, max(CAST(l_suppkey AS DOUBLE)) AS mx1
+  FROM lineitem) stats
+"""
+    return (
+        "WITH "
+        + hilbert_sql(base, "b0", "b1", 8)
+        + "\nSELECT l_orderkey, l_linenumber, hd AS hval FROM hfinal"
+    )
+
+
+@query("hilbert_layout", oracle=_hilbert_oracle())
+def q_hilbert_layout(spark, sf_dir):
+    """EXT — Hilbert-curve clustering key (layout.hilbert_key; Hilbert
+    1891, the xy→d rotation transform) over the same two scan-filter
+    columns zorder_key morton-interleaves: the locality upgrade —
+    every unit curve step is an ADJACENT grid cell, so range scans
+    touch fewer files at equal grid resolution (adjacency and the
+    pruning win are pinned in tests/test_layout.py). Pure integer bit
+    math, per-level rotations as chained projections (Spark) /
+    chained CTEs (oracle) — the single-nested-expression form is
+    exponentially large in bits and never finishes analysis. Exact
+    hash-match."""
+    from .operators.layout import hilbert_key
+
+    li = t(spark, sf_dir, "lineitem")
+    return hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", F.col("_h").alias("hval")
+    )
+
+
+def _rp_oracle() -> str:
+    from .operators.similarity import random_projection_sql
+
+    return random_projection_sql("embeddings", "vec_id", "embedding", 8, "jl-r11")
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def q_embedding_random_projection(spark, sf_dir):
+    """EXT — Johnson-Lindenstrauss random projection (similarity.
+    random_projection; Achlioptas JCSS 2003, Rademacher signs): 64-dim
+    embeddings down to 8 JL components with a NEVER-MATERIALIZED ±1
+    matrix — sign(i,j) is an md5 hex-digit parity, so every executor
+    agrees without broadcasting anything and the oracle restates the
+    identical expression. Components are exact integer sums over the
+    module's 1e7-quantized embedding discipline; one IEEE division by
+    the shared 1e7·√8 literal — hash-matched including the double
+    readout. The data-independent sibling of embedding_pca (no
+    training pass, no sample, no driver state)."""
+    from .operators.similarity import random_projection
+
+    return random_projection(
+        t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        out_dim=8,
+        seed="jl-r11",
+    )
+
+
+@query(
+    "connected_components_star",
+    oracle="""
+WITH RECURSIVE ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT sa, sb, w FROM pairs
+  JOIN supplier na ON sa = na.s_suppkey
+  JOIN supplier nb ON sb = nb.s_suppkey
+  WHERE na.s_nationkey = nb.s_nationkey
+), edges AS (
+  SELECT sa AS src, sb AS dst FROM dom
+  WHERE w >= (SELECT quantile_cont(w, 0.5) FROM dom)
+), und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r
+)
+SELECT node, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node
+""",
+)
+def q_connected_components_star(spark, sf_dir):
+    """EXT — connected components by alternating large-star/small-star
+    contraction (graph.connected_components; Kiveris et al. SoCC 2014)
+    on the domestic co-supply graph: O(log n) ROUNDS independent of
+    graph diameter — the scale path where label propagation and BFS
+    pay O(diameter) rounds (a 1000-hop chain converges in ~10 star
+    rounds; pinned in tests/test_triangles.py). Component label = the
+    component's minimum node id — unique and deterministic, so the
+    fixpoint hash-matches the oracle's recursive-CTE min-reachable
+    closure over the identical edge construction (the kcore_supplier
+    graph: nation-disjoint blocks give real multi-component
+    structure)."""
+    from .operators.graph import connected_components
+
+    return connected_components(_supplier_domestic_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -868,3 +868,109 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    SoCC 2014 — "Connected Components in MapReduce and Beyond"): each
+    round hangs every node off the minimum id in its neighborhood, so
+    component trees flatten in O(log n) ROUNDS regardless of graph
+    diameter — the scale path where per-hop propagation (the
+    label-propagation strategy in ``dedup.duplicate_clusters``, or
+    BFS) needs O(diameter) rounds and dies on long chains.
+
+    Returns ``(node, component)`` with component = the MINIMUM node id
+    of the component (deterministic, partitioning-independent — the
+    same labeling the recursive-CTE oracle and union-find produce).
+    Nodes with no edges never reach an edge-driven operator; union
+    singleton rows downstream if the node universe matters.
+
+    Per round: large-star (symmetrize → per-center min → re-hang
+    larger neighbors) then small-star (orient to the larger endpoint →
+    per-center min → re-hang all) — each ONE groupBy plus ONE keyed
+    join over the current edge set, deduplicated, with a
+    ``localCheckpoint`` lineage cut. Convergence = the small-star
+    output IS its input (set equality via count + subtract — exact,
+    not a checksum); at the fixpoint every edge is (component-min,
+    node) by construction."""
+    reserved = {"node", "component", "_u", "_v", "_m"}
+    clash = reserved & {src_col, dst_col}
+    if clash:
+        raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+        .where(F.col("_u") < F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # large-star: center u sees the FULL neighborhood (both
+        # orientations); strictly-larger neighbors re-hang on the min
+        sym = e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+        mins = sym.groupBy("_u").agg(F.min("_v").alias("_m"))
+        large = (
+            sym.join(mins, "_u")
+            .select(
+                "_u",
+                "_v",
+                F.least(F.col("_m"), F.col("_u")).alias("_m"),
+            )
+            .where(F.col("_v") > F.col("_u"))
+            .select(F.col("_m").alias("_u"), F.col("_v").alias("_v"))
+            .where(F.col("_u") < F.col("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: center = larger endpoint, neighbors all smaller;
+        # everything (center included) re-hangs on the neighborhood min
+        cen = large.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        mins2 = cen.groupBy("_u").agg(F.min("_v").alias("_m"))
+        hang_center = mins2.select(
+            F.col("_m").alias("_u"), F.col("_u").alias("_v")
+        )
+        hang_neighbors = (
+            cen.join(mins2, "_u")
+            .where(F.col("_v") != F.col("_m"))
+            .select(F.col("_m").alias("_u"), F.col("_v").alias("_v"))
+        )
+        new_e = (
+            hang_center.unionByName(hang_neighbors)
+            .where(F.col("_u") < F.col("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        large.unpersist()
+        same = (
+            new_e.count() == e.count() and new_e.subtract(e).count() == 0
+        )
+        e.unpersist()
+        e = new_e
+        if same:
+            roots = e.select(F.col("_u").alias("node")).distinct().select(
+                "node", F.col("node").alias("component")
+            )
+            return (
+                e.select(
+                    F.col("_v").alias("node"), F.col("_u").alias("component")
+                )
+                .unionByName(roots)
+                .distinct()
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(the star contraction needs O(log n) — this indicates a bug or "
+        "an adversarial id space, not normal data)"
+    )

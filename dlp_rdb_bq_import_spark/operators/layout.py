@@ -258,3 +258,110 @@ def balanced_file_layout(
         "file_id",
         F.expr(f"CAST({id_col} div {int(rows_per_file)} AS BIGINT)"),
     )
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append a 2-D Hilbert-curve clustering key column ``_h`` (Hilbert
+    1891; the xy→d bit transform as published in the public-domain
+    Wikipedia/Warren formulation): like :func:`zorder_key` a
+    space-filling-curve layout key for multi-dimensional file pruning,
+    but with strictly better locality — every unit step along the
+    Hilbert curve moves to an ADJACENT grid cell (Morton order jumps
+    at power-of-two boundaries), so range scans over either dimension
+    touch fewer files at the same grid resolution.
+
+    Same contract as zorder_key: linear min/max bucketing to a
+    2^bits × 2^bits grid (one tiny stats job; NULLs pin to bucket 0),
+    then pure integer bit math — exact, engine-identical, restated
+    verbatim in the SQL oracle. The per-level quadrant rotation runs
+    as ``bits`` chained projections (NOT one nested expression: each
+    level's (x, y) feed the next through a materialized select, which
+    keeps Catalyst's analysis linear instead of exponential in
+    ``bits`` — measured: the single-expression form never finishes
+    analysis at bits=8).
+
+    Two dimensions only (the rotation table is 2-D); for 3+ dims
+    compose with zorder_key or bucket the extra dims separately."""
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_key needs exactly 2 columns, got {cols}")
+    if not 1 <= bits <= 15:
+        raise ValueError(f"hilbert_key: bits must be in 1..15, got {bits}")
+    reserved = {"_hx", "_hy", "_hd", "_h"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+        ]
+    stats = df.agg(*aggs).first()
+    for c in cols:
+        if stats[f"_mn_{c}"] is None:
+            raise ValueError(
+                f"hilbert_key: column {c!r} has no non-null values — "
+                "it cannot contribute to a clustering key"
+            )
+    buckets = [
+        F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            linear_bucket(
+                F.col(c),
+                F.lit(float(stats[f"_mn_{c}"])),
+                F.lit(float(stats[f"_mx_{c}"])),
+                bits,
+            )
+        )
+        for c in cols
+    ]
+    orig = list(df.columns)
+    staged = df.select(
+        *orig,
+        buckets[0].alias("_hx"),
+        buckets[1].alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = (x.bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (y.bitwiseAND(F.lit(s)) > 0).cast("long")
+        nd = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        flip = (rx == 1) & (ry == 0)
+        fx = F.when(flip, F.lit(s - 1) - x).otherwise(x)
+        fy = F.when(flip, F.lit(s - 1) - y).otherwise(y)
+        staged = staged.select(
+            *orig,
+            F.when(ry == 0, fy).otherwise(x).alias("_hx"),
+            F.when(ry == 0, fx).otherwise(y).alias("_hy"),
+            nd.alias("_hd"),
+        )
+    return staged.select(*orig, F.col("_hd").alias("_h"))
+
+
+def hilbert_sql(base_select: str, x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """Oracle-side (DuckDB/ANSI) rendering of the :func:`hilbert_key`
+    bit transform: the same per-level rotation as chained CTEs over a
+    caller-provided ``base_select`` that must yield integer bucket
+    columns ``{x_expr}``/``{y_expr}`` plus any passthrough columns.
+    Returns CTE text ending in a relation ``hfinal(… , hd)``."""
+    parts = [
+        f"h{bits} AS (SELECT *, CAST({x_expr} AS BIGINT) AS hx, "
+        f"CAST({y_expr} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM ({base_select}))"
+    ]
+    lvl = bits
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"h{k} AS (SELECT * EXCLUDE (hx, hy, hd),\n"
+            f"  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx,\n"
+            f"  CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy,\n"
+            f"  hd + {s * s} * xor(3 * {rx}, {ry}) AS hd\n"
+            f"  FROM h{lvl})"
+        )
+        lvl = k
+    parts.append(f"hfinal AS (SELECT * FROM h0)")
+    return ",\n".join(parts)

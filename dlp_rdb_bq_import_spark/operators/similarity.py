@@ -22,6 +22,8 @@ the *same* metric exactly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -1447,3 +1449,100 @@ def kmeans_fit_assign(
         # distances are in quantized units²; scale back to float units
         F.round(F.col("_sq") / float(QUANT_SCALE) ** 2, 6).alias("sq_dist"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    components with a Rademacher (±1) matrix (Achlioptas, JCSS 2003:
+    sign entries preserve pairwise distances in expectation exactly
+    like Gaussian ones, and need no float matrix at all) — the cheap
+    dimensionality reducer for ANN pre-bucketing and sketching where
+    :func:`pca_fit` (data-dependent, sample-trained) is overkill.
+
+    The projection matrix is never materialized: entry sign(i, j) is
+    the parity of an md5 hex digit of ``seed:i:j`` — deterministic,
+    engine-portable (the deterministic_sample discipline), identical
+    on every executor and every run, and O(1) memory at any
+    dimensionality. Components quantize to int64 at 1e7 (the module's
+    embedding discipline), so each output component is an EXACT
+    integer sum ``Σ qᵢ·sᵢⱼ``; the scaled readout divides once by
+    ``1e7·√out_dim`` (both engines fold the same IEEE constant).
+
+    Output long-form: ``(id, j (1-based component, long), y_int
+    (long — the exact integer sum), proj (double — the JL-scaled
+    value))``.
+
+    Scale shape: posexplode × out_dim spine → one (id, j) aggregation
+    with map-side combine; no shuffle of the vectors themselves, no
+    driver state, no training pass."""
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, got {out_dim}")
+    spark = df.sparkSession
+    comps = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_quantize(F.col(vec_col))).alias("_i0", "_q"),
+    ).select("id", (F.col("_i0") + 1).alias("i"), "_q")
+    js = spark.range(1, out_dim + 1).select(F.col("id").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col("i").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    scale = 1e7 * math.sqrt(float(out_dim))
+    return (
+        comps.crossJoin(F.broadcast(js))
+        .select("id", "j", (F.col("_q") * sign).alias("_t"))
+        .groupBy("id", "j")
+        .agg(F.sum("_t").cast("long").alias("y_int"))
+        .select(
+            "id",
+            "j",
+            "y_int",
+            (F.col("y_int").cast("double") / F.lit(scale)).alias("proj"),
+        )
+    )
+
+
+def random_projection_sql(
+    table: str, id_expr: str, vec_expr: str, out_dim: int, seed: str
+) -> str:
+    """Oracle-side (DuckDB/ANSI) rendering of :func:`random_projection`
+    — identical md5 sign and integer fold."""
+    scale = 1e7 * math.sqrt(float(out_dim))
+    return f"""
+WITH comps AS (
+  SELECT {id_expr} AS id,
+         generate_subscripts({vec_expr}, 1) AS i,
+         CAST(ROUND(CAST(unnest({vec_expr}) AS DOUBLE) * 10000000, 0) AS BIGINT) AS q
+  FROM {table}
+), js AS (SELECT CAST(range + 1 AS BIGINT) AS j FROM range(0, {out_dim})),
+terms AS (
+  SELECT id, j,
+         q * (CASE WHEN CAST(('0x' || substr(md5('{seed}' || ':' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                   THEN 1 ELSE -1 END) AS t
+  FROM comps CROSS JOIN js
+)
+SELECT id, j, CAST(SUM(t) AS BIGINT) AS y_int,
+       CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / {scale!r} AS proj
+FROM terms GROUP BY id, j
+"""

@@ -67,3 +67,67 @@ def test_reserved_name_guard(spark):
     df = _vecs(spark, [(0, [1.0])]).withColumnRenamed("vec_id", "scale")
     with pytest.raises(ValueError, match="reserved"):
         quantize_embeddings_int8(df, id_col="scale")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_hashlib_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.normal(0, 1, 16).astype("float32") for i in range(1, 21)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.id, r.j): r for r in random_projection(
+        df, out_dim=4, seed="t"
+    ).collect()}
+    k = 4
+    for i, v in vecs.items():
+        q = np.round(np.array([float(x) for x in v], dtype=np.float64) * 1e7)
+        for j in range(1, k + 1):
+            signs = np.array([
+                1 if int(hashlib.md5(f"t:{d+1}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1
+                for d in range(len(v))
+            ])
+            y = int(np.sum(q * signs))
+            r = out[(i, j)]
+            assert r.y_int == y, (i, j)
+            assert r.proj == y / (1e7 * np.sqrt(float(k)))
+    assert len(out) == 20 * k
+
+
+def test_random_projection_preserves_distances_statistically(spark):
+    """The JL property on a planted geometry: with enough output dims,
+    projected squared distances concentrate around the originals."""
+    import numpy as np
+    import pytest
+
+    from dlp_rdb_bq_import_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(0, 1, (30, 64))
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(sdf, out_dim=32, seed="jlprop").collect()
+    proj = np.zeros((30, 32))
+    for r in out:
+        proj[r.id, r.j - 1] = r.proj
+    d_orig = np.linalg.norm(vecs[:1] - vecs[1:], axis=1)
+    d_proj = np.linalg.norm(proj[:1] - proj[1:], axis=1)
+    ratio = d_proj / d_orig
+    assert 0.6 < ratio.min() and ratio.max() < 1.5  # JL concentration band
+    assert abs(float(np.median(ratio)) - 1.0) < 0.2
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(sdf, out_dim=0)

@@ -196,3 +196,76 @@ def test_supplier_domestic_graph_queries_nondegenerate(spark):
     core = harness.queries()["kcore_supplier"](spark, sf).collect()
     assert 0 < len(core) < len(comm)  # proper nonempty subset of the nodes
     assert all(r.degree >= 2 for r in core)
+
+
+# ---------------------------------------------------------------------------
+# connected components (alternating star contraction)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def test_connected_components_matches_union_find(spark):
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(3)
+    edges = [
+        (int(rng.integers(1, 300)), int(rng.integers(1, 300)))
+        for _ in range(220)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+    # partitioning invariance
+    got7 = {
+        r.node: r.component
+        for r in connected_components(df.repartition(7)).collect()
+    }
+    assert got7 == got
+
+
+def test_connected_components_deep_path_converges(spark):
+    """A 1000-hop chain: label propagation at its default 20-round cap
+    cannot label this; star contraction flattens it in O(log n)."""
+    from dlp_rdb_bq_import_spark.operators.graph import connected_components
+
+    path = [(i, i + 1) for i in range(1, 1001)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert len(got) == 1001 and set(got.values()) == {1}
+
+
+def test_connected_components_edges_and_validation(spark):
+    from dlp_rdb_bq_import_spark.operators.graph import connected_components
+
+    # self-loops and duplicate/reversed edges are canonicalized away
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+    with pytest.raises(ValueError, match="reserved"):
+        connected_components(
+            df.withColumnRenamed("src", "node"), src_col="node"
+        )

@@ -195,6 +195,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "embedding_random_projection": {
+        "BroadcastNestedLoopJoin": "constant-factor expansion: the "
+        "out_dim-row (8) component spine broadcast onto the exploded "
+        "vector components before the (id, j) aggregation — the sign "
+        "matrix itself is never materialized",
+    },
     "target_encoding_priority": {
         "BroadcastNestedLoopJoin": "1-row scalar attach: the global "
         "(N, T) aggregate row broadcasts onto the CATEGORY-grain table "
