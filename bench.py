@@ -231,6 +231,14 @@ BENCH_QUERIES = [
     "hilbert_layout",
     "embedding_random_projection",
     "connected_components_star",
+    "streaming_skyline",
+    "vocab_js_divergence",
+    "trimmed_mean_prices",
+    "soundex_blocking",
+    "kneser_ney_scores",
+    "unseen_mass_estimate",
+    "zipf_slope",
+    "column_entropy_profile",
 ]
 
 

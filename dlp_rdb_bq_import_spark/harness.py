@@ -12051,6 +12051,407 @@ def q_connected_components_star(spark, sf_dir):
     return connected_components(_supplier_domestic_edges(spark, sf_dir))
 
 
+_SKYLINE_PARTS_SQL = """
+SELECT a.p_partkey, CAST(a.p_retailprice AS DOUBLE) AS p_retailprice,
+       CAST(a.p_size AS BIGINT) AS p_size
+FROM part a
+WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+@query("streaming_skyline", oracle=_SKYLINE_PARTS_SQL)
+def q_streaming_skyline(spark, sf_dir):
+    """W-EXT — the Pareto-optimal set in STREAMING form
+    (streaming/jobs.py:streaming_skyline): parts arrive as a file
+    stream in three micro-batches and each batch's local skyline
+    folds into the standing skyline — the same merge identity the
+    batch operator's partition phase rests on makes the fold EXACT
+    for inserts, so this streaming query hash-matches the identical
+    batch NOT-EXISTS oracle skyline_parts uses. State is the answer
+    itself: bounded by the skyline's size, not the stream's."""
+    from .streaming.jobs import streaming_skyline
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return streaming_skyline(
+        spark,
+        p.repartitionByRange(3, "p_partkey"),
+        minimize=["p_retailprice"],
+        maximize=["p_size"],
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "vocab_js_divergence",
+    oracle="""
+WITH wa AS (
+  SELECT t.w AS k FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND t.w <> ''
+), wb AS (
+  SELECT t.w AS k FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE doc_id % 2 = 1 AND text IS NOT NULL AND t.w <> ''
+), per AS (
+  SELECT k, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+  FROM (SELECT k, 1 AS ia, 0 AS ib FROM wa
+        UNION ALL SELECT k, 0 AS ia, 1 AS ib FROM wb)
+  GROUP BY k
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_cats
+  FROM per
+), sums AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN ca > 0 THEN ca * CAST(round(ln(
+      2.0e0 * CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
+      / (CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
+         + CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE))) * 1000000.0e0)
+      AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS ma,
+    CAST(COALESCE(SUM(CASE WHEN cb > 0 THEN cb * CAST(round(ln(
+      2.0e0 * CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE)
+      / (CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
+         + CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE))) * 1000000.0e0)
+      AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS mb
+  FROM per CROSS JOIN tot
+)
+SELECT n_a, n_b, n_cats,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(ma AS DOUBLE) / (2000000.0e0 * CAST(n_a AS DOUBLE))
+               + CAST(mb AS DOUBLE) / (2000000.0e0 * CAST(n_b AS DOUBLE)),
+               9) END AS jsd_nats
+FROM tot CROSS JOIN sums
+""",
+)
+def q_vocab_js_divergence(spark, sf_dir):
+    """EXT — Jensen-Shannon vocabulary drift (profiling.js_divergence;
+    Lin 1991) between the even- and odd-doc halves of the corpus: the
+    categorical drift monitor next to ks_drift_test (ordered values)
+    and psi_drift (binned values) — symmetric, finite on disjoint
+    vocabularies (plain KL diverges), bounded by ln 2. The log-ratio
+    argument collapses to all-integer counts, each log micro-
+    quantizes to int64 before its count-weighted integer sum (the
+    mutual_information discipline) — hash-matched. The honest readout
+    on a same-distribution split is ≈0; the disjoint-vocab ln 2 pin
+    lives in pytest."""
+    from .operators.profiling import js_divergence
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("k"),
+        )
+        .where(F.col("k") != "")
+    )
+    return js_divergence(
+        words.where(F.col("doc_id") % 2 == 0),
+        words.where(F.col("doc_id") % 2 == 1),
+        "k",
+    )
+
+
+@query(
+    "trimmed_mean_prices",
+    oracle="""
+WITH v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+), b AS (
+  SELECT quantile_cont(x, [0.05, 0.95]) AS bs FROM v
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN x >= bs[1] AND x <= bs[2] THEN 1 END) AS BIGINT)
+         AS n_kept,
+       MIN(bs[1]) AS p_lo, MIN(bs[2]) AS p_hi,
+       round(CAST(SUM(CASE WHEN x >= bs[1] AND x <= bs[2]
+                      THEN CAST(x AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(count(CASE WHEN x >= bs[1] AND x <= bs[2] THEN 1 END)
+                    AS DOUBLE), 9) AS trimmed_mean,
+       round(CAST(SUM(CAST(LEAST(GREATEST(x, bs[1]), bs[2])
+                           AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS winsorized_mean
+FROM v CROSS JOIN b
+""",
+)
+def q_trimmed_mean_prices(spark, sf_dir):
+    """EXT — trimmed and winsorized means of order value in one pass
+    (profiling.trimmed_mean; Tukey's robust location estimators): the
+    READOUT companions to the winsorize_prices row transform — what a
+    quality dashboard shows when outliers poison the plain mean.
+    Bounds from ONE array-percentile aggregate (pinned R-7 ≡
+    quantile_cont), exact decimal sums, one division per readout —
+    hash-matched."""
+    from .operators.profiling import trimmed_mean
+
+    return trimmed_mean(
+        t(spark, sf_dir, "orders"), "o_totalprice", lo=0.05, hi=0.95
+    )
+
+
+@query("soundex_blocking")  # phonetic key — no SQL oracle, rows-only
+def q_soundex_blocking(spark, sf_dir):
+    """EXT — phonetic (Soundex) blocking for record linkage (linkage.
+    soundex_blocking_pairs; Russell & Odell, public domain): customer
+    names that SOUND alike pair up even across large edit distances —
+    the third candidate-generation axis next to FastSS typo variants
+    and sorted-neighborhood prefix windows. Spark's built-in JVM
+    soundex computes the key; no SQL oracle (DuckDB lacks soundex and
+    the h/w-separator rule defeats regexp restatement) — the key is
+    pinned against an independent pure-Python implementation of the
+    published algorithm in pytest, with the planted Smith/Smyth
+    co-block catch. Rows-only gate."""
+    from .operators.linkage import soundex_blocking_pairs
+
+    # TPC-H names are "Customer#NNNNNNNNN" — phonetically degenerate —
+    # so the fixture maps keys onto a stem list with PLANTED phonetic
+    # twins (Smith/Smyth, Robert/Rupert ... land in shared blocks);
+    # the %50 thinning keeps block sizes (and the pair fan-out)
+    # bounded across scale factors
+    stems = [
+        "Smith", "Smyth", "Johnson", "Jonson", "Robert", "Rupert",
+        "Miller", "Mueller", "Garcia", "Gracia", "Tanaka", "Tanack",
+    ]
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            "c_custkey",
+            F.element_at(
+                F.array(*[F.lit(s) for s in stems]),
+                (F.col("c_custkey") % len(stems)).cast("int") + 1,
+            ).alias("name"),
+        )
+    )
+    return soundex_blocking_pairs(c, "name", "c_custkey", max_block=400)
+
+
+_KN_SCORES_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS BIGINT)] AS w1, ws[CAST(i AS BIGINT)+1] AS w2
+  FROM w JOIN generate_series(1, 4000) g(i) ON i <= len(ws) - 1
+),
+lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE doc_id % 10 = 1 GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1p_fwd
+  FROM lm GROUP BY 1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM lm GROUP BY 1),
+sca AS (
+  SELECT CAST((SELECT count(*) FROM lm) AS BIGINT) AS t,
+         CAST((SELECT count(DISTINCT w)
+               FROM (SELECT w1 AS w FROM lm UNION ALL SELECT w2 FROM lm))
+              AS BIGINT) AS v
+),
+sc AS (
+  SELECT b.doc_id,
+         CAST(round(ln(
+           CASE WHEN c.c1 IS NOT NULL AND c.c1 > 0 THEN
+             GREATEST(CAST(COALESCE(l.c12, 0) AS DOUBLE) - 0.75e0, 0.0e0)
+               / CAST(c.c1 AS DOUBLE)
+             + 0.75e0 * CAST(c.n1p_fwd AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+               * ((CAST(COALESCE(k.n1p_bwd, 0) AS DOUBLE) + 1.0e0)
+                  / (CAST(s.t AS DOUBLE) + CAST(s.v AS DOUBLE)))
+           ELSE
+             (CAST(COALESCE(k.n1p_bwd, 0) AS DOUBLE) + 1.0e0)
+               / (CAST(s.t AS DOUBLE) + CAST(s.v AS DOUBLE))
+           END) * 1000000.0e0) AS BIGINT) AS lp
+  FROM bg b
+  LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  LEFT JOIN ctx c ON b.w1 = c.w1
+  LEFT JOIN cont k ON b.w2 = k.w2
+  CROSS JOIN sca s
+  WHERE b.doc_id % 10 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS logprob_micro,
+       CAST(SUM(lp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+         AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
+@query("kneser_ney_scores", oracle=_KN_SCORES_SQL)
+def q_kneser_ney_scores(spark, sf_dir):
+    """EXT — interpolated Kneser-Ney LM fluency scores (text.
+    kneser_ney_lm_scores; Kneser & Ney 1995, Chen & Goodman 1999): the
+    quality upgrade over lm_quality_scores' add-½ model on the SAME
+    train/score split (reference slice %10==1, target %10==0, same
+    min_count pruning) — KN discounts seen bigrams by 0.75 and backs
+    off to CONTINUATION probability, fixing add-k's frequent-but-
+    context-bound failure mode. Every model table derives from the
+    one persistable count artifact; P is two correctly-rounded
+    divisions plus a sum, micro-quantized to int64 per bigram before
+    the per-document integer fold — hash-matched."""
+    from .operators.text import kneser_ney_lm_scores, ngram_lm_counts
+
+    d = t(spark, sf_dir, "documents")
+    lm = ngram_lm_counts(d.where(F.col("doc_id") % 10 == 1), min_count=2)
+    return kneser_ney_lm_scores(
+        d.where(F.col("doc_id") % 10 == 0), lm, discount=0.75
+    )
+
+
+@query(
+    "unseen_mass_estimate",
+    oracle="""
+WITH words AS (
+  SELECT t.w AS w FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+), per AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS singletons,
+       CASE WHEN SUM(c) > 0 THEN
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) END AS p_unseen
+FROM per
+""",
+)
+def q_unseen_mass_estimate(spark, sf_dir):
+    """EXT — Good-Turing unseen-probability mass (text.
+    unseen_mass_estimate; Good 1953): P₀ = singletons/tokens — the
+    one-row "is this corpus big enough" coverage readout, and exactly
+    the mass Kneser-Ney's discount reserves for its backoff path (the
+    two queries corroborate). Exact integer ratio, one division —
+    hash-matched."""
+    from .operators.text import unseen_mass_estimate
+
+    return unseen_mass_estimate(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "zipf_slope",
+    oracle="""
+WITH words AS (
+  SELECT t.w AS w FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+), per AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, w ASC) AS r, c FROM per
+), pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS y
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM pts
+)
+SELECT n_words,
+       CASE WHEN n_words > 1
+              AND CAST(CAST(n_words AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0
+            THEN round(
+              CAST(CAST(n_words AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+              / CAST(CAST(n_words AS HUGEINT) * sxx - sx * sx AS DOUBLE), 9)
+       END AS slope,
+       CASE WHEN n_words > 1
+              AND CAST(CAST(n_words AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0
+            THEN round(
+              (CAST(sy AS DOUBLE)
+               - (CAST(CAST(n_words AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                  / CAST(CAST(n_words AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+              / (CAST(n_words AS DOUBLE) * 1000000.0e0), 9)
+       END AS intercept
+FROM sums
+""",
+)
+def q_zipf_slope(spark, sf_dir):
+    """EXT — Zipf's-law frequency-spectrum fit (text.zipf_slope; Zipf
+    1949): the ln(freq)-vs-ln(rank) least-squares slope over the full
+    vocabulary — natural text sits near −1, templated/boilerplate
+    corpora flatten, synthetic spam steepens; a one-row corpus
+    fingerprint next to unseen_mass_estimate. Ranks are total-ordered
+    (freq desc, word asc), both coordinates micro-quantize to int64,
+    the closed-form sums fold in DECIMAL(38,0)/HUGEINT, scales cancel
+    in the ratio — hash-matched."""
+    from .operators.text import zipf_slope
+
+    return zipf_slope(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "column_entropy_profile",
+    oracle="""
+WITH le AS (
+  SELECT CAST(lang AS VARCHAR) AS v FROM documents WHERE lang IS NOT NULL
+), se AS (
+  SELECT CAST(source AS VARCHAR) AS v FROM documents WHERE source IS NOT NULL
+), pe AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS v FROM orders
+  WHERE o_orderpriority IS NOT NULL
+), folded AS (
+  SELECT 'lang' AS col_name, v FROM le
+  UNION ALL SELECT 'source', v FROM se
+  UNION ALL SELECT 'o_orderpriority', v FROM pe
+), per AS (
+  SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+  FROM folded GROUP BY 1, 2
+)
+SELECT col_name,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CASE WHEN SUM(c) > 0 THEN
+         round(ln(CAST(SUM(c) AS DOUBLE))
+               - CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0e0)
+                                   AS BIGINT)) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * 1000000.0e0), 9) END
+         AS entropy_nats,
+       CASE WHEN SUM(c) > 0 AND count(*) > 1 THEN
+         round((ln(CAST(SUM(c) AS DOUBLE))
+                - CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0e0)
+                                    AS BIGINT)) AS DOUBLE)
+                  / (CAST(SUM(c) AS DOUBLE) * 1000000.0e0))
+               / ln(CAST(count(*) AS DOUBLE)), 9) END
+         AS norm_entropy
+FROM per GROUP BY col_name
+""",
+)
+def q_column_entropy_profile(spark, sf_dir):
+    """EXT — per-column Shannon entropy profile (profiling.
+    column_entropy_profile; Shannon 1948) over documents.lang,
+    documents.source and orders.o_orderpriority — the information-
+    density companion to table_profile's distinct counts: how evenly
+    the mass spreads, normalized against the uniform maximum.
+    H = ln N − (Σ c·ln c)/N over exact integer counts with the
+    micro-log int64 fold — hash-matched per column. The Spark side
+    unions per-column single-row folds (the profile shape), the
+    oracle folds one melted stream — same cells either way."""
+    from .operators.profiling import column_entropy_profile
+
+    docs = column_entropy_profile(
+        t(spark, sf_dir, "documents"), ["lang", "source"]
+    )
+    orders = column_entropy_profile(
+        t(spark, sf_dir, "orders"), ["o_orderpriority"]
+    )
+    return docs.unionByName(orders)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

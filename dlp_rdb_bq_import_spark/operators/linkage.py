@@ -345,3 +345,55 @@ def jaro_winkler_pairs(
         )
 
     return pairs.withColumn(out, _jw(F.col(left_col), F.col(right_col)))
+
+
+def soundex_blocking_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_block: int = 200,
+) -> DataFrame:
+    """Phonetic blocking for record linkage (Russell & Odell's Soundex,
+    US patents 1918/1922 — public domain and the textbook phonetic
+    key): records whose names SOUND alike land in the same block even
+    when they share no prefix and sit many edits apart (``Smith`` /
+    ``Smyth``, ``Robert`` / ``Rupert``) — the third blocking axis next
+    to the FastSS typo variants (edit_distance_pairs) and
+    sorted-neighborhood prefix windows; production linkage unions all
+    three and lets verify decide.
+
+    Output: ``(id_a, id_b, code)`` — all within-block pairs (id_a <
+    id_b) with their shared Soundex code, generated by one equi-join
+    on the code (never a cartesian across blocks). Blocks larger than
+    ``max_block`` are DROPPED with their size cap honest in the plan
+    (the standard guard: a mega-block means the key is degenerate for
+    those records — "SMITH" at national scale — and belongs to a
+    different blocking pass, not a quadratic one here).
+
+    Spark's built-in ``soundex`` (JVM expression, codegen) computes
+    the key; correctness is pinned against an independent pure-Python
+    implementation of the published algorithm in pytest (the gate
+    runs rows-only: no SQL oracle — DuckDB has no soundex and the
+    h/w-separator rule defeats a regexp restatement).
+
+    Scale shape: one code-grain count (map-side combine), a broadcast
+    size screen, then the self-equi-join on the code — output bounded
+    by Σ C(block, 2) ≤ n·max_block/2."""
+    if max_block < 2:
+        raise ValueError(
+            f"soundex_blocking_pairs: max_block must be >= 2, got {max_block}"
+        )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.soundex(F.upper(F.col(name_col))).alias("code"),
+    ).where(F.col("code").isNotNull() & (F.col("code") != ""))
+    sizes = keyed.groupBy("code").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_block).select("code")
+    screened = keyed.join(F.broadcast(ok), "code")
+    a = screened.select("code", F.col("_id").alias("id_a"))
+    b = screened.select("code", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "code")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "code")
+    )

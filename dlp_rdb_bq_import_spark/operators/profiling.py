@@ -2223,3 +2223,235 @@ def gini_coefficient(
         )
         .alias("gini"),
     )
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two categorical distributions
+    (Lin, IEEE-IT 1991): the SYMMETRIC, always-finite drift measure —
+    ``JSD = ½·KL(P‖M) + ½·KL(Q‖M)`` with M the midpoint — bounded in
+    [0, ln 2], defined even where one side has categories the other
+    lacks (where plain KL blows up). The categorical companion to
+    :func:`ks_test_2sample` (ordered values) and
+    :func:`population_stability_index` (binned values): vocabularies,
+    sources, labels.
+
+    Exactness: per-category counts are exact integers; each side's
+    log-ratio collapses to an ALL-INTEGER argument —
+    ``ln(p/m) = ln(2·ca·tb / (ca·tb + cb·ta))`` — total without
+    special cases (an absent category contributes weight 0 on its
+    empty side and exactly ln 2 on the other). Each log micro-
+    quantizes to int64 BEFORE its count-weighted integer sum (the
+    mutual_information discipline), one IEEE division per side,
+    rounded to 9. One row out: ``(n_a, n_b (long), n_cats (long),
+    jsd_nats (double; NULL when either side is empty))``.
+
+    Scale shape: two category-grain aggregations merged at CATEGORY
+    grain (never rows) plus a broadcast 1-row totals attach."""
+
+    def side(df: DataFrame, tag_a: int) -> DataFrame:
+        return (
+            df.select(F.col(cat_col).cast("string").alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .select(
+                "_k",
+                F.lit(tag_a).alias("_ia"),
+                F.lit(1 - tag_a).alias("_ib"),
+            )
+        )
+
+    per = (
+        side(a, 1)
+        .unionByName(side(b, 0))
+        .groupBy("_k")
+        .agg(
+            F.sum("_ia").cast("long").alias("_ca"),
+            F.sum("_ib").cast("long").alias("_cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+    )
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    ta, tb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    lr_a = F.round(
+        F.log(F.lit(2.0) * ca * tb / (ca * tb + cb * ta)) * F.lit(1e6)
+    ).cast("long")
+    lr_b = F.round(
+        F.log(F.lit(2.0) * cb * ta / (ca * tb + cb * ta)) * F.lit(1e6)
+    ).cast("long")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    sums = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            # the log-ratio denominator is 0 when EITHER side is empty
+            # (ANSI division) — and JSD is undefined there anyway, so
+            # the whole term is gated, not just the readout
+            F.when(both & (F.col("_ca") > 0), F.col("_ca") * lr_a)
+            .otherwise(F.lit(0))
+            .alias("_sa"),
+            F.when(both & (F.col("_cb") > 0), F.col("_cb") * lr_b)
+            .otherwise(F.lit(0))
+            .alias("_sb"),
+        )
+        .agg(
+            F.coalesce(F.sum("_sa"), F.lit(0)).cast("long").alias("_ma"),
+            F.coalesce(F.sum("_sb"), F.lit(0)).cast("long").alias("_mb"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(sums)).select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        "n_cats",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("_ma").cast("double")
+                / (F.lit(2e6) * F.col("n_a").cast("double"))
+                + F.col("_mb").cast("double")
+                / (F.lit(2e6) * F.col("n_b").cast("double")),
+                9,
+            ),
+        ).alias("jsd_nats"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Trimmed and winsorized means in one pass (Tukey's robust
+    location estimators — the readout companions to the
+    winsorize_prices row transform): drop (trimmed) or clamp
+    (winsorized) values outside the [lo, hi] exact percentiles. One
+    row out: ``(n (long), n_kept (long), p_lo, p_hi, trimmed_mean,
+    winsorized_mean (double))``.
+
+    Exactness: bounds come from ONE array-percentile aggregate (the
+    pinned R-7 interpolation, ≡ quantile_cont); kept/clamped values
+    sum as DECIMAL(30,6) (order-proof), one IEEE division per
+    readout, rounded to 9. Empty input yields NULL means.
+
+    Scale shape: one percentile aggregate + one conditional aggregate,
+    both map-side combining; the 1-row bounds attach broadcasts."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"trimmed_mean: need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    x = F.col(value_col).cast("double")
+    bounds = df.where(x.isNotNull()).agg(
+        F.expr(
+            f"percentile(CAST({value_col} AS DOUBLE), array({lo!r}, {hi!r}))"
+        ).alias("_bs")
+    ).select(
+        F.element_at("_bs", 1).alias("_plo"),
+        F.element_at("_bs", 2).alias("_phi"),
+    )
+    staged = df.where(x.isNotNull()).crossJoin(F.broadcast(bounds))
+    kept = F.when((x >= F.col("_plo")) & (x <= F.col("_phi")), x)
+    clamped = F.least(F.greatest(x, F.col("_plo")), F.col("_phi"))
+    out = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(kept).cast("long").alias("n_kept"),
+        F.min("_plo").alias("p_lo"),
+        F.min("_phi").alias("p_hi"),
+        (
+            F.sum(kept.cast("decimal(30,6)")).cast("double")
+            / F.count(kept).cast("double")
+        ).alias("_tm"),
+        (
+            F.sum(clamped.cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_wm"),
+    )
+    return out.select(
+        "n",
+        "n_kept",
+        "p_lo",
+        "p_hi",
+        F.round("_tm", 9).alias("trimmed_mean"),
+        F.round("_wm", 9).alias("winsorized_mean"),
+    )
+
+
+def column_entropy_profile(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Per-column Shannon entropy of categorical columns (Shannon
+    1948) — the information-density companion to :func:`profile_table`
+    (that one counts distincts; this one says how EVENLY the mass
+    spreads: a 10⁶-distinct column at 0.1 nats is a near-constant with
+    junk tails, a 12-distinct one at 2.4 nats is a real dimension).
+    One row per column: ``(col_name (string), n (long — non-null
+    rows), n_distinct (long), entropy_nats (double; NULL on empty),
+    norm_entropy (double — /ln(n_distinct), NULL when n_distinct <
+    2))``.
+
+    Exactness: ``H = ln N − (Σ c·ln c)/N`` over exact integer value
+    counts; each ``ln c`` micro-quantizes to int64 before its
+    count-weighted integer sum (the mutual_information discipline),
+    ONE division per readout, rounded to 9.
+
+    Scale shape: one value-grain groupBy per column (map-side
+    combine), each folded to a single row and unioned — |columns| is
+    a constant; nothing row-grain leaves the first aggregation."""
+    if not columns:
+        raise ValueError("column_entropy_profile: need at least one column")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"column_entropy_profile: columns not in input: {missing}")
+    parts = []
+    for c in columns:
+        per = (
+            df.select(F.col(c).cast("string").alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        term = (
+            F.col("_c")
+            * F.round(F.log(F.col("_c").cast("double")) * F.lit(1e6)).cast(
+                "long"
+            )
+        )
+        one = per.agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("_m"),
+        ).select(
+            F.lit(c).alias("col_name"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "n_distinct",
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.log(F.col("n").cast("double"))
+                    - F.col("_m").cast("double")
+                    / (F.col("n").cast("double") * F.lit(1e6)),
+                    9,
+                ),
+            ).alias("entropy_nats"),
+            F.when(
+                (F.col("n") > 0) & (F.col("n_distinct") > 1),
+                F.round(
+                    (
+                        F.log(F.col("n").cast("double"))
+                        - F.col("_m").cast("double")
+                        / (F.col("n").cast("double") * F.lit(1e6))
+                    )
+                    / F.log(F.col("n_distinct").cast("double")),
+                    9,
+                ),
+            ).alias("norm_entropy"),
+        )
+        parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2376,3 +2376,200 @@ def unigram_encode(
     from . import fan_out
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(run, out_schema)
+
+
+def kneser_ney_lm_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score documents under interpolated Kneser-Ney smoothing (Kneser
+    & Ney, ICASSP 1995; Chen & Goodman 1999's standard formulation) —
+    the quality upgrade of :func:`ngram_lm_scores`'s add-k model: KN
+    discounts every seen bigram by a fixed ``d`` and backs off to the
+    CONTINUATION probability (how many contexts a word follows, not
+    how often it occurs), fixing add-k's classic failure where a
+    frequent-but-context-bound word ("Francisco") outscores a
+    versatile one.
+
+    Model, derived entirely from the same persistable
+    :func:`ngram_lm_counts` artifact (train once, score every batch):
+    ``P(w₂|w₁) = max(c₁₂−d, 0)/c₁ + λ(w₁)·Pc(w₂)`` with
+    ``λ(w₁) = d·N1p(w₁·)/c₁`` and an add-one continuation floor
+    ``Pc(w₂) = (N1p(·w₂)+1)/(T+V)`` so scoring NEW batches (unknown
+    words/contexts) stays defined — an unknown context backs off to
+    ``Pc`` alone. ``d`` defaults to the textbook 0.75 (exactly
+    representable).
+
+    Bit-exactness: every count is an exact integer; P is two
+    correctly-rounded divisions and one sum of doubles — the same
+    expression both engines — then each bigram's log micro-quantizes
+    to int64 before the per-document integer sum (the module-wide
+    discipline). Output: ``(id_col, n_bigrams, logprob_micro,
+    avg_logprob)`` — the ngram_lm_scores contract, drop-in for the
+    gate/composition stages.
+
+    Scale shape: identical to ngram_lm_scores — model-sized joins
+    (counts, context totals, forward/backward continuation counts),
+    two broadcast scalars (T, V), one per-document groupBy."""
+    if not {"w1", "w2", "c"} <= set(lm.columns):
+        raise ValueError(
+            f"lm must be an ngram_lm_counts result with (w1, w2, c); got {lm.columns}"
+        )
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    d = F.lit(discount)
+    ctx = lm.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = lm.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    scalars = lm.agg(F.count(F.lit(1)).cast("long").alias("t")).crossJoin(
+        F.broadcast(
+            lm.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+                F.count_distinct("w").alias("v")
+            )
+        )
+    )
+    bg = _word_bigrams(df, text_col, id_col)
+    pc = (F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("t").cast("double") + F.col("v").cast("double")
+    )
+    seen = F.col("c1").isNotNull() & (F.col("c1") > 0)
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + d
+        * F.col("n1p_fwd").cast("double")
+        / F.col("c1").cast("double")
+        * pc
+    )
+    p = F.when(seen, p_seen).otherwise(pc)
+    scored = (
+        bg.join(lm.withColumnRenamed("c", "c12"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("_lp").alias("logprob_micro"),
+        (
+            F.sum("_lp").cast("double")
+            / (F.count("*").cast("double") * F.lit(1e6))
+        ).alias("avg_logprob"),
+    )
+
+
+def unseen_mass_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing unseen-probability mass (Good, Biometrika 1953):
+    ``P₀ = N₁/N`` — the fraction of word tokens occurring exactly once
+    estimates the probability the NEXT token is a never-seen word.
+    The one-row corpus-coverage readout behind "is this corpus big
+    enough for its domain": high unseen mass ⟹ the vocabulary is
+    still growing and rare-word estimates are unreliable (the same
+    quantity Kneser-Ney's discount reserves for the backoff path).
+
+    One row: ``(n_tokens, vocab, singletons (long), p_unseen (double —
+    exact integer ratio, one division))``. Tokens are the fixture
+    single-space convention. Scale shape: one word-grain groupBy, one
+    3-scalar fold."""
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    per = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("singletons"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        F.coalesce("singletons", F.lit(0)).alias("singletons"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("singletons").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("p_unseen"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum (Zipf 1949):
+    the least-squares slope of ``ln(freq)`` against ``ln(rank)`` over
+    the full vocabulary — natural language sits near −1; heavily
+    boilerplated or templated corpora flatten (repeated spans inflate
+    mid-ranks) and synthetic/spam text steepens. A one-row corpus
+    fingerprint next to :func:`unseen_mass_estimate`.
+
+    Exactness: ranks are total-ordered (freq desc, word asc — ties
+    broken deterministically); both regression coordinates micro-
+    quantize to int64 (``round(ln(·)·1e6)``), the closed-form slope's
+    sums accumulate in DECIMAL(38,0)/HUGEINT, and the 1e6 scales
+    cancel in the ratio — ONE division, rounded to 9. One row:
+    ``(n_words (long), slope, intercept (double; NULL when the
+    vocabulary has < 2 words))`` with intercept in nats at rank 1.
+
+    Scale shape: word-grain groupBy, then ONE ordered window over the
+    DISTINCT-WORD table (vocabulary-sized — the classifier_auc
+    contract) and a 1-row closed-form fold."""
+    from pyspark.sql import Window
+
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    per = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .alias("r"),
+        "c",
+    )
+    x = F.round(F.log(F.col("r").cast("double")) * F.lit(1e6)).cast("long")
+    y = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    dec = "decimal(38,0)"
+    sums = ranked.select(x.alias("_x"), y.alias("_y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+    )
+    n = F.col("n_words").cast("decimal(38,0)")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "n_words",
+        F.when((F.col("n_words") > 1) & (den.cast("double") != 0), F.round(slope, 9)).alias(
+            "slope"
+        ),
+        F.when(
+            (F.col("n_words") > 1) & (den.cast("double") != 0),
+            F.round(
+                (
+                    F.col("_sy").cast("double")
+                    - slope * F.col("_sx").cast("double")
+                )
+                / (F.col("n_words").cast("double") * F.lit(1e6)),
+                9,
+            ),
+        ).alias("intercept"),
+    )

@@ -1327,3 +1327,55 @@ def streaming_quantile_digest(
         return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_skyline(
+    spark: SparkSession,
+    rows: DataFrame,
+    minimize: list[str] | None = None,
+    maximize: list[str] | None = None,
+) -> DataFrame:
+    """Streaming skyline (Pareto-optimal set) maintenance: fold each
+    micro-batch's local skyline into the standing skyline via
+    ``foreachBatch`` — the same merge identity the batch operator's
+    partition phase uses (``skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B))``, dominance being transitive) makes the stream fold
+    EXACT for inserts: after any number of micro-batches the standing
+    set is the batch ``sampling.skyline`` over everything seen
+    (pytest-pinned; the registered query hash-matches the same
+    NOT-EXISTS oracle). State is the skyline itself — bounded by the
+    answer's size, not the stream's. Insert-only by construction
+    (deletions would need dominated candidates retained; out of
+    contract, like every fold in this module)."""
+    from ..operators.sampling import skyline
+
+    root = tempfile.mkdtemp(prefix="skyline_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "skyline")
+    rows.write.parquet(stage)
+
+    def fold_batch(batch_df, _epoch_id):
+        batch_sky = skyline(batch_df, minimize=minimize, maximize=maximize)
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            merged = skyline(
+                prev.unionByName(batch_sky),
+                minimize=minimize,
+                maximize=maximize,
+            ).localCheckpoint(eager=True)
+        else:
+            merged = batch_sky.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(acc_dir)
+
+    try:
+        raw = spark.readStream.schema(rows.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -195,6 +195,27 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "vocab_js_divergence": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (n_a, n_b) "
+        "totals row broadcasts onto the CATEGORY-grain count table "
+        "(vocabulary-sized, never rows) for the log-ratio terms",
+    },
+    "trimmed_mean_prices": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the percentile "
+        "bounds row broadcasts onto the value stream before the "
+        "conditional aggregate — the quantile_binning/psi shape",
+    },
+    "kneser_ney_scores": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (T, V) "
+        "model-statistics row broadcasts onto the bigram stream — the "
+        "lm_quality_scores shape (vocabulary-size scalar, computed once "
+        "from the persisted count artifact)",
+    },
+    "zipf_slope": {
+        "SinglePartitionWindow": "rank assignment over the DISTINCT-WORD "
+        "table (vocabulary-sized, never rows — the classifier_auc "
+        "contract); the regression fold that follows is closed-form",
+    },
     "embedding_random_projection": {
         "BroadcastNestedLoopJoin": "constant-factor expansion: the "
         "out_dim-row (8) component spine broadcast onto the exploded "
