@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "unseen_mass_estimate",
     "zipf_slope",
     "column_entropy_profile",
+    "streaming_connected_components",
+    "theil_sen_trend",
+    "image_channel_histogram",
 ]
 
 

@@ -12452,6 +12452,129 @@ def q_column_entropy_profile(spark, sf_dir):
     return docs.unionByName(orders)
 
 
+@query(
+    "streaming_connected_components",
+    oracle="""
+WITH RECURSIVE ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT sa, sb, w FROM pairs
+  JOIN supplier na ON sa = na.s_suppkey
+  JOIN supplier nb ON sb = nb.s_suppkey
+  WHERE na.s_nationkey = nb.s_nationkey
+), edges AS (
+  SELECT sa AS src, sb AS dst FROM dom
+  WHERE w >= (SELECT quantile_cont(w, 0.5) FROM dom)
+), und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT reach.node, u.dst FROM reach JOIN und u ON u.src = reach.r
+)
+SELECT node, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node
+""",
+)
+def q_streaming_connected_components(spark, sf_dir):
+    """W-EXT — connected components in STREAMING form (streaming/
+    jobs.py:streaming_connected_components): the co-supply edges
+    arrive in three micro-batches and each batch folds into the
+    standing (node, component) labeling — exact by the contraction
+    identity CC(E₁ ∪ E₂) = CC(star(E₁) ∪ E₂): a component's star
+    edges are connectivity-equivalent to its originals, so each fold
+    re-runs the batch star-contraction operator on |V| + |batch|
+    edges, never the history. Hash-matches the SAME recursive-CTE
+    min-reachable oracle the batch query uses."""
+    from .streaming.jobs import streaming_connected_components
+
+    e = _supplier_domestic_edges(spark, sf_dir)
+    return streaming_connected_components(
+        spark, e.repartitionByRange(3, "src")
+    )
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts,
+         CASE WHEN day(o_orderdate) = 1
+              THEN CAST(o_totalprice AS DOUBLE) * 5.0e0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+origin AS (SELECT min(day) AS d0 FROM daily),
+idx AS (
+  SELECT CAST(datediff('day', d0, day) AS BIGINT) AS i,
+         CAST(x AS DOUBLE) / 100.0e0 AS xv
+  FROM daily CROSS JOIN origin
+), pairs AS (
+  SELECT (b.xv - a.xv) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM idx a JOIN idx b ON a.i < b.i
+), sl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS slope
+  FROM pairs
+), ic AS (
+  SELECT quantile_cont(xv - slope * CAST(i AS DOUBLE), 0.5) AS icept
+  FROM idx CROSS JOIN sl
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs,
+       CASE WHEN n_days > 1 THEN round(slope, 9) END AS slope,
+       CASE WHEN n_days > 1 THEN round(icept, 9) END AS intercept
+FROM nd CROSS JOIN sl CROSS JOIN ic
+""",
+)
+def q_theil_sen_trend(spark, sf_dir):
+    """EXT — Theil-Sen robust trend (timeseries.theil_sen_trend; Theil
+    1950, Sen 1968) of daily revenue with every month's 1st CORRUPTED
+    ×5 (a recurring billing-batch artifact — the realistic outlier
+    pattern): the median-of-pairwise-slopes estimate stays on the true
+    flat trend while a least-squares fit chases the spikes
+    (pytest-pinned on a planted-slope series). Pair slopes are single
+    IEEE divisions of exact integer daily totals at DAY grain
+    (calendar²-bounded, never rows); medians are the pinned R-7
+    percentile ≡ quantile_cont — hash-matched."""
+    from .operators.timeseries import theil_sen_trend
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    planted = o.select(
+        F.col("o_orderdate").alias("ts"),
+        F.when(
+            F.dayofmonth("o_orderdate") == 1,
+            F.col("o_totalprice").cast("double") * F.lit(5.0),
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("v"),
+    )
+    return theil_sen_trend(planted, ts_col="ts", value_col="v")
+
+
+@query("image_channel_histogram")  # real decode — rows-only
+def q_image_channel_histogram(spark, sf_dir):
+    """EXT — per-channel intensity histograms over REAL decoded pixels
+    (multimodal.extract_channel_histograms): the color-distribution
+    feature for palette-level near-dup screening and exposure QA,
+    computed in the same Arrow-batched decode stage as
+    multimodal_features, over the full four-container lossless mix
+    (BMP/PPM/PNG/GIF share identical pixels by synthesis). Exact
+    integer pixel counts, deterministic per payload — rows-only gate;
+    histogram-sum-equals-pixel-count and cross-container equality are
+    pinned in pytest."""
+    from .operators.multimodal import attach_media, extract_channel_histograms
+
+    d = attach_media(
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 3)
+        .repartition(32, "doc_id"),
+    )
+    return extract_channel_histograms(d, n_bins=8)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -628,3 +628,53 @@ def cdc_chunk_table(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def extract_channel_histograms(
+    df: DataFrame,
+    n_bins: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → per-channel intensity histograms: the standard color-
+    distribution feature (near-dup screening by palette, exposure QA,
+    channel-imbalance detection) in the same Arrow-batched decode
+    stage as :func:`extract_features`. Long-form sparse output — one
+    row per ``(doc, channel, bin)`` with a nonzero count: ``(doc_id,
+    channel (long, 0=R 1=G 2=B), bin (long, intensity·n_bins/256),
+    n_px (long))``. Exact integer counts of the REAL decoded pixels
+    (deterministic: same payload ⟹ same histogram on every engine
+    and partitioning); undecodable/NULL payloads are skipped like the
+    feature stage."""
+    if not 1 <= n_bins <= 256:
+        raise ValueError(f"n_bins must be in 1..256, got {n_bins}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, bins, counts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                img = decode_image(payload)
+                binned = (
+                    img.astype(np.int64) * n_bins // 256
+                )  # (h, w, 3) bin ids
+                for ch in range(img.shape[2]):
+                    vals, cnts = np.unique(binned[:, :, ch], return_counts=True)
+                    for v, c in zip(vals, cnts):
+                        ids.append(doc_id)
+                        chans.append(ch)
+                        bins.append(int(v))
+                        counts.append(int(c))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "bin": bins,
+                    "n_px": counts,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, channel long, bin long, n_px long"
+    )

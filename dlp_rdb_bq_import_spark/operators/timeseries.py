@@ -902,3 +902,71 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Theil-Sen robust trend of a daily series (Theil 1950; Sen, JASA
+    1968): the MEDIAN of all pairwise slopes — up to ~29% of the days
+    can be arbitrarily corrupted before the estimate moves, where the
+    least-squares slope (:func:`holt_linear`'s level/trend, or a
+    regression fit) chases every outlier day. One row out:
+    ``(n_days, n_pairs (long), slope (double — units/day),
+    intercept (double — the median of xᵢ − slope·dayᵢ, Conover's
+    convention; both NULL when < 2 days))``.
+
+    Exactness: daily totals are exact integers (the shared
+    ``unit_scale`` staging); each pairwise slope is ONE IEEE division
+    of exact integers, the median is the pinned R-7 ``percentile`` (≡
+    ``quantile_cont``), and the intercept chain reuses the slope
+    scalar — every expression identical cross-engine.
+
+    Scale shape: the pair set is DAY-grain × DAY-grain (bounded by
+    calendar² — ~3M pairs per decade, trivially partitioned), never
+    row grain; two percentile aggregates and two 1-row scalar
+    attaches finish the plan."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    origin = daily.agg(F.min("day").alias("_d0"))
+    idx = daily.crossJoin(F.broadcast(origin)).select(
+        F.datediff("day", "_d0").cast("long").alias("_i"),
+        (F.col("_x").cast("double") / F.lit(float(unit_scale))).alias("_xv"),
+    )
+    a = idx.select(F.col("_i").alias("_ia"), F.col("_xv").alias("_xa"))
+    b = idx.select(F.col("_i").alias("_ib"), F.col("_xv").alias("_xb"))
+    pairs = a.join(b, F.col("_ia") < F.col("_ib")).select(
+        (
+            (F.col("_xb") - F.col("_xa"))
+            / (F.col("_ib") - F.col("_ia")).cast("double")
+        ).alias("_s")
+    )
+    slope_row = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(_s, 0.5)").alias("_slope"),
+    )
+    resid = (
+        idx.crossJoin(F.broadcast(slope_row))
+        .select(
+            (F.col("_xv") - F.col("_slope") * F.col("_i").cast("double")).alias(
+                "_r"
+            )
+        )
+        .agg(F.expr("percentile(_r, 0.5)").alias("_icept"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(slope_row))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            "n_days",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.when(F.col("n_days") > 1, F.round("_slope", 9)).alias("slope"),
+            F.when(F.col("n_days") > 1, F.round("_icept", 9)).alias(
+                "intercept"
+            ),
+        )
+    )

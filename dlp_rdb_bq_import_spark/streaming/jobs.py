@@ -1379,3 +1379,59 @@ def streaming_skyline(
         return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Streaming connected-components maintenance: edges arrive in
+    micro-batches and each batch folds into a standing ``(node,
+    component)`` labeling via ``foreachBatch`` — exact by the
+    contraction identity ``CC(E₁ ∪ E₂) = CC(star(E₁) ∪ E₂)``: a
+    component's star edges (every node → its label) are connectivity-
+    equivalent to the original edges, so re-running the batch operator
+    (``graph.connected_components``, the Kiveris et al. star
+    contraction) on standing-star-edges ∪ new-batch-edges yields the
+    labeling of everything seen (pytest-pinned; the registered query
+    hash-matches the batch recursive-CTE oracle). State is one row per
+    node — the answer itself — and each fold's input is |V| + |batch|
+    edges, never the full history."""
+    from ..operators.graph import connected_components
+
+    root = tempfile.mkdtemp(prefix="cc_stream_")
+    stage = os.path.join(root, "staged")
+    acc_dir = os.path.join(root, "components")
+    src = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    src.write.parquet(stage)
+
+    def fold_batch(batch_df, _epoch_id):
+        b = batch_df.select("src", "dst")
+        if os.path.isdir(acc_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(acc_dir)
+        ):
+            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+            star = prev.where(F.col("node") != F.col("component")).select(
+                F.col("component").alias("src"), F.col("node").alias("dst")
+            )
+            merged = connected_components(star.unionByName(b))
+        else:
+            merged = connected_components(b)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            acc_dir
+        )
+
+    try:
+        raw = spark.readStream.schema(src.schema).parquet(stage)
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

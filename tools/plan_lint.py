@@ -195,6 +195,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "theil_sen_trend": {
+        "BroadcastNestedLoopJoin": "the pairwise-slope inequality join "
+        "runs at DAY grain on BOTH sides (calendar²-bounded — ~3M pairs "
+        "per decade, never row grain; the operator's documented "
+        "contract), plus the usual 1-row slope/origin scalar attaches",
+    },
     "vocab_js_divergence": {
         "BroadcastNestedLoopJoin": "1-row scalar attach: the (n_a, n_b) "
         "totals row broadcasts onto the CATEGORY-grain count table "
