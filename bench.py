@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     "streaming_connected_components",
     "theil_sen_trend",
     "image_channel_histogram",
+    "weighted_median_price",
+    "kaplan_meier_retention",
+    "cuped_purchase_value",
 ]
 
 

@@ -12575,6 +12575,217 @@ def q_image_channel_histogram(spark, sf_dir):
     return extract_channel_histograms(d, n_bins=8)
 
 
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH per AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sw
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0
+  GROUP BY 1
+), cum AS (
+  SELECT v, SUM(sw) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+  FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(sw), 0) AS BIGINT) AS total_w
+  FROM per
+), med AS (
+  SELECT MIN(v) AS m FROM cum CROSS JOIN tot WHERE 2 * cw >= total_w
+)
+SELECT n, total_w, CASE WHEN total_w > 0 THEN m END AS wmedian
+FROM tot CROSS JOIN med
+""",
+)
+def q_weighted_median_price(spark, sf_dir):
+    """EXT — quantity-weighted median line price (profiling.
+    weighted_median): "the price at which half the UNITS trade" — a
+    different center than the row median whenever quantity correlates
+    with price. Lower-median convention (always an observed value,
+    pure-integer half-total compare ``2·cumw ≥ total`` — exactly
+    restatable); running weight over the DISTINCT-VALUE table, the
+    classifier_auc contract. Hash-matched."""
+    from .operators.profiling import weighted_median
+
+    return weighted_median(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+WITH spanv AS (
+  SELECT user_id,
+         CAST(datediff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+         max(ts) AS last_ts
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), wend AS (SELECT max(ts) AS w_end FROM events),
+units AS (
+  SELECT dur AS t,
+         CAST(datediff('day', last_ts, w_end) > 3 AS BOOLEAN) AS ev
+  FROM spanv CROSS JOIN wend
+), per AS (
+  SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM units GROUP BY t
+), tot AS (
+  SELECT CAST(COALESCE(SUM(d + c), 0) AS BIGINT) AS tt FROM per
+), staged AS (
+  SELECT t, d, c,
+         tt - COALESCE(SUM(d + c) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per CROSS JOIN tot
+), cum AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+         SUM(CASE WHEN d > 0 AND d < n_risk THEN
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) * 1000000.0e0)
+                    AS BIGINT)
+             ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lmicro,
+         MAX(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+  FROM staged
+)
+SELECT t, n_risk, d, c,
+       CASE WHEN dead = 1 THEN 0.0e0
+            ELSE round(exp(CAST(lmicro AS DOUBLE) / 1000000.0e0), 9)
+       END AS survival
+FROM cum
+""",
+)
+def q_kaplan_meier_retention(spark, sf_dir):
+    """EXT — Kaplan-Meier survival of user activity spans (timeseries.
+    kaplan_meier; Kaplan & Meier 1958): duration = days between a
+    user's first and last event; a user whose last event sits > 3
+    days before the window end CHURNED (event observed), anyone still
+    active at the edge is right-CENSORED — exactly the estimand the
+    naive "average lifetime" biases low by treating censored users as
+    churned. Each factor's log micro-quantizes to int64 and the
+    product-limit becomes a running integer sum over the distinct-
+    duration table; the d = n termination rides a running flag —
+    hash-matched per duration."""
+    from .operators.timeseries import kaplan_meier
+
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    wend = e.agg(F.max("ts").alias("w_end"))
+    units = span.crossJoin(F.broadcast(wend)).select(
+        F.col("dur").alias("t"),
+        (F.datediff("w_end", "last_ts") > 3).alias("ev"),
+    )
+    return kaplan_meier(units, duration_col="t", event_col="ev")
+
+
+@query(
+    "cuped_purchase_value",
+    oracle="""
+WITH wstart AS (SELECT min(ts) AS w0 FROM events),
+per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS variant,
+         CAST(COALESCE(SUM(CASE WHEN datediff('day', w0, ts) < 15
+                           THEN CAST(value AS DECIMAL(30,6)) END), 0)
+              AS DOUBLE) AS x,
+         CAST(COALESCE(SUM(CASE WHEN datediff('day', w0, ts) >= 15
+                           THEN CAST(value AS DECIMAL(30,6)) END), 0)
+              AS DOUBLE) AS y
+  FROM events CROSS JOIN wstart
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+), base AS (
+  SELECT variant AS g,
+         CAST(round(y * 100) AS BIGINT) AS yq,
+         CAST(round(x * 100) AS BIGINT) AS xq
+  FROM per_user
+), gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS HUGEINT) AS sx, CAST(SUM(yq) AS HUGEINT) AS sy,
+         SUM(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy,
+         SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sxx,
+         SUM(CAST(yq AS HUGEINT) * CAST(yq AS HUGEINT)) AS syy
+  FROM base
+), pooled AS (
+  SELECT n, sx,
+         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS covn,
+         CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS varxn,
+         CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS varyn
+  FROM gl
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(yq) AS HUGEINT) AS gy, CAST(SUM(xq) AS HUGEINT) AS gx
+  FROM base GROUP BY g
+)
+SELECT g AS variant, ng AS n,
+       round(CAST(gy AS DOUBLE) / (CAST(ng AS DOUBLE) * 100.0e0), 9)
+         AS mean_y,
+       CASE WHEN varxn > 0 THEN
+         round(CAST(gy AS DOUBLE) / (CAST(ng AS DOUBLE) * 100.0e0)
+               - (covn / varxn)
+                 * (CAST(gx AS DOUBLE) / (CAST(ng AS DOUBLE) * 100.0e0)
+                    - (CAST(sx AS DOUBLE) / CAST(p.n AS DOUBLE)) / 100.0e0),
+               9) END AS mean_adj,
+       CASE WHEN varxn > 0 THEN round(covn / varxn, 9) END AS theta,
+       CASE WHEN varxn > 0 AND varyn > 0
+            THEN round((covn * covn) / (varxn * varyn), 9) END
+         AS var_reduction
+FROM per CROSS JOIN pooled p
+""",
+)
+def q_cuped_purchase_value(spark, sf_dir):
+    """EXT — CUPED variance-reduced A/B readout (profiling.
+    cuped_adjustment; Deng, Xu, Kohavi & Walker WSDM 2013): users
+    split by key parity, the post-period (days ≥ 15) event value
+    adjusted by each user's PRE-period value — the standard
+    experimentation trick that removes corr² of the metric variance
+    without biasing the lift, because user-level spend is sticky
+    across periods. θ and the adjusted means are n-scaled exact
+    integer sums (DECIMAL(38,0)/HUGEINT) with one division each —
+    hash-matched per variant."""
+    from .operators.profiling import cuped_adjustment
+
+    e = t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w0 = e.agg(F.min("ts").alias("w0"))
+    per_user = (
+        e.crossJoin(F.broadcast(w0))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.datediff("ts", "w0") < 15, F.col("value")).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                F.lit(0).cast("decimal(30,6)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.datediff("ts", "w0") >= 15, F.col("value")).cast(
+                        "decimal(30,6)"
+                    )
+                ),
+                F.lit(0).cast("decimal(30,6)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("variant"), "x", "y"
+        )
+    )
+    return cuped_adjustment(per_user, "variant", "y", "x", unit_scale=100)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -2455,3 +2455,144 @@ def column_entropy_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted (lower) median: the smallest value whose cumulative
+    weight reaches half the total — the robust center for weighted
+    populations (revenue-weighted price, token-weighted quality) where
+    the plain median over rows answers a different question. One row
+    out: ``(n (long), total_w (long), wmedian (double))``; NULL median
+    on empty/zero-weight input. The LOWER-median convention (no
+    midpoint interpolation) is deliberate: it is exactly restatable
+    as integer comparisons on both engines, and it always returns an
+    OBSERVED value. Rows with NULL or non-positive weights are
+    excluded (a zero weight cannot move the median; a negative one is
+    undefined).
+
+    Exactness: weights cast to exact int64; the half-total compare is
+    ``2·cumw ≥ total`` — pure integers. Scale shape: one value-grain
+    groupBy, then the running weight over the DISTINCT-VALUE table
+    (the classifier_auc contract) and one min."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    per = (
+        df.select(v.alias("_v"), w.alias("_w"))
+        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .groupBy("_v")
+        .agg(F.sum("_w").alias("_sw"))
+    )
+    win = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "_v", "_sw", F.sum("_sw").over(win).alias("_cw")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("_sw"), F.lit(0)).cast("long").alias("total_w"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.lit(2) * F.col("_cw") >= F.col("total_w"))
+        .agg(F.min("_v").alias("_m"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n",
+        "total_w",
+        F.when(F.col("total_w") > 0, F.col("_m")).alias("wmedian"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013 — the standard experimentation trick): adjust each
+    unit's metric by its PRE-EXPERIMENT covariate, ``y_adj = y −
+    θ·(x − x̄)`` with ``θ = cov(x,y)/var(x)`` pooled over all units,
+    shrinking the metric variance by the squared correlation without
+    biasing the treatment difference. One row per variant: ``(variant
+    (string), n (long), mean_y, mean_adj (double)  )`` plus the pooled
+    diagnostics repeated per row: ``theta, var_reduction (double —
+    corr², the fraction of variance CUPED removes)``.
+
+    Exactness: metric and covariate quantize to integers at
+    ``unit_scale``; θ's numerator/denominator are the n-scaled
+    closed-form sums in DECIMAL(38,0)/HUGEINT (exact), ONE division;
+    the per-variant adjustment chain reuses that scalar with exact
+    integer group sums — identical expressions cross-engine, rounded
+    to 9. Degenerate inputs (zero covariate variance) yield NULL
+    theta/adjusted means.
+
+    Scale shape: one global-sums row, one variant-grain aggregation,
+    one broadcast scalar attach — no windows, nothing row-grain past
+    the first aggregates."""
+    v = F.col(variant_col).cast("string")
+    y = F.round(F.col(metric_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    x = F.round(
+        F.col(covariate_col).cast("double") * F.lit(unit_scale)
+    ).cast("long")
+    base = df.select(v.alias("_g"), y.alias("_y"), x.alias("_x")).where(
+        F.col("_g").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_x").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n").cast(dec)
+    cov_num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_num = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_num = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    ok = varx_num.cast("double") > 0
+    theta = F.when(ok, cov_num.cast("double") / varx_num.cast("double"))
+    var_red = F.when(
+        ok & (vary_num.cast("double") > 0),
+        (cov_num.cast("double") * cov_num.cast("double"))
+        / (varx_num.cast("double") * vary_num.cast("double")),
+    )
+    xbar = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_y").cast(dec)).alias("_gy"),
+        F.sum(F.col("_x").cast(dec)).alias("_gx"),
+    )
+    scale = F.lit(float(unit_scale))
+    mean_y = F.col("_gy").cast("double") / (F.col("n").cast("double") * scale)
+    mean_x = F.col("_gx").cast("double") / (F.col("n").cast("double") * scale)
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("_g").alias("variant"),
+            "n",
+            F.round(mean_y, 9).alias("mean_y"),
+            F.when(
+                ok,
+                F.round(
+                    mean_y - theta * (mean_x - xbar / scale),
+                    9,
+                ),
+            ).alias("mean_adj"),
+            F.round(theta, 9).alias("theta"),
+            F.round(var_red, 9).alias("var_reduction"),
+        )
+    )

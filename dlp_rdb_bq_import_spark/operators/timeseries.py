@@ -970,3 +970,89 @@ def theil_sen_trend(
             ),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier,
+    JASA 1958 — the standard time-to-event curve under right
+    censoring): ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` over distinct event
+    times, with censored units leaving the risk set without an event —
+    retention, churn, time-to-conversion, crawl-revisit lifetimes.
+    One row per DISTINCT duration: ``(t (long), n_risk, d, c (long),
+    survival (double — rounded to 9; exactly 0 from the first time the
+    whole risk set fails))``.
+
+    Exactness: every count is an exact integer; each factor's log
+    ``ln((nᵢ−dᵢ)/nᵢ)`` micro-quantizes to int64 and the product
+    becomes a RUNNING INTEGER SUM over the distinct-duration table
+    (order-independent, the mutual_information discipline), exposed
+    through one ``exp`` of the same double on both engines. The
+    d = n termination (log undefined) is handled by a running flag,
+    not a sentinel value.
+
+    Scale shape: one duration-grain groupBy, then ordered windows over
+    the DISTINCT-DURATION table (bounded by the time resolution — the
+    classifier_auc contract)."""
+    t = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("boolean")
+    per = (
+        df.select(t.alias("t"), e.alias("_e"))
+        .where(F.col("t").isNotNull() & F.col("_e").isNotNull())
+        .where(F.col("t") >= 0)
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("_e").cast("long")).alias("d"),
+            F.sum((~F.col("_e")).cast("long")).alias("c"),
+        )
+    )
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per.agg(
+        F.coalesce(F.sum(F.col("d") + F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("_tot")
+    )
+    staged = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("_tot")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    dead = (F.col("d") == F.col("n_risk")) & (F.col("d") > 0)
+    cum = staged.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        F.sum(term).over(w_all).alias("_lmicro"),
+        F.max(dead.cast("int")).over(w_all).alias("_dead"),
+    )
+    return cum.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("_lmicro").cast("double") / F.lit(1e6)), 9)
+        )
+        .alias("survival"),
+    )

@@ -195,6 +195,27 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "weighted_median_price": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n, "
+        "total_w) totals row onto the distinct-value running-weight "
+        "table, and the 1-row median onto the totals",
+        "SinglePartitionWindow": "running weight over the DISTINCT-"
+        "VALUE table (price domain, cents-bounded — the classifier_auc "
+        "contract), never rows",
+    },
+    "kaplan_meier_retention": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the window-"
+        "end timestamp onto USER-grain spans, and the cohort total onto "
+        "the distinct-duration table",
+        "SinglePartitionWindow": "risk-set and product-limit running "
+        "sums over the DISTINCT-DURATION table (bounded by the time "
+        "resolution — days here; the classifier_auc contract)",
+    },
+    "cuped_purchase_value": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the window-"
+        "start timestamp onto the event stream (period split) and the "
+        "pooled (θ, x̄) statistics row onto the VARIANT-grain table",
+    },
     "theil_sen_trend": {
         "BroadcastNestedLoopJoin": "the pairwise-slope inequality join "
         "runs at DAY grain on BOTH sides (calendar²-bounded — ~3M pairs "
