@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "weighted_median_price",
     "kaplan_meier_retention",
     "cuped_purchase_value",
+    "poisson_bootstrap_se",
+    "conversion_wilson_ci",
 ]
 
 

@@ -12786,6 +12786,161 @@ def q_cuped_purchase_value(spark, sf_dir):
     return cuped_adjustment(per_user, "variant", "y", "x", unit_scale=100)
 
 
+def _boot_oracle() -> str:
+    from .operators.profiling import _POISSON1_CDF
+
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+        )
+        + f" ELSE {len(_POISSON1_CDF)} END"
+    )
+    return f"""
+WITH units AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS u,
+         CAST(round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE) * 100) AS BIGINT) AS m
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+), reps AS (SELECT CAST(range + 1 AS BIGINT) AS replicate FROM range(0, 32)),
+drawn AS (
+  SELECT replicate,
+         ({case}) AS w, m
+  FROM (
+    SELECT replicate, m,
+           CAST(('0x' || substr(md5('boot' || ':' || u || ':'
+                                     || CAST(replicate AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u
+    FROM units CROSS JOIN reps)
+), per_rep AS (
+  SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+         CASE WHEN SUM(w) > 0 THEN
+           CAST(round(CAST(SUM(CAST(w AS HUGEINT) * CAST(m AS HUGEINT))
+                           AS DOUBLE)
+                      / (CAST(SUM(w) AS DOUBLE) * 100.0e0) * 1000000.0e0)
+                AS BIGINT) END AS mean_micro
+  FROM drawn GROUP BY replicate
+), spread AS (
+  SELECT CAST(count(*) AS BIGINT) AS b,
+         CAST(SUM(mean_micro) AS HUGEINT) AS s1,
+         SUM(CAST(mean_micro AS HUGEINT) * CAST(mean_micro AS HUGEINT)) AS s2
+  FROM per_rep
+), gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(m) AS HUGEINT) AS sm
+  FROM units
+)
+SELECT replicate, n_eff,
+       CAST(mean_micro AS DOUBLE) / 1000000.0e0 AS mean_b,
+       CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0e0) AS est_mean,
+       sqrt(CAST(CAST(b AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+            / (CAST(b AS DOUBLE) * (CAST(b AS DOUBLE) - 1.0e0)))
+         / 1000000.0e0 AS se_boot
+FROM per_rep CROSS JOIN spread CROSS JOIN gl
+"""
+
+
+@query("poisson_bootstrap_se", oracle=_boot_oracle())
+def q_poisson_bootstrap_se(spark, sf_dir):
+    """EXT — deterministic Poisson bootstrap of the mean customer
+    spend's standard error (profiling.poisson_bootstrap_se; Chamandy
+    et al. 2012 — THE scale-out bootstrap: n-out-of-n resampling is a
+    coordination killer, Poisson(1) per-unit weights need none): 32
+    replicates whose weights invert the truncated Poisson CDF at an
+    md5-uniform of (seed, unit, replicate) — same draw on every
+    engine, run and partitioning, restated literal-for-literal in the
+    oracle. Replicate sums are exact integers, means micro-quantize
+    before the across-replicate n-scaled variance — hash-matched per
+    replicate AND on the SE readout."""
+    from .operators.profiling import poisson_bootstrap_se
+
+    spend = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    return poisson_bootstrap_se(
+        spend, "o_custkey", "spend", n_replicates=32, seed="boot"
+    )
+
+
+@query(
+    "conversion_wilson_ci",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS variant,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT)
+           AS conv
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n, conv,
+       CASE WHEN n > 0 THEN
+         round(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS p_hat,
+       CASE WHEN n > 0 THEN round(
+         ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.959963984540054 * 1.959963984540054
+            / (2.0e0 * CAST(n AS DOUBLE))) / (1.0e0
+          + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+         - 1.959963984540054 * sqrt(
+             (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0e0 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             + 1.959963984540054 * 1.959963984540054
+               / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0e0 + 1.959963984540054 * 1.959963984540054
+              / CAST(n AS DOUBLE)), 9) END AS ci_lo,
+       CASE WHEN n > 0 THEN round(
+         ((CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.959963984540054 * 1.959963984540054
+            / (2.0e0 * CAST(n AS DOUBLE))) / (1.0e0
+          + 1.959963984540054 * 1.959963984540054 / CAST(n AS DOUBLE))
+         + 1.959963984540054 * sqrt(
+             (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0e0 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             + 1.959963984540054 * 1.959963984540054
+               / (4.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0e0 + 1.959963984540054 * 1.959963984540054
+              / CAST(n AS DOUBLE)), 9) END AS ci_hi
+FROM per
+""",
+)
+def q_conversion_wilson_ci(spark, sf_dir):
+    """EXT — Wilson score intervals for per-variant purchase
+    conversion (profiling.wilson_interval; Wilson JASA 1927): the CI
+    that stays inside [0,1] at small n and extreme rates where Wald
+    collapses — the reporting row under ab_test_purchase's z-test and
+    cuped_purchase_value's adjusted means. Exact integer counts, one
+    closed-form IEEE chain with the shared z literal — hash-matched
+    per variant."""
+    from .operators.profiling import wilson_interval
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long")).alias(
+                "_s"
+            )
+        )
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("variant"),
+            (F.col("_s") == 1).alias("converted"),
+        )
+    )
+    return wilson_interval(per_user, "variant", "converted")
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

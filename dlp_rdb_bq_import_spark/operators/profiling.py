@@ -2596,3 +2596,211 @@ def cuped_adjustment(
             F.round(var_red, 9).alias("var_reduction"),
         )
     )
+
+
+#: P(Poisson(1) <= k) for k = 0..6, as shared double literals (both
+#: engines parse the identical decimal strings; the k = 7 tail mass is
+#: ~1e-5 and caps the weight — the standard truncation)
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_se(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    n_replicates: int = 32,
+    unit_scale: int = 100,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of a mean's standard error
+    (Chamandy, Muralidharan, Najmi & Naidu, "Estimating Uncertainty
+    for Massive Data Streams", Google research 2012 — the standard
+    one-pass bootstrap at scale: resampling n-out-of-n is a shuffle
+    killer, but Poisson(1) per-unit weights approximate the multinomial
+    exactly well at large n and need NO coordination): each unit gets
+    an independent Poisson(1) weight per replicate, each replicate's
+    weighted mean is one aggregation, and the SE is the standard
+    deviation across replicates.
+
+    Deterministic and engine-portable: the Poisson draw inverts the
+    CDF at an md5-uniform of ``seed:unit:replicate`` (the
+    deterministic_sample discipline) against shared truncated-CDF
+    literals — same weights on every engine, every run, every
+    partitioning (retry-idempotent, the dp_noisy_counts property).
+
+    Exactness: metrics quantize to integers at ``unit_scale``;
+    replicate sums are exact integers; each replicate mean's ONE
+    division micro-quantizes to int64 and the across-replicate
+    variance uses the n-scaled exact integer formula — engine-
+    identical to the last bit before the final sqrt, so the readouts
+    ship as RAW IEEE divisions with no rounding step (round(·,9) at
+    1e5-dollar magnitudes asks for more significant digits than a
+    double holds — the cusum_changepoints lesson). Output one row
+    per replicate ``(replicate (long), n_eff (long — Σ weights),
+    mean_b (double))`` with the readout repeated: ``est_mean (double —
+    the UNWEIGHTED full-sample mean), se_boot (double)``.
+
+    Scale shape: one row-grain projection (weights are expressions,
+    no RNG state), explode ×B, one (replicate) aggregation — B is a
+    constant; nothing quadratic, no driver loop."""
+    if n_replicates < 2:
+        raise ValueError(
+            f"poisson_bootstrap_se: n_replicates must be >= 2, got {n_replicates}"
+        )
+    if unit_scale < 1:
+        raise ValueError(
+            f"poisson_bootstrap_se: unit_scale must be >= 1, got {unit_scale}"
+        )
+    spark = df.sparkSession
+    m = F.round(F.col(metric_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(unit_col).cast("string").alias("_u"), m.alias("_m")
+    ).where(F.col("_u").isNotNull() & F.col("_m").isNotNull())
+    reps = spark.range(1, n_replicates + 1).select(
+        F.col("id").alias("replicate")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("_u"),
+                    F.col("replicate").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        base.crossJoin(F.broadcast(reps))
+        .select("replicate", w.alias("_w"), "_m")
+        .groupBy("replicate")
+        .agg(
+            F.sum("_w").cast("long").alias("n_eff"),
+            F.sum(
+                F.col("_w").cast("decimal(38,0)")
+                * F.col("_m").cast("decimal(38,0)")
+            ).alias("_wm"),
+        )
+        .select(
+            "replicate",
+            "n_eff",
+            F.when(
+                F.col("n_eff") > 0,
+                F.round(
+                    F.col("_wm").cast("double")
+                    / (
+                        F.col("n_eff").cast("double")
+                        * F.lit(float(unit_scale))
+                    )
+                    * F.lit(1e6)
+                ).cast("long"),
+            ).alias("_mean_micro"),
+        )
+    )
+    dec = "decimal(38,0)"
+    spread = per_rep.agg(
+        F.count(F.lit(1)).cast("long").alias("_b"),
+        F.sum(F.col("_mean_micro").cast(dec)).alias("_s1"),
+        F.sum(
+            F.col("_mean_micro").cast(dec) * F.col("_mean_micro").cast(dec)
+        ).alias("_s2"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_m").cast(dec)).alias("_sm"),
+    )
+    bvar = (
+        F.col("_b").cast(dec) * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    ).cast("double") / (
+        F.col("_b").cast("double")
+        * (F.col("_b").cast("double") - F.lit(1.0))
+    )
+    return (
+        per_rep.crossJoin(F.broadcast(spread))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "replicate",
+            "n_eff",
+            (F.col("_mean_micro").cast("double") / F.lit(1e6)).alias(
+                "mean_b"
+            ),
+            (
+                F.col("_sm").cast("double")
+                / (F.col("_n").cast("double") * F.lit(float(unit_scale)))
+            ).alias("est_mean"),
+            (F.sqrt(bvar) / F.lit(1e6)).alias("se_boot"),
+        )
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval for per-variant conversion rates (Wilson,
+    JASA 1927 — the binomial CI that behaves at small n and extreme
+    rates, where the Wald interval collapses or escapes [0, 1]): the
+    reporting companion to the ab_test z-test and the CUPED
+    adjustment. One row per variant: ``(variant (string), n, conv
+    (long), p_hat, ci_lo, ci_hi (double, rounded to 9; NULL at
+    n = 0))``. The default z is the exact double for the 97.5th
+    normal percentile (95% two-sided), a shared literal.
+
+    Exactness: counts are exact integers; the interval is one closed-
+    form IEEE chain over them, identical cross-engine. Scale shape:
+    one variant-grain aggregation — nothing else."""
+    if z <= 0:
+        raise ValueError(f"wilson_interval: z must be > 0, got {z}")
+    per = (
+        df.select(
+            F.col(variant_col).cast("string").alias("variant"),
+            F.col(success_col).cast("boolean").cast("long").alias("_s"),
+        )
+        .where(F.col("variant").isNotNull() & F.col("_s").isNotNull())
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_s").cast("long").alias("conv"),
+        )
+    )
+    zz = F.lit(z)
+    nn = F.col("n").cast("double")
+    p = F.col("conv").cast("double") / nn
+    denom = F.lit(1.0) + zz * zz / nn
+    center = (p + zz * zz / (F.lit(2.0) * nn)) / denom
+    half = (
+        zz
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + zz * zz / (F.lit(4.0) * nn * nn)
+        )
+        / denom
+    )
+    return per.select(
+        "variant",
+        "n",
+        "conv",
+        F.when(F.col("n") > 0, F.round(p, 9)).alias("p_hat"),
+        F.when(F.col("n") > 0, F.round(center - half, 9)).alias("ci_lo"),
+        F.when(F.col("n") > 0, F.round(center + half, 9)).alias("ci_hi"),
+    )

@@ -195,6 +195,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
     },
+    "poisson_bootstrap_se": {
+        "BroadcastNestedLoopJoin": "constant-factor expansion + scalar "
+        "attaches: the 32-row replicate spine broadcasts onto the UNIT-"
+        "grain metric table (customers, not rows), then the 1-row "
+        "spread/global rows attach to the 32 replicate rows",
+    },
     "weighted_median_price": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n, "
         "total_w) totals row onto the distinct-value running-weight "
