@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "cuped_purchase_value",
     "poisson_bootstrap_se",
     "conversion_wilson_ci",
+    "mann_kendall_trend",
+    "g_test_independence",
 ]
 
 

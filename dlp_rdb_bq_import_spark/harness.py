@@ -12941,6 +12941,109 @@ def q_conversion_wilson_ci(spark, sf_dir):
     return wilson_interval(per_user, "variant", "converted")
 
 
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts,
+         CASE WHEN day(o_orderdate) = 1
+              THEN CAST(o_totalprice AS DOUBLE) * 5.0e0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+srow AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1 ELSE 0 END), 0)
+              AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1)
+                           * (2 * CAST(t AS HUGEINT) + 5)), 0) AS HUGEINT)
+           AS tie
+  FROM (SELECT count(*) AS t FROM daily GROUP BY x)
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, s,
+       CASE WHEN n_days > 1 AND
+         ((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0e0)
+           * (2.0e0 * CAST(n_days AS DOUBLE) + 5.0e0)
+           - CAST(tie AS DOUBLE)) / 18.0e0) > 0
+       THEN round(
+         CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0e0)
+              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0e0)
+              ELSE 0.0e0 END
+         / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0e0)
+                 * (2.0e0 * CAST(n_days AS DOUBLE) + 5.0e0)
+                 - CAST(tie AS DOUBLE)) / 18.0e0), 9)
+       END AS z
+FROM nd CROSS JOIN srow CROSS JOIN ties
+""",
+)
+def q_mann_kendall_trend(spark, sf_dir):
+    """EXT — Mann-Kendall monotonic-trend test (timeseries.
+    mann_kendall_trend; Mann 1945) on the SAME corrupted series
+    theil_sen_trend estimates — the classical pairing: MK says whether
+    a monotone trend exists (rank-based, outlier-immune), Theil-Sen
+    says how steep. S is a pure integer sign sum over DAY-grain pairs,
+    the tie term folds in DECIMAL(38,0)/HUGEINT, z is one IEEE chain
+    with the standard continuity correction — hash-matched. TPC-H
+    dates are trend-free, so the truthful readout is |z| small: the
+    null pin (the pytest plants the positive case)."""
+    from .operators.timeseries import mann_kendall_trend
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    planted = o.select(
+        F.col("o_orderdate").alias("ts"),
+        F.when(
+            F.dayofmonth("o_orderdate") == 1,
+            F.col("o_totalprice").cast("double") * F.lit(5.0),
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("v"),
+    )
+    return mann_kendall_trend(planted, ts_col="ts", value_col="v")
+
+
+@query(
+    "g_test_independence",
+    oracle="""
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM base GROUP BY 1),
+mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+summed AS (
+  SELECT CAST(COALESCE(SUM(c * CAST(round(ln(
+           CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0e0)
+           AS BIGINT)), 0) AS BIGINT) AS gm
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS ra,
+         (SELECT CAST(count(*) AS BIGINT) FROM mb) AS rb
+)
+SELECT n, CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+       CASE WHEN ra > 1 AND rb > 1
+            THEN round(2.0e0 * CAST(gm AS DOUBLE) / 1000000.0e0, 9) END AS g
+FROM tot CROSS JOIN dims CROSS JOIN summed
+""",
+)
+def q_g_test_independence(spark, sf_dir):
+    """EXT — likelihood-ratio G-test (profiling.g_test_independence;
+    Wilks 1935) over the same (lang, source) contingency the χ² and
+    MI queries measure — G = 2N·I(A;B) exactly, and χ² is its
+    second-order approximation, so the three readouts corroborate
+    each other on one grid. Observed cells only (o·ln(o/e) vanishes
+    at o = 0 — no marginal cross), micro-log int64 fold —
+    hash-matched."""
+    from .operators.profiling import g_test_independence
+
+    return g_test_independence(
+        t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -2804,3 +2804,64 @@ def wilson_interval(
         F.when(F.col("n") > 0, F.round(center - half, 9)).alias("ci_lo"),
         F.when(F.col("n") > 0, F.round(center + half, 9)).alias("ci_hi"),
     )
+
+
+def g_test_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Likelihood-ratio G-test of independence (Wilks 1935 — the
+    information-theoretic sibling of :func:`chi_square_independence`
+    over the same contingency: ``G = 2·Σ o·ln(o/e)``, which is exactly
+    ``2N·I(A;B)`` — the scaled :func:`mutual_information`; χ² is its
+    second-order Taylor approximation, so the pair brackets the same
+    null). One row out: ``(n (long), dof (long), g (double, rounded
+    to 9; NULL at dof 0))``.
+
+    Exactness: only OBSERVED cells contribute (o·ln(o/e) vanishes at
+    o = 0 — no marginal cross needed, unlike χ² whose (o−e)² term
+    keeps expected mass); each cell's log-ratio collapses to integer
+    counts ``ln(N·o/(ca·cb))``, micro-quantizes to int64 and folds as
+    a count-weighted integer sum (the mutual_information discipline,
+    doubled once at the readout)."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    term = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("_c").cast("double")
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    summed = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("_c") * term).alias("_t"))
+        .agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_gm"))
+    )
+    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("_ra")).crossJoin(
+        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("_rb")))
+    )
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(summed))
+        .select(
+            "n",
+            ((F.col("_ra") - 1) * (F.col("_rb") - 1)).cast("long").alias("dof"),
+            F.when(
+                (F.col("_ra") > 1) & (F.col("_rb") > 1),
+                F.round(
+                    F.lit(2.0) * F.col("_gm").cast("double") / F.lit(1e6), 9
+                ),
+            ).alias("g"),
+        )
+    )

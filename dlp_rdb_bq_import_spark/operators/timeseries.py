@@ -1056,3 +1056,82 @@ def kaplan_meier(
         )
         .alias("survival"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Mann-Kendall trend test over a daily series (Mann 1945;
+    Kendall's tau machinery): is there a MONOTONIC trend at all? The
+    significance companion to :func:`theil_sen_trend` (the classical
+    pairing: MK tests, Theil-Sen estimates — both rank-based, both
+    immune to the outlier days that drive least squares): ``S = Σ_{i<j}
+    sign(x_j − x_i)`` with the tie-corrected normal approximation and
+    the standard ±1 continuity correction. One row out: ``(n_days
+    (long), s (long), z (double; NULL when n < 2 or the variance
+    degenerates — an all-tied series))``.
+
+    Exactness: daily totals are exact integers, S is a pure integer
+    sign sum over DAY-grain pairs (calendar²-bounded, the theil_sen
+    contract), the tie term ``Σ t(t−1)(2t+5)`` is DECIMAL(38,0)/
+    HUGEINT-exact, and z is one IEEE chain over exact integers,
+    rounded to 9."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    a = daily.select(F.col("day").alias("_da"), F.col("_x").alias("_xa"))
+    b = daily.select(F.col("day").alias("_db"), F.col("_x").alias("_xb"))
+    s_row = (
+        a.join(b, F.col("_da") < F.col("_db"))
+        .select(
+            F.when(F.col("_xb") > F.col("_xa"), F.lit(1))
+            .when(F.col("_xb") < F.col("_xa"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("_sgn")
+        )
+        .agg(F.coalesce(F.sum("_sgn"), F.lit(0)).cast("long").alias("s"))
+    )
+    dec = "decimal(38,0)"
+    ties = (
+        daily.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_groups"),
+            F.coalesce(
+                F.sum(
+                    F.col("_t").cast(dec)
+                    * (F.col("_t").cast(dec) - F.lit(1).cast(dec))
+                    * (
+                        F.lit(2).cast(dec) * F.col("_t").cast(dec)
+                        + F.lit(5).cast(dec)
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).alias("_tie"),
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("_tie").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nd.crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s",
+            F.when((F.col("n_days") > 1) & (var_s > 0), F.round(z, 9)).alias(
+                "z"
+            ),
+        )
+    )

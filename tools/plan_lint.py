@@ -222,6 +222,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "start timestamp onto the event stream (period split) and the "
         "pooled (θ, x̄) statistics row onto the VARIANT-grain table",
     },
+    "mann_kendall_trend": {
+        "BroadcastNestedLoopJoin": "the sign-sum inequality join runs at "
+        "DAY grain on both sides (calendar²-bounded, the theil_sen "
+        "contract), plus 1-row scalar attaches for S/tie/n readouts",
+    },
+    "g_test_independence": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the N total "
+        "broadcasts onto the CELL-grain contingency table (|A|·|B| "
+        "cells, never rows) — the mutual_information shape",
+    },
     "theil_sen_trend": {
         "BroadcastNestedLoopJoin": "the pairwise-slope inequality join "
         "runs at DAY grain on BOTH sides (calendar²-bounded — ~3M pairs "
