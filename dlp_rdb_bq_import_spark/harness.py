@@ -10411,7 +10411,8 @@ mb AS (SELECT b, count(*) AS cb FROM base GROUP BY 1),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
 terms AS (
   SELECT CAST(COALESCE(SUM(
-           c * CAST(round(ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+           CAST(c AS HUGEINT)
+           * CAST(round(ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
                  / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0)
                AS BIGINT)), 0) AS BIGINT) AS mi_micro
   FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
@@ -12111,16 +12112,16 @@ WITH wa AS (
   FROM per
 ), sums AS (
   SELECT
-    CAST(COALESCE(SUM(CASE WHEN ca > 0 THEN ca * CAST(round(ln(
+    COALESCE(SUM(CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT) * CAST(round(ln(
       2.0e0 * CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
       / (CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
          + CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE))) * 1000000.0e0)
-      AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS ma,
-    CAST(COALESCE(SUM(CASE WHEN cb > 0 THEN cb * CAST(round(ln(
+      AS BIGINT) ELSE 0 END), 0) AS ma,
+    COALESCE(SUM(CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT) * CAST(round(ln(
       2.0e0 * CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE)
       / (CAST(ca AS DOUBLE) * CAST(n_b AS DOUBLE)
          + CAST(cb AS DOUBLE) * CAST(n_a AS DOUBLE))) * 1000000.0e0)
-      AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS mb
+      AS BIGINT) ELSE 0 END), 0) AS mb
   FROM per CROSS JOIN tot
 )
 SELECT n_a, n_b, n_cats,
@@ -12386,9 +12387,13 @@ def q_zipf_slope(spark, sf_dir):
     vocabulary — natural text sits near −1, templated/boilerplate
     corpora flatten, synthetic spam steepens; a one-row corpus
     fingerprint next to unseen_mass_estimate. Ranks are total-ordered
-    (freq desc, word asc), both coordinates micro-quantize to int64,
-    the closed-form sums fold in DECIMAL(38,0)/HUGEINT, scales cancel
-    in the ratio — hash-matched."""
+    (freq desc, word asc) and assigned by the range-exchange +
+    per-partition-offset path (layout.global_row_ids — vocabulary
+    grows with the corpus under Heaps' law, so the naive ordered
+    window the ORACLE uses would serialize it through one task); both
+    coordinates micro-quantize to int64, the closed-form sums fold in
+    DECIMAL(38,0)/HUGEINT, scales cancel in the ratio —
+    hash-matched."""
     from .operators.text import zipf_slope
 
     return zipf_slope(t(spark, sf_dir, "documents"))
@@ -12578,12 +12583,14 @@ def q_image_channel_histogram(spark, sf_dir):
 @query(
     "weighted_median_price",
     oracle="""
-WITH per AS (
+WITH raw AS (
   SELECT CAST(l_extendedprice AS DOUBLE) AS v,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sw
+         CAST(round(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS w
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-    AND l_quantity > 0
+), per AS (
+  SELECT v, CAST(SUM(w) AS BIGINT) AS sw
+  FROM raw WHERE w > 0
   GROUP BY 1
 ), cum AS (
   SELECT v, SUM(sw) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
@@ -12605,8 +12612,10 @@ def q_weighted_median_price(spark, sf_dir):
     different center than the row median whenever quantity correlates
     with price. Lower-median convention (always an observed value,
     pure-integer half-total compare ``2·cumw ≥ total`` — exactly
-    restatable); running weight over the DISTINCT-VALUE table, the
-    classifier_auc contract. Hash-matched."""
+    restatable); weights round to integers BEFORE the positivity
+    filter on BOTH engines (the explicit quantization contract — no
+    silent engine-specific double→long cast); running weight over the
+    DISTINCT-VALUE table, the classifier_auc contract. Hash-matched."""
     from .operators.profiling import weighted_median
 
     return weighted_median(
@@ -13014,16 +13023,16 @@ ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM base GROUP BY 1),
 mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
 summed AS (
-  SELECT CAST(COALESCE(SUM(c * CAST(round(ln(
+  SELECT COALESCE(SUM(CAST(c AS HUGEINT) * CAST(round(ln(
            CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
            / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0e0)
-           AS BIGINT)), 0) AS BIGINT) AS gm
+           AS BIGINT)), 0) AS gm
   FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 ), dims AS (
   SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS ra,
          (SELECT CAST(count(*) AS BIGINT) FROM mb) AS rb
 )
-SELECT n, CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+SELECT n, CAST(GREATEST(ra - 1, 0) * GREATEST(rb - 1, 0) AS BIGINT) AS dof,
        CASE WHEN ra > 1 AND rb > 1
             THEN round(2.0e0 * CAST(gm AS DOUBLE) / 1000000.0e0, 9) END AS g
 FROM tot CROSS JOIN dims CROSS JOIN summed

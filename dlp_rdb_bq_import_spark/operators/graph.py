@@ -889,7 +889,11 @@ def connected_components(
     of the component (deterministic, partitioning-independent — the
     same labeling the recursive-CTE oracle and union-find produce).
     Nodes with no edges never reach an edge-driven operator; union
-    singleton rows downstream if the node universe matters.
+    singleton rows downstream if the node universe matters. A node
+    whose ONLY incident edges are self-loops IS emitted, as its own
+    singleton ``(node, node)`` component — a self-loop carries no
+    connectivity but does assert the node exists, so dropping it
+    would silently shrink the node universe of the edge list.
 
     Per round: large-star (symmetrize → per-center min → re-hang
     larger neighbors) then small-star (orient to the larger endpoint →
@@ -903,14 +907,35 @@ def connected_components(
     clash = reserved & {src_col, dst_col}
     if clash:
         raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
+    raw = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+    ).where(F.col("_u").isNotNull() & F.col("_v").isNotNull())
     e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
-        )
-        .where(F.col("_u").isNotNull() & F.col("_v").isNotNull())
-        .where(F.col("_u") < F.col("_v"))
+        raw.where(F.col("_u") < F.col("_v"))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # self-loop-only nodes: the _u < _v canonicalization discards
+    # self-loops (they carry no connectivity), but a node whose only
+    # incident edge is a self-loop must still appear — as its own
+    # singleton component. Anti-join against the real-edge node
+    # universe (which the contraction preserves: every node of `e` is
+    # a root or a hanging node at the fixpoint). Eagerly checkpointed
+    # so its lineage survives the loop's unpersists.
+    loop_nodes = (
+        raw.where(F.col("_u") == F.col("_v"))
+        .select(F.col("_u").alias("node"))
+        .distinct()
+    )
+    edge_nodes = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .distinct()
+    )
+    singletons = (
+        loop_nodes.join(edge_nodes, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
 
@@ -967,6 +992,7 @@ def connected_components(
                     F.col("_v").alias("node"), F.col("_u").alias("component")
                 )
                 .unionByName(roots)
+                .unionByName(singletons)
                 .distinct()
             )
     raise RuntimeError(

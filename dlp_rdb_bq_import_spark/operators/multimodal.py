@@ -7,13 +7,15 @@ batch is processed vectorized and the (large) payload bytes never pass
 through Python row-at-a-time.
 
 The decode stage is REAL: ``operators/media_codecs.py`` implements the
-public interchange formats byte-for-byte (24-bit BMP, P6 PPM, and
-non-interlaced 8-bit PNG images — PNG's DEFLATE is stdlib zlib — plus
-RIFF 16-bit-PCM WAV audio and YUV4MPEG2 C444 video), so features,
-thumbnails and frame digests below are computed from actual decoded
-pixels/samples. Formats whose compression needs a codec library
-(JPEG/MP3/H.264) still raise ``NotImplementedError`` at the sniffing
-layer — those libraries this container does not ship.
+public interchange formats byte-for-byte (24-bit BMP, P6 PPM,
+non-interlaced 8-bit PNG — PNG's DEFLATE is stdlib zlib — baseline
+JPEG per ITU-T T.81 and GIF87a/89a images, plus RIFF 16-bit-PCM WAV
+audio and YUV4MPEG2 C444 video), so features, thumbnails and frame
+digests below are computed from actual decoded pixels/samples. The
+remaining formats whose decode is out of scope (JPEG arithmetic/
+hierarchical/12-bit variants, MP3, H.264) raise
+``NotImplementedError`` with a named reason at the dispatch layer —
+see ``media_codecs.py`` for the exact scope of each codec.
 
 Fixtures carry no media, so ``attach_media`` synthesizes real encoded
 bytes deterministically from the document id (a BMP is a BMP whether a

@@ -1742,8 +1742,16 @@ def mutual_information(
         cells.join(F.broadcast(ma), "_a")
         .join(F.broadcast(mb), "_b")
         .crossJoin(F.broadcast(tot))
-        .select((F.col("_c") * term).alias("_t"))
-        .agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("mi_micro"))
+        # DECIMAL(38,0) products/sum (HUGEINT oracle) — the
+        # js_divergence overflow discipline; mi_micro stays long in
+        # the output contract (any genuine int64 overflow of the
+        # TOTAL was silently wrong before, now it's exact internally)
+        .select((F.col("_c").cast("decimal(38,0)") * term).alias("_t"))
+        .agg(
+            F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("mi_micro")
+        )
     )
     return tot.crossJoin(F.broadcast(terms)).select(
         "n",
@@ -2244,8 +2252,10 @@ def js_divergence(
     ``ln(p/m) = ln(2·ca·tb / (ca·tb + cb·ta))`` — total without
     special cases (an absent category contributes weight 0 on its
     empty side and exactly ln 2 on the other). Each log micro-
-    quantizes to int64 BEFORE its count-weighted integer sum (the
-    mutual_information discipline), one IEEE division per side,
+    quantizes to int64 BEFORE its count-weighted integer sum, and the
+    count×micro-log products fold in DECIMAL(38,0) (HUGEINT in the
+    oracle — |lr| ≲ 4e7 micro-nats would overflow a plain int64
+    product near 2e11 rows/side); one IEEE division per side,
     rounded to 9. One row out: ``(n_a, n_b (long), n_cats (long),
     jsd_nats (double; NULL when either side is empty))``.
 
@@ -2291,17 +2301,30 @@ def js_divergence(
         .select(
             # the log-ratio denominator is 0 when EITHER side is empty
             # (ANSI division) — and JSD is undefined there anyway, so
-            # the whole term is gated, not just the readout
-            F.when(both & (F.col("_ca") > 0), F.col("_ca") * lr_a)
-            .otherwise(F.lit(0))
+            # the whole term is gated, not just the readout; products
+            # and sums fold in DECIMAL(38,0) (HUGEINT oracle) — |lr|
+            # reaches ~4e7 micro-nats, so a plain int64 product
+            # overflows once a side's count nears ~2e11
+            F.when(
+                both & (F.col("_ca") > 0),
+                F.col("_ca").cast("decimal(38,0)") * lr_a,
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
             .alias("_sa"),
-            F.when(both & (F.col("_cb") > 0), F.col("_cb") * lr_b)
-            .otherwise(F.lit(0))
+            F.when(
+                both & (F.col("_cb") > 0),
+                F.col("_cb").cast("decimal(38,0)") * lr_b,
+            )
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
             .alias("_sb"),
         )
         .agg(
-            F.coalesce(F.sum("_sa"), F.lit(0)).cast("long").alias("_ma"),
-            F.coalesce(F.sum("_sb"), F.lit(0)).cast("long").alias("_mb"),
+            F.coalesce(F.sum("_sa"), F.lit(0).cast("decimal(38,0)")).alias(
+                "_ma"
+            ),
+            F.coalesce(F.sum("_sb"), F.lit(0).cast("decimal(38,0)")).alias(
+                "_mb"
+            ),
         )
     )
     return tot.crossJoin(F.broadcast(sums)).select(
@@ -2470,18 +2493,25 @@ def weighted_median(
     on empty/zero-weight input. The LOWER-median convention (no
     midpoint interpolation) is deliberate: it is exactly restatable
     as integer comparisons on both engines, and it always returns an
-    OBSERVED value. Rows with NULL or non-positive weights are
-    excluded (a zero weight cannot move the median; a negative one is
-    undefined).
+    OBSERVED value. Weights are INTEGER by contract: fractional
+    weights are rounded half-away-from-zero to the nearest integer
+    BEFORE the positivity filter (so 0 < w < 0.5 rounds to 0 and is
+    excluded, w = 0.5 rounds to 1 and counts) — the explicit
+    quantization both engines restate identically, rather than a
+    silent engine-specific double→long cast. Rows with NULL or
+    non-positive (rounded) weights are excluded (a zero weight cannot
+    move the median; a negative one is undefined).
 
-    Exactness: weights cast to exact int64; the half-total compare is
+    Exactness: weights round (HALF_UP ≡ DuckDB round — identical for
+    all signs) then cast to exact int64; the positivity filter sits
+    AFTER the rounding on both engines; the half-total compare is
     ``2·cumw ≥ total`` — pure integers. Scale shape: one value-grain
     groupBy, then the running weight over the DISTINCT-VALUE table
     (the classifier_auc contract) and one min."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
-    w = F.col(weight_col).cast("long")
+    w = F.round(F.col(weight_col).cast("double")).cast("long")
     per = (
         df.select(v.alias("_v"), w.alias("_w"))
         .where(F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") > 0))
@@ -2845,8 +2875,14 @@ def g_test_independence(
         cells.join(F.broadcast(ma), "_a")
         .join(F.broadcast(mb), "_b")
         .crossJoin(F.broadcast(tot))
-        .select((F.col("_c") * term).alias("_t"))
-        .agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_gm"))
+        # count×micro-log products fold in DECIMAL(38,0) (HUGEINT
+        # oracle) — the js_divergence overflow discipline
+        .select((F.col("_c").cast("decimal(38,0)") * term).alias("_t"))
+        .agg(
+            F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias(
+                "_gm"
+            )
+        )
     )
     dims = ma.agg(F.count(F.lit(1)).cast("long").alias("_ra")).crossJoin(
         F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("_rb")))
@@ -2856,7 +2892,12 @@ def g_test_independence(
         .crossJoin(F.broadcast(summed))
         .select(
             "n",
-            ((F.col("_ra") - 1) * (F.col("_rb") - 1)).cast("long").alias("dof"),
+            # GREATEST-gated so empty input reports dof 0, not the
+            # (0-1)*(0-1) = 1 artifact
+            (
+                F.greatest(F.col("_ra") - 1, F.lit(0))
+                * F.greatest(F.col("_rb") - 1, F.lit(0))
+            ).cast("long").alias("dof"),
             F.when(
                 (F.col("_ra") > 1) & (F.col("_rb") > 1),
                 F.round(

@@ -2525,10 +2525,15 @@ def zipf_slope(
     ``(n_words (long), slope, intercept (double; NULL when the
     vocabulary has < 2 words))`` with intercept in nats at rank 1.
 
-    Scale shape: word-grain groupBy, then ONE ordered window over the
-    DISTINCT-WORD table (vocabulary-sized — the classifier_auc
-    contract) and a 1-row closed-form fold."""
-    from pyspark.sql import Window
+    Scale shape: word-grain groupBy, then rank assignment via the
+    range-exchange + per-partition-offset path of
+    ``layout.global_row_ids`` — NOT an unpartitioned ``row_number``
+    window: vocabulary is not a bounded domain (Heaps' law — a web
+    corpus has 10⁸–10⁹ distinct tokens), so the naive window would
+    serialize the whole vocabulary through one task; the row-id path
+    distributes the ordering exactly like ``vocab_encode_words`` and
+    ``deterministic_shuffle``. A 1-row closed-form fold finishes."""
+    from .layout import global_row_ids
 
     words = (
         df.where(F.col(text_col).isNotNull())
@@ -2536,12 +2541,11 @@ def zipf_slope(
         .where(F.col("w") != "")
     )
     per = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    ranked = per.select(
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
-        .alias("r"),
-        "c",
-    )
+    ranked = global_row_ids(
+        per.select("w", "c", (-F.col("c")).alias("_negc")),
+        ["_negc", "w"],
+        id_col="_rid",
+    ).select((F.col("_rid") + 1).alias("r"), "c")
     x = F.round(F.log(F.col("r").cast("double")) * F.lit(1e6)).cast("long")
     y = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
     dec = "decimal(38,0)"

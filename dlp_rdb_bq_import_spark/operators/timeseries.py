@@ -830,6 +830,21 @@ def seasonal_decompose(
     days are present), seasonal is the day-of-week mean of the
     detrended interior, and resid is what's left.
 
+    UNCENTERED-seasonal convention, deliberately: the seasonal
+    component is the RAW day-of-week mean of the detrended interior
+    and is NOT re-centered to sum to ~0 over the week (the
+    statsmodels/textbook variant subtracts the mean of the 7
+    period means). Reconstruction ``x = trend + seasonal + resid``
+    holds either way; under this convention seasonal/resid levels
+    are offset from the centered variant by the detrended-series
+    mean. Chosen because the raw per-dow mean is ONE exact
+    integer-sum divide restated identically cross-engine, while the
+    mean-of-7-rational-means needs either a non-scale-safe common
+    denominator (counts multiply past DECIMAL(38,0)) or an
+    order-sensitive double fold. Callers wanting the centered
+    convention can subtract ``avg(seasonal) OVER ()`` of the 7
+    distinct (dow, seasonal) rows downstream.
+
     Exactness: the 7-day neighbor sum ``t7_t`` is an exact integer
     (units), so the detrended series ``7·x_t − t7_t`` is exact in
     1/7-units; day-of-week means accumulate those integers in

@@ -254,11 +254,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_quality_scores shape (vocabulary-size scalar, computed once "
         "from the persisted count artifact)",
     },
-    "zipf_slope": {
-        "SinglePartitionWindow": "rank assignment over the DISTINCT-WORD "
-        "table (vocabulary-sized, never rows — the classifier_auc "
-        "contract); the regression fold that follows is closed-form",
-    },
     "embedding_random_projection": {
         "BroadcastNestedLoopJoin": "constant-factor expansion: the "
         "out_dim-row (8) component spine broadcast onto the exploded "
@@ -422,7 +417,29 @@ def main() -> int:
         if r["unexplained"]:
             bad += 1
         print(f"{tag}  {name}: hazards={r['hazards'] or '-'} exchanges={r['exchanges']}")
-    print(json.dumps({"checked": len(names), "failures": bad}))
+    # registry-count guard (VERDICT r11 task 2): a full sweep MUST cover
+    # every registered query — queries registered after a sweep ran are
+    # exactly the ones that ship unlinted, so a full run that checks
+    # fewer than the registry fails loudly, and an explicit-subset run
+    # is marked PARTIAL so its artifact can't masquerade as full.
+    registered = len(harness.queries())
+    partial = bool(args.names)
+    if not partial and len(names) != registered:
+        print(
+            f"FAIL  registry-count guard: checked {len(names)} != "
+            f"{registered} registered"
+        )
+        bad += 1
+    print(
+        json.dumps(
+            {
+                "checked": len(names),
+                "registered": registered,
+                "partial": partial,
+                "failures": bad,
+            }
+        )
+    )
     return 1 if bad else 0
 
 

@@ -133,9 +133,24 @@ def main() -> None:
         for k, v in results.items()
         if v["status"] not in ("ok", "skipped_quadratic_twin")
     }
+    # registry-count guard (VERDICT r11 task 2): the soak must cover
+    # every registered query (skipped quadratic twins still count as
+    # covered rows) — fail loudly if the sweep and the registry diverge.
+    registered = len(harness.queries())
+    if len(results) != registered:
+        errors["__registry_count_guard__"] = {
+            "status": "error",
+            "sec": 0.0,
+            "err": f"swept {len(results)} != {registered} registered",
+        }
+        print(
+            f"FAIL registry-count guard: swept {len(results)} != "
+            f"{registered} registered"
+        )
     out = {
         "sf_dir": args.sf,
         "queries": len(results),
+        "registered": registered,
         "errors": len(errors),
         "total_sec": round(sum(v["sec"] for v in results.values()), 1),
         "results": results,
