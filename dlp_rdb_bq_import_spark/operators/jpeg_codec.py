@@ -13,10 +13,15 @@ the public standard and decodable with ``struct`` + numpy:
 - chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0 sampling factors,
 - JFIF YCbCr → RGB.
 
-Out-of-profile streams fail loudly: progressive (SOF2), arithmetic
-coding (SOF9+), 12-bit precision, and hierarchical modes raise
-``NotImplementedError`` — the honesty contract of
-``operators/media_codecs.py``, now moved one format deeper.
+Progressive JPEG (SOF2, Annex G) decodes too: spectral-selection and
+successive-approximation scans (DC/AC first + refinement passes, EOB
+runs, per-scan restart intervals) accumulate into a shared coefficient
+store and share the baseline path's dequant+IDCT tail — a truncated
+progressive stream renders from whatever scans arrived, which is the
+format's point. Out-of-profile streams still fail loudly: arithmetic
+coding (SOF9+), 12-bit precision, lossless and hierarchical modes
+raise ``NotImplementedError`` — the honesty contract of
+``operators/media_codecs.py``, now two formats deeper.
 
 The encoder emits baseline 4:4:4 with the Annex K example tables
 (quality-scaled by the public libjpeg formula) — fixtures and
@@ -252,14 +257,16 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB.
+    """JPEG bytes → (h, w, 3) uint8 RGB.
 
-    Supports SOF0 (baseline sequential, 8-bit), 1 or 3 components,
-    any sampling factors up to 4 (4:4:4/4:2:2/4:2:0 included), DRI
-    restart intervals, multiple DQT/DHT segments. SOF1 (extended
-    sequential, Huffman) decodes identically by construction.
-    Progressive/arithmetic/12-bit/hierarchical raise
-    ``NotImplementedError``; malformed streams raise ``ValueError``."""
+    Supports SOF0/SOF1 (baseline/extended sequential, 8-bit) AND SOF2
+    (progressive, Huffman — Annex G: spectral selection, successive
+    approximation, DC/AC refinement scans, EOB runs), 1 or 3
+    components, any sampling factors up to 4 (4:4:4/4:2:2/4:2:0
+    included), DRI restart intervals, multiple DQT/DHT segments.
+    Arithmetic coding, 12-bit precision, lossless and hierarchical
+    modes raise ``NotImplementedError``; malformed streams raise
+    ``ValueError``."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -267,6 +274,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive coefficient store, one array per component
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -275,7 +284,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
-        if marker == 0xD9:  # EOI before scan
+        if marker == 0xD9:  # EOI
+            if progressive and coef is not None:
+                fh, fw, comps = frame
+                return _idct_merge(fh, fw, comps, coef, qtables)
             raise ValueError("invalid JPEG: EOI before SOS")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # parameterless
             continue
@@ -307,7 +319,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htables[(tc, th)] = _build_huff_decode(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported (8 only)")
@@ -316,10 +328,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG not supported "
-                f"(SOF marker 0x{marker:02X}; baseline SOF0/SOF1 only)"
+                "arithmetic/lossless/hierarchical JPEG not supported "
+                f"(SOF marker 0x{marker:02X}; SOF0/SOF1/SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -331,11 +344,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tda = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tda >> 4, tda & 0x0F))
-            return _decode_scan(
-                payload, seg_end, frame, scan, qtables, htables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, seg_end, frame, scan, qtables, htables, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coef is None:
+                fh, fw, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-fw // (8 * hmax))
+                mcus_y = -(-fh // (8 * vmax))
+                coef = [
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                    for _, hi, vi, _ in comps
+                ]
+            pos = _decode_progressive_scan(
+                payload,
+                seg_end,
+                frame,
+                scan,
+                (ss, se, ahal >> 4, ahal & 0x0F),
+                htables,
+                restart_interval,
+                coef,
             )
+            continue
         # APPn / COM / others: skip
         pos = seg_end
+    if progressive and coef is not None:
+        # truncated stream (no EOI): render what the scans delivered —
+        # progressive's whole point is that a prefix is a valid image
+        fh, fw, comps = frame
+        return _idct_merge(fh, fw, comps, coef, qtables)
     raise ValueError("invalid JPEG: no SOS marker found")
 
 
@@ -409,7 +451,16 @@ def _decode_scan(
                             blk[k] = _extend(reader.read_bits(s), s)
                             k += 1
             mcu_count += 1
-    # dequantize + batched IDCT per component, then upsample/merge
+    return _idct_merge(fh, fw, comps, coef, qtables)
+
+
+def _idct_merge(fh, fw, comps, coef, qtables) -> np.ndarray:
+    """Shared decode tail: dequantize + batched IDCT per component,
+    chroma upsample, YCbCr→RGB merge, crop to frame size. Used by both
+    the baseline single-scan path and the progressive finalizer (the
+    coefficient store is identical once all scans have landed)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for (cid, hi, vi, tq), blocks in zip(comps, coef):
         if tq not in qtables:
@@ -436,6 +487,210 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding — T.81 Annex G (spectral selection + successive
+# approximation). Coefficients live in zigzag order in the shared store;
+# each scan deposits its band/bit-plane slice and the finalizer is the
+# same dequant+IDCT tail the baseline path uses.
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip past entropy-coded bytes to the next real marker (not a
+    stuffed FF00, not a restart)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:  # stray RST: entropy data
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _ac_first(reader, blk, ac_tbl, ss, se, al, eobrun) -> int:
+    """First AC scan of a band (G.1.2.2): run/size coding like baseline
+    but over [Ss..Se] only, values point-transformed up by Al, plus
+    EOBn symbols coding a run of 2^r..2^(r+1)-1 all-zero-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + appended-bits blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("invalid JPEG: AC run past Se")
+            blk[k] = _extend(reader.read_bits(s), s) * (1 << al)
+            k += 1
+    return 0
+
+
+def _ac_refine(reader, blk, ac_tbl, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement (G.1.2.3): each
+    previously-nonzero coefficient in the band gets one correction bit
+    (add ±2^Al when set and that bit is still clear); newly-nonzero
+    coefficients arrive as (run-of-zero-HISTORY, magnitude 1) symbols
+    with an explicit sign bit; EOB runs cover whole blocks whose
+    remaining coefficients get correction bits only."""
+    bit = 1 << al
+
+    def correct(c: int) -> int:
+        if reader.read_bit() and (c & bit) == 0:
+            return c + (bit if c > 0 else -bit)
+        return c
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            if c != 0:
+                blk[k] = correct(c)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn — correction bits finish this block
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                for kk in range(k, se + 1):
+                    c = int(blk[kk])
+                    if c != 0:
+                        blk[kk] = correct(c)
+                return eobrun
+            # r == 15: ZRL — skip 16 zero-history positions below
+        else:
+            if s != 1:
+                raise ValueError(
+                    "invalid JPEG: refinement magnitude must be 1"
+                )
+            newval = bit if reader.read_bit() else -bit
+        # advance past r zero-HISTORY positions; nonzero-history ones
+        # along the way take correction bits and do not count toward r
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                blk[k] = correct(c)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            blk[k] = newval
+        k += 1
+    return 0
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    band,
+    htables,
+    restart_interval: int,
+    coef,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the shared
+    coefficient store; returns the offset of the next marker. DC scans
+    (Ss=0) may be interleaved; AC scans are single-component with the
+    component's own block grid (T.81 A.2.2 non-interleaved order)."""
+    fh, fw, comps = frame
+    ss, se, ah, al = band
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ids = [c[0] for c in comps]
+    if ss == 0 and se != 0:
+        raise ValueError("invalid JPEG: DC scan with Se != 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("invalid JPEG: interleaved AC scan")
+
+    if len(scan) > 1:
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+
+        def mcus():
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blks = []
+                    for cs, td, _ta in scan:
+                        ci = ids.index(cs)
+                        _, hi, vi, _ = comps[ci]
+                        for yy in range(vi):
+                            for xx in range(hi):
+                                blks.append(
+                                    (ci, my * vi + yy, mx * hi + xx, (0, td))
+                                )
+                    yield blks
+
+    else:
+        cs, td, ta = scan[0]
+        if cs not in ids:
+            raise ValueError(f"scan references unknown component {cs}")
+        ci = ids.index(cs)
+        _, hi, vi, _ = comps[ci]
+        # non-interleaved block grid: the component's own dimensions
+        cw = -(-fw * hi // hmax)  # ceil(fw·hi/hmax)
+        ch = -(-fh * vi // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        tkey = (0, td) if ss == 0 else (1, ta)
+
+        def mcus():
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, by, bx, tkey)]
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    mcu_count = 0
+    for blks in mcus():
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.byte_align()
+            if reader.at_restart_marker() is None:
+                raise ValueError("invalid JPEG: expected restart marker")
+            reader.skip_restart_marker()
+            preds = [0] * len(comps)
+            eobrun = 0
+        for ci, by, bx, tkey in blks:
+            blk = coef[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # first DC scan: diffs of DC >> Al
+                    tbl = htables.get(tkey)
+                    if tbl is None:
+                        raise ValueError(f"missing Huffman table {tkey}")
+                    t = _decode_huff(reader, tbl)
+                    preds[ci] += _extend(reader.read_bits(t), t)
+                    blk[0] = preds[ci] * (1 << al)
+                else:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+            else:
+                tbl = htables.get(tkey)
+                if tbl is None:
+                    raise ValueError(f"missing Huffman table {tkey}")
+                if ah == 0:
+                    eobrun = _ac_first(reader, blk, tbl, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, blk, tbl, ss, se, al, eobrun)
+        mcu_count += 1
+    return _next_marker(data, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -477,12 +732,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg(
-    rgb: np.ndarray, quality: int = 85, restart_interval: int = 0
-) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4 sampling,
-    Annex K quant/Huffman tables scaled by ``quality``; DRI + restart
-    markers when ``restart_interval`` MCUs is set)."""
+def _quantize_444(
+    rgb: np.ndarray, quality: int
+) -> tuple[list[np.ndarray], int, int, np.ndarray, np.ndarray]:
+    """Shared encode front half: RGB → YCbCr → per-block FDCT →
+    quantized zigzag coefficients (4:4:4). Both the baseline and the
+    progressive encoder run this identically, so the two streams carry
+    the SAME coefficients — progressive is purely a different entropy
+    ordering, which is what makes the decode-parity test exact."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
     h, w = rgb.shape[:2]
@@ -494,14 +751,6 @@ def encode_jpeg(
     # natural (row-major) order here; the DQT segment stores zigzag
     qy = _quality_scaled(QUANT_LUMA, quality)
     qc = _quality_scaled(QUANT_CHROMA, quality)
-    enc_dc = [
-        _build_huff_encode(DC_LUMA_BITS, DC_LUMA_VALS),
-        _build_huff_encode(DC_CHROMA_BITS, DC_CHROMA_VALS),
-    ]
-    enc_ac = [
-        _build_huff_encode(AC_LUMA_BITS, AC_LUMA_VALS),
-        _build_huff_encode(AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ]
 
     def blockify(plane: np.ndarray) -> np.ndarray:
         ph = -(-h // 8) * 8
@@ -525,6 +774,25 @@ def encode_jpeg(
         )
         quantized.append(qz[:, :, ZIGZAG])  # natural -> zigzag
     by, bx = quantized[0].shape[:2]
+    return quantized, by, bx, qy, qc
+
+
+def encode_jpeg(
+    rgb: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (4:4:4 sampling,
+    Annex K quant/Huffman tables scaled by ``quality``; DRI + restart
+    markers when ``restart_interval`` MCUs is set)."""
+    quantized, by, bx, qy, qc = _quantize_444(rgb, quality)
+    h, w = rgb.shape[:2]
+    enc_dc = [
+        _build_huff_encode(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_huff_encode(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _build_huff_encode(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_huff_encode(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -600,6 +868,221 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder — SOF2, fixed-length ("flat") Huffman tables,
+# a libjpeg-style scan script. Exists chiefly so the decoder's Annex G
+# paths (spectral selection, successive approximation, EOB runs,
+# refinement correction bits) are exercised by an exact round trip:
+# the quantized coefficients are IDENTICAL to the baseline encoder's,
+# so progressive-decode must equal baseline-decode pixel-for-pixel.
+# ---------------------------------------------------------------------------
+
+# flat canonical tables: every symbol the same code length (length L is
+# valid while count <= 2^L - 1, keeping the all-ones code unused). The
+# Annex K tables lack the EOBn symbols (0x10..0xE0) progressive needs.
+PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_DC_VALS = list(range(12))
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+# the scan script: (component indices, Ss, Se, Ah, Al). DC first at
+# Al=1 then refined; luma AC split into two spectral bands at Al=2
+# refined twice; chroma AC at Al=1 refined once — every Annex G decode
+# path (first/refine × DC/AC × interleaved/single) gets traffic.
+_PROG_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0, 1, 2), 0, 0, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF JPEG, 4:4:4,
+    Annex K quantization scaled by ``quality``, flat Huffman tables,
+    the 10-scan successive-approximation script above. Coefficients
+    match :func:`encode_jpeg` exactly (shared ``_quantize_444``).
+    ``restart_interval`` MCUs > 0 inserts DRI + per-scan RST markers
+    (DC prediction and EOB runs reset at each — an EOB run never
+    crosses a restart, per Annex G)."""
+    quantized, by, bx, qy, qc = _quantize_444(rgb, quality)
+    h, w = rgb.shape[:2]
+    enc_dc = _build_huff_encode(PROG_DC_BITS, PROG_DC_VALS)
+    enc_ac = _build_huff_encode(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, tbl in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(v) for v in tbl[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])  # 4:4:4
+    for tc, bits, vals in ((0, PROG_DC_BITS, PROG_DC_VALS), (1, PROG_AC_BITS, PROG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)  # table id 0
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idx, ss, se, ah, al in _PROG_SCRIPT:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        for ci in comp_idx:
+            out += bytes([ci + 1, 0x00])  # component id; dc/ac table 0
+        out += bytes([ss, se, (ah << 4) | al])
+        writer = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(
+                writer, quantized, comp_idx, by, bx, ah, al, enc_dc,
+                restart_interval,
+            )
+        else:
+            _encode_ac_scan(
+                writer, quantized[comp_idx[0]], by, bx, ss, se, ah, al,
+                enc_ac, restart_interval,
+            )
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_scan(
+    writer, quantized, comp_idx, by, bx, ah, al, enc_dc, restart_interval=0
+) -> None:
+    preds = {ci: 0 for ci in comp_idx}
+    mcu_count = 0
+    rst = 0
+    for myy in range(by):
+        for mxx in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = {ci: 0 for ci in comp_idx}
+            for ci in comp_idx:
+                if ah == 0:  # first: diff-code DC >> Al (G.1.2.1)
+                    v = int(quantized[ci][myy, mxx, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s, bits = _magnitude(diff)
+                    code, ln = enc_dc[s]
+                    writer.write(code, ln)
+                    if s:
+                        writer.write(bits, s)
+                else:  # refinement: one raw bit (the Al bit of DC)
+                    writer.write(
+                        (int(quantized[ci][myy, mxx, 0]) >> al) & 1, 1
+                    )
+            mcu_count += 1
+
+
+def _encode_ac_scan(
+    writer, qblocks, by, bx, ss, se, ah, al, enc_ac, restart_interval=0
+) -> None:
+    """One AC scan (single component, blocks in row-major order):
+    first pass (Ah=0) run/size+EOBn coding of the point-transformed
+    band; refinement pass the G.1.2.3 correction-bit algorithm with
+    cross-block buffered bits."""
+    state = {"eobrun": 0, "be_bits": []}
+
+    def emit_sym(sym: int) -> None:
+        code, ln = enc_ac[sym]
+        writer.write(code, ln)
+
+    def flush_eobrun() -> None:
+        run = state["eobrun"]
+        if run > 0:
+            n = run.bit_length() - 1
+            emit_sym(n << 4)
+            if n:
+                writer.write(run - (1 << n), n)
+            state["eobrun"] = 0
+            for bbit in state["be_bits"]:
+                writer.write(bbit, 1)
+            state["be_bits"] = []
+
+    mcu_count = 0
+    rst = 0
+    for myy in range(by):
+        for mxx in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                flush_eobrun()  # an EOB run may not cross a restart
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            mcu_count += 1
+            blk = qblocks[myy, mxx]
+            if ah == 0:
+                vals = [
+                    int(abs(int(blk[k])) >> al) * (1 if blk[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                r = 0
+                for t in vals:
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        emit_sym(0xF0)
+                        r -= 16
+                    s, bits = _magnitude(t)
+                    emit_sym((r << 4) | s)
+                    writer.write(bits, s)
+                    r = 0
+                if r > 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+            else:
+                bit = 1 << al
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                # last newly-nonzero position gates ZRL-vs-EOB folding
+                eob_i = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_i = i
+                r = 0
+                br_bits: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_i:
+                        flush_eobrun()
+                        emit_sym(0xF0)
+                        r -= 16
+                        for bbit in br_bits:
+                            writer.write(bbit, 1)
+                        br_bits = []
+                    if t > 1:  # history-nonzero: correction bit only
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    emit_sym((r << 4) | 1)
+                    writer.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for bbit in br_bits:
+                        writer.write(bbit, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    state["eobrun"] += 1
+                    state["be_bits"].extend(br_bits)
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+    flush_eobrun()
 
 
 def probe_jpeg_header(prefix: bytes) -> tuple[int | None, int | None, int | None]:

@@ -290,10 +290,11 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image_payload(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (h, w, 3) uint8 RGB. PNG decodes via
     stdlib zlib (greyscale broadcast to 3 channels, alpha dropped —
-    the feature/phash stages want opaque RGB); baseline JPEG decodes
-    via the pure-stdlib T.81 codec (``operators/jpeg_codec.py`` —
-    huffman + zigzag + IDCT; progressive/arithmetic still raise
-    inside it); GIF decodes via the pure-stdlib LZW codec
+    the feature/phash stages want opaque RGB); baseline AND
+    progressive (SOF2) JPEG decode via the pure-stdlib T.81 codec
+    (``operators/jpeg_codec.py`` — huffman + zigzag + IDCT, Annex G
+    multi-scan accumulation; arithmetic/12-bit/hierarchical still
+    raise inside it); GIF decodes via the pure-stdlib LZW codec
     (``operators/gif_codec.py`` — first frame, palette mapped to RGB,
     transparency ignored like the PNG alpha-drop); unknown bytes raise
     ``ValueError``."""

@@ -221,17 +221,139 @@ def test_restart_markers_roundtrip_identical():
     assert np.array_equal(plain, jc.decode_jpeg(with_rst))
 
 
-def test_progressive_and_malformed_raise():
+def test_out_of_profile_and_malformed_raise():
     img = _gradient(8, 8)
     payload = bytearray(jc.encode_jpeg(img))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jc.decode_jpeg(bytes(payload))
+    # SOF2 no longer raises — but a baseline scan header (interleaved,
+    # Ss=0/Se=63) is MALFORMED under progressive rules
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
         jc.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         jc.decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
     with pytest.raises(ValueError):
         jc.decode_jpeg(b"not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — Annex G
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Both encoders share _quantize_444, so the two streams carry the
+    SAME quantized coefficients — progressive decode must reproduce the
+    baseline decode EXACTLY (integer pixel equality), across content
+    types and qualities. This round-trips every Annex G path the scan
+    script emits: interleaved DC first+refine, AC spectral bands at
+    Al=2 with two refinement passes, EOB runs, ZRL, correction bits."""
+    for seed, h, w in ((1, 24, 40), (9, 17, 33), (13, 8, 8), (21, 5, 7)):
+        img = _gradient(h, w, seed=seed)
+        for q in (50, 85, 95):
+            base = jc.decode_jpeg(jc.encode_jpeg(img, quality=q))
+            prog = jc.decode_jpeg(jc.encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), f"seed={seed} q={q}"
+
+
+def test_progressive_flat_and_noise_extremes():
+    rng = np.random.default_rng(5)
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    for img in (flat, noise):
+        base = jc.decode_jpeg(jc.encode_jpeg(img, quality=85))
+        prog = jc.decode_jpeg(jc.encode_jpeg_progressive(img, quality=85))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_truncated_stream_still_renders():
+    """Progressive's point: a prefix of the scans is a coarser but
+    valid image. Cut the stream after the 3rd scan's entropy data —
+    decode must succeed with the right shape, and the DC-only
+    approximation should be within coarse range of the original."""
+    img = _gradient(16, 16, seed=4)
+    full = jc.encode_jpeg_progressive(img, quality=85)
+    # find the 4th SOS and cut just before it
+    sos_positions = []
+    i = 0
+    while True:
+        j = full.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        sos_positions.append(j)
+        i = j + 2
+    assert len(sos_positions) == 10
+    cut = full[: sos_positions[3]]
+    out = jc.decode_jpeg(cut)
+    assert out.shape == (16, 16, 3)
+    # DC scan landed, so the coarse image tracks the original loosely
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 64.0
+
+
+def test_progressive_grayscale_hand_built():
+    """Hand-built single-component progressive stream: an 8×8 gray
+    block with DC = 64 units (table value 16 at index 0 → quantized
+    DC=4), coded as DC-first at Al=1 (value 2) then one DC refinement
+    bit (0) — decodes to the exact flat 64+128=192... computed below
+    from the real IDCT: DC=4·16=64 → spatial 64/8=8 +128 = 136."""
+    dqt = b"\xff\xdb" + bytes([0, 67]) + bytes([0]) + bytes([16] * 64)
+    sof = b"\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    # flat DC table: symbols 0..11 at length 4
+    dht = (
+        b"\xff\xc4"
+        + bytes([0, 31, 0x00])
+        + bytes([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+        + bytes(range(12))
+    )
+    # scan 1: DC first, Al=1, value 2 -> diff 2: size-2 symbol is code
+    # 0b0010 (canonical, 3rd of 12 at length 4), appended bits "10"
+    sos1 = b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 0, 0, 0x01])
+    ent1 = bytes([0b0010_10_11])  # sym(4b) + bits(2b) + 1-pad
+    # scan 2: DC refine Al=0: one raw bit = 0
+    sos2 = b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 0, 0, 0x10])
+    ent2 = bytes([0b0_1111111])  # bit 0 + pad
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht + sos1 + ent1 + sos2 + ent2 + b"\xff\xd9"
+    )
+    out = jc.decode_jpeg(stream)
+    assert out.shape == (8, 8, 3)
+    # DC quantized = 2<<1 = 4; dequant 4*16=64; IDCT: 64/8 + 128 = 136
+    assert np.all(out == 136)
+
+
+def test_progressive_refinement_actually_refines():
+    """The refinement scans must change pixels vs the first-pass-only
+    prefix (i.e. the correction-bit path is live, not a no-op)."""
+    img = _gradient(16, 16, seed=8)
+    full = jc.encode_jpeg_progressive(img, quality=85)
+    sos_positions = []
+    i = 0
+    while True:
+        j = full.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        sos_positions.append(j)
+        i = j + 2
+    coarse = jc.decode_jpeg(full[: sos_positions[5]])  # before refinements
+    fine = jc.decode_jpeg(full)
+    assert not np.array_equal(coarse, fine)
+    err_c = np.abs(coarse.astype(int) - img.astype(int)).mean()
+    err_f = np.abs(fine.astype(int) - img.astype(int)).mean()
+    assert err_f < err_c  # refinement reduces error
+
+
+def test_progressive_dispatch_and_probe():
+    img = _gradient(19, 33, seed=5)
+    payload = jc.encode_jpeg_progressive(img, quality=90)
+    assert mc.sniff_format(payload) == "jpeg"
+    out = mc.decode_image_payload(payload)
+    assert out.shape == (19, 33, 3)
+    probe = mc.probe_media_header(payload[:4096], len(payload))
+    assert (probe["width"], probe["height"], probe["n_channels"]) == (33, 19, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -332,3 +454,15 @@ def test_single_component_sampling_factors_normalized():
     b = jc.decode_jpeg(build(0x22))
     assert np.array_equal(a, b)
     assert np.all(a[:, :8, 0] == 160) and np.all(a[:, 8:, 0] == 64)
+
+
+def test_progressive_restart_markers_roundtrip_identical():
+    """RST markers inside progressive scans (DC prediction + EOB runs
+    reset per interval) must not change a single pixel."""
+    img = _gradient(24, 40, seed=11)
+    plain = jc.decode_jpeg(jc.encode_jpeg_progressive(img, quality=85))
+    with_rst = jc.encode_jpeg_progressive(img, quality=85, restart_interval=2)
+    assert b"\xff\xd0" in with_rst  # markers actually present
+    assert np.array_equal(plain, jc.decode_jpeg(with_rst))
+    # and still identical to the baseline decode
+    assert np.array_equal(plain, jc.decode_jpeg(jc.encode_jpeg(img, quality=85)))

@@ -99,3 +99,22 @@ def test_image_dhash_deterministic(spark):
     a = sorted(map(tuple, image_dhash(df).collect()))
     b = sorted(map(tuple, image_dhash(df).collect()))
     assert a == b
+
+
+def test_dhash_stable_across_baseline_and_progressive_jpeg():
+    """The same image encoded baseline vs progressive (SOF2) must
+    decode to identical pixels (shared quantized coefficients) and so
+    carry the SAME dHash — the near-dup screen cannot split on the
+    entropy-coding profile of the container."""
+    from dlp_rdb_bq_import_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    base = _gradient_img(w=40, h=24)
+    for q in (70, 90):
+        hb = dhash_pixels(codecs.decode_image_payload(encode_jpeg(base, quality=q)))
+        hp = dhash_pixels(
+            codecs.decode_image_payload(encode_jpeg_progressive(base, quality=q))
+        )
+        assert hb == hp
