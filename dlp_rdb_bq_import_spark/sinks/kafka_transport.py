@@ -1,0 +1,125 @@
+"""Kafka adapter for the batched message sink (VERDICT r11 task 7).
+
+One real implementation class for the ``MessageTransport`` seam in
+``sinks/messages.py`` — the class an operator of the reference pipeline
+(BQReidentificationPipeline.java:124-129 publishes row JSON to a
+message service) would deploy against a Kafka cluster. The container
+ships no broker and no client library, so the adapter is:
+
+- IMPORT-GUARDED: the ``kafka-python`` client (public, Apache-2.0) is
+  imported inside ``open()`` only when no ``producer_factory`` is
+  injected; constructing the transport costs nothing and raising
+  happens at first use with an actionable message.
+- SEAM-TESTED: ``producer_factory`` injects any object with the
+  producer protocol (``send(topic, value=, key=, headers=)``,
+  ``flush()``, ``close()``) — the contract tests drive the adapter
+  with a file-backed fake broker through the REAL ``publish()``
+  executor path, so batching, fencing, commit and abort semantics are
+  exercised without a network.
+
+Delivery contract — stated honestly, because it differs from the
+sibling ``DurableLogTransport``:
+
+- within one producer session, ``enable_idempotence`` makes broker
+  retries duplicate-free and ``acks=all`` waits for ISR replication;
+- ACROSS task attempts (speculation, stage retry) Kafka without
+  transactions cannot fence a second successful attempt, so the
+  adapter is AT-LEAST-ONCE per partition. The stable partition fence
+  from ``bind_task`` travels as the MESSAGE KEY and a monotonically
+  increasing per-producer sequence as a header, so a downstream
+  consumer dedups deterministically on (key, seq) — the standard
+  pattern when the producer side cannot use transactions.
+- ``abort()`` closes the producer WITHOUT flushing: unsent buffered
+  records of a failed partition are dropped, and Spark's retry re-runs
+  the partition under the same fence.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from .messages import MessageTransport
+
+
+class KafkaTransport(MessageTransport):
+    """Publish each batch to one Kafka topic, one producer per Spark
+    partition (constructed executor-side in ``open``)."""
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        producer_factory: Callable[[], object] | None = None,
+        client_config: dict | None = None,
+        send_timeout_s: float = 30.0,
+    ):
+        if not topic:
+            raise ValueError("KafkaTransport requires a topic name")
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.producer_factory = producer_factory
+        self.client_config = dict(client_config or {})
+        self.send_timeout_s = send_timeout_s
+        self.fence = ""
+        self.seq = 0  # per-producer message sequence, for consumer dedup
+        self._producer = None
+
+    def bind_task(self, fence: str) -> None:
+        self.fence = fence
+
+    def open(self) -> None:
+        if self.producer_factory is not None:
+            self._producer = self.producer_factory()
+            return
+        try:
+            from kafka import KafkaProducer  # kafka-python: public client
+        except ImportError as e:  # pragma: no cover - no client in container
+            raise ImportError(
+                "KafkaTransport needs the 'kafka-python' package (pip "
+                "install kafka-python) or an injected producer_factory"
+            ) from e
+        cfg = {
+            "bootstrap_servers": self.bootstrap_servers,
+            "acks": "all",  # wait for ISR replication before success
+            "enable_idempotence": True,  # broker-retry duplicates fenced
+            "linger_ms": 5,
+            **self.client_config,
+        }
+        self._producer = KafkaProducer(**cfg)  # pragma: no cover - needs broker
+
+    def send_batch(self, messages: list[str]) -> None:
+        if self._producer is None:
+            raise RuntimeError("KafkaTransport.send_batch before open()")
+        futures = []
+        key = self.fence.encode("utf-8") if self.fence else None
+        for m in messages:
+            futures.append(
+                self._producer.send(
+                    self.topic,
+                    value=m.encode("utf-8"),
+                    key=key,
+                    headers=[("seq", str(self.seq).encode("utf-8"))],
+                )
+            )
+            self.seq += 1
+        # surface per-record errors NOW, inside the batch that caused
+        # them — a fire-and-forget send would fail the partition late
+        # (or never), breaking the abort/retry contract
+        self._producer.flush()
+        for f in futures:
+            get = getattr(f, "get", None)
+            if get is not None:
+                get(timeout=self.send_timeout_s)
+
+    def close(self) -> None:
+        if self._producer is not None:
+            self._producer.flush()
+            self._producer.close()
+            self._producer = None
+
+    def abort(self) -> None:
+        """Drop unsent buffered records: close WITHOUT a final flush —
+        a failed partition must not keep publishing on teardown."""
+        if self._producer is not None:
+            self._producer.close()
+            self._producer = None
