@@ -249,6 +249,14 @@ BENCH_QUERIES = [
     "conversion_wilson_ci",
     "mann_kendall_trend",
     "g_test_independence",
+    # round 12 additions: rank statistics, corpus richness, graph structure
+    "spearman_price_quantity",
+    "kruskal_wallis_priority_price",
+    "cliffs_delta_returnflag",
+    "chao1_vocab_richness",
+    "bigram_repetition",
+    "degree_assortativity",
+    "common_neighbors_suppliers",
 ]
 
 

@@ -13053,6 +13053,350 @@ def q_g_test_independence(spark, sf_dir):
     )
 
 
+@query(
+    "spearman_price_quantity",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS x,
+         CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), rx AS (
+  SELECT x, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         AS BIGINT) AS ra
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x)
+), ry AS (
+  SELECT y, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         AS BIGINT) AS rb
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY y)
+), j AS (SELECT ra, rb FROM base JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(ra), 0) AS HUGEINT) AS sa,
+         CAST(COALESCE(SUM(rb), 0) AS HUGEINT) AS sb,
+         CAST(COALESCE(SUM(CAST(ra AS HUGEINT) * CAST(rb AS HUGEINT)), 0) AS HUGEINT) AS sab,
+         CAST(COALESCE(SUM(CAST(ra AS HUGEINT) * CAST(ra AS HUGEINT)), 0) AS HUGEINT) AS saa,
+         CAST(COALESCE(SUM(CAST(rb AS HUGEINT) * CAST(rb AS HUGEINT)), 0) AS HUGEINT) AS sbb
+  FROM j
+)
+SELECT n,
+  CASE WHEN n > 1
+         AND CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE) > 0
+         AND CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE) > 0
+  THEN round(CAST(CAST(n AS HUGEINT) * sab - sa * sb AS DOUBLE)
+       / (sqrt(CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE))
+          * sqrt(CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE))), 9)
+  END AS rho
+FROM s
+""",
+)
+def q_spearman_price_quantity(spark, sf_dir):
+    """EXT — Spearman rank correlation between line price and quantity
+    (profiling.spearman_correlation; Spearman 1904): the MONOTONIC
+    dependence screen next to numeric_correlations' Pearson — exact
+    under rescaling, outlier-proof. Midranks in exact 2× integer
+    units from the distinct-value tables (ties averaged — the
+    tie-corrected ρ), five DECIMAL(38,0)/HUGEINT moments, one IEEE
+    chain — hash-matched."""
+    from .operators.profiling import spearman_correlation
+
+    return spearman_correlation(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+@query(
+    "kruskal_wallis_priority_price",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), ranks AS (
+  SELECT v, c, CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         AS BIGINT) AS r2
+  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v)
+), gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cgv FROM base GROUP BY g, v),
+per_g AS (
+  SELECT g, CAST(SUM(cgv) AS BIGINT) AS ng,
+         CAST(SUM(CAST(cgv AS HUGEINT) * CAST(r2 AS HUGEINT)) AS HUGEINT) AS rs2
+  FROM gv JOIN ranks USING (v) GROUP BY g
+), gtot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(CAST(round(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+           / CAST(ng AS DOUBLE) * 1000000.0e0) AS HUGEINT)), 0) AS HUGEINT) AS s4
+  FROM per_g
+), ties AS (
+  SELECT CAST(COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+           * CAST(c AS HUGEINT) - CAST(c AS HUGEINT)), 0) AS HUGEINT) AS t
+  FROM ranks
+)
+SELECT g AS "group", ng AS n,
+       round(CAST(rs2 AS DOUBLE) / (2.0e0 * CAST(ng AS DOUBLE)), 9) AS mean_rank,
+       n_total, CAST(GREATEST(k - 1, 0) AS BIGINT) AS dof,
+       CASE WHEN n_total > 1 THEN round(1.0e0 - CAST(t AS DOUBLE)
+         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+            * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)), 9)
+       END AS tie_correction,
+       CASE WHEN k > 1 AND n_total > 1
+              AND (1.0e0 - CAST(t AS DOUBLE)
+                / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                   * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))) > 0
+       THEN round((12.0e0 * (CAST(s4 AS DOUBLE) / 4000000.0e0)
+              / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0e0))
+              - 3.0e0 * (CAST(n_total AS DOUBLE) + 1.0e0))
+            / (1.0e0 - CAST(t AS DOUBLE)
+                / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                   * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))), 9)
+       END AS h
+FROM per_g CROSS JOIN gtot CROSS JOIN ties
+""",
+)
+def q_kruskal_wallis_priority_price(spark, sf_dir):
+    """EXT — Kruskal-Wallis H across order priorities on total price
+    (profiling.kruskal_wallis_test; Kruskal & Wallis 1952): the
+    k-sample rank test completing the inference family (Mann-Whitney
+    = its k=2 case, χ²/G for categories, KS for shapes). Midranks in
+    2× integer units over the quantized value domain, per-group rank
+    sums in DECIMAL(38,0), per-group quotients micro-quantized before
+    the k-row fold, exact tie term — hash-matched."""
+    from .operators.profiling import kruskal_wallis_test
+
+    return kruskal_wallis_test(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "cliffs_delta_returnflag",
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')
+), per AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+), cum AS (
+  SELECT ca, cb,
+    COALESCE(SUM(cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+    COALESCE(SUM(cb) OVER (ORDER BY v
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS above
+  FROM per
+), tot AS (
+  SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(CAST(ca AS HUGEINT) * CAST(below AS HUGEINT)), 0) AS HUGEINT) AS gt,
+         CAST(COALESCE(SUM(CAST(ca AS HUGEINT) * CAST(above AS HUGEINT)), 0) AS HUGEINT) AS lt
+  FROM cum
+)
+SELECT n_a, n_b, CAST(gt AS BIGINT) AS gt_pairs, CAST(lt AS BIGINT) AS lt_pairs,
+  CASE WHEN n_a > 0 AND n_b > 0
+  THEN round(CAST(gt - lt AS DOUBLE)
+       / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE), 9)
+  END AS delta
+FROM tot
+""",
+)
+def q_cliffs_delta_returnflag(spark, sf_dir):
+    """EXT — Cliff's delta effect size between returned ('R') and
+    non-returned ('N') line prices (profiling.cliffs_delta; Cliff
+    1993): HOW MUCH the two populations differ where Mann-Whitney
+    says only whether — the standard companion readout. Pair counts
+    collapse onto the distinct quantized value grid (never
+    materializing pairs), exact DECIMAL/HUGEINT folds, one
+    division — hash-matched."""
+    from .operators.profiling import cliffs_delta
+
+    return cliffs_delta(
+        t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", "R", "N"
+    )
+
+
+@query(
+    "chao1_vocab_richness",
+    oracle="""
+WITH words AS (
+  SELECT t.w AS w FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+), per AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2
+  FROM per
+)
+SELECT n_tokens, vocab, f1, f2,
+  CASE WHEN vocab > 0 THEN round(CAST(vocab AS DOUBLE)
+    + (CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0e0))
+      / (2.0e0 * (CAST(f2 AS DOUBLE) + 1.0e0)), 9) END AS chao1,
+  CASE WHEN vocab > 0 THEN round(CAST(vocab AS DOUBLE)
+    / (CAST(vocab AS DOUBLE)
+       + (CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0e0))
+         / (2.0e0 * (CAST(f2 AS DOUBLE) + 1.0e0))), 9) END AS coverage
+FROM agg
+""",
+)
+def q_chao1_vocab_richness(spark, sf_dir):
+    """EXT — Chao1 vocabulary-richness estimate (text.chao1_richness;
+    Chao 1984, bias-corrected): how many distinct words the corpus
+    WOULD contain at infinite size, from the singleton/doubleton
+    counts — the TYPE-coverage companion to unseen_mass_estimate's
+    probability-mass readout ("have we crawled enough of this
+    domain"). Exact integer folds, one-division readouts —
+    hash-matched."""
+    from .operators.text import chao1_richness
+
+    return chao1_richness(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bigram_repetition",
+    oracle="""
+WITH lsts AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS lst
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, lst[i] || ' ' || lst[i + 1] AS g
+  FROM lsts, LATERAL unnest(range(1, len(lst))) AS t(i)
+  WHERE lst[i] <> '' AND lst[i + 1] <> ''
+), per AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, g
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup,
+         CAST(MAX(c) AS BIGINT) AS top
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       round(CAST(COALESCE(dup, 0) AS DOUBLE)
+         / CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE), 9) AS dup_bigram_ratio,
+       round(CAST(COALESCE(top, 0) AS DOUBLE)
+         / CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE), 9) AS top_bigram_ratio
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def q_bigram_repetition(spark, sf_dir):
+    """EXT — per-document bigram repetition signals (text.
+    bigram_repetition_stats; the n-gram tier of Gopher's repetition
+    rules, Rae et al. 2021 §A1.1): templated text repeats PHRASES
+    before it repeats enough single words to trip the unigram gate.
+    Occurrence-fraction convention (documented — exactly restatable);
+    one posexplode + positional self-join per doc, (doc, bigram)
+    groupBy with map-side combine — hash-matched."""
+    from .operators.text import bigram_repetition_stats
+
+    return bigram_repetition_stats(t(spark, sf_dir, "documents"))
+
+
+_COSUPPLY_EDGE_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT sa, sb, w FROM pairs
+  JOIN supplier na ON sa = na.s_suppkey
+  JOIN supplier nb ON sb = nb.s_suppkey
+  WHERE na.s_nationkey = nb.s_nationkey
+), edges AS (
+  SELECT sa AS src, sb AS dst FROM dom
+  WHERE w >= (SELECT quantile_cont(w, 0.5) FROM dom)
+), und AS (
+  SELECT src AS u, dst AS v FROM edges UNION ALL SELECT dst, src FROM edges
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+)"""
+
+
+@query(
+    "degree_assortativity",
+    oracle=_COSUPPLY_EDGE_SQL
+    + """
+, prs AS (
+  SELECT da.d AS xa, db.d AS xb
+  FROM und JOIN deg da ON und.u = da.u JOIN deg db ON und.v = db.u
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(COALESCE(SUM(xa), 0) AS HUGEINT) AS sa,
+         CAST(COALESCE(SUM(xb), 0) AS HUGEINT) AS sb,
+         CAST(COALESCE(SUM(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)), 0) AS HUGEINT) AS sab,
+         CAST(COALESCE(SUM(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)), 0) AS HUGEINT) AS saa,
+         CAST(COALESCE(SUM(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)), 0) AS HUGEINT) AS sbb
+  FROM prs
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, CAST(m2 / 2 AS BIGINT) AS n_edges,
+  CASE WHEN m2 > 2
+         AND CAST(CAST(m2 AS HUGEINT) * saa - sa * sa AS DOUBLE) > 0
+         AND CAST(CAST(m2 AS HUGEINT) * sbb - sb * sb AS DOUBLE) > 0
+  THEN round(CAST(CAST(m2 AS HUGEINT) * sab - sa * sb AS DOUBLE)
+       / (sqrt(CAST(CAST(m2 AS HUGEINT) * saa - sa * sa AS DOUBLE))
+          * sqrt(CAST(CAST(m2 AS HUGEINT) * sbb - sb * sb AS DOUBLE))), 9)
+  END AS assortativity
+FROM nn CROSS JOIN s
+""",
+)
+def q_degree_assortativity(spark, sf_dir):
+    """EXT — degree assortativity of the domestic co-supply graph
+    (graph.degree_assortativity; Newman, PRL 2002): do well-connected
+    suppliers co-supply with other hubs (assortative) or with leaves
+    (disassortative — the link-farm fingerprint)? Exact integer
+    degrees over the canonical edge set, symmetrized-pair Pearson in
+    DECIMAL/HUGEINT, one IEEE chain — hash-matched against the same
+    recursive edge construction the kcore/components queries pin."""
+    from .operators.graph import degree_assortativity
+
+    return degree_assortativity(_supplier_domestic_edges(spark, sf_dir))
+
+
+@query(
+    "common_neighbors_suppliers",
+    oracle=_COSUPPLY_EDGE_SQL
+    + """
+, wedges AS (
+  SELECT a.v AS na, b.v AS nb, a.u AS z
+  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+), aa AS (
+  SELECT na, nb, CAST(count(*) AS BIGINT) AS common,
+         CAST(SUM(CAST(round(1000000.0e0 / ln(CAST(d AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aas
+  FROM wedges JOIN deg ON wedges.z = deg.u
+  GROUP BY na, nb
+), cand AS (
+  SELECT * FROM aa
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = aa.na AND e.dst = aa.nb)
+)
+SELECT na AS node_a, nb AS node_b, common,
+       round(CAST(common AS DOUBLE)
+         / CAST(da.d + db.d - common AS DOUBLE), 9) AS jaccard,
+       round(CAST(aas AS DOUBLE) / 1000000.0e0, 9) AS adamic_adar
+FROM cand JOIN deg da ON cand.na = da.u JOIN deg db ON cand.nb = db.u
+""",
+)
+def q_common_neighbors_suppliers(spark, sf_dir):
+    """EXT — common-neighbors link prediction on the co-supply graph
+    (graph.common_neighbors_linkpred; Liben-Nowell & Kleinberg 2003):
+    which non-adjacent supplier pairs share the most neighbors —
+    common count, Jaccard, and Adamic-Adar (micro-quantized
+    1/ln(deg) witnesses, order-proof fold) — the candidate-promotion
+    primitive for linkage and frontier ranking. Wedge join bounded by
+    Σ deg², the triangle-counting contract — hash-matched."""
+    from .operators.graph import common_neighbors_linkpred
+
+    return common_neighbors_linkpred(_supplier_domestic_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

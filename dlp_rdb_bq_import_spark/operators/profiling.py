@@ -2906,3 +2906,294 @@ def g_test_independence(
             ).alias("g"),
         )
     )
+
+
+def _avg_rank_2x(df: DataFrame, value_col: str) -> DataFrame:
+    """Average (midrank) tie-handling ranks over the DISTINCT quantized
+    values of ``value_col``, in 2× units so ties stay integer: a value
+    with count c and exclusive-preceding count p occupies ranks
+    p+1..p+c, whose mean is p + (c+1)/2 — i.e. ``2p + c + 1`` in 2×
+    units. Returns ``(value_col, _cnt, _r2)`` — one row per distinct
+    value, the :func:`classifier_auc` contract (the ordered window
+    runs over the quantized VALUE DOMAIN, never over rows)."""
+    from pyspark.sql import Window
+
+    per = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    w = Window.orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per.select(
+        value_col,
+        "_cnt",
+        (
+            F.lit(2) * F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+            + F.col("_cnt")
+            + F.lit(1)
+        ).cast("long").alias("_r2"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904): Pearson over the
+    midrank-transformed values — the MONOTONIC-association readout
+    that is exact under any order-preserving rescaling and robust to
+    outliers, where :func:`correlation_matrix`'s Pearson answers only
+    the linear question. The standard screen for nonlinear feature/
+    label dependence and doc-quality vs doc-length audits. One row
+    out: ``(n (long), rho (double; NULL when n < 2 or either column
+    is constant))``.
+
+    Exactness: both columns quantize to integers at ``unit_scale``
+    (listwise NULL deletion); midranks come from the distinct-value
+    tables in exact 2× integer units (ties averaged — the
+    tie-corrected ρ, identical to Pearson-on-midranks by definition);
+    all five moments fold in DECIMAL(38,0)/HUGEINT and the closed
+    form evaluates in ONE engine-identical IEEE chain, rounded to 9.
+    Precondition (the :func:`correlation_matrix` family contract):
+    the moment ``n·Σr²`` is ~4n⁴, so the exact-decimal path holds to
+    n ≈ 1.2e9 rows — beyond that, rank-correlate a uniform sample
+    (ρ's sampling error at 1e9 rows is ~3e-5 already).
+
+    Scale shape: one row-grain projection, two value-grain groupBys
+    with ordered windows over the QUANTIZED VALUE DOMAINS (bounded by
+    unit_scale·range, not rows — the classifier_auc contract), two
+    equi-joins back (AQE broadcasts the value tables when small), one
+    global fold."""
+    xq = F.round(F.col(col_x).cast("double") * F.lit(unit_scale)).cast("long")
+    yq = F.round(F.col(col_y).cast("double") * F.lit(unit_scale)).cast("long")
+    base = df.select(xq.alias("_x"), yq.alias("_y")).where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    rx = _avg_rank_2x(base.select("_x"), "_x").withColumnRenamed("_r2", "_ra")
+    ry = _avg_rank_2x(base.select("_y"), "_y").withColumnRenamed("_r2", "_rb")
+    joined = (
+        base.join(rx.select("_x", "_ra"), "_x")
+        .join(ry.select("_y", "_rb"), "_y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(dec("_ra")), F.lit(0).cast("decimal(38,0)")).alias("_sa"),
+        F.coalesce(F.sum(dec("_rb")), F.lit(0).cast("decimal(38,0)")).alias("_sb"),
+        F.coalesce(
+            F.sum(dec("_ra") * dec("_rb")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_sab"),
+        F.coalesce(
+            F.sum(dec("_ra") * dec("_ra")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_saa"),
+        F.coalesce(
+            F.sum(dec("_rb") * dec("_rb")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_sbb"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast("double")
+    da = (n * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast("double")
+    db = (n * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast("double")
+    return sums.select(
+        "n",
+        F.when(
+            (F.col("n") > 1) & (da > 0) & (db > 0),
+            F.round(num / (F.sqrt(da) * F.sqrt(db)), 9),
+        ).alias("rho"),
+    )
+
+
+def kruskal_wallis_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952): the
+    rank-based k-sample extension of :func:`mann_whitney_u` — "do any
+    of these k groups come from a shifted distribution?" without
+    normality assumptions; the one-way-ANOVA replacement for skewed
+    metrics (prices, latencies, token counts). Output: one row per
+    group ``(group (string), n (long), mean_rank (double))`` plus the
+    global readout repeated per row: ``n_total (long), dof (long),
+    tie_correction, h (double — tie-corrected; NULL when < 2 groups
+    or all values tied)``. Compare h against χ²(dof) upstream.
+
+    Exactness/determinism: values quantize to integers; midranks come
+    from the distinct-value table in exact 2× units; per-group rank
+    sums fold in DECIMAL(38,0). The per-group term ``Rsum²/n_g`` is
+    ONE engine-identical IEEE division of exact integers, micro-
+    quantized (1e-6 units) BEFORE the cross-group sum (the micro-log
+    discipline — the sum is then aggregation-order-proof), and the
+    tie term ``Σ(t³−t)`` is exact decimal.
+
+    Scale shape: one value-grain groupBy + ordered window over the
+    QUANTIZED VALUE DOMAIN (classifier_auc contract), one (group,
+    value)-grain groupBy, one k-row fold, one broadcast scalar
+    attach."""
+    g = F.col(group_col).cast("string")
+    vq = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    base = df.select(g.alias("_g"), vq.alias("_v")).where(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    ranks = _avg_rank_2x(base.select("_v"), "_v")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    gv = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cgv")
+    )
+    per_g = (
+        gv.join(ranks.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_cgv").cast("long").alias("_ng"),
+            F.sum(dec("_cgv") * dec("_r2")).alias("_rs2"),
+        )
+    )
+    # the per-group quotient micro-quantizes (1e-6 units) BEFORE the
+    # cross-group sum so the k-row fold is aggregation-order-proof;
+    # for quotients past 2^53 the round is an engine-identical no-op
+    # on the shared IEEE value (error ∝ ulp, not ∝ 0.5 units)
+    term4 = F.round(
+        F.col("_rs2").cast("double")
+        * F.col("_rs2").cast("double")
+        / F.col("_ng").cast("double")
+        * F.lit(1e6)
+    ).cast("decimal(38,0)")
+    glob = per_g.agg(
+        F.sum("_ng").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.coalesce(F.sum(term4), F.lit(0).cast("decimal(38,0)")).alias("_s4"),
+    )
+    ties = ranks.agg(
+        F.coalesce(
+            F.sum(dec("_cnt") * dec("_cnt") * dec("_cnt") - dec("_cnt")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_t")
+    )
+    nn = F.col("n_total").cast("double")
+    h_unc = (
+        F.lit(12.0)
+        * (F.col("_s4").cast("double") / F.lit(4e6))
+        / (nn * (nn + F.lit(1.0)))
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    tie_c = F.lit(1.0) - F.col("_t").cast("double") / (
+        nn * nn * nn - nn
+    )
+    readout = glob.crossJoin(F.broadcast(ties)).select(
+        "n_total",
+        F.greatest(F.col("_k") - 1, F.lit(0)).cast("long").alias("dof"),
+        F.when(F.col("n_total") > 1, F.round(tie_c, 9)).alias(
+            "tie_correction"
+        ),
+        F.when(
+            (F.col("_k") > 1) & (F.col("n_total") > 1) & (tie_c > 0),
+            F.round(h_unc / tie_c, 9),
+        ).alias("h"),
+    )
+    return (
+        per_g.select(
+            F.col("_g").alias("group"),
+            F.col("_ng").alias("n"),
+            F.round(
+                F.col("_rs2").cast("double")
+                / (F.lit(2.0) * F.col("_ng").cast("double")),
+                9,
+            ).alias("mean_rank"),
+        )
+        .crossJoin(F.broadcast(readout))
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff, Psych. Bull. 1993):
+    ``δ = P(a > b) − P(a < b)`` over all cross-group pairs — HOW MUCH
+    two groups differ, where :func:`mann_whitney_u` answers only
+    whether; scale-free, outlier-proof, the standard companion number
+    to a rank test (|δ| < .147 negligible / .33 / .474 the published
+    benchmarks). One row out: ``(n_a, n_b (long), gt_pairs, lt_pairs
+    (long), delta (double; NULL when either group is empty))``.
+
+    Exactness: the pair counts collapse onto the DISTINCT quantized
+    value grid — a value v with a-count ca pairs ``ca·cumb(<v)`` wins
+    and ``ca·(n_b − cumb(≤v))`` losses — exact DECIMAL(38,0)/HUGEINT
+    integer folds (never materializing pairs), ONE division, rounded
+    to 9.
+
+    Scale shape: one value-grain groupBy, one ordered window over the
+    QUANTIZED VALUE DOMAIN (classifier_auc contract), one 1-row
+    fold."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col).cast("string")
+    vq = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    base = df.select(g.alias("_g"), vq.alias("_v")).where(
+        F.col("_v").isNotNull() & F.col("_g").isin([group_a, group_b])
+    )
+    per = base.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("_cb"),
+    )
+    wb = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # above = total_b − below − at: derived from the PRECEDING frame +
+    # a broadcast 1-row total rather than a second unboundedFollowing
+    # window — Spark's UnboundedFollowing frame re-scans the tail per
+    # row (O(n²) over the value domain; measured 31s vs 1s at sf0.01)
+    nbt = per.agg(
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("_nbt")
+    )
+    cum = (
+        per.select(
+            "_ca",
+            "_cb",
+            F.coalesce(F.sum("_cb").over(wb), F.lit(0)).alias("_below"),
+        )
+        .crossJoin(F.broadcast(nbt))
+        .withColumn(
+            "_above", F.col("_nbt") - F.col("_below") - F.col("_cb")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = cum.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(dec("_ca") * dec("_below")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_gt"),
+        F.coalesce(
+            F.sum(dec("_ca") * dec("_above")), F.lit(0).cast("decimal(38,0)")
+        ).alias("_lt"),
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        F.col("_gt").cast("long").alias("gt_pairs"),
+        F.col("_lt").cast("long").alias("lt_pairs"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                (F.col("_gt") - F.col("_lt")).cast("double")
+                / (
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ).cast("double"),
+                9,
+            ),
+        ).alias("delta"),
+    )

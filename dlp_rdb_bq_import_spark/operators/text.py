@@ -2577,3 +2577,128 @@ def zipf_slope(
             ),
         ).alias("intercept"),
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 species-richness estimator of the vocabulary (Chao,
+    Scand. J. Stat. 1984, bias-corrected form): ``V + F₁(F₁−1) /
+    (2(F₂+1))`` from the singleton (F₁) and doubleton (F₂) counts —
+    the lower-bound estimate of how many distinct words the corpus
+    WOULD contain at infinite size. The companion readout to
+    :func:`unseen_mass_estimate`: Good-Turing says how much
+    probability mass is unseen, Chao1 says how many TYPES are unseen
+    (``chao1 − vocab`` = estimated undiscovered vocabulary; coverage
+    = vocab/chao1 is the "have we crawled enough of this domain"
+    gate). One row: ``(n_tokens, vocab, f1, f2 (long), chao1
+    (double — exact integer ratio, one division; equals vocab when
+    F₁ = 0), coverage (double))``.
+
+    Scale shape: one word-grain groupBy, one 4-scalar fold — the
+    unseen_mass shape exactly."""
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    per = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(F.sum((F.col("c") == 2).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao = F.col("vocab").cast("double") + (
+        F.col("f1").cast("double") * (F.col("f1").cast("double") - F.lit(1.0))
+    ) / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.when(F.col("vocab") > 0, F.round(chao, 9)).alias("chao1"),
+        F.when(
+            F.col("vocab") > 0,
+            F.round(F.col("vocab").cast("double") / chao, 9),
+        ).alias("coverage"),
+    )
+
+
+def bigram_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram repetition signals — the n-gram tier of the
+    Gopher repetition rules (Rae et al. 2021 §A1.1 measure "fraction
+    in duplicate/top n-grams"), one level above
+    :func:`word_repetition_stats`'s unigram ratios: templated and
+    boilerplate text repeats PHRASES long before it repeats enough
+    single words to trip the unigram gate. OCCURRENCE-fraction
+    convention (each bigram occurrence counts 1, not its characters —
+    stated because Gopher's original weights by characters; the
+    occurrence form restates exactly in SQL and ranks documents
+    near-identically): ``dup_bigram_ratio`` = fraction of bigram
+    occurrences whose bigram occurs ≥ 2× in the document,
+    ``top_bigram_ratio`` = the most frequent bigram's share. Docs
+    with < 2 words emit zero ratios (no bigrams exist).
+
+    Output: ``(id_col, n_bigrams (long), dup_bigram_ratio,
+    top_bigram_ratio (double))``.
+
+    Scale shape: one posexplode + self-equi-join on (doc, pos+1) —
+    both sides the same projection, partitioned by doc; one
+    (doc, bigram)-grain groupBy with map-side combine; one doc-grain
+    fold. Work ∝ corpus tokens, state ∝ distinct bigrams per doc."""
+    words = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "_p", "_w"
+        ),
+    ).where(F.col("_w") != "")
+    nxt = words.select(
+        F.col(id_col),
+        (F.col("_p") - 1).alias("_p"),
+        F.col("_w").alias("_w2"),
+    )
+    grams = words.join(nxt, [id_col, "_p"]).select(
+        F.col(id_col), F.concat_ws(" ", "_w", "_w2").alias("_g")
+    )
+    per = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    out = per.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_dup"),
+        F.max("_c").cast("long").alias("_top"),
+    )
+    docs = df.select(F.col(id_col)).distinct()
+    return (
+        docs.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce("_dup", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("dup_bigram_ratio"),
+            F.round(
+                F.coalesce("_top", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("top_bigram_ratio"),
+        )
+    )

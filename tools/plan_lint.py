@@ -254,6 +254,39 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_quality_scores shape (vocabulary-size scalar, computed once "
         "from the persisted count artifact)",
     },
+    "spearman_price_quantity": {
+        "SinglePartitionWindow": "midrank assignment over the DISTINCT "
+        "QUANTIZED value domains (cents buckets — bounded by "
+        "unit_scale·range, not rows; the classifier_auc/gini contract), "
+        "one window per column",
+    },
+    "kruskal_wallis_priority_price": {
+        "SinglePartitionWindow": "midrank assignment over the DISTINCT "
+        "QUANTIZED value domain (cents buckets — classifier_auc "
+        "contract)",
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n_total, "
+        "k, s4) global fold and the tie-term row broadcast onto the "
+        "k-row per-group table",
+    },
+    "cliffs_delta_returnflag": {
+        "SinglePartitionWindow": "cumulative B-counts over the DISTINCT "
+        "QUANTIZED value domain (cents buckets — classifier_auc "
+        "contract); the following-frame variant was measured O(n²) and "
+        "is derived from the total instead",
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the n_b total "
+        "broadcast onto the value-domain table",
+    },
+    "degree_assortativity": {
+        "BroadcastNestedLoopJoin": "inherited from the shared co-supply "
+        "edge construction: the median-weight threshold is a broadcast "
+        "1-row percentile scalar (the kcore_supplier shape), plus the "
+        "1-row moments attach onto the node-count row",
+    },
+    "common_neighbors_suppliers": {
+        "BroadcastNestedLoopJoin": "inherited from the shared co-supply "
+        "edge construction: the median-weight threshold broadcast 1-row "
+        "percentile scalar (the kcore_supplier shape)",
+    },
     "embedding_random_projection": {
         "BroadcastNestedLoopJoin": "constant-factor expansion: the "
         "out_dim-row (8) component spine broadcast onto the exploded "
