@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     "bigram_repetition",
     "degree_assortativity",
     "common_neighbors_suppliers",
+    "woe_iv_source_lang",
+    "flesch_readability",
+    "twap_user_value",
+    "mad_outliers_event_value",
 ]
 
 

@@ -13397,6 +13397,210 @@ def q_common_neighbors_suppliers(spark, sf_dir):
     return common_neighbors_linkpred(_supplier_domestic_edges(spark, sf_dir))
 
 
+@query(
+    "woe_iv_source_lang",
+    oracle="""
+WITH base AS (
+  SELECT CAST(source AS VARCHAR) AS c, (lang = 'en') AS y FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+), per AS (
+  SELECT c AS category,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM base GROUP BY c
+), tot AS (
+  SELECT CAST(COALESCE(SUM(n_pos), 0) AS BIGINT) AS g,
+         CAST(COALESCE(SUM(n_neg), 0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n_categories
+  FROM per
+), scored AS (
+  SELECT category, n_pos, n_neg,
+    round(ln((CAST(2 * n_pos + 1 AS DOUBLE) * CAST(2 * b + n_categories AS DOUBLE))
+          / (CAST(2 * n_neg + 1 AS DOUBLE) * CAST(2 * g + n_categories AS DOUBLE))), 9) AS woe,
+    CAST(round((CAST(2 * n_pos + 1 AS DOUBLE) / CAST(2 * g + n_categories AS DOUBLE)
+        - CAST(2 * n_neg + 1 AS DOUBLE) / CAST(2 * b + n_categories AS DOUBLE))
+      * ln((CAST(2 * n_pos + 1 AS DOUBLE) * CAST(2 * b + n_categories AS DOUBLE))
+          / (CAST(2 * n_neg + 1 AS DOUBLE) * CAST(2 * g + n_categories AS DOUBLE)))
+      * 1000000000.0e0) AS BIGINT) AS tn,
+    n_categories
+  FROM per CROSS JOIN tot
+), iv AS (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) AS ivn FROM scored)
+SELECT category, n_pos, n_neg, woe,
+       round(CAST(ivn AS DOUBLE) / 1000000000.0e0, 9) AS iv, n_categories
+FROM scored CROSS JOIN iv
+""",
+)
+def q_woe_iv_source_lang(spark, sf_dir):
+    """EXT — Weight of Evidence / Information Value of document source
+    against the is-English label (features.woe_iv; the Siddiqi
+    credit-scoring convention): the feature-SELECTION readout next to
+    target_encode's construction, and a leakage screen beside
+    mutual_information (IV explodes on leaked columns). The smoothed
+    WOE argument collapses to all-integer counts, IV terms nano-
+    quantize before the cross-category fold — hash-matched."""
+    from .operators.features import woe_iv
+
+    d = t(spark, sf_dir, "documents")
+    return woe_iv(
+        d.select("source", (F.col("lang") == "en").alias("is_en")),
+        "source",
+        "is_en",
+    )
+
+
+@query(
+    "rare_category_grouping",
+    oracle="""
+WITH keep AS (
+  SELECT CAST(p_type AS VARCHAR) AS k, count(*) AS n
+  FROM part WHERE p_type IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 12
+), grouped AS (
+  SELECT CASE WHEN p_type IS NULL THEN NULL
+              WHEN k IS NOT NULL THEN CAST(p_type AS VARCHAR)
+              ELSE '__other__' END AS p_type_grouped
+  FROM part LEFT JOIN keep ON CAST(p_type AS VARCHAR) = k
+)
+SELECT p_type_grouped, CAST(count(*) AS BIGINT) AS n_parts
+FROM grouped GROUP BY 1
+""",
+)
+def q_rare_category_grouping(spark, sf_dir):
+    """EXT — rare-category bucketing of part types (features.
+    group_rare_categories; sklearn's min_frequency convention): levels
+    below the count floor collapse into __other__ BEFORE encoding —
+    the cardinality clamp that keeps target/one-hot encoder state
+    bounded. NULL stays NULL (missingness is its own signal).
+    Verified as the grouped-label frequency table — hash-matched."""
+    from .operators.features import group_rare_categories
+
+    out = group_rare_categories(
+        t(spark, sf_dir, "part"), "p_type", min_count=12
+    )
+    return out.groupBy("p_type_grouped").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+@query(
+    "flesch_readability",
+    oracle="""
+WITH scan AS (
+  SELECT doc_id,
+    CASE WHEN text IS NOT NULL AND length(text) > 0
+         THEN CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT)
+         ELSE 0 END AS n_words,
+    CASE WHEN text IS NOT NULL
+         THEN CAST(GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS BIGINT)
+         ELSE 0 END AS n_sentences
+  FROM documents
+), syl AS (
+  SELECT doc_id,
+         CAST(SUM(GREATEST(len(string_split_regex(w, '[aeiouy]+')) - 1, 1)) AS BIGINT) AS n_syllables
+  FROM (SELECT doc_id, t.w AS w FROM documents,
+          LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE text IS NOT NULL AND t.w <> '')
+  GROUP BY doc_id
+)
+SELECT s.doc_id, n_words, n_sentences, COALESCE(n_syllables, 0) AS n_syllables,
+  CASE WHEN n_words > 0 THEN
+    round(206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 9)
+  END AS flesch
+FROM scan s LEFT JOIN syl ON s.doc_id = syl.doc_id
+""",
+)
+def q_flesch_readability(spark, sf_dir):
+    """EXT — Flesch Reading Ease per document (text.
+    flesch_reading_ease; Flesch 1948): the classic readability
+    quality signal — boilerplate and OCR junk score pathologically at
+    both ends. Deterministic public heuristics (``[.!?]+`` sentence
+    groups, ``[aeiouy]+`` vowel-group syllables) via split-length
+    arithmetic, every formula input an exact integer, one shared IEEE
+    chain — hash-matched."""
+    from .operators.text import flesch_reading_ease
+
+    return flesch_reading_ease(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), stepped AS (
+  SELECT k, v, LEAD(t) OVER (PARTITION BY k ORDER BY t ASC, v ASC) - t AS dt
+  FROM base
+)
+SELECT k AS key, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(CAST(COALESCE(SUM(dt), 0) AS DOUBLE) / 1000000.0e0) AS BIGINT)
+         AS span_seconds,
+       CASE WHEN COALESCE(SUM(dt), 0) > 0 THEN
+         round(CAST(COALESCE(SUM(CAST(v AS HUGEINT) * CAST(dt AS HUGEINT)), 0) AS DOUBLE)
+               / (CAST(SUM(dt) AS DOUBLE) * 100.0e0), 9)
+       END AS twap
+FROM stepped GROUP BY k
+""",
+)
+def q_twap_user_value(spark, sf_dir):
+    """EXT — per-user time-weighted average event value (timeseries.
+    time_weighted_avg; the TWAP convention: each observation holds
+    until the next, weighted by holding seconds, last observation
+    excluded): the correct mean for irregularly-sampled state series,
+    where the row-mean over-weights busy periods. ONE window
+    partitioned BY USER (never global — the sessionize contract),
+    exact integer durations × quantized values in DECIMAL/HUGEINT —
+    hash-matched."""
+    from .operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+    )
+
+
+@query(
+    "mad_outliers_event_value",
+    oracle="""
+WITH base AS (
+  SELECT event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), med AS (SELECT quantile_cont(v, 0.5) AS m FROM base),
+mad AS (
+  SELECT quantile_cont(abs(v - m), 0.5) AS d, MIN(m) AS m2
+  FROM base CROSS JOIN med
+)
+SELECT event_id,
+       CAST(v AS DOUBLE) / 100.0e0 AS value,
+       round(0.6745e0 * (CAST(v AS DOUBLE) - m2) / d, 9) AS robust_z,
+       round(m2 / 100.0e0, 9) AS median,
+       round(d / 100.0e0, 9) AS mad
+FROM base CROSS JOIN mad
+WHERE d IS NOT NULL AND d > 0
+  AND abs(round(0.6745e0 * (CAST(v AS DOUBLE) - m2) / d, 9)) > 3.5e0
+""",
+)
+def q_mad_outliers_event_value(spark, sf_dir):
+    """EXT — GLOBAL robust outlier screen on event values (profiling.
+    modified_zscore_outliers; Iglewicz & Hoaglin 1993's modified
+    z-score, |0.6745·(x−med)/MAD| > 3.5 — the whole-population
+    companion to the PER-GROUP gate of mad_price_outliers): the
+    50%-breakdown upgrade of mean/σ z-scores, whose own inputs the
+    outliers drag. Two pinned-R-7 percentile aggregates over exact
+    integers with 1-row broadcast attaches — no global sort, no
+    windows — hash-matched."""
+    from .operators.profiling import modified_zscore_outliers
+
+    return modified_zscore_outliers(t(spark, sf_dir, "events"), "event_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -3197,3 +3197,69 @@ def cliffs_delta(
             ),
         ).alias("delta"),
     )
+
+
+def modified_zscore_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Robust outlier detection by modified z-score (Iglewicz & Hoaglin,
+    "How to Detect and Handle Outliers" 1993 — the public ASQC
+    handbook): ``M = 0.6745·(x − median)/MAD`` with MAD the median
+    absolute deviation; |M| > 3.5 is the published cut. The ROBUST
+    upgrade of mean/σ z-scores, whose own inputs are dragged by the
+    very outliers they hunt — median/MAD have a 50% breakdown point.
+    Emits only the flagged rows: ``(id_col, value (double), robust_z
+    (double))`` plus the population scalars repeated per row:
+    ``median, mad (double)``. A zero-MAD population (> 50% of values
+    identical) flags nothing — M is undefined there; use exact
+    frequency profiling instead (documented, both engines).
+
+    Exactness: values quantize to integers; both medians are the
+    pinned R-7 ``percentile`` (≡ DuckDB ``quantile_cont``) over exact
+    integers; the z chain is ONE shared IEEE expression, rounded to
+    9. Scale shape: two global percentile aggregates (the second over
+    |x − med|) with 1-row broadcast attaches between — no windows, no
+    sort of the full data."""
+    if threshold <= 0:
+        raise ValueError(f"modified_zscore_outliers: threshold must be > 0, got {threshold}")
+    vq = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    base = df.select(F.col(id_col), vq.alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    med = base.agg(F.expr("percentile(_v, 0.5)").alias("_med"))
+    staged = base.crossJoin(F.broadcast(med))
+    mad = staged.agg(
+        F.expr("percentile(abs(_v - _med), 0.5)").alias("_mad"),
+        F.min("_med").alias("_med2"),
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("_v").cast("double") - F.col("_med2"))
+        / F.col("_mad"),
+        9,
+    )
+    return (
+        base.crossJoin(F.broadcast(mad))
+        .where(
+            F.col("_mad").isNotNull()
+            & (F.col("_mad") > 0)
+            & (F.abs(z) > F.lit(threshold))
+        )
+        .select(
+            id_col,
+            (F.col("_v").cast("double") / F.lit(float(unit_scale))).alias(
+                "value"
+            ),
+            z.alias("robust_z"),
+            F.round(F.col("_med2") / F.lit(float(unit_scale)), 9).alias(
+                "median"
+            ),
+            F.round(F.col("_mad") / F.lit(float(unit_scale)), 9).alias("mad"),
+        )
+    )

@@ -2702,3 +2702,82 @@ def bigram_repetition_stats(
             ).alias("top_bigram_ratio"),
         )
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch, J. Appl. Psych. 1948:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``) —
+    the classic readability quality signal (90+ ≈ grade school, < 30 ≈
+    academic); a standard curation feature next to the Gopher gates
+    (boilerplate and OCR junk score pathologically at both ends).
+
+    Deterministic public heuristics, identical cross-engine: words =
+    the corpus single-space convention; sentences = count of
+    ``[.!?]+`` terminator GROUPS, floored at 1; syllables per word =
+    count of ``[aeiouy]+`` vowel groups (lowercased), floored at 1 —
+    all via split-length arithmetic (``len(split(s, re)) − 1`` counts
+    the separator groups), so every input to the formula is an exact
+    integer and the score is ONE shared IEEE chain, rounded to 9.
+
+    Output: ``(id_col, n_words, n_sentences, n_syllables (long),
+    flesch (double; NULL for empty/NULL text))``.
+
+    Scale shape: one scan-local projection for words/sentences + one
+    exploded word-grain aggregation for syllables — the text_analysis
+    shape, zero UDFs."""
+    t = F.col(text_col)
+    words_arr = F.split(F.lower(t), " ")
+    scan = df.select(
+        F.col(id_col),
+        F.when(
+            t.isNotNull() & (F.length(t) > 0),
+            F.size(F.filter(words_arr, lambda w: w != "")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_words"),
+        F.when(
+            t.isNotNull(),
+            F.greatest(F.size(F.split(t, "[.!?]+")) - 1, F.lit(1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    syl = (
+        df.where(t.isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(t), " ")).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .select(
+            id_col,
+            F.greatest(
+                F.size(F.split(F.col("_w"), "[aeiouy]+")) - 1, F.lit(1)
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").cast("long").alias("n_syllables"))
+    )
+    w = F.col("n_words").cast("double")
+    return scan.join(syl, id_col, "left").select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        F.coalesce("n_syllables", F.lit(0)).alias("n_syllables"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (w / F.col("n_sentences").cast("double"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / w),
+                9,
+            ),
+        ).alias("flesch"),
+    )

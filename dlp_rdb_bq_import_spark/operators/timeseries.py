@@ -1150,3 +1150,83 @@ def mann_kendall_trend(
             ),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Per-key time-weighted average (the TWAP convention: each
+    observation holds until the NEXT one, weighted by its holding
+    duration in seconds; the last observation has no duration and
+    contributes nothing) — the correct mean for irregularly-sampled
+    state series (account balance, price, queue depth), where the
+    row-mean over-weights busy periods exactly when they matter
+    least. One row per key: ``(key, n_events (long), span_seconds
+    (long), twap (double; NULL for single-event keys))``.
+
+    Exactness: values quantize to integers at ``unit_scale``;
+    durations are exact integer MICROSECONDS (``unix_micros`` ≡
+    DuckDB ``epoch_us`` — second-granularity epoch casts round
+    sub-second parts differently across engines); ``span_seconds``
+    floors the microsecond span; the Σ v·Δt fold is
+    DECIMAL(38,0)/HUGEINT; ONE division, rounded to 9. Ties on ts
+    contribute zero duration (deterministic — their order cannot
+    matter).
+
+    Scale shape: ONE window partitioned BY KEY (thousands of rows per
+    key, never global — the sessionize contract), one key-grain
+    aggregation."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
+        "long"
+    )
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("_k"), ep.alias("_t"), v.alias("_v")
+    ).where(
+        F.col("_k").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_v").asc())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stepped = base.select(
+        "_k",
+        "_t",
+        "_v",
+        (F.lead("_t").over(w) - F.col("_t")).alias("_dt"),
+    )
+    return (
+        stepped.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(F.sum("_dt"), F.lit(0)).cast("long").alias("_span_us"),
+            F.coalesce(
+                F.sum(dec("_v") * dec("_dt")), F.lit(0).cast("decimal(38,0)")
+            ).alias("_vt"),
+        )
+        .select(
+            F.col("_k").alias("key"),
+            "n_events",
+            F.floor(F.col("_span_us") / F.lit(1_000_000)).cast("long").alias(
+                "span_seconds"
+            ),
+            F.when(
+                F.col("_span_us") > 0,
+                F.round(
+                    F.col("_vt").cast("double")
+                    / (
+                        F.col("_span_us").cast("double")
+                        * F.lit(float(unit_scale))
+                    ),
+                    9,
+                ),
+            ).alias("twap"),
+        )
+    )

@@ -254,6 +254,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_quality_scores shape (vocabulary-size scalar, computed once "
         "from the persisted count artifact)",
     },
+    "woe_iv_source_lang": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the (G, B, k) "
+        "totals row and the summed-IV row broadcast onto the CATEGORY-"
+        "grain table — the target_encoding_priority shape",
+    },
+    "mad_outliers_event_value": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar attaches by "
+        "construction: the median row, then the MAD row, broadcast onto "
+        "the value stream — the trimmed_mean/psi percentile-bounds shape",
+    },
     "spearman_price_quantity": {
         "SinglePartitionWindow": "midrank assignment over the DISTINCT "
         "QUANTIZED value domains (cents buckets — bounded by "
