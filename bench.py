@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "flesch_readability",
     "twap_user_value",
     "mad_outliers_event_value",
+    "streaming_twap",
+    "progressive_jpeg_parity",
 ]
 
 

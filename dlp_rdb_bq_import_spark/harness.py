@@ -13523,9 +13523,7 @@ def q_flesch_readability(spark, sf_dir):
     return flesch_reading_ease(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "twap_user_value",
-    oracle="""
+_TWAP_SQL = """
 WITH base AS (
   SELECT user_id AS k,
          CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
@@ -13544,8 +13542,10 @@ SELECT k AS key, CAST(count(*) AS BIGINT) AS n_events,
                / (CAST(SUM(dt) AS DOUBLE) * 100.0e0), 9)
        END AS twap
 FROM stepped GROUP BY k
-""",
-)
+"""
+
+
+@query("twap_user_value", oracle=_TWAP_SQL)
 def q_twap_user_value(spark, sf_dir):
     """EXT — per-user time-weighted average event value (timeseries.
     time_weighted_avg; the TWAP convention: each observation holds
@@ -13599,6 +13599,74 @@ def q_mad_outliers_event_value(spark, sf_dir):
     from .operators.profiling import modified_zscore_outliers
 
     return modified_zscore_outliers(t(spark, sf_dir, "events"), "event_id", "value")
+
+
+@query("streaming_twap", oracle=_TWAP_SQL)
+def q_streaming_twap(spark, sf_dir):
+    """EXT §2.10 — streaming time-weighted average (streaming/jobs.
+    streaming_twap): the incremental twin of timeseries.
+    time_weighted_avg, carrying FOUR scalars of state per key (last
+    timestamp/value, exact Σ v·Δt as a decimal string, Σ Δt) across
+    event-time-ordered micro-batches — the per-key fold is exactly
+    the batch recursion regardless of slice boundaries, so this
+    STREAMING query hash-matches the SAME DuckDB oracle as the batch
+    form (the streaming_connected_components discipline: stream ≡
+    batch, proven by the gate, not claimed)."""
+    from .streaming.jobs import streaming_twap
+
+    return streaming_twap(
+        spark,
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value",
+        n_slices=4,
+    )
+
+
+@query("progressive_jpeg_parity")  # real Annex G decode — rows-only
+def q_progressive_jpeg_parity(spark, sf_dir):
+    """EXT — baseline-vs-progressive JPEG decode parity over the
+    corpus sample (multimodal.attach_media × media_codecs.
+    synthesize_image): both containers share ONE quantization stage,
+    so the Annex G multi-scan decode (operators/jpeg_codec.py —
+    spectral selection, successive approximation, EOB runs) must
+    reproduce the baseline decode's features EXACTLY per document.
+    Output carries both feature sets plus the equality verdict; the
+    all-rows-identical pin lives in pytest (rows-only gate — binary
+    decode has no SQL restatement). The honest production claim:
+    the ~10% of crawl JPEGs that are progressive decode on the same
+    engine with the same downstream features."""
+    from .operators.multimodal import attach_media, extract_features
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 7)
+        .repartition(32, "doc_id")
+    )
+    base = extract_features(attach_media(docs, container="jpeg")).select(
+        "doc_id",
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.col("mean_px").alias("mean_px_baseline"),
+    )
+    prog = extract_features(
+        attach_media(docs, container="jpeg_progressive")
+    ).select(
+        "doc_id",
+        F.col("mean_px").alias("mean_px_progressive"),
+    )
+    return base.join(prog, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        "mean_px_baseline",
+        "mean_px_progressive",
+        (F.col("mean_px_baseline") == F.col("mean_px_progressive")).alias(
+            "identical"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

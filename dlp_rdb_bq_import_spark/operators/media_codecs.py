@@ -572,14 +572,18 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
     """Real BMP (even seeds) / PPM (odd seeds) bytes: a two-axis
     gradient plus seeded noise, size varying with the seed so decoders
     see many shapes (including widths that force BMP row padding).
-    ``container`` pins the format ("bmp"/"ppm"/"png"/"gif"/"jpeg")
-    instead of the seed-parity default — the lossless FOUR (gif's
-    palette is exact here: the gradient-plus-noise source has ≤256
-    unique colors by construction, w·h ≤ 208) carry identical pixels
-    (cross-container decode-parity tests come for free); "jpeg" is
-    real baseline compression of the same source pixels, so its decode
-    is CLOSE to the others (quality-bounded), never equal — exactly
-    the corpus reality the multimodal operators face."""
+    ``container`` pins the format ("bmp"/"ppm"/"png"/"gif"/"jpeg"/
+    "jpeg_progressive") instead of the seed-parity default — the
+    lossless FOUR (gif's palette is exact here: the gradient-plus-
+    noise source has ≤256 unique colors by construction, w·h ≤ 208)
+    carry identical pixels (cross-container decode-parity tests come
+    for free); "jpeg" is real baseline compression of the same source
+    pixels, so its decode is CLOSE to the others (quality-bounded),
+    never equal — exactly the corpus reality the multimodal operators
+    face; "jpeg_progressive" shares the baseline's EXACT quantized
+    coefficients (one `_quantize_444`), so the two JPEG containers
+    decode pixel-identically while exercising the Annex G multi-scan
+    path."""
     seed = int(seed) & 0x7FFFFFFF
     w = 5 + seed % 12
     h = 4 + (seed // 12) % 10
@@ -594,6 +598,10 @@ def synthesize_image(seed: int, container: str | None = None) -> bytes:
         from .jpeg_codec import encode_jpeg
 
         return encode_jpeg(rgb, quality=90)
+    if container == "jpeg_progressive":
+        from .jpeg_codec import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(rgb, quality=90)
     if container == "gif":
         from .gif_codec import encode_gif
 

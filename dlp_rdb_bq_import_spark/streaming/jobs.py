@@ -1435,3 +1435,175 @@ def streaming_connected_components(
         return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_twap(
+    spark: SparkSession,
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    unit_scale: int = 100,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming time-weighted average — the incremental twin of
+    ``timeseries.time_weighted_avg`` (same TWAP convention: each
+    observation holds until the next, weighted by exact holding
+    MICROSECONDS; the per-key tail observation is pending until a
+    successor arrives). Per key the carried state is FOUR scalars —
+    last timestamp, last value, the exact Σ v·Δt accumulator and the
+    Σ Δt span — folded forward each micro-batch in event-time order
+    (the staged-slice + maxFilesPerTrigger=1 ordering discipline of
+    ``streaming_ewma``), so the final fold is EXACTLY the batch
+    operator's answer regardless of slice boundaries: this query
+    hash-matches the SAME DuckDB oracle as the batch form.
+
+    Exactness: the v·Δt accumulator is carried as a DECIMAL STRING in
+    the state table and folded in arbitrary-precision Python ints
+    inside the per-key ``applyInPandas`` — no float ever touches the
+    running sums. Output one row per key: ``(key, n_events (long),
+    span_seconds (long), twap (double))`` — the batch operator's
+    exact schema."""
+    if n_slices < 1:
+        raise ValueError(f"streaming_twap: n_slices must be >= 1, got {n_slices}")
+    import pandas as pd
+
+    root = tempfile.mkdtemp(prefix="twap_stream_")
+    stage = os.path.join(root, "staged")
+    state_dir = os.path.join(root, "state")
+    os.makedirs(stage)
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.round(F.col(value_col).cast("double") * F.lit(unit_scale))
+        .cast("long")
+        .alias("v"),
+    ).where(
+        F.col("k").isNotNull() & F.col("t").isNotNull() & F.col("v").isNotNull()
+    )
+    if n_slices > 1:
+        fracs = ", ".join(repr(i / n_slices) for i in range(1, n_slices))
+        cuts = list(
+            src.select(
+                F.expr(f"percentile(t, array({fracs}))").alias("_bs")
+            ).first()["_bs"]
+        )
+    else:
+        cuts = []
+    lo = None
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        hi = cuts[i] if i < len(cuts) else None
+        part = src
+        if lo is not None:
+            part = part.where(F.col("t") > lo)
+        if hi is not None:
+            part = part.where(F.col("t") <= hi)
+        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
+        part.coalesce(1).write.mode("append").parquet(stage)
+        for name in set(os.listdir(stage)) - before:
+            os.utime(
+                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
+            )
+        lo = hi
+
+    state_schema = (
+        "k string, n long, last_t long, last_v long, acc_vt string, "
+        "acc_dt long"
+    )
+
+    def fold_batch(batch_df, _epoch_id):
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        seeded = batch_df.join(
+            state.withColumnsRenamed(
+                {
+                    "n": "_sn",
+                    "last_t": "_st",
+                    "last_v": "_sv",
+                    "acc_vt": "_svt",
+                    "acc_dt": "_sdt",
+                }
+            ),
+            "k",
+            "left",
+        )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["t", "eid"])
+            has_seed = not pd.isna(pdf["_sn"].iloc[0])
+            n = int(pdf["_sn"].iloc[0]) if has_seed else 0
+            last_t = int(pdf["_st"].iloc[0]) if has_seed else None
+            last_v = int(pdf["_sv"].iloc[0]) if has_seed else None
+            acc_vt = int(pdf["_svt"].iloc[0]) if has_seed else 0
+            acc_dt = int(pdf["_sdt"].iloc[0]) if has_seed else 0
+            for t, v in zip(pdf["t"].tolist(), pdf["v"].tolist()):
+                t, v = int(t), int(v)
+                if last_t is not None:
+                    dt = t - last_t
+                    acc_vt += last_v * dt
+                    acc_dt += dt
+                last_t, last_v = t, v
+                n += 1
+            return pd.DataFrame(
+                {
+                    "k": [pdf["k"].iloc[0]],
+                    "n": [n],
+                    "last_t": [last_t],
+                    "last_v": [last_v],
+                    "acc_vt": [str(acc_vt)],
+                    "acc_dt": [acc_dt],
+                }
+            )
+
+        updated = seeded.groupBy("k").applyInPandas(fn, state_schema)
+        new_state = (
+            state.join(updated.select("k"), "k", "left_anti")
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    try:
+        batch0 = spark.read.parquet(stage)
+        raw = (
+            spark.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.parquet(state_dir)
+        return (
+            final.select(
+                F.col("k").alias("key"),
+                F.col("n").alias("n_events"),
+                F.floor(F.col("acc_dt") / F.lit(1_000_000))
+                .cast("long")
+                .alias("span_seconds"),
+                F.when(
+                    F.col("acc_dt") > 0,
+                    F.round(
+                        F.col("acc_vt").cast("decimal(38,0)").cast("double")
+                        / (
+                            F.col("acc_dt").cast("double")
+                            * F.lit(float(unit_scale))
+                        ),
+                        9,
+                    ),
+                ).alias("twap"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

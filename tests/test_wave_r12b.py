@@ -206,3 +206,67 @@ def test_mad_outliers_threshold_validation(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError, match="threshold"):
         modified_zscore_outliers(df, "id", "v", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# streaming_twap ≡ batch time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_slices", [1, 3, 5])
+def test_streaming_twap_equals_batch(spark, n_slices):
+    """The per-key fold must reproduce the batch operator EXACTLY for
+    any micro-batch slicing — including slice boundaries that split a
+    key's events (the carried last-observation state)."""
+    from dlp_rdb_bq_import_spark.operators.timeseries import time_weighted_avg
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_twap
+
+    rows = []
+    eid = 0
+    for k in ("a", "b", "c"):
+        for m in range(8):
+            rows.append((k, f"2024-01-01 00:{m * 7:02d}:00", eid, float((eid * 37) % 90)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, value double"
+    ).select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "event_id", "value"
+    )
+    want = {
+        r.key: (r.n_events, r.span_seconds, r.twap)
+        for r in time_weighted_avg(
+            df, key_col="user_id", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    got = {
+        r.key: (r.n_events, r.span_seconds, r.twap)
+        for r in streaming_twap(spark, df, n_slices=n_slices).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG in the multimodal mix
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_container_features_identical_to_baseline(spark):
+    """jpeg and jpeg_progressive share one quantization stage, so the
+    decoded features must be EXACTLY equal per document."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    base = {
+        r.doc_id: (r.width, r.height, r.mean_px)
+        for r in extract_features(attach_media(docs, container="jpeg")).collect()
+    }
+    prog = {
+        r.doc_id: (r.width, r.height, r.mean_px)
+        for r in extract_features(
+            attach_media(docs, container="jpeg_progressive")
+        ).collect()
+    }
+    assert base == prog and len(base) == 12
