@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "mad_outliers_event_value",
     "streaming_twap",
     "progressive_jpeg_parity",
+    "mcnemar_paired_models",
+    "brier_score_decomposition",
+    "cumulative_gains_deciles",
 ]
 
 

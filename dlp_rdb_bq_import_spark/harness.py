@@ -13669,6 +13669,188 @@ def q_progressive_jpeg_parity(spark, sf_dir):
     )
 
 
+@query(
+    "mcnemar_paired_models",
+    oracle="""
+WITH base AS (
+  SELECT lang AS label,
+         CASE WHEN n_chars % 3 = 0 THEN 'en' ELSE 'de' END AS pa,
+         CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE 'fr' END AS pb
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(CASE WHEN pa = label AND pb = label THEN 1 ELSE 0 END), 0) AS BIGINT) AS both_correct,
+    CAST(COALESCE(SUM(CASE WHEN pa <> label AND pb <> label THEN 1 ELSE 0 END), 0) AS BIGINT) AS both_wrong,
+    CAST(COALESCE(SUM(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_a,
+    CAST(COALESCE(SUM(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_b
+  FROM base
+)
+SELECT n, both_correct, both_wrong, only_a, only_b,
+  CASE WHEN only_a + only_b > 0 THEN
+    round((abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0e0)
+          * (abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0e0)
+          / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE)), 9)
+  END AS chi2
+FROM cells
+""",
+)
+def q_mcnemar_paired_models(spark, sf_dir):
+    """EXT — McNemar's paired-classifier test (profiling.mcnemar_test;
+    McNemar 1947, Edwards continuity correction): two deterministic
+    rule 'models' predict document language on the SAME examples —
+    only the discordant cells carry signal, which is why the naive
+    two-proportion z-test is wrong on paired data. THE model-upgrade
+    gate for the engine's trained classifiers. Pure integer cells,
+    one IEEE chain — hash-matched."""
+    from .operators.profiling import mcnemar_test
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label"),
+        F.when(F.col("n_chars") % 3 == 0, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("pa"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("en"))
+        .otherwise(F.lit("fr"))
+        .alias("pb"),
+    )
+    return mcnemar_test(d, "pa", "pb", "label")
+
+
+def _brier_sql() -> str:
+    from .operators.sampling import hash_uniform_sql
+
+    hu = hash_uniform_sql("event_id")
+    return f"""
+WITH base AS (
+  SELECT CAST(round(({hu}) * 100) AS BIGINT) AS f,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS pk
+  FROM base GROUP BY f
+), tot AS (
+  SELECT CAST(COALESCE(SUM(nk), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(pk), 0) AS BIGINT) AS pt,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM per
+), sums AS (
+  SELECT
+    COALESCE(SUM(CAST(round(
+      (CAST(f AS DOUBLE) * CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) * 100.0e0)
+      * (CAST(f AS DOUBLE) * CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) * 100.0e0)
+      / CAST(nk AS DOUBLE) * 1000000.0e0) AS HUGEINT)), 0) AS rel,
+    COALESCE(SUM(CAST(round(
+      (CAST(pk AS DOUBLE) * CAST(n AS DOUBLE) - CAST(pt AS DOUBLE) * CAST(nk AS DOUBLE))
+      * (CAST(pk AS DOUBLE) * CAST(n AS DOUBLE) - CAST(pt AS DOUBLE) * CAST(nk AS DOUBLE))
+      / CAST(nk AS DOUBLE) * 1000000.0e0) AS HUGEINT)), 0) AS res
+  FROM per CROSS JOIN tot
+)
+SELECT n, n_bins,
+  CASE WHEN n > 0 THEN round(
+    CAST(rel AS DOUBLE) / (1000000.0e0 * CAST(n AS DOUBLE) * 100.0e0 * 100.0e0)
+    - CAST(res AS DOUBLE) / (1000000.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+    + CAST(pt AS DOUBLE) / CAST(n AS DOUBLE) * (1.0e0 - CAST(pt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+  END AS brier,
+  CASE WHEN n > 0 THEN round(
+    CAST(rel AS DOUBLE) / (1000000.0e0 * CAST(n AS DOUBLE) * 100.0e0 * 100.0e0), 9)
+  END AS reliability,
+  CASE WHEN n > 0 THEN round(
+    CAST(res AS DOUBLE) / (1000000.0e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+  END AS resolution,
+  CASE WHEN n > 0 THEN round(
+    CAST(pt AS DOUBLE) / CAST(n AS DOUBLE) * (1.0e0 - CAST(pt AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+  END AS uncertainty
+FROM tot CROSS JOIN sums
+"""
+
+
+@query("brier_score_decomposition", oracle=_brier_sql())
+def q_brier_score_decomposition(spark, sf_dir):
+    """EXT — Murphy decomposition of the Brier score (profiling.
+    brier_decomposition; Brier 1950 / Murphy 1973): the hash-uniform
+    'model score' against the purchase label — a random scorer, whose
+    decomposition the exact arithmetic states precisely: reliability
+    ≈ the squared miscalibration of a uniform forecast, resolution ≈
+    0 (no discrimination), uncertainty = the base rate's irreducible
+    term. Bins ARE the distinct quantized scores, so BS = rel − res +
+    unc holds exactly; per-bin terms micro-quantize before the fold —
+    hash-matched."""
+    from .operators.profiling import brier_decomposition
+    from .operators.sampling import hash_uniform
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            hash_uniform(F.col("event_id")).alias("score"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return brier_decomposition(e, "score", "is_purchase", score_round=2)
+
+
+def _gains_sql() -> str:
+    from .operators.sampling import hash_uniform_sql
+
+    hu = hash_uniform_sql("event_id")
+    n_bins = 10
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    above = " + ".join(
+        f"(CASE WHEN s > b[{i}] THEN 1 ELSE 0 END)" for i in range(1, n_bins)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(round(({hu}) * 10000) AS BIGINT) AS s,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), b AS (SELECT quantile_cont(s, [{fracs}]) AS b FROM base),
+per AS (
+  SELECT CAST({n_bins} - ({above}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS positives
+  FROM base CROSS JOIN b GROUP BY 1
+), tot AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nt,
+         CAST(COALESCE(SUM(positives), 0) AS BIGINT) AS pt
+  FROM per
+), cum AS (
+  SELECT bin, n, positives,
+         CAST(SUM(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(positives) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_positives
+  FROM per
+)
+SELECT bin, n, positives, cum_n, cum_positives,
+  CASE WHEN pt > 0 THEN
+    round(CAST(cum_positives AS DOUBLE) / CAST(pt AS DOUBLE), 9) END AS gain,
+  CASE WHEN pt > 0 THEN
+    round((CAST(cum_positives AS DOUBLE) / CAST(cum_n AS DOUBLE))
+          / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 9) END AS lift
+FROM cum CROSS JOIN tot
+"""
+
+
+@query("cumulative_gains_deciles", oracle=_gains_sql())
+def q_cumulative_gains_deciles(spark, sf_dir):
+    """EXT — cumulative gains / lift table (profiling.
+    cumulative_gains): score-ordered deciles of the hash-uniform
+    scorer against the purchase label — the cutoff-pricing companion
+    to classifier_auc (a random scorer's gains sit on the diagonal,
+    lift ≈ 1 — stated exactly). Ties-low percentile binning (the PSI
+    fold), cumulative sums over ≤ n_bins rows — hash-matched."""
+    from .operators.profiling import cumulative_gains
+    from .operators.sampling import hash_uniform
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            hash_uniform(F.col("event_id")).alias("score"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return cumulative_gains(e, "score", "is_purchase", n_bins=10)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

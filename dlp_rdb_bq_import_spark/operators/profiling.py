@@ -3263,3 +3263,237 @@ def modified_zscore_outliers(
             F.round(F.col("_mad") / F.lit(float(unit_scale)), 9).alias("mad"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+) -> DataFrame:
+    """McNemar's test for paired classifiers (McNemar, Psychometrika
+    1947; Edwards' 1948 continuity correction): on the SAME examples,
+    is model A's error rate different from model B's? Only the
+    DISCORDANT pairs carry signal — ``χ² = (|b − c| − 1)² / (b + c)``
+    with b = A-right/B-wrong, c = A-wrong/B-right — which is why the
+    naive "compare two accuracies with a two-proportion z-test" is
+    wrong on paired data (it ignores the correlation through the
+    shared examples). THE standard model-upgrade gate. One row out:
+    ``(n (long), both_correct, both_wrong, only_a, only_b (long),
+    chi2 (double; NULL when no discordant pairs — the test is
+    undefined, not zero))``. Compare against χ²(1).
+
+    Exactness: pure integer cell counts; the statistic is ONE shared
+    IEEE chain, rounded to 9. Scale shape: a single 4-cell aggregate
+    with map-side combine — one reduce row."""
+    a_ok = F.col(pred_a_col) == F.col(label_col)
+    b_ok = F.col(pred_b_col) == F.col(label_col)
+    base = df.where(
+        F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    cells = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a_ok & b_ok).cast("long")).cast("long").alias("both_correct"),
+        F.sum((~a_ok & ~b_ok).cast("long")).cast("long").alias("both_wrong"),
+        F.sum((a_ok & ~b_ok).cast("long")).cast("long").alias("only_a"),
+        F.sum((~a_ok & b_ok).cast("long")).cast("long").alias("only_b"),
+    )
+    b, c = F.col("only_a").cast("double"), F.col("only_b").cast("double")
+    return cells.select(
+        "n",
+        F.coalesce("both_correct", F.lit(0)).alias("both_correct"),
+        F.coalesce("both_wrong", F.lit(0)).alias("both_wrong"),
+        F.coalesce("only_a", F.lit(0)).alias("only_a"),
+        F.coalesce("only_b", F.lit(0)).alias("only_b"),
+        F.when(
+            (F.col("only_a") + F.col("only_b")) > 0,
+            F.round(
+                (F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0))
+                / (b + c),
+                9,
+            ),
+        ).alias("chi2"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_round: int = 2,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Brier 1950; Murphy,
+    J. Appl. Met. 1973): ``BS = reliability − resolution +
+    uncertainty`` — splits a probability forecaster's squared error
+    into CALIBRATION (reliability → 0 is good), DISCRIMINATION
+    (resolution → uncertainty is good) and the label base rate's
+    irreducible term. The additive companion to calibration_curve's
+    per-bin view and classifier_auc's ranking view. Scores quantize
+    to ``score_round`` decimals and bins ARE the distinct quantized
+    scores, so the decomposition identity holds EXACTLY (no
+    within-bin forecast variance term). One row out: ``(n (long),
+    n_bins (long), brier, reliability, resolution, uncertainty
+    (double; NULL on empty input))``.
+
+    Exactness: per-bin terms ``(f_k·n_k − pos_k·s)²/n_k`` (s = the
+    quantization scale) are ONE engine-identical IEEE division of
+    exact integers each, micro-quantized (1e-6 units) BEFORE the
+    cross-bin sums — the kruskal_wallis fold discipline; uncertainty
+    is a pure integer ratio chain. Scale shape: one score-grain
+    groupBy (domain bounded by 10^score_round — the classifier_auc
+    contract), one 1-row fold."""
+    s = int(10**score_round)
+    fq = F.round(F.col(score_col).cast("double") * F.lit(s)).cast("long")
+    y = F.col(label_col).cast("boolean").cast("long")
+    per = (
+        df.select(fq.alias("_f"), y.alias("_y"))
+        .where(F.col("_f").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_p"),
+        )
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("_pt"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    staged = per.crossJoin(F.broadcast(tot))
+    nd = F.col("_n").cast("double")
+    # rel term: n_k·(f_k/s − p_k/n_k)² = (f_k·n_k − p_k·s)²/(n_k·s²)
+    rel_num = (
+        F.col("_f").cast("double") * nd - F.col("_p").cast("double") * F.lit(float(s))
+    )
+    rel_term = F.round(rel_num * rel_num / nd * F.lit(1e6)).cast("long")
+    # res term: n_k·(p_k/n_k − P/N)² = (p_k·N − P·n_k)²/(n_k·N²)
+    res_num = (
+        F.col("_p").cast("double") * F.col("n").cast("double")
+        - F.col("_pt").cast("double") * nd
+    )
+    res_term = F.round(res_num * res_num / nd * F.lit(1e6)).cast("long")
+    sums = staged.agg(
+        F.coalesce(F.sum(rel_term.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_rel"),
+        F.coalesce(F.sum(res_term.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_res"),
+    )
+    nn = F.col("n").cast("double")
+    rel = F.col("_rel").cast("double") / (
+        F.lit(1e6) * nn * F.lit(float(s)) * F.lit(float(s))
+    )
+    res = F.col("_res").cast("double") / (F.lit(1e6) * nn * nn * nn)
+    unc = (
+        F.col("_pt").cast("double")
+        / nn
+        * (F.lit(1.0) - F.col("_pt").cast("double") / nn)
+    )
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n",
+        "n_bins",
+        F.when(F.col("n") > 0, F.round(rel - res + unc, 9)).alias("brier"),
+        F.when(F.col("n") > 0, F.round(rel, 9)).alias("reliability"),
+        F.when(F.col("n") > 0, F.round(res, 9)).alias("resolution"),
+        F.when(F.col("n") > 0, F.round(unc, 9)).alias("uncertainty"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_round: int = 4,
+) -> DataFrame:
+    """Cumulative gains / lift table (the classic model-targeting
+    readout — "contacting the top 20% by score captures X% of the
+    positives"): score-ordered deciles with per-bin and cumulative
+    positive capture and lift. The operational companion to
+    classifier_auc: AUC ranks the whole list, gains price a CUTOFF.
+    One row per non-empty bin, best scores first: ``(bin (long,
+    1 = top), n (long), positives (long), cum_n, cum_positives
+    (long), gain, lift (double))``; gain = cumulative share of all
+    positives, lift = precision-so-far / base rate.
+
+    Determinism: scores quantize to ``score_round`` decimals; bin
+    boundaries are the score distribution's exact R-7 percentiles
+    (ties-low binning by ``1 + Σ(score > bᵢ)`` — the
+    population_stability_index fold, so a tie-heavy score column
+    lands every tied row in ONE bin deterministically); cumulative
+    sums run over the ≤ n_bins-row bin table. All counts exact
+    integers; two divisions per readout, rounded to 9.
+
+    Scale shape: one percentile aggregate, one bin-grain groupBy, a
+    window over ≤ n_bins rows — bounded by construction."""
+    if n_bins < 2:
+        raise ValueError(f"cumulative_gains: n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
+    sq = F.round(F.col(score_col).cast("double") * F.lit(10**score_round)).cast(
+        "long"
+    )
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.select(sq.alias("_s"), y.alias("_y")).where(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    bounds = base.agg(
+        F.expr(f"percentile(_s, array({fracs}))").alias("_bs")
+    )
+    staged = base.crossJoin(F.broadcast(bounds))
+    # bin 1 = HIGHEST scores: count boundaries the score exceeds from
+    # the top — ties-low (a row equal to a boundary falls in the
+    # lower-score bin), restated identically in SQL
+    above = F.aggregate(
+        "_bs",
+        F.lit(0),
+        lambda acc, b: acc + (F.col("_s") > b).cast("int"),
+    )
+    per = (
+        staged.select((F.lit(n_bins) - above).cast("long").alias("bin"), "_y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("positives"),
+        )
+    )
+    w = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("_nt"),
+        F.coalesce(F.sum("positives"), F.lit(0)).cast("long").alias("_pt"),
+    )
+    cum = per.select(
+        "bin",
+        "n",
+        "positives",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("positives").over(w).cast("long").alias("cum_positives"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "positives",
+        "cum_n",
+        "cum_positives",
+        F.when(
+            F.col("_pt") > 0,
+            F.round(
+                F.col("cum_positives").cast("double")
+                / F.col("_pt").cast("double"),
+                9,
+            ),
+        ).alias("gain"),
+        F.when(
+            F.col("_pt") > 0,
+            F.round(
+                (
+                    F.col("cum_positives").cast("double")
+                    / F.col("cum_n").cast("double")
+                )
+                / (F.col("_pt").cast("double") / F.col("_nt").cast("double")),
+                9,
+            ),
+        ).alias("lift"),
+    )

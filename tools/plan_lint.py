@@ -254,6 +254,19 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_quality_scores shape (vocabulary-size scalar, computed once "
         "from the persisted count artifact)",
     },
+    "brier_score_decomposition": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the (N, P, "
+        "n_bins) totals row onto the SCORE-grain bin table (≤ 10^"
+        "score_round rows by quantization), then the summed rel/res row "
+        "onto the totals — the psi/kruskal shape",
+    },
+    "cumulative_gains_deciles": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the decile-"
+        "boundary percentile row onto the score stream and the (N, P) "
+        "totals row onto the n_bins-row table — the psi_drift shape",
+        "SinglePartitionWindow": "cumulative capture over the BIN table "
+        "— ≤ n_bins (10) rows by construction, never row grain",
+    },
     "woe_iv_source_lang": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the (G, B, k) "
         "totals row and the summed-IV row broadcast onto the CATEGORY-"
