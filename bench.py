@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "mcnemar_paired_models",
     "brier_score_decomposition",
     "cumulative_gains_deciles",
+    "logrank_churn_test",
+    "rfm_user_segments",
+    "user_burstiness",
 ]
 
 

@@ -13851,6 +13851,202 @@ def q_cumulative_gains_deciles(spark, sf_dir):
     return cumulative_gains(e, "score", "is_purchase", n_bins=10)
 
 
+@query(
+    "logrank_churn_test",
+    oracle="""
+WITH spanv AS (
+  SELECT user_id, CAST(datediff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+         max(ts) AS last_ts
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), wend AS (SELECT max(ts) AS w_end FROM events),
+units AS (
+  SELECT (user_id % 2 = 0) AS g, dur AS t,
+         CAST(datediff('day', last_ts, w_end) > 3 AS BOOLEAN) AS ev
+  FROM spanv CROSS JOIN wend
+), per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS u,
+         CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+         CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN g AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1
+  FROM units GROUP BY t
+), risk AS (
+  SELECT d, d1,
+    CAST(SUM(u) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+    CAST(SUM(u1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+  FROM per
+), sums AS (
+  SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o_a,
+    COALESCE(SUM(CASE WHEN d > 0 THEN CAST(round(
+      CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+      * 1000000.0e0) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END), 0) AS em,
+    COALESCE(SUM(CASE WHEN d > 0 AND n > 1 THEN CAST(round(
+      CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      * (1.0e0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0e0)
+      * 1000000.0e0) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END), 0) AS vm
+  FROM risk
+), tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN g THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_b
+  FROM units
+)
+SELECT n_a, n_b, o_a,
+  round(CAST(em AS DOUBLE) / 1000000.0e0, 9) AS e_a,
+  round(CAST(vm AS DOUBLE) / 1000000.0e0, 9) AS v,
+  CASE WHEN CAST(vm AS DOUBLE) / 1000000.0e0 > 0 THEN
+    round((CAST(o_a AS DOUBLE) - CAST(em AS DOUBLE) / 1000000.0e0)
+          * (CAST(o_a AS DOUBLE) - CAST(em AS DOUBLE) / 1000000.0e0)
+          / (CAST(vm AS DOUBLE) / 1000000.0e0), 9)
+  END AS chi2
+FROM tot CROSS JOIN sums
+""",
+)
+def q_logrank_churn_test(spark, sf_dir):
+    """EXT — log-rank (Mantel-Cox) churn comparison (timeseries.
+    logrank_test; Mantel 1966): do even- and odd-id user cohorts churn
+    at different rates? The significance half of the Kaplan-Meier
+    pairing on the SAME censored spans (kaplan_meier_retention's
+    construction) — right-censoring handled exactly where a naive
+    mean-lifetime comparison biases toward the more-censored cohort.
+    At-risk counts via DESC reverse-cumulative over the distinct
+    duration domain; per-time terms micro-quantized before the fold —
+    hash-matched."""
+    from .operators.timeseries import logrank_test
+
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    wend = e.agg(F.max("ts").alias("w_end"))
+    units = span.crossJoin(F.broadcast(wend)).select(
+        (F.col("user_id") % 2 == 0).alias("g"),
+        F.col("dur").alias("t"),
+        (F.datediff("w_end", "last_ts") > 3).alias("ev"),
+    )
+    return logrank_test(units, group_col="g", duration_col="t", event_col="ev")
+
+
+def _rfm_sql() -> str:
+    n_bins = 5
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+
+    def fold(col: str, b: str) -> str:
+        return "1 + " + " + ".join(
+            f"(CASE WHEN {col} > {b}[{i}] THEN 1 ELSE 0 END)"
+            for i in range(1, n_bins)
+        )
+
+    return f"""
+WITH per AS (
+  SELECT user_id AS "user",
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS mq
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+), anchor AS (SELECT max(ts) AS wend FROM events),
+staged AS (
+  SELECT "user", CAST(datediff('day', last_ts, wend) AS BIGINT) AS recency_days,
+         frequency, mq
+  FROM per CROSS JOIN anchor
+), b AS (
+  SELECT quantile_cont(recency_days, [{fracs}]) AS br,
+         quantile_cont(frequency, [{fracs}]) AS bf,
+         quantile_cont(mq, [{fracs}]) AS bm
+  FROM staged
+)
+SELECT "user", recency_days, frequency,
+       CAST(mq AS DOUBLE) / 100.0e0 AS monetary,
+       CAST({n_bins} + 1 - ({fold("recency_days", "br")}) AS BIGINT) AS r,
+       CAST({fold("frequency", "bf")} AS BIGINT) AS f,
+       CAST({fold("mq", "bm")} AS BIGINT) AS m,
+       CAST({n_bins} + 1 - ({fold("recency_days", "br")}) AS VARCHAR)
+         || CAST({fold("frequency", "bf")} AS VARCHAR)
+         || CAST({fold("mq", "bm")} AS VARCHAR) AS rfm
+FROM staged CROSS JOIN b
+"""
+
+
+@query("rfm_user_segments", oracle=_rfm_sql())
+def q_rfm_user_segments(spark, sf_dir):
+    """EXT — RFM quintile segmentation of users (features.
+    rfm_segmentation; the Hughes 1994 marketing classic): each user's
+    recency/frequency/monetary quintile codes and the "555 =
+    champions" segment string — the standard first behavioral
+    segmentation and the canonical input to target encoding and
+    balanced samplers. Exact R-7 percentile boundaries per dimension,
+    ties-low PSI binning, inverted recency — hash-matched."""
+    from .operators.features import rfm_segmentation
+
+    return rfm_segmentation(
+        t(spark, sf_dir, "events"),
+        user_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+    )
+
+
+@query(
+    "user_burstiness",
+    oracle="""
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS i
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), gaps AS (
+  SELECT k, LEAD(t) OVER (PARTITION BY k ORDER BY t ASC, i ASC) - t AS gap
+  FROM base
+), agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS HUGEINT) AS s1,
+         SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY k
+)
+SELECT k AS key, n_gaps,
+  round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0e0, 9) AS mean_gap_s,
+  CASE WHEN CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0 THEN
+    round(sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0e0)))
+          / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 9)
+  END AS cv,
+  CASE WHEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0e0)))
+            + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0 THEN
+    round((sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0e0)))
+           - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0e0)))
+             + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 9)
+  END AS burstiness
+FROM agg WHERE n_gaps >= 2
+""",
+)
+def q_user_burstiness(spark, sf_dir):
+    """EXT — per-user inter-arrival burstiness (timeseries.
+    interarrival_burstiness; Goh & Barabási 2008: B = (σ−μ)/(σ+μ),
+    −1 clockwork / 0 Poisson / →1 bursty) plus the CV — the bot-vs-
+    burst fingerprint behind rate-limit and crawl-budget policy.
+    Exact microsecond gaps, DECIMAL/HUGEINT Σg and Σg², Bessel
+    variance in one shared IEEE chain — hash-matched."""
+    from .operators.timeseries import interarrival_burstiness
+
+    return interarrival_burstiness(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -375,3 +375,95 @@ def group_rare_categories(
         )
         .drop("_k", "_keep")
     )
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """RFM segmentation (Hughes, "Strategic Database Marketing" 1994 —
+    the classic recency/frequency/monetary quintile coding): each unit
+    gets three 1..n_bins codes, n_bins = best (most recent, most
+    frequent, highest spend), concatenated into the familiar segment
+    string ("555" = champions). The standard first segmentation of any
+    behavioral log, and the canonical input to the engine's
+    target_encode / cluster samplers. One row per unit: ``(user,
+    recency_days, frequency (long), monetary (double), r, f, m
+    (long), rfm (string))``.
+
+    Determinism: recency anchors on the corpus max timestamp (a 1-row
+    broadcast); monetary quantizes to integers; each dimension's bin
+    boundaries are ONE exact R-7 array-percentile over the UNIT-grain
+    table, binned by the ties-low ``1 + Σ(x > bᵢ)`` fold (the PSI
+    convention — tie-heavy frequencies land deterministically);
+    recency's code is inverted (n_bins + 1 − bin) so that smaller =
+    more recent = higher code, stated identically in the oracle.
+
+    Scale shape: one user-grain aggregation, one 1-row anchor attach,
+    three percentile scalars broadcast back — no windows, nothing
+    row-grain past the first groupBy."""
+    if n_bins < 2:
+        raise ValueError(f"rfm_segmentation: n_bins must be >= 2, got {n_bins}")
+    per = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(amount_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(F.col(ts_col)).alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col(amount_col).cast("double") * F.lit(unit_scale))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("_mq"),
+        )
+    )
+    anchor = df.agg(F.max(F.col(ts_col)).alias("_wend"))
+    staged = per.crossJoin(F.broadcast(anchor)).select(
+        "user",
+        F.datediff("_wend", "_last").cast("long").alias("recency_days"),
+        "frequency",
+        "_mq",
+    )
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    bounds = staged.agg(
+        F.expr(f"percentile(recency_days, array({fracs}))").alias("_br"),
+        F.expr(f"percentile(frequency, array({fracs}))").alias("_bf"),
+        F.expr(f"percentile(_mq, array({fracs}))").alias("_bm"),
+    )
+
+    def code(col: str, barr: str):
+        return (
+            F.lit(1)
+            + F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + (F.col(col) > b).cast("int"),
+            )
+        ).cast("long")
+
+    return staged.crossJoin(F.broadcast(bounds)).select(
+        "user",
+        "recency_days",
+        "frequency",
+        (F.col("_mq").cast("double") / F.lit(float(unit_scale))).alias(
+            "monetary"
+        ),
+        (F.lit(n_bins + 1) - code("recency_days", "_br")).alias("r"),
+        code("frequency", "_bf").alias("f"),
+        code("_mq", "_bm").alias("m"),
+        F.concat(
+            (F.lit(n_bins + 1) - code("recency_days", "_br")).cast("string"),
+            code("frequency", "_bf").cast("string"),
+            code("_mq", "_bm").cast("string"),
+        ).alias("rfm"),
+    )

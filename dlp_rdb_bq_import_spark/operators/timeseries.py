@@ -1230,3 +1230,171 @@ def time_weighted_avg(
             ).alias("twap"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two survival curves (Mantel
+    1966; Peto & Peto 1972): the significance half of the
+    Kaplan-Meier pairing — "do these two cohorts churn at different
+    rates?" with right-censoring handled exactly, where a naive
+    mean-lifetime comparison biases toward whichever cohort has more
+    censored units. Input one row per unit: ``group_col``
+    (boolean-castable — group A membership), ``duration_col``
+    (integer time units), ``event_col`` (TRUE = event observed,
+    FALSE = censored). One row out: ``(n_a, n_b (long), o_a (long —
+    observed A events), e_a (double — expected under H0), v
+    (double — hypergeometric variance), chi2 (double; NULL when
+    v = 0))``. Compare against χ²(1).
+
+    Exactness: at-risk counts are INCLUSIVE reverse cumulative sums
+    over the DISTINCT-duration table (censored-at-t units count as
+    at-risk at t — the standard convention; a DESC-ordered PRECEDING
+    frame, never the O(n²) following frame); each event-time's
+    expectation/variance term is ONE engine-identical IEEE chain over
+    exact integers, micro-quantized (1e-6) BEFORE the cross-time sum
+    (the kruskal_wallis fold discipline).
+
+    Scale shape: one duration-grain groupBy + one ordered window over
+    the DISTINCT duration domain (calendar-bounded — the
+    kaplan_meier contract), one 1-row fold."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col).cast("boolean")
+    base = df.select(
+        g.alias("_g"),
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("boolean").alias("_e"),
+    ).where(
+        F.col("_g").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_e").isNotNull()
+    )
+    per = base.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_u"),
+        F.sum(F.col("_g").cast("long")).cast("long").alias("_u1"),
+        F.sum(F.col("_e").cast("long")).cast("long").alias("_d"),
+        F.sum((F.col("_g") & F.col("_e")).cast("long")).cast("long").alias("_d1"),
+    )
+    w = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per.select(
+        "_d",
+        "_d1",
+        F.sum("_u").over(w).cast("long").alias("_n"),
+        F.sum("_u1").over(w).cast("long").alias("_n1"),
+    )
+    dd = F.col("_d").cast("double")
+    nn = F.col("_n").cast("double")
+    n1 = F.col("_n1").cast("double")
+    e_term = F.when(
+        F.col("_d") > 0, F.round(dd * n1 / nn * F.lit(1e6))
+    ).otherwise(F.lit(0.0)).cast("decimal(38,0)")
+    v_term = F.when(
+        (F.col("_d") > 0) & (F.col("_n") > 1),
+        F.round(
+            dd
+            * (n1 / nn)
+            * (F.lit(1.0) - n1 / nn)
+            * (nn - dd)
+            / (nn - F.lit(1.0))
+            * F.lit(1e6)
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(38,0)")
+    sums = risk.agg(
+        F.coalesce(F.sum("_d1"), F.lit(0)).cast("long").alias("o_a"),
+        F.coalesce(F.sum(e_term), F.lit(0).cast("decimal(38,0)")).alias("_em"),
+        F.coalesce(F.sum(v_term), F.lit(0).cast("decimal(38,0)")).alias("_vm"),
+    )
+    tot = base.agg(
+        F.coalesce(F.sum(F.col("_g").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum((~F.col("_g")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    e_a = F.col("_em").cast("double") / F.lit(1e6)
+    v = F.col("_vm").cast("double") / F.lit(1e6)
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n_a",
+        "n_b",
+        "o_a",
+        F.round(e_a, 9).alias("e_a"),
+        F.round(v, 9).alias("v"),
+        F.when(
+            v > 0,
+            F.round(
+                (F.col("o_a").cast("double") - e_a)
+                * (F.col("o_a").cast("double") - e_a)
+                / v,
+                9,
+            ),
+        ).alias("chi2"),
+    )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key inter-arrival burstiness (Goh & Barabási, EPL 2008:
+    ``B = (σ − μ)/(σ + μ)`` over the gap distribution — −1 =
+    clockwork, 0 = Poisson, → 1 = extreme bursts) plus the
+    coefficient of variation — the standard "is this user/host a bot
+    or a burst" fingerprint for rate-limit and crawl-budget policy.
+    One row per key with ≥ 2 events: ``(key, n_gaps (long),
+    mean_gap_s, cv, burstiness (double; NULL when the mean gap is
+    0))``.
+
+    Exactness: gaps are exact integer MICROSECONDS (unix_micros ≡
+    epoch_us); Σgap and Σgap² fold in DECIMAL(38,0)/HUGEINT; the
+    Bessel variance ``(n·Σg² − (Σg)²)/(n(n−1))`` and every readout
+    are one engine-identical IEEE chain, rounded to 9.
+
+    Scale shape: ONE window partitioned BY KEY + one key-grain
+    aggregation — the sessionize contract."""
+    from pyspark.sql import Window
+
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        ep.alias("_t"),
+        F.col(id_col).cast("long").alias("_i"),
+    ).where(F.col("_k").isNotNull() & F.col("_t").isNotNull())
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_i").asc())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    gaps = base.select(
+        "_k", (F.lead("_t").over(w) - F.col("_t")).alias("_gap")
+    ).where(F.col("_gap").isNotNull())
+    agg = gaps.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(dec("_gap")).alias("_s1"),
+        F.sum(dec("_gap") * dec("_gap")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean_us = F.col("_s1").cast("double") / n
+    var_us = (
+        n * F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    std_us = F.sqrt(var_us)
+    return agg.where(F.col("n_gaps") >= 2).select(
+        F.col("_k").alias("key"),
+        "n_gaps",
+        F.round(mean_us / F.lit(1e6), 9).alias("mean_gap_s"),
+        F.when(mean_us > 0, F.round(std_us / mean_us, 9)).alias("cv"),
+        F.when(
+            (std_us + mean_us) > 0,
+            F.round((std_us - mean_us) / (std_us + mean_us), 9),
+        ).alias("burstiness"),
+    )

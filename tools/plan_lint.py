@@ -254,6 +254,20 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_quality_scores shape (vocabulary-size scalar, computed once "
         "from the persisted count artifact)",
     },
+    "logrank_churn_test": {
+        "SinglePartitionWindow": "at-risk reverse-cumulative over the "
+        "DISTINCT duration domain — calendar-bounded (days), the "
+        "kaplan_meier contract",
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the window-"
+        "end anchor onto the user-grain spans and the (O, E, V) fold "
+        "row onto the totals row",
+    },
+    "rfm_user_segments": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the corpus-"
+        "max-ts anchor and the three percentile-boundary arrays "
+        "broadcast onto the USER-grain table — the psi/calibration "
+        "boundary shape",
+    },
     "brier_score_decomposition": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the (N, P, "
         "n_bins) totals row onto the SCORE-grain bin table (≤ 10^"
