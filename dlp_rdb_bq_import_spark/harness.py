@@ -13619,7 +13619,6 @@ def q_streaming_twap(spark, sf_dir):
         t(spark, sf_dir, "events"),
         key_col="user_id",
         ts_col="ts",
-        id_col="event_id",
         value_col="value",
         n_slices=4,
     )

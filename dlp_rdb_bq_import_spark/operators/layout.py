@@ -167,6 +167,83 @@ def global_row_ids(
     )
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of ``weight_col`` in ``order_cols``
+    order — :func:`global_row_ids` generalized from counting rows to
+    summing a weight, WITHOUT the single-partition window trap.
+
+    The naive ``sum(w) OVER (ORDER BY ...)`` plans an empty-PartitionBy
+    window — one task sees every row, a non-starter once the ordered
+    domain grows with the corpus (entity-grain aggregates: per-customer
+    revenue, per-domain doc counts — Heaps'-law domains, unlike
+    range-bounded raw measures). The scalable shape:
+
+    1. range-partition by the order columns,
+    2. one tiny job sums the weight per partition → cumulative offsets
+       (collect of #partitions values, broadcast back),
+    3. running sum WITHIN each partition + the partition's offset.
+
+    ``exclusive=True`` yields the sum of STRICTLY-preceding weights
+    (0 for the first row) — the rank-offset form Gini/Mann-Whitney
+    style folds need; ``exclusive=False`` includes the current row.
+    Offsets accumulate in Python ints (arbitrary precision) and land
+    as decimal(38,0) so corpus-scale weights cannot wrap. Order must
+    be total or in-tie prefixes are partition-placement-dependent."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty (and a total order)")
+    clash = sorted(set(df.columns) & {"_pid", "_off"})
+    if clash:
+        raise ValueError(
+            f"prefix_sums: input columns {clash} collide with reserved "
+            "internal names ['_off', '_pid']; rename them before calling"
+        )
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+    # materialize ONCE: range boundaries come from sampling, so the
+    # offsets job and the summing job must see the SAME exchange
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    sizes = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += int(sizes[pid] or 0)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, str(off)) for pid, off in offsets.items()],
+            "_pid int, _off string",
+        ).select("_pid", F.col("_off").cast("decimal(38,0)").alias("_off"))
+    )
+    upper = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    running = F.coalesce(
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    return (
+        with_pid.join(off_df, "_pid")
+        .withColumn(out_col, (running + F.col("_off")).cast("decimal(38,0)"))
+        .drop("_pid", "_off")
+    )
+
+
 def encode_categorical(
     df: DataFrame,
     col: str,

@@ -18,9 +18,11 @@ exactly:
 - **Y4M** (``YUV4MPEG2``): plain-text stream header carrying
   width/height/framerate, then ``FRAME\\n`` + raw planes per frame
   (``C444``: three full-resolution planes).
-- **PNG** (non-interlaced 8-bit grey/RGB/RGBA): signature + CRC'd
-  chunks, IHDR fields, IDAT DEFLATE stream, five per-row predictor
-  filters — all from the public spec, inflated with stdlib ``zlib``.
+- **PNG** (grey/palette at depths 1/2/4/8, grey+alpha/RGB/RGBA at 8,
+  sequential AND Adam7-interlaced): signature + CRC'd chunks, IHDR
+  fields, IDAT DEFLATE stream, five per-row predictor filters,
+  PLTE/tRNS palette mapping, sub-byte sample packing, the seven-pass
+  interlace grid — all from the public spec, stdlib ``zlib`` only.
 
 These are the real production formats a training-data lake stores, so
 the decode stage of the multimodal operators
@@ -165,12 +167,27 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # so the "no codec library" boundary does not apply: signature, chunk
 # layout (length + type + data + CRC32), IHDR fields, and the five
 # per-row predictor filters are all from the public PNG specification
-# (RFC 2083 / ISO 15948). Palette (color type 3) and Adam7 interlacing
-# stay NotImplementedError — they are rare in lake-stored originals.
+# (RFC 2083 / ISO 15948), as are palette mapping (PLTE/tRNS, §4.1.2 /
+# §4.2.1.1), sub-8-bit sample packing (§2.3: big-endian within a byte)
+# and the Adam7 interlace pass grid (§2.6). Supported: grey and
+# palette at depths 1/2/4/8, grey+alpha / RGB / RGBA at depth 8, both
+# sequential and Adam7-interlaced. 16-bit stays NotImplementedError.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: IHDR color type → sample channels (3 = palette, unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: IHDR color type → sample channels (3 = palette: 1 index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: color type → allowed bit depths (spec §11.2.2; 16 not implemented)
+_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+#: Adam7 passes: (x0, y0, dx, dy) per spec §2.6
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -182,35 +199,92 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w) / (h, w, 1|3|4) uint8 → non-interlaced 8-bit PNG bytes
-    (every row filter-type 0; decoders must handle all five, ours does)."""
+def _png_pack_pass(img: np.ndarray, depth: int) -> bytes:
+    """(h, w, nch) uint8 samples → filter-type-0 scanline bytes for one
+    (sub-)image, packing sub-8-bit samples big-endian within bytes."""
+    h, w, nch = img.shape
+    stride, _ = _png_scanline_geometry(w, nch, depth)
+    if depth == 8:
+        flat = img.reshape(h, w * nch)
+    else:
+        bits = np.unpackbits(img[:, :, 0][:, :, None], axis=2)[:, :, 8 - depth :]
+        padded = np.zeros((h, stride * 8), dtype=np.uint8)
+        padded[:, : w * depth] = bits.reshape(h, w * depth)
+        flat = np.packbits(padded, axis=1)
+    rows = np.zeros((h, 1 + stride), dtype=np.uint8)
+    rows[:, 1:] = flat
+    return rows.tobytes()
+
+
+def encode_png(
+    img: np.ndarray,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 image → PNG bytes (every row filter-type 0; decoders must
+    handle all five, ours does). Default: (h, w) / (h, w, 1|3|4) →
+    8-bit grey/grey+alpha/RGB/RGBA. With ``palette`` ((n ≤ 256, 3)
+    uint8), ``img`` is an (h, w) INDEX array written as color type 3
+    at ``depth`` ∈ {1,2,4,8} (optional ``trns`` alpha bytes); without
+    a palette, sub-8-bit ``depth`` is legal for greyscale only.
+    ``interlace=True`` writes the Adam7 pass order (spec §2.6)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_png expects uint8")
-    if img.ndim == 2:
+    if palette is not None:
+        if img.ndim != 2:
+            raise ValueError("palette encode expects (h, w) indices")
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        if depth not in (1, 2, 4, 8) or int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"palette indices exceed depth {depth}")
+        color_type, c = 3, 1
         img = img[:, :, None]
-    h, w, c = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
-    if color_type is None:
-        raise ValueError(f"encode_png: unsupported channel count {c}")
-    rows = np.zeros((h, 1 + w * c), dtype=np.uint8)
-    rows[:, 1:] = img.reshape(h, w * c)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    else:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        c = img.shape[2]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+        if color_type is None:
+            raise ValueError(f"encode_png: unsupported channel count {c}")
+        if depth != 8 and (color_type != 0 or depth not in (1, 2, 4)):
+            raise ValueError(f"depth {depth} only legal for grey/palette")
+    h, w = img.shape[:2]
+    if interlace:
+        payload = b"".join(
+            _png_pack_pass(img[y0::dy, x0::dx], depth)
+            for x0, y0, dx, dy in _ADAM7
+            if img[y0::dy, x0::dx].shape[0] and img[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        payload = _png_pack_pass(img, depth)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        if trns is not None:
+            chunks += _png_chunk(b"tRNS", bytes(trns))
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(payload, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
-    """Reverse the five PNG row filters (spec §6). ``raw`` is the
-    inflated stream: h rows of (1 filter byte + w*nch sample bytes).
+def _png_unfilter_bytes(
+    raw: np.ndarray, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Reverse the five PNG row filters (spec §6) at the BYTE level.
+    ``raw`` is the inflated stream: h rows of (1 filter byte + stride
+    sample bytes); ``bpp`` is the filter delta distance — the byte
+    count per pixel, floored to 1 for sub-8-bit depths (spec §6.2).
     Filters 0/1/2 cover virtually all encoder output and run
     vectorized (Sub is a mod-256 cumsum along x); Average/Paeth carry
-    a true serial dependency and fall back to a per-byte loop."""
-    stride = w * nch
+    a true serial dependency and fall back to a per-byte loop.
+    Returns (h, stride) reconstructed bytes."""
     raw = raw.reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -218,19 +292,23 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
         f, row = int(raw[y, 0]), raw[y, 1:]
         if f == 0:
             rec = row.copy()
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
-            rec = np.cumsum(row.reshape(w, nch), axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 1 and stride % bpp == 0:  # Sub: recon[x] = raw[x]+recon[x-bpp]
+            rec = np.cumsum(
+                row.reshape(stride // bpp, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif f == 2:  # Up
             rec = row + prev
-        elif f in (3, 4):  # Average / Paeth: serial along x
+        elif f in (1, 3, 4):  # Sub (ragged) / Average / Paeth: serial
             rec = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(rec[x - nch]) if x >= nch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                if f == 3:
+                if f == 1:
+                    rec[x] = (int(row[x]) + a) & 0xFF
+                elif f == 3:
                     rec[x] = (int(row[x]) + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = int(prev[x - nch]) if x >= nch else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -239,16 +317,48 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
             raise ValueError(f"PNG row filter {f} out of range")
         out[y] = rec
         prev = rec
-    return out.reshape(h, w, nch)
+    return out
+
+
+def _png_unpack_samples(
+    rows: np.ndarray, w: int, nch: int, depth: int
+) -> np.ndarray:
+    """(h, stride) reconstructed scanline bytes → (h, w, nch) raw
+    SAMPLES (palette indices or grey levels, NOT yet scaled). Sub-8-bit
+    samples pack big-endian within each byte (spec §2.3); trailing pad
+    bits in the final byte of a row are discarded."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    # sub-byte: nch is 1 for every legal sub-8-bit color type (grey,
+    # palette) — unpack bits then regroup
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[
+        :, :, None
+    ]
+
+
+def _png_scanline_geometry(w: int, nch: int, depth: int) -> tuple[int, int]:
+    """(stride bytes, filter bpp) for one scanline of w pixels."""
+    stride = (w * nch * depth + 7) // 8
+    bpp = max(1, (nch * depth) // 8)
+    return stride, bpp
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG bytes → (h, w, channels) uint8 (1=grey,
-    2=grey+alpha, 3=RGB, 4=RGBA). CRCs are verified; palette /
-    sub-16-bit depths / Adam7 raise rather than guess."""
+    """PNG bytes → (h, w, channels) uint8 (1=grey, 2=grey+alpha,
+    3=RGB, 4=RGBA). CRCs are verified. Supported per the public spec:
+    grey/palette at depths 1/2/4/8, grey+alpha/RGB/RGBA at depth 8,
+    sequential AND Adam7-interlaced (§2.6 pass grid); palette indices
+    map through PLTE (+tRNS alpha → RGBA output when present, §4.2.1.1)
+    and sub-8-bit grey scales to full range (255/(2^d−1), §12.5).
+    16-bit depth raises NotImplementedError rather than guess."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     i, ihdr, idat = len(_PNG_SIG), None, []
+    plte, trns = None, None
     while i + 8 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, i)
         ctype = payload[i + 4 : i + 8]
@@ -262,6 +372,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            if clen % 3 or not 3 <= clen <= 768:
+                raise ValueError(f"PNG PLTE length {clen} not a legal 3·n")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IEND":
             break
         i += 12 + clen
@@ -270,21 +386,72 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(ihdr) != 13:
         raise ValueError(f"PNG IHDR length {len(ihdr)} != 13")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if color_type == 3:
-        raise NotImplementedError("palette PNG not supported")
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError(f"PNG depth={depth}/comp={comp}/filter={filt} not supported (8/0/0 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color_type} out of range")
+    if comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG comp={comp}/filter={filt} not supported (0/0 only)"
+        )
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise NotImplementedError(
+            f"PNG depth={depth} for color type {color_type} not supported "
+            f"(legal here: {_PNG_DEPTHS[color_type]}; 16-bit unimplemented)"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} out of range")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     nch = _PNG_CHANNELS[color_type]
     try:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    if raw.size != h * (1 + w * nch):
-        raise ValueError("PNG pixel stream length mismatch")
-    return _png_unfilter(raw, h, w, nch)
+
+    if interlace == 0:
+        stride, bpp = _png_scanline_geometry(w, nch, depth)
+        if raw.size != h * (1 + stride):
+            raise ValueError("PNG pixel stream length mismatch")
+        samples = _png_unpack_samples(
+            _png_unfilter_bytes(raw, h, stride, bpp), w, nch, depth
+        )
+    else:  # Adam7: seven independently-filtered sub-images (§2.6)
+        samples = np.zeros((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride, bpp = _png_scanline_geometry(pw, nch, depth)
+            need = ph * (1 + stride)
+            if pos + need > raw.size:
+                raise ValueError("PNG interlaced stream truncated")
+            sub = _png_unpack_samples(
+                _png_unfilter_bytes(raw[pos : pos + need], ph, stride, bpp),
+                pw,
+                nch,
+                depth,
+            )
+            samples[y0::dy, x0::dx] = sub
+            pos += need
+        if pos != raw.size:
+            raise ValueError("PNG interlaced stream length mismatch")
+
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: min(trns.size, plte.shape[0])] = trns[: plte.shape[0]]
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth < 8:  # sub-8-bit grey: scale to full range (§12.5)
+        scale = 255 // ((1 << depth) - 1)
+        return (samples * np.uint8(scale)).astype(np.uint8)
+    return samples
 
 
 def decode_image_payload(payload: bytes) -> np.ndarray:
@@ -489,8 +656,10 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
             # spec mandates IHDR as the first chunk: fixed offsets
             w, h = struct.unpack_from(">II", prefix, 16)
             depth, color_type = prefix[24], prefix[25]
-            nch = _PNG_CHANNELS.get(color_type)
-            if depth == 8 and nch is not None:
+            # palette (type 3) DECODES to RGB — report the decoded
+            # channel count, not the 1 stored index sample
+            nch = 3 if color_type == 3 else _PNG_CHANNELS.get(color_type)
+            if nch is not None and depth in _PNG_DEPTHS.get(color_type, ()):
                 out.update(width=w, height=h, n_channels=nch)
             else:
                 out.update(width=w, height=h)  # dims are still exact

@@ -2166,15 +2166,18 @@ def gini_coefficient(
     (the Lorenz construction is undefined); empty/zero-total input
     yields NULL gini.
 
-    Scale shape: value-grain groupBy, then one ordered window over
-    the DISTINCT-VALUE table — bounded by the quantized value domain
-    (``unit_scale·max(x)`` buckets), the :func:`classifier_auc`
-    contract."""
+    Scale shape: value-grain groupBy, then the exclusive-preceding
+    count via the DISTRIBUTED prefix sum (range exchange +
+    per-partition offsets, ``layout.prefix_sums``) — NEVER an
+    unpartitioned window, because gini's usual input is an
+    entity-grain aggregate (per-customer revenue) whose distinct
+    domain grows with the corpus, unlike the range-bounded raw
+    measures the :func:`classifier_auc` window contract covers."""
     if unit_scale < 1:
         raise ValueError(
             f"gini_coefficient: unit_scale must be >= 1, got {unit_scale}"
         )
-    from pyspark.sql import Window
+    from .layout import prefix_sums
 
     v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast(
         "long"
@@ -2185,14 +2188,14 @@ def gini_coefficient(
         .groupBy("_v")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
-    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = per.select(
-        "_v",
-        "_c",
-        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_p"),
-    )
+    # exclusive-preceding count via the DISTRIBUTED prefix sum (range
+    # exchange + per-partition offsets — layout.prefix_sums), NOT an
+    # unpartitioned window: gini's typical input is an ENTITY-GRAIN
+    # aggregate (per-customer revenue, per-domain doc counts) whose
+    # distinct-value domain grows with the corpus (Heaps' law), so the
+    # "bounded by the quantized range" allowance raw measures enjoy
+    # does not apply — the same argument that reranked zipf_slope
+    cum = prefix_sums(per, ["_v"], "_c", out_col="_p", exclusive=True)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     tot = cum.agg(
         F.sum("_c").cast("long").alias("n"),
@@ -3367,16 +3370,19 @@ def brier_decomposition(
     rel_num = (
         F.col("_f").cast("double") * nd - F.col("_p").cast("double") * F.lit(float(s))
     )
-    rel_term = F.round(rel_num * rel_num / nd * F.lit(1e6)).cast("long")
+    # decimal(38,0) DIRECTLY — the res term ~(p_k·N)²/n_k·1e6 exceeds
+    # int64 at large N, and the DuckDB oracle sums HUGEINT; an
+    # intermediate long cast would silently wrap exactly at scale
+    rel_term = F.round(rel_num * rel_num / nd * F.lit(1e6)).cast("decimal(38,0)")
     # res term: n_k·(p_k/n_k − P/N)² = (p_k·N − P·n_k)²/(n_k·N²)
     res_num = (
         F.col("_p").cast("double") * F.col("n").cast("double")
         - F.col("_pt").cast("double") * nd
     )
-    res_term = F.round(res_num * res_num / nd * F.lit(1e6)).cast("long")
+    res_term = F.round(res_num * res_num / nd * F.lit(1e6)).cast("decimal(38,0)")
     sums = staged.agg(
-        F.coalesce(F.sum(rel_term.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_rel"),
-        F.coalesce(F.sum(res_term.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_res"),
+        F.coalesce(F.sum(rel_term), F.lit(0).cast("decimal(38,0)")).alias("_rel"),
+        F.coalesce(F.sum(res_term), F.lit(0).cast("decimal(38,0)")).alias("_res"),
     )
     nn = F.col("n").cast("double")
     rel = F.col("_rel").cast("double") / (

@@ -1352,7 +1352,9 @@ def interarrival_burstiness(
     clockwork, 0 = Poisson, → 1 = extreme bursts) plus the
     coefficient of variation — the standard "is this user/host a bot
     or a burst" fingerprint for rate-limit and crawl-budget policy.
-    One row per key with ≥ 2 events: ``(key, n_gaps (long),
+    One row per key with ≥ 3 events (≥ 2 gaps — the Bessel-corrected
+    variance needs two samples, so two-event keys are dropped):
+    ``(key, n_gaps (long),
     mean_gap_s, cv, burstiness (double; NULL when the mean gap is
     0))``.
 

@@ -165,13 +165,18 @@ class JdbcWarehouse:
                 f"RENAME TABLE {staging} TO {_ident(full_name, 'table')}",
             )
             return
-        # append: ONE statement — statement atomicity means a failed
-        # insert lands zero rows and the retry cannot double-append
-        self._execute(
-            spark,
-            f"INSERT INTO {dest} SELECT * FROM {staging}",
-            f"DROP TABLE {staging}",
-        )
+        # append: ONE retryable statement — statement atomicity means a
+        # failed insert lands zero rows and the retry cannot
+        # double-append. The staging DROP is best-effort CLEANUP, not
+        # part of the retryable unit: once the INSERT commits the write
+        # succeeded, and surfacing a failed DROP would re-enter the
+        # retry loop and re-insert committed rows (an orphan _STG table
+        # is harmless; a double append is not).
+        self._execute(spark, f"INSERT INTO {dest} SELECT * FROM {staging}")
+        try:
+            self._execute(spark, f"DROP TABLE {staging}")
+        except Exception:
+            pass
 
     def read(self, spark: SparkSession, dataset: str, full_name: str) -> DataFrame:
         r = spark.read.format("jdbc").option("url", self.url).option(

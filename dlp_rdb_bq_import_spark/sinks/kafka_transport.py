@@ -119,7 +119,14 @@ class KafkaTransport(MessageTransport):
 
     def abort(self) -> None:
         """Drop unsent buffered records: close WITHOUT a final flush —
-        a failed partition must not keep publishing on teardown."""
+        a failed partition must not keep publishing on teardown.
+        kafka-python's ``KafkaProducer.close()`` with NO timeout blocks
+        until every buffered record is delivered (an implicit flush),
+        so ``close(timeout=0)`` is required to actually drop the
+        buffer; fakes whose close() takes no kwarg get the bare call."""
         if self._producer is not None:
-            self._producer.close()
+            try:
+                self._producer.close(timeout=0)
+            except TypeError:
+                self._producer.close()
             self._producer = None

@@ -1442,7 +1442,6 @@ def streaming_twap(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    id_col: str = "event_id",
     value_col: str = "value",
     unit_scale: int = 100,
     n_slices: int = 4,
@@ -1480,7 +1479,6 @@ def streaming_twap(
     src = events.select(
         F.col(key_col).cast("string").alias("k"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
-        F.col(id_col).cast("long").alias("eid"),
         F.round(F.col(value_col).cast("double") * F.lit(unit_scale))
         .cast("long")
         .alias("v"),
@@ -1530,8 +1528,12 @@ def streaming_twap(
             state = spark.createDataFrame([], state_schema)
         # per-key batch partials, all JVM-side: one lead window + one
         # groupBy (the batch operator's own shape, scoped to the batch)
-        w = Window.partitionBy("k").orderBy(F.col("t").asc(), F.col("eid").asc())
-        order = F.struct(F.col("t"), F.col("eid"))
+        # tie-breaker MUST be (t, v) — the batch operator and the shared
+        # _TWAP_SQL oracle both order the lead window by (t, v); on
+        # same-microsecond events the LAST in that order carries the
+        # bridging duration, so any other tie order silently diverges
+        w = Window.partitionBy("k").orderBy(F.col("t").asc(), F.col("v").asc())
+        order = F.struct(F.col("t"), F.col("v"))
         stepped = batch_df.withColumn("_nt", F.lead("t").over(w))
         part = stepped.groupBy("k").agg(
             F.count(F.lit(1)).cast("long").alias("_bn"),

@@ -131,6 +131,38 @@ def test_global_row_ids_dense_and_deterministic(spark):
         global_row_ids(df, [])
 
 
+def test_prefix_sums_matches_serial_reference(spark):
+    """Distributed exclusive/inclusive running sums ≡ a Python fold in
+    the same total order — across many partitions, with weights big
+    enough that the offsets leave int32 territory."""
+    from dlp_rdb_bq_import_spark.operators.layout import prefix_sums
+
+    import pytest as _pytest
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 97 % 4000).alias("k"),
+        (F.col("id") % 1000 * 1_000_003).alias("w"),
+    )
+    serial = sorted(
+        [(r.k, r.w) for r in df.collect()], key=lambda t: t[0]
+    )
+    run, want_ex, want_in = 0, {}, {}
+    for k, w in serial:
+        want_ex[k] = run
+        run += w
+        want_in[k] = run
+    for exclusive, want in ((True, want_ex), (False, want_in)):
+        out = prefix_sums(
+            df, ["k"], "w", out_col="p", exclusive=exclusive, num_partitions=16
+        )
+        got = {r.k: int(r.p) for r in out.collect()}
+        assert got == want, f"exclusive={exclusive}"
+    with _pytest.raises(ValueError):
+        prefix_sums(df, [], "w")
+    with _pytest.raises(ValueError):
+        prefix_sums(df.withColumnRenamed("w", "_pid"), ["k"], "k")
+
+
 def test_encode_categorical_codes_dense_and_null_safe(spark):
     from dlp_rdb_bq_import_spark.operators.layout import encode_categorical
 

@@ -91,8 +91,14 @@ def test_png_unsupported_variants_raise():
     bad[-5] ^= 0xFF  # IEND CRC
     with pytest.raises(ValueError):
         mc.decode_png(bytes(bad))
-    # interlaced / palette / 16-bit headers → NotImplementedError
-    for depth, ctype, interlace in ((8, 3, 0), (16, 2, 0), (8, 2, 1)):
+    # 16-bit depth → NotImplementedError (palette and Adam7 are now
+    # real decode paths — tests/test_png_palette_adam7.py); a palette
+    # header with no PLTE chunk and a garbage IDAT → ValueError
+    for depth, ctype, interlace, exc in (
+        (16, 2, 0, NotImplementedError),
+        (8, 3, 0, ValueError),  # missing PLTE
+        (8, 2, 1, ValueError),  # IDAT not a zlib stream
+    ):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         png = (
             mc._PNG_SIG
@@ -100,7 +106,7 @@ def test_png_unsupported_variants_raise():
             + mc._png_chunk(b"IDAT", b"x")
             + mc._png_chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(exc):
             mc.decode_png(png)
 
 

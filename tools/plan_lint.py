@@ -190,7 +190,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "no global window)",
     },
     "classifier_auc": {
-        "SinglePartitionWindow": "running sum over the DISTINCT-SCORE "
+        "SinglePartitionWindow": "RAW-MEASURE: running sum over the DISTINCT-SCORE "
         "table, not rows: cardinality is bounded by score quantization "
         "(documented; score_round caps it explicitly for raw continuous "
         "scores) — kilobytes through the window at any corpus size",
@@ -205,7 +205,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n, "
         "total_w) totals row onto the distinct-value running-weight "
         "table, and the 1-row median onto the totals",
-        "SinglePartitionWindow": "running weight over the DISTINCT-"
+        "SinglePartitionWindow": "RAW-MEASURE: running weight over the DISTINCT-"
         "VALUE table (price domain, cents-bounded — the classifier_auc "
         "contract), never rows",
     },
@@ -213,7 +213,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the window-"
         "end timestamp onto USER-grain spans, and the cohort total onto "
         "the distinct-duration table",
-        "SinglePartitionWindow": "risk-set and product-limit running "
+        "SinglePartitionWindow": "CALENDAR: risk-set and product-limit running "
         "sums over the DISTINCT-DURATION table (bounded by the time "
         "resolution — days here; the classifier_auc contract)",
     },
@@ -255,7 +255,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "from the persisted count artifact)",
     },
     "logrank_churn_test": {
-        "SinglePartitionWindow": "at-risk reverse-cumulative over the "
+        "SinglePartitionWindow": "CALENDAR: at-risk reverse-cumulative over the "
         "DISTINCT duration domain — calendar-bounded (days), the "
         "kaplan_meier contract",
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the window-"
@@ -278,7 +278,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the decile-"
         "boundary percentile row onto the score stream and the (N, P) "
         "totals row onto the n_bins-row table — the psi_drift shape",
-        "SinglePartitionWindow": "cumulative capture over the BIN table "
+        "SinglePartitionWindow": "BIN: cumulative capture over the BIN table "
         "— ≤ n_bins (10) rows by construction, never row grain",
     },
     "woe_iv_source_lang": {
@@ -292,13 +292,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "the value stream — the trimmed_mean/psi percentile-bounds shape",
     },
     "spearman_price_quantity": {
-        "SinglePartitionWindow": "midrank assignment over the DISTINCT "
+        "SinglePartitionWindow": "RAW-MEASURE: midrank assignment over the DISTINCT "
         "QUANTIZED value domains (cents buckets — bounded by "
         "unit_scale·range, not rows; the classifier_auc/gini contract), "
         "one window per column",
     },
     "kruskal_wallis_priority_price": {
-        "SinglePartitionWindow": "midrank assignment over the DISTINCT "
+        "SinglePartitionWindow": "RAW-MEASURE: midrank assignment over the DISTINCT "
         "QUANTIZED value domain (cents buckets — classifier_auc "
         "contract)",
         "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n_total, "
@@ -306,7 +306,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "k-row per-group table",
     },
     "cliffs_delta_returnflag": {
-        "SinglePartitionWindow": "cumulative B-counts over the DISTINCT "
+        "SinglePartitionWindow": "RAW-MEASURE: cumulative B-counts over the DISTINCT "
         "QUANTIZED value domain (cents buckets — classifier_auc "
         "contract); the following-frame variant was measured O(n²) and "
         "is derived from the total instead",
@@ -339,7 +339,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row scalar attach: the (n, total) "
         "global-aggregate row broadcasts onto the DAY-grain series "
         "(thousands of rows) before the deviation scan",
-        "SinglePartitionWindow": "running sum/extremes over the DAY-grain "
+        "SinglePartitionWindow": "CALENDAR: running sum/extremes over the DAY-grain "
         "series — bounded by calendar (decades = thousands of rows), the "
         "period_over_period contract; the raw events never enter a window",
     },
@@ -359,36 +359,30 @@ ALLOW: dict[str, dict[str, str]] = {
         "totals row broadcasts onto the distinct-value ECDF table before "
         "the gap max — build side is a single global-aggregate row by "
         "construction",
-        "SinglePartitionWindow": "running ECDF counts over the DISTINCT-"
+        "SinglePartitionWindow": "RAW-MEASURE: running ECDF counts over the DISTINCT-"
         "VALUE table, not rows: the classifier_auc contract (documented; "
         "value_round caps the domain for raw continuous values) — the "
         "2-decimal price domain is bounded by its range in cents",
     },
     "mann_whitney_priority": {
-        "SinglePartitionWindow": "exclusive running rank offsets over the "
+        "SinglePartitionWindow": "RAW-MEASURE: exclusive running rank offsets over the "
         "DISTINCT-VALUE table (classifier_auc contract, value_round caps "
         "raw continuous domains) — bounded by the cents price domain",
-    },
-    "gini_revenue_concentration": {
-        "SinglePartitionWindow": "rank-weighted running counts over the "
-        "DISTINCT quantized-value table (unit_scale cents buckets — "
-        "domain bounded by value range, not rows; classifier_auc "
-        "contract)",
     },
     "pareto_part_revenue": {
         "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
         "None): build side is a broadcast single global-aggregate row by "
         "construction; grouped mode uses a plain equi-join",
-        "SinglePartitionWindow": "documented global mode: the running "
+        "SinglePartitionWindow": "DIMENSION: documented global mode: the running "
         "share is over the PER-ITEM aggregate (|parts| rows, dimension-"
         "sized), not lineitem rows; grouped mode partitions by group",
     },
     "period_over_period": {
-        "SinglePartitionWindow": "lag over PERIOD aggregates: one row "
+        "SinglePartitionWindow": "CALENDAR: lag over PERIOD aggregates: one row "
         "per calendar month by construction — decades fit in one page",
     },
     "rank_dense_rank": {
-        "SinglePartitionWindow": "REF-parity SQL-surface demo of global "
+        "SinglePartitionWindow": "DIMENSION: REF-parity SQL-surface demo of global "
         "rank()/dense_rank() over the supplier DIMENSION table "
         "(|suppliers| rows); corpus-scale ranking uses the partitioned "
         "windows / topk_per_group / global_row_ids forms",
@@ -425,6 +419,47 @@ ALLOW: dict[str, dict[str, str]] = {
         "sized, never rows) plus 1-row total/dims/sum scalar attaches",
     },
 }
+
+
+# The SinglePartitionWindow allowance CONTRACT (VERDICT r12 task 2):
+# an unpartitioned window is only ever acceptable when its input
+# cardinality is bounded INDEPENDENT of corpus size. Every allowance
+# must therefore declare which bounded class it belongs to, as the
+# justification's leading tag:
+#   RAW-MEASURE: — distinct QUANTIZED raw values; domain capped by
+#       quantization × value range (cents prices, score_round scores),
+#       invariant as rows grow. (Entity-grain AGGREGATES — per-customer
+#       revenue, per-domain counts — do NOT qualify: their distinct
+#       domain grows ≈ Heaps' law with the corpus. gini_coefficient
+#       and zipf_slope were both reranked off this path for exactly
+#       that reason; use layout.prefix_sums / global_row_ids instead.)
+#   CALENDAR: — day/month/duration grain; bounded by the calendar.
+#   BIN: — fixed n_bins-row tables by construction.
+#   DIMENSION: — a documented small-dimension operating envelope
+#       (the operator offers a partitioned/grouped mode for scale).
+# Untagged or ENTITY-GRAIN windows are build errors: _validate_allow()
+# fails the run before any query is linted.
+_SPW_TAGS = ("RAW-MEASURE: ", "CALENDAR: ", "BIN: ", "DIMENSION: ")
+
+
+def _validate_allow() -> list[str]:
+    errs = []
+    for q, hazards in ALLOW.items():
+        j = hazards.get("SinglePartitionWindow")
+        if j is None:
+            continue
+        if not j.startswith(_SPW_TAGS):
+            errs.append(
+                f"{q}: SinglePartitionWindow allowance lacks a bounded-"
+                f"domain tag {list(_SPW_TAGS)} — entity-grain domains are "
+                "forbidden (rerank onto layout.prefix_sums/global_row_ids)"
+            )
+        if "ENTITY-GRAIN" in j.upper().replace(" ", "-"):
+            errs.append(
+                f"{q}: SinglePartitionWindow allowance claims an entity-"
+                "grain domain — that class is forbidden, not allowlistable"
+            )
+    return errs
 
 
 def _has_single_partition_window(tree: str) -> bool:
@@ -468,6 +503,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    contract_errors = _validate_allow()
+    if contract_errors:
+        for e in contract_errors:
+            print(f"FAIL  allowance-contract: {e}")
+        return 1
 
     spark = get_spark(app_name="plan_lint")
     qs = harness.queries()

@@ -155,6 +155,20 @@ def main() -> None:
         "total_sec": round(sum(v["sec"] for v in results.values()), 1),
         "results": results,
     }
+    # MERGE with any existing artifact: auxiliary certified blocks
+    # (e.g. edge_staging_comparison, written by a different tool) must
+    # survive a re-sweep — the r12 end-of-round soak overwrote one out
+    # of the tree (VERDICT r12 finding 2). Standard sweep keys are
+    # replaced; unknown top-level keys are preserved.
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prior = json.load(f)
+            for k, v in prior.items():
+                if k not in out:
+                    out[k] = v
+        except (json.JSONDecodeError, OSError):
+            pass  # corrupt/unreadable prior artifact: write fresh
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"swept {len(results)} queries, {len(errors)} errors -> {args.out}")
