@@ -64,12 +64,17 @@ _MAGIC = [
 
 def sniff_format(payload: bytes) -> str:
     """Identify a payload's container by magic bytes; 'unknown' if none
-    match. RIFF is only 'wav' when the form type is WAVE."""
+    match. RIFF is only 'wav' when the form type is WAVE. MPEG audio
+    without an ID3 tag starts at a frame-sync (11 set bits) — a bit
+    pattern, not a literal magic, so it is checked after the table
+    (JPEG's FF D8 cannot collide: D8 fails the sync mask)."""
     for magic, name in _MAGIC:
         if payload.startswith(magic):
             if name == "wav" and payload[8:12] != b"WAVE":
                 return "unknown"
             return name
+    if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0:
+        return "mp3"
     return "unknown"
 
 
@@ -599,6 +604,119 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
 HEADER_PROBE_BYTES = 4096
 
 
+# ---------------------------------------------------------------------------
+# MP3 / MPEG audio — frame-HEADER probe only (no decode; full synthesis
+# and decoding of MPEG audio stay out of scope — see module docstring)
+# ---------------------------------------------------------------------------
+#
+# Everything here is from the public MPEG-1/2 audio framing layout
+# (ISO/IEC 11172-3 §2.4.1 / 13818-3, restated in every public MPEG
+# audio header reference): 11-bit frame sync, version/layer ids,
+# 4-bit bitrate index, 2-bit sample-rate index, padding bit, channel
+# mode — plus the ID3v2 synchsafe tag-size arithmetic (id3.org spec).
+
+#: bitrate kbps by [version-group][layer][index]; 0 = "free", None =
+#: forbidden (index 15). Version groups: 0 = MPEG-1, 1 = MPEG-2/2.5.
+_MP3_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rate Hz by [version id][index] (version id 2 bits: 0=MPEG2.5,
+#: 2=MPEG2, 3=MPEG1; 1 reserved)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_parse_frame_header(b: bytes, i: int) -> dict | None:
+    """Parse 4 header bytes at offset i; None unless every field is a
+    legal value (the standard resync validity test)."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version_id = (b[i + 1] >> 3) & 0x3
+    layer_id = (b[i + 1] >> 1) & 0x3
+    if version_id == 1 or layer_id == 0:
+        return None  # reserved
+    layer = 4 - layer_id  # 3->I, 2->II, 1->III
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / forbidden bitrate, reserved rate
+    vgroup = 0 if version_id == 3 else 1
+    kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+    rate = _MP3_RATES[version_id][sr_idx]
+    padding = (b[i + 2] >> 1) & 0x1
+    mode = (b[i + 3] >> 6) & 0x3
+    if layer == 1:
+        spf = 384
+        frame_len = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 0) else 576
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+    return {
+        "sample_rate": rate,
+        "n_channels": 1 if mode == 3 else 2,
+        "samples_per_frame": spf,
+        "frame_len": frame_len,
+        "kbps": kbps,
+    }
+
+
+def _probe_mp3(prefix: bytes, total_len: int, out: dict) -> None:
+    """MPEG audio header probe: skip any ID3v2 tag (synchsafe size),
+    resync to the first VALID frame header inside the 4 KB prefix,
+    and — the header-probe contract — estimate sample count and
+    duration by CBR arithmetic over the remaining byte length, the
+    same declared-size-only discipline the WAV/Y4M probes use (a VBR
+    stream's estimate is approximate, as every header-only probe's
+    is). Mutates ``out`` in place; junk leaves the nulls."""
+    i = 0
+    if prefix[:3] == b"ID3" and len(prefix) >= 10:
+        size = (
+            ((prefix[6] & 0x7F) << 21)
+            | ((prefix[7] & 0x7F) << 14)
+            | ((prefix[8] & 0x7F) << 7)
+            | (prefix[9] & 0x7F)
+        )
+        i = 10 + size
+        if i >= total_len:
+            return  # tag claims more bytes than the payload has
+    # resync scan: a valid header must ALSO be followed by a valid
+    # header exactly one frame later (when that offset is probeable) —
+    # the standard false-sync filter
+    limit = min(len(prefix), i + 2048)
+    while i < limit:
+        hdr = _mp3_parse_frame_header(prefix, i)
+        if hdr is not None and hdr["frame_len"] >= 4:
+            nxt = i + hdr["frame_len"]
+            if nxt + 4 <= len(prefix):
+                if _mp3_parse_frame_header(prefix, nxt) is None:
+                    i += 1
+                    continue
+            audio_bytes = total_len - i
+            n_frames = audio_bytes // hdr["frame_len"]
+            n_samples = n_frames * hdr["samples_per_frame"]
+            out.update(
+                sample_rate=hdr["sample_rate"],
+                n_channels=hdr["n_channels"],
+                n_frames=n_frames if n_frames > 0 else None,
+                n_samples=n_samples if n_samples > 0 else None,
+                duration_ms=(
+                    n_samples * 1000 // hdr["sample_rate"]
+                    if n_samples > 0
+                    else None
+                ),
+            )
+            return
+        i += 1
+
+
 def probe_media_header(prefix: bytes, total_len: int) -> dict:
     """Container dimensions/duration from HEADER BYTES ONLY.
 
@@ -613,6 +731,14 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
     rather than a wrong one). Unknown/compressed containers return the
     sniffed format with null dimensions — never an exception, so one
     probe pass can sweep a mixed corpus.
+
+    MPEG audio (MP3) gets the same discipline: skip the ID3v2 tag by
+    its synchsafe declared size, parse the first validated frame
+    header (sync + legal version/layer/bitrate/rate fields, confirmed
+    by a second header one frame later when probeable), then CBR
+    arithmetic over the remaining length for frame/sample/duration
+    estimates — the dominant crawl audio format covered without a
+    decoder.
 
     Returns keys: media_format, width, height, n_channels,
     sample_rate, n_samples, duration_ms, n_frames, fps_num, fps_den
@@ -707,6 +833,8 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
             w, h, nch = probe_jpeg_header(prefix)
             if w is not None:
                 out.update(width=w, height=h, n_channels=nch)
+        elif fmt == "mp3":
+            _probe_mp3(prefix, total_len, out)
         elif fmt == "y4m" and b"\n" in prefix:
             nl = prefix.index(b"\n")
             header = prefix[:nl].decode("ascii", "replace")

@@ -1,0 +1,131 @@
+"""MP3 / MPEG-audio frame-header probe (VERDICT r12 task 8): the
+header-probe contract (first 4 KB only, junk never raises) extended to
+the dominant crawl audio container, with hand-built frame headers from
+the public ISO 11172-3 framing layout — no decoder, no codec library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dlp_rdb_bq_import_spark.operators import media_codecs as mc
+
+
+def _frame_header(version_id, layer, br_idx, sr_idx, padding=0, mode=0):
+    """Assemble 4 MPEG audio header bytes from the public bit layout."""
+    layer_id = 4 - layer
+    b1 = 0xFF
+    b2 = 0xE0 | (version_id << 3) | (layer_id << 1) | 0x1
+    b3 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b4 = mode << 6
+    return bytes([b1, b2, b3, b4])
+
+
+def _cbr_stream(hdr4, frame_len, n_frames, id3=b""):
+    frame = hdr4 + b"\x00" * (frame_len - 4)
+    return id3 + frame * n_frames
+
+
+def _probe(payload):
+    return mc.probe_media_header(payload[: mc.HEADER_PROBE_BYTES], len(payload))
+
+
+def test_mpeg1_layer3_cbr_stereo():
+    """44100 Hz / 128 kbps / joint stereo: frame_len = 144·128000/44100
+    = 417 bytes (floor), 1152 samples per frame."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0, mode=1)
+    frame_len = 144 * 128000 // 44100
+    assert frame_len == 417
+    n = 38
+    p = _probe(_cbr_stream(hdr, frame_len, n))
+    assert p["media_format"] == "mp3"
+    assert p["sample_rate"] == 44100
+    assert p["n_channels"] == 2
+    assert p["n_frames"] == n
+    assert p["n_samples"] == n * 1152
+    assert p["duration_ms"] == n * 1152 * 1000 // 44100
+
+
+def test_mpeg2_layer3_mono_and_padding():
+    """22050 Hz / 64 kbps mono, padded frames: spf = 576, frame_len =
+    72·64000/22050 + 1."""
+    hdr = _frame_header(version_id=2, layer=3, br_idx=8, sr_idx=0, padding=1, mode=3)
+    frame_len = 72 * 64000 // 22050 + 1
+    p = _probe(_cbr_stream(hdr, frame_len, 20))
+    assert (p["sample_rate"], p["n_channels"]) == (22050, 1)
+    assert p["n_frames"] == 20 and p["n_samples"] == 20 * 576
+
+
+def test_layer1_frame_arithmetic():
+    """Layer I: 384 samples, frame_len = (12·bitrate/rate + pad)·4.
+    MPEG-1 Layer I br_idx=4 → 128 kbps at 32000 Hz."""
+    hdr = _frame_header(version_id=3, layer=1, br_idx=4, sr_idx=2)
+    frame_len = (12 * 128000 // 32000) * 4
+    p = _probe(_cbr_stream(hdr, frame_len, 10))
+    assert p["sample_rate"] == 32000
+    assert p["n_frames"] == 10 and p["n_samples"] == 10 * 384
+
+
+def test_id3v2_tag_skipped_by_synchsafe_size():
+    """A 200-byte ID3v2 tag (synchsafe size 190) precedes the audio;
+    the probe must resync past it and count frames from there."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0)
+    tag = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 1, 62]) + b"\x00" * 190
+    assert len(tag) == 200
+    stream = _cbr_stream(hdr, 417, 12, id3=tag)
+    p = _probe(stream)
+    assert p["media_format"] == "mp3"
+    assert p["sample_rate"] == 44100 and p["n_frames"] == 12
+
+
+def test_false_sync_is_rejected_by_second_header_check():
+    """0xFF 0xFB bytes inside garbage that are NOT followed by another
+    valid header one frame later must not produce a bogus duration."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0)
+    junk = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+    # one stray valid-looking header then noise (no header at +417)
+    payload = junk + hdr + bytes((i * 7 + 3) % 251 for i in range(2000))
+    p = _probe(payload)
+    assert p["sample_rate"] is None and p["duration_ms"] is None
+    # but a REAL stream embedded after the same junk is found
+    good = junk + _cbr_stream(hdr, 417, 8)
+    p2 = _probe(good)
+    assert p2["sample_rate"] == 44100 and p2["n_frames"] == 8
+
+
+def test_junk_and_truncation_never_raise():
+    rng = np.random.default_rng(13)
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0)
+    stream = _cbr_stream(hdr, 417, 5)
+    for payload in (
+        b"",
+        b"ID3",
+        b"ID3" + bytes([4, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F]),  # tag > payload
+        bytes([0xFF, 0xE0]),  # sync bits then nothing
+        bytes([0xFF, 0xEA, 0xF0, 0x00]) * 3,  # forbidden bitrate idx 15
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes(),
+        stream[:10],
+    ):
+        out = mc.probe_media_header(payload[: mc.HEADER_PROBE_BYTES], len(payload))
+        assert isinstance(out, dict)  # nulls, never an exception
+        assert out["duration_ms"] is None or out["duration_ms"] >= 0
+
+
+def test_reserved_fields_rejected():
+    """Reserved version id (01), reserved layer (00), rate idx 3 and
+    bitrate idx 0/15 are all invalid headers per the spec tables."""
+    assert mc._mp3_parse_frame_header(bytes([0xFF, 0xEB, 0x90, 0]), 0) is None  # ver=01
+    assert mc._mp3_parse_frame_header(bytes([0xFF, 0xF9, 0x90, 0]), 0) is None  # layer=00
+    assert mc._mp3_parse_frame_header(bytes([0xFF, 0xFB, 0x9C, 0]), 0) is None  # sr=3
+    assert mc._mp3_parse_frame_header(bytes([0xFF, 0xFB, 0x0C, 0]), 0) is None  # br=0
+    assert mc._mp3_parse_frame_header(bytes([0xFF, 0xFB, 0xF0, 0]), 0) is None  # br=15
+    ok = mc._mp3_parse_frame_header(bytes([0xFF, 0xFB, 0x90, 0]), 0)
+    assert ok and ok["sample_rate"] == 44100 and ok["kbps"] == 128
+
+
+def test_sniff_bare_sync_and_id3():
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0)
+    assert mc.sniff_format(hdr) == "mp3"
+    assert mc.sniff_format(b"ID3\x04\x00") == "mp3"
+    # JPEG's FF D8 must still sniff as jpeg (D8 fails the sync mask)
+    assert mc.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
