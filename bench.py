@@ -269,6 +269,19 @@ BENCH_QUERIES = [
     "logrank_churn_test",
     "rfm_user_segments",
     "user_burstiness",
+    "cohens_d_priority_price",
+    "odds_ratio_source_flag",
+    "cronbach_alpha_quality_items",
+    "hosmer_lemeshow_calibration",
+    "brown_forsythe_returnflag_price",
+    "kendall_tau_quantity_discount",
+    "max_drawdown_daily_revenue",
+    "ols_trend_daily_revenue",
+    "supplier_clustering_coefficient",
+    "kfold_target_encoding_priority",
+    "scale_features_acctbal",
+    "lexical_richness_corpus",
+    "mrr_map_retrieval_eval",
 ]
 
 

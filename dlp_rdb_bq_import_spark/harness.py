@@ -14046,6 +14046,674 @@ def q_user_burstiness(spark, sf_dir):
     )
 
 
+@query(
+    "cohens_d_priority_price",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority = '1-URGENT' AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         COALESCE(SUM(CASE WHEN g THEN CAST(v AS HUGEINT) END), 0) AS sa,
+         COALESCE(SUM(CASE WHEN NOT g THEN CAST(v AS HUGEINT) END), 0) AS sb,
+         COALESCE(SUM(CASE WHEN g THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END), 0) AS qa,
+         COALESCE(SUM(CASE WHEN NOT g THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END), 0) AS qb
+  FROM base
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 THEN round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0e0, 9) END AS mean_a,
+  CASE WHEN n_b > 0 THEN round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0e0, 9) END AS mean_b,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+    (((CAST(n_a AS DOUBLE) - 1.0e0) * ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0))
+     + (CAST(n_b AS DOUBLE) - 1.0e0) * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0)))
+     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0e0)) > 0
+  THEN round(
+    (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt(((CAST(n_a AS DOUBLE) - 1.0e0) * ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0))
+     + (CAST(n_b AS DOUBLE) - 1.0e0) * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0)))
+     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0e0)), 9)
+  END AS cohens_d,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+    (((CAST(n_a AS DOUBLE) - 1.0e0) * ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0))
+     + (CAST(n_b AS DOUBLE) - 1.0e0) * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0)))
+     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0e0)) > 0
+  THEN round(
+    (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt(((CAST(n_a AS DOUBLE) - 1.0e0) * ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0e0))
+     + (CAST(n_b AS DOUBLE) - 1.0e0) * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0e0)))
+     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0e0))
+    * (1.0e0 - 3.0e0 / (4.0e0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0e0)), 9)
+  END AS hedges_g
+FROM cells
+""",
+)
+def q_cohens_d_priority_price(spark, sf_dir):
+    """EXT — Cohen's d / Hedges' g effect size of order priority on
+    order value (profiling.cohens_d_effect_size): the magnitude
+    readout the significance tests omit — at corpus scale everything
+    is "significant"; d answers whether it MATTERS. Exact integer
+    Σv/Σv² folds in DECIMAL/HUGEINT, one shared IEEE chain —
+    hash-matched."""
+    from .operators.profiling import cohens_d_effect_size
+
+    d = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("g"), "o_totalprice"
+    )
+    return cohens_d_effect_size(d, "g", "o_totalprice")
+
+
+@query(
+    "odds_ratio_source_flag",
+    oracle="""
+WITH base AS (
+  SELECT source = 'web' AS e, n_chars > 600 AS y
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), cells AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS exposed_pos,
+    CAST(COALESCE(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS exposed_neg,
+    CAST(COALESCE(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexposed_pos,
+    CAST(COALESCE(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexposed_neg
+  FROM base
+)
+SELECT exposed_pos, exposed_neg, unexposed_pos, unexposed_neg,
+  CASE WHEN exposed_pos > 0 AND exposed_neg > 0 AND unexposed_pos > 0 AND unexposed_neg > 0 THEN
+    round(CAST(exposed_pos AS DOUBLE) * CAST(unexposed_neg AS DOUBLE)
+        / (CAST(exposed_neg AS DOUBLE) * CAST(unexposed_pos AS DOUBLE)), 9) END AS odds_ratio,
+  CASE WHEN exposed_pos > 0 AND exposed_neg > 0 AND unexposed_pos > 0 AND unexposed_neg > 0 THEN
+    round(exp(ln(CAST(exposed_pos AS DOUBLE) * CAST(unexposed_neg AS DOUBLE)
+        / (CAST(exposed_neg AS DOUBLE) * CAST(unexposed_pos AS DOUBLE)))
+      - 1.959963985e0 * sqrt(1.0e0/exposed_pos + 1.0e0/exposed_neg + 1.0e0/unexposed_pos + 1.0e0/unexposed_neg)), 9) END AS ci_low,
+  CASE WHEN exposed_pos > 0 AND exposed_neg > 0 AND unexposed_pos > 0 AND unexposed_neg > 0 THEN
+    round(exp(ln(CAST(exposed_pos AS DOUBLE) * CAST(unexposed_neg AS DOUBLE)
+        / (CAST(exposed_neg AS DOUBLE) * CAST(unexposed_pos AS DOUBLE)))
+      + 1.959963985e0 * sqrt(1.0e0/exposed_pos + 1.0e0/exposed_neg + 1.0e0/unexposed_pos + 1.0e0/unexposed_neg)), 9) END AS ci_high
+FROM cells
+""",
+)
+def q_odds_ratio_source_flag(spark, sf_dir):
+    """EXT — 2×2 odds ratio with Wald 95% CI (profiling.odds_ratio_ci;
+    Woolf 1955): does the web source over-produce long documents,
+    reported as a ratio with uncertainty instead of a bare χ² verdict.
+    Pure integer cells, one ln/exp/sqrt IEEE chain (the woe_iv
+    discipline) — hash-matched."""
+    from .operators.profiling import odds_ratio_ci
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("source") == "web").alias("e"), (F.col("n_chars") > 600).alias("y")
+    )
+    return odds_ratio_ci(d, "e", "y")
+
+
+@query(
+    "cronbach_alpha_quality_items",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS i0,
+         CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS i1,
+         CAST(round(CAST(l_tax AS DOUBLE) * 100) AS BIGINT) AS i2
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    COALESCE(SUM(CAST(i0 + i1 + i2 AS HUGEINT)), 0) AS st,
+    COALESCE(SUM(CAST(i0 + i1 + i2 AS HUGEINT) * CAST(i0 + i1 + i2 AS HUGEINT)), 0) AS qt,
+    COALESCE(SUM(CAST(i0 AS HUGEINT)), 0) AS s0, COALESCE(SUM(CAST(i0 AS HUGEINT) * CAST(i0 AS HUGEINT)), 0) AS q0,
+    COALESCE(SUM(CAST(i1 AS HUGEINT)), 0) AS s1, COALESCE(SUM(CAST(i1 AS HUGEINT) * CAST(i1 AS HUGEINT)), 0) AS q1,
+    COALESCE(SUM(CAST(i2 AS HUGEINT)), 0) AS s2, COALESCE(SUM(CAST(i2 AS HUGEINT) * CAST(i2 AS HUGEINT)), 0) AS q2
+  FROM base
+)
+SELECT n, CAST(3 AS BIGINT) AS k,
+  CASE WHEN n >= 2 AND
+    ((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) > 0
+  THEN round(
+    (3.0e0 / 2.0e0) * (1.0e0 -
+      ( ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+      + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) )
+      / ((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+    ), 9)
+  END AS alpha
+FROM cells
+""",
+)
+def q_cronbach_alpha_quality_items(spark, sf_dir):
+    """EXT — Cronbach's α reliability over three lineitem "score"
+    items (profiling.cronbach_alpha; Cronbach 1951): do quantity /
+    discount / tax move together as one construct? The reliability
+    gate before averaging heuristic sub-scores into a single quality
+    label. Listwise-complete rows; DECIMAL/HUGEINT Σx/Σx²/Σ(rowsum)²
+    folds, one IEEE chain — hash-matched."""
+    from .operators.profiling import cronbach_alpha
+
+    return cronbach_alpha(
+        t(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount", "l_tax"]
+    )
+
+
+def _hosmer_sql() -> str:
+    from .operators.sampling import hash_uniform_sql
+
+    hu = hash_uniform_sql("event_id")
+    n_bins = 10
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    above = " + ".join(
+        f"(CASE WHEN s > b[{i}] THEN 1 ELSE 0 END)" for i in range(1, n_bins)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(round(({hu}) * 10000) AS BIGINT) AS s,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+), b AS (SELECT quantile_cont(s, [{fracs}]) AS b FROM base),
+per AS (
+  SELECT CAST(({above}) + 1 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS o,
+         COALESCE(SUM(CAST(s AS HUGEINT)), 0) AS ssum
+  FROM base CROSS JOIN b GROUP BY 1
+), terms AS (
+  SELECT nk, o,
+    CASE WHEN CAST(ssum AS DOUBLE) / 10000.0e0 > 0
+          AND (CAST(ssum AS DOUBLE) / 10000.0e0) / CAST(nk AS DOUBLE) < 1 THEN
+      (CAST(o AS DOUBLE) - CAST(ssum AS DOUBLE) / 10000.0e0)
+      * (CAST(o AS DOUBLE) - CAST(ssum AS DOUBLE) / 10000.0e0)
+      / ((CAST(ssum AS DOUBLE) / 10000.0e0)
+         * (1.0e0 - (CAST(ssum AS DOUBLE) / 10000.0e0) / CAST(nk AS DOUBLE)))
+    END AS term
+  FROM per
+)
+SELECT CAST(COALESCE(SUM(nk), 0) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+  CASE WHEN count(*) >= 3
+        AND SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) = 0
+  THEN round(SUM(term), 9) END AS chi2,
+  CASE WHEN count(*) >= 3 THEN CAST(count(*) - 2 AS BIGINT) END AS dof
+FROM terms
+"""
+
+
+@query("hosmer_lemeshow_calibration", oracle=_hosmer_sql())
+def q_hosmer_lemeshow_calibration(spark, sf_dir):
+    """EXT — Hosmer–Lemeshow decile-of-risk calibration test
+    (profiling.hosmer_lemeshow_test; Hosmer & Lemeshow 1980): the
+    hypothesis-test companion to calibration_curve/brier — is the
+    miscalibration more than chance? Hash-uniform scorer vs purchase
+    label; ties-low R-7 decile boundaries (the gains/psi fold), exact
+    integer O and Σscore per bin, one IEEE χ² chain — hash-matched."""
+    from .operators.profiling import hosmer_lemeshow_test
+    from .operators.sampling import hash_uniform
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            hash_uniform(F.col("event_id")).alias("score"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return hosmer_lemeshow_test(e, "score", "is_purchase", n_bins=10)
+
+
+@query(
+    "brown_forsythe_returnflag_price",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+), meds AS (
+  SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g
+), per AS (
+  SELECT base.g, CAST(count(*) AS BIGINT) AS nj,
+         SUM(abs(CAST(v AS DOUBLE) - med)) AS sz,
+         SUM(abs(CAST(v AS DOUBLE) - med) * abs(CAST(v AS DOUBLE) - med)) AS qz
+  FROM base JOIN meds ON base.g = meds.g GROUP BY base.g
+), tot AS (
+  SELECT CAST(COALESCE(SUM(nj), 0) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(COALESCE(MIN(nj), 0) AS BIGINT) AS minn,
+         SUM(sz) AS szt,
+         SUM(sz * sz / CAST(nj AS DOUBLE)) AS sb,
+         SUM(qz) AS qzt
+  FROM per
+)
+SELECT n, k,
+  CASE WHEN k >= 2 AND minn >= 2 AND (qzt - sb) > 0 THEN
+    round(((sb - szt * szt / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0e0))
+        / ((qzt - sb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 9)
+  END AS f_stat,
+  CASE WHEN k >= 2 THEN CAST(k - 1 AS BIGINT) END AS dof1,
+  CASE WHEN k >= 2 THEN CAST(n - k AS BIGINT) END AS dof2
+FROM tot
+""",
+)
+def q_brown_forsythe_returnflag_price(spark, sf_dir):
+    """EXT — Brown–Forsythe equal-variance test across return flags
+    (profiling.brown_forsythe_test; Brown & Forsythe 1974 — Levene
+    with median centers): the spread-drift companion to the mean
+    tests, and the gate cohens_d's pooled variance assumes. Pinned
+    R-7 group medians over exact integers, Σz/Σz² group folds, one
+    IEEE F chain — hash-matched."""
+    from .operators.profiling import brown_forsythe_test
+
+    return brown_forsythe_test(
+        t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+@query(
+    "kendall_tau_quantity_discount",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS x,
+         CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+), cd AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0) AS concordant,
+    COALESCE(SUM(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0) AS discordant
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (
+  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2), 0) AS n1
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2), 0) AS n2
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY y)
+), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT n,
+  CAST(concordant AS DOUBLE) AS concordant,
+  CAST(discordant AS DOUBLE) AS discordant,
+  CASE WHEN sqrt(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n1 AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n2 AS DOUBLE)) > 0
+  THEN round((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+           / sqrt(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n1 AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n2 AS DOUBLE)), 9)
+  END AS tau_b
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nrow
+""",
+)
+def q_kendall_tau_quantity_discount(spark, sf_dir):
+    """EXT — Kendall τ-b between quantity and discount (profiling.
+    kendall_tau_b; Kendall 1945): the heavy-ties monotone-association
+    readout — both variables live on SMALL quantized domains (50 × 11
+    values), exactly where Spearman's midranks blur. The pair counts
+    come from the CELL table self-joined under strict inequality
+    (domain²-bounded — the theil_sen contract, never row grain);
+    DECIMAL/HUGEINT pair folds, one IEEE sqrt — hash-matched."""
+    from .operators.profiling import kendall_tau_b
+
+    return kendall_tau_b(
+        t(spark, sf_dir, "lineitem"), "l_quantity", "l_discount",
+        x_scale=1, y_scale=100,
+    )
+
+
+@query(
+    "max_drawdown_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS t
+  FROM daily
+), cum AS (
+  SELECT day, n,
+    SUM(CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t)
+      OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS c
+  FROM daily CROSS JOIN tot
+), peaks AS (
+  SELECT day, n, MAX(c) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) - c AS dd
+  FROM cum
+), mx AS (SELECT MAX(dd) AS m FROM peaks)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(m) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0e0) AS max_drawdown,
+       CASE WHEN MAX(m) > 0 THEN MIN(day) END AS trough_day
+FROM peaks CROSS JOIN mx WHERE dd = m
+""",
+)
+def q_max_drawdown_daily_revenue(spark, sf_dir):
+    """EXT — maximum drawdown of demeaned cumulative daily revenue
+    (timeseries.max_drawdown): the deepest sustained below-run-rate
+    stretch and the day it bottomed — CUSUM's alarm, sized. The cusum
+    integer discipline verbatim (n-scaled deviations, exact-integer
+    running sum/max, ONE IEEE division) — hash-matched."""
+    from .operators.timeseries import max_drawdown
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return max_drawdown(o, ts_col="o_orderdate", value_col="o_totalprice")
+
+
+@query(
+    "ols_trend_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS (
+  SELECT day, x AS y FROM ({_DAILY_REV_SQL})
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+staged AS (
+  SELECT CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+  FROM daily CROSS JOIN d0
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+    COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+    COALESCE(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS sxy,
+    COALESCE(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS sxx,
+    COALESCE(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS syy
+  FROM staged
+)
+SELECT n_days,
+  CASE WHEN n_days >= 3 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
+    round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) / 100.0e0, 9) END AS slope,
+  CASE WHEN n_days >= 3 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
+    round((CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+         - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+          / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+           * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) / 100.0e0, 9) END AS intercept,
+  CASE WHEN n_days >= 3 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0
+        AND ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))) > 0 THEN
+    round(sqrt((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))))
+         / (CAST(n_days AS DOUBLE) - 2.0e0)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) / 100.0e0, 9) END AS se_slope,
+  CASE WHEN n_days >= 3 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0
+        AND ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))) > 0 THEN
+    round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        / sqrt((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))))
+         / (CAST(n_days AS DOUBLE) - 2.0e0)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))), 9) END AS t_stat,
+  CASE WHEN n_days >= 3 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0
+        AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
+    round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) END AS r2
+FROM m
+""",
+)
+def q_ols_trend_daily_revenue(spark, sf_dir):
+    """EXT — OLS linear trend of daily revenue with inference
+    (timeseries.ols_trend): slope per day, standard error, t and R² —
+    the uncertainty readout Theil-Sen omits (theil_sen_trend is the
+    robust sibling over the same series). DECIMAL/HUGEINT 5-moment
+    folds over exact integers, one shared IEEE chain — hash-matched."""
+    from .operators.timeseries import ols_trend
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return ols_trend(o, ts_col="o_orderdate", value_col="o_totalprice")
+
+
+_CLUSTERING_SQL = (
+    _TRIANGLE_SQL.rstrip()
+    .replace(
+        "SELECT d.node, d.degree, CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles\nFROM d LEFT JOIN tc USING (node)",
+        """SELECT d.node, d.degree,
+       CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         round(2.0e0 * CAST(coalesce(tc.triangles, 0) AS DOUBLE)
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0e0)), 9)
+       END AS clustering
+FROM d LEFT JOIN tc USING (node)""",
+    )
+)
+
+
+@query("supplier_clustering_coefficient", oracle=_CLUSTERING_SQL)
+def q_supplier_clustering_coefficient(spark, sf_dir):
+    """EXT — per-node local clustering coefficient on the supplier
+    co-supply graph (graph.local_clustering; Watts & Strogatz 1998):
+    the neighborhood-cohesion readout on top of the degree-ordered
+    triangle counts (supplier_triangles' O(|E|^1.5) bound carries
+    over) — exact integers, ONE IEEE division — hash-matched."""
+    from .operators.graph import local_clustering
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.withColumnsRenamed({"l_suppkey": "sa"})
+    b = ps.withColumnsRenamed({"l_suppkey": "sb"})
+    edges = (
+        a.join(b, "l_partkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return local_clustering(edges)
+
+
+def _kfold_te_sql() -> str:
+    from .operators.sampling import hash_uniform_sql
+
+    hu = hash_uniform_sql("o_orderkey")
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         CAST(floor(({hu}) * 5) AS BIGINT) AS fold,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_orderkey IS NOT NULL
+), per AS (
+  SELECT cat, fold, CAST(count(*) AS BIGINT) AS nf,
+         CAST(SUM(y) AS HUGEINT) AS sf
+  FROM base GROUP BY cat, fold
+), ctot AS (
+  SELECT cat, CAST(SUM(nf) AS BIGINT) AS nc, CAST(SUM(sf) AS HUGEINT) AS sc
+  FROM per GROUP BY cat
+), ftot AS (
+  SELECT fold, CAST(SUM(nf) AS BIGINT) AS ng, CAST(SUM(sf) AS HUGEINT) AS sg
+  FROM per GROUP BY fold
+), gtot AS (
+  SELECT CAST(SUM(nf) AS BIGINT) AS nn, CAST(SUM(sf) AS HUGEINT) AS tt FROM per
+)
+SELECT per.cat AS category, per.fold,
+       CAST(nc - nf AS BIGINT) AS n_oof,
+  CASE WHEN (nn - ng) > 0 THEN
+    CAST(CAST(nn - ng AS HUGEINT) * (sc - sf) + 10 * (tt - sg) AS DOUBLE)
+    / CAST(CAST(nn - ng AS HUGEINT) * (CAST(nc - nf AS HUGEINT) + 10) * 100 AS DOUBLE)
+  END AS enc
+FROM per JOIN ctot ON per.cat = ctot.cat
+         JOIN ftot ON per.fold = ftot.fold
+         CROSS JOIN gtot
+"""
+
+
+@query("kfold_target_encoding_priority", oracle=_kfold_te_sql())
+def q_kfold_target_encoding_priority(spark, sf_dir):
+    """EXT — leakage-safe k-fold target encoding of order priority
+    (features.kfold_target_encode; the out-of-fold Micci-Barreca
+    shrinkage): both the category sums AND the global prior exclude
+    the row's own fold, assigned by the engine-portable md5 hash —
+    the feature a model trains on never saw its own label. Exact
+    DECIMAL/HUGEINT identity per (category, fold), ONE IEEE division
+    — hash-matched."""
+    from .operators.features import kfold_target_encode
+
+    return kfold_target_encode(
+        t(spark, sf_dir, "orders"),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        id_col="o_orderkey",
+        k=5,
+        smoothing=10,
+    )
+
+
+@query(
+    "scale_features_acctbal",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS id,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM customer WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx,
+         COALESCE(SUM(CAST(v AS HUGEINT)), 0) AS s,
+         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS q,
+         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS med,
+         quantile_cont(v, 0.75) AS q3
+  FROM base
+)
+SELECT id, round(CAST(v AS DOUBLE) / 100.0e0, 9) AS value,
+  CASE WHEN mx > mn THEN
+    round((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) / CAST(mx - mn AS DOUBLE), 9) END AS minmax,
+  CASE WHEN n >= 2 AND ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)) > 0 THEN
+    round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)), 9) END AS zscore,
+  CASE WHEN (q3 - q1) > 0 THEN
+    round((CAST(v AS DOUBLE) - med) / (q3 - q1), 9) END AS robust
+FROM base CROSS JOIN stats
+""",
+)
+def q_scale_features_acctbal(spark, sf_dir):
+    """EXT — the three standard feature scalers over customer account
+    balance in one pass (features.scale_features): min-max, z-score,
+    and the outlier-proof median/IQR robust form — the preprocessing
+    mile before distance-based models. One broadcast 1-row stats
+    attach, pinned R-7 quantiles over exact integers, shared IEEE
+    chains — hash-matched."""
+    from .operators.features import scale_features
+
+    return scale_features(
+        t(spark, sf_dir, "customer"), id_col="c_custkey", value_col="c_acctbal"
+    )
+
+
+@query(
+    "lexical_richness_corpus",
+    oracle="""
+WITH words AS (
+  SELECT t.w AS w FROM documents,
+       LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+), per AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)), 0) AS m2,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax
+  FROM per
+)
+SELECT n_tokens, vocab, hapax,
+  CASE WHEN n_tokens >= 2 THEN round(
+    10000.0e0 * (CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 9) END AS yules_k,
+  CASE WHEN n_tokens >= 2 AND vocab >= 1 THEN round(
+    ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 9) END AS herdan_c,
+  CASE WHEN vocab > 0 THEN round(
+    CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 9) END AS hapax_ratio
+FROM agg
+""",
+)
+def q_lexical_richness_corpus(spark, sf_dir):
+    """EXT — Yule's K, Herdan's C and the hapax ratio of the corpus
+    vocabulary (text.lexical_richness; Yule 1944, Herdan 1960): the
+    length-invariant repetitiveness screen — template spam makes few
+    types dominate and K explode — companion to chao1's unseen-types
+    estimate over the SAME word-grain groupBy. Exact integer spectrum
+    fold (Σc² in DECIMAL/HUGEINT), shared ln chain — hash-matched."""
+    from .operators.text import lexical_richness
+
+    return lexical_richness(t(spark, sf_dir, "documents"))
+
+
+def _rank_eval_sql() -> str:
+    gain = (
+        "CAST(('0x' || substr(md5('q1:' || CAST(doc_id AS VARCHAR)), 1, 2)) "
+        "AS BIGINT) % 4"
+    )
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+run AS (SELECT 'q1' AS q, doc_id AS d, CAST(rk AS BIGINT) AS rnk FROM bm WHERE rk <= 10),
+qrels AS (SELECT 'q1' AS q, doc_id AS d, {gain} AS g FROM bm),
+rel AS (SELECT q, d FROM qrels WHERE g > 0),
+rq AS (SELECT q, CAST(count(*) AS BIGINT) AS r FROM rel GROUP BY q),
+j AS (
+  SELECT run.q, run.rnk,
+         CASE WHEN rel.d IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run LEFT JOIN rel ON run.q = rel.q AND run.d = rel.d
+), h AS (
+  SELECT q, rnk, is_rel,
+         SUM(is_rel) OVER (PARTITION BY q ORDER BY rnk ASC ROWS UNBOUNDED PRECEDING) AS hits
+  FROM j
+), per AS (
+  SELECT q,
+    CAST(COALESCE(SUM(CASE WHEN is_rel = 1
+        THEN hits * CAST(2520.0e0 / CAST(rnk AS DOUBLE) AS BIGINT) END), 0) AS BIGINT) AS terms,
+    MIN(CASE WHEN is_rel = 1 THEN rnk END) AS fr
+  FROM h GROUP BY q
+), scored AS (
+  SELECT rq.q,
+    CAST(round(CASE WHEN fr IS NOT NULL THEN 1000000000.0e0 / CAST(fr AS DOUBLE) ELSE 0.0e0 END) AS BIGINT) AS rr_nano,
+    CAST(round(CAST(COALESCE(terms, 0) AS DOUBLE)
+         / (2520.0e0 * CAST(LEAST(r, 10) AS DOUBLE)) * 1000000000.0e0) AS BIGINT) AS ap_nano
+  FROM rq LEFT JOIN per ON rq.q = per.q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  CASE WHEN count(*) > 0 THEN
+    round(CAST(SUM(rr_nano) AS DOUBLE) / 1000000000.0e0 / CAST(count(*) AS DOUBLE), 9) END AS mrr,
+  CASE WHEN count(*) > 0 THEN
+    round(CAST(SUM(ap_nano) AS DOUBLE) / 1000000000.0e0 / CAST(count(*) AS DOUBLE), 9) END AS map_at_k
+FROM scored
+"""
+
+
+@query("mrr_map_retrieval_eval", oracle=_rank_eval_sql())
+def q_mrr_map_retrieval_eval(spark, sf_dir):
+    """EXT — MRR@10 and MAP@10 of the BM25 run (retrieval.
+    rank_eval_at_k; Voorhees TREC-8 / trec_eval AP@k): the binary-
+    relevance companions to ndcg_retrieval_eval over the SAME run and
+    md5-derived qrels — MRR prices the first hit, MAP the precision
+    profile. With L = lcm(1..10) every precision term is an exact
+    integer hits·(L/rank), per-query folds micro-quantize to nano
+    units before the cross-query mean — hash-matched."""
+    from .operators import text as text_ops
+    from .operators.retrieval import rank_eval_at_k
+
+    bm = text_ops.bm25_topk(
+        t(spark, sf_dir, "documents"), ["dup", "merge", "window"], k=15
+    )
+    run = bm.select(
+        F.lit("q1").alias("query_id"), "doc_id", F.col("rk").alias("rank")
+    )
+    gain = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q1:"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    qrels = bm.select(
+        F.lit("q1").alias("query_id"), "doc_id", gain.alias("gain")
+    )
+    return rank_eval_at_k(run, qrels, k=10)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -467,3 +467,151 @@ def rfm_segmentation(
             code("_mq", "_bm").cast("string"),
         ).alias("rfm"),
     )
+
+
+def kfold_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    smoothing: int = 10,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """LEAKAGE-SAFE k-fold target encoding (the out-of-fold variant of
+    :func:`target_encode`, per Micci-Barreca 2001 §4 as popularized by
+    every gradient-boosting pipeline): each row's category encoding is
+    computed from the OTHER k−1 folds only — both the category sums
+    AND the global prior — so the feature a model trains on never
+    contains its own row's label. Folds are assigned by the
+    deterministic md5 hash of ``id_col`` (``sampling.hash_uniform`` —
+    engine-portable, cluster-size-independent, restated in the
+    oracle), so the same row lands in the same fold everywhere. One
+    row per (category, fold): ``(category (string), fold (long),
+    n_oof (long — out-of-fold category count), enc (double; NULL when
+    the out-of-fold slice is empty))`` — join back on (category,
+    fold(id)) to attach.
+
+    Exactness: the target_encode integer identity per fold — with
+    N', T' the out-of-fold global count/sum and n', s' the
+    out-of-fold category count/sum, ``enc = (N'·s' + m·T') /
+    (N'·(n' + m)·unit_scale)`` — all DECIMAL(38,0)/HUGEINT, ONE IEEE
+    division. Scale shape: one (category, fold)-grain aggregation,
+    one k-row fold-total broadcast; no windows, no row-grain join."""
+    from .sampling import hash_uniform
+
+    if k < 2:
+        raise ValueError(f"kfold_target_encode: k must be >= 2, got {k}")
+    if smoothing < 0:
+        raise ValueError("kfold_target_encode: smoothing must be >= 0")
+    fold = F.floor(hash_uniform(F.col(id_col)) * F.lit(k)).cast("long")
+    base = df.select(
+        F.col(cat_col).cast("string").alias("_cat"),
+        fold.alias("fold"),
+        F.round(F.col(target_col).cast("double") * F.lit(unit_scale))
+        .cast("long")
+        .alias("_y"),
+    ).where(
+        F.col("_cat").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("fold").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per = base.groupBy("_cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("_nf"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sf"),
+    )
+    cat_tot = per.groupBy("_cat").agg(
+        F.sum("_nf").cast("long").alias("_nc"),
+        F.sum("_sf").cast("decimal(38,0)").alias("_sc"),
+    )
+    fold_tot = per.groupBy("fold").agg(
+        F.sum("_nf").cast("long").alias("_ng"),
+        F.sum("_sf").cast("decimal(38,0)").alias("_sg"),
+    )
+    glob = per.agg(
+        F.sum("_nf").cast("long").alias("_nn"),
+        F.sum("_sf").cast("decimal(38,0)").alias("_tt"),
+    )
+    staged = (
+        per.join(cat_tot, "_cat")
+        .join(F.broadcast(fold_tot), "fold")
+        .crossJoin(F.broadcast(glob))
+    )
+    n_oof = (F.col("_nc") - F.col("_nf")).cast("long")
+    s_oof = (F.col("_sc") - F.col("_sf")).cast("decimal(38,0)")
+    ng_oof = (F.col("_nn") - F.col("_ng")).cast("decimal(38,0)")
+    tg_oof = (F.col("_tt") - F.col("_sg")).cast("decimal(38,0)")
+    m = F.lit(smoothing).cast("decimal(38,0)")
+    num = ng_oof * s_oof + m * tg_oof
+    den = ng_oof * (n_oof.cast("decimal(38,0)") + m) * F.lit(unit_scale).cast(
+        "decimal(38,0)"
+    )
+    return staged.select(
+        F.col("_cat").alias("category"),
+        "fold",
+        n_oof.alias("n_oof"),
+        F.when(
+            ng_oof > 0, num.cast("double") / den.cast("double")
+        ).alias("enc"),
+    )
+
+
+def scale_features(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """The three standard feature scalers in one pass — min-max to
+    [0, 1], z-score (sample σ), and robust (median/IQR, the
+    outlier-proof default) — the last preprocessing mile before any
+    distance-based model or regularized regression, where raw dollar
+    and count columns would otherwise dominate the geometry. One row
+    per input row: ``(id, value (double — the quantized input),
+    minmax, zscore, robust (double; NULL where the respective spread
+    is 0))``.
+
+    Exactness: values quantize at ``unit_scale``; min/max/Σ/Σ² are
+    exact-integer aggregates and median/IQR the pinned-R-7 percentiles
+    of integers (exact at worst x.5 in doubles); each scaled output is
+    ONE engine-identical IEEE chain, rounded to 9. Scale shape: one
+    1-row global-stats aggregate broadcast onto the stream — no
+    window, no sort, no row-grain join."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    base = df.select(F.col(id_col).alias("id"), v.alias("_v")).where(
+        F.col("id").isNotNull() & F.col("_v").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.coalesce(F.sum(dec("_v")), F.lit(0).cast("decimal(38,0)")).alias("_s"),
+        F.coalesce(
+            F.sum((dec("_v") * dec("_v")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_q"),
+        F.expr("percentile(_v, 0.25)").alias("_q1"),
+        F.expr("percentile(_v, 0.5)").alias("_med"),
+        F.expr("percentile(_v, 0.75)").alias("_q3"),
+    )
+    staged = base.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    vv = F.col("_v").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (F.col("_q").cast("double") - F.col("_s").cast("double") * F.col("_s").cast("double") / n) / (
+        n - F.lit(1.0)
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    rng = (F.col("_mx") - F.col("_mn")).cast("double")
+    return staged.select(
+        "id",
+        F.round(vv / F.lit(float(unit_scale)), 9).alias("value"),
+        F.when(rng > 0, F.round((vv - F.col("_mn").cast("double")) / rng, 9)).alias("minmax"),
+        F.when(
+            (F.col("_n") >= 2) & (var > 0),
+            F.round((vv - mean) / F.sqrt(var), 9),
+        ).alias("zscore"),
+        F.when(iqr > 0, F.round((vv - F.col("_med")) / iqr, 9)).alias("robust"),
+    )

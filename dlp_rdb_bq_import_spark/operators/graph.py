@@ -1170,3 +1170,38 @@ def common_neighbors_linkpred(
             ),
         )
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz, Nature
+    1998): ``c_i = 2·T_i / (deg_i·(deg_i − 1))`` — the fraction of a
+    node's neighbor pairs that are themselves connected; the classic
+    "how clique-ish is this entity's neighborhood" readout behind
+    community cohesion checks and link-spam screens (spam hubs have
+    many neighbors that never interconnect, c → 0). Built directly on
+    :func:`triangle_count`, so the superlinear work keeps its
+    degree-ordered O(|E|^{3/2}) wedge bound. One row per node:
+    ``(node, degree, triangles (long), clustering (double; NULL for
+    degree < 2, where the coefficient is undefined))``.
+
+    Exactness: triangles/degrees are exact integers; the coefficient
+    is ONE IEEE division of exact integers, rounded to 9."""
+    tri = triangle_count(edges, src_col, dst_col)
+    d = F.col("degree").cast("double")
+    return tri.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0) * F.col("triangles").cast("double")
+                / (d * (d - F.lit(1.0))),
+                9,
+            ),
+        ).alias("clustering"),
+    )

@@ -3503,3 +3503,419 @@ def cumulative_gains(
             ),
         ).alias("lift"),
     )
+
+
+def cohens_d_effect_size(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Standardized mean difference between two groups (Cohen 1969;
+    Hedges' small-sample correction, Hedges 1981): the EFFECT SIZE the
+    significance tests in this module deliberately do not report — at
+    corpus scale everything is "significant", and d answers the
+    question that matters: is the difference big enough to act on?
+    ``group_col`` casts to boolean (TRUE = group A). One row out:
+    ``(n_a, n_b (long), mean_a, mean_b, cohens_d, hedges_g (double;
+    NULL when either group has < 2 rows or pooled variance is 0))``.
+
+    Exactness: values quantize to integers at ``unit_scale``; the
+    Σv / Σv² folds are DECIMAL(38,0)/HUGEINT; means, pooled variance
+    ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2) and the two readouts are
+    ONE engine-identical IEEE chain over those exact integers, rounded
+    to 9. Scale shape: a single 6-cell conditional aggregate with
+    map-side combine — one reduce row, no shuffle beyond it."""
+    g = F.col(group_col).cast("boolean")
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(g.alias("_g"), v.alias("_v")).where(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    cells = base.agg(
+        F.sum(F.col("_g").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("_g")).cast("long")).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("_g"), dec(F.col("_v")))), F.lit(0).cast("decimal(38,0)")).alias("_sa"),
+        F.coalesce(F.sum(F.when(~F.col("_g"), dec(F.col("_v")))), F.lit(0).cast("decimal(38,0)")).alias("_sb"),
+        F.coalesce(F.sum(F.when(F.col("_g"), dec(F.col("_v")) * dec(F.col("_v")))), F.lit(0).cast("decimal(38,0)")).alias("_qa"),
+        F.coalesce(F.sum(F.when(~F.col("_g"), dec(F.col("_v")) * dec(F.col("_v")))), F.lit(0).cast("decimal(38,0)")).alias("_qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    s = F.lit(float(unit_scale))
+    var_a = (qa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    pooled = ((na - F.lit(1.0)) * var_a + (nb - F.lit(1.0)) * var_b) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (sa / na - sb / nb) / F.sqrt(pooled)
+    corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return cells.select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.when(F.col("n_a") > 0, F.round(sa / na / s, 9)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(sb / nb / s, 9)).alias("mean_b"),
+        F.when(ok & (pooled > 0), F.round(d, 9)).alias("cohens_d"),
+        F.when(ok & (pooled > 0), F.round(d * corr, 9)).alias("hedges_g"),
+    )
+
+
+def odds_ratio_ci(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2×2 odds ratio with the Wald 95% CI (Woolf, Ann. Hum. Genet.
+    1955: se(ln OR) = √(1/a + 1/b + 1/c + 1/d)) — the standard
+    exposure/outcome readout (does source X over-produce flagged
+    documents?), reported as a RATIO with uncertainty instead of a
+    bare χ² verdict. Both columns cast to boolean. One row out:
+    ``(exposed_pos, exposed_neg, unexposed_pos, unexposed_neg (long),
+    odds_ratio, ci_low, ci_high (double; NULL when any cell is 0 —
+    the Wald form is undefined; at corpus scale empty cells mean the
+    2×2 framing itself is wrong))``.
+
+    Exactness: pure integer cells from one conditional aggregate; the
+    ln/exp/sqrt readout is ONE engine-identical IEEE chain over exact
+    integers (the woe_iv discipline), rounded to 9."""
+    e = F.col(exposure_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.where(e.isNotNull() & y.isNotNull())
+    cells = base.agg(
+        F.coalesce(F.sum((e & y).cast("long")), F.lit(0)).cast("long").alias("exposed_pos"),
+        F.coalesce(F.sum((e & ~y).cast("long")), F.lit(0)).cast("long").alias("exposed_neg"),
+        F.coalesce(F.sum((~e & y).cast("long")), F.lit(0)).cast("long").alias("unexposed_pos"),
+        F.coalesce(F.sum((~e & ~y).cast("long")), F.lit(0)).cast("long").alias("unexposed_neg"),
+    )
+    a = F.col("exposed_pos").cast("double")
+    b = F.col("exposed_neg").cast("double")
+    c = F.col("unexposed_pos").cast("double")
+    d = F.col("unexposed_neg").cast("double")
+    ok = (
+        (F.col("exposed_pos") > 0)
+        & (F.col("exposed_neg") > 0)
+        & (F.col("unexposed_pos") > 0)
+        & (F.col("unexposed_neg") > 0)
+    )
+    orr = (a * d) / (b * c)
+    se = F.sqrt(F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d)
+    return cells.select(
+        "exposed_pos",
+        "exposed_neg",
+        "unexposed_pos",
+        "unexposed_neg",
+        F.when(ok, F.round(orr, 9)).alias("odds_ratio"),
+        F.when(ok, F.round(F.exp(F.log(orr) - F.lit(1.959963985) * se), 9)).alias("ci_low"),
+        F.when(ok, F.round(F.exp(F.log(orr) + F.lit(1.959963985) * se), 9)).alias("ci_high"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient (Cronbach,
+    Psychometrika 1951): ``α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total)`` over k
+    item columns — do these k quality sub-scores measure one
+    underlying construct? The standard reliability gate before
+    averaging rater/heuristic scores into a single label. Rows with
+    ANY null item are dropped (the listwise convention). One row out:
+    ``(n (long), k (long), alpha (double; NULL when n < 2 or total
+    variance is 0))``.
+
+    Exactness: items quantize at ``unit_scale``; every Σx / Σx² /
+    Σ(rowsum)² fold is DECIMAL(38,0)/HUGEINT; sample (n−1) variances
+    form ONE IEEE chain, rounded to 9. Scale shape: a single wide
+    aggregate (2k+2 cells) with map-side combine."""
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    k = len(item_cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    items = [
+        F.round(F.col(c).cast("double") * F.lit(unit_scale)).cast("long").alias(f"_i{j}")
+        for j, c in enumerate(item_cols)
+    ]
+    base = df.select(*items)
+    cond = None
+    for j in range(k):
+        c = F.col(f"_i{j}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    base = base.where(cond)
+    total = None
+    for j in range(k):
+        t = dec(F.col(f"_i{j}"))
+        total = t if total is None else (total + t).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(total), F.lit(0).cast("decimal(38,0)")).alias("_st"),
+        F.coalesce(F.sum((total * total).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_qt"),
+    ]
+    for j in range(k):
+        v = dec(F.col(f"_i{j}"))
+        aggs.append(F.coalesce(F.sum(v), F.lit(0).cast("decimal(38,0)")).alias(f"_s{j}"))
+        aggs.append(F.coalesce(F.sum(v * v), F.lit(0).cast("decimal(38,0)")).alias(f"_q{j}"))
+    cells = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    var_t = (
+        F.col("_qt").cast("double")
+        - F.col("_st").cast("double") * F.col("_st").cast("double") / n
+    ) / (n - F.lit(1.0))
+    sum_var_items = None
+    for j in range(k):
+        vj = (
+            F.col(f"_q{j}").cast("double")
+            - F.col(f"_s{j}").cast("double") * F.col(f"_s{j}").cast("double") / n
+        ) / (n - F.lit(1.0))
+        sum_var_items = vj if sum_var_items is None else sum_var_items + vj
+    alpha = (F.lit(float(k)) / F.lit(float(k - 1))) * (
+        F.lit(1.0) - sum_var_items / var_t
+    )
+    return cells.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.when((F.col("n") >= 2) & (var_t > 0), F.round(alpha, 9)).alias("alpha"),
+    )
+
+
+def hosmer_lemeshow_test(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_round: int = 4,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980):
+    decile-of-risk calibration — bin by predicted probability, compare
+    observed vs expected positives per bin, ``χ² = Σ (O−E)²/(E(1−p̄))``
+    with dof = bins − 2. The hypothesis-test companion to
+    calibration_curve (which reports the curve) and brier_decomposition
+    (which reports the magnitude): HL asks "is the miscalibration more
+    than chance?". One row out: ``(n (long), n_bins (long — non-empty
+    bins actually formed; ties can merge deciles), chi2 (double; NULL
+    when < 3 non-empty bins or any E(1−p̄) term is 0), dof (long))``.
+
+    Determinism: scores quantize to ``score_round`` decimals; bin
+    boundaries are exact R-7 percentiles of the quantized scores with
+    ties-low binning (the cumulative_gains discipline, restated
+    identically in SQL); per-bin O and the Σscore behind E are exact
+    integers, so the χ² fold is ONE IEEE chain, rounded to 9. Scale
+    shape: one 1-row percentile aggregate broadcast onto the stream,
+    one n_bins-row groupBy."""
+    s = int(10**score_round)
+    sq = F.round(F.col(score_col).cast("double") * F.lit(s)).cast("long")
+    y = F.col(label_col).cast("boolean").cast("long")
+    base = df.select(sq.alias("_s"), y.alias("_y")).where(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    bounds = base.agg(F.expr(f"percentile(_s, array({fracs}))").alias("_bs"))
+    staged = base.crossJoin(F.broadcast(bounds))
+    above = F.aggregate(
+        "_bs", F.lit(0), lambda acc, b: acc + (F.col("_s") > b).cast("int")
+    )
+    per = (
+        staged.select((above + F.lit(1)).cast("long").alias("_bin"), "_s", "_y")
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_o"),
+            F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ssum"),
+        )
+    )
+    nb = F.col("_n").cast("double")
+    e = F.col("_ssum").cast("double") / F.lit(float(s))  # Σp̂ per bin
+    pbar = e / nb
+    term = F.when(
+        (e > 0) & (pbar < 1),
+        (F.col("_o").cast("double") - e)
+        * (F.col("_o").cast("double") - e)
+        / (e * (F.lit(1.0) - pbar)),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(term).alias("_chi2"),
+        F.sum(F.when(term.isNull(), F.lit(1)).otherwise(F.lit(0))).alias("_bad"),
+    )
+    return tot.select(
+        "n",
+        F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        F.when(
+            (F.col("n_bins") >= 3) & (F.col("_bad") == 0),
+            F.round(F.col("_chi2"), 9),
+        ).alias("chi2"),
+        F.when(F.col("n_bins") >= 3, (F.col("n_bins") - 2).cast("long")).alias(
+            "dof"
+        ),
+    )
+
+
+def brown_forsythe_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Brown–Forsythe test for equal variances (Brown & Forsythe,
+    JASA 1974 — Levene's test with MEDIAN centers, the robust
+    recommendation): one-way ANOVA F on the absolute deviations
+    ``z = |x − med_group|``. THE gate before pooled-variance tests
+    (cohens_d's pooled s assumes it) and the spread-drift companion to
+    the mean-drift tests. One row out: ``(n (long), k (long), f_stat
+    (double; NULL when k < 2, any group < 2 rows, or the within-group
+    deviation SS is 0), dof1, dof2 (long))``.
+
+    Exactness: values quantize at ``unit_scale``; group medians are
+    the pinned-R-7 percentile of exact integers (at worst x.5 — exact
+    in doubles); the z deviations are exact-in-double |int − median|,
+    folded via Σz/Σz² per group and combined in ONE IEEE chain,
+    rounded to 9. Scale shape: one group-grain percentile aggregate
+    joined back by group key (k rows broadcast), one group-grain
+    moment aggregate, one k-row fold."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    base = df.select(
+        F.col(group_col).cast("string").alias("_g"), v.alias("_v")
+    ).where(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    meds = base.groupBy("_g").agg(F.expr("percentile(_v, 0.5)").alias("_med"))
+    z = F.abs(F.col("_v").cast("double") - F.col("_med"))
+    per = (
+        base.join(F.broadcast(meds), "_g")
+        .select("_g", z.alias("_z"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_z").alias("_sz"),
+            F.sum(F.col("_z") * F.col("_z")).alias("_qz"),
+        )
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.min("_n"), F.lit(0)).cast("long").alias("_minn"),
+        F.sum(F.col("_sz")).alias("_szt"),
+        # between-group SS needs Σ n_j·z̄_j² = Σ _sz²/_n
+        F.sum(F.col("_sz") * F.col("_sz") / F.col("_n").cast("double")).alias("_sb"),
+        F.sum(F.col("_qz")).alias("_qzt"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ss_between = F.col("_sb") - F.col("_szt") * F.col("_szt") / n
+    ss_within = F.col("_qzt") - F.col("_sb")
+    f_stat = (ss_between / (k - F.lit(1.0))) / (ss_within / (n - k))
+    ok = (F.col("k") >= 2) & (F.col("_minn") >= 2) & (ss_within > 0)
+    return tot.select(
+        "n",
+        F.coalesce("k", F.lit(0)).alias("k"),
+        F.when(ok, F.round(f_stat, 9)).alias("f_stat"),
+        F.when(F.col("k") >= 2, (F.col("k") - 1).cast("long")).alias("dof1"),
+        F.when(F.col("k") >= 2, (F.col("n") - F.col("k")).cast("long")).alias("dof2"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with tie correction (Kendall,
+    Biometrika 1945): ``τ_b = (C − D)/√((n₀−n₁)(n₀−n₂))`` over
+    concordant/discordant pairs — the robust monotone-association
+    companion to spearman_rank_corr, preferred when both variables
+    live on SMALL quantized domains (heavy ties), where Spearman's
+    midranks lose information. One row out: ``(n (long), concordant,
+    discordant (long — pair counts as DECIMAL-exact longs may
+    overflow int64 at corpus scale, so they are reported as the
+    decimal-fold doubles via exact integer casts), tau_b (double;
+    NULL when either variable is constant))``.
+
+    Exactness AND scale shape: both variables quantize to integers;
+    the pair counts come from the CELL table ((x, y) distinct pairs
+    with counts) self-joined under strict inequality — the cell
+    domain is |X|·|Y| (bounded raw-measure domains, the theil_sen /
+    mann_kendall contract: calendar²-or-domain²-bounded, NEVER row
+    grain), so the quadratic join runs over thousands of cells
+    regardless of corpus size. All pair-count folds are
+    DECIMAL(38,0)/HUGEINT; ONE final IEEE sqrt chain, rounded to 9."""
+    x = F.round(F.col(x_col).cast("double") * F.lit(x_scale)).cast("long")
+    y = F.round(F.col(y_col).cast("double") * F.lit(y_scale)).cast("long")
+    base = df.select(x.alias("_x"), y.alias("_y")).where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    cells = base.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = cells.select(
+        F.col("_x").alias("_x1"), F.col("_y").alias("_y1"), F.col("_c").alias("_c1")
+    )
+    b = cells.select(
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"), F.col("_c").alias("_c2")
+    )
+    # each unordered pair counted once: anchor on x1 < x2
+    pairs = a.join(b, F.col("_x1") < F.col("_x2"))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_y1") < F.col("_y2"),
+                    (dec("_c1") * dec("_c2")).cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_y1") > F.col("_y2"),
+                    (dec("_c1") * dec("_c2")).cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_discordant"),
+    )
+    # tie terms from the marginals: n1 = Σ tx(tx−1)/2, n2 = Σ ty(ty−1)/2
+    two = F.lit(2).cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").cast("decimal(38,0)").alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_t") * (F.col("_t") - one) / two).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_n1")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").cast("decimal(38,0)").alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_t") * (F.col("_t") - one) / two).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_n2")
+        )
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(nrow))
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    n0 = (nd * (nd - one) / two).cast("decimal(38,0)")
+    num = F.col("_concordant").cast("double") - F.col("_discordant").cast("double")
+    den = F.sqrt(
+        (n0 - F.col("_n1")).cast("double") * (n0 - F.col("_n2")).cast("double")
+    )
+    return out.select(
+        "n",
+        F.col("_concordant").cast("double").alias("concordant"),
+        F.col("_discordant").cast("double").alias("discordant"),
+        F.when(den > 0, F.round(num / den, 9)).alias("tau_b"),
+    )

@@ -177,3 +177,103 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def rank_eval_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """MRR@k and MAP@k over a run (Voorhees, TREC-8 1999 for MRR;
+    the trec_eval AP@k convention — AP normalized by min(R, k)): the
+    BINARY-relevance companions to :func:`ndcg_at_k` — MRR prices the
+    FIRST hit (navigational queries), MAP the whole ranked precision
+    profile. Relevance is ``gain > 0``. Queries are the qrels' queries
+    with ≥ 1 relevant doc (the trec_eval universe); a query whose
+    relevant docs the run misses contributes 0 to both means. One row
+    out: ``(n_queries (long), mrr, map_at_k (double; NULL when no
+    query has relevant docs))``.
+
+    Exactness: with L = lcm(1..k), every precision term at a relevant
+    rank is the exact integer ``hits·(L/rank)``, so the per-query AP
+    fold is an integer sum — order-proof — and the single AP/RR
+    divisions micro-quantize to nano-units before the cross-query
+    mean (the ndcg_at_k discipline exactly). Scale shape: run and
+    qrels are top-k/judgment-sized; one per-query window over ≤ k
+    rows, two query-grain aggregates."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"rank_eval_at_k: k must be >= 1, got {k}")
+    L = math.lcm(*range(1, k + 1))
+    rel = qrels.where(F.col(gain_col) > 0).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    )
+    rq = rel.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("_r"))
+    top = run.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("long").alias("_rnk"),
+    )
+    j = top.join(rel.withColumn("_isrel", F.lit(1)), ["_q", "_d"], "left").select(
+        "_q", "_rnk", F.coalesce("_isrel", F.lit(0)).alias("_isrel")
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_rnk").asc())
+    h = j.select("_q", "_rnk", "_isrel", F.sum("_isrel").over(w).alias("_hits"))
+    per = h.groupBy("_q").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_isrel") == 1,
+                    (
+                        F.col("_hits")
+                        * (F.lit(float(L)) / F.col("_rnk").cast("double")).cast("long")
+                    ).cast("long"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_terms"),
+        F.min(F.when(F.col("_isrel") == 1, F.col("_rnk"))).alias("_fr"),
+    )
+    scored = rq.join(per, "_q", "left").select(
+        "_q",
+        F.round(
+            F.coalesce(F.lit(1e9) / F.col("_fr").cast("double"), F.lit(0.0))
+        )
+        .cast("long")
+        .alias("_rr_nano"),
+        F.round(
+            F.coalesce(F.col("_terms"), F.lit(0)).cast("double")
+            / (F.lit(float(L)) * F.least(F.col("_r"), F.lit(k)).cast("double"))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("_ap_nano"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum("_rr_nano").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ),
+        ).alias("mrr"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum("_ap_nano").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ),
+        ).alias("map_at_k"),
+    )

@@ -2781,3 +2781,63 @@ def flesch_reading_ease(
             ),
         ).alias("flesch"),
     )
+
+
+def lexical_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-spectrum lexical-richness statistics of the corpus
+    vocabulary: Yule's K (Yule, *The Statistical Study of Literary
+    Vocabulary* 1944: ``K = 10⁴·(Σ m²·V(m) − N)/N²`` over the spectrum
+    V(m) = #types with frequency m — repetitiveness that is nearly
+    text-length invariant, unlike raw type/token ratio), Herdan's C
+    (Herdan 1960: ``ln V / ln N``, the log-log TTR), and the hapax
+    ratio F₁/V. The boilerplate/spam screen companion to
+    :func:`chao1_richness`: Chao1 asks how much vocabulary is UNSEEN,
+    K asks how mechanically the seen vocabulary repeats (template spam
+    → few types dominate → K explodes). One row: ``(n_tokens, vocab,
+    hapax (long), yules_k, herdan_c, hapax_ratio (double; NULL on an
+    empty/1-token corpus where the forms are undefined))``.
+
+    Exactness: the whole spectrum fold is exact integers — Σ m²·V(m)
+    = Σ c² over word counts in DECIMAL(38,0)/HUGEINT — and each
+    readout is ONE engine-identical IEEE chain (ln for Herdan),
+    rounded to 9. Scale shape: one word-grain groupBy, one 3-scalar
+    fold (the chao1/unseen_mass shape); the spectrum itself is never
+    materialized."""
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    per = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = per.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.coalesce(
+            F.sum((dec("c") * dec("c")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_m2"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("hapax"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("vocab").cast("double")
+    k = F.lit(1e4) * (F.col("_m2").cast("double") - n) / (n * n)
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.when(F.col("n_tokens") >= 2, F.round(k, 9)).alias("yules_k"),
+        F.when(
+            (F.col("n_tokens") >= 2) & (F.col("vocab") >= 1),
+            F.round(F.log(v) / F.log(n), 9),
+        ).alias("herdan_c"),
+        F.when(
+            F.col("vocab") > 0,
+            F.round(F.col("hapax").cast("double") / v, 9),
+        ).alias("hapax_ratio"),
+    )

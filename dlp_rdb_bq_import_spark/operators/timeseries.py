@@ -1400,3 +1400,155 @@ def interarrival_burstiness(
             F.round((std_us - mean_us) / (std_us + mean_us), 9),
         ).alias("burstiness"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Maximum drawdown of the DEMEANED cumulative daily series — the
+    deepest sustained run of below-average days (Magdon-Ismail &
+    Atiya, Risk 2004 frame the statistic; demeaning adapts it from
+    price LEVELS to revenue FLOWS: the cumulative of raw positive
+    flows never falls, so the meaningful question is "how far behind
+    the average run-rate did we get, and when?"). The companion to
+    :func:`cusum_changepoints`: CUSUM alarms on a shift, drawdown
+    sizes the worst cumulative shortfall. One row out: ``(n_days
+    (long), max_drawdown (double — value units; 0 when the series
+    never dips), trough_day (date — FIRST day attaining the maximum,
+    NULL when drawdown is 0))``.
+
+    Exactness: the cusum integer discipline verbatim — daily totals
+    quantize at ``unit_scale``, mean subtraction stays integer by
+    n-scaling (``dev = n·x − total`` in DECIMAL(38,0)/HUGEINT), the
+    running sum C and running max P are exact-integer windows, and
+    ``max(P − C)/(n·unit_scale)`` is ONE IEEE division of exact
+    integers. Scale shape: one groupBy to DAY grain, ordered windows
+    over the calendar-bounded day series, a 1-row max attach."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("decimal(30,6)")
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("day"),
+            v.alias("_v"),
+        )
+        .where(F.col("day").isNotNull() & F.col("_v").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.round(F.sum("_v").cast("double") * F.lit(unit_scale))
+            .cast("long")
+            .alias("_x")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.coalesce(F.sum(dec("_x")), F.lit(0).cast("decimal(38,0)")).alias("_t"),
+    )
+    staged = daily.crossJoin(F.broadcast(tot))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (dec("_n") * dec("_x") - F.col("_t")).cast("decimal(38,0)")
+    cum = staged.select(
+        "day",
+        "_n",
+        F.sum(dev).over(w).cast("decimal(38,0)").alias("_c"),
+    ).select(
+        "day",
+        "_n",
+        "_c",
+        F.max("_c").over(w).cast("decimal(38,0)").alias("_p"),
+    )
+    dd = cum.select(
+        "day", "_n", (F.col("_p") - F.col("_c")).cast("decimal(38,0)").alias("_dd")
+    )
+    top = dd.agg(F.max("_dd").alias("_mx"))
+    out = dd.crossJoin(F.broadcast(top)).where(F.col("_dd") == F.col("_mx"))
+    return out.groupBy().agg(
+        F.max("_n").cast("long").alias("n_days"),
+        (
+            F.max("_mx").cast("double")
+            / (F.max("_n").cast("double") * F.lit(float(unit_scale)))
+        ).alias("max_drawdown"),
+        F.when(F.max("_mx") > 0, F.min("day")).alias("trough_day"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Ordinary-least-squares linear trend of the daily series with
+    inference: slope per day, its standard error, the t statistic and
+    R² (the textbook simple regression; Theil-Sen in this module is
+    its robust sibling — OLS adds the UNCERTAINTY readout Theil-Sen
+    omits, at the price of outlier sensitivity). x is the calendar
+    day offset from the first present day (gaps stay gaps). One row
+    out: ``(n_days (long), slope, intercept, se_slope, t_stat, r2
+    (double; NULL when n < 3 or the day spread/residual variance is
+    0))``. slope/intercept/se are in value units per day.
+
+    Exactness: y quantizes to integers at ``unit_scale``; x is an
+    exact small integer; every Σx/Σy/Σxy/Σx²/Σy² fold is
+    DECIMAL(38,0)/HUGEINT; the readouts are ONE engine-identical IEEE
+    chain over those exact integers, rounded to 9. Scale shape: one
+    groupBy to DAY grain, a 1-row min-day attach, one 5-moment fold."""
+    v = F.col(value_col).cast("decimal(30,6)")
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("day"),
+            v.alias("_v"),
+        )
+        .where(F.col("day").isNotNull() & F.col("_v").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.round(F.sum("_v").cast("double") * F.lit(unit_scale))
+            .cast("long")
+            .alias("_y")
+        )
+    )
+    first = daily.agg(F.min("day").alias("_d0"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    staged = daily.crossJoin(F.broadcast(first)).select(
+        F.datediff(F.col("day"), F.col("_d0")).cast("long").alias("_x"),
+        "_y",
+    )
+    m = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.sum(dec(F.col("_x"))), F.lit(0).cast("decimal(38,0)")).alias("_sx"),
+        F.coalesce(F.sum(dec(F.col("_y"))), F.lit(0).cast("decimal(38,0)")).alias("_sy"),
+        F.coalesce(F.sum((dec(F.col("_x")) * dec(F.col("_y"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxy"),
+        F.coalesce(F.sum((dec(F.col("_x")) * dec(F.col("_x"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxx"),
+        F.coalesce(F.sum((dec(F.col("_y")) * dec(F.col("_y"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("_sxy").cast("double"),
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+    )
+    s = F.lit(float(unit_scale))
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    b = cxy / cxx
+    sse = cyy - b * cxy
+    se_b = F.sqrt(sse / (n - F.lit(2.0)) / cxx)
+    ok = (F.col("n_days") >= 3) & (cxx > 0)
+    return m.select(
+        "n_days",
+        F.when(ok, F.round(b / s, 9)).alias("slope"),
+        F.when(ok, F.round((sy / n - b * sx / n) / s, 9)).alias("intercept"),
+        F.when(ok & (sse > 0), F.round(se_b / s, 9)).alias("se_slope"),
+        F.when(ok & (sse > 0), F.round(b / se_b, 9)).alias("t_stat"),
+        F.when(ok & (cyy > 0), F.round(b * cxy / cyy, 9)).alias("r2"),
+    )

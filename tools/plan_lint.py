@@ -392,6 +392,49 @@ ALLOW: dict[str, dict[str, str]] = {
         "construction: the (n_items, n_agree) global aggregate and the "
         "marginal-product sum — both broadcast single-row builds",
     },
+    "max_drawdown_daily_revenue": {
+        "SinglePartitionWindow": "CALENDAR: running sum and running max "
+        "over the DAY-grain demeaned cumulative series — bounded by "
+        "calendar (decades = thousands of rows), the cusum contract; raw "
+        "orders never enter a window",
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the (n, total) "
+        "demeaning row and the max-drawdown row broadcast onto the "
+        "day-grain series — the cusum shape",
+    },
+    "ols_trend_daily_revenue": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the min-day "
+        "anchor broadcasts onto the DAY-grain series before the 5-moment "
+        "fold — the cuped/theil_sen anchor shape",
+    },
+    "kfold_target_encoding_priority": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (N, T) "
+        "global row broadcasts onto the (category, fold)-grain table "
+        "(|cats|·k rows) — the target_encoding_priority shape; the "
+        "fold-totals join is a k-row broadcast equi-join",
+    },
+    "scale_features_acctbal": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the global "
+        "min/max/moments/quantiles stats row broadcasts onto the value "
+        "stream — the trimmed_mean/psi percentile-bounds shape",
+    },
+    "mrr_map_retrieval_eval": {
+        "BroadcastNestedLoopJoin": "inherited from the BM25 run's corpus "
+        "(N, total_dl) 1-row scalar attach (bm25_topk_docs, individually "
+        "allowlisted); the eval itself adds k-bounded equi-joins and a "
+        "per-query window over <= k rows",
+    },
+    "hosmer_lemeshow_calibration": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the decile-"
+        "boundary percentile row broadcasts onto the score stream before "
+        "the n_bins-row groupBy — the cumulative_gains/psi_drift shape",
+    },
+    "kendall_tau_quantity_discount": {
+        "BroadcastNestedLoopJoin": "the concordant/discordant pair count "
+        "is the CELL table ((x, y) distinct quantized pairs, 50×11 "
+        "domain-bounded) self-joined under strict inequality — domain²-"
+        "bounded like theil_sen/mann_kendall, never row grain; plus the "
+        "1-row tie/total scalar attaches",
+    },
     "mutual_information": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
         "the global count and the summed micro-log term — broadcast "
