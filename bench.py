@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "scale_features_acctbal",
     "lexical_richness_corpus",
     "mrr_map_retrieval_eval",
+    "jonckheere_priority_trend",
+    "streaming_ols_trend",
 ]
 
 

@@ -14390,9 +14390,7 @@ def q_max_drawdown_daily_revenue(spark, sf_dir):
     return max_drawdown(o, ts_col="o_orderdate", value_col="o_totalprice")
 
 
-@query(
-    "ols_trend_daily_revenue",
-    oracle=f"""
+_OLS_SQL = f"""
 WITH vals AS (
   SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
   FROM orders WHERE o_totalprice IS NOT NULL
@@ -14451,8 +14449,10 @@ SELECT n_days,
         * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
         / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) END AS r2
 FROM m
-""",
-)
+"""
+
+
+@query("ols_trend_daily_revenue", oracle=_OLS_SQL)
 def q_ols_trend_daily_revenue(spark, sf_dir):
     """EXT — OLS linear trend of daily revenue with inference
     (timeseries.ols_trend): slope per day, standard error, t and R² —
@@ -14712,6 +14712,99 @@ def q_mrr_map_retrieval_eval(spark, sf_dir):
         F.lit("q1").alias("query_id"), "doc_id", gain.alias("gain")
     )
     return rank_eval_at_k(run, qrels, k=10)
+
+
+@query("streaming_ols_trend", oracle=_OLS_SQL)
+def q_streaming_ols_trend(spark, sf_dir):
+    """EXT §2.10 — streaming OLS daily trend (streaming/jobs.
+    streaming_ols_trend): the incremental twin of ols_trend, carrying
+    the DAY-GRAIN total table as state (calendar-bounded — decades in
+    kilobytes; the moment sums themselves are NOT additive when a day
+    spans two batches, so the day merge is the associative unit) and
+    running the batch finishing readout once — this STREAMING query
+    hash-matches the SAME DuckDB oracle as the batch form for any
+    slicing (the streaming_twap contract)."""
+    from .streaming.jobs import streaming_ols_trend
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return streaming_ols_trend(
+        spark, o, ts_col="o_orderdate", value_col="o_totalprice", n_slices=4
+    )
+
+
+@query(
+    "jonckheere_priority_trend",
+    oracle="""
+WITH base AS (
+  SELECT CAST(CASE o_orderpriority
+           WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+           WHEN '4-NOT SPECIFIED' THEN 3 WHEN '5-LOW' THEN 4 END AS BIGINT) AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) / 10000.0e0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), cells AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v
+), jt2 AS (
+  SELECT COALESCE(SUM(CASE WHEN a.v < b.v THEN 2 * CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                           WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0) AS s
+  FROM cells a JOIN cells b ON a.g < b.g
+), perg AS (SELECT g, CAST(SUM(c) AS HUGEINT) AS ng FROM cells GROUP BY g),
+gstats AS (
+  SELECT CAST(SUM(ng) AS HUGEINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+         COALESCE(SUM(ng * ng), 0) AS sn2,
+         COALESCE(SUM(ng * (ng - 1) * (2 * ng + 5)), 0) AS gt1,
+         COALESCE(SUM(ng * (ng - 1) * (ng - 2)), 0) AS gt2,
+         COALESCE(SUM(ng * (ng - 1)), 0) AS gt3
+  FROM perg
+), perv AS (SELECT v, CAST(SUM(c) AS HUGEINT) AS tv FROM cells GROUP BY v),
+vstats AS (
+  SELECT COALESCE(SUM(tv * (tv - 1) * (2 * tv + 5)), 0) AS vt1,
+         COALESCE(SUM(tv * (tv - 1) * (tv - 2)), 0) AS vt2,
+         COALESCE(SUM(tv * (tv - 1)), 0) AS vt3
+  FROM perv
+)
+SELECT CAST(nn AS BIGINT) AS n, k,
+  round(CAST(s AS DOUBLE) / 2.0e0, 9) AS jt_stat,
+  round((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE)) / 4.0e0, 9) AS e_jt,
+  CASE WHEN ((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0) * (2.0e0 * CAST(nn AS DOUBLE) + 5.0e0)
+              - CAST(gt1 AS DOUBLE) - CAST(vt1 AS DOUBLE)) / 72.0e0
+           + CAST(gt2 AS DOUBLE) * CAST(vt2 AS DOUBLE)
+             / (36.0e0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0) * (CAST(nn AS DOUBLE) - 2.0e0))
+           + CAST(gt3 AS DOUBLE) * CAST(vt3 AS DOUBLE)
+             / (8.0e0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))) > 0 THEN
+    round((CAST(s AS DOUBLE) / 2.0e0
+         - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE)) / 4.0e0)
+      / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0) * (2.0e0 * CAST(nn AS DOUBLE) + 5.0e0)
+              - CAST(gt1 AS DOUBLE) - CAST(vt1 AS DOUBLE)) / 72.0e0
+           + CAST(gt2 AS DOUBLE) * CAST(vt2 AS DOUBLE)
+             / (36.0e0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0) * (CAST(nn AS DOUBLE) - 2.0e0))
+           + CAST(gt3 AS DOUBLE) * CAST(vt3 AS DOUBLE)
+             / (8.0e0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))), 9)
+  END AS z
+FROM jt2 CROSS JOIN gstats CROSS JOIN vstats
+""",
+)
+def q_jonckheere_priority_trend(spark, sf_dir):
+    """EXT — Jonckheere–Terpstra ordered-trend test across priority
+    tiers (profiling.jonckheere_terpstra; Jonckheere 1954, tie-
+    corrected per Hollander & Wolfe): does order value rise
+    monotonically with urgency? Strictly more powerful than
+    Kruskal-Wallis when the alternative IS the ordering. Pair counts
+    from per-group DISTINCT-VALUE cell tables (coarse 10k-unit price
+    buckets — domain²-bounded), 2·JT and all tie terms exact
+    DECIMAL/HUGEINT, one IEEE sqrt — hash-matched."""
+    from .operators.profiling import jonckheere_terpstra
+
+    d = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") / F.lit(10000.0)).alias("v"),
+    )
+    return jonckheere_terpstra(
+        d,
+        "o_orderpriority",
+        "v",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        unit_scale=1,
+    )
 
 
 # ---------------------------------------------------------------------------

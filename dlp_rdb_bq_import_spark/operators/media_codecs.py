@@ -18,8 +18,9 @@ exactly:
 - **Y4M** (``YUV4MPEG2``): plain-text stream header carrying
   width/height/framerate, then ``FRAME\\n`` + raw planes per frame
   (``C444``: three full-resolution planes).
-- **PNG** (grey/palette at depths 1/2/4/8, grey+alpha/RGB/RGBA at 8,
-  sequential AND Adam7-interlaced): signature + CRC'd chunks, IHDR
+- **PNG** (grey/palette at depths 1/2/4/8, grey at 16,
+  grey+alpha/RGB/RGBA at 8/16, sequential AND Adam7-interlaced):
+  signature + CRC'd chunks, IHDR
   fields, IDAT DEFLATE stream, five per-row predictor filters,
   PLTE/tRNS palette mapping, sub-byte sample packing, the seven-pass
   interlace grid — all from the public spec, stdlib ``zlib`` only.
@@ -30,8 +31,10 @@ the decode stage of the multimodal operators
 pixels/samples out, no fake — including JPEG, the dominant crawl
 format, and GIF (LZW is fully specified in the public GIF89a document;
 ``operators/gif_codec.py`` implements it stdlib-only, and this module
-dispatches to it). Formats still needing a codec library (MP3, H.264)
-raise ``NotImplementedError`` — honestly, at the sniffing layer.
+dispatches to it). MPEG audio gets a header-only probe (frame sync,
+bitrate/rate tables, CBR duration arithmetic — no decode); formats
+still needing a codec library for their PAYLOAD (MP3 samples, H.264)
+raise ``NotImplementedError`` — honestly, at the decode layer.
 
 Everything here is driver/executor-agnostic plain Python over
 ``bytes`` — it runs inside Arrow-batched pandas UDFs, one call per
@@ -175,14 +178,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # (RFC 2083 / ISO 15948), as are palette mapping (PLTE/tRNS, §4.1.2 /
 # §4.2.1.1), sub-8-bit sample packing (§2.3: big-endian within a byte)
 # and the Adam7 interlace pass grid (§2.6). Supported: grey and
-# palette at depths 1/2/4/8, grey+alpha / RGB / RGBA at depth 8, both
-# sequential and Adam7-interlaced. 16-bit stays NotImplementedError.
+# palette at depths 1/2/4/8, grey at 16, grey+alpha / RGB / RGBA at
+# 8/16 (16-bit samples downscale to the high byte), sequential and
+# Adam7-interlaced.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: IHDR color type → sample channels (3 = palette: 1 index sample)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 #: color type → allowed bit depths (spec §11.2.2; 16 not implemented)
-_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 #: Adam7 passes: (x0, y0, dx, dy) per spec §2.6
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -335,6 +345,13 @@ def _png_unpack_samples(
     h = rows.shape[0]
     if depth == 8:
         return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        # big-endian 16-bit samples (spec §2.3); downscale to the 8-bit
+        # most-significant byte for the uint8 pipeline (§12.5's linear
+        # scale 255/65535 rounds to exactly the high byte ± the carry
+        # the spec's recommended right-shift approximation drops)
+        wide = rows[:, : w * nch * 2].reshape(h, w, nch, 2)
+        return wide[:, :, :, 0].copy()
     # sub-byte: nch is 1 for every legal sub-8-bit color type (grey,
     # palette) — unpack bits then regroup
     bits = np.unpackbits(rows, axis=1)
@@ -357,9 +374,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     3=RGB, 4=RGBA). CRCs are verified. Supported per the public spec:
     grey/palette at depths 1/2/4/8, grey+alpha/RGB/RGBA at depth 8,
     sequential AND Adam7-interlaced (§2.6 pass grid); palette indices
-    map through PLTE (+tRNS alpha → RGBA output when present, §4.2.1.1)
-    and sub-8-bit grey scales to full range (255/(2^d−1), §12.5).
-    16-bit depth raises NotImplementedError rather than guess."""
+    map through PLTE (+tRNS alpha → RGBA output when present, §4.2.1.1);
+    sub-8-bit grey scales to full range (255/(2^d−1), §12.5) and
+    16-bit samples downscale to their most-significant byte for the
+    uint8 pipeline. Depth/color-type pairs outside the spec's legal
+    table raise."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
     i, ihdr, idat = len(_PNG_SIG), None, []

@@ -3919,3 +3919,131 @@ def kendall_tau_b(
         F.col("_discordant").cast("double").alias("discordant"),
         F.when(den > 0, F.round(num / den, 9)).alias("tau_b"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list[str],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative (Jonckheere,
+    Biometrika 1954; Terpstra 1952; tie-corrected normal approximation
+    per Hollander & Wolfe §6.2): across k groups in a stated order
+    (priority levels, dose tiers, quality buckets), is the response
+    monotonically increasing? Strictly more powerful than
+    Kruskal-Wallis when the alternative IS ordered — KW spends power
+    on every permutation of group means, J-T only on the trend. ``JT =
+    Σ_{i<j} U_ij`` with ties counted half. One row out: ``(n (long), k
+    (long), jt_stat, e_jt (double — the H₀ mean (N²−Σnᵢ²)/4), z
+    (double; NULL when the tie-corrected variance is 0))``.
+
+    Exactness AND scale shape: values quantize to integers; every
+    U_ij comes from the per-group DISTINCT-VALUE cell tables joined
+    under value inequality — (k·|domain|)² bounded (the kendall_tau_b
+    / theil_sen contract, never row grain); pair counts and all three
+    tie-correction terms fold in DECIMAL(38,0)/HUGEINT; ONE final
+    IEEE sqrt chain, rounded to 9."""
+    if len(group_order) < 2:
+        raise ValueError("jonckheere_terpstra needs >= 2 ordered groups")
+    order_map = {g: i for i, g in enumerate(group_order)}
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    gi = F.col(group_col).cast("string")
+    mapping = F.create_map(
+        *[F.lit(x) for pair in order_map.items() for x in pair]
+    )
+    base = df.select(
+        mapping[gi].alias("_g"), v.alias("_v")
+    ).where(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    cells = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    two = F.lit(2).cast("decimal(38,0)")
+    a = cells.select(
+        F.col("_g").alias("_gi"), F.col("_v").alias("_vi"), F.col("_c").alias("_ci")
+    )
+    b = cells.select(
+        F.col("_g").alias("_gj"), F.col("_v").alias("_vj"), F.col("_c").alias("_cj")
+    )
+    pairs = a.join(b, F.col("_gi") < F.col("_gj"))
+    # 2·JT stays integer (ties contribute c_i·c_j once, not half)
+    jt2 = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_vi") < F.col("_vj"),
+                    (two * dec("_ci") * dec("_cj")).cast("decimal(38,0)"),
+                ).when(
+                    F.col("_vi") == F.col("_vj"),
+                    (dec("_ci") * dec("_cj")).cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_jt2")
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    per_g = cells.groupBy("_g").agg(F.sum("_c").cast("decimal(38,0)").alias("_ng"))
+    gstats = per_g.agg(
+        F.sum("_ng").cast("decimal(38,0)").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((F.col("_ng") * F.col("_ng")).cast("decimal(38,0)")).alias("_sn2"),
+        F.sum(
+            (
+                F.col("_ng")
+                * (F.col("_ng") - one)
+                * (two * F.col("_ng") + F.lit(5).cast("decimal(38,0)"))
+            ).cast("decimal(38,0)")
+        ).alias("_gt1"),
+        F.sum(
+            (
+                F.col("_ng")
+                * (F.col("_ng") - one)
+                * (F.col("_ng") - two)
+            ).cast("decimal(38,0)")
+        ).alias("_gt2"),
+        F.sum((F.col("_ng") * (F.col("_ng") - one)).cast("decimal(38,0)")).alias("_gt3"),
+    )
+    per_v = cells.groupBy("_v").agg(F.sum("_c").cast("decimal(38,0)").alias("_tv"))
+    vstats = per_v.agg(
+        F.sum(
+            (
+                F.col("_tv")
+                * (F.col("_tv") - one)
+                * (two * F.col("_tv") + F.lit(5).cast("decimal(38,0)"))
+            ).cast("decimal(38,0)")
+        ).alias("_vt1"),
+        F.sum(
+            (
+                F.col("_tv")
+                * (F.col("_tv") - one)
+                * (F.col("_tv") - two)
+            ).cast("decimal(38,0)")
+        ).alias("_vt2"),
+        F.sum((F.col("_tv") * (F.col("_tv") - one)).cast("decimal(38,0)")).alias("_vt3"),
+    )
+    out = jt2.crossJoin(F.broadcast(gstats)).crossJoin(F.broadcast(vstats))
+    nn = F.col("_nn").cast("double")
+    e_jt = (nn * nn - F.col("_sn2").cast("double")) / F.lit(4.0)
+    # Hollander & Wolfe tie-corrected variance
+    t1 = (
+        nn * (nn - F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(5.0))
+        - F.col("_gt1").cast("double")
+        - F.col("_vt1").cast("double")
+    ) / F.lit(72.0)
+    t2 = (
+        F.col("_gt2").cast("double") * F.col("_vt2").cast("double")
+    ) / (F.lit(36.0) * nn * (nn - F.lit(1.0)) * (nn - F.lit(2.0)))
+    t3 = (
+        F.col("_gt3").cast("double") * F.col("_vt3").cast("double")
+    ) / (F.lit(8.0) * nn * (nn - F.lit(1.0)))
+    var = t1 + t2 + t3
+    jt = F.col("_jt2").cast("double") / F.lit(2.0)
+    return out.select(
+        F.col("_nn").cast("long").alias("n"),
+        "k",
+        F.round(jt, 9).alias("jt_stat"),
+        F.round(e_jt, 9).alias("e_jt"),
+        F.when(var > 0, F.round((jt - e_jt) / F.sqrt(var), 9)).alias("z"),
+    )

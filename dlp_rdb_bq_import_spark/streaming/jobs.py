@@ -1616,3 +1616,154 @@ def streaming_twap(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_ols_trend(
+    spark: SparkSession,
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming OLS daily trend — the incremental twin of
+    ``timeseries.ols_trend``: the carried state is the DAY-GRAIN total
+    table (one ``(day, Σ quantized value)`` row per present day —
+    CALENDAR-bounded, the period_over_period contract: decades of
+    state fit in kilobytes), folded forward each micro-batch with one
+    day-grain aggregation and one full-outer decimal merge, and the
+    regression readout (slope/SE/t/R²) runs once on the final state.
+
+    Why the state is the day table and not the five moment sums: a
+    calendar day may SPAN two micro-batches, and Σy² over day totals
+    is not additive across partial days ((y₁+y₂)² ≠ y₁²+y₂²) — the
+    moment-sum fold would silently depend on slice boundaries. The
+    day-grain merge is exactly associative (daily totals add), so
+    this query hash-matches the SAME DuckDB oracle as the batch form
+    for ANY slicing — the streaming_twap contract. Output: the batch
+    operator's exact one-row schema ``(n_days, slope, intercept,
+    se_slope, t_stat, r2)``."""
+    if n_slices < 1:
+        raise ValueError(
+            f"streaming_ols_trend: n_slices must be >= 1, got {n_slices}"
+        )
+    root = tempfile.mkdtemp(prefix="ols_stream_")
+    stage = os.path.join(root, "staged")
+    state_dir = os.path.join(root, "state")
+    os.makedirs(stage)
+
+    src = events.select(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        F.col(value_col).cast("decimal(30,6)").alias("v"),
+    ).where(F.col("day").isNotNull() & F.col("v").isNotNull())
+    if n_slices > 1:
+        fracs = ", ".join(repr(i / n_slices) for i in range(1, n_slices))
+        cuts = list(
+            src.select(
+                F.expr(
+                    f"percentile(unix_date(day), array({fracs}))"
+                ).alias("_bs")
+            ).first()["_bs"]
+        )
+    else:
+        cuts = []
+    lo = None
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        hi = cuts[i] if i < len(cuts) else None
+        part = src
+        if lo is not None:
+            part = part.where(F.unix_date(F.col("day")) > lo)
+        if hi is not None:
+            part = part.where(F.unix_date(F.col("day")) <= hi)
+        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
+        part.coalesce(1).write.mode("append").parquet(stage)
+        for name in set(os.listdir(stage)) - before:
+            os.utime(
+                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
+            )
+        lo = hi
+
+    state_schema = "day date, sv decimal(38,6)"
+
+    def fold_batch(batch_df, _epoch_id):
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        part = batch_df.groupBy("day").agg(
+            F.sum("v").cast("decimal(38,6)").alias("_bv")
+        )
+        merged = state.join(part, "day", "full").select(
+            "day",
+            (
+                F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("_bv"), F.lit(0).cast("decimal(38,6)"))
+            )
+            .cast("decimal(38,6)")
+            .alias("sv"),
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    try:
+        batch0 = spark.read.parquet(stage)
+        raw = (
+            spark.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        daily = spark.read.parquet(state_dir).select(
+            "day",
+            F.round(F.col("sv").cast("double") * F.lit(unit_scale))
+            .cast("long")
+            .alias("_y"),
+        )
+        # the batch operator's exact finishing readout over the state
+        first = daily.agg(F.min("day").alias("_d0"))
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        staged_m = daily.crossJoin(F.broadcast(first)).select(
+            F.datediff(F.col("day"), F.col("_d0")).cast("long").alias("_x"),
+            "_y",
+        )
+        m = staged_m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.coalesce(F.sum(dec(F.col("_x"))), F.lit(0).cast("decimal(38,0)")).alias("_sx"),
+            F.coalesce(F.sum(dec(F.col("_y"))), F.lit(0).cast("decimal(38,0)")).alias("_sy"),
+            F.coalesce(F.sum((dec(F.col("_x")) * dec(F.col("_y"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxy"),
+            F.coalesce(F.sum((dec(F.col("_x")) * dec(F.col("_x"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxx"),
+            F.coalesce(F.sum((dec(F.col("_y")) * dec(F.col("_y"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_syy"),
+        )
+        n = F.col("n_days").cast("double")
+        sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+        sxy, sxx, syy = (
+            F.col("_sxy").cast("double"),
+            F.col("_sxx").cast("double"),
+            F.col("_syy").cast("double"),
+        )
+        s = F.lit(float(unit_scale))
+        cxx = sxx - sx * sx / n
+        cyy = syy - sy * sy / n
+        cxy = sxy - sx * sy / n
+        b = cxy / cxx
+        sse = cyy - b * cxy
+        se_b = F.sqrt(sse / (n - F.lit(2.0)) / cxx)
+        ok = (F.col("n_days") >= 3) & (cxx > 0)
+        return m.select(
+            "n_days",
+            F.when(ok, F.round(b / s, 9)).alias("slope"),
+            F.when(ok, F.round((sy / n - b * sx / n) / s, 9)).alias("intercept"),
+            F.when(ok & (sse > 0), F.round(se_b / s, 9)).alias("se_slope"),
+            F.when(ok & (sse > 0), F.round(b / se_b, 9)).alias("t_stat"),
+            F.when(ok & (cyy > 0), F.round(b * cxy / cyy, 9)).alias("r2"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -152,6 +152,38 @@ def test_failed_staging_drop_after_insert_does_not_double_append(spark):
     assert got == sorted(list(range(7)) * 2)  # exactly two copies, not three
 
 
+# -------------------------------------------- lint allowance grain contract
+
+
+def test_single_partition_window_allowances_carry_bounded_domain_tags():
+    """VERDICT r12 task 2: every SinglePartitionWindow allowance must
+    declare a bounded-domain class; entity-grain domains are a build
+    error, and gini (the reranked offender) must hold no allowance."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_lint.py"),
+    )
+    pl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pl)
+    assert pl._validate_allow() == []
+    assert "gini_revenue_concentration" not in pl.ALLOW
+    spw = {
+        q: j["SinglePartitionWindow"]
+        for q, j in pl.ALLOW.items()
+        if "SinglePartitionWindow" in j
+    }
+    assert spw, "expected tagged allowances to exist"
+    for q, j in spw.items():
+        assert j.startswith(pl._SPW_TAGS), q
+    # the validator actually rejects an untagged/entity-grain entry
+    pl.ALLOW["_fake_query"] = {"SinglePartitionWindow": "window over rows"}
+    assert any("_fake_query" in e for e in pl._validate_allow())
+    del pl.ALLOW["_fake_query"]
+
+
 # -------------------------------------------------------- brier at large N
 
 

@@ -91,11 +91,12 @@ def test_png_unsupported_variants_raise():
     bad[-5] ^= 0xFF  # IEND CRC
     with pytest.raises(ValueError):
         mc.decode_png(bytes(bad))
-    # 16-bit depth → NotImplementedError (palette and Adam7 are now
-    # real decode paths — tests/test_png_palette_adam7.py); a palette
-    # header with no PLTE chunk and a garbage IDAT → ValueError
+    # an illegal depth/color-type pair → NotImplementedError (palette,
+    # Adam7 and 16-bit grey/RGB are now real decode paths —
+    # tests/test_png_palette_adam7.py); a palette header with no PLTE
+    # chunk and a garbage IDAT → ValueError
     for depth, ctype, interlace, exc in (
-        (16, 2, 0, NotImplementedError),
+        (16, 3, 0, NotImplementedError),  # 16-bit palette: not in spec
         (8, 3, 0, ValueError),  # missing PLTE
         (8, 2, 1, ValueError),  # IDAT not a zlib stream
     ):

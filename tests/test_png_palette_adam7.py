@@ -200,10 +200,39 @@ def test_interlaced_truncated_stream_raises():
         mc.decode_png(short)
 
 
-def test_sixteen_bit_still_raises():
-    ihdr = (2, 2, 16, 0, 0, 0, 0)
-    png = _chunked(ihdr, (b"IDAT", zlib.compress(b"\x00" * 10)))
-    with pytest.raises(NotImplementedError, match="16-bit|depth=16"):
+def test_sixteen_bit_grey_and_rgb_downscale_to_high_byte():
+    """16-bit samples are big-endian (spec §2.3); the decoder keeps the
+    most-significant byte for the uint8 pipeline."""
+    rng = np.random.default_rng(31)
+    hi = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    lo = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    stream = bytearray()
+    for y in range(3):
+        stream.append(0)
+        for x in range(4):
+            stream += bytes([hi[y, x], lo[y, x]])
+    png = _chunked((4, 3, 16, 0, 0, 0, 0), (b"IDAT", zlib.compress(bytes(stream))))
+    assert np.array_equal(mc.decode_png(png)[:, :, 0], hi)
+    rgbhi = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    stream = bytearray()
+    for y in range(2):
+        stream.append(0)
+        for x in range(3):
+            for c in range(3):
+                stream += bytes([rgbhi[y, x, c], 0x55])
+    png = _chunked((3, 2, 16, 2, 0, 0, 0), (b"IDAT", zlib.compress(bytes(stream))))
+    assert np.array_equal(mc.decode_png(png), rgbhi)
+
+
+def test_sixteen_bit_palette_still_raises():
+    """Depth 16 for color type 3 is outside the spec's legal table."""
+    ihdr = (2, 2, 16, 3, 0, 0, 0)
+    png = _chunked(
+        ihdr,
+        (b"PLTE", b"\x00" * 6),
+        (b"IDAT", zlib.compress(b"\x00" * 10)),
+    )
+    with pytest.raises(NotImplementedError):
         mc.decode_png(png)
 
 

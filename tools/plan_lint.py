@@ -423,6 +423,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "allowlisted); the eval itself adds k-bounded equi-joins and a "
         "per-query window over <= k rows",
     },
+    "jonckheere_priority_trend": {
+        "BroadcastNestedLoopJoin": "the pairwise U count is the per-group "
+        "DISTINCT-VALUE cell table (5 groups × coarse price buckets) "
+        "self-joined under group inequality — domain²-bounded like "
+        "kendall_tau/theil_sen, never row grain; plus 1-row tie-term and "
+        "total scalar attaches",
+    },
     "hosmer_lemeshow_calibration": {
         "BroadcastNestedLoopJoin": "1-row scalar attach: the decile-"
         "boundary percentile row broadcasts onto the score stream before "
