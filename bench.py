@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "mrr_map_retrieval_eval",
     "jonckheere_priority_trend",
     "streaming_ols_trend",
+    "streaming_max_drawdown",
+    "pacf_daily_revenue",
 ]
 
 

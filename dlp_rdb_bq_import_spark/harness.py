@@ -14353,9 +14353,7 @@ def q_kendall_tau_quantity_discount(spark, sf_dir):
     )
 
 
-@query(
-    "max_drawdown_daily_revenue",
-    oracle=f"""
+_DRAWDOWN_SQL = f"""
 WITH vals AS (
   SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
   FROM orders WHERE o_totalprice IS NOT NULL
@@ -14376,8 +14374,10 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_days,
        CAST(MAX(m) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0e0) AS max_drawdown,
        CASE WHEN MAX(m) > 0 THEN MIN(day) END AS trough_day
 FROM peaks CROSS JOIN mx WHERE dd = m
-""",
-)
+"""
+
+
+@query("max_drawdown_daily_revenue", oracle=_DRAWDOWN_SQL)
 def q_max_drawdown_daily_revenue(spark, sf_dir):
     """EXT — maximum drawdown of demeaned cumulative daily revenue
     (timeseries.max_drawdown): the deepest sustained below-run-rate
@@ -14805,6 +14805,39 @@ def q_jonckheere_priority_trend(spark, sf_dir):
         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
         unit_scale=1,
     )
+
+
+@query("streaming_max_drawdown", oracle=_DRAWDOWN_SQL)
+def q_streaming_max_drawdown(spark, sf_dir):
+    """EXT §2.10 — streaming maximum drawdown (streaming/jobs.
+    streaming_max_drawdown): the incremental twin of max_drawdown with
+    the streaming_ols_trend state discipline — the DAY-GRAIN total
+    table is the associative unit (demeaning needs the FINAL global
+    mean, so no scalar fold is exact mid-stream), the batch finishing
+    readout runs once on the final state, and the query hash-matches
+    the SAME DuckDB oracle as the batch form for any slicing."""
+    from .streaming.jobs import streaming_max_drawdown
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return streaming_max_drawdown(
+        spark, o, ts_col="o_orderdate", value_col="o_totalprice", n_slices=4
+    )
+
+
+@query("pacf_daily_revenue")  # driver-side Durbin-Levinson — rows-only
+def q_pacf_daily_revenue(spark, sf_dir):
+    """EXT — partial autocorrelation of daily revenue at lags 1..7
+    (timeseries.pacf; Durbin 1960 recursion over the hash-matched
+    sample ACF): the AR order-selection readout — PACF cuts off after
+    p where ACF decays forever. Distributed work is the ACF's; the
+    recursion runs driver-side on 7 scalars (bounded collect, the
+    classifier_auc k-row discipline) and has no SQL restatement, so
+    the gate entry is rows-only; pytest pins the recursion to an
+    independent reference and to direct OLS on AR(1)/AR(2) series."""
+    from .operators.timeseries import pacf
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    return pacf(o, ts_col="o_orderdate", value_col="o_totalprice", max_lag=7)
 
 
 # ---------------------------------------------------------------------------

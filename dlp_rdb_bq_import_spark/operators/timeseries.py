@@ -1552,3 +1552,71 @@ def ols_trend(
         F.when(ok & (sse > 0), F.round(b / se_b, 9)).alias("t_stat"),
         F.when(ok & (cyy > 0), F.round(b * cxy / cyy, 9)).alias("r2"),
     )
+
+
+def pacf(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Partial autocorrelation function at lags 1..``max_lag`` via the
+    Durbin–Levinson recursion (Durbin, Biometrika 1960; Box & Jenkins
+    1970 §3.2) over :func:`autocorrelation`'s sample ACF — the AR
+    order-selection readout the ACF cannot give: PACF at lag ℓ is the
+    correlation REMAINING after regressing out lags 1..ℓ−1, so an
+    AR(p) series cuts off sharply after p where its ACF decays
+    forever. Output one row per lag: ``(lag (long), pacf (double;
+    NULL when the series is constant or any required ACF lag is
+    undefined))``.
+
+    Scale shape and honesty: all distributed work is the ACF's
+    (day-grain equi-joins, DECIMAL folds); the recursion itself runs
+    DRIVER-SIDE on the collected ``max_lag`` scalars — a deliberate
+    bounded-size collect (max_lag ≤ a few dozen), the classifier_auc
+    k-row discipline. The recursion has no SQL restatement, so the
+    gate entry is rows-only; correctness pins to an independent
+    reference implementation and to direct OLS in pytest."""
+    if max_lag < 1:
+        raise ValueError(f"pacf: max_lag must be >= 1, got {max_lag}")
+    spark = df.sparkSession
+    rows = (
+        autocorrelation(
+            df,
+            ts_col=ts_col,
+            value_col=value_col,
+            max_lag=max_lag,
+            unit_scale=unit_scale,
+        )
+        .orderBy("lag")
+        .collect()
+    )
+    r = {int(row["lag"]): row["acf"] for row in rows}
+    out: list[tuple[int, float | None]] = []
+    if any(r.get(l) is None for l in range(1, max_lag + 1)):
+        out = [(l, None) for l in range(1, max_lag + 1)]
+    else:
+        acf = [1.0] + [float(r[l]) for l in range(1, max_lag + 1)]
+        phi_prev: list[float] = []
+        for k in range(1, max_lag + 1):
+            if k == 1:
+                phi_kk = acf[1]
+                phi_cur = [phi_kk]
+            else:
+                num = acf[k] - sum(
+                    phi_prev[j] * acf[k - 1 - j] for j in range(k - 1)
+                )
+                den = 1.0 - sum(phi_prev[j] * acf[j + 1] for j in range(k - 1))
+                if den == 0.0:
+                    out.extend((l, None) for l in range(k, max_lag + 1))
+                    break
+                phi_kk = num / den
+                phi_cur = [
+                    phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+                    for j in range(k - 1)
+                ] + [phi_kk]
+            out.append((k, round(phi_kk, 9)))
+            phi_prev = phi_cur
+    return spark.createDataFrame(out, "lag long, pacf double")

@@ -1767,3 +1767,139 @@ def streaming_ols_trend(
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_max_drawdown(
+    spark: SparkSession,
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming maximum drawdown — the incremental twin of
+    ``timeseries.max_drawdown`` with the same state discipline as
+    ``streaming_ols_trend``: the carried state is the DAY-GRAIN total
+    table (calendar-bounded; demeaning needs the FINAL global mean, so
+    no scalar fold can be exact mid-stream — the day merge is the
+    associative unit), and the batch finishing readout (n-scaled
+    deviations, exact running sum/max windows, first trough day) runs
+    once on the final state. Hash-matches the SAME DuckDB oracle as
+    the batch form for ANY slicing. Output: the batch operator's
+    one-row schema ``(n_days, max_drawdown, trough_day)``."""
+    if n_slices < 1:
+        raise ValueError(
+            f"streaming_max_drawdown: n_slices must be >= 1, got {n_slices}"
+        )
+    root = tempfile.mkdtemp(prefix="dd_stream_")
+    stage = os.path.join(root, "staged")
+    state_dir = os.path.join(root, "state")
+    os.makedirs(stage)
+
+    src = events.select(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        F.col(value_col).cast("decimal(30,6)").alias("v"),
+    ).where(F.col("day").isNotNull() & F.col("v").isNotNull())
+    if n_slices > 1:
+        fracs = ", ".join(repr(i / n_slices) for i in range(1, n_slices))
+        cuts = list(
+            src.select(
+                F.expr(f"percentile(unix_date(day), array({fracs}))").alias("_bs")
+            ).first()["_bs"]
+        )
+    else:
+        cuts = []
+    lo = None
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        hi = cuts[i] if i < len(cuts) else None
+        part = src
+        if lo is not None:
+            part = part.where(F.unix_date(F.col("day")) > lo)
+        if hi is not None:
+            part = part.where(F.unix_date(F.col("day")) <= hi)
+        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
+        part.coalesce(1).write.mode("append").parquet(stage)
+        for name in set(os.listdir(stage)) - before:
+            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
+        lo = hi
+
+    state_schema = "day date, sv decimal(38,6)"
+
+    def fold_batch(batch_df, _epoch_id):
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        part = batch_df.groupBy("day").agg(
+            F.sum("v").cast("decimal(38,6)").alias("_bv")
+        )
+        merged = state.join(part, "day", "full").select(
+            "day",
+            (
+                F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("_bv"), F.lit(0).cast("decimal(38,6)"))
+            )
+            .cast("decimal(38,6)")
+            .alias("sv"),
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    try:
+        batch0 = spark.read.parquet(stage)
+        raw = (
+            spark.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # batch finishing readout over the state (timeseries.max_drawdown
+        # from the day table onward — restated on the quantized totals)
+        from pyspark.sql import Window
+
+        daily = spark.read.parquet(state_dir).select(
+            "day",
+            F.round(F.col("sv").cast("double") * F.lit(unit_scale))
+            .cast("long")
+            .alias("_x"),
+        )
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        tot = daily.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.coalesce(F.sum(dec("_x")), F.lit(0).cast("decimal(38,0)")).alias("_t"),
+        )
+        staged_d = daily.crossJoin(F.broadcast(tot))
+        w = Window.orderBy(F.col("day").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        dev = (dec("_n") * dec("_x") - F.col("_t")).cast("decimal(38,0)")
+        cum = staged_d.select(
+            "day", "_n", F.sum(dev).over(w).cast("decimal(38,0)").alias("_c")
+        ).select(
+            "day", "_n", "_c",
+            F.max("_c").over(w).cast("decimal(38,0)").alias("_p"),
+        )
+        dd = cum.select(
+            "day", "_n",
+            (F.col("_p") - F.col("_c")).cast("decimal(38,0)").alias("_dd"),
+        )
+        top = dd.agg(F.max("_dd").alias("_mx"))
+        out = dd.crossJoin(F.broadcast(top)).where(F.col("_dd") == F.col("_mx"))
+        return out.groupBy().agg(
+            F.max("_n").cast("long").alias("n_days"),
+            (
+                F.max("_mx").cast("double")
+                / (F.max("_n").cast("double") * F.lit(float(unit_scale)))
+            ).alias("max_drawdown"),
+            F.when(F.max("_mx") > 0, F.min("day")).alias("trough_day"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
