@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "streaming_ols_trend",
     "streaming_max_drawdown",
     "pacf_daily_revenue",
+    "benjamini_hochberg_fdr",
+    "mantel_haenszel_source_by_lang",
 ]
 
 

@@ -14840,6 +14840,141 @@ def q_pacf_daily_revenue(spark, sf_dir):
     return pacf(o, ts_col="o_orderdate", value_col="o_totalprice", max_lag=7)
 
 
+def _bh_sql() -> str:
+    from .operators.sampling import hash_uniform_sql
+
+    hu = hash_uniform_sql("user_id")
+    return f"""
+WITH tests AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+), base AS (
+  SELECT CAST(user_id AS VARCHAR) AS test_id,
+         CAST(round((CASE WHEN user_id % 2 = 0 THEN ({hu}) / 50.0e0
+                          ELSE ({hu}) END) * 1000000000.0e0) AS BIGINT) AS pu
+  FROM tests
+), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base),
+ranked AS (
+  SELECT test_id, pu,
+         CAST(row_number() OVER (ORDER BY pu ASC, test_id ASC) AS BIGINT) AS rank
+  FROM base
+), kmax AS (
+  SELECT CAST(COALESCE(MAX(CASE WHEN CAST(pu AS HUGEINT) * m <= CAST(rank AS HUGEINT) * 50000000 THEN rank END), 0) AS BIGINT) AS kmax
+  FROM ranked CROSS JOIN m
+)
+SELECT test_id,
+       CAST(pu AS DOUBLE) / 1000000000.0e0 AS p_value,
+       rank, m,
+       round(CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) * 0.05e0, 9) AS bh_critical,
+       rank <= kmax AS rejected
+FROM ranked CROSS JOIN m CROSS JOIN kmax
+"""
+
+
+@query("benjamini_hochberg_fdr", oracle=_bh_sql())
+def q_benjamini_hochberg_fdr(spark, sf_dir):
+    """EXT — Benjamini–Hochberg FDR step-up over one p-value per user
+    (profiling.benjamini_hochberg; Benjamini & Hochberg 1995): the
+    multiple-comparisons gate for the module's test battery — at
+    thousands of segment × metric tests, 5% are "significant" by
+    chance; BH caps the false-discovery fraction. Fixture p-values are
+    the engine-portable md5 uniform (even users carry planted signal
+    at p/50). The ascending rank is layout.global_row_ids (range
+    exchange + offsets — the test table is entity-grain, the gini
+    lesson applied at design time, so NO single-partition window);
+    the step-up prefix is integer-exact in micro-units —
+    hash-matched."""
+    from .operators.profiling import benjamini_hochberg
+    from .operators.sampling import hash_uniform
+
+    tests = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").cast("string").alias("test_id"),
+            F.when(
+                F.col("user_id") % 2 == 0,
+                hash_uniform(F.col("user_id")) / F.lit(50.0),
+            )
+            .otherwise(hash_uniform(F.col("user_id")))
+            .alias("p"),
+        )
+    )
+    return benjamini_hochberg(tests, "test_id", "p", q=0.05)
+
+
+@query(
+    "mantel_haenszel_source_by_lang",
+    oracle="""
+WITH base AS (
+  SELECT lang AS s, source = 'web' AS e, n_chars > 600 AS y
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+), per AS (
+  SELECT s,
+    CAST(COALESCE(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+    CAST(COALESCE(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS b,
+    CAST(COALESCE(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS c,
+    CAST(COALESCE(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS d
+  FROM base GROUP BY s
+), terms AS (
+  SELECT a + b + c + d AS ni,
+    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) * 1000000.0e0) AS BIGINT) AS r,
+    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) * 1000000.0e0) AS BIGINT) AS sx,
+    CAST(round((CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS pr,
+    CAST(round((CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)) * 1000000.0e0
+             + (CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS ps_qr,
+    CAST(round((CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+             * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS qs
+  FROM per
+), tot AS (
+  SELECT CAST(COALESCE(SUM(ni), 0) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(r), 0) AS BIGINT) AS rr, CAST(COALESCE(SUM(sx), 0) AS BIGINT) AS ss,
+         CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS prt,
+         CAST(COALESCE(SUM(ps_qr), 0) AS BIGINT) AS psqrt,
+         CAST(COALESCE(SUM(qs), 0) AS BIGINT) AS qst
+  FROM terms
+)
+SELECT n, k,
+  CASE WHEN rr > 0 AND ss > 0 THEN
+    round((CAST(rr AS DOUBLE) / 1000000.0e0) / (CAST(ss AS DOUBLE) / 1000000.0e0), 9) END AS or_mh,
+  CASE WHEN rr > 0 AND ss > 0 THEN
+    round(exp(ln((CAST(rr AS DOUBLE) / 1000000.0e0) / (CAST(ss AS DOUBLE) / 1000000.0e0))
+      - 1.959963985e0 * sqrt(
+          CAST(prt AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(rr AS DOUBLE) / 1000000.0e0) * (CAST(rr AS DOUBLE) / 1000000.0e0))
+        + CAST(psqrt AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(rr AS DOUBLE) / 1000000.0e0) * (CAST(ss AS DOUBLE) / 1000000.0e0))
+        + CAST(qst AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(ss AS DOUBLE) / 1000000.0e0) * (CAST(ss AS DOUBLE) / 1000000.0e0)))), 9) END AS ci_low,
+  CASE WHEN rr > 0 AND ss > 0 THEN
+    round(exp(ln((CAST(rr AS DOUBLE) / 1000000.0e0) / (CAST(ss AS DOUBLE) / 1000000.0e0))
+      + 1.959963985e0 * sqrt(
+          CAST(prt AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(rr AS DOUBLE) / 1000000.0e0) * (CAST(rr AS DOUBLE) / 1000000.0e0))
+        + CAST(psqrt AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(rr AS DOUBLE) / 1000000.0e0) * (CAST(ss AS DOUBLE) / 1000000.0e0))
+        + CAST(qst AS DOUBLE) / 1000000.0e0 / (2.0e0 * (CAST(ss AS DOUBLE) / 1000000.0e0) * (CAST(ss AS DOUBLE) / 1000000.0e0)))), 9) END AS ci_high
+FROM tot
+""",
+)
+def q_mantel_haenszel_source_by_lang(spark, sf_dir):
+    """EXT — Mantel–Haenszel odds ratio of source→length pooled ACROSS
+    LANGUAGES (profiling.mantel_haenszel_or; Mantel & Haenszel 1959,
+    RBG variance): the confounder-adjusted companion to
+    odds_ratio_source_flag — language confounds both source mix and
+    document length, the textbook Simpson's-reversal setup. Per-
+    stratum ratio terms micro-quantize before the k-row fold, one
+    ln/exp/sqrt chain — hash-matched."""
+    from .operators.profiling import mantel_haenszel_or
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("source") == "web").alias("e"),
+        (F.col("n_chars") > 600).alias("y"),
+    )
+    return mantel_haenszel_or(d, "lang", "e", "y")
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

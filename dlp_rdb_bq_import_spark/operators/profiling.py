@@ -4047,3 +4047,150 @@ def jonckheere_terpstra(
         F.round(e_jt, 9).alias("e_jt"),
         F.when(var > 0, F.round((jt - e_jt) / F.sqrt(var), 9)).alias("z"),
     )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    q: float = 0.05,
+    p_round: int = 9,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control (Benjamini & Hochberg, JRSS-B
+    1995): given one p-value per test, reject the largest prefix of
+    the ascending-p order whose ``p_(k) ≤ (k/m)·q`` — THE multiple-
+    comparisons gate for this module's test battery (run χ²/KS/MW
+    per segment × metric and the 5% worst segments are "significant"
+    by chance alone; BH caps the expected false-discovery fraction at
+    ``q``). One row per test: ``(test_id (string), p_value (double),
+    rank (long — ascending p, ties broken by test_id), m (long),
+    bh_critical (double — (rank/m)·q), rejected (boolean))``.
+
+    Exactness: p-values quantize to ``p_round`` decimals as int64
+    micro-units, so ranks and the step-up prefix are integer-exact
+    and the tie-break total; the critical values are ONE IEEE chain.
+
+    Scale shape: the ascending rank comes from ``layout.
+    global_row_ids`` (range exchange + per-partition offsets — NEVER
+    a single-partition row_number: the test table is often
+    entity-grain, one row per feature × segment, which grows with the
+    corpus — the gini/zipf lesson applied at design time); the
+    step-up "largest k with p_k below its line" is an integer max
+    over the rejectable set, attached as a 1-row broadcast."""
+    if not 0 < q < 1:
+        raise ValueError(f"benjamini_hochberg: q must be in (0,1), got {q}")
+    from .layout import global_row_ids
+
+    pu = F.round(F.col(p_col).cast("double") * F.lit(10.0**p_round)).cast("long")
+    base = df.select(
+        F.col(test_col).cast("string").alias("test_id"), pu.alias("_pu")
+    ).where(
+        F.col("test_id").isNotNull()
+        & F.col("_pu").isNotNull()
+        & (F.col("_pu") >= 0)
+        & (F.col("_pu") <= 10**p_round)
+    )
+    ranked = global_row_ids(base, ["_pu", "test_id"], id_col="_rk0")
+    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    staged = ranked.crossJoin(F.broadcast(m)).select(
+        "test_id",
+        "_pu",
+        (F.col("_rk0") + 1).cast("long").alias("rank"),
+        "_m",
+    )
+    # integer-exact rejectable test: p_k ≤ (k/m)·q  ⇔  p_u·m ≤ k·q_u·10^r/1e9-scale
+    qu = int(round(q * 10**p_round))
+    ok = (
+        F.col("_pu").cast("decimal(38,0)") * F.col("_m").cast("decimal(38,0)")
+        <= F.col("rank").cast("decimal(38,0)") * F.lit(qu).cast("decimal(38,0)")
+    )
+    kmax = staged.agg(
+        F.coalesce(F.max(F.when(ok, F.col("rank"))), F.lit(0))
+        .cast("long")
+        .alias("_kmax")
+    )
+    return staged.crossJoin(F.broadcast(kmax)).select(
+        "test_id",
+        (F.col("_pu").cast("double") / F.lit(10.0**p_round)).alias("p_value"),
+        "rank",
+        F.col("_m").alias("m"),
+        F.round(
+            F.col("rank").cast("double")
+            / F.col("_m").cast("double")
+            * F.lit(q),
+            9,
+        ).alias("bh_critical"),
+        (F.col("rank") <= F.col("_kmax")).alias("rejected"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata (Mantel &
+    Haenszel, JNCI 1959; Robins-Breslow-Greenland SE, Biometrics
+    1986): ``OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)`` — the
+    confounder-adjusted companion to :func:`odds_ratio_ci`, immune to
+    Simpson reversals that a collapsed 2×2 invites (stratify by
+    source/language/time and pool). One row out: ``(n (long), k
+    (long — strata used), or_mh, ci_low, ci_high (double; NULL when
+    either pooled sum is 0))``.
+
+    Exactness: integer cells per stratum; each stratum's three RBG
+    ratio terms are micro-quantized to 1e-6 int64 units BEFORE the
+    cross-strata sums (the mutual_information fold discipline), the
+    final ln/exp/sqrt readout ONE IEEE chain, rounded to 9. Scale
+    shape: one stratum-grain 4-cell aggregate, one k-row fold."""
+    s = F.col(stratum_col).cast("string")
+    e = F.col(exposure_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.where(s.isNotNull() & e.isNotNull() & y.isNotNull())
+    per = base.groupBy(s.alias("_s")).agg(
+        F.coalesce(F.sum((e & y).cast("long")), F.lit(0)).cast("long").alias("_a"),
+        F.coalesce(F.sum((e & ~y).cast("long")), F.lit(0)).cast("long").alias("_b"),
+        F.coalesce(F.sum((~e & y).cast("long")), F.lit(0)).cast("long").alias("_c"),
+        F.coalesce(F.sum((~e & ~y).cast("long")), F.lit(0)).cast("long").alias("_d"),
+    )
+    n_i = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast("double")
+    a, b = F.col("_a").cast("double"), F.col("_b").cast("double")
+    c, d = F.col("_c").cast("double"), F.col("_d").cast("double")
+    micro = lambda x: F.round(x * F.lit(1e6)).cast("long")  # noqa: E731
+    r_i = a * d / n_i
+    s_i = b * c / n_i
+    p_i = (a + d) / n_i
+    q_i = (b + c) / n_i
+    tot = per.agg(
+        F.sum(F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+        .cast("long")
+        .alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum(micro(r_i)), F.lit(0)).cast("long").alias("_r"),
+        F.coalesce(F.sum(micro(s_i)), F.lit(0)).cast("long").alias("_sx"),
+        F.coalesce(F.sum(micro(p_i * r_i)), F.lit(0)).cast("long").alias("_pr"),
+        F.coalesce(F.sum(micro(p_i * s_i + q_i * r_i)), F.lit(0)).cast("long").alias("_ps_qr"),
+        F.coalesce(F.sum(micro(q_i * s_i)), F.lit(0)).cast("long").alias("_qs"),
+    )
+    rr = F.col("_r").cast("double") / F.lit(1e6)
+    ss = F.col("_sx").cast("double") / F.lit(1e6)
+    orr = rr / ss
+    # Robins-Breslow-Greenland variance of ln(OR_MH)
+    var = (
+        F.col("_pr").cast("double") / F.lit(1e6) / (F.lit(2.0) * rr * rr)
+        + F.col("_ps_qr").cast("double") / F.lit(1e6) / (F.lit(2.0) * rr * ss)
+        + F.col("_qs").cast("double") / F.lit(1e6) / (F.lit(2.0) * ss * ss)
+    )
+    ok = (F.col("_r") > 0) & (F.col("_sx") > 0)
+    return tot.select(
+        "n",
+        "k",
+        F.when(ok, F.round(orr, 9)).alias("or_mh"),
+        F.when(
+            ok, F.round(F.exp(F.log(orr) - F.lit(1.959963985) * F.sqrt(var)), 9)
+        ).alias("ci_low"),
+        F.when(
+            ok, F.round(F.exp(F.log(orr) + F.lit(1.959963985) * F.sqrt(var)), 9)
+        ).alias("ci_high"),
+    )

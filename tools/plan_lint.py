@@ -423,6 +423,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "allowlisted); the eval itself adds k-bounded equi-joins and a "
         "per-query window over <= k rows",
     },
+    "benjamini_hochberg_fdr": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar attaches by "
+        "construction: the m total and the step-up kmax row broadcast "
+        "onto the ranked test table — the classifier_auc totals shape; "
+        "the rank itself is global_row_ids (range exchange + offsets)",
+    },
     "jonckheere_priority_trend": {
         "BroadcastNestedLoopJoin": "the pairwise U count is the per-group "
         "DISTINCT-VALUE cell table (5 groups × coarse price buckets) "
