@@ -20,275 +20,167 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dlp_rdb_bq_import_spark import harness
 from dlp_rdb_bq_import_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "tpch_q1",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_volume_customer",
-    "tpch_q21_waiting_supplier",
-    "topk_per_group",
-    "sessionize",
-    "batch_window_agg",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_incremental_minhash",
-    "incremental_curation",
-    "decontaminate_overlap",
-    "sequence_packing",
-    "semantic_dedup",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "kcore_supplier",
-    "communities_supplier",
-    "multimodal_header_probe",
-    "embedding_neardup_lsh",
-    "knn_bruteforce_topk",
-    "knn_lsh_topk",
-    "text_analysis",
-    "winnow_fingerprints",
-    # round 3 additions: curation/layout stages + real media decode
-    "domain_cap",
-    "text_normalize",
-    "zorder_key",
-    "multimodal_features",
-    "dedup_clusters_exact",
-    "reid_pipeline",
-    # round 3 additions: temporal joins + rollup + keyword extraction
-    "asof_click_signup",
-    "incident_overlap_join",
-    "rollup_cascade",
-    "tfidf_top_terms",
-    "skew_report",
-    # round 3 additions: warehouse/feature-engineering surface
-    "scd2_pit_lookup",
-    "data_expectations",
-    "length_outliers",
-    "global_row_ids",
-    "vocab_encode_words",
-    "chunk_documents",
-    # round 4 additions: substring-level + within-doc dedup
-    "dedup_substring",
-    "dedup_paragraphs",
-    # round 4 additions: timeseries/stats/itemsets/PCA surface
-    "resample_gapfill",
-    "cohort_retention",
-    "numeric_correlations",
-    "ngram_novelty",
-    "frequent_item_pairs",
-    "embedding_pca",
-    # round 4 additions: graph/rules/markov/quantization surface
-    "supplier_triangles",
-    "association_rules",
-    "event_transitions",
-    "embedding_quantize_int8",
-    "mad_price_outliers",
-    "image_phash",
-    "detect_gaps",
-    "lateral_topk_orders",
-    "tfidf_cosine_pairs",
-    "bm25_topk_docs",
-    "bm25_batch_topk",
-    "heavy_hitter_terms",
-    "contamination_spans",
-    "kcenter_diversity_sample",
-    "hll_distinct_rollup",
-    "snapshot_diff",
-    "interval_concurrency",
-    "pareto_part_revenue",
-    "hopping_window_agg",
-    "period_over_period",
-    "balance_event_classes",
-    "impute_median",
-    "k_anonymity",
-    "l_diversity",
-    "table_checksum",
-    "order_lifecycle",
-    "session_bounce_stats",
-    "dedup_containment",
-    # round 7 additions: tokenizer loop, incremental decontam, LM
-    # quality filtering, hybrid retrieval, distance-2 fuzzy matching
-    "bpe_encode",
-    "tokenize_and_pack",
-    "decontam_incremental",
-    # lm_quality_gate subsumes lm_quality_scores (same train+score plus
-    # the percentile gate); the scorer alone stays registry/gate-only
-    "lm_quality_gate",
-    "hybrid_retrieval_rrf",
-    "fuzzy_name_pairs_k2",
-    # the bounded production form; record_linkage_scores (full audit
-    # output, quadratic in name-collision density) stays registry-only
-    "record_linkage_review",
-    "knn_ivf_incremental",
-    # round 8: boilerplate extraction (subsumes html_block_classify —
-    # same segmentation + features plus the reassembly groupBy), the
-    # composed web path (extract → mojibake → quality → dedup), URL
-    # dedup, corpus PII scrub, embedding outliers, leakage-safe split
-    "html_extract_main",
-    "web_curation_pipeline",
-    "url_dedup",
-    "pii_scrub",
-    "embedding_outliers",
-    "leakage_safe_split",
-    # round 8: trainable NB classifier, embedding-space decontam,
-    # cluster-balanced coreset, CCNet perplexity-bucketed mixture
-    "nb_classify_lang",
-    "semantic_decontam_lsh",
-    "cluster_balanced_sample",
-    "perplexity_bucket_mixture",
-    "dsir_select",
-    "blocklist_screen",
-    "cms_term_estimates",
-    "balanced_file_layout",
-    # round 8 (late): entity consolidation on top of linkage matches,
-    # the persisted-FastSS incremental linkage probe, link-graph crawl
-    # prioritization, budget-bounded mixture, contrastive mining,
-    # char entropy
-    "entity_golden_records",
-    "linkage_incremental",
-    "crawl_prioritized_frontier",
-    "token_budget_mixture",
-    "contrastive_mining",
-    "char_entropy",
-    "schema_drift",
-    "streaming_linkage",
-    "entity_incremental",
-    "funnel_analysis",
-    "rake_keywords",
-    "ab_test_purchase",
-    # round 9: inbound anchor-text signal (subsumes
-    # html_link_text_extract — same extraction plus the index
-    # groupBy), robots screening, whole-document BFD bin packing
-    "anchor_text_index",
-    "robots_screen",
-    "bin_packed_sequences",
-    "fd_discovery",
-    "inclusion_deps",
-    "group_quantiles",
-    "markdown_extract_text",
-    "code_normalize",
-    "anchor_bm25_topk",
-    # round 10: link-authority second axis + seed distance, LM
-    # retrieval, collocations, key discovery, structured-table
-    # harvest, CCNet line dedup, EWMA monitoring
-    "host_hits_scores",
-    "host_distance_bfs",
-    "query_likelihood_topk",
-    "pmi_collocations",
-    "ucc_discovery",
-    "benford_first_digit",
-    "html_table_extract",
-    "sitemap_extract",
-    "corpus_line_dedup",
-    "ewma_anomaly",
-    "cdc_chunks",
-    "salted_group_stats",
-    "kmeans_clusters",
-    "sorted_neighborhood_pairs",
-    "classifier_auc",
-    "phrase_search",
-    "quantile_binning",
-    "streaming_ewma",
-    "t_closeness",
-    "kmv_set_overlap",
-    "host_weighted_sssp",
-    "unigram_lm_vocab",
-    "unigram_encode_tokens",
-    "bloom_semi_join",
-    "calibration_curve",
-    # round 11: linkage JW verify, DP release, mergeable quantile
-    # digest (build + two-slice fold), CUBE grains, Holt forecaster,
-    # pre-flight join sizing, baseline-JPEG decode, schema evolution
-    "jaro_winkler_pairs",
-    "dp_noisy_counts",
-    "quantile_digest",
-    "digest_merge_fold",
-    "cube_rollup_revenue",
-    "holt_linear_forecast",
-    "join_size_report",
-    "jpeg_decode_features",
-    "schema_evolution_plan",
-    "cohens_kappa",
-    "personalized_pagerank_seeds",
-    "streaming_quantile_digest",
-    "classification_report",
-    "mutual_information",
-    "ndcg_retrieval_eval",
-    "psi_drift",
-    "chi_square_independence",
-    # round 11 wave 3: two-sample tests + concentration + series decomposition
-    "ks_drift_test",
-    "mann_whitney_priority",
-    "gini_revenue_concentration",
-    "cusum_shift_detection",
-    "acf_daily_revenue",
-    "seasonal_decompose_revenue",
-    "target_encoding_priority",
-    "hashed_text_features",
-    "skyline_parts",
-    "isotonic_calibration",
-    "gif_decode_features",
-    "hilbert_layout",
-    "embedding_random_projection",
-    "connected_components_star",
-    "streaming_skyline",
-    "vocab_js_divergence",
-    "trimmed_mean_prices",
-    "soundex_blocking",
-    "kneser_ney_scores",
-    "unseen_mass_estimate",
-    "zipf_slope",
-    "column_entropy_profile",
-    "streaming_connected_components",
-    "theil_sen_trend",
-    "image_channel_histogram",
-    "weighted_median_price",
-    "kaplan_meier_retention",
-    "cuped_purchase_value",
-    "poisson_bootstrap_se",
-    "conversion_wilson_ci",
-    "mann_kendall_trend",
-    "g_test_independence",
-    # round 12 additions: rank statistics, corpus richness, graph structure
-    "spearman_price_quantity",
-    "kruskal_wallis_priority_price",
-    "cliffs_delta_returnflag",
-    "chao1_vocab_richness",
-    "bigram_repetition",
-    "degree_assortativity",
-    "common_neighbors_suppliers",
-    "woe_iv_source_lang",
-    "flesch_readability",
-    "twap_user_value",
-    "mad_outliers_event_value",
-    "streaming_twap",
-    "progressive_jpeg_parity",
-    "mcnemar_paired_models",
-    "brier_score_decomposition",
-    "cumulative_gains_deciles",
-    "logrank_churn_test",
-    "rfm_user_segments",
-    "user_burstiness",
-    "cohens_d_priority_price",
-    "odds_ratio_source_flag",
-    "cronbach_alpha_quality_items",
-    "hosmer_lemeshow_calibration",
-    "brown_forsythe_returnflag_price",
-    "kendall_tau_quantity_discount",
-    "max_drawdown_daily_revenue",
-    "ols_trend_daily_revenue",
-    "supplier_clustering_coefficient",
-    "kfold_target_encoding_priority",
-    "scale_features_acctbal",
-    "lexical_richness_corpus",
-    "mrr_map_retrieval_eval",
-    "jonckheere_priority_trend",
-    "streaming_ols_trend",
-    "streaming_max_drawdown",
-    "pacf_daily_revenue",
-    "benjamini_hochberg_fdr",
-    "mantel_haenszel_source_by_lang",
+# ---------------------------------------------------------------------------
+# Bench set = EVERY registered query EXCEPT an explicit, reasoned
+# exclusion list (VERDICT r13 task 8). A new registry entry joins the
+# bench automatically unless excluded here; bench_set() fails loudly on
+# a stale exclusion or an unexplained gap, so drift between bench.py
+# and harness.queries() cannot be silent.
+# ---------------------------------------------------------------------------
+
+_MICRO = (
+    "REF-parity SQL-surface/scan/function micro-demo: fixed session "
+    "overhead dominates its runtime at any SF, so it carries no scale "
+    "signal; it runs in the correctness gate and the sf1 soak"
+)
+_TPCH = (
+    "TPC-H pack: the six representative members (q1/q3/q5/q9/q18/q21) "
+    "carry the bench signal; the other sixteen run in the gate and the "
+    "sf1 soak — benching all 22 doubles wall-clock without information"
+)
+_STREAM = (
+    "fixture micro-batch machinery dominates the timing; the batch twin "
+    "is benched and the stream≡batch contract test pins the semantics"
+)
+_SAMPLE = (
+    "single-scan hash-sampling/split primitive: one filter over the "
+    "corpus, no join/shuffle structure to measure"
+)
+
+_MICRO_NAMES = [
+    "scan_count", "pushdown_scan", "exclusion_filter",
+    "cast_filter_groupby_dedup", "null_value_rules",
+    "broadcast_lookup_join", "semi_join_exists", "anti_join_not_exists",
+    "outer_join_coalesce", "header_group_batch", "count_distinct",
+    "cube_rollup", "pivot_conditional_agg", "running_total",
+    "rank_dense_rank", "orderby_limit_topk", "offset_fetch",
+    "union_dead_letters", "intersect_except", "except_distinct",
+    "string_functions", "date_functions", "json_functions",
+    "binary_base64_md5", "case_arithmetic", "compat_stringify",
+    "argmin_argmax", "boolean_aggregates", "grouping_sets_agg",
+    "unpivot_metrics", "higher_order_array_functions",
+    "recursive_date_spine", "null_safe_join", "rare_category_grouping",
 ]
+_TPCH_EXCLUDED = [
+    "tpch_q2_min_price_supplier", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_lines",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_predicates",
+    "tpch_q20_promo_suppliers", "tpch_q22_dormant_customers",
+]
+_STREAM_NAMES = [
+    "streaming_window_agg", "streaming_sessionize",
+    "streaming_stream_join", "streaming_left_join", "streaming_full_join",
+    "streaming_dedup", "streaming_static_join",
+    "streaming_incremental_neardup", "streaming_decontam",
+    "streaming_curation", "streaming_to_batch_packing",
+    "streaming_url_frontier", "streaming_anchor_index",
+    "streaming_bottomk", "streaming_cms_terms",
+]
+_SAMPLE_NAMES = [
+    "deterministic_sample", "stratified_sample", "weighted_sample",
+    "bottomk_sample", "train_val_test_split",
+]
+# name -> the BENCHED query that exercises the same code path (an
+# oracle twin, a subsumed stage, or the production variant)
+_SUBSUMED = {
+    "asof_prev_signup": "asof_click_signup",
+    "approx_count_distinct": "hll_distinct_rollup",
+    "lag_lead_gaps": "detect_gaps",
+    "tokenize_roundtrip": "reid_pipeline",
+    "tokenize_format_preserved": "reid_pipeline",
+    "inspect_surrogate_roundtrip": "reid_pipeline",
+    "dedup_fingerprint": "dedup_exact",
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",
+    "dedup_incremental_two_batch": "dedup_incremental",
+    "dedup_partial_overlap": "dedup_containment",
+    "dedup_clusters": "dedup_clusters_exact",
+    "dedup_keep_best": "dedup_clusters_exact",
+    "lm_quality_scores": "lm_quality_gate",
+    "bpe_merges": "bpe_encode",
+    "embedding_neardup": "embedding_neardup_lsh",
+    "semantic_decontam": "semantic_decontam_lsh",
+    "knn_pq_topk": "knn_lsh_topk",
+    "knn_ivf_topk": "knn_ivf_incremental",
+    "html_block_classify": "html_extract_main",
+    "interval_join": "incident_overlap_join",
+    "hll_sketch_rollup": "hll_distinct_rollup",
+    "pagerank_supplier_part": "personalized_pagerank_seeds",
+    "curation_pipeline": "web_curation_pipeline",
+    "markdown_outline": "markdown_extract_text",
+    "url_canonicalize": "url_dedup",
+    "url_frontier": "crawl_prioritized_frontier",
+    "html_link_extract": "anchor_text_index",
+    "html_link_text_extract": "anchor_text_index",
+    "anchor_index_incremental": "anchor_text_index",
+    "robots_screened_frontier": "robots_screen",
+    "host_link_pagerank": "host_hits_scores",
+    "host_cocitation": "host_hits_scores",
+    "pii_report": "pii_scrub",
+    "mojibake_repair": "web_curation_pipeline",
+    "corpus_mixture": "token_budget_mixture",
+    "temperature_mixture": "token_budget_mixture",
+    "subword_token_count": "tokenize_and_pack",
+    "multimodal_payload_stats": "multimodal_header_probe",
+    "multimodal_audio_features": "multimodal_features",
+    "multimodal_resize": "multimodal_features",
+    "multimodal_frame_sample": "multimodal_features",
+    "gopher_quality": "text_analysis",
+    "winsorize_prices": "trimmed_mean_prices",
+    "percentile_summary": "group_quantiles",
+    "approx_percentile_summary": "group_quantiles",
+    "window_distribution": "batch_window_agg",
+    "rolling_time_window": "batch_window_agg",
+    "fuzzy_name_pairs": "fuzzy_name_pairs_k2",
+    "record_linkage_scores": "record_linkage_review",
+    "table_profile": "data_expectations",
+    "deterministic_shuffle": "balanced_file_layout",
+    "compression_ratio": "text_analysis",
+    "kmv_distinct": "kmv_set_overlap",
+    "merge_upsert": "cdc_chunks",
+    "cdc_apply_changes": "cdc_chunks",
+    "scd2_build": "scd2_pit_lookup",
+    "funnel_conversion": "funnel_analysis",
+    "textrank_keywords": "rake_keywords",
+    "corpus_heavy_hitters": "heavy_hitter_terms",
+    "length_histogram": "length_outliers",
+    "customer_spend_trend": "ols_trend_daily_revenue",
+}
+
+EXCLUDED: dict[str, str] = {
+    **{n: _MICRO for n in _MICRO_NAMES},
+    **{n: _TPCH for n in _TPCH_EXCLUDED},
+    **{n: _STREAM for n in _STREAM_NAMES},
+    **{n: _SAMPLE for n in _SAMPLE_NAMES},
+    **{n: f"same code path benched via {twin}" for n, twin in _SUBSUMED.items()},
+}
+
+
+def bench_set() -> list[str]:
+    """Registry order minus EXCLUDED, with the drift guard: every
+    registered query must be benched or excluded-with-reason, every
+    exclusion must name a live registry entry, and every subsumption
+    target must itself be benched."""
+    reg = list(harness.queries())
+    names = [q for q in reg if q not in EXCLUDED]
+    problems = []
+    stale = sorted(set(EXCLUDED) - set(reg))
+    if stale:
+        problems.append(f"EXCLUDED names not in the registry: {stale}")
+    bad_twin = sorted(
+        t for t in _SUBSUMED.values() if t in EXCLUDED or t not in reg
+    )
+    if bad_twin:
+        problems.append(f"subsumption targets not benched: {bad_twin}")
+    if problems:
+        raise AssertionError("bench/registry drift: " + "; ".join(problems))
+    return names
+
+
+BENCH_QUERIES = bench_set()
 
 
 def main() -> None:
@@ -304,6 +196,8 @@ def main() -> None:
     # is the same order as the runtime): first-run numbers fold in
     # codegen compilation and OS page-cache misses that a steady-state
     # pipeline never pays; the min reports the reproducible cost.
+    for name, reason in EXCLUDED.items():
+        print(f"# excluded {name}: {reason}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best, rows, run = None, 0, 0

@@ -8192,13 +8192,15 @@ WITH per AS (
   SELECT l_partkey,
          SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
   FROM lineitem GROUP BY 1
+), u AS (
+  SELECT l_partkey, val, CAST(val * 1000000 AS HUGEINT) AS vu FROM per
 ), tot AS (
-  SELECT SUM(val) AS tot FROM per
+  SELECT SUM(vu) AS tot FROM u
 ), c AS (
   SELECT l_partkey, val,
-         SUM(val) OVER (ORDER BY val DESC, l_partkey
-                        ROWS UNBOUNDED PRECEDING) AS cum
-  FROM per
+         SUM(vu) OVER (ORDER BY vu DESC, l_partkey
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM u
 )
 SELECT l_partkey,
        CAST(val AS DOUBLE) AS value,
@@ -8213,9 +8215,11 @@ FROM c CROSS JOIN tot
 @query("pareto_part_revenue", oracle=_PARETO_SQL)
 def q_pareto_part_revenue(spark, sf_dir):
     """EXT — ABC/Pareto classification of parts by revenue
-    (profiling.pareto_class): exact decimal running sums, one IEEE
-    division for the cumulative share, class thresholds engine-exact on
-    borderline items."""
+    (profiling.pareto_class): exact micro-unit running sums through the
+    DISTRIBUTED prefix sum (layout.prefix_sums — the part domain is
+    entity-grain, it grows with the corpus), one IEEE division for the
+    cumulative share, class thresholds engine-exact on borderline
+    items."""
     from .operators.profiling import pareto_class
 
     return pareto_class(
@@ -14973,6 +14977,562 @@ def q_mantel_haenszel_source_by_lang(spark, sf_dir):
         (F.col("n_chars") > 600).alias("y"),
     )
     return mantel_haenszel_or(d, "lang", "e", "y")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S11-ext — ORC binary-columnar source (sources/columnar_source.py)
+# ---------------------------------------------------------------------------
+
+
+_ORC_TWIN_MEMO: dict[str, str] = {}
+
+
+@query(
+    "orc_scan_parity",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_orc_scan_parity(spark, sf_dir):
+    """S11-ext — ORC source parity (VERDICT r13 task 5): write an ORC
+    twin of the supplier fixture once per session (Spark's native ORC
+    writer), catalog it through ColumnarDirSource — frozen footer
+    schema + per-file conformance split — and read it back typed. The
+    rows hash-match the parquet oracle, proving the orc:// read path
+    is byte-equivalent to the parquet one the rest of the registry
+    pins."""
+    import tempfile
+    import uuid
+
+    from .sources.columnar_source import ColumnarDirSource
+
+    root = _ORC_TWIN_MEMO.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = os.path.join(
+            tempfile.gettempdir(), f"orc_twin_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
+        t(spark, sf_dir, "supplier").write.orc(os.path.join(root, "supplier.orc"))
+        _ORC_TWIN_MEMO[sf_dir] = root
+    src = ColumnarDirSource(root)
+    (table,) = src.list_tables(spark)
+    return src.read_table(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT r14 — classical test battery extensions (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "welch_t_returnflag_price",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag = 'R' AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+), cells AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         COALESCE(SUM(CASE WHEN g THEN CAST(v AS HUGEINT) END), 0) AS sa,
+         COALESCE(SUM(CASE WHEN NOT g THEN CAST(v AS HUGEINT) END), 0) AS sb,
+         COALESCE(SUM(CASE WHEN g THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END), 0) AS qa,
+         COALESCE(SUM(CASE WHEN NOT g THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT) END), 0) AS qb
+  FROM base
+), d AS (
+  SELECT n_a, n_b, sa, sb,
+    ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / (CAST(n_a AS DOUBLE) - 1.0e0)) / CAST(n_a AS DOUBLE) AS ua,
+    ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / (CAST(n_b AS DOUBLE) - 1.0e0)) / CAST(n_b AS DOUBLE) AS ub
+  FROM cells
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 THEN round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0e0, 9) END AS mean_a,
+  CASE WHEN n_b > 0 THEN round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0e0, 9) END AS mean_b,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0
+       THEN round((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(ua + ub), 9) END AS t_stat,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0
+       THEN round((ua + ub) * (ua + ub)
+                  / (ua * ua / (CAST(n_a AS DOUBLE) - 1.0e0)
+                   + ub * ub / (CAST(n_b AS DOUBLE) - 1.0e0)), 9) END AS df
+FROM d
+""",
+)
+def q_welch_t_returnflag_price(spark, sf_dir):
+    """EXT — Welch's unequal-variance t test of returned vs kept line
+    price (profiling.welch_t_test; Welch 1947): the correct two-sample
+    location default for observational slices — no equal-variance
+    assumption, Welch–Satterthwaite df. Exact integer Σv/Σv² folds,
+    one shared IEEE chain — hash-matched."""
+    from .operators.profiling import welch_t_test
+
+    d = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("g"), "l_extendedprice"
+    )
+    return welch_t_test(d, "g", "l_extendedprice")
+
+
+@query(
+    "anova_f_priority_price",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         SUM(CAST(v AS HUGEINT)) AS s,
+         SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+  FROM base GROUP BY 1
+), terms AS (
+  SELECT n_i, s, q,
+         CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)) AS HUGEINT) AS tt
+  FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(n_i), 0) AS BIGINT) AS n,
+         SUM(s) AS ts, SUM(q) AS tq, SUM(tt) AS tt
+  FROM terms
+)
+SELECT k, n,
+  CAST(k - 1 AS BIGINT) AS df1,
+  CAST(n - k AS BIGINT) AS df2,
+  CASE WHEN k >= 1 THEN round(CAST(tt AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS ss_between,
+  CASE WHEN k >= 1 THEN round(CAST(tq AS DOUBLE) - CAST(tt AS DOUBLE), 9) END AS ss_within,
+  CASE WHEN k >= 2 AND n > k AND CAST(tq AS DOUBLE) - CAST(tt AS DOUBLE) > 0
+       THEN round(((CAST(tt AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0e0))
+                  / ((CAST(tq AS DOUBLE) - CAST(tt AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 9) END AS f_stat
+FROM tot
+""",
+)
+def q_anova_f_priority_price(spark, sf_dir):
+    """EXT — one-way ANOVA F of order value across the five order
+    priorities (profiling.anova_f_oneway; Fisher 1925): the k-group
+    parametric location test — Kruskal–Wallis' moment twin
+    (kruskal_wallis_priority_price ranks the same slicing). Per-group
+    integer folds; the (Σv)²/nᵢ terms round to exact integers before
+    the k-row fold — hash-matched."""
+    from .operators.profiling import anova_f_oneway
+
+    return anova_f_oneway(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "jarque_bera_totalprice",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 1) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         COALESCE(SUM(CAST(v AS HUGEINT)), 0) AS s1,
+         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS s2,
+         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS s3,
+         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS s4
+  FROM base
+), mo AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM cells
+), cm AS (
+  SELECT n,
+    r2 - mu * mu AS m2,
+    r3 - 3.0e0 * mu * r2 + 2.0e0 * mu * mu * mu AS m3,
+    r4 - 4.0e0 * mu * r3 + 6.0e0 * mu * mu * r2 - 3.0e0 * mu * mu * mu * mu AS m4
+  FROM mo
+), sk AS (
+  SELECT n, m2, m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt
+  FROM cm
+)
+SELECT n,
+  CASE WHEN n >= 2 AND m2 > 0 THEN round(skew, 9) END AS skewness,
+  CASE WHEN n >= 2 AND m2 > 0 THEN round(kurt, 9) END AS kurtosis,
+  CASE WHEN n >= 2 AND m2 > 0
+       THEN round(CAST(n AS DOUBLE) * (skew * skew / 6.0e0
+                  + (kurt - 3.0e0) * (kurt - 3.0e0) / 24.0e0), 9) END AS jb_stat
+FROM sk
+""",
+)
+def q_jarque_bera_totalprice(spark, sf_dir):
+    """EXT — Jarque–Bera normality screen on order values
+    (profiling.jarque_bera_test; Jarque & Bera 1980): the moment-based
+    Gaussianity check to run BEFORE trusting z-score thresholds
+    (mad_price_outliers et al. assume roughly symmetric tails).
+    Σv..Σv⁴ fold exactly in HUGEINT (whole-unit quantization keeps the
+    4th power inside 10³⁸), one IEEE chain — hash-matched."""
+    from .operators.profiling import jarque_bera_test
+
+    return jarque_bera_test(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "bartlett_returnflag_price",
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         SUM(CAST(v AS HUGEINT)) AS s,
+         SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+  FROM base GROUP BY 1
+), staged AS (
+  SELECT n_i,
+    CAST(round(((CAST(n_i AS DOUBLE) - 1.0e0) * ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)) / (CAST(n_i AS DOUBLE) - 1.0e0))) * 1000000.0e0) AS HUGEINT) AS w,
+    CAST(round(((CAST(n_i AS DOUBLE) - 1.0e0) * ln((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)) / (CAST(n_i AS DOUBLE) - 1.0e0))) * 1000000.0e0) AS HUGEINT) AS l,
+    CAST(round((1.0e0 / (CAST(n_i AS DOUBLE) - 1.0e0)) * 1000000.0e0) AS HUGEINT) AS r,
+    CASE WHEN n_i < 2 THEN 1 ELSE 0 END AS small,
+    CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)) / (CAST(n_i AS DOUBLE) - 1.0e0) <= 0 THEN 1 ELSE 0 END AS zero
+  FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(n_i), 0) AS BIGINT) AS n,
+         SUM(w) AS tw, SUM(l) AS tl, SUM(r) AS tr,
+         MAX(small) AS any_small, MAX(zero) AS any_zero
+  FROM staged
+)
+SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+  CASE WHEN k >= 2 AND any_small = 0 AND any_zero = 0
+       THEN round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * ln(CAST(tw AS DOUBLE) / 1000000.0e0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                    - CAST(tl AS DOUBLE) / 1000000.0e0)
+                  / (1.0e0 + (CAST(tr AS DOUBLE) / 1000000.0e0 - 1.0e0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     / (3.0e0 * (CAST(k AS DOUBLE) - 1.0e0))), 9) END AS bartlett_stat
+FROM tot
+""",
+)
+def q_bartlett_returnflag_price(spark, sf_dir):
+    """EXT — Bartlett variance-homogeneity test of line price across
+    return flags (profiling.bartlett_test; Bartlett 1937): the
+    normal-theory companion to brown_forsythe_returnflag_price on the
+    SAME slicing — disagreement between the two is itself the
+    non-normality signal. Per-group micro-quantized ln/variance terms
+    fold in HUGEINT, one final IEEE chain — hash-matched."""
+    from .operators.profiling import bartlett_test
+
+    return bartlett_test(
+        t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+@query(
+    "cochrans_q_doc_flags",
+    oracle="""
+WITH base AS (
+  SELECT CAST(n_chars > 500 AS BIGINT) AS f0,
+         CAST(lang = 'en' AS BIGINT) AS f1,
+         CAST(source = 'web' AS BIGINT) AS f2
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         COALESCE(SUM(CAST(f0 AS HUGEINT)), 0) AS c0,
+         COALESCE(SUM(CAST(f1 AS HUGEINT)), 0) AS c1,
+         COALESCE(SUM(CAST(f2 AS HUGEINT)), 0) AS c2,
+         COALESCE(SUM(CAST(f0 + f1 + f2 AS HUGEINT) * CAST(f0 + f1 + f2 AS HUGEINT)), 0) AS r2
+  FROM base
+)
+SELECT n, CAST(3 AS BIGINT) AS k, CAST(2 AS BIGINT) AS df,
+  CASE WHEN CAST(3 * (c0 + c1 + c2) - r2 AS DOUBLE) <> 0
+       THEN round(CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - (c0 + c1 + c2) * (c0 + c1 + c2)) AS DOUBLE)
+                  / CAST(3 * (c0 + c1 + c2) - r2 AS DOUBLE), 9) END AS q_stat
+FROM cells
+""",
+)
+def q_cochrans_q_doc_flags(spark, sf_dir):
+    """EXT — Cochran's Q over three matched binary document heuristics
+    — length>500, lang=en, source=web — (profiling.cochrans_q_test;
+    Cochran 1950): do the k curation flags fire at one shared rate?
+    The k-treatment generalization of mcnemar_paired_models.
+    Integer-exact to the single final division — hash-matched."""
+    from .operators.profiling import cochrans_q_test
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 500).alias("f0"),
+        (F.col("lang") == "en").alias("f1"),
+        (F.col("source") == "web").alias("f2"),
+    )
+    return cochrans_q_test(d, ["f0", "f1", "f2"])
+
+
+@query(
+    "cramers_v_flag_status",
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS a, CAST(l_linestatus AS VARCHAR) AS b
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+), cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a, count(*) AS ca FROM base GROUP BY 1),
+mb AS (SELECT b, count(*) AS cb FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+grid AS (
+  SELECT CAST(COALESCE(c, 0) AS DOUBLE) AS o,
+         CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM ma CROSS JOIN mb
+  LEFT JOIN cells ON ma.a = cells.a AND mb.b = cells.b
+  CROSS JOIN tot
+), s AS (
+  SELECT CAST(COALESCE(SUM(CAST(round((o - e) * (o - e) / e
+           * 1000000000.0e0) AS BIGINT)), 0) AS BIGINT) AS chi_nano
+  FROM grid
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS r,
+         (SELECT CAST(count(*) AS BIGINT) FROM mb) AS c
+)
+SELECT n, r, c,
+  CASE WHEN LEAST(r, c) >= 2
+       THEN round(CAST(chi_nano AS DOUBLE) / 1000000000.0e0, 9) END AS chi2,
+  CASE WHEN LEAST(r, c) >= 2
+       THEN round(sqrt((CAST(chi_nano AS DOUBLE) / 1000000000.0e0)
+                       / (CAST(n AS DOUBLE) * (CAST(LEAST(r, c) AS DOUBLE) - 1.0e0))), 9) END AS cramers_v
+FROM tot CROSS JOIN dims CROSS JOIN s
+""",
+)
+def q_cramers_v_flag_status(spark, sf_dir):
+    """EXT — Cramér's V association strength between return flag and
+    line status (profiling.cramers_v; Cramér 1946): the bounded [0,1]
+    effect size over the chi_square_independence grid — at corpus
+    scale χ² is always "significant"; V says whether the association
+    is material. Same nano-unit grid fold — hash-matched."""
+    from .operators.profiling import cramers_v
+
+    return cramers_v(t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+@query(
+    "durbin_watson_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS (
+  SELECT day, x AS y FROM ({_DAILY_REV_SQL})
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+staged AS (
+  SELECT CAST(datediff('day', d0, day) AS BIGINT) AS xd, y, day
+  FROM daily CROSS JOIN d0
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    COALESCE(SUM(CAST(xd AS HUGEINT)), 0) AS sx,
+    COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+    COALESCE(SUM(CAST(xd AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS sxy,
+    COALESCE(SUM(CAST(xd AS HUGEINT) * CAST(xd AS HUGEINT)), 0) AS sxx
+  FROM staged
+), coef AS (
+  SELECT n_days,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS cxx,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS b,
+    CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+      - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS a
+  FROM m
+), resid AS (
+  SELECT n_days, cxx, day,
+         CAST(y AS DOUBLE) - (a + b * CAST(xd AS DOUBLE)) AS e
+  FROM staged CROSS JOIN coef
+), lagged AS (
+  SELECT n_days, cxx,
+         CAST(round(e * e * 1000000.0e0) AS HUGEINT) AS e2,
+         CASE WHEN lag(e) OVER (ORDER BY day) IS NOT NULL
+              THEN CAST(round((e - lag(e) OVER (ORDER BY day))
+                              * (e - lag(e) OVER (ORDER BY day))
+                              * 1000000.0e0) AS HUGEINT) END AS d2
+  FROM resid
+), tot AS (
+  SELECT n_days, cxx, SUM(e2) AS se2, SUM(d2) AS sd2
+  FROM lagged GROUP BY 1, 2
+)
+SELECT n_days,
+  CASE WHEN n_days >= 3 AND cxx > 0 AND se2 > 0
+       THEN round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 9) END AS dw_stat,
+  CASE WHEN n_days >= 3 AND cxx > 0 AND se2 > 0
+       THEN round(1.0e0 - CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) / 2.0e0, 9) END AS rho_hat
+FROM tot
+""",
+)
+def q_durbin_watson_daily_revenue(spark, sf_dir):
+    """EXT — Durbin–Watson residual-autocorrelation test on the daily
+    revenue OLS trend (timeseries.durbin_watson; Durbin & Watson
+    1950): are the trend line's errors independent, or is the se/t
+    that ols_trend_daily_revenue reports overconfident? Residuals are
+    one IEEE chain over the exact OLS moments; (Δe)²/e² micro-
+    quantized folds; the lag runs over the CALENDAR-bounded day
+    series — hash-matched."""
+    from .operators.timeseries import durbin_watson
+
+    return durbin_watson(
+        t(spark, sf_dir, "orders"), ts_col="o_orderdate",
+        value_col="o_totalprice",
+    )
+
+
+@query(
+    "ljung_box_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS HUGEINT) AS t
+  FROM daily
+), lags AS (SELECT CAST(range + 1 AS BIGINT) AS lag FROM range(0, 7)),
+pairs AS (
+  SELECT l.lag,
+         CAST(tot.n AS HUGEINT) * CAST(a.x AS HUGEINT) - tot.t AS da,
+         CAST(tot.n AS HUGEINT) * CAST(b.x AS HUGEINT) - tot.t AS db
+  FROM daily a CROSS JOIN lags l CROSS JOIN tot
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+), num AS (
+  SELECT lag, SUM(da * db) AS nm FROM pairs GROUP BY 1
+), den AS (
+  SELECT SUM((CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t)
+             * (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - t)) AS dn
+  FROM daily CROSS JOIN tot
+), acf AS (
+  SELECT l.lag,
+         CASE WHEN dn > 0 AND nm IS NOT NULL
+              THEN round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 9) END AS r
+  FROM lags l LEFT JOIN num ON l.lag = num.lag CROSS JOIN den
+), folded AS (
+  SELECT (SELECT n FROM tot) AS n,
+         CAST(count(*) AS BIGINT) AS h,
+         MAX(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS any_bad,
+         SUM(CASE WHEN r IS NOT NULL THEN
+             CAST(round(r * r / (CAST((SELECT n FROM tot) AS DOUBLE) - CAST(lag AS DOUBLE))
+                        * 1000000000000000.0e0) AS HUGEINT) END) AS ts
+  FROM acf
+)
+SELECT CAST(n AS BIGINT) AS n_days, h,
+  CASE WHEN any_bad = 0
+       THEN round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0e0)
+                  * (CAST(ts AS DOUBLE) / 1000000000000000.0e0), 9) END AS q_stat
+FROM folded
+""",
+)
+def q_ljung_box_daily_revenue(spark, sf_dir):
+    """EXT — Ljung–Box portmanteau whiteness test over the first 7
+    ACF lags of daily revenue (timeseries.ljung_box; Ljung & Box
+    1978): all-lags-at-once where acf_daily_revenue eyeballs one at a
+    time — the standard residual diagnostic. Composes the exact ACF
+    folds; r²/(n−ℓ) terms micro-quantize before the h-row fold —
+    hash-matched."""
+    from .operators.timeseries import ljung_box
+
+    return ljung_box(
+        t(spark, sf_dir, "orders"), ts_col="o_orderdate",
+        value_col="o_totalprice",
+    )
+
+
+@query(
+    "runs_test_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+diffs AS (
+  SELECT day, x - lag(x) OVER (ORDER BY day) AS d FROM daily
+), signs AS (
+  SELECT day, d > 0 AS s FROM diffs WHERE d IS NOT NULL AND d <> 0
+), runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN s THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_plus,
+         CAST(COALESCE(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_minus,
+         CAST(COALESCE(SUM(new_run), 0) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_plus, n_minus, n_runs,
+  CASE WHEN n_plus > 0 AND n_minus > 0 AND
+       2.0e0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+         * (2.0e0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+            - (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)))
+         / ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+            * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+            * ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)) - 1.0e0)) > 0
+  THEN round((CAST(n_runs AS DOUBLE)
+              - (2.0e0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+                 / (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)) + 1.0e0))
+             / sqrt(2.0e0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+                    * (2.0e0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+                       - (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)))
+                    / ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+                       * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+                       * ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE)) - 1.0e0))), 9)
+  END AS z
+FROM tot
+""",
+)
+def q_runs_test_daily_revenue(spark, sf_dir):
+    """EXT — Wald–Wolfowitz runs test on the signs of day-over-day
+    revenue changes (timeseries.runs_test; Wald & Wolfowitz 1940):
+    the model-free randomness check — too few runs = sticky regimes,
+    too many = oscillation. Integer-exact counts, one IEEE z chain —
+    hash-matched."""
+    from .operators.timeseries import runs_test
+
+    return runs_test(
+        t(spark, sf_dir, "orders"), ts_col="o_orderdate",
+        value_col="o_totalprice",
+    )
+
+
+@query(
+    "mase_daily_revenue",
+    oracle=f"""
+WITH vals AS (
+  SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+), daily AS ({_DAILY_REV_SQL}),
+seas AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_seasonal_pairs,
+         COALESCE(SUM(ABS(CAST(a.x AS HUGEINT) - CAST(b.x AS HUGEINT))), 0) AS s_seasonal
+  FROM daily a JOIN daily b ON a.day = b.day + 7
+), naiv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_naive_pairs,
+         COALESCE(SUM(ABS(CAST(a.x AS HUGEINT) - CAST(b.x AS HUGEINT))), 0) AS s_naive
+  FROM daily a JOIN daily b ON a.day = b.day + 1
+)
+SELECT n_seasonal_pairs, n_naive_pairs,
+  CASE WHEN n_seasonal_pairs > 0
+       THEN round(CAST(s_seasonal AS DOUBLE) / CAST(n_seasonal_pairs AS DOUBLE) / 100.0e0, 9) END AS mae_seasonal,
+  CASE WHEN n_naive_pairs > 0
+       THEN round(CAST(s_naive AS DOUBLE) / CAST(n_naive_pairs AS DOUBLE) / 100.0e0, 9) END AS mae_naive,
+  CASE WHEN n_seasonal_pairs > 0 AND n_naive_pairs > 0 AND s_naive > 0
+       THEN round((CAST(s_seasonal AS DOUBLE) / CAST(n_seasonal_pairs AS DOUBLE))
+                  / (CAST(s_naive AS DOUBLE) / CAST(n_naive_pairs AS DOUBLE)), 9) END AS mase
+FROM seas CROSS JOIN naiv
+""",
+)
+def q_mase_daily_revenue(spark, sf_dir):
+    """EXT — MASE of the seasonal-naïve (lag-7) forecast against the
+    naïve (lag-1) baseline on daily revenue
+    (timeseries.mase_seasonal_naive; Hyndman & Koehler 2006): the
+    scale-free skill score every forecaster must beat — < 1 means
+    last-week-same-day outpredicts yesterday (seasonality strength).
+    Exact integer |Δ| folds via date-shift equi-joins, one IEEE
+    chain — hash-matched."""
+    from .operators.timeseries import mase_seasonal_naive
+
+    return mase_seasonal_naive(
+        t(spark, sf_dir, "orders"), ts_col="o_orderdate",
+        value_col="o_totalprice",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -684,17 +684,43 @@ def _mp3_parse_frame_header(b: bytes, i: int) -> dict | None:
         "samples_per_frame": spf,
         "frame_len": frame_len,
         "kbps": kbps,
+        "layer": layer,
+        "vgroup": vgroup,
     }
+
+
+def _mp3_xing_frames(prefix: bytes, i: int, hdr: dict) -> int | None:
+    """Frame count from a Xing VBR header in the first frame, if one
+    is present (VERDICT r13 task 7). The Xing/Info tag sits right
+    after the Layer III side info (32 B MPEG1-stereo, 17 B MPEG1-mono
+    or MPEG2-stereo, 9 B MPEG2-mono — public LAME/Xing layout),
+    followed by a big-endian flags word; flag bit 0 says a big-endian
+    frame count follows. ``Xing`` marks VBR — CBR byte arithmetic
+    would misreport those streams, so the declared count wins;
+    ``Info`` is LAME's CBR marker and keeps the arithmetic path."""
+    if hdr["layer"] != 3:
+        return None
+    mono = hdr["n_channels"] == 1
+    side = (17 if mono else 32) if hdr["vgroup"] == 0 else (9 if mono else 17)
+    o = i + 4 + side
+    if o + 8 > len(prefix) or prefix[o : o + 4] != b"Xing":
+        return None
+    (flags,) = struct.unpack_from(">I", prefix, o + 4)
+    if not flags & 0x1 or o + 12 > len(prefix):
+        return None
+    (n_frames,) = struct.unpack_from(">I", prefix, o + 8)
+    return n_frames or None
 
 
 def _probe_mp3(prefix: bytes, total_len: int, out: dict) -> None:
     """MPEG audio header probe: skip any ID3v2 tag (synchsafe size),
     resync to the first VALID frame header inside the 4 KB prefix,
-    and — the header-probe contract — estimate sample count and
-    duration by CBR arithmetic over the remaining byte length, the
-    same declared-size-only discipline the WAV/Y4M probes use (a VBR
-    stream's estimate is approximate, as every header-only probe's
-    is). Mutates ``out`` in place; junk leaves the nulls."""
+    and — the header-probe contract — count frames from the Xing VBR
+    header when the first frame carries one (exact for VBR rips, the
+    common case for podcast/music audio) else by CBR arithmetic over
+    the remaining byte length, the same declared-size-only discipline
+    the WAV/Y4M probes use. Mutates ``out`` in place; junk leaves the
+    nulls."""
     i = 0
     if prefix[:3] == b"ID3" and len(prefix) >= 10:
         size = (
@@ -718,8 +744,16 @@ def _probe_mp3(prefix: bytes, total_len: int, out: dict) -> None:
                 if _mp3_parse_frame_header(prefix, nxt) is None:
                     i += 1
                     continue
-            audio_bytes = total_len - i
-            n_frames = audio_bytes // hdr["frame_len"]
+            # VBR streams declare their true frame count in a Xing
+            # header (first frame); CBR arithmetic on those would be
+            # off by the bitrate-vs-average gap, so the declared count
+            # wins when present (VERDICT r13 task 7)
+            xing = _mp3_xing_frames(prefix, i, hdr)
+            if xing is not None:
+                n_frames = xing
+            else:
+                audio_bytes = total_len - i
+                n_frames = audio_bytes // hdr["frame_len"]
             n_samples = n_frames * hdr["samples_per_frame"]
             out.update(
                 sample_rate=hdr["sample_rate"],
@@ -801,9 +835,26 @@ def probe_media_header(prefix: bytes, total_len: int) -> dict:
             # spec mandates IHDR as the first chunk: fixed offsets
             w, h = struct.unpack_from(">II", prefix, 16)
             depth, color_type = prefix[24], prefix[25]
-            # palette (type 3) DECODES to RGB — report the decoded
-            # channel count, not the 1 stored index sample
-            nch = 3 if color_type == 3 else _PNG_CHANNELS.get(color_type)
+            # palette (type 3) DECODES to RGB — or RGBA when a tRNS
+            # chunk adds per-index alpha (decode_png §4.2.1.1 path), so
+            # walk the prefix's chunk list for tRNS (it must precede
+            # IDAT per the spec, hence fits the header probe window in
+            # practice) and report the channel count the DECODER will
+            # actually return (ADVICE r13)
+            if color_type == 3:
+                nch = 3
+                i = 8  # first chunk follows the 8-byte signature
+                while i + 8 <= len(prefix):
+                    (clen,) = struct.unpack_from(">I", prefix, i)
+                    ctype = prefix[i + 4 : i + 8]
+                    if ctype == b"tRNS":
+                        nch = 4
+                        break
+                    if ctype == b"IDAT":
+                        break  # tRNS must precede IDAT — not transparent
+                    i += 12 + clen  # len + type + data + CRC
+            else:
+                nch = _PNG_CHANNELS.get(color_type)
             if nch is not None and depth in _PNG_DEPTHS.get(color_type, ()):
                 out.update(width=w, height=h, n_channels=nch)
             else:

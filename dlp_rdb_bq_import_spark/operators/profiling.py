@@ -661,23 +661,27 @@ def pareto_class(
     Output: ``group_cols…, item_cols…, value (double), cum_share
     (double), abc ('A'|'B'|'C')``.
 
-    Bit-exactness: per-item values and the running total are summed as
-    DECIMAL (exact, order-free); ``cum_share = cum / total`` is one
-    IEEE division of exact decimals, and class boundaries compare that
-    double against literal thresholds — engine-identical, so borderline
-    items hash-match the SQL oracle. The running-sum window orders by
-    (value desc, item) — a total order, so ranks never depend on
-    partitioning.
+    Bit-exactness: per-item values quantize to EXACT micro-unit
+    integers (decimal(30,6) × 10⁶, lossless) so the running total and
+    the grand total are exact integer sums in any order;
+    ``cum_share = cum / total`` is one IEEE division of those exact
+    integers, and class boundaries compare that double against literal
+    thresholds — engine-identical, so borderline items hash-match the
+    SQL oracle. The running order is (value desc, item) — total, so
+    ranks never depend on partitioning.
 
-    Scale shape: one partial-agg groupBy to item grain, one window
-    ordered per group (items-per-group sized, NOT raw rows), one
-    broadcastable totals join. Global mode (group_cols None) serializes
-    the |items| window through one partition — fine while distinct
-    items fit one executor (the usual case: items ≪ rows); shard by
-    group otherwise.
+    Scale shape: one partial-agg groupBy to item grain; then the
+    running sum. GLOBAL mode (group_cols None) routes it through the
+    DISTRIBUTED prefix sum (``layout.prefix_sums``: range exchange +
+    per-partition offsets) — NEVER an unpartitioned window, because
+    the item domain is entity-grain (|parts|, |domains| — it grows
+    linearly with the corpus: the r13 sf10 probe measured 20k → 2M
+    rows through the old single-partition window). Grouped mode keeps
+    the per-group window (items-per-group is the operator's documented
+    envelope; shard by group to scale).
     """
     groups = group_cols or []
-    reserved = {"value", "cum_share", "abc", "_val", "_cum", "_tot"}
+    reserved = {"value", "cum_share", "abc", "_val", "_cum", "_tot", "_vu", "_nvu"}
     clash = reserved & set(groups) | reserved & set(item_cols)
     if clash:
         raise ValueError(f"columns collide with reserved names: {sorted(clash)}")
@@ -686,22 +690,36 @@ def pareto_class(
     per_item = df.groupBy(*groups, *item_cols).agg(
         F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_val")
     )
-    totals = per_item.groupBy(*groups).agg(F.sum("_val").alias("_tot"))
-    w = (
-        Window.partitionBy(*groups)
-        .orderBy(F.col("_val").desc(), *[F.col(c).asc() for c in item_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum("_val").over(w)
     if groups:
         from .common import null_safe_group_join
 
+        totals = per_item.groupBy(*groups).agg(F.sum("_val").alias("_tot"))
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col("_val").desc(), *[F.col(c).asc() for c in item_cols])
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         # null-safe: a NULL group key is a legitimate group and must not
         # be dropped by the totals attach
-        joined = null_safe_group_join(per_item.withColumn("_cum", cum), totals, groups)
+        joined = null_safe_group_join(
+            per_item.withColumn("_cum", F.sum("_val").over(w)), totals, groups
+        )
+        share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
     else:
-        joined = per_item.withColumn("_cum", cum).crossJoin(F.broadcast(totals))
-    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+        from .layout import prefix_sums
+
+        # micro-unit integers: decimal(30,6)·10⁶ is exact, and the
+        # negated key makes prefix_sums' ascending range order equal
+        # the (value desc, item asc) Pareto order
+        staged = per_item.withColumn(
+            "_vu", (F.col("_val") * F.lit(1000000)).cast("decimal(38,0)")
+        ).withColumn("_nvu", -F.col("_vu"))
+        cum = prefix_sums(
+            staged, ["_nvu", *item_cols], "_vu", out_col="_cum", exclusive=False
+        )
+        totals = staged.agg(F.sum("_vu").alias("_tot"))
+        joined = cum.crossJoin(F.broadcast(totals))
+        share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
     return joined.select(
         *groups,
         *item_cols,
@@ -4076,20 +4094,34 @@ def benjamini_hochberg(
     entity-grain, one row per feature × segment, which grows with the
     corpus — the gini/zipf lesson applied at design time); the
     step-up "largest k with p_k below its line" is an integer max
-    over the rejectable set, attached as a 1-row broadcast."""
+    over the rejectable set, attached as a 1-row broadcast.
+
+    Input hygiene (ADVICE r13): a p-value OUTSIDE [0, 1] (or NaN) is
+    malformed input and RAISES at execution — silently dropping it
+    would shrink ``m`` and loosen every per-test critical value with
+    no signal to the caller. Rows with a NULL test id or NULL p are
+    skipped (the battery's "test didn't run" convention — they carry
+    no evidence either way and are visible upstream)."""
     if not 0 < q < 1:
         raise ValueError(f"benjamini_hochberg: q must be in (0,1), got {q}")
     from .layout import global_row_ids
 
-    pu = F.round(F.col(p_col).cast("double") * F.lit(10.0**p_round)).cast("long")
+    pd_ = F.col(p_col).cast("double")
+    bad = pd_.isNotNull() & (F.isnan(pd_) | (pd_ < 0.0) | (pd_ > 1.0))
+    pu = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("benjamini_hochberg: p-value outside [0, 1]: "),
+                pd_.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.round(pd_ * F.lit(10.0**p_round)).cast("long")
+    )
     base = df.select(
         F.col(test_col).cast("string").alias("test_id"), pu.alias("_pu")
-    ).where(
-        F.col("test_id").isNotNull()
-        & F.col("_pu").isNotNull()
-        & (F.col("_pu") >= 0)
-        & (F.col("_pu") <= 10**p_round)
-    )
+    ).where(F.col("test_id").isNotNull() & F.col("_pu").isNotNull())
     ranked = global_row_ids(base, ["_pu", "test_id"], id_col="_rk0")
     m = ranked.agg(F.count(F.lit(1)).cast("long").alias("_m"))
     staged = ranked.crossJoin(F.broadcast(m)).select(
@@ -4193,4 +4225,394 @@ def mantel_haenszel_or(
         F.when(
             ok, F.round(F.exp(F.log(orr) + F.lit(1.959963985) * F.sqrt(var)), 9)
         ).alias("ci_high"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch, Biometrika 1947): the
+    two-sample location test that does NOT assume equal group
+    variances — the correct default for observational corpus slices
+    (sources/segments rarely share a variance), with the
+    Welch–Satterthwaite effective degrees of freedom. ``group_col``
+    casts to boolean (TRUE = group A). One row out: ``(n_a, n_b
+    (long), mean_a, mean_b (double — original units), t_stat, df
+    (double; NULL when either group has < 2 rows or both variances
+    are 0))``. The t statistic is computed in quantized units —
+    scale-invariant, so it equals the original-units value.
+
+    Exactness: the cohens_d discipline — values quantize to integers
+    at ``unit_scale``, Σv/Σv² fold in DECIMAL(38,0)/HUGEINT, and the
+    t/df readout is ONE engine-identical IEEE chain over those exact
+    integers, rounded to 9. Scale shape: a single 6-cell conditional
+    aggregate with map-side combine — one reduce row."""
+    g = F.col(group_col).cast("boolean")
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(g.alias("_g"), v.alias("_v")).where(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    cells = base.agg(
+        F.coalesce(F.sum(F.col("_g").cast("long")), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum((~F.col("_g")).cast("long")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("_g"), dec(F.col("_v")))), z).alias("_sa"),
+        F.coalesce(F.sum(F.when(~F.col("_g"), dec(F.col("_v")))), z).alias("_sb"),
+        F.coalesce(F.sum(F.when(F.col("_g"), dec(F.col("_v")) * dec(F.col("_v")))), z).alias("_qa"),
+        F.coalesce(F.sum(F.when(~F.col("_g"), dec(F.col("_v")) * dec(F.col("_v")))), z).alias("_qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    s = F.lit(float(unit_scale))
+    var_a = (qa - sa * sa / na) / (na - F.lit(1.0))
+    var_b = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    ua, ub = var_a / na, var_b / nb
+    t = (sa / na - sb / nb) / F.sqrt(ua + ub)
+    dfree = (ua + ub) * (ua + ub) / (
+        ua * ua / (na - F.lit(1.0)) + ub * ub / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (ua + ub > 0)
+    return cells.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(sa / na / s, 9)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(sb / nb / s, 9)).alias("mean_b"),
+        F.when(ok, F.round(t, 9)).alias("t_stat"),
+        F.when(ok, F.round(dfree, 9)).alias("df"),
+    )
+
+
+def anova_f_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA F test (Fisher 1925): does the group mean differ
+    across k groups — the k-group generalization of the two-sample
+    location tests (welch/cohens_d answer k = 2; Kruskal–Wallis is
+    this test's rank twin). One row out: ``(k, n (long), df1, df2
+    (long), ss_between, ss_within, f_stat (double; NULL when k < 2,
+    n ≤ k, or SSW = 0))``. Sums of squares are reported in QUANTIZED
+    units; F is scale-invariant.
+
+    Exactness: per-group integer folds (nᵢ, Σv, Σv²) in
+    DECIMAL/HUGEINT; each group's ``(Σv)²/nᵢ`` term is one IEEE
+    double ROUNDED to an integer before the cross-group fold (the
+    magnitude dwarfs unit precision; rounding makes the fold
+    order-free — the mutual_information discipline), and the final
+    SSB/SSW/F readout is ONE IEEE chain, rounded to 9. Scale shape:
+    one group-grain aggregate, one k-row fold."""
+    gv = F.col(group_col).cast("string")
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(gv.alias("_g"), v.alias("_v")).where(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_v"))).alias("_s"),
+        F.sum(dec(F.col("_v")) * dec(F.col("_v"))).alias("_q"),
+    )
+    # (Σv)²/nᵢ in one IEEE chain, rounded to an exact integer term
+    term = F.round(
+        F.col("_s").cast("double") * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    ).cast("decimal(38,0)")
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.sum(dec(F.col("_s"))).alias("_ts"),
+        F.sum(dec(F.col("_q"))).alias("_tq"),
+        F.sum(term).alias("_tt"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    ts, tq, tt = (
+        F.col("_ts").cast("double"),
+        F.col("_tq").cast("double"),
+        F.col("_tt").cast("double"),
+    )
+    ssb = tt - ts * ts / n
+    ssw = tq - tt
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    ok = (F.col("k") >= 2) & (n > k) & (ssw > 0)
+    return tot.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.when(F.col("k") >= 1, F.round(ssb, 9)).alias("ss_between"),
+        F.when(F.col("k") >= 1, F.round(ssw, 9)).alias("ss_within"),
+        F.when(ok, F.round(fstat, 9)).alias("f_stat"),
+    )
+
+
+def jarque_bera_test(
+    df: DataFrame,
+    value_col: str,
+    unit_scale: int = 1,
+) -> DataFrame:
+    """Jarque–Bera normality test (Jarque & Bera, Economics Letters
+    1980): ``JB = n·(S²/6 + (K−3)²/24)`` from sample skewness S and
+    kurtosis K — the moment-based normality screen for residuals and
+    metric distributions (is this quality score even roughly Gaussian
+    before a z-score threshold is trusted?). One row out: ``(n
+    (long), skewness, kurtosis, jb_stat (double; NULL when n < 2 or
+    variance = 0))``.
+
+    Exactness: values quantize at ``unit_scale`` (default 1 — whole
+    units: the 4th-power fold Σv⁴ must fit DECIMAL(38,0), so the
+    precondition is n·(scale·max|v|)⁴ < 10³⁸ — cents would burn 8
+    digits of headroom for no statistical gain); Σv/Σv²/Σv³/Σv⁴ fold
+    exactly, and the central-moment/S/K/JB readout is ONE IEEE chain
+    over those integers, rounded to 9. S and K are scale-invariant.
+    Scale shape: a single 5-cell aggregate with map-side combine."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(v.alias("_v")).where(F.col("_v").isNotNull())
+    d = dec(F.col("_v"))
+    cells = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(d), F.lit(0).cast("decimal(38,0)")).alias("_s1"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast("decimal(38,0)")).alias("_s2"),
+        F.coalesce(F.sum(d * d * d), F.lit(0).cast("decimal(38,0)")).alias("_s3"),
+        F.coalesce(F.sum(d * d * d * d), F.lit(0).cast("decimal(38,0)")).alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3, s4 = (
+        F.col("_s1").cast("double"),
+        F.col("_s2").cast("double"),
+        F.col("_s3").cast("double"),
+        F.col("_s4").cast("double"),
+    )
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = n * (
+        skew * skew / F.lit(6.0)
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(24.0)
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return cells.select(
+        "n",
+        F.when(ok, F.round(skew, 9)).alias("skewness"),
+        F.when(ok, F.round(kurt, 9)).alias("kurtosis"),
+        F.when(ok, F.round(jb, 9)).alias("jb_stat"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups
+    (Bartlett, Proc. Roy. Soc. A 1937): the normal-theory companion
+    to :func:`brown_forsythe_test` — sharper when the data really are
+    Gaussian, fragile otherwise (report both; disagreement itself is
+    the non-normality signal). One row out: ``(k, n (long), df
+    (long), bartlett_stat (double; NULL when k < 2, any group has
+    < 2 rows, or any group variance is 0 — ln is undefined))``. The
+    statistic is scale-invariant (computed in quantized units).
+
+    Exactness: per-group integer folds; each group's two cross-group
+    terms — ``(nᵢ−1)·sᵢ²`` (pooled-variance numerator) and
+    ``(nᵢ−1)·ln sᵢ²`` (log fold) — and its ``1/(nᵢ−1)`` correction
+    term are each ONE IEEE chain micro-quantized to 1e-6 units and
+    folded in DECIMAL(38,0) (the js_divergence discipline), then the
+    final ln/ratio readout is one more IEEE chain, rounded to 9.
+    Scale shape: one group-grain aggregate, one k-row fold."""
+    gv = F.col(group_col).cast("string")
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(gv.alias("_g"), v.alias("_v")).where(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(dec(F.col("_v"))).alias("_s"),
+        F.sum(dec(F.col("_v")) * dec(F.col("_v"))).alias("_q"),
+    )
+    ni = F.col("_n").cast("double")
+    var_i = (
+        F.col("_q").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / ni
+    ) / (ni - F.lit(1.0))
+    micro = lambda x: F.round(x * F.lit(1e6)).cast("decimal(38,0)")  # noqa: E731
+    staged = per.select(
+        "_n",
+        F.col("_n").cast("long").alias("_nl"),
+        micro((ni - F.lit(1.0)) * var_i).alias("_w"),
+        micro((ni - F.lit(1.0)) * F.log(var_i)).alias("_l"),
+        micro(F.lit(1.0) / (ni - F.lit(1.0))).alias("_r"),
+        (F.col("_n") < 2).alias("_small"),
+        (var_i <= 0).alias("_zero"),
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("_nl"), F.lit(0)).cast("long").alias("n"),
+        F.sum("_w").alias("_tw"),
+        F.sum("_l").alias("_tl"),
+        F.sum("_r").alias("_tr"),
+        F.max(F.col("_small").cast("int")).alias("_any_small"),
+        F.max(F.col("_zero").cast("int")).alias("_any_zero"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    pooled = F.col("_tw").cast("double") / F.lit(1e6) / (n - k)
+    num = (n - k) * F.log(pooled) - F.col("_tl").cast("double") / F.lit(1e6)
+    c = F.lit(1.0) + (
+        F.col("_tr").cast("double") / F.lit(1e6) - F.lit(1.0) / (n - k)
+    ) / (F.lit(3.0) * (k - F.lit(1.0)))
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("_any_small") == 0)
+        & (F.col("_any_zero") == 0)
+    )
+    return tot.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.when(ok, F.round(num / c, 9)).alias("bartlett_stat"),
+    )
+
+
+def cochrans_q_test(
+    df: DataFrame,
+    flag_cols: list[str],
+) -> DataFrame:
+    """Cochran's Q test (Cochran, Biometrika 1950): do k matched
+    binary treatments share one success rate — the k-treatment
+    generalization of McNemar (k = 2 reduces to it), and the right
+    test for "do these k quality heuristics flag the same fraction of
+    documents?". Each of ``flag_cols`` casts to boolean; rows with
+    any NULL flag are excluded (the matched design needs complete
+    blocks). One row out: ``(n (long — complete rows), k (long), df
+    (long), q_stat (double; NULL when the denominator is 0 — every
+    row all-0 or all-1 carries no information))``.
+
+    ``Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²)`` with column sums Cⱼ,
+    row sums Rᵢ, T = ΣRᵢ — INTEGER-EXACT except the single final
+    division (rounded to 9): no quantization needed at all. Scale
+    shape: one k+2-cell aggregate with map-side combine (ΣCⱼ² folds
+    from the k per-column sums in the readout, not a second pass)."""
+    k = len(flag_cols)
+    if k < 2:
+        raise ValueError(f"cochrans_q_test: need >= 2 flag columns, got {k}")
+    flags = [F.col(c).cast("boolean") for c in flag_cols]
+    complete = flags[0].isNotNull()
+    for fcol in flags[1:]:
+        complete = complete & fcol.isNotNull()
+    base = df.where(complete).select(
+        *[fcol.cast("long").alias(f"_f{i}") for i, fcol in enumerate(flags)]
+    )
+    row_sum = sum(F.col(f"_f{i}") for i in range(k))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(
+            F.coalesce(F.sum(dec(F.col(f"_f{i}"))), F.lit(0).cast("decimal(38,0)")).alias(f"_c{i}")
+        )
+    aggs.append(
+        F.coalesce(F.sum(dec(row_sum) * dec(row_sum)), F.lit(0).cast("decimal(38,0)")).alias("_r2")
+    )
+    cells = base.agg(*aggs)
+    csq = sum(F.col(f"_c{i}") * F.col(f"_c{i}") for i in range(k))
+    t_tot = sum(F.col(f"_c{i}") for i in range(k))
+    num = F.lit(k - 1).cast("decimal(38,0)") * (
+        F.lit(k).cast("decimal(38,0)") * csq - t_tot * t_tot
+    )
+    den = F.lit(k).cast("decimal(38,0)") * t_tot - F.col("_r2")
+    return cells.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.when(
+            den.cast("double") != 0.0,
+            F.round(num.cast("double") / den.cast("double"), 9),
+        ).alias("q_stat"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V association strength (Cramér, Mathematical Methods
+    of Statistics 1946): ``V = √(χ²/(N·(min(r,c)−1)))`` — the [0, 1]
+    EFFECT-SIZE companion to :func:`chi_square_independence`, exactly
+    as cohens_d is to the t tests: at corpus scale χ² is always
+    "significant"; V says whether the association is material and is
+    comparable across tables of different size and shape. One row
+    out: ``(n (long), r, c (long — distinct levels), chi2, cramers_v
+    (double; NULL when min(r,c) < 2))``.
+
+    Exactness: the chi_square_independence grid discipline verbatim —
+    full r×c grid from broadcast marginals, each cell's (o−e)²/e term
+    quantized to int64 nano-units before the order-free fold; χ² and
+    V read out in one IEEE chain, rounded to 9."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .join(cells, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.coalesce("_c", F.lit(0)).cast("double").alias("_o"),
+            (
+                F.col("_ca").cast("double")
+                * F.col("_cb").cast("double")
+                / F.col("n").cast("double")
+            ).alias("_e"),
+        )
+    )
+    term_nano = F.round(
+        (F.col("_o") - F.col("_e"))
+        * (F.col("_o") - F.col("_e"))
+        / F.col("_e")
+        * F.lit(1e9)
+    ).cast("long")
+    summed = grid.select(term_nano.alias("_t")).agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_chi_nano")
+    )
+    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    )
+    chi2 = F.col("_chi_nano").cast("double") / F.lit(1e9)
+    mindim = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    ok = F.least(F.col("r"), F.col("c")) >= 2
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(summed))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.when(ok, F.round(chi2, 9)).alias("chi2"),
+            F.when(
+                ok,
+                F.round(F.sqrt(chi2 / (F.col("n").cast("double") * mindim)), 9),
+            ).alias("cramers_v"),
+        )
     )

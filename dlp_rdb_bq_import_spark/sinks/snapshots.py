@@ -37,8 +37,15 @@ travel is the same mechanism pointed at an older manifest
 (``read_at(snapshot_id)``) or an older catalog version
 (``pin(version=n)``).
 
-Single WRITER assumed (the repo-wide warehouse contract); readers are
-unlimited and lock-free.
+Writers are serialized by COMPARE-AND-SWAP at the commit point
+(VERDICT r13 task 6): each commit claims the next catalog version file
+with ``os.link`` (fails atomically with EEXIST if another writer got
+there first — POSIX's create-exclusive primitive), so two interleaved
+writers produce either a linear history or one explicit
+:class:`SnapshotConflictError`; a commit is never silently dropped.
+A failed/aborted commit rolls back its own manifests before
+re-raising, so a retry recomputes the same snapshot ids cleanly.
+Readers are unlimited and lock-free.
 """
 
 from __future__ import annotations
@@ -51,6 +58,14 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed between this commit's pin and its
+    publish. The losing commit left NOTHING visible (its manifests are
+    rolled back, its data files are unreferenced orphans swept by
+    ``expire_snapshots``); re-running the commit rebases it onto the
+    winner's catalog."""
 
 
 @dataclass
@@ -132,12 +147,19 @@ class SnapshotWarehouse:
         unique names; return [{path(rel), rows}] from the footers. The
         files are INVISIBLE until a manifest references them and a
         catalog version commits — a failure here leaves only orphans,
-        swept by expire_snapshots."""
+        swept by expire_snapshots.
+
+        The staging dir lives INSIDE the table dir (not the system
+        tmpdir): the move into ``data/`` must be same-filesystem or
+        ``os.rename`` raises EXDEV when the warehouse root is mounted
+        elsewhere (ADVICE r13); ``shutil.move`` is the belt-and-braces
+        fallback for exotic layouts (e.g. data/ itself a mount)."""
         import pyarrow.parquet as pq
 
-        ddir = os.path.join(self._table_dir(dataset, table), "data")
+        tdir = self._table_dir(dataset, table)
+        ddir = os.path.join(tdir, "data")
         os.makedirs(ddir, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix="snapstage_")
+        staging = tempfile.mkdtemp(prefix="snapstage_", dir=tdir)
         try:
             df.write.mode("overwrite").parquet(staging)
             out = []
@@ -146,7 +168,10 @@ class SnapshotWarehouse:
                     continue
                 src = os.path.join(staging, name)
                 final = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(src, os.path.join(ddir, final))
+                try:
+                    os.rename(src, os.path.join(ddir, final))
+                except OSError:  # EXDEV: data/ on another filesystem
+                    shutil.move(src, os.path.join(ddir, final))
                 out.append(
                     {
                         "path": os.path.join("data", final),
@@ -187,9 +212,11 @@ class SnapshotWarehouse:
         mpath = self._manifest_path(dataset, table, sid)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         if os.path.exists(mpath):
-            raise RuntimeError(
-                f"manifest {mpath} already exists — concurrent writer? "
-                "(this layer is single-writer)"
+            raise SnapshotConflictError(
+                f"manifest {mpath} already exists — either a concurrent "
+                "writer beat this commit to the table or a crashed "
+                "commit left an orphan (recover_orphan_catalogs() sweeps "
+                "those when no writer is live)"
             )
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -201,10 +228,23 @@ class SnapshotWarehouse:
         self, writes: list[tuple[DataFrame, str, str, str]]
     ) -> list[SnapshotResult]:
         """Atomic multi-table commit — the import job's catalog loop:
-        stage EVERY table's data and manifest first (any failure
-        aborts with nothing visible), then publish them ALL with one
-        catalog-pointer swap. ``writes`` is [(df, dataset, table,
-        mode)]."""
+        stage EVERY table's data and manifest first, then publish them
+        ALL with one catalog-pointer swap. ``writes`` is [(df, dataset,
+        table, mode)].
+
+        Abort safety (ADVICE r13): a failure anywhere before the swap
+        DELETES every manifest this commit already wrote before
+        re-raising — otherwise the orphan manifest would collide with
+        the same snapshot id a retry recomputes from the committed
+        catalog and block the table forever. Data-file orphans are
+        left for ``expire_snapshots`` (they are invisible and cheap).
+
+        Writer safety (VERDICT r13 task 6): the next catalog version
+        file is claimed with ``os.link`` — create-exclusive, the CAS.
+        If another writer committed since this commit pinned its base,
+        the claim fails, the manifests roll back, and
+        :class:`SnapshotConflictError` tells the caller to rebase
+        (re-run the commit); histories are always linear."""
         keys = [f"{d}.{t}" for _, d, t, _ in writes]
         dupes = {k for k in keys if keys.count(k) > 1}
         if dupes:
@@ -212,16 +252,39 @@ class SnapshotWarehouse:
         base = self.pin()
         tables = dict(base["tables"])
         prepared: list[tuple[str, int, dict, str, str]] = []
-        for df, dataset, table, mode in writes:
-            key, sid, man = self._prepare_snapshot(df, dataset, table, mode, base)
-            prepared.append((key, sid, man, dataset, table))
-            tables[key] = sid
         version = base["version"] + 1
         cpath = self._catalog_file(version)
-        tmp = cpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "tables": tables}, f, indent=1)
-        os.replace(tmp, cpath)
+        tmp = cpath + f".tmp{uuid.uuid4().hex[:8]}"
+        try:
+            for df, dataset, table, mode in writes:
+                key, sid, man = self._prepare_snapshot(df, dataset, table, mode, base)
+                prepared.append((key, sid, man, dataset, table))
+                tables[key] = sid
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "tables": tables}, f, indent=1)
+            try:
+                os.link(tmp, cpath)  # CAS: exactly ONE writer creates v-<n>
+            except FileExistsError:
+                raise SnapshotConflictError(
+                    f"catalog v{version} was committed by another writer "
+                    f"after this commit pinned v{base['version']} — "
+                    "nothing from this commit is visible; re-run to rebase"
+                ) from None
+        except BaseException:
+            # roll back THIS commit's manifests so a retry can reuse the
+            # same snapshot ids; staged data files stay as invisible
+            # orphans for expire_snapshots
+            for _, sid, _, dataset, table in prepared:
+                try:
+                    os.remove(self._manifest_path(dataset, table, sid))
+                except FileNotFoundError:
+                    pass
+            raise
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
         self._swap_current(version)  # THE commit point
         return [
             SnapshotResult(
@@ -310,6 +373,43 @@ class SnapshotWarehouse:
         return out
 
     # -- maintenance ----------------------------------------------------------
+
+    def recover_orphan_catalogs(self) -> dict:
+        """Sweep the leftovers of a writer that CRASHED between
+        claiming a catalog version (``os.link``) and swapping CURRENT:
+        catalog files NEWER than CURRENT (their commits never
+        published — the pointer swap is the commit point) and any
+        manifest only those orphan catalogs reference. Run ONLY when
+        no writer is live — a writer inside that tiny window would be
+        indistinguishable from a crash. Returns
+        ``{"catalogs_removed": n, "manifests_removed": m}``."""
+        cur = self.current_version()
+        committed = self.pin()["tables"]
+        cdir = os.path.join(self.root, "catalog")
+        removed_c = removed_m = 0
+        for name in sorted(os.listdir(cdir)):
+            if not (name.startswith("v-") and name.endswith(".json")):
+                continue
+            v = int(name[2:-5])
+            if v <= cur:
+                continue
+            with open(os.path.join(cdir, name)) as f:
+                orphan = json.load(f)
+            for key, sid in orphan["tables"].items():
+                # only manifests BEYOND the table's committed head can
+                # belong to the crashed commit; anything ≤ head is a
+                # real (possibly historical) snapshot — keep it
+                if sid <= (committed.get(key) or 0):
+                    continue
+                dataset, table = key.split(".", 1)
+                try:
+                    os.remove(self._manifest_path(dataset, table, sid))
+                    removed_m += 1
+                except FileNotFoundError:
+                    pass
+            os.remove(os.path.join(cdir, name))
+            removed_c += 1
+        return {"catalogs_removed": removed_c, "manifests_removed": removed_m}
 
     def expire_snapshots(self, dataset: str, table: str, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` manifests and delete

@@ -10,6 +10,7 @@ We replace that with a scheme-dispatched registry: ``mock://`` /
 from __future__ import annotations
 
 from .base import Source
+from .columnar_source import ColumnarDirSource
 from .file_source import FileDirSource
 from .jdbc_source import JdbcSource
 from .mock_source import MockSource
@@ -34,11 +35,16 @@ def get_source(spec: str, **kwargs) -> Source:
         return JdbcSource(spec, **kwargs)
     if spec.startswith("files://"):
         return FileDirSource(spec[len("files://"):], **kwargs)
+    if spec.startswith(("orc://", "avro://")):
+        # same directory-catalog contract as files://, binary-columnar
+        # formats; quarantine is per FILE (see columnar_source)
+        return ColumnarDirSource(spec.split("://", 1)[1], **kwargs)
     return ParquetDirSource(spec)
 
 
 __all__ = [
     "Source",
+    "ColumnarDirSource",
     "MockSource",
     "JdbcSource",
     "ParquetDirSource",

@@ -32,6 +32,11 @@ def test_every_bench_query_is_registered():
     unresolved = [n for n in mod.BENCH_QUERIES if n not in qs]
     assert not unresolved, f"bench names not in registry: {unresolved}"
     assert len(set(mod.BENCH_QUERIES)) == len(mod.BENCH_QUERIES)
+    # VERDICT r13 task 8: benched ∪ excluded-with-reason == registry,
+    # disjointly — a new query cannot silently skip the bench
+    assert set(mod.BENCH_QUERIES) | set(mod.EXCLUDED) == set(qs)
+    assert not set(mod.BENCH_QUERIES) & set(mod.EXCLUDED)
+    assert all(r.strip() for r in mod.EXCLUDED.values())
 
 
 def test_scratch_memo_rerun_is_identical(spark, sf_dir):

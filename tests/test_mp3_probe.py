@@ -129,3 +129,65 @@ def test_sniff_bare_sync_and_id3():
     assert mc.sniff_format(b"ID3\x04\x00") == "mp3"
     # JPEG's FF D8 must still sniff as jpeg (D8 fails the sync mask)
     assert mc.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+
+
+def _xing_first_frame(hdr4, frame_len, vgroup, mono, n_frames):
+    """First frame carrying a Xing VBR header at the public LAME
+    offset: 4-byte header + Layer III side info, then tag + flags +
+    big-endian frame count."""
+    side = (17 if mono else 32) if vgroup == 0 else (9 if mono else 17)
+    body = b"\x00" * side + b"Xing" + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+    pad = frame_len - 4 - len(body)
+    assert pad >= 0
+    return hdr4 + body + b"\x00" * pad
+
+
+def test_vbr_xing_header_frame_count_wins():
+    """VERDICT r13 task 7: a VBR stream's duration comes from the Xing
+    frame count, not CBR byte arithmetic (which the mixed bitrates
+    make wrong). The fixture's physical length corresponds to ~38
+    first-bitrate frames but the Xing header declares 1000."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0, mode=1)
+    frame_len = 144 * 128000 // 44100
+    first = _xing_first_frame(hdr, frame_len, vgroup=0, mono=False, n_frames=1000)
+    payload = first + (hdr + b"\x00" * (frame_len - 4)) * 37
+    p = _probe(payload)
+    assert p["media_format"] == "mp3"
+    assert p["n_frames"] == 1000
+    assert p["n_samples"] == 1000 * 1152
+    assert p["duration_ms"] == 1000 * 1152 * 1000 // 44100
+
+
+def test_info_tag_keeps_cbr_arithmetic():
+    """LAME writes 'Info' (not 'Xing') for CBR files — those keep the
+    byte-arithmetic count: CBR behavior unchanged."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0, mode=1)
+    frame_len = 144 * 128000 // 44100
+    side = 32
+    body = b"\x00" * side + b"Info" + (1).to_bytes(4, "big") + (1000).to_bytes(4, "big")
+    first = hdr + body + b"\x00" * (frame_len - 4 - len(body))
+    payload = first + (hdr + b"\x00" * (frame_len - 4)) * 37
+    p = _probe(payload)
+    assert p["n_frames"] == 38  # physical frames, not the declared count
+
+
+def test_xing_mono_mpeg2_offset():
+    """Side-info offset depends on version/mode: MPEG2 mono = 9 bytes."""
+    # version_id=2 (MPEG2), 22050 Hz (sr_idx=0 in MPEG2 table -> 22050)
+    hdr = _frame_header(version_id=2, layer=3, br_idx=8, sr_idx=0, mode=3)
+    parsed = mc._mp3_parse_frame_header(hdr + b"\x00" * 4, 0)
+    first = _xing_first_frame(hdr, parsed["frame_len"], vgroup=1, mono=True, n_frames=77)
+    payload = first + (hdr + b"\x00" * (parsed["frame_len"] - 4)) * 5
+    p = _probe(payload)
+    assert p["n_frames"] == 77
+    assert p["n_samples"] == 77 * parsed["samples_per_frame"]
+
+
+def test_truncated_xing_area_falls_back_to_cbr():
+    """A first frame too short to hold the Xing area never raises —
+    the CBR path answers."""
+    hdr = _frame_header(version_id=3, layer=3, br_idx=9, sr_idx=0, mode=1)
+    frame_len = 144 * 128000 // 44100
+    payload = (hdr + b"\x00" * (frame_len - 4)) * 3
+    p = _probe(payload)
+    assert p["n_frames"] == 3

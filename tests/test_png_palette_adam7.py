@@ -267,3 +267,26 @@ def test_probe_reports_decoded_channels_for_palette():
     assert (p["media_format"], p["width"], p["height"], p["n_channels"]) == (
         "png", 5, 6, 3,
     )
+
+
+def test_probe_reports_4_channels_for_transparent_palette():
+    """ADVICE r13: the header probe must agree with the decode path —
+    palette PNGs WITH a tRNS chunk decode to RGBA (4 channels), so the
+    probe walks the prefix chunk list for tRNS before answering."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators import media_codecs as mc
+
+    pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    opaque = mc.encode_png(idx, palette=pal)
+    transparent = mc.encode_png(idx, palette=pal, trns=b"\x80\xff")
+    p_op = mc.probe_media_header(opaque[: mc.HEADER_PROBE_BYTES], len(opaque))
+    p_tr = mc.probe_media_header(
+        transparent[: mc.HEADER_PROBE_BYTES], len(transparent)
+    )
+    assert p_op["n_channels"] == 3
+    assert p_tr["n_channels"] == 4
+    # the probe's answer matches what decode_png actually returns
+    assert mc.decode_png(opaque).shape[2] == 3
+    assert mc.decode_png(transparent).shape[2] == 4

@@ -181,3 +181,126 @@ def test_bad_mode_and_missing_table(spark, tmp_path):
         wh.write(_df(spark, 0, 1), "lake", "t", mode="merge")
     with pytest.raises(ValueError, match="not in catalog"):
         wh.read(spark, "lake", "nope")
+
+
+def test_retry_after_failed_multi_table_commit_succeeds(spark, tmp_path):
+    """ADVICE r13 (medium): the aborted commit must roll back its own
+    manifests, or the retry recomputes the same snapshot id and hits
+    'manifest already exists' forever."""
+    wh = SnapshotWarehouse(str(tmp_path / "wh"))
+    wh.write(_df(spark, 0, 5), "lake", "a")
+
+    class Exploding:
+        def __getattr__(self, name):
+            raise RuntimeError("simulated mid-commit failure")
+
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        wh.commit_many(
+            [
+                (_df(spark, 5, 10), "lake", "a", "append"),
+                (Exploding(), "lake", "b", "append"),
+            ]
+        )
+    # the first table's orphan manifest was rolled back…
+    assert [m["snapshot_id"] for m in wh.snapshots("lake", "a")] == [1]
+    # …so the SAME commit retried (minus the bad table) succeeds
+    res = wh.commit_many([(_df(spark, 5, 10), "lake", "a", "append")])
+    assert res[0].snapshot_id == 2
+    assert _ids(wh.read(spark, "lake", "a")) == list(range(10))
+
+
+def test_concurrent_writers_cas_conflict_not_lost_update(spark, tmp_path):
+    """VERDICT r13 task 6: two writers pinned at the same base — the
+    second publish raises SnapshotConflictError (never silently drops
+    the first), history stays linear, and the loser's retry rebases."""
+    from unittest.mock import patch
+
+    from dlp_rdb_bq_import_spark.sinks.snapshots import SnapshotConflictError
+
+    root = str(tmp_path / "wh")
+    w1, w2 = SnapshotWarehouse(root), SnapshotWarehouse(root)
+    w1.write(_df(spark, 0, 5), "lake", "t")
+    stale = w2.pin()  # both writers observe catalog v1
+    w1.write(_df(spark, 5, 10), "lake", "t", mode="append")  # w1 wins
+    with patch.object(SnapshotWarehouse, "pin", return_value=stale):
+        with pytest.raises(SnapshotConflictError):
+            # DIFFERENT table, so the conflict surfaces at the catalog
+            # CAS, not at a manifest collision
+            w2.write(_df(spark, 100, 103), "lake", "u")
+    # nothing from the losing commit is visible; history is linear
+    assert w2.current_version() == 2
+    assert _ids(w2.read(spark, "lake", "t")) == list(range(10))
+    with pytest.raises(ValueError, match="not in catalog"):
+        w2.read(spark, "lake", "u")
+    # the loser re-runs WITHOUT the stale pin: rebases cleanly
+    w2.write(_df(spark, 100, 103), "lake", "u")
+    assert _ids(w2.read(spark, "lake", "u")) == [100, 101, 102]
+
+
+def test_concurrent_writers_same_table_conflict(spark, tmp_path):
+    """Same-table race: the loser collides on the manifest id before
+    the catalog CAS — still an explicit SnapshotConflictError."""
+    from unittest.mock import patch
+
+    from dlp_rdb_bq_import_spark.sinks.snapshots import SnapshotConflictError
+
+    root = str(tmp_path / "wh")
+    w1, w2 = SnapshotWarehouse(root), SnapshotWarehouse(root)
+    w1.write(_df(spark, 0, 5), "lake", "t")
+    stale = w2.pin()
+    w1.write(_df(spark, 5, 10), "lake", "t", mode="append")
+    with patch.object(SnapshotWarehouse, "pin", return_value=stale):
+        with pytest.raises(SnapshotConflictError):
+            w2.write(_df(spark, 99, 100), "lake", "t", mode="append")
+    assert _ids(w2.read(spark, "lake", "t")) == list(range(10))
+
+
+def test_recover_orphan_catalogs_unblocks_crashed_commit(spark, tmp_path):
+    """A writer that crashed between the catalog-version CAS and the
+    CURRENT swap leaves an orphan v-file + manifests that block every
+    later commit; recover_orphan_catalogs() sweeps exactly those."""
+    from unittest.mock import patch
+
+    from dlp_rdb_bq_import_spark.sinks.snapshots import SnapshotConflictError
+
+    wh = SnapshotWarehouse(str(tmp_path / "wh"))
+    wh.write(_df(spark, 0, 5), "lake", "t")
+    with patch.object(SnapshotWarehouse, "_swap_current", side_effect=OSError("crash")):
+        with pytest.raises(OSError, match="crash"):
+            wh.write(_df(spark, 5, 10), "lake", "t", mode="append")
+    # the orphan catalog file blocks the next commit's CAS explicitly
+    with pytest.raises(SnapshotConflictError):
+        wh.write(_df(spark, 5, 10), "lake", "t", mode="append")
+    stats = wh.recover_orphan_catalogs()
+    assert stats["catalogs_removed"] == 1 and stats["manifests_removed"] == 1
+    # unblocked: the retried commit lands, history is linear
+    wh.write(_df(spark, 5, 10), "lake", "t", mode="append")
+    assert _ids(wh.read(spark, "lake", "t")) == list(range(10))
+    # time travel to the pre-crash snapshot is untouched
+    assert _ids(wh.read_at(spark, "lake", "t", 1)) == list(range(5))
+
+
+def test_staging_same_filesystem_and_exdev_fallback(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (low): staging happens INSIDE the table dir (same
+    filesystem as data/), and an EXDEV-style os.rename failure falls
+    back to shutil.move instead of failing the write."""
+    import dlp_rdb_bq_import_spark.sinks.snapshots as snap
+
+    wh = SnapshotWarehouse(str(tmp_path / "wh"))
+    real_mkdtemp = snap.tempfile.mkdtemp
+    seen = {}
+
+    def spy_mkdtemp(*a, **kw):
+        path = real_mkdtemp(*a, **kw)
+        seen["dir"] = kw.get("dir")
+        return path
+
+    monkeypatch.setattr(snap.tempfile, "mkdtemp", spy_mkdtemp)
+
+    def exdev(src, dst):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(snap.os, "rename", exdev)
+    wh.write(_df(spark, 0, 7), "lake", "t")
+    assert seen["dir"] == str(tmp_path / "wh" / "lake" / "t")
+    assert _ids(wh.read(spark, "lake", "t")) == list(range(7))

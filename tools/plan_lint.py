@@ -154,11 +154,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "is a broadcast single global-aggregate row (min class count) by "
         "construction; explicit-target mode has no such join",
     },
-    "pareto_part_revenue": {
-        "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
-        "None): build side is a broadcast single global-aggregate row by "
-        "construction; grouped mode uses a plain equi-join",
-    },
     "nb_classify_lang": {
         "BroadcastNestedLoopJoin": "label-stats attach: build side is the "
         "broadcast per-label stats table (#labels rows — bounded by class "
@@ -372,10 +367,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "pareto_part_revenue": {
         "BroadcastNestedLoopJoin": "global-total scalar attach (group_cols "
         "None): build side is a broadcast single global-aggregate row by "
-        "construction; grouped mode uses a plain equi-join",
-        "SinglePartitionWindow": "DIMENSION: documented global mode: the running "
-        "share is over the PER-ITEM aggregate (|parts| rows, dimension-"
-        "sized), not lineitem rows; grouped mode partitions by group",
+        "construction; grouped mode uses a plain equi-join. The running "
+        "share itself goes through layout.prefix_sums (range exchange + "
+        "offsets) since r14 — no window allowance needed",
     },
     "period_over_period": {
         "SinglePartitionWindow": "CALENDAR: lag over PERIOD aggregates: one row "
@@ -384,8 +378,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "rank_dense_rank": {
         "SinglePartitionWindow": "DIMENSION: REF-parity SQL-surface demo of global "
         "rank()/dense_rank() over the supplier DIMENSION table "
-        "(|suppliers| rows); corpus-scale ranking uses the partitioned "
-        "windows / topk_per_group / global_row_ids forms",
+        "(|suppliers| rows). The corpus-scale route for a global order "
+        "is layout.global_row_ids (range exchange + per-partition "
+        "offsets — the primitive pareto/gini/zipf/BH rerank onto); "
+        "partitioned windows / topk_per_group cover the grouped forms",
     },
     "cohens_kappa": {
         "BroadcastNestedLoopJoin": "two 1-row scalar attaches by "
@@ -474,6 +470,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "cross of the two broadcast marginal tables (category-domain-"
         "sized, never rows) plus 1-row total/dims/sum scalar attaches",
     },
+    "cramers_v_flag_status": {
+        "BroadcastNestedLoopJoin": "same |A|x|B| marginal-cross grid and "
+        "1-row scalar attaches as chi_square_independence (shared "
+        "discipline; V is its effect-size readout)",
+    },
 }
 
 
@@ -500,6 +501,28 @@ _SPW_TAGS = ("RAW-MEASURE: ", "CALENDAR: ", "BIN: ", "DIMENSION: ")
 
 def _validate_allow() -> list[str]:
     errs = []
+    # duplicate keys in the ALLOW literal silently shadow the earlier
+    # entry (found live in r14: two pareto_part_revenue rows) — parse
+    # the source so a dupe is a build error, not a dead allowance
+    import ast
+
+    with open(os.path.abspath(__file__)) as f:
+        tree = ast.parse(f.read())
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", None) == "ALLOW"
+            and isinstance(node.value, ast.Dict)
+        ):
+            continue
+        names = [
+            k.value for k in node.value.keys if isinstance(k, ast.Constant)
+        ]
+        for dupe in sorted({n for n in names if names.count(n) > 1}):
+            errs.append(
+                f"{dupe}: appears {names.count(dupe)}x in the ALLOW "
+                "literal — the earlier entries are silently dead"
+            )
     for q, hazards in ALLOW.items():
         j = hazards.get("SinglePartitionWindow")
         if j is None:
