@@ -15535,6 +15535,369 @@ def q_mase_daily_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "somers_d_quantity_discount",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS x,
+         CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x, y
+), cd AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0) AS concordant,
+    COALESCE(SUM(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END), 0) AS discordant
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (
+  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2), 0) AS n1
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2), 0) AS n2
+  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY y)
+), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT n,
+  CAST(concordant AS DOUBLE) AS concordant,
+  CAST(discordant AS DOUBLE) AS discordant,
+  CASE WHEN CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n1 AS DOUBLE) > 0
+  THEN round((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+           / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n1 AS DOUBLE), 9)
+  END AS d_yx,
+  CASE WHEN CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n2 AS DOUBLE) > 0
+  THEN round((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+           / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) / 2 - n2 AS DOUBLE), 9)
+  END AS d_xy
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nrow
+""",
+)
+def q_somers_d_quantity_discount(spark, sf_dir):
+    """EXT — Somers' D of discount given quantity (profiling.somers_d;
+    Somers 1962): the DIRECTIONAL ordinal association — ties penalized
+    on the independent variable only, the 2·AUC−1 twin — where
+    kendall_tau_quantity_discount symmetrizes the same cell table.
+    Same domain²-bounded cell self-join, one IEEE chain per
+    direction — hash-matched."""
+    from .operators.profiling import somers_d
+
+    return somers_d(
+        t(spark, sf_dir, "lineitem"), "l_quantity", "l_discount",
+        x_scale=1, y_scale=100,
+    )
+
+
+@query(
+    "wilcoxon_order_vs_lines",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS ls
+  FROM lineitem GROUP BY 1
+), base AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+         - CAST(round(CAST(ls AS DOUBLE) * 100) AS BIGINT) AS d
+  FROM orders JOIN li ON o_orderkey = l_orderkey
+), nz AS (
+  SELECT ABS(d) AS ad, d > 0 AS pos FROM base WHERE d IS NOT NULL AND d <> 0
+), per AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS c,
+         CAST(COALESCE(SUM(CASE WHEN pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp
+  FROM nz GROUP BY 1
+), cum AS (
+  SELECT ad, c, cp,
+         COALESCE(SUM(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS p
+  FROM per
+), tot AS (
+  SELECT COALESCE(SUM(CAST(c AS HUGEINT)), 0) AS n,
+         COALESCE(SUM((2 * CAST(p AS HUGEINT) + CAST(c AS HUGEINT) + 1)
+                      * CAST(cp AS HUGEINT)), 0) AS w2,
+         COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                      - CAST(c AS HUGEINT)), 0) AS ties
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 THEN round(CAST(w2 AS DOUBLE) / 2.0e0, 9) END AS w_plus,
+  CASE WHEN n > 0 AND
+       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0
+        - CAST(ties AS DOUBLE) / 48.0e0) > 0
+  THEN round((CAST(w2 AS DOUBLE) / 2.0e0
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) / 4.0e0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0
+                    - CAST(ties AS DOUBLE) / 48.0e0), 9) END AS z
+FROM tot
+""",
+)
+def q_wilcoxon_order_vs_lines(spark, sf_dir):
+    """EXT — Wilcoxon signed-rank test of order header total vs the
+    sum of its line gross prices (profiling.wilcoxon_signed_rank;
+    Wilcoxon 1945): the PAIRED location test — does the header-level
+    adjustment (tax up, discount down) shift the per-order total, and
+    in which direction? Midranks exact in doubled units; the
+    exclusive-preceding counts come from layout.prefix_sums (never an
+    unpartitioned window) — hash-matched."""
+    from .operators.profiling import wilcoxon_signed_rank
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("ls")
+        )
+    )
+    d = t(spark, sf_dir, "orders").join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return wilcoxon_signed_rank(d, "o_totalprice", "ls")
+
+
+@query(
+    "theil_customer_revenue",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders GROUP BY 1
+), per AS (
+  SELECT CAST(round(CAST(rev AS DOUBLE) * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM cust GROUP BY 1
+), tot AS (
+  SELECT COALESCE(SUM(CAST(c AS HUGEINT)), 0) AS n,
+         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)), 0) AS t,
+         MIN(v) AS mn
+  FROM per
+), folded AS (
+  SELECT n, t, mn,
+    COALESCE(SUM(CAST(CASE WHEN v > 0 THEN
+      round((CAST(v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+            * ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+            * 1000000000.0e0)
+      ELSE 0.0e0 END AS HUGEINT) * CAST(c AS HUGEINT)), 0) AS s
+  FROM per CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n,
+  -- DECIMAL(38,15) route: DuckDB's double round() scales by 1e9 and
+  -- half-away-rounds the scaled double, which can misround values
+  -- whose 10th decimal digit sits near the scaling error (this mean
+  -- does); decimal rounding is exact HALF_UP — Spark's BigDecimal
+  -- semantics
+  CASE WHEN n > 0 THEN CAST(round(CAST(CAST(t AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+                                       AS DECIMAL(38,15)), 9) AS DOUBLE) END AS mean,
+  CASE WHEN n > 0 AND t > 0
+       THEN round(CAST(s AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE), 9) END AS theil
+FROM folded
+""",
+)
+def q_theil_customer_revenue(spark, sf_dir):
+    """EXT — Theil T inequality index of per-customer revenue
+    (profiling.theil_index; Theil 1967): the entropy-based companion
+    to gini_revenue_concentration — the one inequality measure that
+    decomposes additively across subgroups. Distinct-value grain with
+    the exact (T, n) mean attach; nano-quantized x·ln x terms fold in
+    HUGEINT — hash-matched. No windows at all (contrast gini's
+    prefix-sum route)."""
+    from .operators.profiling import theil_index
+
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"))
+    )
+    return theil_index(cust, "rev")
+
+
+@query(
+    "concentration_supplier_revenue",
+    oracle="""
+WITH per AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val
+  FROM lineitem GROUP BY 1
+), u AS (
+  SELECT CAST(val * 1000000 AS HUGEINT) AS vu FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         COALESCE(SUM(vu), 0) AS t,
+         COALESCE(SUM(vu * vu), 0) AS q
+  FROM u
+), ta AS (
+  SELECT COALESCE(SUM(vu), 0) AS s FROM (SELECT vu FROM u ORDER BY vu DESC LIMIT 4)
+), tb AS (
+  SELECT COALESCE(SUM(vu), 0) AS s FROM (SELECT vu FROM u ORDER BY vu DESC LIMIT 8)
+)
+SELECT n_items,
+  CASE WHEN n_items > 0 THEN round(CAST(t AS DOUBLE) / 1000000.0e0, 9) END AS total,
+  CASE WHEN n_items > 0 AND t > 0
+       THEN round(CAST(q AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 9) END AS hhi,
+  CASE WHEN n_items > 0 AND t > 0
+       THEN round(CAST(ta.s AS DOUBLE) / CAST(t AS DOUBLE), 9) END AS cr_a,
+  CASE WHEN n_items > 0 AND t > 0
+       THEN round(CAST(tb.s AS DOUBLE) / CAST(t AS DOUBLE), 9) END AS cr_b
+FROM tot CROSS JOIN ta CROSS JOIN tb
+""",
+)
+def q_concentration_supplier_revenue(spark, sf_dir):
+    """EXT — supplier revenue concentration: Herfindahl–Hirschman
+    index + CR-4/CR-8 ratios (profiling.concentration_report;
+    Herfindahl 1950): the scalar head-concentration companions to the
+    pareto curve and gini. Exact micro-unit Σv/Σv² folds; CR-k sums a
+    TakeOrdered top-k (constant k — no global sort materialization) —
+    hash-matched."""
+    from .operators.profiling import concentration_report
+
+    return concentration_report(
+        t(spark, sf_dir, "lineitem"), ["l_suppkey"], "l_extendedprice"
+    )
+
+
+@query(
+    "friedman_event_types",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS b,
+         CAST(event_type AS VARCHAR) AS t,
+         CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), ktot AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell
+), sizes AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS bk FROM cell GROUP BY 1
+), dropped AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN bk <> k THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+  FROM sizes CROSS JOIN ktot
+), kept AS (
+  SELECT cell.* FROM cell
+  JOIN sizes ON cell.b = sizes.b CROSS JOIN ktot
+  WHERE sizes.bk = ktot.k
+), ranked AS (
+  SELECT b, t,
+         CAST(2 * rank() OVER (PARTITION BY b ORDER BY x)
+              + count(*) OVER (PARTITION BY b, x) - 1 AS BIGINT) AS mr2
+  FROM kept
+), per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS nb,
+         COALESCE(SUM(CAST(mr2 AS HUGEINT)), 0) AS r2j,
+         COALESCE(SUM(CAST(mr2 AS HUGEINT) * CAST(mr2 AS HUGEINT)), 0) AS a4j
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT MAX(k) AS k, MAX(n_dropped) AS n_dropped,
+         CAST(MAX(nb) AS BIGINT) AS n_blocks,
+         COALESCE(SUM((r2j - CAST(nb AS HUGEINT) * (CAST(k AS HUGEINT) + 1))
+                      * (r2j - CAST(nb AS HUGEINT) * (CAST(k AS HUGEINT) + 1))), 0) AS num,
+         COALESCE(SUM(a4j), 0) AS a4
+  FROM per_t CROSS JOIN ktot CROSS JOIN dropped
+)
+SELECT n_blocks, n_dropped, CAST(k AS BIGINT) AS k,
+  CAST(k - 1 AS BIGINT) AS df,
+  CASE WHEN n_blocks > 0 AND k >= 2 AND
+       CAST(a4 - CAST(n_blocks AS HUGEINT) * CAST(k AS HUGEINT)
+                 * (CAST(k AS HUGEINT) + 1) * (CAST(k AS HUGEINT) + 1) AS DOUBLE) <> 0
+  THEN round(CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+             / CAST(a4 - CAST(n_blocks AS HUGEINT) * CAST(k AS HUGEINT)
+                         * (CAST(k AS HUGEINT) + 1) * (CAST(k AS HUGEINT) + 1) AS DOUBLE), 9)
+  END AS chi2
+FROM tot
+""",
+)
+def q_friedman_event_types(spark, sf_dir):
+    """EXT — Friedman rank test of the five event types' daily value
+    across days as matched blocks (profiling.friedman_test; Friedman
+    1937, Conover tie correction): the repeated-measures companion to
+    kruskal_wallis — day-level drift cancels inside each block.
+    Within-block midranks exact in doubled units (per-DAY windows,
+    k rows each — never global); integer-exact to one final
+    division — hash-matched."""
+    from .operators.profiling import friedman_test
+
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("b"),
+        "event_type",
+        "value",
+    )
+    return friedman_test(ev, "b", "event_type", "value")
+
+
+@query(
+    "readability_panel_docs",
+    oracle="""
+WITH scan AS (
+  SELECT doc_id,
+    CASE WHEN text IS NOT NULL
+         THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+         ELSE 0 END AS n_letters,
+    CASE WHEN text IS NOT NULL AND length(text) > 0
+         THEN CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT)
+         ELSE 0 END AS n_words,
+    CASE WHEN text IS NOT NULL
+         THEN CAST(GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS BIGINT)
+         ELSE 0 END AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_letters, n_words, n_sentences,
+  CASE WHEN n_words > 0 THEN
+    round(0.0588e0 * (CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0e0)
+          - 0.296e0 * (CAST(n_sentences AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0e0)
+          - 15.8e0, 9)
+  END AS coleman_liau,
+  CASE WHEN n_words > 0 THEN
+    round(4.71e0 * (CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE))
+          + 0.5e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 21.43e0, 9)
+  END AS ari
+FROM scan
+""",
+)
+def q_readability_panel_docs(spark, sf_dir):
+    """EXT — Coleman–Liau + ARI readability panel per document
+    (text.readability_panel; Coleman & Liau 1975, Senter & Smith
+    1967): the syllable-free grade-level scores — the robust
+    cross-check on flesch_readability (vowel-group syllables misfire
+    on URLs/code; letter counts do not). Scan-local integer counts,
+    one shared IEEE chain per score — hash-matched."""
+    from .operators.text import readability_panel
+
+    return readability_panel(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "honore_sichel_corpus",
+    oracle="""
+WITH words AS (
+  SELECT t.w AS w FROM documents,
+    LATERAL unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+), per AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1
+), agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dis
+  FROM per
+)
+SELECT n_tokens, vocab, hapax, dis,
+  CASE WHEN n_tokens > 0 AND hapax < vocab THEN
+    round(100.0e0 * ln(CAST(n_tokens AS DOUBLE))
+          / (1.0e0 - CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)), 9)
+  END AS honore_r,
+  CASE WHEN vocab > 0 THEN
+    round(CAST(dis AS DOUBLE) / CAST(vocab AS DOUBLE), 9)
+  END AS sichel_s
+FROM agg
+""",
+)
+def q_honore_sichel_corpus(spark, sf_dir):
+    """EXT — Honoré's R and Sichel's S over the corpus word-frequency
+    spectrum (text.honore_sichel; Honoré 1979, Sichel 1975): the two
+    spectrum statistics lexical_richness omits — R tracks hapax
+    productivity (OCR noise mints junk types), S is the length-stable
+    dis-legomena share (template spam recycles types). Exact integer
+    spectrum counts, one IEEE chain each — hash-matched."""
+    from .operators.text import honore_sichel
+
+    return honore_sichel(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

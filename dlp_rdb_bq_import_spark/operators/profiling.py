@@ -4616,3 +4616,418 @@ def cramers_v(
             ).alias("cramers_v"),
         )
     )
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Somers' D asymmetric ordinal association (Somers, ASR 1962):
+    ``D_yx = (C − D)/(n₀ − n₁)`` — concordance with ties penalized on
+    the INDEPENDENT variable only, which makes it the directional
+    "does x predict y's order" readout (D_yx is exactly the Gini/
+    accuracy-ratio twin of classifier_auc: D_yx = 2·AUC − 1 for a
+    binary y) where :func:`kendall_tau_b` symmetrizes. One row out:
+    ``(n (long), concordant, discordant (double — exact integer
+    casts), d_yx, d_xy (double; NULL when the respective denominator
+    is 0))``.
+
+    Exactness AND scale shape: kendall_tau_b's cell-table discipline
+    verbatim — (x, y) distinct-cell self-join under strict
+    inequality (|X|·|Y| bounded raw-measure domains, never row
+    grain), DECIMAL(38,0)/HUGEINT pair folds, ONE final IEEE chain
+    per direction, rounded to 9."""
+    x = F.round(F.col(x_col).cast("double") * F.lit(x_scale)).cast("long")
+    y = F.round(F.col(y_col).cast("double") * F.lit(y_scale)).cast("long")
+    base = df.select(x.alias("_x"), y.alias("_y")).where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    cells = base.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a = cells.select(
+        F.col("_x").alias("_x1"), F.col("_y").alias("_y1"), F.col("_c").alias("_c1")
+    )
+    b = cells.select(
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"), F.col("_c").alias("_c2")
+    )
+    pairs = a.join(b, F.col("_x1") < F.col("_x2"))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_y1") < F.col("_y2"),
+                    (dec("_c1") * dec("_c2")).cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_y1") > F.col("_y2"),
+                    (dec("_c1") * dec("_c2")).cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_discordant"),
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+
+    def tie_fold(col: str, alias: str):
+        return (
+            cells.groupBy(col)
+            .agg(F.sum("_c").cast("decimal(38,0)").alias("_t"))
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("_t") * (F.col("_t") - one) / two).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias(alias)
+            )
+        )
+
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        cd.crossJoin(F.broadcast(tie_fold("_x", "_n1")))
+        .crossJoin(F.broadcast(tie_fold("_y", "_n2")))
+        .crossJoin(F.broadcast(nrow))
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    n0 = (nd * (nd - one) / two).cast("decimal(38,0)")
+    num = F.col("_concordant").cast("double") - F.col("_discordant").cast("double")
+    den_yx = (n0 - F.col("_n1")).cast("double")
+    den_xy = (n0 - F.col("_n2")).cast("double")
+    return out.select(
+        "n",
+        F.col("_concordant").cast("double").alias("concordant"),
+        F.col("_discordant").cast("double").alias("discordant"),
+        F.when(den_yx > 0, F.round(num / den_yx, 9)).alias("d_yx"),
+        F.when(den_xy > 0, F.round(num / den_xy, 9)).alias("d_xy"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples (Wilcoxon,
+    Biometrics Bull. 1945; tie/zero conventions per Hollander & Wolfe
+    §3.1): rank the absolute a−b differences, sum the ranks of the
+    positive ones — the paired companion to :func:`mann_whitney_u`
+    (two independent samples) for "did this per-unit metric move?"
+    questions. Zero differences are dropped (Wilcoxon's convention);
+    ties share midranks with the matching variance correction. One
+    row out: ``(n (long — nonzero pairs), w_plus (double — exact
+    half-integer), z (double; NULL when n = 0 or the tie-corrected
+    variance is 0))``.
+
+    Exactness: differences quantize to integers; midranks stay exact
+    in DOUBLED units (``2p + c + 1`` with p the exclusive-preceding
+    count, c the tie count); W⁺ and the tie term Σ(c³−c) fold in
+    DECIMAL(38,0); ONE final IEEE chain, rounded to 9. Scale shape:
+    distinct-|d| grain with the exclusive-preceding count from the
+    DISTRIBUTED prefix sum (``layout.prefix_sums``, the gini/BH
+    route) — NEVER an unpartitioned window."""
+    from .layout import prefix_sums
+
+    da = F.col(a_col).cast("double")
+    db = F.col(b_col).cast("double")
+    d = (
+        F.round(da * F.lit(unit_scale)).cast("long")
+        - F.round(db * F.lit(unit_scale)).cast("long")
+    )
+    base = (
+        df.select(d.alias("_d"))
+        .where(F.col("_d").isNotNull() & (F.col("_d") != 0))
+        .select(F.abs(F.col("_d")).alias("_ad"), (F.col("_d") > 0).alias("_pos"))
+    )
+    per = base.groupBy("_ad").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.coalesce(F.sum(F.col("_pos").cast("long")), F.lit(0)).cast("long").alias("_cp"),
+    )
+    cum = prefix_sums(per, ["_ad"], "_c", out_col="_p", exclusive=True)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    two = F.lit(2).cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+    # midrank in DOUBLED units: 2p + c + 1 (exact integer)
+    mr2 = (two * dec("_p") + dec("_c") + one).cast("decimal(38,0)")
+    tot = cum.agg(
+        F.coalesce(F.sum(dec("_c")), F.lit(0).cast("decimal(38,0)")).alias("_n"),
+        F.coalesce(
+            F.sum((mr2 * dec("_cp")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_w2"),
+        F.coalesce(
+            F.sum(
+                (dec("_c") * dec("_c") * dec("_c") - dec("_c")).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_ties"),
+    )
+    n = F.col("_n").cast("double")
+    w_plus = F.col("_w2").cast("double") / F.lit(2.0)
+    mu = n * (n + F.lit(1.0)) / F.lit(4.0)
+    var = (
+        n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(24.0)
+        - F.col("_ties").cast("double") / F.lit(48.0)
+    )
+    ok = (F.col("_n") > 0) & (var > 0)
+    return tot.select(
+        F.col("_n").cast("long").alias("n"),
+        F.when(F.col("_n") > 0, F.round(w_plus, 9)).alias("w_plus"),
+        F.when(ok, F.round((w_plus - mu) / F.sqrt(var), 9)).alias("z"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Theil T inequality index (Theil, Economics and Information
+    Theory 1967): ``T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)`` — the
+    entropy-based companion to :func:`gini_coefficient`, and the one
+    inequality measure that DECOMPOSES additively across subgroups
+    (between + within), which is why skew audits prefer it. 0 = equal,
+    ln n = one entity holds everything. Zero values contribute 0 (the
+    x·ln x limit); negative values raise (undefined). One row out:
+    ``(n (long), mean (double — original units), theil (double; NULL
+    for empty or zero-total input))``.
+
+    Exactness: values quantize to integers, group to DISTINCT values;
+    each distinct value's ``(v/μ)·ln(v/μ)`` is ONE IEEE chain over
+    exact integers (μ = T/n attached as the exact pair (T, n), never
+    a pre-divided double), micro-quantized to 1e-9 units BEFORE the
+    count-weighted DECIMAL(38,0) fold, one final division, rounded
+    to 9. Scale shape: value-grain groupBy, 1-row total attach, one
+    fold — no windows."""
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    per = (
+        df.select(v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = per.agg(
+        F.coalesce(F.sum(dec("_c")), F.lit(0).cast("decimal(38,0)")).alias("_n"),
+        F.coalesce(
+            F.sum((dec("_v") * dec("_c")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_t"),
+        F.min("_v").alias("_mn"),
+    )
+    staged = per.crossJoin(F.broadcast(tot))
+    # r = v/μ = v·n/T — one IEEE chain over exact integers
+    r = (
+        F.col("_v").cast("double")
+        * F.col("_n").cast("double")
+        / F.col("_t").cast("double")
+    )
+    term_nano = F.when(F.col("_v") > 0, F.round(r * F.log(r) * F.lit(1e9))).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(38,0)")
+    folded = staged.select(
+        "_n",
+        "_t",
+        "_mn",
+        (term_nano * dec("_c")).cast("decimal(38,0)").alias("_term"),
+    ).groupBy("_n", "_t", "_mn").agg(
+        F.coalesce(F.sum("_term"), F.lit(0).cast("decimal(38,0)")).alias("_s")
+    )
+    s = F.lit(float(unit_scale))
+    theil = F.col("_s").cast("double") / F.lit(1e9) / F.col("_n").cast("double")
+    return folded.select(
+        F.col("_n").cast("long").alias("n"),
+        F.when(F.col("_mn") < 0, F.raise_error("theil_index: negative values"))
+        .when(
+            (F.col("_n") > 0),
+            F.round(
+                F.col("_t").cast("double") / F.col("_n").cast("double") / s, 9
+            ),
+        )
+        .alias("mean"),
+        F.when((F.col("_n") > 0) & (F.col("_t") > 0), F.round(theil, 9)).alias(
+            "theil"
+        ),
+    )
+
+
+def concentration_report(
+    df: DataFrame,
+    item_cols: list[str],
+    value_col: str,
+    top_k: tuple[int, int] = (4, 8),
+) -> DataFrame:
+    """Market-concentration readout over item value shares: the
+    Herfindahl–Hirschman index ``HHI = Σ sᵢ²`` (Herfindahl 1950;
+    Hirschman 1945; the antitrust standard — ≤ 0.01 competitive,
+    ≥ 0.25 concentrated) plus the CR-k top-k concentration ratios —
+    the scalar companions to :func:`pareto_class`'s full curve and
+    :func:`gini_coefficient`'s inequality reading (HHI weighs the
+    HEAD; gini weighs the whole distribution). One row out:
+    ``(n_items (long), total (double — original units), hhi, cr_a,
+    cr_b (double; NULL for empty/zero-total input))``.
+
+    Exactness: per-item values are exact decimal micro-units; HHI is
+    ``Σvᵢ²/T²`` — two exact DECIMAL folds and one IEEE chain; CR-k
+    sums the top-k exact values (TakeOrdered, k constant — never a
+    global sort materialization) over T. Scale shape: item-grain
+    groupBy + one fold + one top-k limit; no windows."""
+    ka, kb = top_k
+    if not (0 < ka < kb):
+        raise ValueError(f"concentration_report: need 0 < k_a < k_b, got {top_k}")
+    per = df.groupBy(*item_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_val")
+    )
+    vu = (F.col("_val") * F.lit(1000000)).cast("decimal(38,0)")
+    staged = per.select(vu.alias("_vu"))
+    tot = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("_vu"), F.lit(0).cast("decimal(38,0)")).alias("_t"),
+        F.coalesce(
+            F.sum((F.col("_vu") * F.col("_vu")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_q"),
+    )
+
+    def _topsum(k: int, alias: str) -> DataFrame:
+        return (
+            staged.orderBy(F.col("_vu").desc())
+            .limit(k)
+            .agg(
+                F.coalesce(F.sum("_vu"), F.lit(0).cast("decimal(38,0)")).alias(alias)
+            )
+        )
+
+    out = tot.crossJoin(F.broadcast(_topsum(ka, "_ta"))).crossJoin(
+        F.broadcast(_topsum(kb, "_tb"))
+    )
+    t = F.col("_t").cast("double")
+    ok = (F.col("n_items") > 0) & (F.col("_t") > 0)
+    return out.select(
+        "n_items",
+        F.when(F.col("n_items") > 0, F.round(t / F.lit(1e6), 9)).alias("total"),
+        F.when(ok, F.round(F.col("_q").cast("double") / (t * t), 9)).alias("hhi"),
+        F.when(ok, F.round(F.col("_ta").cast("double") / t, 9)).alias("cr_a"),
+        F.when(ok, F.round(F.col("_tb").cast("double") / t, 9)).alias("cr_b"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Friedman rank test for k matched treatments across n blocks
+    (Friedman, JASA 1937; tie-corrected form per Conover, Practical
+    Nonparametric Statistics §5.8): rank the k treatments WITHIN each
+    block, ask whether the rank sums differ — the repeated-measures
+    companion to :func:`kruskal_wallis`'s independent-groups test
+    (blocks = days/segments remove their own level, so day-to-day
+    drift cannot masquerade as a treatment effect). Only COMPLETE
+    blocks (all k treatments present exactly once) enter — the
+    matched design's requirement; others are dropped and counted.
+    One row out: ``(n_blocks, n_dropped, k (long), df (long), chi2
+    (double; NULL when n_blocks = 0, k < 2, or every block is fully
+    tied))``.
+
+    Exactness: values quantize to integers; within-block midranks
+    stay exact in DOUBLED units (2·rank + ties − 1); rank sums and
+    Σr² fold in DECIMAL(38,0); the tie-corrected statistic
+    ``(k−1)·Σ(R2ⱼ−n(k+1))²/(A4−nk(k+1)²)`` (everything in the
+    doubled-unit algebra) is integer-exact to ONE final division,
+    rounded to 9. Scale shape: (block, treatment)-grain groupBy, a
+    per-BLOCK window (bounded by k rows per block — never global),
+    one k-row fold."""
+    from pyspark.sql import Window
+
+    bv = F.col(block_col).cast("string")
+    tv = F.col(treatment_col).cast("string")
+    v = F.round(F.col(value_col).cast("double") * F.lit(unit_scale)).cast("long")
+    cell = (
+        df.select(bv.alias("_b"), tv.alias("_t"), v.alias("_v"))
+        .where(
+            F.col("_b").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_v").isNotNull()
+        )
+        .groupBy("_b", "_t")
+        .agg(F.sum("_v").cast("long").alias("_x"))
+    )
+    k_tot = cell.agg(F.countDistinct("_t").cast("long").alias("_k"))
+    sizes = cell.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_bk"))
+    complete = sizes.crossJoin(F.broadcast(k_tot)).select(
+        "_b", (F.col("_bk") == F.col("_k")).alias("_full")
+    )
+    n_dropped = complete.agg(
+        F.coalesce(F.sum((~F.col("_full")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_dropped")
+    )
+    kept = cell.join(complete.where("_full").select("_b"), "_b")
+    wr = Window.partitionBy("_b").orderBy("_x")
+    wt = Window.partitionBy("_b", "_x")
+    # midrank in DOUBLED units: 2·min_rank + ties − 1 (exact integer)
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        )
+        .cast("long")
+        .alias("_mr2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.coalesce(F.sum(dec("_mr2")), F.lit(0).cast("decimal(38,0)")).alias("_r2j"),
+        F.coalesce(
+            F.sum((dec("_mr2") * dec("_mr2")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_a4j"),
+    )
+    folded = per_t.crossJoin(F.broadcast(k_tot)).crossJoin(
+        F.broadcast(n_dropped)
+    )
+    nb = F.col("_nb").cast("decimal(38,0)")
+    kd = F.col("_k").cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+    devsq = (
+        (F.col("_r2j") - nb * (kd + one))
+        * (F.col("_r2j") - nb * (kd + one))
+    ).cast("decimal(38,0)")
+    tot = folded.groupBy("_k", "n_dropped").agg(
+        F.max("_nb").cast("long").alias("n_blocks"),
+        F.coalesce(F.sum(devsq), F.lit(0).cast("decimal(38,0)")).alias("_num"),
+        F.coalesce(F.sum("_a4j"), F.lit(0).cast("decimal(38,0)")).alias("_a4"),
+    )
+    nbl = F.col("n_blocks").cast("decimal(38,0)")
+    kdd = F.col("_k").cast("decimal(38,0)")
+    den = (
+        F.col("_a4") - nbl * kdd * (kdd + one) * (kdd + one)
+    ).cast("decimal(38,0)")
+    chi2 = (
+        (F.col("_k") - 1).cast("double")
+        * F.col("_num").cast("double")
+        / den.cast("double")
+    )
+    return tot.select(
+        "n_blocks",
+        "n_dropped",
+        F.col("_k").cast("long").alias("k"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+        F.when(
+            (F.col("n_blocks") > 0) & (F.col("_k") >= 2) & (den.cast("double") != 0.0),
+            F.round(chi2, 9),
+        ).alias("chi2"),
+    )

@@ -2841,3 +2841,130 @@ def lexical_richness(
             F.round(F.col("hapax").cast("double") / v, 9),
         ).alias("hapax_ratio"),
     )
+
+
+def readability_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-based readability panel per document: Coleman–Liau
+    index (Coleman & Liau, J. Appl. Psych. 1975: ``0.0588·L −
+    0.296·S − 15.8`` with L = letters and S = sentences per 100
+    words) and the Automated Readability Index (Senter & Smith 1967:
+    ``4.71·(letters/words) + 0.5·(words/sentences) − 21.43``) — the
+    two grade-level scores that need NO syllable heuristic, which
+    makes them the robust cross-check on :func:`flesch_reading_ease`
+    (vowel-group syllable counts misfire on URLs/code; letter counts
+    do not). Both report U.S. grade level — agreement across the
+    three flags a trustworthy estimate, divergence flags non-prose.
+
+    Counting conventions shared with flesch: words = corpus
+    single-space convention; sentences = ``[.!?]+`` terminator
+    groups floored at 1; letters = ``[a-z0-9]`` after lowercasing
+    (alphanumerics — the published CLI convention). Every formula
+    input is an exact integer; each score is ONE shared IEEE chain,
+    rounded to 9. Output: ``(id_col, n_letters, n_words, n_sentences
+    (long), coleman_liau, ari (double; NULL for empty/wordless
+    text))``. Scale shape: one scan-local projection, zero UDFs, no
+    shuffle at all."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    words_arr = F.split(lower, " ")
+    n_words = F.when(
+        t.isNotNull() & (F.length(t) > 0),
+        F.size(F.filter(words_arr, lambda w: w != "")),
+    ).otherwise(F.lit(0)).cast("long")
+    n_sent = F.when(
+        t.isNotNull(),
+        F.greatest(F.size(F.split(t, "[.!?]+")) - 1, F.lit(1)),
+    ).otherwise(F.lit(0)).cast("long")
+    n_let = F.when(
+        t.isNotNull(),
+        F.length(F.regexp_replace(lower, "[^a-z0-9]", "")),
+    ).otherwise(F.lit(0)).cast("long")
+    scan = df.select(
+        F.col(id_col),
+        n_let.alias("n_letters"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+    )
+    w = F.col("n_words").cast("double")
+    letters = F.col("n_letters").cast("double")
+    sent = F.col("n_sentences").cast("double")
+    cli = (
+        F.lit(0.0588) * (letters / w * F.lit(100.0))
+        - F.lit(0.296) * (sent / w * F.lit(100.0))
+        - F.lit(15.8)
+    )
+    ari = (
+        F.lit(4.71) * (letters / w)
+        + F.lit(0.5) * (w / sent)
+        - F.lit(21.43)
+    )
+    ok = F.col("n_words") > 0
+    return scan.select(
+        id_col,
+        "n_letters",
+        "n_words",
+        "n_sentences",
+        F.when(ok, F.round(cli, 9)).alias("coleman_liau"),
+        F.when(ok, F.round(ari, 9)).alias("ari"),
+    )
+
+
+def honore_sichel(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Honoré's R and Sichel's S over the corpus frequency spectrum
+    (Honoré, ALLC Bull. 1979: ``R = 100·ln N / (1 − V₁/V)``; Sichel,
+    JRSS-A 1975: ``S = V₂/V``) — the two spectrum statistics
+    :func:`lexical_richness` omits: R diverges as hapaxes approach
+    the whole vocabulary (productive, open vocabularies — or OCR
+    noise minting junk types), S is nearly text-length stable and
+    drops when templated text recycles its types. Same tokenization
+    as lexical_richness (lowercase, corpus single-space convention).
+    One row: ``(n_tokens, vocab, hapax, dis (long), honore_r
+    (double; NULL when V₁ = V — the form diverges — or the corpus is
+    empty), sichel_s (double; NULL on an empty vocabulary))``.
+
+    Exactness: all four spectrum counts are exact integers from one
+    word-grain groupBy + one fold; each readout is ONE shared IEEE
+    chain (ln for R), rounded to 9. Scale shape: the
+    lexical_richness/chao1 shape — word-grain groupBy, one 4-scalar
+    fold, spectrum never materialized."""
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    per = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = per.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("hapax"),
+        F.coalesce(F.sum((F.col("c") == 2).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("dis"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("vocab").cast("double")
+    v1 = F.col("hapax").cast("double")
+    r = F.lit(100.0) * F.log(n) / (F.lit(1.0) - v1 / v)
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis",
+        F.when(
+            (F.col("n_tokens") > 0) & (F.col("hapax") < F.col("vocab")),
+            F.round(r, 9),
+        ).alias("honore_r"),
+        F.when(
+            F.col("vocab") > 0,
+            F.round(F.col("dis").cast("double") / v, 9),
+        ).alias("sichel_s"),
+    )

@@ -1620,3 +1620,267 @@ def pacf(
             out.append((k, round(phi_kk, 9)))
             phi_prev = phi_cur
     return spark.createDataFrame(out, "lag long, pacf double")
+
+
+def durbin_watson(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Durbin–Watson autocorrelation test on the residuals of the
+    daily OLS trend (Durbin & Watson, Biometrika 1950): ``DW =
+    Σ(eₜ−eₜ₋₁)²/Σeₜ²`` over the day-ordered residuals of
+    :func:`ols_trend`'s fit — THE standard check that a trend line's
+    errors are independent (DW ≈ 2), positively autocorrelated
+    (→ 0: the se/t the OLS reports are overconfident) or negatively
+    (→ 4). One row out: ``(n_days (long), dw_stat, rho_hat
+    (double — the 1 − DW/2 first-order estimate; NULL when n < 3,
+    zero day spread, or zero residual variance))``.
+
+    Exactness: the OLS moments are the exact integer folds of
+    ols_trend; each residual is ONE IEEE chain over them; the
+    (Δe)²/e² terms micro-quantize to 1e-6 units and fold in
+    DECIMAL(38,0) (order-free), one final division, rounded to 9.
+    Scale shape: day-grain aggregate, one 5-moment fold, one lag
+    window over the DAY series (CALENDAR-bounded — the cusum
+    contract), one k-row fold."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    first = daily.agg(F.min("day").alias("_d0"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    staged = daily.crossJoin(F.broadcast(first)).select(
+        F.datediff(F.col("day"), F.col("_d0")).cast("long").alias("_xd"),
+        F.col("_x").alias("_y"),
+        "day",
+    )
+    m = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.sum(dec(F.col("_xd"))), F.lit(0).cast("decimal(38,0)")).alias("_sx"),
+        F.coalesce(F.sum(dec(F.col("_y"))), F.lit(0).cast("decimal(38,0)")).alias("_sy"),
+        F.coalesce(F.sum((dec(F.col("_xd")) * dec(F.col("_y"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxy"),
+        F.coalesce(F.sum((dec(F.col("_xd")) * dec(F.col("_xd"))).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("_sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    cxx = sxx - sx * sx / n
+    b = (sxy - sx * sy / n) / cxx
+    a = sy / n - b * sx / n
+    resid = F.col("_y").cast("double") - (
+        F.col("_a") + F.col("_b") * F.col("_xd").cast("double")
+    )
+    w = Window.orderBy("day")
+    ed = staged.crossJoin(
+        F.broadcast(m.select(n.alias("_n"), cxx.alias("_cxx"), b.alias("_b"), a.alias("_a")))
+    ).select(
+        "day",
+        "_n",
+        "_cxx",
+        resid.alias("_e"),
+    )
+    lagged = ed.select(
+        "_n",
+        "_cxx",
+        F.round(F.col("_e") * F.col("_e") * F.lit(1e6)).cast("decimal(38,0)").alias("_e2"),
+        F.lag("_e").over(w).alias("_ep"),
+        "_e",
+    ).select(
+        "_n",
+        "_cxx",
+        "_e2",
+        F.when(
+            F.col("_ep").isNotNull(),
+            F.round(
+                (F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep"))
+                * F.lit(1e6)
+            ).cast("decimal(38,0)"),
+        ).alias("_d2"),
+    )
+    tot = lagged.groupBy("_n", "_cxx").agg(
+        F.sum("_e2").alias("_se2"),
+        F.sum("_d2").alias("_sd2"),
+    )
+    dw = F.col("_sd2").cast("double") / F.col("_se2").cast("double")
+    ok = (F.col("_n") >= 3) & (F.col("_cxx") > 0) & (F.col("_se2") > 0)
+    return tot.select(
+        F.col("_n").cast("long").alias("n_days"),
+        F.when(ok, F.round(dw, 9)).alias("dw_stat"),
+        F.when(ok, F.round(F.lit(1.0) - dw / F.lit(2.0), 9)).alias("rho_hat"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test (Ljung & Box, Biometrika
+    1978): ``Q = n(n+2)·Σ_{ℓ=1..h} r²_ℓ/(n−ℓ)`` over the sample ACF —
+    is the daily series white noise across ALL lags up to h at once,
+    where :func:`autocorrelation` eyeballs one lag at a time (the
+    standard residual-diagnostic after fitting a trend/seasonal
+    model). One row out: ``(n_days (long), h (long), q_stat (double;
+    NULL when the series is constant or shorter than h+1 days))``.
+
+    Exactness: the ACF lags are autocorrelation's exact-integer-fold
+    readouts (each rounded to 9 — the composition reuses the same
+    values the acf gate row pins); each r²ℓ/(n−ℓ) term micro-
+    quantizes to 1e-15 units (terms are ≤ 1/(n−h)) and folds in
+    DECIMAL(38,0), one final chain, rounded to 9. Scale shape: the
+    ACF's day-grain equi-joins plus an h-row fold."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    acf = autocorrelation(
+        df, ts_col=ts_col, value_col=value_col, max_lag=max_lag,
+        unit_scale=unit_scale,
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    term = F.round(
+        F.col("acf") * F.col("acf")
+        / (F.col("_n").cast("double") - F.col("lag").cast("double"))
+        * F.lit(1e15)
+    ).cast("decimal(38,0)")
+    staged = acf.crossJoin(F.broadcast(nd)).select(
+        "_n",
+        F.col("acf").isNull().cast("int").alias("_bad"),
+        F.when(F.col("acf").isNotNull(), term).alias("_t"),
+    )
+    tot = staged.groupBy("_n").agg(
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.max("_bad").alias("_any_bad"),
+        F.sum("_t").alias("_ts"),
+    )
+    n = F.col("_n").cast("double")
+    q = (
+        n * (n + F.lit(2.0))
+        * (F.col("_ts").cast("double") / F.lit(1e15))
+    )
+    return tot.select(
+        F.col("_n").cast("long").alias("n_days"),
+        "h",
+        F.when(F.col("_any_bad") == 0, F.round(q, 9)).alias("q_stat"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the SIGNS of day-over-day changes
+    (Wald & Wolfowitz, Ann. Math. Stat. 1940): too few runs = sticky
+    regimes (momentum), too many = oscillation — the
+    distribution-free randomness check that needs no model at all,
+    where Ljung–Box assumes a linear one. Zero-change days carry no
+    sign and are dropped (the standard tie convention). One row out:
+    ``(n_plus, n_minus, n_runs (long), z (double; NULL when either
+    sign is absent or the variance is 0))``.
+
+    Exactness: day totals are exact integers, so every sign, the run
+    boundaries and the three counts are integer-exact; z is ONE IEEE
+    chain over them, rounded to 9. Scale shape: day-grain aggregate +
+    two lag windows over the DAY series (CALENDAR-bounded)."""
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    w = Window.orderBy("day")
+    diff = daily.select(
+        "day", (F.col("_x") - F.lag("_x").over(w)).alias("_d")
+    ).where(F.col("_d").isNotNull() & (F.col("_d") != 0))
+    signs = diff.select("day", (F.col("_d") > 0).alias("_s"))
+    runs = signs.select(
+        "_s",
+        F.when(
+            F.lag("_s").over(w).isNull() | (F.lag("_s").over(w) != F.col("_s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    tot = runs.agg(
+        F.coalesce(F.sum(F.col("_s").cast("long")), F.lit(0)).cast("long").alias("n_plus"),
+        F.coalesce(F.sum((~F.col("_s")).cast("long")), F.lit(0)).cast("long").alias("n_minus"),
+        F.coalesce(F.sum("_new_run"), F.lit(0)).cast("long").alias("n_runs"),
+    )
+    p = F.col("n_plus").cast("double")
+    q = F.col("n_minus").cast("double")
+    r = F.col("n_runs").cast("double")
+    nn = p + q
+    mu = F.lit(2.0) * p * q / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0) * p * q * (F.lit(2.0) * p * q - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    ok = (F.col("n_plus") > 0) & (F.col("n_minus") > 0) & (var > 0)
+    return tot.select(
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.when(ok, F.round((r - mu) / F.sqrt(var), 9)).alias("z"),
+    )
+
+
+def mase_seasonal_naive(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Mean Absolute Scaled Error of the seasonal-naïve forecast
+    (Hyndman & Koehler, IJF 2006): ``MASE = MAE(yₜ vs yₜ₋ₘ) /
+    MAE(yₜ vs yₜ₋₁)`` on the daily series — the scale-free forecast
+    skill score: < 1 means "last week same-day" beats "yesterday", the
+    cheapest possible seasonality-strength readout and the honest
+    baseline every fancier forecaster (holt_linear_forecast) must
+    beat. One row out: ``(n_seasonal_pairs, n_naive_pairs (long),
+    mae_seasonal, mae_naive (double — original units), mase (double;
+    NULL when either pair set is empty or the naïve MAE is 0))``.
+
+    Exactness: day totals and both |Δ| sets are exact integers;
+    the two means and their ratio are ONE IEEE chain, rounded to 9.
+    Pairs come from date-shift equi-joins — days missing from the
+    series simply don't pair (no window at all). Scale shape:
+    day-grain aggregate + two self-equi-joins on day."""
+    if season < 2:
+        raise ValueError(f"mase_seasonal_naive: season must be >= 2, got {season}")
+    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def _mae(shift: int, tag: str) -> DataFrame:
+        prev = daily.select(
+            F.date_add("day", shift).alias("day"), F.col("_x").alias("_p")
+        )
+        return (
+            daily.join(prev, "day")
+            .select(F.abs(dec(F.col("_x")) - dec(F.col("_p"))).alias("_a"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}_pairs"),
+                F.coalesce(F.sum("_a"), F.lit(0).cast("decimal(38,0)")).alias(f"_s_{tag}"),
+            )
+        )
+    tot = _mae(season, "seasonal").crossJoin(F.broadcast(_mae(1, "naive")))
+    s = F.lit(float(unit_scale))
+    mae_s = (
+        F.col("_s_seasonal").cast("double")
+        / F.col("n_seasonal_pairs").cast("double")
+    )
+    mae_n = (
+        F.col("_s_naive").cast("double") / F.col("n_naive_pairs").cast("double")
+    )
+    ok = (
+        (F.col("n_seasonal_pairs") > 0)
+        & (F.col("n_naive_pairs") > 0)
+        & (F.col("_s_naive") > 0)
+    )
+    return tot.select(
+        "n_seasonal_pairs",
+        "n_naive_pairs",
+        F.when(F.col("n_seasonal_pairs") > 0, F.round(mae_s / s, 9)).alias("mae_seasonal"),
+        F.when(F.col("n_naive_pairs") > 0, F.round(mae_n / s, 9)).alias("mae_naive"),
+        F.when(ok, F.round(mae_s / mae_n, 9)).alias("mase"),
+    )

@@ -189,3 +189,351 @@ def test_cramers_v_single_level_null(spark):
     df = spark.createDataFrame([Row(a="x", b="p"), Row(a="x", b="q")])
     out = cramers_v(df, "a", "b").collect()[0]
     assert out.cramers_v is None and out.r == 1
+
+
+# --------------------------------------------------------------------------
+# wave C: timeseries diagnostics (durbin-watson, ljung-box, runs, MASE)
+# --------------------------------------------------------------------------
+
+
+def _daily_rows(values, start="2024-01-01"):
+    import datetime
+
+    d0 = datetime.date.fromisoformat(start)
+    return [
+        Row(ts=datetime.datetime.combine(
+            d0 + datetime.timedelta(days=i), datetime.time(12)
+        ), v=float(v))
+        for i, v in enumerate(values)
+    ]
+
+
+def test_durbin_watson_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import durbin_watson
+
+    rng = np.random.RandomState(19)
+    # AR(1)-ish residuals around a trend: DW should sit well below 2
+    e = np.zeros(120)
+    for i in range(1, 120):
+        e[i] = 0.6 * e[i - 1] + rng.normal(0, 5)
+    y = np.round(100 + 2.5 * np.arange(120) + e, 2)
+    df = spark.createDataFrame(_daily_rows(y))
+    out = durbin_watson(df, ts_col="ts", value_col="v").collect()[0]
+    q = np.round(y * 100)
+    x = np.arange(120)
+    b, a = np.polyfit(x, q, 1)
+    res = q - (a + b * x)
+    dw_ref = np.sum(np.diff(res) ** 2) / np.sum(res**2)
+    assert out.n_days == 120
+    assert out.dw_stat == pytest.approx(dw_ref, abs=1e-6)
+    assert out.dw_stat < 1.5  # positive autocorrelation detected
+    assert out.rho_hat == pytest.approx(1 - dw_ref / 2, abs=1e-6)
+
+
+def test_durbin_watson_short_series_null(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import durbin_watson
+
+    df = spark.createDataFrame(_daily_rows([10.0, 12.0]))
+    out = durbin_watson(df, ts_col="ts", value_col="v").collect()[0]
+    assert out.n_days == 2 and out.dw_stat is None
+
+
+def test_ljung_box_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import ljung_box
+
+    rng = np.random.RandomState(20)
+    y = np.round(rng.normal(1000, 50, 90) + 80 * np.sin(np.arange(90) * 2 * np.pi / 7), 2)
+    df = spark.createDataFrame(_daily_rows(y))
+    out = ljung_box(df, ts_col="ts", value_col="v").collect()[0]
+    q = np.round(y * 100).astype(np.int64)
+    n = len(q)
+    mu = q.mean()
+    den = np.sum((q - mu) ** 2)
+    acf = [round(np.sum((q[:-l] - mu) * (q[l:] - mu)) / den, 9) for l in range(1, 8)]
+    q_ref = n * (n + 2) * sum(r**2 / (n - l) for l, r in enumerate(acf, 1))
+    assert (out.n_days, out.h) == (90, 7)
+    assert out.q_stat == pytest.approx(q_ref, abs=1e-5)
+    assert out.q_stat > 20  # weekly cycle: decisively non-white
+
+
+def test_runs_test_matches_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import runs_test
+
+    # deterministic alternating series: maximal runs, z > 0
+    y = [100 + (5 if i % 2 else -5) for i in range(40)]
+    df = spark.createDataFrame(_daily_rows(y))
+    out = runs_test(df, ts_col="ts", value_col="v").collect()[0]
+    # 39 nonzero diffs alternate sign -> 39 runs
+    assert (out.n_plus + out.n_minus, out.n_runs) == (39, 39)
+    p, q, r = out.n_plus, out.n_minus, out.n_runs
+    mu = 2 * p * q / (p + q) + 1
+    var = 2 * p * q * (2 * p * q - p - q) / ((p + q) ** 2 * (p + q - 1))
+    assert out.z == pytest.approx((r - mu) / np.sqrt(var), abs=1e-9)
+    assert out.z > 3  # oscillation detected
+
+
+def test_runs_test_zero_diffs_dropped(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import runs_test
+
+    y = [10.0, 10.0, 12.0, 12.0, 11.0, 11.0, 13.0]
+    df = spark.createDataFrame(_daily_rows(y))
+    out = runs_test(df, ts_col="ts", value_col="v").collect()[0]
+    # nonzero diffs: +2, -1, +2 -> 2 plus-runs + 1 minus-run
+    assert (out.n_plus, out.n_minus, out.n_runs) == (2, 1, 3)
+
+
+def test_mase_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import mase_seasonal_naive
+
+    rng = np.random.RandomState(21)
+    base = 1000 + 200 * np.sin(np.arange(70) * 2 * np.pi / 7)
+    y = np.round(base + rng.normal(0, 10, 70), 2)
+    df = spark.createDataFrame(_daily_rows(y))
+    out = mase_seasonal_naive(df, ts_col="ts", value_col="v").collect()[0]
+    q = np.round(y * 100)
+    mae_s = np.mean(np.abs(q[7:] - q[:-7])) / 100
+    mae_n = np.mean(np.abs(q[1:] - q[:-1])) / 100
+    assert (out.n_seasonal_pairs, out.n_naive_pairs) == (63, 69)
+    assert out.mae_seasonal == pytest.approx(mae_s, abs=1e-9)
+    assert out.mae_naive == pytest.approx(mae_n, abs=1e-9)
+    assert out.mase == pytest.approx(mae_s / mae_n, abs=1e-9)
+    assert out.mase < 0.5  # strong weekly seasonality: seasonal-naive wins
+
+
+def test_mase_gap_days_simply_do_not_pair(spark):
+    from dlp_rdb_bq_import_spark.operators.timeseries import mase_seasonal_naive
+
+    rows = _daily_rows([10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0])
+    rows = [r for i, r in enumerate(rows) if i != 1]  # knock out day 1
+    out = mase_seasonal_naive(
+        spark.createDataFrame(rows), ts_col="ts", value_col="v"
+    ).collect()[0]
+    assert out.n_seasonal_pairs == 1  # only day 8 pairs with day 1... gone -> day7+
+    assert out.n_naive_pairs == 6
+
+
+# --------------------------------------------------------------------------
+# wave B/D/E: rank tests, inequality/concentration, text spectrum
+# --------------------------------------------------------------------------
+
+
+def test_somers_d_matches_pair_loop(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import somers_d
+
+    rng = np.random.RandomState(22)
+    x = rng.randint(1, 8, 300)
+    y = np.round((x * 0.03 + rng.random(300) * 0.1), 2)
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b)) for a, b in zip(x, y)]
+    )
+    out = somers_d(df, "x", "y", x_scale=1, y_scale=100).collect()[0]
+    qx, qy = x, np.round(y * 100)
+    c = d = tx = ty = 0
+    n = len(qx)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if qx[i] == qx[j]:
+                tx += 1
+                continue
+            if qy[i] == qy[j]:
+                ty += 1
+                continue
+            if (qx[i] - qx[j]) * (qy[i] - qy[j]) > 0:
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) / 2
+    # pair-loop ties: tx counts pairs tied on x (regardless of y), the
+    # formula's n1; ty here = tied-on-y-only, so n2 = ty + both-tied
+    both = sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if qx[i] == qx[j] and qy[i] == qy[j]
+    )
+    n1 = tx
+    n2 = ty + both
+    assert out.n == n and out.concordant == c and out.discordant == d
+    assert out.d_yx == pytest.approx((c - d) / (n0 - n1), abs=1e-9)
+    assert out.d_xy == pytest.approx((c - d) / (n0 - n2), abs=1e-9)
+
+
+def test_wilcoxon_signed_rank_matches_midrank_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import wilcoxon_signed_rank
+
+    rng = np.random.RandomState(23)
+    a = np.round(rng.normal(100, 10, 250), 2)
+    b = np.round(a - 0.8 + rng.normal(0, 3, 250), 2)  # a shifted up
+    df = spark.createDataFrame(
+        [Row(a=float(u), b=float(v)) for u, v in zip(a, b)]
+    )
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    d = np.round(a * 100) - np.round(b * 100)
+    d = d[d != 0]
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="mergesort")
+    ranks = np.empty(len(ad))
+    sv = ad[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    w_plus = ranks[d > 0].sum()
+    n = len(d)
+    _, counts = np.unique(ad, return_counts=True)
+    ties = float(np.sum(counts.astype(float) ** 3 - counts))
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z_ref = (w_plus - n * (n + 1) / 4.0) / np.sqrt(var)
+    assert out.n == n
+    assert out.w_plus == pytest.approx(w_plus, abs=1e-9)
+    assert out.z == pytest.approx(z_ref, abs=1e-9)
+    assert out.z > 2  # the planted +0.8 shift is detected
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([Row(a=5.0, b=5.0)] * 4)
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out.n == 0 and out.w_plus is None and out.z is None
+
+
+def test_theil_index_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import theil_index
+
+    rng = np.random.RandomState(24)
+    x = np.round(rng.lognormal(3, 1, 500), 2)
+    out = theil_index(
+        spark.createDataFrame([Row(v=float(v)) for v in x]), "v"
+    ).collect()[0]
+    q = np.round(x * 100)
+    mu = q.mean()
+    t_ref = np.mean((q / mu) * np.log(q / mu))
+    assert out.n == 500
+    assert out.mean == pytest.approx(x.mean(), abs=1e-6)
+    assert out.theil == pytest.approx(t_ref, abs=1e-6)
+    assert out.theil > 0.3  # lognormal sigma=1: clearly unequal
+
+
+def test_theil_equal_values_zero_and_negative_raises(spark):
+    from pyspark.errors import PySparkException
+
+    from dlp_rdb_bq_import_spark.operators.profiling import theil_index
+
+    out = theil_index(
+        spark.createDataFrame([Row(v=10.0)] * 6), "v"
+    ).collect()[0]
+    assert out.theil == 0.0
+    with pytest.raises(PySparkException, match="negative"):
+        theil_index(
+            spark.createDataFrame([Row(v=-1.0), Row(v=2.0)]), "v"
+        ).collect()
+
+
+def test_concentration_report_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import concentration_report
+
+    rng = np.random.RandomState(25)
+    vals = np.round(rng.pareto(1.2, 40) * 100 + 1, 2)
+    rows = [Row(item=i, v=float(v)) for i, v in enumerate(vals)]
+    out = concentration_report(
+        spark.createDataFrame(rows), ["item"], "v"
+    ).collect()[0]
+    s = vals / vals.sum()
+    top = np.sort(vals)[::-1]
+    assert out.n_items == 40
+    assert out.total == pytest.approx(vals.sum(), abs=1e-6)
+    assert out.hhi == pytest.approx((s**2).sum(), abs=1e-9)
+    assert out.cr_a == pytest.approx(top[:4].sum() / vals.sum(), abs=1e-9)
+    assert out.cr_b == pytest.approx(top[:8].sum() / vals.sum(), abs=1e-9)
+    with pytest.raises(ValueError, match="k_a"):
+        concentration_report(spark.createDataFrame(rows), ["item"], "v", top_k=(8, 4))
+
+
+def test_friedman_matches_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import friedman_test
+
+    rng = np.random.RandomState(26)
+    n_blocks, k = 25, 4
+    effects = np.array([0.0, 0.5, 1.0, 0.2])
+    rows = []
+    data = np.zeros((n_blocks, k))
+    for b in range(n_blocks):
+        base = rng.normal(10, 2)
+        for j in range(k):
+            data[b, j] = round(base + effects[j] + rng.normal(0, 0.5), 2)
+            rows.append(Row(b=f"b{b}", t=f"t{j}", v=float(data[b, j])))
+    out = friedman_test(
+        spark.createDataFrame(rows), "b", "t", "v"
+    ).collect()[0]
+    q = np.round(data * 100)
+    ranks = np.zeros_like(q)
+    for b in range(n_blocks):
+        row = q[b]
+        order = np.argsort(row, kind="mergesort")
+        rr = np.empty(k)
+        sv = row[order]
+        i = 0
+        while i < k:
+            j = i
+            while j < k and sv[j] == sv[i]:
+                j += 1
+            rr[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        ranks[b] = rr
+    rj = ranks.sum(axis=0)
+    a_stat = (ranks**2).sum()
+    c_stat = n_blocks * k * (k + 1) ** 2 / 4.0
+    num = ((rj - n_blocks * (k + 1) / 2.0) ** 2).sum()
+    chi2_ref = (k - 1) * num / (a_stat - c_stat)
+    assert (out.n_blocks, out.k, out.df, out.n_dropped) == (25, 4, 3, 0)
+    assert out.chi2 == pytest.approx(chi2_ref, abs=1e-9)
+    assert out.chi2 > 7.8  # planted treatment effect detected
+
+
+def test_friedman_incomplete_blocks_dropped(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import friedman_test
+
+    rows = [
+        Row(b="b0", t="x", v=1.0), Row(b="b0", t="y", v=2.0),
+        Row(b="b1", t="x", v=2.0), Row(b="b1", t="y", v=1.0),
+        Row(b="b2", t="x", v=3.0),  # incomplete: y missing
+    ]
+    out = friedman_test(
+        spark.createDataFrame(rows), "b", "t", "v"
+    ).collect()[0]
+    assert (out.n_blocks, out.n_dropped, out.k) == (2, 1, 2)
+
+
+def test_readability_panel_hand_example(spark):
+    from dlp_rdb_bq_import_spark.operators.text import readability_panel
+
+    text = "The cat sat on the mat. It purred!"
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = readability_panel(df).collect()[0]
+    # letters: thecatsatonthemat itpurred -> 17 + 8 = 25; words 8; sentences 2
+    assert (out.n_letters, out.n_words, out.n_sentences) == (25, 8, 2)
+    cli = 0.0588 * (25 / 8 * 100) - 0.296 * (2 / 8 * 100) - 15.8
+    ari = 4.71 * (25 / 8) + 0.5 * (8 / 2) - 21.43
+    assert out.coleman_liau == pytest.approx(cli, abs=1e-9)
+    assert out.ari == pytest.approx(ari, abs=1e-9)
+    # empty text: counts zero, scores NULL
+    empty = readability_panel(
+        spark.createDataFrame([Row(doc_id=2, text="")])
+    ).collect()[0]
+    assert empty.n_words == 0 and empty.coleman_liau is None
+
+
+def test_honore_sichel_hand_example(spark):
+    from dlp_rdb_bq_import_spark.operators.text import honore_sichel
+
+    # tokens: a a a b b c d -> N=7 V=4 V1(c,d)=2 V2(b)=1
+    df = spark.createDataFrame([Row(text="a a a b b c d")])
+    out = honore_sichel(df).collect()[0]
+    assert (out.n_tokens, out.vocab, out.hapax, out.dis) == (7, 4, 2, 1)
+    assert out.honore_r == pytest.approx(100 * np.log(7) / (1 - 2 / 4), abs=1e-9)
+    assert out.sichel_s == pytest.approx(0.25, abs=1e-12)
+    # all-hapax corpus: R diverges -> NULL
+    out2 = honore_sichel(spark.createDataFrame([Row(text="x y z")])).collect()[0]
+    assert out2.honore_r is None and out2.sichel_s == 0.0

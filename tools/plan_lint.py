@@ -444,6 +444,49 @@ ALLOW: dict[str, dict[str, str]] = {
         "bounded like theil_sen/mann_kendall, never row grain; plus the "
         "1-row tie/total scalar attaches",
     },
+    "somers_d_quantity_discount": {
+        "BroadcastNestedLoopJoin": "kendall_tau_quantity_discount's CELL "
+        "table self-join verbatim (50×11 domain-bounded, never row "
+        "grain) plus the same 1-row tie/total scalar attaches",
+    },
+    "theil_customer_revenue": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the exact (n, T, "
+        "min) global-aggregate row broadcasts onto the distinct-value "
+        "table before the x·ln x fold",
+    },
+    "concentration_supplier_revenue": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
+        "the (n, T, Σv²) fold row and the two TakeOrdered top-k sum rows "
+        "(k = 4/8 constant)",
+    },
+    "friedman_event_types": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the distinct-"
+        "treatment count (k) and dropped-block count broadcast onto the "
+        "treatment-grain fold; ranks run in per-BLOCK windows",
+    },
+    "durbin_watson_daily_revenue": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches: the min-day "
+        "row and the 5-moment OLS coefficient row broadcast onto the "
+        "DAY-grain series (the ols_trend/cusum shape)",
+        "SinglePartitionWindow": "CALENDAR: the residual lag runs over the "
+        "DAY-grain series — bounded by the calendar (decades = thousands "
+        "of rows), the cusum contract; raw orders never enter a window",
+    },
+    "ljung_box_daily_revenue": {
+        "BroadcastNestedLoopJoin": "inherited from the composed ACF "
+        "(lag spine + 1-row scalar attaches, individually allowlisted on "
+        "acf_daily_revenue) plus the 1-row day-count attach for the "
+        "h-row Q fold",
+    },
+    "runs_test_daily_revenue": {
+        "SinglePartitionWindow": "CALENDAR: the two sign/run lags run over "
+        "the DAY-grain series — calendar-bounded, the cusum contract",
+    },
+    "mase_daily_revenue": {
+        "BroadcastNestedLoopJoin": "two 1-row scalar attaches by "
+        "construction: the seasonal and naive (n, Σ|Δ|) fold rows; the "
+        "lag pairing itself is a date equi-join",
+    },
     "mutual_information": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
         "the global count and the summed micro-log term — broadcast "

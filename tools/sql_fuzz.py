@@ -249,7 +249,9 @@ class Gen:
         for j in range(r.randint(1, 3)):
             roll = r.random()
             if roll < 0.40:
-                aggs.append(f"SUM({self.int_expr(t, 1)}) AS a{j}")
+                # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+                # renders float64 — the cast pins both engines to int64
+                aggs.append(f"CAST(SUM({self.int_expr(t, 1)}) AS BIGINT) AS a{j}")
             elif roll < 0.65:
                 kind = r.choice(["int", "dbl", "str", "ts"])
                 c = self.s.pick_col(r, t, kind)
@@ -257,7 +259,9 @@ class Gen:
                     fn = r.choice(["MIN", "MAX"])
                     aggs.append(f"{fn}({self.prefix}{c}) AS a{j}")
                 else:
-                    aggs.append(f"SUM({self.int_expr(t, 1)}) AS a{j}")
+                    aggs.append(
+                        f"CAST(SUM({self.int_expr(t, 1)}) AS BIGINT) AS a{j}"
+                    )
             else:
                 c = self.s.pick_col(r, t, r.choice(["int", "str"]))
                 if c:
