@@ -15898,6 +15898,214 @@ def q_honore_sichel_corpus(spark, sf_dir):
     return honore_sichel(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "fleiss_kappa_doc_flags",
+    oracle="""
+WITH assign AS (
+  SELECT CAST(doc_id AS VARCHAR) AS i,
+         CASE WHEN n_chars > 500 THEN 'y' ELSE 'n' END AS r FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), CASE WHEN lang = 'en' THEN 'y' ELSE 'n' END
+  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), CASE WHEN source = 'web' THEN 'y' ELSE 'n' END
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+), cell AS (
+  SELECT i, r, CAST(count(*) AS BIGINT) AS c FROM assign GROUP BY 1, 2
+), per_item AS (
+  SELECT i, CAST(SUM(c) AS BIGINT) AS ri,
+         COALESCE(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)), 0) AS q
+  FROM cell GROUP BY 1
+), mode_r AS (
+  SELECT ri AS rr FROM (
+    SELECT ri, CAST(count(*) AS BIGINT) AS cnt FROM per_item GROUP BY 1
+  ) ORDER BY cnt DESC, ri ASC LIMIT 1
+), dropped AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN ri <> rr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+  FROM per_item CROSS JOIN mode_r
+), item_fold AS (
+  SELECT rr, CAST(count(*) AS BIGINT) AS n,
+         COALESCE(SUM(q - CAST(rr AS HUGEINT)), 0) AS pnum
+  FROM per_item CROSS JOIN mode_r WHERE ri = rr GROUP BY 1
+), cat_fold AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         COALESCE(SUM(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT)), 0) AS e2
+  FROM (
+    SELECT cell.r, CAST(SUM(c) AS HUGEINT) AS cj
+    FROM cell
+    JOIN per_item ON cell.i = per_item.i CROSS JOIN mode_r
+    WHERE per_item.ri = mode_r.rr
+    GROUP BY 1
+  )
+)
+SELECT n, n_dropped, CAST(rr AS BIGINT) AS r, k,
+  CASE WHEN n > 0 AND rr >= 2 THEN
+    round(CAST(pnum AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) * (CAST(rr AS DOUBLE) - 1.0e0)), 9)
+  END AS p_bar,
+  CASE WHEN n > 0 AND rr >= 2 THEN
+    round(CAST(e2 AS DOUBLE)
+          / ((CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE))), 9)
+  END AS p_e,
+  CASE WHEN n > 0 AND rr >= 2 AND
+       CAST(e2 AS DOUBLE) / ((CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE))) < 1
+  THEN round((CAST(pnum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE) * (CAST(rr AS DOUBLE) - 1.0e0))
+              - CAST(e2 AS DOUBLE) / ((CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE))))
+             / (1.0e0 - CAST(e2 AS DOUBLE) / ((CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)))), 9)
+  END AS kappa
+FROM item_fold CROSS JOIN cat_fold CROSS JOIN dropped
+""",
+)
+def q_fleiss_kappa_doc_flags(spark, sf_dir):
+    """EXT — Fleiss' κ agreement of three binary curation heuristics
+    treated as raters over documents (profiling.fleiss_kappa; Fleiss
+    1971): the many-rater generalization of cohens_kappa — do the
+    heuristics agree beyond chance, or is the ensemble mostly noise?
+    Integer-exact Σnᵢⱼ²/Σcⱼ² folds, one IEEE chain — hash-matched."""
+    from .operators.profiling import fleiss_kappa
+
+    d = t(spark, sf_dir, "documents")
+    assign = (
+        d.where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("i"),
+            F.when(F.col("n_chars") > 500, F.lit("y")).otherwise("n").alias("r"),
+        )
+        .unionAll(
+            d.where(F.col("doc_id").isNotNull() & F.col("lang").isNotNull()).select(
+                F.col("doc_id").cast("string"),
+                F.when(F.col("lang") == "en", F.lit("y")).otherwise("n"),
+            )
+        )
+        .unionAll(
+            d.where(
+                F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+            ).select(
+                F.col("doc_id").cast("string"),
+                F.when(F.col("source") == "web", F.lit("y")).otherwise("n"),
+            )
+        )
+    )
+    return fleiss_kappa(assign, "i", "r")
+
+
+@query(
+    "theils_u_lang_source",
+    oracle="""
+WITH base AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+hx AS (
+  SELECT COALESCE(SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE)) * 1000000000.0e0) AS HUGEINT)
+                      * CAST(cx AS HUGEINT)), 0) AS v
+  FROM mx CROSS JOIN tot
+), hy AS (
+  SELECT COALESCE(SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cy AS DOUBLE)) * 1000000000.0e0) AS HUGEINT)
+                      * CAST(cy AS HUGEINT)), 0) AS v
+  FROM my CROSS JOIN tot
+), mi AS (
+  SELECT COALESCE(SUM(CAST(round(ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1000000000.0e0) AS HUGEINT)
+                      * CAST(c AS HUGEINT)), 0) AS v
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+)
+SELECT n,
+  CASE WHEN n > 0 THEN round(CAST(hx.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE), 9) END AS h_x,
+  CASE WHEN n > 0 THEN round(CAST(hy.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE), 9) END AS h_y,
+  CASE WHEN n > 0 THEN round(CAST(mi.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE), 9) END AS mi,
+  CASE WHEN n > 0 AND CAST(hy.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE) > 0
+       THEN round((CAST(mi.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE))
+                  / (CAST(hy.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE)), 9) END AS u_yx,
+  CASE WHEN n > 0 AND CAST(hx.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE) > 0
+       THEN round((CAST(mi.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE))
+                  / (CAST(hx.v AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE)), 9) END AS u_xy
+FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi
+""",
+)
+def q_theils_u_lang_source(spark, sf_dir):
+    """EXT — Theil's uncertainty coefficient between language and
+    source (profiling.theils_u; Theil 1970): the [0,1] ASYMMETRIC
+    categorical association — how much of source's entropy does
+    knowing language remove, and vice versa — the directional
+    companion to mutual_information and cramers_v on the same grid.
+    Nano-nat integer-log folds, one IEEE chain per readout —
+    hash-matched."""
+    from .operators.profiling import theils_u
+
+    return theils_u(t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@query(
+    "partial_corr_qty_price_discount",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS x,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS y,
+         CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS z
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+    COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+    COALESCE(SUM(CAST(z AS HUGEINT)), 0) AS sz,
+    COALESCE(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS sxy,
+    COALESCE(SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)), 0) AS sxz,
+    COALESCE(SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)), 0) AS syz,
+    COALESCE(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS sxx,
+    COALESCE(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)), 0) AS syy,
+    COALESCE(SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)), 0) AS szz
+  FROM base
+), c AS (
+  SELECT n,
+    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+    CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS czz,
+    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+    CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS cxz,
+    CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS cyz
+  FROM m
+), r AS (
+  SELECT n, cxx, cyy, czz,
+    cxy / sqrt(cxx * cyy) AS r_xy,
+    cxz / sqrt(cxx * czz) AS r_xz,
+    cyz / sqrt(cyy * czz) AS r_yz
+  FROM c
+)
+SELECT n,
+  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN round(r_xy, 9) END AS r_xy,
+  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN round(r_xz, 9) END AS r_xz,
+  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN round(r_yz, 9) END AS r_yz,
+  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0
+        AND (1.0e0 - r_xz * r_xz) * (1.0e0 - r_yz * r_yz) > 0
+  THEN round((r_xy - r_xz * r_yz) / sqrt((1.0e0 - r_xz * r_xz) * (1.0e0 - r_yz * r_yz)), 9)
+  END AS r_xy_given_z
+FROM r
+""",
+)
+def q_partial_corr_qty_price_discount(spark, sf_dir):
+    """EXT — partial correlation of quantity and gross price holding
+    discount fixed (profiling.partial_correlation; Yule 1907): the
+    confounder-control readout over correlation_matrix's moment
+    discipline — is the quantity↔price association real or
+    discount-driven? Nine DECIMAL/HUGEINT moment folds, one shared
+    IEEE chain — hash-matched."""
+    from .operators.profiling import partial_correlation
+
+    return partial_correlation(
+        t(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount",
+        x_scale=1, y_scale=100, z_scale=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -5031,3 +5031,270 @@ def friedman_test(
             F.round(chi2, 9),
         ).alias("chi2"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rating_col: str,
+) -> DataFrame:
+    """Fleiss' κ inter-rater agreement for r raters × k categories
+    (Fleiss, Psych. Bull. 1971): ``κ = (P̄ − P̄ₑ)/(1 − P̄ₑ)`` — the
+    many-rater generalization of :func:`cohens_kappa` (two raters),
+    the standard "do the k labeling heuristics/annotators agree beyond
+    chance" readout for label-quality audits. ``df`` has ONE ROW PER
+    (item, rating assignment); the rater count r is the modal
+    assignments-per-item, and items with a different count are dropped
+    (the matched design's requirement, reported). One row out: ``(n
+    (long — complete items), r, k (long), p_bar, p_e, kappa (double;
+    NULL when n = 0, r < 2, or P̄ₑ = 1 — a single category used))``.
+
+    Exactness: INTEGER-EXACT to the readout — ``P̄``'s numerator
+    ``Σᵢ(Σⱼ nᵢⱼ² − r)`` and ``P̄ₑ``'s ``Σⱼ cⱼ²`` fold in
+    DECIMAL(38,0)/HUGEINT, and κ is ONE IEEE chain over those
+    integers, rounded to 9. Scale shape: (item, category)-grain
+    groupBy, item-grain fold, category-grain fold — no windows."""
+    iv = F.col(item_col).cast("string")
+    rv = F.col(rating_col).cast("string")
+    base = df.select(iv.alias("_i"), rv.alias("_r")).where(
+        F.col("_i").isNotNull() & F.col("_r").isNotNull()
+    )
+    cell = base.groupBy("_i", "_r").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_item = cell.groupBy("_i").agg(
+        F.sum("_c").cast("long").alias("_ri"),
+        F.coalesce(
+            F.sum((dec("_c") * dec("_c")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_q"),
+    )
+    # r = modal assignments-per-item (ties break to the smaller r —
+    # deterministic); items with a different count are dropped
+    mode_r = (
+        per_item.groupBy("_ri")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_ri").asc())
+        .limit(1)
+        .select(F.col("_ri").alias("_rr"))
+    )
+    kept = per_item.crossJoin(F.broadcast(mode_r)).where(
+        F.col("_ri") == F.col("_rr")
+    )
+    dropped = per_item.crossJoin(F.broadcast(mode_r)).agg(
+        F.coalesce(
+            F.sum((F.col("_ri") != F.col("_rr")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_dropped")
+    )
+    item_fold = kept.groupBy("_rr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                (F.col("_q") - dec("_rr")).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_pnum"),
+    )
+    cat_fold = (
+        cell.join(
+            kept.select(F.col("_i"), F.lit(1).alias("_keep")), "_i"
+        )
+        .groupBy("_r")
+        .agg(F.sum("_c").cast("decimal(38,0)").alias("_cj"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.coalesce(
+                F.sum((F.col("_cj") * F.col("_cj")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_e2"),
+        )
+    )
+    out = item_fold.crossJoin(F.broadcast(cat_fold)).crossJoin(
+        F.broadcast(dropped)
+    )
+    n = F.col("n").cast("double")
+    r = F.col("_rr").cast("double")
+    p_bar = F.col("_pnum").cast("double") / (n * r * (r - F.lit(1.0)))
+    p_e = F.col("_e2").cast("double") / ((n * r) * (n * r))
+    ok = (F.col("n") > 0) & (F.col("_rr") >= 2)
+    return out.select(
+        "n",
+        "n_dropped",
+        F.col("_rr").cast("long").alias("r"),
+        "k",
+        F.when(ok, F.round(p_bar, 9)).alias("p_bar"),
+        F.when(ok, F.round(p_e, 9)).alias("p_e"),
+        F.when(ok & (p_e < 1.0), F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 9)).alias(
+            "kappa"
+        ),
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient (Theil, *On the Estimation of
+    Relationships Involving Qualitative Variables*, AJS 1970):
+    ``U(Y|X) = I(X;Y)/H(Y)`` — the [0, 1] ASYMMETRIC categorical
+    association ("how much of Y's entropy does knowing X remove"),
+    where :func:`cramers_v` is symmetric and unnormalized-in-
+    interpretation; the directional readout for "does source predict
+    language or the reverse". One row out: ``(n (long), h_x, h_y,
+    mi (double — nats), u_yx, u_xy (double; NULL when the respective
+    entropy is 0))``.
+
+    Exactness: cell/marginal counts are exact integers; every
+    entropy/MI term is an ALL-INTEGER log argument micro-quantized to
+    1e-9 nats BEFORE its count-weighted DECIMAL(38,0) fold (the
+    js_divergence discipline), readouts ONE IEEE chain, rounded to 9.
+    Scale shape: cell-grain groupBy + two marginal folds + equi-joins
+    back to cells — category-domain-sized throughout."""
+    base = df.select(
+        F.col(x_col).cast("string").alias("_x"),
+        F.col(y_col).cast("string").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    cells = base.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_c").cast("long").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    def _entropy(marg: DataFrame, ccol: str, alias: str) -> DataFrame:
+        # term per category: c·ln(N/c) in nano-nats, exact fold
+        t_nano = F.round(
+            F.log(
+                F.col("n").cast("double") / F.col(ccol).cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("decimal(38,0)")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select((t_nano * dec(ccol)).cast("decimal(38,0)").alias("_t"))
+            .agg(
+                F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias(alias)
+            )
+        )
+
+    mi_term = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("_c").cast("double")
+            / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+        )
+        * F.lit(1e9)
+    ).cast("decimal(38,0)")
+    mi_fold = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select((mi_term * dec("_c")).cast("decimal(38,0)").alias("_t"))
+        .agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias("_mi"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(_entropy(mx, "_cx", "_hx")))
+        .crossJoin(F.broadcast(_entropy(my, "_cy", "_hy")))
+        .crossJoin(F.broadcast(mi_fold))
+    )
+    n = F.col("n").cast("double")
+    hx = F.col("_hx").cast("double") / F.lit(1e9) / n
+    hy = F.col("_hy").cast("double") / F.lit(1e9) / n
+    mi = F.col("_mi").cast("double") / F.lit(1e9) / n
+    return out.select(
+        "n",
+        F.when(F.col("n") > 0, F.round(hx, 9)).alias("h_x"),
+        F.when(F.col("n") > 0, F.round(hy, 9)).alias("h_y"),
+        F.when(F.col("n") > 0, F.round(mi, 9)).alias("mi"),
+        F.when((F.col("n") > 0) & (hy > 0), F.round(mi / hy, 9)).alias("u_yx"),
+        F.when((F.col("n") > 0) & (hx > 0), F.round(mi / hx, 9)).alias("u_xy"),
+    )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    z_scale: int = 100,
+) -> DataFrame:
+    """First-order partial correlation ``r_xy·z`` (Yule 1907; Kendall &
+    Stuart §27.5): the correlation between x and y AFTER regressing
+    both on z — ``(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))`` — the
+    confounder-control companion to :func:`correlation_matrix` (is the
+    price↔quantity association real, or does discount drive both?).
+    Rows with any NULL among x/y/z are excluded (listwise — all three
+    r's must describe the same rows or the formula is incoherent).
+    One row out: ``(n (long), r_xy, r_xz, r_yz, r_xy_given_z (double;
+    NULL when n < 3, any variance is 0, or either 1−r² factor is
+    ≤ 0))``.
+
+    Exactness: the correlation_matrix discipline — all three
+    variables quantize to integers, the 9 moment folds are
+    DECIMAL(38,0)/HUGEINT, and every r plus the partial readout is
+    ONE engine-identical IEEE chain, rounded to 9. Scale shape: a
+    single 10-cell aggregate with map-side combine."""
+    xv = F.round(F.col(x_col).cast("double") * F.lit(x_scale)).cast("long")
+    yv = F.round(F.col(y_col).cast("double") * F.lit(y_scale)).cast("long")
+    zv = F.round(F.col(z_col).cast("double") * F.lit(z_scale)).cast("long")
+    base = df.select(xv.alias("_x"), yv.alias("_y"), zv.alias("_z")).where(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_z").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(dec("_x")), zero).alias("_sx"),
+        F.coalesce(F.sum(dec("_y")), zero).alias("_sy"),
+        F.coalesce(F.sum(dec("_z")), zero).alias("_sz"),
+        F.coalesce(F.sum((dec("_x") * dec("_y")).cast("decimal(38,0)")), zero).alias("_sxy"),
+        F.coalesce(F.sum((dec("_x") * dec("_z")).cast("decimal(38,0)")), zero).alias("_sxz"),
+        F.coalesce(F.sum((dec("_y") * dec("_z")).cast("decimal(38,0)")), zero).alias("_syz"),
+        F.coalesce(F.sum((dec("_x") * dec("_x")).cast("decimal(38,0)")), zero).alias("_sxx"),
+        F.coalesce(F.sum((dec("_y") * dec("_y")).cast("decimal(38,0)")), zero).alias("_syy"),
+        F.coalesce(F.sum((dec("_z") * dec("_z")).cast("decimal(38,0)")), zero).alias("_szz"),
+    )
+    n = F.col("n").cast("double")
+
+    def cov(sab, sa, sb):
+        return F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double") / n
+
+    cxx, cyy, czz = (
+        cov("_sxx", "_sx", "_sx"),
+        cov("_syy", "_sy", "_sy"),
+        cov("_szz", "_sz", "_sz"),
+    )
+    cxy, cxz, cyz = (
+        cov("_sxy", "_sx", "_sy"),
+        cov("_sxz", "_sx", "_sz"),
+        cov("_syz", "_sy", "_sz"),
+    )
+    r_xy = cxy / F.sqrt(cxx * cyy)
+    r_xz = cxz / F.sqrt(cxx * czz)
+    r_yz = cyz / F.sqrt(cyy * czz)
+    den = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    ok = (F.col("n") >= 3) & (cxx > 0) & (cyy > 0) & (czz > 0)
+    return m.select(
+        "n",
+        F.when(ok, F.round(r_xy, 9)).alias("r_xy"),
+        F.when(ok, F.round(r_xz, 9)).alias("r_xz"),
+        F.when(ok, F.round(r_yz, 9)).alias("r_yz"),
+        # nested when: `den` embeds the r divisions, which ANSI mode
+        # raises on when a variance is 0 — the outer guard must decide
+        # BEFORE den is evaluated (And does not short-circuit)
+        F.when(
+            ok,
+            F.when(den > 0, F.round((r_xy - r_xz * r_yz) / F.sqrt(den), 9)),
+        ).alias("r_xy_given_z"),
+    )

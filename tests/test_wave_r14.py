@@ -537,3 +537,111 @@ def test_honore_sichel_hand_example(spark):
     # all-hapax corpus: R diverges -> NULL
     out2 = honore_sichel(spark.createDataFrame([Row(text="x y z")])).collect()[0]
     assert out2.honore_r is None and out2.sichel_s == 0.0
+
+
+def test_fleiss_kappa_matches_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import fleiss_kappa
+
+    rng = np.random.RandomState(27)
+    n_items, r, k = 60, 4, 3
+    cats = ["a", "b", "c"]
+    rows = []
+    table = np.zeros((n_items, k), dtype=int)
+    for i in range(n_items):
+        bias = rng.randint(0, k)
+        for _ in range(r):
+            c = bias if rng.random() < 0.7 else rng.randint(0, k)
+            table[i, c] += 1
+            rows.append(Row(i=f"i{i}", r=cats[c]))
+    out = fleiss_kappa(spark.createDataFrame(rows), "i", "r").collect()[0]
+    p_i = ((table**2).sum(axis=1) - r) / (r * (r - 1))
+    p_bar = p_i.mean()
+    p_j = table.sum(axis=0) / (n_items * r)
+    p_e = (p_j**2).sum()
+    kappa_ref = (p_bar - p_e) / (1 - p_e)
+    assert (out.n, out.r, out.k, out.n_dropped) == (60, 4, 3, 0)
+    assert out.p_bar == pytest.approx(p_bar, abs=1e-9)
+    assert out.p_e == pytest.approx(p_e, abs=1e-9)
+    assert out.kappa == pytest.approx(kappa_ref, abs=1e-9)
+    assert out.kappa > 0.2  # the 70% bias shows as real agreement
+
+
+def test_fleiss_kappa_drops_off_modal_items(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import fleiss_kappa
+
+    rows = (
+        [Row(i=f"i{j}", r=v) for j in range(5) for v in ("a", "b")]
+        + [Row(i="odd", r="a")]  # 1 assignment: off-modal, dropped
+    )
+    out = fleiss_kappa(spark.createDataFrame(rows), "i", "r").collect()[0]
+    assert (out.n, out.r, out.n_dropped) == (5, 2, 1)
+
+
+def test_theils_u_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import theils_u
+
+    rng = np.random.RandomState(28)
+    x = rng.choice(["p", "q", "s"], 800, p=[0.5, 0.3, 0.2])
+    y = np.where(
+        (x == "p") & (rng.random(800) < 0.7), "m",
+        rng.choice(["m", "n"], 800),
+    )
+    df = spark.createDataFrame([Row(x=str(a), y=str(b)) for a, b in zip(x, y)])
+    out = theils_u(df, "x", "y").collect()[0]
+
+    def h(arr):
+        _, c = np.unique(arr, return_counts=True)
+        p = c / len(arr)
+        return -(p * np.log(p)).sum()
+
+    hx, hy = h(x), h(y)
+    hxy = h(np.array([a + "\x1f" + b for a, b in zip(x, y)]))
+    mi = hx + hy - hxy
+    assert out.n == 800
+    assert out.h_x == pytest.approx(hx, abs=1e-6)
+    assert out.h_y == pytest.approx(hy, abs=1e-6)
+    assert out.mi == pytest.approx(mi, abs=1e-6)
+    assert out.u_yx == pytest.approx(mi / hy, abs=1e-6)
+    assert out.u_xy == pytest.approx(mi / hx, abs=1e-6)
+    assert 0 < out.u_yx < 1 and out.u_yx != out.u_xy  # asymmetric
+
+
+def test_theils_u_single_category_null(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import theils_u
+
+    df = spark.createDataFrame([Row(x="a", y="m"), Row(x="b", y="m")])
+    out = theils_u(df, "x", "y").collect()[0]
+    assert out.h_y == 0.0 and out.u_yx is None and out.u_xy == 0.0
+
+
+def test_partial_correlation_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import partial_correlation
+
+    rng = np.random.RandomState(29)
+    z = np.round(rng.normal(50, 10, 400), 2)
+    x = np.round(z * 0.5 + rng.normal(0, 5, 400), 2)
+    y = np.round(z * 0.8 + rng.normal(0, 5, 400), 2)  # x-y linked via z
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b), z=float(c)) for a, b, c in zip(x, y, z)]
+    )
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    qx, qy, qz = np.round(x * 100), np.round(y * 100), np.round(z * 100)
+    r_xy = np.corrcoef(qx, qy)[0, 1]
+    r_xz = np.corrcoef(qx, qz)[0, 1]
+    r_yz = np.corrcoef(qy, qz)[0, 1]
+    ref = (r_xy - r_xz * r_yz) / np.sqrt((1 - r_xz**2) * (1 - r_yz**2))
+    assert out.n == 400
+    assert out.r_xy == pytest.approx(r_xy, abs=1e-6)
+    assert out.r_xy_given_z == pytest.approx(ref, abs=1e-6)
+    # the raw correlation is strong but vanishes given z
+    assert abs(out.r_xy) > 0.4 and abs(out.r_xy_given_z) < 0.15
+
+
+def test_partial_correlation_constant_z_null(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import partial_correlation
+
+    df = spark.createDataFrame(
+        [Row(x=float(i), y=float(i * 2), z=5.0) for i in range(10)]
+    )
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert out.r_xy_given_z is None

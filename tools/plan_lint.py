@@ -487,6 +487,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "construction: the seasonal and naive (n, Σ|Δ|) fold rows; the "
         "lag pairing itself is a date equi-join",
     },
+    "fleiss_kappa_doc_flags": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
+        "the modal-rater-count row, the dropped-item count, and the "
+        "category-grain P_e fold row broadcast onto item/category folds",
+    },
+    "theils_u_lang_source": {
+        "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
+        "the N total and the three entropy/MI fold rows broadcast onto "
+        "category-domain-sized marginal tables (the mutual_information "
+        "shape)",
+    },
     "mutual_information": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
         "the global count and the summed micro-log term — broadcast "

@@ -58,11 +58,12 @@ FAMILY = [
 
 
 # queries whose lint allowance carries the DIMENSION tag: their window
-# input tracks a DIMENSION table (parts, suppliers), so it grows when
-# the dimension does — a documented operating envelope with a grouped
-# mode offered, not a corpus-size-invariance claim (see
-# .scratch/window_allowance_audit_r13.md)
-DIMENSION_TAGGED = {"pareto_part_revenue", "rank_dense_rank"}
+# input tracks a DIMENSION table, so it grows when the dimension does —
+# a documented operating envelope, not a corpus-size-invariance claim
+# (see .scratch/window_allowance_audit_r13.md). pareto_part_revenue
+# left this set in r14: its global mode now routes through
+# layout.prefix_sums and must probe 0 like gini.
+DIMENSION_TAGGED = {"rank_dense_rank"}
 
 
 def _children(node):
