@@ -15492,9 +15492,7 @@ def q_runs_test_daily_revenue(spark, sf_dir):
     )
 
 
-@query(
-    "mase_daily_revenue",
-    oracle=f"""
+_MASE_SQL = f"""
 WITH vals AS (
   SELECT o_orderdate AS ts, CAST(o_totalprice AS DOUBLE) AS v
   FROM orders WHERE o_totalprice IS NOT NULL
@@ -15517,8 +15515,10 @@ SELECT n_seasonal_pairs, n_naive_pairs,
        THEN round((CAST(s_seasonal AS DOUBLE) / CAST(n_seasonal_pairs AS DOUBLE))
                   / (CAST(s_naive AS DOUBLE) / CAST(n_naive_pairs AS DOUBLE)), 9) END AS mase
 FROM seas CROSS JOIN naiv
-""",
-)
+"""
+
+
+@query("mase_daily_revenue", oracle=_MASE_SQL)
 def q_mase_daily_revenue(spark, sf_dir):
     """EXT — MASE of the seasonal-naïve (lag-7) forecast against the
     naïve (lag-1) baseline on daily revenue
@@ -15896,6 +15896,24 @@ def q_honore_sichel_corpus(spark, sf_dir):
     from .operators.text import honore_sichel
 
     return honore_sichel(t(spark, sf_dir, "documents"))
+
+
+@query("streaming_mase", oracle=_MASE_SQL)
+def q_streaming_mase(spark, sf_dir):
+    """EXT — streaming MASE (streaming/jobs.streaming_mase): the
+    incremental twin of mase_daily_revenue — day-grain total state
+    (a |Δ| against a neighbor day is not additive when a day spans
+    two batches), batch finishing readout on the final state.
+    Hash-matches the SAME DuckDB oracle as the batch form (stream ≡
+    batch) across any slicing."""
+    from .streaming.jobs import streaming_mase
+
+    return streaming_mase(
+        spark,
+        t(spark, sf_dir, "orders"),
+        ts_col="o_orderdate",
+        value_col="o_totalprice",
+    )
 
 
 @query(

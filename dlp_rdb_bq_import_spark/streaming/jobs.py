@@ -1903,3 +1903,153 @@ def streaming_max_drawdown(
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_mase(
+    spark: SparkSession,
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: int = 7,
+    unit_scale: int = 100,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Streaming MASE — the incremental twin of
+    ``timeseries.mase_seasonal_naive`` with the streaming_ols/
+    streaming_max_drawdown state discipline: the carried state is the
+    DAY-GRAIN total table (calendar-bounded — a |Δ| against a
+    neighbor day is NOT additive when either day spans two batches,
+    so the day merge is the associative unit), and the batch
+    finishing readout (quantize, date-shift equi-joins, two exact
+    |Δ| folds, one IEEE ratio) runs once on the final state.
+    Hash-matches the SAME DuckDB oracle as the batch form for ANY
+    slicing. Output: the batch operator's one-row schema
+    ``(n_seasonal_pairs, n_naive_pairs, mae_seasonal, mae_naive,
+    mase)``."""
+    if n_slices < 1:
+        raise ValueError(f"streaming_mase: n_slices must be >= 1, got {n_slices}")
+    if season < 2:
+        raise ValueError(f"streaming_mase: season must be >= 2, got {season}")
+    root = tempfile.mkdtemp(prefix="mase_stream_")
+    stage = os.path.join(root, "staged")
+    state_dir = os.path.join(root, "state")
+    os.makedirs(stage)
+
+    src = events.select(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+        F.col(value_col).cast("decimal(30,6)").alias("v"),
+    ).where(F.col("day").isNotNull() & F.col("v").isNotNull())
+    if n_slices > 1:
+        fracs = ", ".join(repr(i / n_slices) for i in range(1, n_slices))
+        cuts = list(
+            src.select(
+                F.expr(f"percentile(unix_date(day), array({fracs}))").alias("_bs")
+            ).first()["_bs"]
+        )
+    else:
+        cuts = []
+    lo = None
+    base_mtime = int(__import__("time").time()) - 3600
+    for i in range(n_slices):
+        hi = cuts[i] if i < len(cuts) else None
+        part = src
+        if lo is not None:
+            part = part.where(F.unix_date(F.col("day")) > lo)
+        if hi is not None:
+            part = part.where(F.unix_date(F.col("day")) <= hi)
+        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
+        part.coalesce(1).write.mode("append").parquet(stage)
+        for name in set(os.listdir(stage)) - before:
+            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
+        lo = hi
+
+    state_schema = "day date, sv decimal(38,6)"
+
+    def fold_batch(batch_df, _epoch_id):
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        part = batch_df.groupBy("day").agg(
+            F.sum("v").cast("decimal(38,6)").alias("_bv")
+        )
+        merged = state.join(part, "day", "full").select(
+            "day",
+            (
+                F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("_bv"), F.lit(0).cast("decimal(38,6)"))
+            )
+            .cast("decimal(38,6)")
+            .alias("sv"),
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    try:
+        batch0 = spark.read.parquet(stage)
+        raw = (
+            spark.readStream.schema(batch0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = raw.writeStream.foreachBatch(fold_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # batch finishing readout: mase_seasonal_naive from the day
+        # table onward, restated on the quantized totals
+        daily = spark.read.parquet(state_dir).select(
+            "day",
+            F.round(F.col("sv").cast("double") * F.lit(unit_scale))
+            .cast("long")
+            .alias("_x"),
+        )
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+        def _mae(shift: int, tag: str) -> DataFrame:
+            prev = daily.select(
+                F.date_add("day", shift).alias("day"), F.col("_x").alias("_p")
+            )
+            return (
+                daily.join(prev, "day")
+                .select(F.abs(dec(F.col("_x")) - dec(F.col("_p"))).alias("_a"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias(f"n_{tag}_pairs"),
+                    F.coalesce(F.sum("_a"), F.lit(0).cast("decimal(38,0)")).alias(
+                        f"_s_{tag}"
+                    ),
+                )
+            )
+
+        tot = _mae(season, "seasonal").crossJoin(F.broadcast(_mae(1, "naive")))
+        s = F.lit(float(unit_scale))
+        mae_s = (
+            F.col("_s_seasonal").cast("double")
+            / F.col("n_seasonal_pairs").cast("double")
+        )
+        mae_n = (
+            F.col("_s_naive").cast("double")
+            / F.col("n_naive_pairs").cast("double")
+        )
+        ok = (
+            (F.col("n_seasonal_pairs") > 0)
+            & (F.col("n_naive_pairs") > 0)
+            & (F.col("_s_naive") > 0)
+        )
+        return tot.select(
+            "n_seasonal_pairs",
+            "n_naive_pairs",
+            F.when(F.col("n_seasonal_pairs") > 0, F.round(mae_s / s, 9)).alias(
+                "mae_seasonal"
+            ),
+            F.when(F.col("n_naive_pairs") > 0, F.round(mae_n / s, 9)).alias(
+                "mae_naive"
+            ),
+            F.when(ok, F.round(mae_s / mae_n, 9)).alias("mase"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

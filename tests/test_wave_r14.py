@@ -645,3 +645,24 @@ def test_partial_correlation_constant_z_null(spark):
     )
     out = partial_correlation(df, "x", "y", "z").collect()[0]
     assert out.r_xy_given_z is None
+
+
+@pytest.mark.parametrize("n_slices", [1, 3])
+def test_streaming_mase_equals_batch(spark, n_slices):
+    from dlp_rdb_bq_import_spark.operators.timeseries import mase_seasonal_naive
+    from dlp_rdb_bq_import_spark.streaming.jobs import streaming_mase
+
+    rng = np.random.RandomState(30)
+    vals = [
+        float(round(1000 + 150 * np.sin(d * 2 * np.pi / 7) + float(v), 2))
+        for d, v in enumerate(rng.normal(0, 20, 24))
+    ]
+    rows = []
+    for d, v in enumerate(vals):
+        for h in (4, 16):  # two events per day: slices can split a day
+            rows.append(Row(ts=f"2024-02-{d + 1:02d} {h:02d}:00:00", value=v / 2))
+    df = spark.createDataFrame(rows)
+    batch = mase_seasonal_naive(df, ts_col="ts", value_col="value").collect()[0]
+    stream = streaming_mase(spark, df, n_slices=n_slices).collect()[0]
+    assert stream.asDict() == batch.asDict()
+    assert stream.mase is not None

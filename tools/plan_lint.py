@@ -487,6 +487,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "construction: the seasonal and naive (n, Σ|Δ|) fold rows; the "
         "lag pairing itself is a date equi-join",
     },
+    "streaming_mase": {
+        "BroadcastNestedLoopJoin": "the batch finishing readout's two "
+        "1-row scalar attaches (seasonal/naive fold rows) — identical "
+        "to mase_daily_revenue; the streamed phase folds day totals "
+        "through equi-joins only",
+    },
     "fleiss_kappa_doc_flags": {
         "BroadcastNestedLoopJoin": "1-row scalar attaches by construction: "
         "the modal-rater-count row, the dropped-item count, and the "
