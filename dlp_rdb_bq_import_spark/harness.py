@@ -16124,6 +16124,191 @@ def q_partial_corr_qty_price_discount(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_kappa_doc_tiers",
+    oracle="""
+WITH rated AS (
+  SELECT CASE WHEN n_chars < 300 THEN 0 WHEN n_chars < 900 THEN 1 ELSE 2 END AS ia,
+         CASE WHEN length(text) < 280 THEN 0 WHEN length(text) < 880 THEN 1 ELSE 2 END AS ib
+  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+), cells AS (
+  SELECT ia, ib, CAST(count(*) AS BIGINT) AS c FROM rated GROUP BY 1, 2
+), obs AS (
+  SELECT COALESCE(SUM(CAST(c AS HUGEINT)), 0) AS n,
+         COALESCE(SUM(CAST((ia - ib) * (ia - ib) AS HUGEINT) * CAST(c AS HUGEINT)), 0) AS wo
+  FROM cells
+), ma AS (SELECT ia, CAST(SUM(c) AS HUGEINT) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT ib, CAST(SUM(c) AS HUGEINT) AS rb FROM cells GROUP BY 1),
+exp_w AS (
+  SELECT COALESCE(SUM(CAST((ia - ib) * (ia - ib) AS HUGEINT) * ra * rb), 0) AS we
+  FROM ma CROSS JOIN mb
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 AND CAST(we AS DOUBLE) > 0
+       THEN round(1.0e0 - (CAST(n AS DOUBLE) * CAST(wo AS DOUBLE)) / CAST(we AS DOUBLE), 9)
+  END AS kappa_w
+FROM obs CROSS JOIN exp_w
+""",
+)
+def q_weighted_kappa_doc_tiers(spark, sf_dir):
+    """EXT — quadratic-weighted κ (the Kaggle QWK) between two ordinal
+    document quality tiers — stored-length terciles vs actual-text-
+    length terciles (profiling.weighted_kappa; Cohen 1968):
+    off-by-one tier confusion costs 1, opposite-end costs 4, where
+    plain kappa charges both the same. Integer-exact grid folds to
+    one division — hash-matched."""
+    from .operators.profiling import weighted_kappa
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.when(F.col("n_chars") < 300, "low")
+        .when(F.col("n_chars") < 900, "mid")
+        .otherwise("high")
+        .alias("ra"),
+        F.when(F.length("text") < 280, "low")
+        .when(F.length("text") < 880, "mid")
+        .otherwise("high")
+        .alias("rb"),
+    )
+    return weighted_kappa(d, "ra", "rb", ["low", "mid", "high"])
+
+
+@query(
+    "cohens_h_source_length",
+    oracle="""
+WITH base AS (
+  SELECT source = 'web' AS g, n_chars > 500 AS y
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), cells AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(CASE WHEN g AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS ka,
+         CAST(COALESCE(SUM(CASE WHEN NOT g AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS kb
+  FROM base
+)
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 THEN round(CAST(ka AS DOUBLE) / CAST(n_a AS DOUBLE), 9) END AS p_a,
+  CASE WHEN n_b > 0 THEN round(CAST(kb AS DOUBLE) / CAST(n_b AS DOUBLE), 9) END AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0
+       THEN round(2.0e0 * asin(sqrt(CAST(ka AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                  - 2.0e0 * asin(sqrt(CAST(kb AS DOUBLE) / CAST(n_b AS DOUBLE))), 9)
+  END AS cohens_h
+FROM cells
+""",
+)
+def q_cohens_h_source_length(spark, sf_dir):
+    """EXT — Cohen's h effect size of the web-vs-other long-document
+    rate gap (profiling.cohens_h; Cohen 1969): the variance-
+    stabilized proportion gap — the effect-size companion to the
+    odds/risk ratios on the same 2×2. Exact integer cells, one
+    asin/sqrt IEEE chain — hash-matched."""
+    from .operators.profiling import cohens_h
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("source") == "web").alias("g"),
+        (F.col("n_chars") > 500).alias("y"),
+    )
+    return cohens_h(d, "g", "y")
+
+
+@query(
+    "risk_ratio_source_flag",
+    oracle="""
+WITH base AS (
+  SELECT source = 'web' AS e, n_chars > 600 AS y
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), cells AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS exposed_pos,
+         CAST(COALESCE(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS exposed_neg,
+         CAST(COALESCE(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexposed_pos,
+         CAST(COALESCE(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS unexposed_neg
+  FROM base
+)
+SELECT exposed_pos, exposed_neg, unexposed_pos, unexposed_neg,
+  CASE WHEN exposed_pos > 0 AND unexposed_pos > 0
+        AND exposed_pos + exposed_neg > 0 AND unexposed_pos + unexposed_neg > 0
+  THEN round((CAST(exposed_pos AS DOUBLE) / (CAST(exposed_pos AS DOUBLE) + CAST(exposed_neg AS DOUBLE)))
+             / (CAST(unexposed_pos AS DOUBLE) / (CAST(unexposed_pos AS DOUBLE) + CAST(unexposed_neg AS DOUBLE))), 9)
+  END AS risk_ratio,
+  CASE WHEN exposed_pos > 0 AND unexposed_pos > 0
+        AND exposed_pos + exposed_neg > 0 AND unexposed_pos + unexposed_neg > 0
+  THEN round(exp(ln((CAST(exposed_pos AS DOUBLE) / (CAST(exposed_pos AS DOUBLE) + CAST(exposed_neg AS DOUBLE)))
+                    / (CAST(unexposed_pos AS DOUBLE) / (CAST(unexposed_pos AS DOUBLE) + CAST(unexposed_neg AS DOUBLE))))
+                 - 1.959963985e0 * sqrt(1.0e0 / CAST(exposed_pos AS DOUBLE)
+                                        - 1.0e0 / (CAST(exposed_pos AS DOUBLE) + CAST(exposed_neg AS DOUBLE))
+                                        + 1.0e0 / CAST(unexposed_pos AS DOUBLE)
+                                        - 1.0e0 / (CAST(unexposed_pos AS DOUBLE) + CAST(unexposed_neg AS DOUBLE)))), 9)
+  END AS ci_low,
+  CASE WHEN exposed_pos > 0 AND unexposed_pos > 0
+        AND exposed_pos + exposed_neg > 0 AND unexposed_pos + unexposed_neg > 0
+  THEN round(exp(ln((CAST(exposed_pos AS DOUBLE) / (CAST(exposed_pos AS DOUBLE) + CAST(exposed_neg AS DOUBLE)))
+                    / (CAST(unexposed_pos AS DOUBLE) / (CAST(unexposed_pos AS DOUBLE) + CAST(unexposed_neg AS DOUBLE))))
+                 + 1.959963985e0 * sqrt(1.0e0 / CAST(exposed_pos AS DOUBLE)
+                                        - 1.0e0 / (CAST(exposed_pos AS DOUBLE) + CAST(exposed_neg AS DOUBLE))
+                                        + 1.0e0 / CAST(unexposed_pos AS DOUBLE)
+                                        - 1.0e0 / (CAST(unexposed_pos AS DOUBLE) + CAST(unexposed_neg AS DOUBLE)))), 9)
+  END AS ci_high
+FROM cells
+""",
+)
+def q_risk_ratio_source_flag(spark, sf_dir):
+    """EXT — relative risk of long documents from the web source with
+    the Katz log CI (profiling.risk_ratio_ci; Katz 1978): the "how
+    many times more likely" companion to odds_ratio_source_flag on
+    the same 2×2 — the OR inflates away from RR exactly when the
+    outcome is common, as here. Pure integer cells, one shared
+    ln/exp/sqrt chain — hash-matched."""
+    from .operators.profiling import risk_ratio_ci
+
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("source") == "web").alias("e"),
+        (F.col("n_chars") > 600).alias("y"),
+    )
+    return risk_ratio_ci(d, "e", "y")
+
+
+@query(
+    "diversity_lang_profile",
+    oracle="""
+WITH base AS (
+  SELECT CAST(lang AS VARCHAR) AS c FROM documents WHERE lang IS NOT NULL
+), per AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cn FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM per
+), folded AS (
+  SELECT n, k,
+    COALESCE(SUM(CAST(round(ln(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE)) * 1000000000.0e0) AS HUGEINT)
+                 * CAST(cn AS HUGEINT)), 0) AS hs,
+    COALESCE(SUM(CAST(cn AS HUGEINT) * (CAST(cn AS HUGEINT) - 1)), 0) AS ss
+  FROM per CROSS JOIN tot GROUP BY 1, 2
+)
+SELECT n, k,
+  CASE WHEN n > 0 THEN round(CAST(hs AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE), 9) END AS shannon,
+  CASE WHEN n > 0 AND k >= 2
+       THEN round((CAST(hs AS DOUBLE) / 1000000000.0e0 / CAST(n AS DOUBLE)) / ln(CAST(k AS DOUBLE)), 9) END AS evenness,
+  CASE WHEN n >= 2
+       THEN round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)), 9) END AS simpson,
+  CASE WHEN n >= 2 AND CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)) > 0
+       THEN round(1.0e0 / (CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))), 9) END AS inv_simpson
+FROM folded
+""",
+)
+def q_diversity_lang_profile(spark, sf_dir):
+    """EXT — language diversity profile of the corpus: Shannon
+    entropy, Pielou evenness, Simpson concentration and inverse-
+    Simpson "effective language count" (profiling.diversity_profile;
+    Simpson 1949, Pielou 1966): the balance panel behind mixture
+    decisions — evenness is category-count-free, inverse-Simpson
+    reads as equally-sized-category equivalents. Exact Σc(c−1) fold +
+    nano-nat entropy fold — hash-matched."""
+    from .operators.profiling import diversity_profile
+
+    return diversity_profile(t(spark, sf_dir, "documents"), "lang")
+
+
 # ---------------------------------------------------------------------------
 # public contract
 # ---------------------------------------------------------------------------

@@ -5298,3 +5298,239 @@ def partial_correlation(
             F.when(den > 0, F.round((r_xy - r_xz * r_yz) / F.sqrt(den), 9)),
         ).alias("r_xy_given_z"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    categories: list[str],
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's κ for ORDINAL categories (Cohen, Psych. Bull.
+    1968): disagreement is penalized by distance — ``w_ij = |i−j|``
+    (linear) or ``(i−j)²`` (quadratic, the Kaggle "QWK" standard for
+    ordinal model evaluation) — where plain :func:`cohens_kappa`
+    treats off-by-one and opposite-end confusion identically.
+    ``categories`` states the ordinal order explicitly (never inferred
+    from lexicographic accident); ratings outside it are dropped
+    pairwise. One row out: ``(n (long), kappa_w (double; NULL when
+    n = 0 or the chance-expected weighted disagreement is 0 — a
+    degenerate marginal))``.
+
+    Exactness: INTEGER-EXACT to one division — with integer weights,
+    ``κ_w = 1 − N·Σw·o / Σw·rᵢcⱼ`` folds entirely in
+    DECIMAL(38,0)/HUGEINT over the |k|² confusion grid (bounded by
+    category count, never rows), one IEEE chain, rounded to 9. Scale
+    shape: cell-grain groupBy + two broadcast marginals + a grid
+    fold — the chi_square grid discipline."""
+    if weights not in ("linear", "quadratic"):
+        raise ValueError(f"weighted_kappa: weights must be linear|quadratic, got {weights}")
+    if len(categories) < 2 or len(set(categories)) != len(categories):
+        raise ValueError("weighted_kappa: categories must be >= 2 distinct labels")
+    spark = df.sparkSession
+    order = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(categories)], "cat string, idx int"
+    )
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    base = (
+        df.select(a.alias("_a"), b.alias("_b"))
+        .join(F.broadcast(order.select(F.col("cat").alias("_a"), F.col("idx").alias("_ia"))), "_a")
+        .join(F.broadcast(order.select(F.col("cat").alias("_b"), F.col("idx").alias("_ib"))), "_b")
+    )
+    cells = base.groupBy("_ia", "_ib").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = F.abs(F.col("_ia") - F.col("_ib")).cast("decimal(38,0)")
+    w = d if weights == "linear" else (d * d).cast("decimal(38,0)")
+    obs = cells.agg(
+        F.coalesce(F.sum(dec("_c")), F.lit(0).cast("decimal(38,0)")).alias("_n"),
+        F.coalesce(
+            F.sum((w * dec("_c")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_wo"),
+    )
+    ma = cells.groupBy("_ia").agg(F.sum("_c").cast("decimal(38,0)").alias("_ra"))
+    mb = cells.groupBy("_ib").agg(F.sum("_c").cast("decimal(38,0)").alias("_rb"))
+    de = F.abs(F.col("_ia") - F.col("_ib")).cast("decimal(38,0)")
+    we = de if weights == "linear" else (de * de).cast("decimal(38,0)")
+    exp = (
+        ma.crossJoin(F.broadcast(mb))
+        .select((we * F.col("_ra") * F.col("_rb")).cast("decimal(38,0)").alias("_t"))
+        .agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias("_we"))
+    )
+    out = obs.crossJoin(F.broadcast(exp))
+    kappa = F.lit(1.0) - (
+        F.col("_n").cast("double") * F.col("_wo").cast("double")
+    ) / F.col("_we").cast("double")
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.when(
+            (F.col("_n") > 0) & (F.col("_we").cast("double") > 0),
+            F.round(kappa, 9),
+        ).alias("kappa_w"),
+    )
+
+
+def cohens_h(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cohen's h effect size for two proportions (Cohen, *Statistical
+    Power Analysis* 1969 §6.2): ``h = 2·asin√p₁ − 2·asin√p₂`` — the
+    variance-stabilized gap between two rates, the proportion twin of
+    :func:`cohens_d_effect_size` (0.2 small / 0.5 medium / 0.8 large
+    on the same scale regardless of where the rates sit — a 1%→2%
+    shift is LARGER in h than 50%→51%, as it should be).
+    ``group_col``/``flag_col`` cast to boolean. One row out: ``(n_a,
+    n_b (long), p_a, p_b, cohens_h (double; NULL when either group is
+    empty))``.
+
+    Exactness: four exact integer cells from one conditional
+    aggregate; asin/sqrt are ONE engine-identical IEEE chain over the
+    exact-integer rates, rounded to 9. Scale shape: one 4-cell
+    aggregate with map-side combine."""
+    g = F.col(group_col).cast("boolean")
+    y = F.col(flag_col).cast("boolean")
+    base = df.where(g.isNotNull() & y.isNotNull())
+    cells = base.agg(
+        F.coalesce(F.sum(g.cast("long")), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum((~g).cast("long")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum((g & y).cast("long")), F.lit(0)).cast("long").alias("_ka"),
+        F.coalesce(F.sum((~g & y).cast("long")), F.lit(0)).cast("long").alias("_kb"),
+    )
+    pa = F.col("_ka").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("_kb").cast("double") / F.col("n_b").cast("double")
+    h = F.lit(2.0) * F.asin(F.sqrt(pa)) - F.lit(2.0) * F.asin(F.sqrt(pb))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return cells.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(pa, 9)).alias("p_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 9)).alias("p_b"),
+        F.when(ok, F.round(h, 9)).alias("cohens_h"),
+    )
+
+
+def risk_ratio_ci(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2×2 risk ratio (relative risk) with the Katz log 95% CI (Katz
+    et al., Biometrics 1978: ``se(ln RR) = √(1/a − 1/(a+b) + 1/c −
+    1/(c+d))``) — the companion :func:`odds_ratio_ci` deliberately
+    is not: RR answers "how many times more LIKELY", which is the
+    interpretable quantity when outcomes are common (the OR inflates
+    away from RR precisely when the outcome rate is high). Both
+    columns cast to boolean. One row out: ``(exposed_pos,
+    exposed_neg, unexposed_pos, unexposed_neg (long), risk_ratio,
+    ci_low, ci_high (double; NULL when either exposure arm is empty
+    or either positive cell is 0 — the log form is undefined))``.
+
+    Exactness: the odds_ratio_ci discipline verbatim — pure integer
+    cells, ONE shared ln/exp/sqrt IEEE chain, rounded to 9."""
+    e = F.col(exposure_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    base = df.where(e.isNotNull() & y.isNotNull())
+    cells = base.agg(
+        F.coalesce(F.sum((e & y).cast("long")), F.lit(0)).cast("long").alias("exposed_pos"),
+        F.coalesce(F.sum((e & ~y).cast("long")), F.lit(0)).cast("long").alias("exposed_neg"),
+        F.coalesce(F.sum((~e & y).cast("long")), F.lit(0)).cast("long").alias("unexposed_pos"),
+        F.coalesce(F.sum((~e & ~y).cast("long")), F.lit(0)).cast("long").alias("unexposed_neg"),
+    )
+    a = F.col("exposed_pos").cast("double")
+    b = F.col("exposed_neg").cast("double")
+    c = F.col("unexposed_pos").cast("double")
+    d = F.col("unexposed_neg").cast("double")
+    rr = (a / (a + b)) / (c / (c + d))
+    se = F.sqrt(
+        F.lit(1.0) / a - F.lit(1.0) / (a + b) + F.lit(1.0) / c - F.lit(1.0) / (c + d)
+    )
+    ok = (
+        (F.col("exposed_pos") > 0)
+        & (F.col("unexposed_pos") > 0)
+        & (F.col("exposed_pos") + F.col("exposed_neg") > 0)
+        & (F.col("unexposed_pos") + F.col("unexposed_neg") > 0)
+    )
+    return cells.select(
+        "exposed_pos",
+        "exposed_neg",
+        "unexposed_pos",
+        "unexposed_neg",
+        F.when(ok, F.round(rr, 9)).alias("risk_ratio"),
+        F.when(ok, F.round(F.exp(F.log(rr) - F.lit(1.959963985) * se), 9)).alias("ci_low"),
+        F.when(ok, F.round(F.exp(F.log(rr) + F.lit(1.959963985) * se), 9)).alias("ci_high"),
+    )
+
+
+def diversity_profile(
+    df: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Ecological diversity profile of a categorical column: Shannon
+    entropy H (nats), Pielou evenness ``J = H/ln k`` (Pielou, J.
+    Theor. Biol. 1966), Simpson's unbiased concentration ``λ =
+    Σcᵢ(cᵢ−1)/(N(N−1))`` (Simpson, Nature 1949) and its inverse-
+    diversity ``1/λ`` — the standard "how balanced is this corpus
+    across sources/languages" panel: evenness is scale-free in the
+    category count, inverse-Simpson reads as "effectively this many
+    equally-sized categories". One row out: ``(n (long), k (long),
+    shannon, evenness, simpson, inv_simpson (double; NULLs where the
+    forms are undefined — k < 2 for evenness, n < 2 or λ = 0 for the
+    Simpson pair))``.
+
+    Exactness: Σc(c−1) is an exact DECIMAL(38,0)/HUGEINT fold;
+    Shannon uses the js_divergence discipline (per-category
+    ``c·ln(N/c)`` with the log micro-quantized to 1e-9 nats before
+    the fold); every readout ONE IEEE chain, rounded to 9. Scale
+    shape: category-grain groupBy, 1-row total attach, one fold."""
+    base = df.select(F.col(cat_col).cast("string").alias("_c")).where(
+        F.col("_c").isNotNull()
+    )
+    per = base.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    tot = per.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t_nano = F.round(
+        F.log(F.col("n").cast("double") / F.col("_n").cast("double")) * F.lit(1e9)
+    ).cast("decimal(38,0)")
+    folded = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "k",
+            (t_nano * dec("_n")).cast("decimal(38,0)").alias("_h"),
+            (dec("_n") * (dec("_n") - F.lit(1).cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias("_s"),
+        )
+        .groupBy("n", "k")
+        .agg(
+            F.coalesce(F.sum("_h"), F.lit(0).cast("decimal(38,0)")).alias("_hs"),
+            F.coalesce(F.sum("_s"), F.lit(0).cast("decimal(38,0)")).alias("_ss"),
+        )
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    shannon = F.col("_hs").cast("double") / F.lit(1e9) / n
+    simpson = F.col("_ss").cast("double") / (n * (n - F.lit(1.0)))
+    return folded.select(
+        "n",
+        "k",
+        F.when(F.col("n") > 0, F.round(shannon, 9)).alias("shannon"),
+        F.when(
+            (F.col("n") > 0) & (F.col("k") >= 2),
+            F.round(shannon / F.log(k), 9),
+        ).alias("evenness"),
+        F.when(F.col("n") >= 2, F.round(simpson, 9)).alias("simpson"),
+        F.when(
+            (F.col("n") >= 2),
+            F.when(simpson > 0, F.round(F.lit(1.0) / simpson, 9)),
+        ).alias("inv_simpson"),
+    )

@@ -666,3 +666,103 @@ def test_streaming_mase_equals_batch(spark, n_slices):
     stream = streaming_mase(spark, df, n_slices=n_slices).collect()[0]
     assert stream.asDict() == batch.asDict()
     assert stream.mase is not None
+
+
+def test_weighted_kappa_matches_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import weighted_kappa
+
+    rng = np.random.RandomState(31)
+    cats = ["low", "mid", "high"]
+    true = rng.randint(0, 3, 300)
+    pred = np.clip(true + rng.choice([-1, 0, 0, 0, 1], 300), 0, 2)
+    df = spark.createDataFrame(
+        [Row(ra=cats[a], rb=cats[b]) for a, b in zip(true, pred)]
+    )
+    out = weighted_kappa(df, "ra", "rb", cats).collect()[0]
+    k = 3
+    obs = np.zeros((k, k))
+    for a, b in zip(true, pred):
+        obs[a, b] += 1
+    w = np.array([[(i - j) ** 2 for j in range(k)] for i in range(k)])
+    n = obs.sum()
+    e = np.outer(obs.sum(1), obs.sum(0)) / n
+    ref = 1 - (w * obs).sum() / (w * e).sum()
+    assert out.n == 300
+    assert out.kappa_w == pytest.approx(ref, abs=1e-9)
+    assert out.kappa_w > 0.5  # mostly-on-diagonal: strong agreement
+    # linear weights differ from quadratic on the same data
+    lin = weighted_kappa(df, "ra", "rb", cats, weights="linear").collect()[0]
+    wl = np.array([[abs(i - j) for j in range(k)] for i in range(k)])
+    ref_l = 1 - (wl * obs).sum() / (wl * e).sum()
+    assert lin.kappa_w == pytest.approx(ref_l, abs=1e-9)
+    with pytest.raises(ValueError, match="linear"):
+        weighted_kappa(df, "ra", "rb", cats, weights="cubic")
+    with pytest.raises(ValueError, match="distinct"):
+        weighted_kappa(df, "ra", "rb", ["low", "low"])
+
+
+def test_cohens_h_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import cohens_h
+
+    rows = (
+        [Row(g=True, y=bool(i < 30)) for i in range(100)]
+        + [Row(g=False, y=bool(i < 15)) for i in range(120)]
+    )
+    out = cohens_h(spark.createDataFrame(rows), "g", "y").collect()[0]
+    ref = 2 * np.arcsin(np.sqrt(0.3)) - 2 * np.arcsin(np.sqrt(15 / 120))
+    assert (out.n_a, out.n_b) == (100, 120)
+    assert out.p_a == pytest.approx(0.3, abs=1e-12)
+    assert out.cohens_h == pytest.approx(ref, abs=1e-9)
+    # empty group: NULL
+    out2 = cohens_h(
+        spark.createDataFrame([Row(g=True, y=True)]), "g", "y"
+    ).collect()[0]
+    assert out2.cohens_h is None
+
+
+def test_risk_ratio_matches_reference(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import risk_ratio_ci
+
+    rows = (
+        [Row(e=True, y=True)] * 40 + [Row(e=True, y=False)] * 60
+        + [Row(e=False, y=True)] * 20 + [Row(e=False, y=False)] * 80
+    )
+    out = risk_ratio_ci(spark.createDataFrame(rows), "e", "y").collect()[0]
+    rr = (40 / 100) / (20 / 100)
+    se = np.sqrt(1 / 40 - 1 / 100 + 1 / 20 - 1 / 100)
+    assert out.risk_ratio == pytest.approx(rr, abs=1e-9)
+    assert out.ci_low == pytest.approx(np.exp(np.log(rr) - 1.959963985 * se), abs=1e-6)
+    assert out.ci_high == pytest.approx(np.exp(np.log(rr) + 1.959963985 * se), abs=1e-6)
+    # zero positive cell: NULL (log undefined)
+    out2 = risk_ratio_ci(
+        spark.createDataFrame(
+            [Row(e=True, y=False)] * 5 + [Row(e=False, y=True)] * 5
+        ),
+        "e", "y",
+    ).collect()[0]
+    assert out2.risk_ratio is None
+
+
+def test_diversity_profile_matches_numpy(spark):
+    from dlp_rdb_bq_import_spark.operators.profiling import diversity_profile
+
+    rng = np.random.RandomState(32)
+    cats = rng.choice(["a", "b", "c", "d"], 600, p=[0.4, 0.3, 0.2, 0.1])
+    out = diversity_profile(
+        spark.createDataFrame([Row(c=str(v)) for v in cats]), "c"
+    ).collect()[0]
+    _, counts = np.unique(cats, return_counts=True)
+    n = counts.sum()
+    p = counts / n
+    shannon = -(p * np.log(p)).sum()
+    simpson = (counts * (counts - 1)).sum() / (n * (n - 1))
+    assert (out.n, out.k) == (600, 4)
+    assert out.shannon == pytest.approx(shannon, abs=1e-6)
+    assert out.evenness == pytest.approx(shannon / np.log(4), abs=1e-6)
+    assert out.simpson == pytest.approx(simpson, abs=1e-9)
+    assert out.inv_simpson == pytest.approx(1 / simpson, abs=1e-6)
+    # single category: evenness NULL, simpson 1
+    out2 = diversity_profile(
+        spark.createDataFrame([Row(c="only")] * 5), "c"
+    ).collect()[0]
+    assert out2.k == 1 and out2.evenness is None and out2.simpson == 1.0

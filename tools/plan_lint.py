@@ -487,6 +487,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "construction: the seasonal and naive (n, Σ|Δ|) fold rows; the "
         "lag pairing itself is a date equi-join",
     },
+    "weighted_kappa_doc_tiers": {
+        "BroadcastNestedLoopJoin": "the |k|x|k| weighted-disagreement "
+        "grid is the DELIBERATE cross of the two broadcast marginal "
+        "tables (category-count-bounded, never rows) plus the 1-row "
+        "observed-fold scalar attach — the chi_square grid discipline",
+    },
+    "diversity_lang_profile": {
+        "BroadcastNestedLoopJoin": "1-row scalar attach: the (n, k) "
+        "global-aggregate row broadcasts onto the category-grain table "
+        "before the entropy/Simpson folds",
+    },
     "streaming_mase": {
         "BroadcastNestedLoopJoin": "the batch finishing readout's two "
         "1-row scalar attaches (seasonal/naive fold rows) — identical "
