@@ -60,10 +60,25 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a fixture table; events' TIMESTAMP(NANOS) column arrives as
-    long (session sets nanosAsLong) and is converted to a µs timestamp."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    long (session sets nanosAsLong) and is converted to a µs timestamp.
+
+    The ANALYZED READER PLAN is memoized per session (stored on the
+    session object, so it dies with it): fixtures are immutable, and
+    re-running ``spark.read.parquet`` re-lists the path and re-reads
+    footers on the driver for every one of a query's table references —
+    pure per-query constant overhead. No data is cached or persisted;
+    the memo holds the same lazy DataFrame a local variable would."""
+    memo = getattr(spark, "_dlp_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._dlp_table_memo = memo
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        memo[key] = df
     return df
 
 

@@ -416,7 +416,7 @@ def pagerank(
     )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for _it in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
         # mass from dangling nodes (no out-edges) spreads uniformly
         dangling = (
@@ -443,8 +443,11 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # every-4th-round lineage cut (always on the last): the hits()
+        # rationale — plan bounding, not per-round materialization
+        if _it % 4 == 3 or _it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -557,15 +560,20 @@ def hits(
             )
         else:
             hub = h.select("node", F.col("hraw").alias("hub"))
-        scores = (
-            hub.join(auth, "node", "full_outer")
-            .select(
-                "node",
-                F.coalesce("hub", F.lit(0.0)).alias("hub"),
-                F.coalesce("authority", F.lit(0.0)).alias("authority"),
-            )
-            .localCheckpoint(eager=True)
+        scores = hub.join(auth, "node", "full_outer").select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
+        # Lineage cut on the normalization cadence (and always on the
+        # last round), not every round: a fixed-iteration loop with no
+        # per-round driver reads needs the checkpoint only to BOUND THE
+        # PLAN, and four rounds of join+agg plan fine — while each
+        # eager checkpoint is a full scheduler round-trip, so this
+        # quarters the per-iteration job count for identical arithmetic
+        # (same operators, same partitioning, same per-partition order).
+        if normalize or it == iterations - 1:
+            scores = scores.localCheckpoint(eager=True)
     return (
         nodes.join(scores, "node", "left")
         .select(
@@ -837,7 +845,7 @@ def personalized_pagerank(
     ranks = nodes_e.select("node", F.col("_e").alias("rank")).localCheckpoint(
         eager=True
     )
-    for _ in range(iterations):
+    for _it in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
         dangling = with_deg.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
@@ -865,8 +873,10 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # every-4th-round lineage cut (always on the last) — see hits()
+        if _it % 4 == 3 or _it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 

@@ -255,8 +255,13 @@ def html_blocks(
     feeds the lag/lead context pass (same window spec, one shuffle on
     ``id_col``, payload bounded by blocks-per-page).
     """
+    from . import fan_out
+
     cleaned = F.regexp_replace(F.col(html_col), DROP_SPANS_RE, " ")
-    b = df.select(
+    # regex-chain CPU ∝ HTML bytes, but the scan partitioning is sized
+    # for RAW bytes — widen to the session's parallelism when narrower
+    # (conditional: a corpus-scale scan passes through untouched)
+    b = fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("_pos", "_raw"),
     )

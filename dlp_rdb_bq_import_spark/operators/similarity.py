@@ -58,6 +58,75 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
     )
 
 
+# Driver fast-path bounds for kcenter_sample: the greedy loop may run
+# locally only when the quantized table is provably driver-sized —
+# at most this many rows AND this many int64 cells (rows × dim; 4M
+# cells ≈ 32 MB). Past either bound the k-round distributed loop runs
+# unchanged. The dim is probed with a 1-row job BEFORE any collect, so
+# an unexpectedly wide vector can never pull an unbounded payload.
+_KCENTER_DRIVER_ROWS = 100_000
+_KCENTER_DRIVER_CELLS = 4_000_000
+
+
+def _kcenter_driver_picks(
+    cur: DataFrame, id_col: str, k: int
+) -> list[tuple[int, int]] | None:
+    """Exact driver-side replay of the greedy k-center recurrence over
+    a (id, _qv array<long>) table that fits the measured bounds;
+    ``None`` when the table is too large/ragged/null-bearing for the
+    fast path (caller falls through to the distributed loop).
+
+    Bit-identical to the distributed loop by construction: inputs are
+    the ALREADY-quantized int64 vectors, distances are exact integer
+    sums (order-independent), and both argmaxes break ties by
+    (score desc, id asc) — the same total order as
+    ``orderBy(desc, asc).limit(1)``."""
+    probe = cur.select(F.size("_qv").alias("_d")).first()
+    if probe is None:  # empty input: let the shared empty path handle it
+        return []
+    dim = probe["_d"]
+    if dim is None or dim < 0:
+        return None  # null vector — distributed path owns the semantics
+    n = cur.count()
+    if n > _KCENTER_DRIVER_ROWS or n * max(dim, 1) > _KCENTER_DRIVER_CELLS:
+        return None
+    rows = cur.collect()
+    ids = np.empty(n, dtype=np.int64)
+    try:
+        mat = np.empty((n, dim), dtype=np.int64)
+        for i, r in enumerate(rows):
+            ids[i] = r[0]
+            v = r[1]
+            if v is None or len(v) != dim or any(x is None for x in v):
+                return None  # ragged/null — fall back
+            mat[i] = v
+    except (TypeError, ValueError, OverflowError):
+        return None
+    alive = np.ones(n, dtype=bool)
+
+    def argbest(score: np.ndarray) -> int:
+        # max score, ties to smallest id, among alive rows only
+        cand = np.flatnonzero(alive)
+        best = cand[score[cand] == score[cand].max()]
+        return best[ids[best].argmin()]
+
+    i0 = argbest((mat * mat).sum(axis=1))
+    picks = [(int(ids[i0]), 1)]
+    alive[ids == ids[i0]] = False
+    d = mat - mat[i0]
+    mind = (d * d).sum(axis=1)
+    for r in range(2, k + 1):
+        if not alive.any():
+            break
+        nxt = argbest(mind)
+        picks.append((int(ids[nxt]), r))
+        c = mat[nxt]
+        alive[ids == ids[nxt]] = False
+        d = mat - c
+        np.minimum(mind, (d * d).sum(axis=1), out=mind)
+    return picks
+
+
 def kcenter_sample(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -98,6 +167,23 @@ def kcenter_sample(
     cur = df.select(
         F.col(id_col).cast("long").alias(id_col), _quantize(F.col(vec_col)).alias("_qv")
     ).localCheckpoint(eager=True)
+
+    # Measured-cardinality fast path: greedy selection is k SEQUENTIAL
+    # argmax rounds, so the distributed loop below costs k driver
+    # round-trip jobs even when the quantized table is kilobytes. When
+    # the table provably fits the driver (row AND cell bounds, dim
+    # probed before collecting anything wide), run the SAME integer
+    # recurrence in one collect + a numpy loop — every distance is the
+    # identical exact int64 sum and every tie breaks (score desc, id
+    # asc) exactly like the orderBy().limit(1) path, so the pick
+    # sequence (and the DuckDB recursive-CTE hash) is unchanged. The
+    # distributed loop stays the production path for corpora past the
+    # bound — same discipline as graph._BROADCAST_NODE_BOUND.
+    picks = _kcenter_driver_picks(cur, id_col, k)
+    if picks is not None:
+        return df.sparkSession.createDataFrame(
+            picks, f"{id_col} long, pick_order long"
+        )
 
     first = (
         cur.withColumn("_n2", _int_dot(F.col("_qv"), F.col("_qv")))

@@ -691,6 +691,17 @@ def bm25_batch_topk(
     )
 
 
+# Driver fast-path bounds for bpe_learn: the merge loop may run
+# locally only when the word-frequency table is provably driver-sized
+# (both measured in one aggregate before anything is collected).
+# 16 merge rounds over 1M chars is a few seconds of pure-Python work —
+# comparable to the distributed loop's per-round job overhead at the
+# SAME size — and past either bound the distributed fold runs
+# unchanged, so scale posture is untouched.
+_BPE_DRIVER_VOCAB_ROWS = 65_536
+_BPE_DRIVER_VOCAB_CHARS = 1_000_000
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
@@ -741,6 +752,61 @@ def bpe_learn(
         )
         .localCheckpoint(eager=True)
     )
+    spark = df.sparkSession
+    # Measured-cardinality fast path: every merge round is a SEQUENTIAL
+    # driver argmax (the recurrence is inherently iterative), so the
+    # distributed loop costs num_merges round-trip jobs even when the
+    # word-frequency table is kilobytes — which it always is for the
+    # bounded-sample trainer real pipelines run. When the vocab is
+    # provably driver-sized (row AND char bounds measured in one agg),
+    # run the SAME recurrence locally: integer pair weights, the same
+    # (w desc, l asc, r asc) tie-break (Python code-point order ==
+    # Spark's UTF8String byte order — UTF-8 preserves code-point
+    # order), the same left-to-right non-overlapping fold, the same
+    # early stop. Output is bit-identical; the distributed loop stays
+    # the path for vocabularies past the bound.
+    meas = vocab.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("word")).alias("chars")
+    ).first()
+    if meas["n"] <= _BPE_DRIVER_VOCAB_ROWS and (
+        meas["chars"] or 0
+    ) <= _BPE_DRIVER_VOCAB_CHARS:
+        local = [
+            (r["word"], int(r["freq"]), list(r["word"]))
+            for r in vocab.select("word", "freq").collect()
+        ]
+        merges_l: list[tuple[int, str, str, str]] = []
+        for rank in range(1, num_merges + 1):
+            pair_w: dict[tuple[str, str], int] = {}
+            for _w, freq, syms in local:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pair_w[p] = pair_w.get(p, 0) + freq
+            if not pair_w:
+                break
+            (left, right), w = min(
+                pair_w.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if w < 2:
+                break  # nothing repeats — further merges are noise
+            merged = left + right
+            merges_l.append((rank, left, right, merged))
+            for j, (word, freq, syms) in enumerate(local):
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                local[j] = (word, freq, out)
+        if return_segments:
+            return spark.createDataFrame(
+                [(w, f, s) for w, f, s in local],
+                "word string, freq long, symbols array<string>",
+            )
+        return spark.createDataFrame(
+            merges_l, "rank long, left string, right string, merged string"
+        )
     merges: list[tuple[int, str, str, str]] = []
     for rank in range(1, num_merges + 1):
         pairs = (

@@ -44,6 +44,107 @@ def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return raw
 
 
+class _VersionedState:
+    """Versioned state-directory handle for ``foreachBatch`` folds.
+
+    The first-cut folds wrote each batch's new state OVER the directory
+    they had just read it from, which forced an eager
+    ``localCheckpoint`` of both the read and the merged state (two
+    extra Spark jobs per micro-batch) purely to defend against
+    overwrite-while-reading. Writing every state generation to a FRESH
+    ``state_v{n}`` directory removes the hazard outright: the write's
+    input path is never its output path, so the merge plan executes
+    lazily inside the single write job. Per-key/per-day state stays
+    parquet-persisted between batches (the 100 TB posture is
+    unchanged — state never lives in driver memory); only the
+    job-per-batch count drops. Superseded versions are deleted after
+    the next one lands, so disk holds at most two generations."""
+
+    def __init__(self, root: str, name: str = "state") -> None:
+        self._root, self._name, self._v = root, name, 0
+
+    @property
+    def current(self) -> str:
+        return os.path.join(self._root, f"{self._name}_v{self._v}")
+
+    @property
+    def has_state(self) -> bool:
+        return self._v > 0
+
+    def read(self, spark: SparkSession, schema: str) -> DataFrame:
+        """Current state, or an empty frame of ``schema`` before the
+        first write."""
+        if self._v == 0:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(self.current)
+
+    def write(self, df: DataFrame) -> None:
+        """Materialize ``df`` as the next state generation (ONE job),
+        then drop the generation before last."""
+        nxt = os.path.join(self._root, f"{self._name}_v{self._v + 1}")
+        df.write.mode("overwrite").parquet(nxt)
+        stale = os.path.join(self._root, f"{self._name}_v{self._v - 1}")
+        self._v += 1
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _stage_ordered_slices(
+    src: DataFrame, stage: str, slice_id, n_slices: int
+) -> None:
+    """Stage ``src`` into ``n_slices`` ordered parquet slice files in
+    ONE pass (the first cut filtered + wrote per slice — n_slices full
+    scans): ``slice_id`` (int Column in [0, n_slices)) routes each row,
+    a hash repartition on it lands every slice in exactly one task, and
+    ``partitionBy`` writes one file per slice value. Files then move up
+    to the flat ``stage`` dir with STRICTLY increasing mod-times per
+    slice — the same mtime pinning as before, so the file source +
+    ``maxFilesPerTrigger=1`` replays the slices in event-time order.
+    Row order WITHIN a slice changes versus the filtered write (hash
+    shuffle), which every fold here is insensitive to by contract —
+    each sorts per batch or folds order-free (the any-slicing ≡ batch
+    guarantee)."""
+    import time as _time
+
+    tmp = stage + "_tmp"
+    (
+        src.withColumn("_slice", slice_id.cast("int"))
+        .repartition(n_slices, "_slice")
+        .write.partitionBy("_slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(stage, exist_ok=True)
+    base_mtime = int(_time.time()) - 3600
+    for i in range(n_slices):
+        part_dir = os.path.join(tmp, f"_slice={i}")
+        if not os.path.isdir(part_dir):
+            continue
+        for j, name in enumerate(sorted(os.listdir(part_dir))):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(stage, f"slice{i:05d}_{j}.parquet")
+            os.rename(os.path.join(part_dir, name), dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not any(n.endswith(".parquet") for n in os.listdir(stage)):
+        # empty source: the first cut still wrote (empty) slice files,
+        # and downstream reads the dir for its schema — keep one
+        src.limit(0).coalesce(1).write.mode("append").parquet(stage)
+        for name in os.listdir(stage):
+            os.utime(os.path.join(stage, name), (base_mtime, base_mtime))
+
+
+def _range_slice_id(col, cuts: list):
+    """Slice index for percentile-cut range slicing: the number of
+    cutpoints strictly below the value — EXACTLY the membership the
+    first-cut per-slice filters (``lo < x <= hi``) assigned."""
+    sid = F.lit(0)
+    for c in cuts:
+        sid = sid + F.when(col > F.lit(c), F.lit(1)).otherwise(F.lit(0))
+    return sid
+
+
 def _run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     """Drive a finite file stream to completion into a memory sink and
     return the result table."""
@@ -897,20 +998,18 @@ def streaming_cms(
 
     root = tempfile.mkdtemp(prefix="cms_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "sketch")
     src = values.select(F.col(col).cast("string").alias(col))
     src.write.parquet(stage)
+    sd = _VersionedState(root, "sketch")
 
     def fold_batch(batch_df, _epoch_id):
         batch_sketch = prof.cms_build(batch_df, col, depth=depth, width=width)
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
-            merged = prof.merge_cms(prev, batch_sketch).localCheckpoint(eager=True)
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
+            merged = prof.merge_cms(prev, batch_sketch)
         else:
-            merged = batch_sketch.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(acc_dir)
+            merged = batch_sketch
+        sd.write(merged)
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
@@ -919,7 +1018,7 @@ def streaming_cms(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -951,24 +1050,20 @@ def streaming_anchor_index(
 
     root = tempfile.mkdtemp(prefix="anchor_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "index")
     src = pages.select(F.col(id_col), F.col(html_col))
     src.write.parquet(stage)
+    sd = _VersionedState(root, "index")
 
     def fold_batch(batch_df, _epoch_id):
         batch_index = anchor_text_index(
             extract_links_with_text(batch_df, html_col, id_col), id_col
         )
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
-            merged = merge_anchor_index(prev, batch_index).localCheckpoint(
-                eager=True
-            )
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
+            merged = merge_anchor_index(prev, batch_index)
         else:
-            merged = batch_index.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(acc_dir)
+            merged = batch_index
+        sd.write(merged)
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
@@ -977,7 +1072,7 @@ def streaming_anchor_index(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1004,22 +1099,18 @@ def streaming_bottomk(
 
     root = tempfile.mkdtemp(prefix="bottomk_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "sample")
     src = values
     src.write.parquet(stage)
+    sd = _VersionedState(root, "sample")
 
     def fold_batch(batch_df, _epoch_id):
         batch_k = samp.bottomk_sample(batch_df, key_col, k)
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
-            merged = samp.merge_bottomk(prev, batch_k, key_col, k).localCheckpoint(
-                eager=True
-            )
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
+            merged = samp.merge_bottomk(prev, batch_k, key_col, k)
         else:
-            merged = batch_k.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(acc_dir)
+            merged = batch_k
+        sd.write(merged)
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
@@ -1028,7 +1119,7 @@ def streaming_bottomk(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1144,7 +1235,6 @@ def streaming_ewma(
 
     root = tempfile.mkdtemp(prefix="ewma_stream_")
     stage = os.path.join(root, "staged")
-    state_dir = os.path.join(root, "state")
     out_dir = os.path.join(root, "out")
     os.makedirs(stage)
 
@@ -1171,36 +1261,17 @@ def streaming_ewma(
         )
     else:
         cuts = []
-    lo = None
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        hi = cuts[i] if i < len(cuts) else None
-        part = src
-        if lo is not None:
-            part = part.where(F.col("tsl") > lo)
-        if hi is not None:
-            part = part.where(F.col("tsl") <= hi)
-        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
-        part.coalesce(1).write.mode("append").parquet(stage)
-        # pin STRICTLY increasing mod times per slice — the file source
-        # orders batches by modTime, and two sub-millisecond writes
-        # must not race the event-time ordering the fold depends on
-        for name in set(os.listdir(stage)) - before:
-            os.utime(
-                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
-            )
-        lo = hi
+    # one-pass ordered staging (mtime-pinned slices, see the helper)
+    _stage_ordered_slices(
+        src, stage, _range_slice_id(F.col("tsl"), cuts), n_slices
+    )
 
     state_schema = "k string, ewma double"
     out_schema = "k string, ts timestamp, eid long, x double, ewma double"
+    sd = _VersionedState(root)
 
     def fold_batch(batch_df, _epoch_id):
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        else:
-            state = spark.createDataFrame([], state_schema)
+        state = sd.read(spark, state_schema)
         seeded = batch_df.drop("tsl").join(
             state.withColumnRenamed("ewma", "_seed"), "k", "left"
         )
@@ -1223,12 +1294,10 @@ def streaming_ewma(
         last = folded.groupBy("k").agg(
             F.max_by("ewma", F.struct("ts", "eid")).alias("ewma")
         )
-        new_state = (
-            state.join(last.select("k"), "k", "left_anti")
-            .unionByName(last)
-            .localCheckpoint(eager=True)
+        new_state = state.join(last.select("k"), "k", "left_anti").unionByName(
+            last
         )
-        new_state.write.mode("overwrite").parquet(state_dir)
+        sd.write(new_state)
 
     try:
         batch0 = spark.read.parquet(stage)
@@ -1285,33 +1354,27 @@ def streaming_quantile_digest(
     keys = group_cols or []
     root = tempfile.mkdtemp(prefix="qdigest_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "digest")
     os.makedirs(stage)
     src = values.select(
         *keys, F.col(value_col).cast("double").alias("_v")
     ).where(F.col("_v").isNotNull())
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        part = src.where(F.pmod(F.xxhash64("_v"), F.lit(n_slices)) == i)
-        before = set(os.listdir(stage))
-        part.coalesce(1).write.mode("append").parquet(stage)
-        for name in set(os.listdir(stage)) - before:
-            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
+    _stage_ordered_slices(
+        src, stage, F.pmod(F.xxhash64("_v"), F.lit(n_slices)), n_slices
+    )
+    sd = _VersionedState(root, "digest")
 
     def fold_batch(batch_df, _epoch_id):
         batch_digest = quantile_digest(
             batch_df, "_v", k=k, group_cols=keys or None
-        ).localCheckpoint(eager=True)
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        )
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
             merged = digest_merge(
                 prev, batch_digest, group_cols=keys or None, k=k
-            ).localCheckpoint(eager=True)
+            )
         else:
             merged = batch_digest
-        merged.write.mode("overwrite").parquet(acc_dir)
+        sd.write(merged)
 
     try:
         raw = (
@@ -1324,7 +1387,7 @@ def streaming_quantile_digest(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1351,23 +1414,21 @@ def streaming_skyline(
 
     root = tempfile.mkdtemp(prefix="skyline_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "skyline")
     rows.write.parquet(stage)
+    sd = _VersionedState(root, "skyline")
 
     def fold_batch(batch_df, _epoch_id):
         batch_sky = skyline(batch_df, minimize=minimize, maximize=maximize)
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
             merged = skyline(
                 prev.unionByName(batch_sky),
                 minimize=minimize,
                 maximize=maximize,
-            ).localCheckpoint(eager=True)
+            )
         else:
-            merged = batch_sky.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(acc_dir)
+            merged = batch_sky
+        sd.write(merged)
 
     try:
         raw = spark.readStream.schema(rows.schema).parquet(stage)
@@ -1376,7 +1437,7 @@ def streaming_skyline(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1403,27 +1464,23 @@ def streaming_connected_components(
 
     root = tempfile.mkdtemp(prefix="cc_stream_")
     stage = os.path.join(root, "staged")
-    acc_dir = os.path.join(root, "components")
     src = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     src.write.parquet(stage)
+    sd = _VersionedState(root, "components")
 
     def fold_batch(batch_df, _epoch_id):
         b = batch_df.select("src", "dst")
-        if os.path.isdir(acc_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(acc_dir)
-        ):
-            prev = spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        if sd.has_state:
+            prev = spark.read.parquet(sd.current)
             star = prev.where(F.col("node") != F.col("component")).select(
                 F.col("component").alias("src"), F.col("node").alias("dst")
             )
             merged = connected_components(star.unionByName(b))
         else:
             merged = connected_components(b)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            acc_dir
-        )
+        sd.write(merged)
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
@@ -1432,7 +1489,7 @@ def streaming_connected_components(
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(acc_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(sd.current).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1473,7 +1530,6 @@ def streaming_twap(
 
     root = tempfile.mkdtemp(prefix="twap_stream_")
     stage = os.path.join(root, "staged")
-    state_dir = os.path.join(root, "state")
     os.makedirs(stage)
 
     src = events.select(
@@ -1494,38 +1550,21 @@ def streaming_twap(
         )
     else:
         cuts = []
-    lo = None
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        hi = cuts[i] if i < len(cuts) else None
-        part = src
-        if lo is not None:
-            part = part.where(F.col("t") > lo)
-        if hi is not None:
-            part = part.where(F.col("t") <= hi)
-        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
-        part.coalesce(1).write.mode("append").parquet(stage)
-        for name in set(os.listdir(stage)) - before:
-            os.utime(
-                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
-            )
-        lo = hi
+    _stage_ordered_slices(
+        src, stage, _range_slice_id(F.col("t"), cuts), n_slices
+    )
 
     state_schema = (
         "k string, n long, last_t long, last_v long, "
         "acc_vt decimal(38,0), acc_dt long"
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sd = _VersionedState(root)
 
     def fold_batch(batch_df, _epoch_id):
         from pyspark.sql import Window
 
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        else:
-            state = spark.createDataFrame([], state_schema)
+        state = sd.read(spark, state_schema)
         # per-key batch partials, all JVM-side: one lead window + one
         # groupBy (the batch operator's own shape, scoped to the batch)
         # tie-breaker MUST be (t, v) — the batch operator and the shared
@@ -1577,8 +1616,8 @@ def streaming_twap(
             )
             .cast("long")
             .alias("acc_dt"),
-        ).localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_dir)
+        )
+        sd.write(new_state)
 
     try:
         batch0 = spark.read.parquet(stage)
@@ -1592,7 +1631,7 @@ def streaming_twap(
             q.processAllAvailable()
         finally:
             q.stop()
-        final = spark.read.parquet(state_dir)
+        final = sd.read(spark, state_schema)
         return (
             final.select(
                 F.col("k").alias("key"),
@@ -1649,7 +1688,6 @@ def streaming_ols_trend(
         )
     root = tempfile.mkdtemp(prefix="ols_stream_")
     stage = os.path.join(root, "staged")
-    state_dir = os.path.join(root, "state")
     os.makedirs(stage)
 
     src = events.select(
@@ -1669,32 +1707,15 @@ def streaming_ols_trend(
         )
     else:
         cuts = []
-    lo = None
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        hi = cuts[i] if i < len(cuts) else None
-        part = src
-        if lo is not None:
-            part = part.where(F.unix_date(F.col("day")) > lo)
-        if hi is not None:
-            part = part.where(F.unix_date(F.col("day")) <= hi)
-        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
-        part.coalesce(1).write.mode("append").parquet(stage)
-        for name in set(os.listdir(stage)) - before:
-            os.utime(
-                os.path.join(stage, name), (base_mtime + i, base_mtime + i)
-            )
-        lo = hi
+    _stage_ordered_slices(
+        src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
+    )
 
     state_schema = "day date, sv decimal(38,6)"
+    sd = _VersionedState(root)
 
     def fold_batch(batch_df, _epoch_id):
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        else:
-            state = spark.createDataFrame([], state_schema)
+        state = sd.read(spark, state_schema)
         part = batch_df.groupBy("day").agg(
             F.sum("v").cast("decimal(38,6)").alias("_bv")
         )
@@ -1706,8 +1727,8 @@ def streaming_ols_trend(
             )
             .cast("decimal(38,6)")
             .alias("sv"),
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        )
+        sd.write(merged)
 
     try:
         batch0 = spark.read.parquet(stage)
@@ -1721,7 +1742,7 @@ def streaming_ols_trend(
             q.processAllAvailable()
         finally:
             q.stop()
-        daily = spark.read.parquet(state_dir).select(
+        daily = sd.read(spark, state_schema).select(
             "day",
             F.round(F.col("sv").cast("double") * F.lit(unit_scale))
             .cast("long")
@@ -1793,7 +1814,6 @@ def streaming_max_drawdown(
         )
     root = tempfile.mkdtemp(prefix="dd_stream_")
     stage = os.path.join(root, "staged")
-    state_dir = os.path.join(root, "state")
     os.makedirs(stage)
 
     src = events.select(
@@ -1811,30 +1831,15 @@ def streaming_max_drawdown(
         )
     else:
         cuts = []
-    lo = None
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        hi = cuts[i] if i < len(cuts) else None
-        part = src
-        if lo is not None:
-            part = part.where(F.unix_date(F.col("day")) > lo)
-        if hi is not None:
-            part = part.where(F.unix_date(F.col("day")) <= hi)
-        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
-        part.coalesce(1).write.mode("append").parquet(stage)
-        for name in set(os.listdir(stage)) - before:
-            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
-        lo = hi
+    _stage_ordered_slices(
+        src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
+    )
 
     state_schema = "day date, sv decimal(38,6)"
+    sd = _VersionedState(root)
 
     def fold_batch(batch_df, _epoch_id):
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        else:
-            state = spark.createDataFrame([], state_schema)
+        state = sd.read(spark, state_schema)
         part = batch_df.groupBy("day").agg(
             F.sum("v").cast("decimal(38,6)").alias("_bv")
         )
@@ -1846,8 +1851,8 @@ def streaming_max_drawdown(
             )
             .cast("decimal(38,6)")
             .alias("sv"),
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        )
+        sd.write(merged)
 
     try:
         batch0 = spark.read.parquet(stage)
@@ -1865,7 +1870,7 @@ def streaming_max_drawdown(
         # from the day table onward — restated on the quantized totals)
         from pyspark.sql import Window
 
-        daily = spark.read.parquet(state_dir).select(
+        daily = sd.read(spark, state_schema).select(
             "day",
             F.round(F.col("sv").cast("double") * F.lit(unit_scale))
             .cast("long")
@@ -1932,7 +1937,6 @@ def streaming_mase(
         raise ValueError(f"streaming_mase: season must be >= 2, got {season}")
     root = tempfile.mkdtemp(prefix="mase_stream_")
     stage = os.path.join(root, "staged")
-    state_dir = os.path.join(root, "state")
     os.makedirs(stage)
 
     src = events.select(
@@ -1950,30 +1954,15 @@ def streaming_mase(
         )
     else:
         cuts = []
-    lo = None
-    base_mtime = int(__import__("time").time()) - 3600
-    for i in range(n_slices):
-        hi = cuts[i] if i < len(cuts) else None
-        part = src
-        if lo is not None:
-            part = part.where(F.unix_date(F.col("day")) > lo)
-        if hi is not None:
-            part = part.where(F.unix_date(F.col("day")) <= hi)
-        before = set(os.listdir(stage)) if os.path.isdir(stage) else set()
-        part.coalesce(1).write.mode("append").parquet(stage)
-        for name in set(os.listdir(stage)) - before:
-            os.utime(os.path.join(stage, name), (base_mtime + i, base_mtime + i))
-        lo = hi
+    _stage_ordered_slices(
+        src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
+    )
 
     state_schema = "day date, sv decimal(38,6)"
+    sd = _VersionedState(root)
 
     def fold_batch(batch_df, _epoch_id):
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-        else:
-            state = spark.createDataFrame([], state_schema)
+        state = sd.read(spark, state_schema)
         part = batch_df.groupBy("day").agg(
             F.sum("v").cast("decimal(38,6)").alias("_bv")
         )
@@ -1985,8 +1974,8 @@ def streaming_mase(
             )
             .cast("decimal(38,6)")
             .alias("sv"),
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        )
+        sd.write(merged)
 
     try:
         batch0 = spark.read.parquet(stage)
@@ -2002,7 +1991,7 @@ def streaming_mase(
             q.stop()
         # batch finishing readout: mase_seasonal_naive from the day
         # table onward, restated on the quantized totals
-        daily = spark.read.parquet(state_dir).select(
+        daily = sd.read(spark, state_schema).select(
             "day",
             F.round(F.col("sv").cast("double") * F.lit(unit_scale))
             .cast("long")

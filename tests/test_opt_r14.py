@@ -1,0 +1,125 @@
+"""Round-14 optimization regression tests: the measured-cardinality
+driver fast paths must be BIT-IDENTICAL to the distributed loops they
+short-circuit (both are pure integer recurrences), and the loops must
+still run when the bounds force the distributed path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(41)
+    data = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(8)]) for i in range(60)
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<double>")
+
+
+def test_kcenter_driver_path_equals_distributed(spark, emb, monkeypatch):
+    from dlp_rdb_bq_import_spark.operators import similarity
+
+    fast = _rows(similarity.kcenter_sample(emb, k=9), "vec_id", "pick_order")
+    # force the distributed loop by zeroing the row bound
+    monkeypatch.setattr(similarity, "_KCENTER_DRIVER_ROWS", 0)
+    slow = _rows(similarity.kcenter_sample(emb, k=9), "vec_id", "pick_order")
+    assert fast == slow
+    assert len(fast) == 9
+
+
+def test_kcenter_driver_path_cell_bound_falls_back(spark, emb, monkeypatch):
+    from dlp_rdb_bq_import_spark.operators import similarity
+
+    # cell bound of 1 can never fit 60 x 8 — must fall back, not fail
+    monkeypatch.setattr(similarity, "_KCENTER_DRIVER_CELLS", 1)
+    out = _rows(similarity.kcenter_sample(emb, k=3), "vec_id", "pick_order")
+    assert len(out) == 3
+
+
+def test_bpe_learn_driver_path_equals_distributed(spark, monkeypatch):
+    from dlp_rdb_bq_import_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new knew"),
+            (3, "low new low new widest wide wide"),
+        ],
+        "doc_id long, text string",
+    )
+    fast_m = _rows(
+        text.bpe_learn(docs, num_merges=10), "rank", "left", "right", "merged"
+    )
+    fast_s = _rows(
+        text.bpe_learn(docs, num_merges=10, return_segments=True),
+        "word",
+        "freq",
+        "symbols",
+    )
+    monkeypatch.setattr(text, "_BPE_DRIVER_VOCAB_ROWS", 0)
+    slow_m = _rows(
+        text.bpe_learn(docs, num_merges=10), "rank", "left", "right", "merged"
+    )
+    slow_s = _rows(
+        text.bpe_learn(docs, num_merges=10, return_segments=True),
+        "word",
+        "freq",
+        "symbols",
+    )
+    assert fast_s == slow_s
+    assert fast_m == slow_m
+
+
+def test_bpe_learn_driver_path_empty_and_single_char(spark):
+    from dlp_rdb_bq_import_spark.operators import text
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text.bpe_learn(empty, num_merges=4).count() == 0
+    singles = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    # no adjacent pair ever repeats inside a word — zero merges
+    assert text.bpe_learn(singles, num_merges=4).count() == 0
+
+
+def test_graph_loop_cadence_rank_unchanged(spark):
+    """pagerank / hits with the every-4th-round lineage cut must match
+    a small reference computed the straightforward way."""
+    import numpy as np
+
+    from dlp_rdb_bq_import_spark.operators.graph import hits, pagerank
+
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 3), (5, 2), (6, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=12).collect()}
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: [] for u in nodes}
+    for u, v in edges:
+        out[u].append(v)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(12):
+        nxt = np.zeros(n)
+        dm = sum(r[idx[u]] for u in nodes if not out[u])
+        for u in nodes:
+            for v in out[u]:
+                nxt[idx[v]] += r[idx[u]] / len(out[u])
+        r = (1 - d) / n + d * (nxt + dm / n)
+    for u in nodes:
+        assert got[u] == pytest.approx(r[idx[u]], rel=1e-9, abs=1e-12)
+
+    hs = hits(e, iterations=8).collect()
+    assert len(hs) == n
+    assert sum(x["hub"] for x in hs) == pytest.approx(1.0)
+    assert sum(x["authority"] for x in hs) == pytest.approx(1.0)
