@@ -4246,6 +4246,11 @@ def q_web_curation_pipeline(spark, sf_dir):
             F.md5("text").alias("fingerprint"),
         )
         .where(F.col("quality") >= 0.55)
+        # kept feeds BOTH the representative groupBy and the semi-join
+        # left side; without a lineage cut the whole synth → extract →
+        # repair → quality chain executes once PER CONSUMER (measured
+        # 2× at sf0.1 — the incremental_curation per-stage discipline)
+        .localCheckpoint(eager=False)
     )
     rep = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     return kept.join(rep, ["fingerprint", "doc_id"], "left_semi").select(

@@ -104,6 +104,52 @@ def _score_side(df: DataFrame, n_nodes: int) -> DataFrame:
     return F.broadcast(df) if n_nodes <= _BROADCAST_NODE_BOUND else df
 
 
+# Driver fast-path bound for the FIXED-ITERATION float fixpoints
+# (pagerank / personalized_pagerank / hits): when the edge table is at
+# most this many rows (counted on the materialized checkpoint the loop
+# pays anyway), the k-round power iteration runs as one collect + a
+# numpy scatter-add loop instead of k sequential scheduler round-trips
+# over kilobyte tables — the r14 measurement: each eager round costs a
+# fixed ~0.3 s of job overhead at ANY data size, so a host-graph HITS
+# spent >95% of its wall-clock scheduling. The recurrence, iteration
+# count, normalization cadence, dangling-mass handling and teleport
+# vector are IDENTICAL expressions; the only difference is float64
+# summation order (numpy scatter-add vs Spark partial aggregation),
+# which agrees to ~1 ulp — these operators are registered rows-only /
+# tolerance-pinned for exactly that class of reason, and the fast path
+# is pinned to the distributed loop at 1e-12 in tests/test_opt_r14.py.
+# Corpora past the bound run the distributed loop unchanged.
+_DRIVER_FIXPOINT_EDGE_BOUND = 1_000_000
+
+
+def _collect_clean_edges(e0: DataFrame, n_cols: int):
+    """Collect a materialized edge table for the driver fixpoint; None
+    when any endpoint (or weight) is NULL — null semantics stay with
+    the distributed path."""
+    rows = e0.collect()
+    for r in rows:
+        for i in range(n_cols):
+            if r[i] is None:
+                return None
+    return rows
+
+
+def _node_index(rows):
+    """Distinct src∪dst in first-seen order + int index arrays."""
+    import numpy as np
+
+    idx: dict = {}
+    for r in rows:
+        if r[0] not in idx:
+            idx[r[0]] = len(idx)
+    for r in rows:
+        if r[1] not in idx:
+            idx[r[1]] = len(idx)
+    ui = np.fromiter((idx[r[0]] for r in rows), dtype=np.int64, count=len(rows))
+    vi = np.fromiter((idx[r[1]] for r in rows), dtype=np.int64, count=len(rows))
+    return list(idx), idx, ui, vi
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
@@ -392,13 +438,49 @@ def pagerank(
         )
         e = e.select("src", "dst", checked.alias("w")).where(F.col("w") > 0)
     try:
-        # staged on src — the per-round rank join key — so iterations
-        # shuffle only the |V|-sized rank table (module docstring)
-        e = _stage_edges(e, "src")
+        e0 = e.localCheckpoint(eager=True)
+        m = e0.count()
     except Exception as ex:  # surface the in-plan guard as the API's ValueError
         if "NULL weights" in str(ex):
             raise ValueError(f"pagerank: NULL weights in {weight_col!r}") from None
         raise
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND)
+    if m <= _DRIVER_FIXPOINT_EDGE_BOUND:
+        rows = _collect_clean_edges(e0, 3)
+        if rows is not None:
+            import numpy as np
+
+            spark = edges.sparkSession
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", e0.schema[0].dataType),
+                    T.StructField("rank", T.DoubleType()),
+                ]
+            )
+            if not rows:
+                return spark.createDataFrame([], schema)
+            node_list, _idx, ui, vi = _node_index(rows)
+            n = len(node_list)
+            w = np.fromiter((float(r[2]) for r in rows), dtype=np.float64,
+                            count=len(rows))
+            deg = np.zeros(n)
+            np.add.at(deg, ui, w)
+            has_out = deg > 0
+            ranks = np.full(n, 1.0 / n)
+            d = damping
+            for _ in range(iterations):
+                dm = ranks[~has_out].sum()
+                contrib = np.zeros(n)
+                np.add.at(contrib, vi, ranks[ui] * w / deg[ui])
+                ranks = (1.0 - d) / n + d * (contrib + dm / n)
+            return spark.createDataFrame(
+                [(node_list[i], float(ranks[i])) for i in range(n)], schema
+            )
+    # staged on src — the per-round rank join key — so iterations
+    # shuffle only the |V|-sized rank table (module docstring)
+    e = _stage_edges(e0, "src")
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -416,7 +498,7 @@ def pagerank(
     )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _it in range(iterations):
+    for _ in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
         # mass from dangling nodes (no out-edges) spreads uniformly
         dangling = (
@@ -443,11 +525,8 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        # every-4th-round lineage cut (always on the last): the hits()
-        # rationale — plan bounding, not per-round materialization
-        if _it % 4 == 3 or _it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -489,14 +568,54 @@ def hits(
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     if norm_every < 1:
         raise ValueError(f"hits: norm_every must be >= 1, got {norm_every}")
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND)
+    if e0.count() <= _DRIVER_FIXPOINT_EDGE_BOUND:
+        rows = _collect_clean_edges(e0, 2)
+        if rows is not None:
+            import numpy as np
+
+            spark = edges.sparkSession
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", e0.schema[0].dataType),
+                    T.StructField("hub", T.DoubleType()),
+                    T.StructField("authority", T.DoubleType()),
+                ]
+            )
+            if not rows:
+                return spark.createDataFrame([], schema)
+            node_list, _idx, ui, vi = _node_index(rows)
+            n = len(node_list)
+            hub = np.zeros(n)
+            hub[np.unique(ui)] = 1.0
+            auth = np.zeros(n)
+            for it in range(iterations):
+                normalize = (it + 1) % norm_every == 0 or it == iterations - 1
+                auth = np.zeros(n)
+                np.add.at(auth, vi, hub[ui])
+                if normalize:
+                    auth /= auth.sum()
+                hub = np.zeros(n)
+                np.add.at(hub, ui, auth[vi])
+                if normalize:
+                    hub /= hub.sum()
+            return spark.createDataFrame(
+                [
+                    (node_list[i], float(hub[i]), float(auth[i]))
+                    for i in range(n)
+                ],
+                schema,
+            )
     # two staged copies — each half-iteration joins scores on a
     # DIFFERENT edge endpoint, so one copy per key keeps both joins
     # edge-shuffle-free across all rounds (2·|E| cached once vs
     # 2·iterations·|E| shuffled)
-    e = _stage_edges(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
-        "src",
-    )
+    e = _stage_edges(e0, "src")
     e_dst = _stage_edges(e, "dst")
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -560,20 +679,15 @@ def hits(
             )
         else:
             hub = h.select("node", F.col("hraw").alias("hub"))
-        scores = hub.join(auth, "node", "full_outer").select(
-            "node",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        scores = (
+            hub.join(auth, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
         )
-        # Lineage cut on the normalization cadence (and always on the
-        # last round), not every round: a fixed-iteration loop with no
-        # per-round driver reads needs the checkpoint only to BOUND THE
-        # PLAN, and four rounds of join+agg plan fine — while each
-        # eager checkpoint is a full scheduler round-trip, so this
-        # quarters the per-iteration job count for identical arithmetic
-        # (same operators, same partitioning, same per-partition order).
-        if normalize or it == iterations - 1:
-            scores = scores.localCheckpoint(eager=True)
     return (
         nodes.join(scores, "node", "left")
         .select(
@@ -807,10 +921,62 @@ def personalized_pagerank(
         raise ValueError(
             f"personalized_pagerank: iterations must be >= 1, got {iterations}"
         )
-    e = _stage_edges(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
-        "src",
-    )
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND);
+    # seed validation is replicated exactly (same errors, same counts)
+    if e0.count() <= _DRIVER_FIXPOINT_EDGE_BOUND:
+        rows = _collect_clean_edges(e0, 2)
+        if rows is not None:
+            import numpy as np
+
+            spark = edges.sparkSession
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", e0.schema[0].dataType),
+                    T.StructField("rank", T.DoubleType()),
+                ]
+            )
+            if not rows:
+                return spark.createDataFrame([], schema)
+            node_list, idx, ui, vi = _node_index(rows)
+            n = len(node_list)
+            seed_vals = {
+                r[0]
+                for r in seeds.select(F.col(seed_col).alias("node"))
+                .distinct()
+                .collect()
+            }
+            if not seed_vals:
+                raise ValueError("personalized_pagerank: empty seed set")
+            missing = sum(1 for sv in seed_vals if sv not in idx)
+            if missing:
+                raise ValueError(
+                    f"personalized_pagerank: {missing} seed(s) not present "
+                    "as an edge endpoint — add self-loop edges to include "
+                    "isolated seeds"
+                )
+            ev = np.zeros(n)
+            for sv in seed_vals:
+                ev[idx[sv]] = 1.0 / len(seed_vals)
+            deg = np.zeros(n)
+            np.add.at(deg, ui, 1.0)
+            has_out = deg > 0
+            ranks = ev.copy()
+            d = damping
+            for _ in range(iterations):
+                dm = ranks[~has_out].sum()
+                contrib = np.zeros(n)
+                np.add.at(contrib, vi, ranks[ui] / deg[ui])
+                ranks = (1.0 - d) * ev + d * (contrib + dm * ev)
+            return spark.createDataFrame(
+                [(node_list[i], float(r)) for i, r in enumerate(ranks)],
+                schema,
+            ).select("node", F.round("rank", 9).alias("rank"))
+    e = _stage_edges(e0, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -845,7 +1011,7 @@ def personalized_pagerank(
     ranks = nodes_e.select("node", F.col("_e").alias("rank")).localCheckpoint(
         eager=True
     )
-    for _it in range(iterations):
+    for _ in range(iterations):
         with_deg = ranks.join(outdeg, "node", "left")
         dangling = with_deg.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
@@ -873,10 +1039,8 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        # every-4th-round lineage cut (always on the last) — see hits()
-        if _it % 4 == 3 or _it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 

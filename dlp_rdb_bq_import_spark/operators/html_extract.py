@@ -258,9 +258,10 @@ def html_blocks(
     from . import fan_out
 
     cleaned = F.regexp_replace(F.col(html_col), DROP_SPANS_RE, " ")
-    # regex-chain CPU ∝ HTML bytes, but the scan partitioning is sized
-    # for RAW bytes — widen to the session's parallelism when narrower
-    # (conditional: a corpus-scale scan passes through untouched)
+    # split/feature regex CPU ∝ HTML bytes, but the scan partitioning
+    # is sized for RAW bytes — widen to the session's parallelism when
+    # narrower (conditional: a corpus-scale scan passes through
+    # untouched, so no full-corpus shuffle is ever inserted)
     b = fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("_pos", "_raw"),

@@ -90,9 +90,79 @@ def test_bpe_learn_driver_path_empty_and_single_char(spark):
     assert text.bpe_learn(singles, num_merges=4).count() == 0
 
 
-def test_graph_loop_cadence_rank_unchanged(spark):
-    """pagerank / hits with the every-4th-round lineage cut must match
-    a small reference computed the straightforward way."""
+def test_fixpoint_driver_path_matches_distributed(spark, monkeypatch):
+    """The measured-size driver fixpoints (pagerank / personalized /
+    hits) must agree with the distributed loops to float64 roundoff —
+    same recurrence, same iteration count, same normalization cadence;
+    only the summation order differs."""
+    from dlp_rdb_bq_import_spark.operators import graph
+
+    edges = [(i, (i * 3 + 1) % 9) for i in range(9)] + [
+        (0, 4), (7, 2), (8, 1), (3, 3), (5, 1)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    we = spark.createDataFrame(
+        [(u, v, float(1 + (u + v) % 3)) for u, v in edges],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+
+    fast_pr = {r["node"]: r["rank"] for r in graph.pagerank(e).collect()}
+    fast_wpr = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(we, weight_col="w").collect()
+    }
+    fast_ppr = {
+        r["node"]: r["rank"]
+        for r in graph.personalized_pagerank(e, seeds).collect()
+    }
+    fast_h = {
+        r["node"]: (r["hub"], r["authority"]) for r in graph.hits(e).collect()
+    }
+    monkeypatch.setattr(graph, "_DRIVER_FIXPOINT_EDGE_BOUND", 0)
+    slow_pr = {r["node"]: r["rank"] for r in graph.pagerank(e).collect()}
+    slow_wpr = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(we, weight_col="w").collect()
+    }
+    slow_ppr = {
+        r["node"]: r["rank"]
+        for r in graph.personalized_pagerank(e, seeds).collect()
+    }
+    slow_h = {
+        r["node"]: (r["hub"], r["authority"]) for r in graph.hits(e).collect()
+    }
+    assert set(fast_pr) == set(slow_pr)
+    for u in slow_pr:
+        assert fast_pr[u] == pytest.approx(slow_pr[u], abs=1e-12)
+        assert fast_wpr[u] == pytest.approx(slow_wpr[u], abs=1e-12)
+        assert fast_ppr[u] == pytest.approx(slow_ppr[u], abs=1e-12)
+        assert fast_h[u][0] == pytest.approx(slow_h[u][0], abs=1e-12)
+        assert fast_h[u][1] == pytest.approx(slow_h[u][1], abs=1e-12)
+
+    # error contracts survive the fast path
+    with pytest.raises(ValueError, match="empty seed set"):
+        graph.personalized_pagerank(
+            e, spark.createDataFrame([], "node long")
+        )
+    with pytest.raises(ValueError, match="not present"):
+        graph.personalized_pagerank(
+            e, spark.createDataFrame([(12345,)], "node long")
+        )
+    with pytest.raises(ValueError, match="NULL weights"):
+        graph.pagerank(
+            spark.createDataFrame(
+                [(1, 2, None)], "src long, dst long, w double"
+            ),
+            weight_col="w",
+        )
+
+
+def test_graph_loop_rank_parity(spark):
+    """pagerank / hits must match a small reference computed the
+    straightforward way (guards any future change to the loop's
+    checkpoint discipline — the r14 lazy-round experiment measurably
+    REGRESSED and was reverted; see OPTIMIZATION_r14.md)."""
     import numpy as np
 
     from dlp_rdb_bq_import_spark.operators.graph import hits, pagerank
