@@ -4622,7 +4622,10 @@ def q_multimodal_features(spark, sf_dir):
     rows-only check is stable."""
     from .operators.multimodal import attach_media, extract_features
 
-    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
+    d = attach_media(
+        t(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        with_meta=False,  # extract_features re-derives dims from decode
+    )
     return extract_features(d).select("doc_id", "byte_len", "width", "height", "mean_px")
 
 
@@ -4647,6 +4650,7 @@ def q_jpeg_decode_features(spark, sf_dir):
         .where(F.col("doc_id") % 10 == 0)
         .repartition(32, "doc_id"),
         container="jpeg",
+        with_meta=False,  # consumer decodes the stream itself
     )
     return extract_features(d).select(
         "doc_id", "byte_len", "width", "height", "mean_px"
@@ -4659,7 +4663,11 @@ def q_multimodal_audio(spark, sf_dir):
     over real 16-bit PCM bytes. Deterministic rows-only check."""
     from .operators.multimodal import attach_media, extract_audio_features
 
-    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"), media="audio")
+    d = attach_media(
+        t(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        media="audio",
+        with_meta=False,  # consumer decodes the WAV itself
+    )
     return extract_audio_features(d).select(
         "doc_id", "byte_len", "sample_rate", "n_samples", "duration_ms", "zero_crossings"
     )
@@ -4680,16 +4688,30 @@ def q_multimodal_header_probe(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     img = d.where(F.col("doc_id") % 3 == 0)
+    # with_meta=False: the probe re-derives every stat from header
+    # bytes — paying attach_media's decode-for-metadata (a full PNG
+    # inflate per row on the png branch) for columns this query drops
+    # violated the query's own no-decode point (r14)
     parts = [
-        media_header_stats(attach_media(img.where(F.col("doc_id") % 6 == 0))),
         media_header_stats(
-            attach_media(img.where(F.col("doc_id") % 6 != 0), container="png")
+            attach_media(img.where(F.col("doc_id") % 6 == 0), with_meta=False)
+        ),
+        media_header_stats(
+            attach_media(
+                img.where(F.col("doc_id") % 6 != 0),
+                container="png",
+                with_meta=False,
+            )
         ),
     ]
     for i, media in enumerate(("audio", "video"), start=1):
         parts.append(
             media_header_stats(
-                attach_media(d.where(F.col("doc_id") % 3 == i), media=media)
+                attach_media(
+                    d.where(F.col("doc_id") % 3 == i),
+                    media=media,
+                    with_meta=False,
+                )
             )
         )
     out = parts[0]
@@ -4708,7 +4730,10 @@ def q_multimodal_resize(spark, sf_dir):
     stable."""
     from .operators.multimodal import attach_media, resize_images
 
-    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
+    d = attach_media(
+        t(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        with_meta=False,  # resize decodes the payload itself
+    )
     return resize_images(d, out_w=2, out_h=2)
 
 
@@ -4719,7 +4744,11 @@ def q_multimodal_frame_sample(spark, sf_dir):
     Deterministic, so the rows-only check is stable."""
     from .operators.multimodal import attach_media, sample_frames
 
-    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"), media="video")
+    d = attach_media(
+        t(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        media="video",
+        with_meta=False,  # sample_frames re-derives duration from the stream
+    )
     return sample_frames(d, every_ms=250)
 
 
@@ -9087,7 +9116,10 @@ def q_image_phash(spark, sf_dir):
     (dedup.hamming_neardup_pairs)."""
     from .operators.multimodal import attach_media, image_dhash
 
-    d = attach_media(t(spark, sf_dir, "documents").repartition(32, "doc_id"))
+    d = attach_media(
+        t(spark, sf_dir, "documents").repartition(32, "doc_id"),
+        with_meta=False,  # dhash decodes the payload itself
+    )
     return image_dhash(d)
 
 
@@ -10737,7 +10769,7 @@ def q_cdc_chunks(spark, sf_dir):
     and bounded: (doc_id, n_chunks, total_len, n_distinct_chunks)."""
     from .operators.multimodal import attach_media, cdc_chunk_table
 
-    d = attach_media(t(spark, sf_dir, "documents"))
+    d = attach_media(t(spark, sf_dir, "documents"), with_meta=False)
     chunks = cdc_chunk_table(d, "payload", "doc_id")
     return chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),

@@ -78,6 +78,7 @@ def attach_media(
     media: str = "image",
     id_col: str = "doc_id",
     container: str | None = None,
+    with_meta: bool = True,
 ) -> DataFrame:
     """Attach a REAL encoded media payload per row, synthesized
     deterministically from the id (fixtures carry no media bytes; the
@@ -87,7 +88,14 @@ def attach_media(
     columns the schema contract promises. Deterministic and
     partitioning-independent by construction (seed = id).
     ``container`` pins the image container ("bmp"/"ppm"/"png") instead
-    of the seed-parity default; ignored for audio/video."""
+    of the seed-parity default; ignored for audio/video.
+
+    ``with_meta=False`` skips the decode-for-metadata pass and emits
+    zeroed width/height/duration columns (same schema): consumers that
+    re-derive their stats from the payload itself — the header-bytes
+    probe above all, whose whole point is to never pay decode cost —
+    were otherwise paying a full PNG/WAV/Y4M decode per row for columns
+    they drop (r14 measurement)."""
     if media not in ("image", "audio", "video"):
         raise ValueError(f"unknown media type {media!r}")
 
@@ -98,20 +106,29 @@ def attach_media(
                 seed = int(doc_id)
                 if media == "image":
                     payload = codecs.synthesize_image(seed, container=container)
-                    img = codecs.decode_image_payload(payload)
-                    meta = (img.shape[1], img.shape[0], 0)
+                    if with_meta:
+                        img = codecs.decode_image_payload(payload)
+                        meta = (img.shape[1], img.shape[0], 0)
+                    else:
+                        meta = (0, 0, 0)
                 elif media == "audio":
                     payload = codecs.synthesize_audio(seed)
-                    samples, rate = codecs.decode_wav(payload)
-                    meta = (0, 0, len(samples) * 1000 // rate)
+                    if with_meta:
+                        samples, rate = codecs.decode_wav(payload)
+                        meta = (0, 0, len(samples) * 1000 // rate)
+                    else:
+                        meta = (0, 0, 0)
                 else:
                     payload = codecs.synthesize_video(seed)
-                    frames, num, den = codecs.decode_y4m(payload)
-                    meta = (
-                        frames.shape[2],
-                        frames.shape[1],
-                        frames.shape[0] * 1000 * den // num,
-                    )
+                    if with_meta:
+                        frames, num, den = codecs.decode_y4m(payload)
+                        meta = (
+                            frames.shape[2],
+                            frames.shape[1],
+                            frames.shape[0] * 1000 * den // num,
+                        )
+                    else:
+                        meta = (0, 0, 0)
                 rows.append(
                     (
                         seed,

@@ -648,7 +648,18 @@ def bm25_batch_topk(
     words = fan_out(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
-    doclen = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # doclen and tf are each MULTIPLY consumed (doclen: corpus stats +
+    # the score join; tf: df counts + the score stream) — without a
+    # lineage cut every consumer (including each broadcast subplan)
+    # re-runs the corpus explode (r14: 19 jobs for one query). Both are
+    # index-stat-sized — per-doc lengths and query-matched postings,
+    # the tables a real search index PRECOMPUTES — so materializing
+    # them is the production shape, not a fixture trick.
+    doclen = (
+        words.groupBy(id_col)
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     corpus = doclen.groupBy().agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     )
@@ -661,6 +672,7 @@ def bm25_batch_topk(
         words.join(F.broadcast(qterms.select("word").distinct()), "word", "leftsemi")
         .groupBy(id_col, "word")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
     term_score = _bm25_term_score(F.col("tf"), F.col("doc_freq"), F.col("dl"), k1, b)

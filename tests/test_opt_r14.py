@@ -193,3 +193,56 @@ def test_graph_loop_rank_parity(spark):
     assert len(hs) == n
     assert sum(x["hub"] for x in hs) == pytest.approx(1.0)
     assert sum(x["authority"] for x in hs) == pytest.approx(1.0)
+
+
+def test_attach_media_with_meta_false_same_payloads(spark):
+    """with_meta=False must change ONLY the metadata columns (zeroed):
+    payload bytes, media_type and sniffed format stay byte-identical,
+    so every consumer that re-derives its stats from the payload is
+    unaffected (the r14 decode-for-metadata cut)."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    for media, container in (
+        ("image", None), ("image", "png"), ("audio", None), ("video", None)
+    ):
+        full = {
+            r["doc_id"]: r
+            for r in attach_media(ids, media=media, container=container).collect()
+        }
+        lean = {
+            r["doc_id"]: r
+            for r in attach_media(
+                ids, media=media, container=container, with_meta=False
+            ).collect()
+        }
+        assert set(full) == set(lean) == set(range(12))
+        for i in range(12):
+            assert bytes(lean[i]["payload"]) == bytes(full[i]["payload"])
+            assert lean[i]["media_type"] == full[i]["media_type"]
+            assert lean[i]["format"] == full[i]["format"]
+            assert (lean[i]["width"], lean[i]["height"], lean[i]["duration_ms"]) == (
+                0, 0, 0,
+            )
+
+
+def test_extract_features_ignores_with_meta(spark):
+    """extract_features re-decodes the payload, so its output is
+    identical whether attach_media paid the metadata decode or not."""
+    from dlp_rdb_bq_import_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    cols = ["doc_id", "byte_len", "width", "height", "mean_px"]
+    a = sorted(
+        tuple(r) for r in extract_features(attach_media(ids)).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in extract_features(attach_media(ids, with_meta=False))
+        .select(*cols)
+        .collect()
+    )
+    assert a == b
