@@ -106,12 +106,12 @@ def zorder_write(
     )
 
 
-def global_row_ids(
+def global_row_ids_and_total(
     df: DataFrame,
     order_cols: list[str],
     id_col: str = "row_id",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Dense global row ids 0..n-1 in ``order_cols`` order WITHOUT the
     single-partition trap.
 
@@ -129,6 +129,14 @@ def global_row_ids(
     tie are partition-placement-dependent. Two passes over the data —
     the price of determinism at scale; a monotonically_increasing_id
     is one pass but neither dense nor order-respecting.
+
+    Returns ``(df_with_ids, total_rows)``: the offsets pass has
+    already counted every row, so callers that need n (BH-FDR's m)
+    must not pay a separate aggregate job — worse, an aggregate
+    consumed via a broadcast DUPLICATES the whole ranked subtree into
+    the broadcast build side (r14 measurement: 8 scans of the
+    checkpoint in one plan; guide §1.2 — don't recompute what a paid
+    job already knows).
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty (and a total order)")
@@ -160,11 +168,22 @@ def global_row_ids(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
-    return (
+    out = (
         with_pid.join(off_df, "_pid")
         .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+    return out, acc
+
+
+def global_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """See :func:`global_row_ids_and_total` — same numbering, ids only."""
+    return global_row_ids_and_total(df, order_cols, id_col, num_partitions)[0]
 
 
 def prefix_sums(

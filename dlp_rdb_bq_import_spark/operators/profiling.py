@@ -1903,21 +1903,35 @@ def chi_square_independence(
         F.col(col_a).cast("string").alias("_a"),
         F.col(col_b).cast("string").alias("_b"),
     ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
-    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
-    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # ONE row-grain pass: everything downstream (marginals, total,
+    # dims, the grid) derives from the cell table, which is category-
+    # grain (|A|×|B|-bounded) — the r13 shape re-scanned the source
+    # per consumer through nested broadcast builds (r14 lint: 64
+    # exchanges for one query; after: source scanned once). n/ra/rb
+    # are integer-exact scalars → literals, bit-identical to the
+    # broadcast attach they replace.
+    cells = (
+        base.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    srow = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+        F.count_distinct(F.col("_a")).cast("long").alias("_ra"),
+        F.count_distinct(F.col("_b")).cast("long").alias("_rb"),
+    ).first()
+    n, ra, rb = int(srow["n"]), int(srow["_ra"]), int(srow["_rb"])
+    ma = cells.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ca"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
     grid = (
         ma.crossJoin(F.broadcast(mb))
         .join(cells, ["_a", "_b"], "left")
-        .crossJoin(F.broadcast(tot))
         .select(
-            "n",
             F.coalesce("_c", F.lit(0)).cast("double").alias("_o"),
             (
                 F.col("_ca").cast("double")
                 * F.col("_cb").cast("double")
-                / F.col("n").cast("double")
+                / F.lit(n).cast("long").cast("double")
             ).alias("_e"),
         )
     )
@@ -1930,20 +1944,13 @@ def chi_square_independence(
     summed = grid.select(term_nano.alias("_t")).agg(
         F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_chi_nano")
     )
-    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("_ra")).crossJoin(
-        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("_rb")))
-    )
-    return (
-        tot.crossJoin(F.broadcast(dims))
-        .crossJoin(F.broadcast(summed))
-        .select(
-            "n",
-            ((F.col("_ra") - 1) * (F.col("_rb") - 1)).cast("long").alias("dof"),
-            F.when(
-                (F.col("_ra") > 1) & (F.col("_rb") > 1),
-                F.round(F.col("_chi_nano").cast("double") / F.lit(1e9), 9),
-            ).alias("chi2"),
-        )
+    return summed.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit((ra - 1) * (rb - 1)).cast("long").alias("dof"),
+        F.when(
+            F.lit(ra > 1 and rb > 1),
+            F.round(F.col("_chi_nano").cast("double") / F.lit(1e9), 9),
+        ).alias("chi2"),
     )
 
 
@@ -2880,13 +2887,25 @@ def g_test_independence(
         F.col(col_a).cast("string").alias("_a"),
         F.col(col_b).cast("string").alias("_b"),
     ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
-    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
-    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # chi_square_independence's r14 single-pass shape: one row-grain
+    # pass into the checkpointed cell table; marginals/total/dims
+    # derive from it; exact scalars attach as literals.
+    cells = (
+        base.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    srow = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+        F.count_distinct(F.col("_a")).cast("long").alias("_ra"),
+        F.count_distinct(F.col("_b")).cast("long").alias("_rb"),
+    ).first()
+    n, ra, rb = int(srow["n"]), int(srow["_ra"]), int(srow["_rb"])
+    ma = cells.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ca"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
     term = F.round(
         F.log(
-            F.col("n").cast("double")
+            F.lit(n).cast("long").cast("double")
             * F.col("_c").cast("double")
             / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
         )
@@ -2895,7 +2914,6 @@ def g_test_independence(
     summed = (
         cells.join(F.broadcast(ma), "_a")
         .join(F.broadcast(mb), "_b")
-        .crossJoin(F.broadcast(tot))
         # count×micro-log products fold in DECIMAL(38,0) (HUGEINT
         # oracle) — the js_divergence overflow discipline
         .select((F.col("_c").cast("decimal(38,0)") * term).alias("_t"))
@@ -2905,27 +2923,17 @@ def g_test_independence(
             )
         )
     )
-    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("_ra")).crossJoin(
-        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("_rb")))
-    )
-    return (
-        tot.crossJoin(F.broadcast(dims))
-        .crossJoin(F.broadcast(summed))
-        .select(
-            "n",
-            # GREATEST-gated so empty input reports dof 0, not the
-            # (0-1)*(0-1) = 1 artifact
-            (
-                F.greatest(F.col("_ra") - 1, F.lit(0))
-                * F.greatest(F.col("_rb") - 1, F.lit(0))
-            ).cast("long").alias("dof"),
-            F.when(
-                (F.col("_ra") > 1) & (F.col("_rb") > 1),
-                F.round(
-                    F.lit(2.0) * F.col("_gm").cast("double") / F.lit(1e6), 9
-                ),
-            ).alias("g"),
-        )
+    return summed.select(
+        F.lit(n).cast("long").alias("n"),
+        # GREATEST-gated so empty input reports dof 0, not the
+        # (0-1)*(0-1) = 1 artifact
+        F.lit(max(ra - 1, 0) * max(rb - 1, 0)).cast("long").alias("dof"),
+        F.when(
+            F.lit(ra > 1 and rb > 1),
+            F.round(
+                F.lit(2.0) * F.col("_gm").cast("double") / F.lit(1e6), 9
+            ),
+        ).alias("g"),
     )
 
 
@@ -4104,7 +4112,7 @@ def benjamini_hochberg(
     no evidence either way and are visible upstream)."""
     if not 0 < q < 1:
         raise ValueError(f"benjamini_hochberg: q must be in (0,1), got {q}")
-    from .layout import global_row_ids
+    from .layout import global_row_ids_and_total
 
     pd_ = F.col(p_col).cast("double")
     bad = pd_.isNotNull() & (F.isnan(pd_) | (pd_ < 0.0) | (pd_ > 1.0))
@@ -4122,37 +4130,45 @@ def benjamini_hochberg(
     base = df.select(
         F.col(test_col).cast("string").alias("test_id"), pu.alias("_pu")
     ).where(F.col("test_id").isNotNull() & F.col("_pu").isNotNull())
-    ranked = global_row_ids(base, ["_pu", "test_id"], id_col="_rk0")
-    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("_m"))
-    staged = ranked.crossJoin(F.broadcast(m)).select(
+    # m comes FREE from the numbering pass's offsets collect (the rows
+    # are already counted there); attaching it — and kmax below — as a
+    # 1-row broadcast instead of a literal duplicated the ENTIRE ranked
+    # subtree into each broadcast build side (r14 before-plan: 8 scans
+    # of the checkpoint, 7 BroadcastExchanges, 3 nested-loop joins for
+    # one query; after: 1 scan, 1 window, 0 joins past the offsets
+    # attach). Both scalars are integer-exact, so literal vs broadcast
+    # is bit-identical.
+    ranked, total = global_row_ids_and_total(base, ["_pu", "test_id"], id_col="_rk0")
+    m_lit = F.lit(int(total)).cast("long")
+    staged = ranked.select(
         "test_id",
         "_pu",
         (F.col("_rk0") + 1).cast("long").alias("rank"),
-        "_m",
     )
     # integer-exact rejectable test: p_k ≤ (k/m)·q  ⇔  p_u·m ≤ k·q_u·10^r/1e9-scale
     qu = int(round(q * 10**p_round))
     ok = (
-        F.col("_pu").cast("decimal(38,0)") * F.col("_m").cast("decimal(38,0)")
+        F.col("_pu").cast("decimal(38,0)") * m_lit.cast("decimal(38,0)")
         <= F.col("rank").cast("decimal(38,0)") * F.lit(qu).cast("decimal(38,0)")
     )
-    kmax = staged.agg(
+    krow = staged.agg(
         F.coalesce(F.max(F.when(ok, F.col("rank"))), F.lit(0))
         .cast("long")
         .alias("_kmax")
-    )
-    return staged.crossJoin(F.broadcast(kmax)).select(
+    ).first()
+    kmax = int(krow["_kmax"]) if krow is not None else 0
+    return staged.select(
         "test_id",
         (F.col("_pu").cast("double") / F.lit(10.0**p_round)).alias("p_value"),
         "rank",
-        F.col("_m").alias("m"),
+        m_lit.alias("m"),
         F.round(
             F.col("rank").cast("double")
-            / F.col("_m").cast("double")
+            / m_lit.cast("double")
             * F.lit(q),
             9,
         ).alias("bh_critical"),
-        (F.col("rank") <= F.col("_kmax")).alias("rejected"),
+        (F.col("rank") <= F.lit(kmax)).alias("rejected"),
     )
 
 
@@ -4569,21 +4585,31 @@ def cramers_v(
         F.col(col_a).cast("string").alias("_a"),
         F.col(col_b).cast("string").alias("_b"),
     ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
-    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
-    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # chi_square_independence's r14 single-pass shape verbatim: one
+    # row-grain pass into the category-grain cell table (checkpointed),
+    # marginals/total/dims derived from it, exact scalars as literals.
+    cells = (
+        base.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    srow = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+        F.count_distinct(F.col("_a")).cast("long").alias("r"),
+        F.count_distinct(F.col("_b")).cast("long").alias("c"),
+    ).first()
+    n, r, c = int(srow["n"]), int(srow["r"]), int(srow["c"])
+    ma = cells.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ca"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
     grid = (
         ma.crossJoin(F.broadcast(mb))
         .join(cells, ["_a", "_b"], "left")
-        .crossJoin(F.broadcast(tot))
         .select(
-            "n",
             F.coalesce("_c", F.lit(0)).cast("double").alias("_o"),
             (
                 F.col("_ca").cast("double")
                 * F.col("_cb").cast("double")
-                / F.col("n").cast("double")
+                / F.lit(n).cast("long").cast("double")
             ).alias("_e"),
         )
     )
@@ -4596,25 +4622,18 @@ def cramers_v(
     summed = grid.select(term_nano.alias("_t")).agg(
         F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_chi_nano")
     )
-    dims = ma.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
-        F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("c")))
-    )
     chi2 = F.col("_chi_nano").cast("double") / F.lit(1e9)
-    mindim = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
-    ok = F.least(F.col("r"), F.col("c")) >= 2
-    return (
-        tot.crossJoin(F.broadcast(dims))
-        .crossJoin(F.broadcast(summed))
-        .select(
-            "n",
-            "r",
-            "c",
-            F.when(ok, F.round(chi2, 9)).alias("chi2"),
-            F.when(
-                ok,
-                F.round(F.sqrt(chi2 / (F.col("n").cast("double") * mindim)), 9),
-            ).alias("cramers_v"),
-        )
+    mindim = F.lit(float(min(r, c) - 1))
+    ok = F.lit(min(r, c) >= 2)
+    return summed.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(r).cast("long").alias("r"),
+        F.lit(c).cast("long").alias("c"),
+        F.when(ok, F.round(chi2, 9)).alias("chi2"),
+        F.when(
+            ok,
+            F.round(F.sqrt(chi2 / (F.lit(n).cast("long").cast("double") * mindim)), 9),
+        ).alias("cramers_v"),
     )
 
 

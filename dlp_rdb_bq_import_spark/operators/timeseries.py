@@ -744,6 +744,24 @@ def autocorrelation(
     max_lag: int = 7,
     unit_scale: int = 100,
 ) -> DataFrame:
+    """See :func:`_acf_and_n` — the ACF rows only."""
+    return _acf_and_n(
+        df,
+        ts_col=ts_col,
+        value_col=value_col,
+        max_lag=max_lag,
+        unit_scale=unit_scale,
+    )[0]
+
+
+def _acf_and_n(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    unit_scale: int = 100,
+) -> tuple[DataFrame, int]:
     """Sample autocorrelation function of a daily series at lags
     1..``max_lag`` (Box & Jenkins 1970: ``r_ℓ = Σ(x_t−μ)(x_{t+ℓ}−μ) /
     Σ(x_t−μ)²`` with the GLOBAL mean and the FULL-series denominator —
@@ -763,30 +781,44 @@ def autocorrelation(
 
     Scale shape: groupBy to DAY grain, then a |days|×max_lag
     date-equi-join against the day series and one lag-grain
-    aggregation — no windows, no cartesian."""
+    aggregation — no windows, no cartesian.
+
+    Returns ``(acf_df, n_days)`` — the day count is already paid for
+    by the total pass, so composing callers (ljung_box) must not
+    re-scan the source for it (r14)."""
     if max_lag < 1:
         raise ValueError(f"autocorrelation: max_lag must be >= 1, got {max_lag}")
-    daily = _daily_units(df, ts_col, value_col, unit_scale)
+    # the day table is consumed four times below (total, both join
+    # sides, denominator) — without a lineage cut every consumer
+    # (including each broadcast build side) re-ran the full source
+    # scan + day aggregation (r14 measurement; guide §2.4 "remove
+    # passes outright"). Day grain is calendar-bounded, so the cut is
+    # cheap at any corpus size; (n, T, den) are integer-exact scalars,
+    # so attaching them as literals instead of 1-row broadcasts is
+    # bit-identical and removes the joins from the final plan.
+    daily = _daily_units(df, ts_col, value_col, unit_scale).localCheckpoint(
+        eager=False
+    )
     spark = df.sparkSession
-    tot = daily.agg(
+    dec38 = "decimal(38,0)"
+    trow = daily.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_x").cast("decimal(38,0)").alias("_t"),
+    ).first()
+    n_lit = F.lit(int(trow["_n"])).cast("long").cast(dec38)
+    t_lit = (
+        F.lit(trow["_t"]).cast(dec38)
+        if trow["_t"] is not None
+        else F.lit(None).cast(dec38)
     )
-    dec38 = "decimal(38,0)"
     dev = lambda xcol: (  # noqa: E731
-        F.col("_n").cast(dec38) * F.col(xcol).cast(dec38) - F.col("_t")
+        n_lit * F.col(xcol).cast(dec38) - t_lit
     )
     lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
-    left = (
-        daily.crossJoin(F.broadcast(lags))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "lag",
-            F.date_add("day", F.col("lag").cast("int")).alias("_pday"),
-            dev("_x").alias("_da"),
-            "_n",
-            "_t",
-        )
+    left = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add("day", F.col("lag").cast("int")).alias("_pday"),
+        dev("_x").alias("_da"),
     )
     right = daily.select(F.col("day").alias("_pday"), F.col("_x").alias("_xb"))
     pairs = left.join(right, "_pday").select(
@@ -796,24 +828,24 @@ def autocorrelation(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.col("_da") * F.col("_db")).alias("_num"),
     )
-    den = daily.crossJoin(F.broadcast(tot)).agg(
-        F.sum(dev("_x") * dev("_x")).alias("_den")
+    den_row = daily.agg(F.sum(dev("_x") * dev("_x")).alias("_den")).first()
+    den_lit = (
+        F.lit(den_row["_den"]).cast(dec38)
+        if den_row is not None and den_row["_den"] is not None
+        else F.lit(None).cast(dec38)
     )
-    return (
-        lags.join(num, "lag", "left")
-        .crossJoin(F.broadcast(den))
-        .select(
-            F.col("lag").cast("long").alias("lag"),
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.when(
-                (F.col("_den") > 0) & F.col("_num").isNotNull(),
-                F.round(
-                    F.col("_num").cast("double") / F.col("_den").cast("double"),
-                    9,
-                ),
-            ).alias("acf"),
-        )
+    out = lags.join(num, "lag", "left").select(
+        F.col("lag").cast("long").alias("lag"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.when(
+            (den_lit > 0) & F.col("_num").isNotNull(),
+            F.round(
+                F.col("_num").cast("double") / den_lit.cast("double"),
+                9,
+            ),
+        ).alias("acf"),
     )
+    return out, int(trow["_n"])
 
 
 def seasonal_decompose(
@@ -1732,18 +1764,23 @@ def ljung_box(
     quantizes to 1e-15 units (terms are ≤ 1/(n−h)) and folds in
     DECIMAL(38,0), one final chain, rounded to 9. Scale shape: the
     ACF's day-grain equi-joins plus an h-row fold."""
-    daily = _daily_units(df, ts_col, value_col, unit_scale)
-    acf = autocorrelation(
+    # n comes free from the ACF's own total pass — re-deriving the day
+    # table here just to count it cost a second full source scan plus
+    # a broadcast build (r14; guide §1.2)
+    acf, n_days = _acf_and_n(
         df, ts_col=ts_col, value_col=value_col, max_lag=max_lag,
         unit_scale=unit_scale,
     )
-    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     term = F.round(
         F.col("acf") * F.col("acf")
         / (F.col("_n").cast("double") - F.col("lag").cast("double"))
         * F.lit(1e15)
     ).cast("decimal(38,0)")
-    staged = acf.crossJoin(F.broadcast(nd)).select(
+    staged = acf.select(
+        F.lit(int(n_days)).cast("long").alias("_n"),
+        F.col("lag"),
+        F.col("acf"),
+    ).select(
         "_n",
         F.col("acf").isNull().cast("int").alias("_bad"),
         F.when(F.col("acf").isNotNull(), term).alias("_t"),

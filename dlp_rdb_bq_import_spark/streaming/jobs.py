@@ -1288,6 +1288,14 @@ def streaming_ewma(
             pdf["ewma"] = out
             return pdf
 
+        # folded is consumed twice (output append + last-EWMA state);
+        # the eager localCheckpoint is the MEASURED optimum here: a
+        # persist() variant (cache during the append job, one fewer
+        # job per batch) ran 6.2s -> 10.9s in the r14 profiler —
+        # building the columnar InMemoryRelation for the batch output
+        # costs far more than the job it saves, while localCheckpoint
+        # stores the raw row partitions as-is (guide §1.1: the
+        # "ideal" plan lost to the gotcha; keep the empirical winner)
         folded = seeded.groupBy("k").applyInPandas(fn, out_schema)
         folded = folded.localCheckpoint(eager=True)
         folded.write.mode("append").parquet(out_dir)
