@@ -51,7 +51,7 @@ _BROADCAST_NODE_BOUND = 5_000_000
 _EDGE_STAGE_BOUND = _BROADCAST_NODE_BOUND // 2
 
 
-def _stage_edges(e: DataFrame, key: str) -> DataFrame:
+def _stage_edges(e: DataFrame, key: str, precounted: int | None = None) -> DataFrame:
     """Materialize an edge table for iterative reuse; above
     ``_EDGE_STAGE_BOUND`` rows, ALSO partition+sort it on the
     per-round join key and pin it.
@@ -80,10 +80,14 @@ def _stage_edges(e: DataFrame, key: str) -> DataFrame:
 
     Either way the caller gets a materialized table it can join every
     round; ``unpersist()`` on the small regime's checkpoint is a
-    harmless no-op."""
+    harmless no-op. ``precounted`` lets a caller that already holds a
+    materialized (checkpointed) edge table with a measured row count
+    skip the redundant checkpoint+count pair."""
     spark = e.sparkSession
-    e = e.localCheckpoint(eager=True)
-    if e.count() <= _EDGE_STAGE_BOUND:
+    if precounted is None:
+        e = e.localCheckpoint(eager=True)
+        precounted = e.count()
+    if precounted <= _EDGE_STAGE_BOUND:
         return e
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     from pyspark import StorageLevel
@@ -148,6 +152,36 @@ def _node_index(rows):
     ui = np.fromiter((idx[r[0]] for r in rows), dtype=np.int64, count=len(rows))
     vi = np.fromiter((idx[r[1]] for r in rows), dtype=np.int64, count=len(rows))
     return list(idx), idx, ui, vi
+
+
+def _rank_index(rows):
+    """Distinct endpoint values in SORTED order + int rank arrays, for
+    the exact-integer driver fixpoints (connected_components / kcore /
+    label_propagation) whose recurrences compare node ids by VALUE
+    (min / least / tie-breaks): rank order == value order, so every
+    comparison on ranks reproduces the Spark comparison on values.
+    Only used for dtypes where Python ordering provably equals Spark
+    ordering (integers; strings — UTF-8 byte order preserves code-point
+    order), guarded by ``_driver_orderable``."""
+    import numpy as np
+
+    vals = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    rank = {v: i for i, v in enumerate(vals)}
+    ui = np.fromiter((rank[r[0]] for r in rows), dtype=np.int64, count=len(rows))
+    vi = np.fromiter((rank[r[1]] for r in rows), dtype=np.int64, count=len(rows))
+    return vals, rank, ui, vi
+
+
+def _driver_orderable(dtype) -> bool:
+    """True when Python's total order on the collected values is the
+    same as Spark's (int family and strings). Floats are excluded (NaN
+    ordering differs), as is anything exotic — those stay distributed."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+    )
 
 
 def triangle_count(
@@ -268,20 +302,69 @@ def kcore(
     if clash:
         raise ValueError(f"edge columns collide with reserved names: {sorted(clash)}")
 
-    # staged on _u each round: the first (larger-side) semi-join then
-    # reuses the edge partitioning and shuffles only the |V|-sized keep
-    # set; the surviving-edge _v semi-join is the round's one edge
-    # exchange. The previous round's cache unpins once its successor
-    # materializes.
-    live = _stage_edges(
+    canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
         )
         .where(F.col("_u") < F.col("_v"))
-        .distinct(),
-        "_u",
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    m = canon.count()
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND):
+    # peeling is an EXACT integer recurrence (degree counts, >= k
+    # threshold), so the driver twin is bit-identical to the
+    # distributed loop — same simultaneous-peel rounds, same
+    # max_iterations contract. Large graphs run the loop unchanged.
+    if m <= _DRIVER_FIXPOINT_EDGE_BOUND and _driver_orderable(
+        canon.schema[0].dataType
+    ):
+        rows = _collect_clean_edges(canon, 2)
+        if rows is not None:
+            import numpy as np
+
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            schema = T.StructType(
+                [
+                    T.StructField("node", canon.schema[0].dataType),
+                    T.StructField("degree", T.LongType()),
+                ]
+            )
+            vals, _rank, ui, vi = _rank_index(rows)
+            n = len(vals)
+            for _ in range(max_iterations):
+                deg_arr = np.bincount(ui, minlength=n) + np.bincount(
+                    vi, minlength=n
+                )
+                present = deg_arr > 0
+                keep = deg_arr >= k
+                n_keep = int(keep.sum())
+                if n_keep == int(present.sum()):
+                    return spark.createDataFrame(
+                        [
+                            (vals[i], int(deg_arr[i]))
+                            for i in np.nonzero(keep)[0]
+                        ],
+                        schema,
+                    )
+                mask = keep[ui] & keep[vi]
+                ui, vi = ui[mask], vi[mask]
+                if n_keep == 0:
+                    return spark.createDataFrame([], schema)
+            raise RuntimeError(
+                f"kcore did not converge in {max_iterations} iterations "
+                "(raise max_iterations for very deep peeling chains)"
+            )
+
+    # staged on _u each round: the first (larger-side) semi-join then
+    # reuses the edge partitioning and shuffles only the |V|-sized keep
+    # set; the surviving-edge _v semi-join is the round's one edge
+    # exchange. The previous round's cache unpins once its successor
+    # materializes.
+    live = _stage_edges(canon, "_u", precounted=m)
 
     deg = None
     for _ in range(max_iterations):
@@ -351,6 +434,56 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    m = canon.count()
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND):
+    # synchronous label propagation is an EXACT integer recurrence
+    # (vote counts, count-desc/label-asc argmax), so the driver twin is
+    # bit-identical — same rounds, same own-label vote, same stop rule.
+    if m <= _DRIVER_FIXPOINT_EDGE_BOUND and _driver_orderable(
+        canon.schema[0].dataType
+    ):
+        rows = _collect_clean_edges(canon, 2)
+        if rows is not None:
+            import numpy as np
+
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            schema = T.StructType(
+                [
+                    T.StructField("node", canon.schema[0].dataType),
+                    T.StructField("community", canon.schema[0].dataType),
+                ]
+            )
+            if not rows:
+                return spark.createDataFrame([], schema)
+            vals, _rank, ui, vi = _rank_index(rows)
+            n = len(vals)
+            A = np.concatenate([ui, vi])  # voting node
+            B = np.concatenate([vi, ui])  # its neighbor
+            own = np.arange(n, dtype=np.int64)
+            lbl = own.copy()
+            for _ in range(max_iterations):
+                votes_node = np.concatenate([A, own])
+                votes_lbl = np.concatenate([lbl[B], lbl])
+                code = votes_node * n + votes_lbl
+                uniq, cnt = np.unique(code, return_counts=True)
+                nodes_c = uniq // n
+                labels_c = uniq % n
+                order = np.lexsort((labels_c, -cnt, nodes_c))
+                nodes_o = nodes_c[order]
+                first = np.ones(len(nodes_o), dtype=bool)
+                first[1:] = nodes_o[1:] != nodes_o[:-1]
+                new_lbl = lbl.copy()
+                new_lbl[nodes_o[first]] = labels_c[order][first]
+                changed = int((new_lbl != lbl).sum())
+                lbl = new_lbl
+                if changed == 0:
+                    break
+            return spark.createDataFrame(
+                [(vals[i], vals[lbl[i]]) for i in range(n)], schema
+            )
+
     # adjacency in both directions: (node, _nbr) — staged on _nbr, the
     # per-round label-join key, so each round shuffles only the
     # |V|-sized label table (module docstring)
@@ -1090,6 +1223,87 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    m = e.count()
+    # measured-size driver fixpoint (see _DRIVER_FIXPOINT_EDGE_BOUND):
+    # star contraction is an EXACT integer recurrence (min-id hanging,
+    # set-equality convergence), so the driver twin below replays the
+    # IDENTICAL large-star/small-star rounds on rank-encoded numpy
+    # arrays — same round structure, same convergence test, same
+    # max_iterations contract, bit-identical (node, component) output.
+    # Large graphs run the distributed loop unchanged.
+    if m <= _DRIVER_FIXPOINT_EDGE_BOUND and _driver_orderable(
+        e.schema[0].dataType
+    ):
+        rows = _collect_clean_edges(e, 2)
+        if rows is not None:
+            import numpy as np
+
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            dt = e.schema[0].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", dt),
+                    T.StructField("component", dt),
+                ]
+            )
+            loop_vals = [
+                r[0]
+                for r in raw.where(F.col("_u") == F.col("_v"))
+                .select(F.col("_u").alias("node"))
+                .distinct()
+                .collect()
+            ]
+            vals, _rank, ui, vi = _rank_index(rows)
+            n = len(vals)
+            e_codes = np.unique(ui * np.int64(n) + vi)
+            for _ in range(max_iterations):
+                eu, ev = e_codes // n, e_codes % n
+                U = np.concatenate([eu, ev])
+                V = np.concatenate([ev, eu])
+                mins = np.full(n, n, dtype=np.int64)
+                np.minimum.at(mins, U, V)
+                # large-star: strictly-larger neighbors re-hang on the min
+                lmask = V > U
+                lu = np.minimum(mins[U], U)[lmask]
+                lv = V[lmask]
+                lkeep = lu < lv
+                large = np.unique(lu[lkeep] * np.int64(n) + lv[lkeep])
+                # small-star: center = larger endpoint; everything
+                # (center included) re-hangs on the neighborhood min
+                cu = large % n  # center (the larger endpoint)
+                cv = large // n  # its smaller neighbor
+                mins2 = np.full(n, n, dtype=np.int64)
+                np.minimum.at(mins2, cu, cv)
+                centers = np.unique(cu)
+                hang_u = np.concatenate(
+                    [mins2[centers], mins2[cu][cv != mins2[cu]]]
+                )
+                hang_v = np.concatenate([centers, cv[cv != mins2[cu]]])
+                nkeep = hang_u < hang_v
+                new_codes = np.unique(
+                    hang_u[nkeep] * np.int64(n) + hang_v[nkeep]
+                )
+                same = new_codes.size == e_codes.size and np.array_equal(
+                    new_codes, e_codes
+                )
+                e_codes = new_codes
+                if same:
+                    eu, ev = e_codes // n, e_codes % n
+                    out = {(vals[int(b)], vals[int(a)]) for a, b in zip(eu, ev)}
+                    out |= {(vals[int(a)], vals[int(a)]) for a in np.unique(eu)}
+                    endpoint_vals = set(vals)
+                    out |= {
+                        (s, s) for s in loop_vals if s not in endpoint_vals
+                    }
+                    return spark.createDataFrame(sorted(out), schema)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds (the star contraction needs O(log n) — this "
+                "indicates a bug or an adversarial id space, not normal "
+                "data)"
+            )
     # self-loop-only nodes: the _u < _v canonicalization discards
     # self-loops (they carry no connectivity), but a node whose only
     # incident edge is a self-loop must still appear — as its own
@@ -1152,9 +1366,12 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         large.unpersist()
-        same = (
-            new_e.count() == e.count() and new_e.subtract(e).count() == 0
-        )
+        # m tracks |e| from the previous round's count (or the initial
+        # checkpoint count) — set equality needs one count + one
+        # subtract, not a recount of the old side
+        n_new = new_e.count()
+        same = n_new == m and new_e.subtract(e).count() == 0
+        m = n_new
         e.unpersist()
         e = new_e
         if same:

@@ -246,3 +246,58 @@ def test_extract_features_ignores_with_meta(spark):
         .collect()
     )
     assert a == b
+
+
+def test_integer_fixpoint_driver_paths_bit_identical(spark, monkeypatch):
+    """connected_components / kcore / label_propagation driver twins
+    are EXACT integer recurrences — the fast path must equal the
+    distributed loop bit-for-bit (not to tolerance), including
+    self-loop singletons, string node ids, and the max_iterations
+    error contracts."""
+    from dlp_rdb_bq_import_spark.operators import graph
+
+    # two components + a chain + a self-loop-only node + parallel dirs
+    edges = [
+        (1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 7), (2, 1),
+        (8, 8), (9, 10), (10, 11), (12, 13),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    se = spark.createDataFrame(
+        [(f"h{u}", f"h{v}") for u, v in edges], "src string, dst string"
+    )
+
+    fast = {
+        "cc": _rows(graph.connected_components(e), "node", "component"),
+        "cc_s": _rows(graph.connected_components(se), "node", "component"),
+        "k2": _rows(graph.kcore(e, k=2), "node", "degree"),
+        "lp": _rows(graph.label_propagation(e), "node", "community"),
+        "lp_s": _rows(graph.label_propagation(se), "node", "community"),
+    }
+    monkeypatch.setattr(graph, "_DRIVER_FIXPOINT_EDGE_BOUND", -1)
+    slow = {
+        "cc": _rows(graph.connected_components(e), "node", "component"),
+        "cc_s": _rows(graph.connected_components(se), "node", "component"),
+        "k2": _rows(graph.kcore(e, k=2), "node", "degree"),
+        "lp": _rows(graph.label_propagation(e), "node", "community"),
+        "lp_s": _rows(graph.label_propagation(se), "node", "community"),
+    }
+    assert fast == slow
+    # sanity on content, not just parity
+    cc = dict(fast["cc"])
+    assert cc[3] == 1 and cc[7] == 4 and cc[8] == 8 and cc[11] == 9
+    assert dict(fast["k2"]) == {1: 2, 2: 2, 3: 2}
+    monkeypatch.undo()
+
+    # error contracts: identical on both paths
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(chain, k=2, max_iterations=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iterations=0)
+    monkeypatch.setattr(graph, "_DRIVER_FIXPOINT_EDGE_BOUND", -1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(chain, k=2, max_iterations=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iterations=0)
