@@ -514,10 +514,15 @@ def correlation_matrix(
     Scale shape: one partial-aggregated global agg (k + k(k+1)/2
     sums in a single reduce row), then k(k−1)/2 output rows projected
     from that broadcastable single row — no shuffle grows with k, no
-    per-pair passes, no driver math. Precondition (documented, same
+    per-pair passes, no driver math. Preconditions (documented, same
     family as integer_zscore_outliers): n·(scale·max|x|)² < 10³⁸ so
-    the decimal moments cannot overflow — at 100 TB rows with values
-    quantized to 1e9 that bound still holds by ~10 orders.
+    the decimal moments cannot overflow, and scale·max|x| < 3·10⁹ so
+    each ROW's product fits a long — the per-row multiply runs in
+    long (codegen integer math; the decimal(18)×decimal(18) variant
+    it replaces cost ~1.7× the whole aggregation in BigDecimal calls,
+    bit-identical sums) and only the sum accumulates in decimal. At
+    100 TB rows with values quantized to 1e9 both bounds hold; a
+    violation raises loudly under ANSI rather than corrupting.
 
     Output: (col_x string, col_y string, corr double) for i < j pairs.
     Zero-variance columns yield NULL corr (0/0), both engines alike.
@@ -532,17 +537,19 @@ def correlation_matrix(
         raise ValueError("correlation_matrix needs at least two columns")
     qcols = [
         F.round(F.col(c).cast("double") * scale, 0)
-        .cast("decimal(18,0)")
+        .cast("long")
         .alias(f"_x{i}")
         for i, c in enumerate(cols)
     ]
     q = df.select(*qcols).na.drop(how="any")
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
     for i in range(k):
-        aggs.append(F.sum(F.col(f"_x{i}")).alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(f"_x{i}").cast("decimal(18,0)")).alias(f"_s{i}"))
         for j in range(i, k):
             aggs.append(
-                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_s{i}_{j}")
+                F.sum(
+                    (F.col(f"_x{i}") * F.col(f"_x{j}")).cast("decimal(38,0)")
+                ).alias(f"_s{i}_{j}")
             )
     wide = q.agg(*aggs)
 
@@ -611,21 +618,25 @@ def grouped_linear_trend(
 
     Scale shape: ONE partially-aggregated groupBy; five decimal sums of
     state per group. The same precondition family as
-    correlation_matrix: n·(scale·max|v|)² must stay under 10³⁸.
+    correlation_matrix: n·(scale·max|v|)² must stay under 10³⁸, and
+    scale·max|v| < 3·10⁹ so each row's product fits a long — the
+    per-row multiplies run in long (the correlation_matrix fix:
+    decimal×decimal per row cost more than the whole aggregation);
+    only the sums accumulate in decimal, bit-identical results.
     """
     x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
     y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
-    qx = F.round(x * scale_x, 0).cast("decimal(18,0)")
-    qy = F.round(y * scale_y, 0).cast("decimal(18,0)")
+    qx = F.round(x * scale_x, 0).cast("long")
+    qy = F.round(y * scale_y, 0).cast("long")
     base = df.select(*group_cols, qx.alias("_qx"), qy.alias("_qy")).where(
         F.col("_qx").isNotNull() & F.col("_qy").isNotNull()
     )
     agg = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_qx").alias("_sx"),
-        F.sum("_qy").alias("_sy"),
-        F.sum(F.col("_qx") * F.col("_qy")).alias("_sxy"),
-        F.sum(F.col("_qx") * F.col("_qx")).alias("_sxx"),
+        F.sum(F.col("_qx").cast("decimal(18,0)")).alias("_sx"),
+        F.sum(F.col("_qy").cast("decimal(18,0)")).alias("_sy"),
+        F.sum((F.col("_qx") * F.col("_qy")).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((F.col("_qx") * F.col("_qx")).cast("decimal(38,0)")).alias("_sxx"),
     )
     n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
     den = (n * F.col("_sxx") - sx * sx).cast("double")
@@ -5275,12 +5286,15 @@ def partial_correlation(
         F.coalesce(F.sum(dec("_x")), zero).alias("_sx"),
         F.coalesce(F.sum(dec("_y")), zero).alias("_sy"),
         F.coalesce(F.sum(dec("_z")), zero).alias("_sz"),
-        F.coalesce(F.sum((dec("_x") * dec("_y")).cast("decimal(38,0)")), zero).alias("_sxy"),
-        F.coalesce(F.sum((dec("_x") * dec("_z")).cast("decimal(38,0)")), zero).alias("_sxz"),
-        F.coalesce(F.sum((dec("_y") * dec("_z")).cast("decimal(38,0)")), zero).alias("_syz"),
-        F.coalesce(F.sum((dec("_x") * dec("_x")).cast("decimal(38,0)")), zero).alias("_sxx"),
-        F.coalesce(F.sum((dec("_y") * dec("_y")).cast("decimal(38,0)")), zero).alias("_syy"),
-        F.coalesce(F.sum((dec("_z") * dec("_z")).cast("decimal(38,0)")), zero).alias("_szz"),
+        # per-row products in LONG (correlation_matrix discipline:
+        # scale·max|v| < 3e9 keeps them exact; decimal×decimal per row
+        # costs more than the whole aggregation), decimal only to sum
+        F.coalesce(F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,0)")), zero).alias("_sxy"),
+        F.coalesce(F.sum((F.col("_x") * F.col("_z")).cast("decimal(38,0)")), zero).alias("_sxz"),
+        F.coalesce(F.sum((F.col("_y") * F.col("_z")).cast("decimal(38,0)")), zero).alias("_syz"),
+        F.coalesce(F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")), zero).alias("_sxx"),
+        F.coalesce(F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,0)")), zero).alias("_syy"),
+        F.coalesce(F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,0)")), zero).alias("_szz"),
     )
     n = F.col("n").cast("double")
 

@@ -375,7 +375,13 @@ def embedding_neardup_pairs(
     tests; candidates are verified exactly, so precision is 1.0 — output
     pairs are always true pairs.
     """
-    sig = sign_lsh_bands(df, vec_col, id_col, bands, bits_per_band)
+    # lazy lineage cut: the signature stage (an Arrow matmul pass over
+    # every vector) feeds BOTH sides of the bucket self-join — without
+    # the cut it executes once per side. docs × bands rows of three
+    # scalars, far smaller than the vectors themselves.
+    sig = sign_lsh_bands(df, vec_col, id_col, bands, bits_per_band).localCheckpoint(
+        eager=False
+    )
     cand = (
         sig.select(F.col(id_col).alias("id_a"), "band", "val")
         .join(sig.select(F.col(id_col).alias("id_b"), "band", "val"), ["band", "val"])
@@ -396,7 +402,13 @@ def _rerank_candidate_pairs(
     """Exact integer-cosine verification of a candidate (id_a, id_b)
     set: joins vectors back, keeps pairs >= threshold. Shared by every
     bucketed near-dup path, so precision is 1.0 by construction no
-    matter how sloppy the candidate generator was."""
+    matter how sloppy the candidate generator was.
+
+    Both pair sides re-derive quantize+norm from the source rather than
+    share a persisted copy: the table is VECTOR-sized (unlike the
+    stat-sized tables this package lineage-cuts), so pinning it trades
+    a pruned column scan for corpus-scale executor memory — measured a
+    wash at bench scale and a bad trade at 100 TB."""
     a = with_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col("_qv").alias("_va"), F.col("_norm").alias("_na")
     )

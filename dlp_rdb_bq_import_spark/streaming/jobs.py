@@ -1288,18 +1288,31 @@ def streaming_ewma(
             pdf["ewma"] = out
             return pdf
 
-        # folded is consumed twice (output append + last-EWMA state);
-        # the eager localCheckpoint is the MEASURED optimum here: a
-        # persist() variant (cache during the append job, one fewer
-        # job per batch) ran 6.2s -> 10.9s in the r14 profiler —
-        # building the columnar InMemoryRelation for the batch output
-        # costs far more than the job it saves, while localCheckpoint
-        # stores the raw row partitions as-is (guide §1.1: the
-        # "ideal" plan lost to the gotcha; keep the empirical winner)
+        # folded is consumed twice (output append + last-EWMA state).
+        # The fold runs ONCE inside the append-write job; the state
+        # job then derives from the parquet bytes that write just
+        # produced (the batch's new files, isolated by a directory
+        # diff) — no eager checkpoint job, no second applyInPandas
+        # execution. (A persist() variant measured 6.2s -> 10.9s in
+        # the r14 profiler — building the columnar InMemoryRelation
+        # per batch costs more than the job it saves; reading back
+        # the just-written files costs only a footer read.)
         folded = seeded.groupBy("k").applyInPandas(fn, out_schema)
-        folded = folded.localCheckpoint(eager=True)
+        before = (
+            set(os.listdir(out_dir)) if os.path.isdir(out_dir) else set()
+        )
         folded.write.mode("append").parquet(out_dir)
-        last = folded.groupBy("k").agg(
+        new_files = [
+            os.path.join(out_dir, f)
+            for f in sorted(set(os.listdir(out_dir)) - before)
+            if f.endswith(".parquet")
+        ]
+        batch_out = (
+            spark.read.parquet(*new_files)
+            if new_files
+            else spark.createDataFrame([], out_schema)
+        )
+        last = batch_out.groupBy("k").agg(
             F.max_by("ewma", F.struct("ts", "eid")).alias("ewma")
         )
         new_state = state.join(last.select("k"), "k", "left_anti").unionByName(
