@@ -1426,11 +1426,21 @@ def degree_assortativity(
         )
         .where(F.col("_u").isNotNull() & (F.col("_u") < F.col("_v")))
         .distinct()
+        # lazy lineage cuts (triangle_count discipline): `e` feeds both
+        # orientations of `sym`, which feeds the degree groupBy AND the
+        # pair stream; `deg` joins back twice. Without the cuts the
+        # canonicalize/distinct chain replays once per consumer and per
+        # broadcast subplan.
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(
         e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
     )
-    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    deg = (
+        sym.groupBy("_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint(eager=False)
+    )
     pairs = (
         sym.join(deg.withColumnRenamed("_d", "_da"), "_u")
         .join(
@@ -1509,11 +1519,19 @@ def common_neighbors_linkpred(
         )
         .where(F.col("_u").isNotNull() & (F.col("_u") < F.col("_v")))
         .distinct()
+        # lazy lineage cuts (triangle_count discipline): `e` feeds sym
+        # twice + the adjacency anti-join; `sym` feeds the degree
+        # groupBy and BOTH wedge sides; `deg` joins back three times.
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(
         e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
     )
-    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    deg = (
+        sym.groupBy("_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint(eager=False)
+    )
     # wedges: z is the shared neighbor; (a, b) ordered to dedup
     wedges = (
         sym.select(F.col("_u").alias("_z"), F.col("_v").alias("_a"))

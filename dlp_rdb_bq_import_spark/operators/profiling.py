@@ -3000,7 +3000,12 @@ def spearman_correlation(
     Precondition (the :func:`correlation_matrix` family contract):
     the moment ``n·Σr²`` is ~4n⁴, so the exact-decimal path holds to
     n ≈ 1.2e9 rows — beyond that, rank-correlate a uniform sample
-    (ρ's sampling error at 1e9 rows is ~3e-5 already).
+    (ρ's sampling error at 1e9 rows is ~3e-5 already). Inside that
+    same bound each ROW's rank product (≤ 4n² < 2⁶³) fits a long, so
+    the per-row multiplies run in long (the correlation_matrix
+    BigDecimal fix) and only the sums accumulate in decimal —
+    bit-identical, and ANSI raises loudly past the documented bound
+    instead of corrupting.
 
     Scale shape: one row-grain projection, two value-grain groupBys
     with ordered windows over the QUANTIZED VALUE DOMAINS (bounded by
@@ -3024,13 +3029,16 @@ def spearman_correlation(
         F.coalesce(F.sum(dec("_ra")), F.lit(0).cast("decimal(38,0)")).alias("_sa"),
         F.coalesce(F.sum(dec("_rb")), F.lit(0).cast("decimal(38,0)")).alias("_sb"),
         F.coalesce(
-            F.sum(dec("_ra") * dec("_rb")), F.lit(0).cast("decimal(38,0)")
+            F.sum((F.col("_ra") * F.col("_rb")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("_sab"),
         F.coalesce(
-            F.sum(dec("_ra") * dec("_ra")), F.lit(0).cast("decimal(38,0)")
+            F.sum((F.col("_ra") * F.col("_ra")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("_saa"),
         F.coalesce(
-            F.sum(dec("_rb") * dec("_rb")), F.lit(0).cast("decimal(38,0)")
+            F.sum((F.col("_rb") * F.col("_rb")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("_sbb"),
     )
     n = F.col("n").cast("decimal(38,0)")

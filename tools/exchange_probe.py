@@ -80,7 +80,10 @@ def _top_queries(top_n: int) -> list[str]:
     if not arts:
         raise SystemExit("no BENCH_r*.json artifact found")
     with open(arts[-1]) as f:
-        timings = json.load(f).get("queries", {})
+        art = json.load(f)
+        # the driver's artifact wraps the bench JSON line under
+        # "parsed"; a raw bench.py line has "queries" at top level
+        timings = art.get("queries") or art.get("parsed", {}).get("queries", {})
     reg = harness.queries()
     ranked = sorted(
         (q for q in timings if q in reg), key=timings.get, reverse=True
@@ -95,6 +98,11 @@ def main() -> int:
     )
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default=".scratch/exchange_probe_r14.json")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="fold results into an existing --out file (staged sf runs)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -113,6 +121,13 @@ def main() -> int:
         "queries_probed": names,
         "sfs": {},
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        report["sfs"].update(prior.get("sfs", {}))
+        report["queries_probed"] = sorted(
+            set(prior.get("queries_probed", [])) | set(names)
+        )
     for sf in args.sfs.split(","):
         sf = sf.strip()
         if not os.path.isdir(sf):
@@ -125,7 +140,13 @@ def main() -> int:
             p = os.path.join(sf, f"{t}.parquet")
             if os.path.exists(p):
                 corpus[t] = pq.ParquetFile(p).metadata.num_rows
-        entry: dict = {"corpus_rows": corpus, "queries": {}}
+        # under --merge, extend a prior entry for this sf instead of
+        # replacing it (staged re-runs of a crashed pass)
+        entry: dict = report["sfs"].get(sf) or {
+            "corpus_rows": corpus,
+            "queries": {},
+        }
+        entry["corpus_rows"] = corpus
         for name in names:
             if name not in qs:
                 print(f"SKIP {name}: not registered")
@@ -154,6 +175,11 @@ def main() -> int:
                 f"ok    {name} @ {sf}: {sec}s, {len(exchanges)} "
                 f"exchange(s), max rows={mx}"
             )
+            # incremental dump: an interrupted run keeps everything
+            # probed so far (sf10 passes are long)
+            report["sfs"][sf] = entry
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
         report["sfs"][sf] = entry
 
     sf_keys = list(report["sfs"])
@@ -163,7 +189,7 @@ def main() -> int:
         hi_rows = sum(report["sfs"][hi]["corpus_rows"].values()) or 1
         corpus_growth = hi_rows / lo_rows
         verdicts = {}
-        for name in names:
+        for name in report["queries_probed"]:
             a = report["sfs"][lo]["queries"].get(name, {})
             b = report["sfs"][hi]["queries"].get(name, {})
             ra = a.get("max_rows_through_exchange")
