@@ -103,8 +103,23 @@ def main() -> int:
         action="store_true",
         help="fold results into an existing --out file (staged sf runs)",
     )
+    ap.add_argument(
+        "--verdicts-only",
+        action="store_true",
+        help="recompute the growth verdicts over an existing --out "
+        "artifact without probing anything (no Spark session)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.verdicts_only:
+        with open(args.out) as f:
+            report = json.load(f)
+        _compute_verdicts(report)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"-> {args.out} (verdicts recomputed)")
+        return 0
 
     spark = get_spark(app_name="exchange_probe")
     qs = harness.queries()
@@ -182,23 +197,48 @@ def main() -> int:
                 json.dump(report, f, indent=1)
         report["sfs"][sf] = entry
 
-    sf_keys = list(report["sfs"])
+    _compute_verdicts(report)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"-> {args.out}")
+    spark.stop()
+    return 0
+
+
+def _compute_verdicts(report: dict) -> None:
+    # order sfs by corpus size so lo/hi are meaningful regardless of
+    # the --sfs order staged --merge runs arrived in
+    sf_keys = sorted(
+        report["sfs"], key=lambda s: sum(report["sfs"][s]["corpus_rows"].values())
+    )
     if len(sf_keys) >= 2:
-        lo, hi = sf_keys[0], sf_keys[-1]
-        lo_rows = sum(report["sfs"][lo]["corpus_rows"].values()) or 1
-        hi_rows = sum(report["sfs"][hi]["corpus_rows"].values()) or 1
-        corpus_growth = hi_rows / lo_rows
         verdicts = {}
         for name in report["queries_probed"]:
-            a = report["sfs"][lo]["queries"].get(name, {})
-            b = report["sfs"][hi]["queries"].get(name, {})
-            ra = a.get("max_rows_through_exchange")
-            rb = b.get("max_rows_through_exchange")
-            if ra is None or rb is None:
+            # per-query widest sf pair with a CLEAN probe (a query that
+            # errored at sf10, or was excluded there with a printed
+            # reason, still gets a verdict from the sfs it did run at —
+            # the verdict records which pair it used)
+            avail = [
+                s
+                for s in sf_keys
+                if "max_rows_through_exchange"
+                in report["sfs"][s]["queries"].get(name, {})
+            ]
+            if len(avail) < 2:
                 continue
+            lo, hi = avail[0], avail[-1]
+            lo_rows = sum(report["sfs"][lo]["corpus_rows"].values()) or 1
+            hi_rows = sum(report["sfs"][hi]["corpus_rows"].values()) or 1
+            corpus_growth = hi_rows / lo_rows
+            ra = report["sfs"][lo]["queries"][name]["max_rows_through_exchange"]
+            rb = report["sfs"][hi]["queries"][name]["max_rows_through_exchange"]
             growth = (rb / ra) if ra else (0.0 if not rb else float("inf"))
             if ra == 0 and rb == 0:
-                cls = "no-exchange"
+                cls = (
+                    "no-exchange (readback plan: the iterative/micro-batch "
+                    "jobs run during construction; not instrumentable at "
+                    "the exchange layer)"
+                )
             elif growth <= max(2.0, corpus_growth * 0.1):
                 cls = "bounded"
             elif growth <= corpus_growth * 1.5:
@@ -206,6 +246,7 @@ def main() -> int:
             else:
                 cls = "SUPER-LINEAR (triage required)"
             verdicts[name] = {
+                "sf_pair": [lo, hi],
                 "exchange_rows_low_sf": ra,
                 "exchange_rows_high_sf": rb,
                 "exchange_growth": (
@@ -218,11 +259,6 @@ def main() -> int:
         bad = [n for n, v in verdicts.items() if "SUPER" in v["classification"]]
         if bad:
             print(f"SUPER-LINEAR exchanges found: {bad}")
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
-    print(f"-> {args.out}")
-    spark.stop()
-    return 0
 
 
 if __name__ == "__main__":
