@@ -3186,7 +3186,14 @@ _URL_CANON_SQL = _URL_CANON_TMPL.format(fixture=_URL_FIXTURE_SQL)
 
 
 def _fixture_urls(spark, sf_dir):
-    return t(spark, sf_dir, "orders").select(
+    from .operators import fan_out
+
+    # the RFC 3986 canonicalization chain downstream (≈20 regex +
+    # array ops per row) is pure map-side CPU sitting DIRECTLY on this
+    # scan — a single-row-group fixture file would run it all on one
+    # core. Conditional widen only (corpus-scale scans pass through;
+    # the hashed_shingles/fan_out discipline).
+    return fan_out(t(spark, sf_dir, "orders")).select(
         F.col("o_orderkey").alias("id"),
         F.concat(
             F.lit("HTTPS://WWW.Shop"),

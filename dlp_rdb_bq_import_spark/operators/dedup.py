@@ -1293,6 +1293,13 @@ def _k1_variant_stream(
     original) and ``vh`` the xxhash64 of the variant text. Shared by
     the self-join candidate path and the persisted-index incremental
     path — the stream IS the index."""
+    from . import fan_out
+
+    # the len+1 variant explode + per-variant hash is linear CPU
+    # downstream of a scan sized for raw bytes — widen narrow scans to
+    # the session's parallelism (no-op when the corpus is already
+    # wider; the hashed_shingles discipline)
+    df = fan_out(df)
     name, ident = F.col(text_col), F.col(id_col)
 
     def delete_at(s, p):

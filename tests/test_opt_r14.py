@@ -301,3 +301,33 @@ def test_integer_fixpoint_driver_paths_bit_identical(spark, monkeypatch):
         graph.kcore(chain, k=2, max_iterations=1)
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(chain, max_iterations=0)
+
+
+def test_k1_variant_stream_fan_out_preserves_rows(spark):
+    """The conditional fan_out added to the FastSS variant stream is a
+    pure repartition: the (id, pos, vh) multiset must be identical to
+    the single-partition construction, and a narrow input must come
+    out widened to the session's parallelism."""
+    from dlp_rdb_bq_import_spark.operators.dedup import _k1_variant_stream
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(50)], "id long, name string"
+    ).coalesce(1)
+    out = _k1_variant_stream(df, "name", "id", [])
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    rows = sorted(tuple(r) for r in out.collect())
+    # reference: same expression chain over the unwidened frame equals
+    # the widened result as a multiset (fan_out must not change WHAT
+    # is produced, only where)
+    ref = sorted(
+        tuple(r)
+        for r in _k1_variant_stream(
+            df.repartition(1), "name", "id", []
+        ).collect()
+    )
+    assert rows == ref
+    # every string yields len+1 variants (pos 0 = the original)
+    assert len(rows) == 50 * (len("name000") + 1)
