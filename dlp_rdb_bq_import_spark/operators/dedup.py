@@ -1292,14 +1292,17 @@ def _k1_variant_stream(
     where ``pos`` is the 1-based deleted position (0 = the undeleted
     original) and ``vh`` the xxhash64 of the variant text. Shared by
     the self-join candidate path and the persisted-index incremental
-    path — the stream IS the index."""
-    from . import fan_out
+    path — the stream IS the index.
 
-    # the len+1 variant explode + per-variant hash is linear CPU
-    # downstream of a scan sized for raw bytes — widen narrow scans to
-    # the session's parallelism (no-op when the corpus is already
-    # wider; the hashed_shingles discipline)
-    df = fan_out(df)
+    No fan_out here, by measurement: unlike the URL-canon chain
+    (~20 regex/array ops per row), the variant explode is a handful of
+    substring slices + one hash per output row — an in-process A/B
+    over every consuming query read the widened form a wash-to-loss
+    (entity_incremental 5.98 vs 5.33 s min-of-3, linkage_incremental
+    2.38 vs 2.16, record_linkage_review even), while each call also
+    paid a physical-planning round-trip for the partition probe and
+    put an exchange under the self-join. The downstream shuffle-hash
+    joins re-spread the work regardless."""
     name, ident = F.col(text_col), F.col(id_col)
 
     def delete_at(s, p):

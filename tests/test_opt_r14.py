@@ -303,31 +303,40 @@ def test_integer_fixpoint_driver_paths_bit_identical(spark, monkeypatch):
         graph.connected_components(chain, max_iterations=0)
 
 
-def test_k1_variant_stream_fan_out_preserves_rows(spark):
-    """The conditional fan_out added to the FastSS variant stream is a
-    pure repartition: the (id, pos, vh) multiset must be identical to
-    the single-partition construction, and a narrow input must come
-    out widened to the session's parallelism."""
+def test_fan_out_preserves_rows_and_widens(spark):
+    """The conditional fan_out (kept at the URL-canon seam) is a pure
+    repartition: the row multiset must be identical and a narrow input
+    must come out widened to the session's parallelism, while an
+    already-wide input passes through untouched."""
+    from dlp_rdb_bq_import_spark.operators import fan_out
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(50)], "id long, name string"
+    ).coalesce(1)
+    out = fan_out(df)
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    wide = df.repartition(spark.sparkContext.defaultParallelism + 5)
+    assert fan_out(wide) is wide
+
+
+def test_k1_variant_stream_row_contract(spark):
+    """The FastSS variant stream (fan_out deliberately removed — see
+    the in-process A/B documented at the site) still yields exactly
+    len+1 variants per string with pos 0 the undeleted original."""
     from dlp_rdb_bq_import_spark.operators.dedup import _k1_variant_stream
 
     df = spark.createDataFrame(
         [(i, f"name{i:03d}") for i in range(50)], "id long, name string"
     ).coalesce(1)
-    out = _k1_variant_stream(df, "name", "id", [])
-    assert (
-        out.rdd.getNumPartitions()
-        >= spark.sparkContext.defaultParallelism
-    )
-    rows = sorted(tuple(r) for r in out.collect())
-    # reference: same expression chain over the unwidened frame equals
-    # the widened result as a multiset (fan_out must not change WHAT
-    # is produced, only where)
+    rows = sorted(tuple(r) for r in _k1_variant_stream(df, "name", "id", []).collect())
+    assert len(rows) == 50 * (len("name000") + 1)
     ref = sorted(
-        tuple(r)
-        for r in _k1_variant_stream(
-            df.repartition(1), "name", "id", []
-        ).collect()
+        tuple(r) for r in _k1_variant_stream(df.repartition(4), "name", "id", []).collect()
     )
     assert rows == ref
-    # every string yields len+1 variants (pos 0 = the original)
-    assert len(rows) == 50 * (len("name000") + 1)
