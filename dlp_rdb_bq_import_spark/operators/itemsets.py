@@ -50,9 +50,15 @@ def frequent_item_pairs(
     if clash:
         raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
 
-    pairs_src = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    # the distinct basket-item set feeds the support count AND both
+    # sides of the pair self-join — without a lineage cut the
+    # scan+distinct replays once per consumer (4 source scans in the
+    # executed plan; the association_rules discipline applied here)
+    pairs_src = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     # A-Priori prune: an item in < min_support baskets cannot be in a
     # frequent pair. Keeps the per-basket self-join off the long tail.
