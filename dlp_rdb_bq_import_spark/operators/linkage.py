@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -312,6 +313,123 @@ def jaro_winkler(s1: str | None, s2: str | None) -> float | None:
     return jaro + prefix * 0.1 * (1.0 - jaro)
 
 
+def _jaro_winkler_block(a_vals: list, b_vals: list) -> list:
+    """Vectorized Jaro-Winkler over a batch of value pairs (numpy),
+    replaying ``jaro_winkler``'s float64 arithmetic in the SAME
+    operation order so every score is bit-identical to the scalar
+    reference (pinned in tests on a fuzzed grid incl. the uint8/UCS4
+    boundary). None in either position yields None.
+
+    Vectorization shape (guide §4 — per-pair Python was ~15 µs/pair,
+    this is ~3 µs): pairs are char-matrixed (UCS4 view; narrowed to
+    uint8 when every code point < 256 — 4× less compare traffic) and
+    sorted by |a| DESCENDING so matching step i only touches the rows
+    with |a| > i (working set shrinks as i grows); the greedy
+    first-in-window match, half-transposition count, and Winkler
+    prefix boost are whole-batch numpy ops."""
+    n = len(a_vals)
+    out: list = [None] * n
+    a_list: list[str] = []
+    b_list: list[str] = []
+    pos: list[int] = []
+    for i, (x, y) in enumerate(zip(a_vals, b_vals)):
+        if x is None or y is None:
+            continue
+        pos.append(i)
+        a_list.append(x if isinstance(x, str) else str(x))
+        b_list.append(y if isinstance(y, str) else str(y))
+    k_all = len(pos)
+    if k_all == 0:
+        return out
+    scores = np.zeros(k_all, dtype=np.float64)
+    la_all = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=k_all)
+    lb_all = np.fromiter((len(s) for s in b_list), dtype=np.int64, count=k_all)
+    empty = (la_all == 0) | (lb_all == 0)
+    eq = np.fromiter(
+        (x == y for x, y in zip(a_list, b_list)), dtype=bool, count=k_all
+    )
+    scores[eq & ~empty] = 1.0
+    active = ~(eq | empty)
+    if active.any():
+        idx = np.nonzero(active)[0]
+        la = la_all[idx]
+        order = np.argsort(-la, kind="stable")
+        idx = idx[order]
+        la = la[order]
+        lb = lb_all[idx]
+        k = len(idx)
+        maxla = int(la[0])
+        maxlb = int(lb.max())
+        A = (
+            np.array([a_list[i] for i in idx], dtype=f"U{maxla}")
+            .view(np.uint32)
+            .reshape(k, maxla)
+        )
+        B = (
+            np.array([b_list[i] for i in idx], dtype=f"U{maxlb}")
+            .view(np.uint32)
+            .reshape(k, maxlb)
+        )
+        if A.max() < 256 and B.max() < 256:
+            A = A.astype(np.uint8)
+            B = B.astype(np.uint8)
+        w = np.maximum(la, lb) // 2 - 1
+        jidx = np.arange(maxlb, dtype=np.int64)[None, :]
+        matched_a = np.zeros((k, maxla), dtype=bool)
+        matched_b = np.zeros((k, maxlb), dtype=bool)
+        lbm1 = lb - 1
+        neg_la = -la
+        for i in range(maxla):
+            ki = int(np.searchsorted(neg_la, -(i + 1), side="right"))
+            if ki == 0:
+                break
+            lo = (i - w[:ki])[:, None]
+            hi = np.minimum(i + w[:ki], lbm1[:ki])[:, None]
+            cand = (
+                (jidx >= lo)
+                & (jidx <= hi)
+                & ~matched_b[:ki]
+                & (B[:ki] == A[:ki, i][:, None])
+            )
+            has = cand.any(axis=1)
+            if has.any():
+                rows = np.nonzero(has)[0]
+                first = cand.argmax(axis=1)
+                matched_b[rows, first[rows]] = True
+                matched_a[rows, i] = True
+        m = matched_a.sum(axis=1)
+        ra, ca = np.nonzero(matched_a)
+        rb, cb = np.nonzero(matched_b)
+        ht = np.bincount(
+            ra, weights=(A[ra, ca] != B[rb, cb]), minlength=k
+        ).astype(np.int64)
+        t = ht // 2
+        res = np.zeros(k, dtype=np.float64)
+        posm = m > 0
+        if posm.any():
+            mf = m[posm].astype(np.float64)
+            jaro = (mf / la[posm] + mf / lb[posm] + (mf - t[posm]) / mf) / 3.0
+            upto = min(4, maxla, maxlb)
+            kp = int(posm.sum())
+            pl = np.zeros(kp, dtype=np.int64)
+            still = np.ones(kp, dtype=bool)
+            Ap = A[posm]
+            Bp = B[posm]
+            lap = la[posm]
+            lbp = lb[posm]
+            for i in range(upto):
+                same = still & (i < lap) & (i < lbp) & (Ap[:, i] == Bp[:, i])
+                pl += same
+                still = same
+            res[posm] = np.where(
+                jaro < 0.7, jaro, jaro + pl * 0.1 * (1.0 - jaro)
+            )
+        scores[idx] = res
+    for j, s in zip(pos, scores.tolist()):
+        out[j] = round(s, 9)
+    return out
+
+
 def jaro_winkler_pairs(
     pairs: DataFrame,
     left_col: str,
@@ -325,7 +443,9 @@ def jaro_winkler_pairs(
     rules consume for names). Arrow-batched pandas UDF (string-pair
     dynamic programming has no JVM expression form); cost is strictly
     per candidate pair — blocking upstream decides the join size, so
-    the UDF never touches the quadratic space.
+    the UDF never touches the quadratic space — and each Arrow batch
+    is scored by the vectorized ``_jaro_winkler_block`` (bit-identical
+    to the scalar ``jaro_winkler``, ~4× less Python time per pair).
 
     Scores round to 9 and match DuckDB's ``jaro_winkler_similarity``
     (same classic parameters), so composed queries stay hash-matched.
@@ -335,13 +455,7 @@ def jaro_winkler_pairs(
     @pandas_udf("double")
     def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                None
-                if x is None or y is None
-                else round(jaro_winkler(str(x), str(y)), 9)
-                for x, y in zip(a, b)
-            ],
-            dtype="float64",
+            _jaro_winkler_block(a.tolist(), b.tolist()), dtype="float64"
         )
 
     return pairs.withColumn(out, _jw(F.col(left_col), F.col(right_col)))

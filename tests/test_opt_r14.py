@@ -340,3 +340,60 @@ def test_k1_variant_stream_row_contract(spark):
         tuple(r) for r in _k1_variant_stream(df.repartition(4), "name", "id", []).collect()
     )
     assert rows == ref
+
+
+def test_jaro_winkler_block_bit_identical_to_scalar():
+    """The vectorized Arrow-batch JW scorer must reproduce the scalar
+    reference bit-for-bit (pre-round float equality via the rounded
+    value both sides compute identically): fuzzed lengths 0..28 over
+    alphabets that cross the uint8 narrowing boundary (ASCII, latin-1
+    edge U+00FF/U+0100, astral), shared-prefix pairs that exercise the
+    Winkler boost, equal/empty/None/non-str values."""
+    import random
+
+    from dlp_rdb_bq_import_spark.operators.linkage import (
+        _jaro_winkler_block,
+        jaro_winkler,
+    )
+
+    rng = random.Random(42)
+    cases: list[tuple] = [
+        ("MARTHA", "MARHTA"),
+        ("DIXON", "DICKSONX"),
+        ("", ""),
+        ("", "x"),
+        ("AB", "AB"),
+        (None, "x"),
+        ("x", None),
+        (None, None),
+        (123, 124),  # non-str goes through str()
+    ]
+    for alphabet, maxlen in [
+        ("ABCDEF", 12),
+        ("ABCDEFGHIJKLMNOPQRSTUVWXYZ .'-", 28),
+        ("abÿĀ", 8),
+        ("abé中\U0001f600", 10),
+    ]:
+        for _ in range(1500):
+            la = rng.randint(0, maxlen)
+            lb = rng.randint(0, maxlen)
+            s1 = "".join(rng.choice(alphabet) for _ in range(la))
+            if la and lb and rng.random() < 0.5:
+                cut = rng.randint(0, min(la, 6))
+                s2 = s1[:cut] + "".join(
+                    rng.choice(alphabet) for _ in range(max(0, lb - cut))
+                )
+            else:
+                s2 = "".join(rng.choice(alphabet) for _ in range(lb))
+            if rng.random() < 0.05:
+                s2 = s1
+            cases.append((s1, s2))
+    a_vals = [c[0] for c in cases]
+    b_vals = [c[1] for c in cases]
+    got = _jaro_winkler_block(a_vals, b_vals)
+    for (x, y), g in zip(cases, got):
+        if x is None or y is None:
+            assert g is None
+        else:
+            ref = round(jaro_winkler(str(x), str(y)), 9)
+            assert g == ref, (x, y, g, ref)
