@@ -226,13 +226,25 @@ def main() -> None:
     # detail file) with a queries_omitted count.
     scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
     os.makedirs(scratch, exist_ok=True)
+    detail = {"metric": "headline_queries_total_time", "value": total,
+              "unit": "sec", "queries": timings, "sf": sf_val,
+              "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))}
     detail_path = os.path.join(scratch, "bench_detail.json")
     with open(detail_path, "w") as fh:
-        json.dump(
-            {"metric": "headline_queries_total_time", "value": total,
-             "unit": "sec", "queries": timings, "sf": sf_val},
-            fh, indent=1,
-        )
+        json.dump(detail, fh, indent=1)
+    # Durable per-configuration artifact (r14 verdict task 2): the
+    # one-line stdout JSON drops the fastest queries to fit the
+    # driver's ~1800-char tail buffer, and `.scratch/bench_detail.json`
+    # is clobbered by every run (the r14 builder's final detail was
+    # lost to the driver's 8-core sweep). Writing the SAME payload to a
+    # (sf, cpus)-keyed repo-root file gives each configuration a stable
+    # path that can be committed as the round's full-detail record, and
+    # an append-only history line preserves every run regardless.
+    cfg_name = f"BENCH_detail_sf{sf_val}_c{detail['cpus']}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), cfg_name), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    with open(os.path.join(scratch, "bench_history.jsonl"), "a") as fh:
+        fh.write(json.dumps(detail, separators=(",", ":")) + "\n")
 
     def line_for(q: dict[str, float], omitted: int) -> str:
         payload = {

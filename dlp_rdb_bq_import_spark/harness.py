@@ -34,6 +34,7 @@ from .functions.tokenize import (
     deidentify,
     reidentify,
 )
+from . import operators
 from .operators import dedup, features, sampling, similarity, text as text_ops
 from .operators.multimodal import attach_payload, payload_stats
 from .streaming.jobs import windowed_event_counts
@@ -3703,8 +3704,8 @@ def q_robots_screen(spark, sf_dir):
     join and the (length, allow, prefix) ordering."""
     from .operators.urls import robots_filter
 
-    rules = spark.createDataFrame(
-        _robots_rules_py(), "host string, path_prefix string, allow boolean"
+    rules = operators.local_rows_df(
+        spark, _robots_rules_py(), "host string, path_prefix string, allow boolean"
     )
     return robots_filter(_fixture_urls(spark, sf_dir), rules, "url", "id")
 
@@ -3770,8 +3771,8 @@ def q_robots_screened_frontier(spark, sf_dir):
     )
 
     u = _fixture_urls(spark, sf_dir)
-    rules = spark.createDataFrame(
-        _robots_rules_py(), "host string, path_prefix string, allow boolean"
+    rules = operators.local_rows_df(
+        spark, _robots_rules_py(), "host string, path_prefix string, allow boolean"
     )
     permitted = u.join(
         robots_filter(u, rules, "url", "id")
@@ -6070,8 +6071,8 @@ def q_schema_drift(spark, sf_dir):
     from .catalog import schema_drift
 
     schema = "table_name string, column_name string, data_type string"
-    old = spark.createDataFrame(_CATALOG_OLD, schema)
-    new = spark.createDataFrame(_CATALOG_NEW, schema)
+    old = operators.local_rows_df(spark, _CATALOG_OLD, schema)
+    new = operators.local_rows_df(spark, _CATALOG_NEW, schema)
     return schema_drift(old, new).select(
         "table_name", "column_name", "old_type", "new_type", "change"
     )
@@ -6114,8 +6115,8 @@ def q_schema_evolution_plan(spark, sf_dir):
     from .catalog import evolution_plan
 
     schema = "table_name string, column_name string, data_type string"
-    old = spark.createDataFrame(_CATALOG_OLD, schema)
-    new = spark.createDataFrame(_CATALOG_NEW, schema)
+    old = operators.local_rows_df(spark, _CATALOG_OLD, schema)
+    new = operators.local_rows_df(spark, _CATALOG_NEW, schema)
     return evolution_plan(old, new).select(
         "table_name", "column_name", "old_type", "new_type", "change", "action"
     )
@@ -9600,7 +9601,7 @@ def q_blocklist_screen(spark, sf_dir):
     (drop above a density threshold, zero-token docs kept) is
     text.blocklist_filter, pytest-pinned; this report form keeps
     every doc so the full density distribution hash-matches."""
-    terms = spark.createDataFrame([("slow",), ("merge",)], "term string")
+    terms = operators.local_rows_df(spark, [("slow",), ("merge",)], "term string")
     return text_ops.blocklist_hits(t(spark, sf_dir, "documents"), terms)
 
 

@@ -826,8 +826,10 @@ def duplicate_clusters(
     ).localCheckpoint()
     if plain.count() <= driver_threshold:
         labels = _union_find_labels([(r["src"], r["dst"]) for r in plain.collect()])
-        return plain.sparkSession.createDataFrame(
-            list(labels.items()), "doc_id long, cluster_id long"
+        from . import local_rows_df
+
+        return local_rows_df(
+            plain.sparkSession, list(labels.items()), "doc_id long, cluster_id long"
         )
     # staged on dst — the per-round label-join key — so each round
     # reuses the edge partitioning and shuffles only the |V|-sized

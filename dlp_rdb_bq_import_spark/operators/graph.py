@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import local_rows_df
+
 
 # Above this many nodes the per-round score table stops being a safe
 # broadcast build (hundreds of MB at ~30-50 B/row) and the staged edge
@@ -343,7 +345,7 @@ def kcore(
                 keep = deg_arr >= k
                 n_keep = int(keep.sum())
                 if n_keep == int(present.sum()):
-                    return spark.createDataFrame(
+                    return local_rows_df(spark, 
                         [
                             (vals[i], int(deg_arr[i]))
                             for i in np.nonzero(keep)[0]
@@ -353,7 +355,7 @@ def kcore(
                 mask = keep[ui] & keep[vi]
                 ui, vi = ui[mask], vi[mask]
                 if n_keep == 0:
-                    return spark.createDataFrame([], schema)
+                    return local_rows_df(spark, [], schema)
             raise RuntimeError(
                 f"kcore did not converge in {max_iterations} iterations "
                 "(raise max_iterations for very deep peeling chains)"
@@ -456,7 +458,7 @@ def label_propagation(
                 ]
             )
             if not rows:
-                return spark.createDataFrame([], schema)
+                return local_rows_df(spark, [], schema)
             vals, _rank, ui, vi = _rank_index(rows)
             n = len(vals)
             A = np.concatenate([ui, vi])  # voting node
@@ -480,7 +482,7 @@ def label_propagation(
                 lbl = new_lbl
                 if changed == 0:
                     break
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 [(vals[i], vals[lbl[i]]) for i in range(n)], schema
             )
 
@@ -593,7 +595,7 @@ def pagerank(
                 ]
             )
             if not rows:
-                return spark.createDataFrame([], schema)
+                return local_rows_df(spark, [], schema)
             node_list, _idx, ui, vi = _node_index(rows)
             n = len(node_list)
             w = np.fromiter((float(r[2]) for r in rows), dtype=np.float64,
@@ -608,7 +610,7 @@ def pagerank(
                 contrib = np.zeros(n)
                 np.add.at(contrib, vi, ranks[ui] * w / deg[ui])
                 ranks = (1.0 - d) / n + d * (contrib + dm / n)
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 [(node_list[i], float(ranks[i])) for i in range(n)], schema
             )
     # staged on src — the per-round rank join key — so iterations
@@ -721,7 +723,7 @@ def hits(
                 ]
             )
             if not rows:
-                return spark.createDataFrame([], schema)
+                return local_rows_df(spark, [], schema)
             node_list, _idx, ui, vi = _node_index(rows)
             n = len(node_list)
             hub = np.zeros(n)
@@ -737,7 +739,7 @@ def hits(
                 np.add.at(hub, ui, auth[vi])
                 if normalize:
                     hub /= hub.sum()
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 [
                     (node_list[i], float(hub[i]), float(auth[i]))
                     for i in range(n)
@@ -1074,7 +1076,7 @@ def personalized_pagerank(
                 ]
             )
             if not rows:
-                return spark.createDataFrame([], schema)
+                return local_rows_df(spark, [], schema)
             node_list, idx, ui, vi = _node_index(rows)
             n = len(node_list)
             seed_vals = {
@@ -1105,7 +1107,7 @@ def personalized_pagerank(
                 contrib = np.zeros(n)
                 np.add.at(contrib, vi, ranks[ui] / deg[ui])
                 ranks = (1.0 - d) * ev + d * (contrib + dm * ev)
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 [(node_list[i], float(r)) for i, r in enumerate(ranks)],
                 schema,
             ).select("node", F.round("rank", 9).alias("rank"))
@@ -1297,7 +1299,7 @@ def connected_components(
                     out |= {
                         (s, s) for s in loop_vals if s not in endpoint_vals
                     }
-                    return spark.createDataFrame(sorted(out), schema)
+                    return local_rows_df(spark, sorted(out), schema)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} "
                 "rounds (the star contraction needs O(log n) — this "

@@ -26,6 +26,8 @@ import functools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import local_rows_df
+
 
 def linear_bucket(col: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Value → bucket index in [0, 2^bits): linear binning between the
@@ -163,8 +165,8 @@ def global_row_ids_and_total(
         offsets[pid] = acc
         acc += sizes[pid]
     off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        local_rows_df(
+            df.sparkSession, [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
         )
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
@@ -241,7 +243,8 @@ def prefix_sums(
         offsets[pid] = acc
         acc += int(sizes[pid] or 0)
     off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
+        local_rows_df(
+            df.sparkSession,
             [(pid, str(off)) for pid, off in offsets.items()],
             "_pid int, _off string",
         ).select("_pid", F.col("_off").cast("decimal(38,0)").alias("_off"))

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import local_rows_df
+
 
 def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
     cols = columns if columns is not None else df.columns
@@ -367,7 +369,8 @@ def check_expectations(
         )
     outs.extend(ref_outs)
     if not outs:  # empty rule suite → empty report, not an IndexError
-        return df.sparkSession.createDataFrame(
+        return local_rows_df(
+            df.sparkSession,
             [],
             "rule string, kind string, column string, n_violations long, passed boolean",
         )
@@ -5370,8 +5373,8 @@ def weighted_kappa(
     if len(categories) < 2 or len(set(categories)) != len(categories):
         raise ValueError("weighted_kappa: categories must be >= 2 distinct labels")
     spark = df.sparkSession
-    order = spark.createDataFrame(
-        [(c, i) for i, c in enumerate(categories)], "cat string, idx int"
+    order = local_rows_df(
+        spark, [(c, i) for i, c in enumerate(categories)], "cat string, idx int"
     )
     a = F.col(rater_a_col).cast("string")
     b = F.col(rater_b_col).cast("string")

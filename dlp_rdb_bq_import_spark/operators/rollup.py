@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import local_rows_df
+
 _PARTIALS = ("n", "sum_v", "min_v", "max_v")
 
 
@@ -223,8 +225,8 @@ def digest_query(
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"digest_query: quantile {q} outside [0, 1]")
     keys = group_cols or []
-    qdf = digest.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double"
+    qdf = local_rows_df(
+        digest.sparkSession, [(float(q),) for q in quantiles], "q double"
     )
     j = digest.crossJoin(F.broadcast(qdf))
     lo = (

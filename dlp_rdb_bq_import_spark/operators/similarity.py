@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from . import local_rows_df
+
 QUANT_SCALE = 10_000_000  # 1e7: float32 has ~7 significant digits
 
 
@@ -181,8 +183,8 @@ def kcenter_sample(
     # bound — same discipline as graph._BROADCAST_NODE_BOUND.
     picks = _kcenter_driver_picks(cur, id_col, k)
     if picks is not None:
-        return df.sparkSession.createDataFrame(
-            picks, f"{id_col} long, pick_order long"
+        return local_rows_df(
+            df.sparkSession, picks, f"{id_col} long, pick_order long"
         )
 
     first = (
@@ -193,7 +195,7 @@ def kcenter_sample(
         .first()
     )
     if first is None:
-        return df.sparkSession.createDataFrame([], f"{id_col} long, pick_order long")
+        return local_rows_df(df.sparkSession, [], f"{id_col} long, pick_order long")
     picks = [(int(first[0]), 1)]
     center = [int(x) for x in first[1]]
 
@@ -222,7 +224,7 @@ def kcenter_sample(
         )
         if r % 8 == 0:
             cur = cur.localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(picks, f"{id_col} long, pick_order long")
+    return local_rows_df(df.sparkSession, picks, f"{id_col} long, pick_order long")
 
 
 def cosine_pairs(
@@ -1007,8 +1009,8 @@ def pq_topk(
         F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("_v")
     ).collect()
     if not q_rows:
-        return corpus_codes.sparkSession.createDataFrame(
-            [], "qid long, nid long, rank long, adc_dist double"
+        return local_rows_df(
+            corpus_codes.sparkSession, [], "qid long, nid long, rank long, adc_dist double"
         )
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["_v"] for r in q_rows], dtype=np.float64)
@@ -1492,8 +1494,8 @@ def kmeans_fit_assign(
         .collect()
     )
     if not init:
-        return df.sparkSession.createDataFrame(
-            [], f"`{id_col}` long, cluster_id long, sq_dist double"
+        return local_rows_df(
+            df.sparkSession, [], f"`{id_col}` long, cluster_id long, sq_dist double"
         )
     cent = np.array([r["_q"] for r in init], dtype=np.float64)
 

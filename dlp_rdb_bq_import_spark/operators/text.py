@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import local_rows_df
 # Tiny deterministic marker-word lists per language for the n-gram/
 # stopword language-ID heuristic. The point is a deterministic,
 # SQL-expressible scorer, not linguistic accuracy.
@@ -816,8 +817,8 @@ def bpe_learn(
                 [(w, f, s) for w, f, s in local],
                 "word string, freq long, symbols array<string>",
             )
-        return spark.createDataFrame(
-            merges_l, "rank long, left string, right string, merged string"
+        return local_rows_df(
+            spark, merges_l, "rank long, left string, right string, merged string"
         )
     merges: list[tuple[int, str, str, str]] = []
     for rank in range(1, num_merges + 1):
@@ -873,8 +874,8 @@ def bpe_learn(
     spark = df.sparkSession
     if return_segments:
         return vocab.select("word", "freq", "symbols")
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, merged string"
+    return local_rows_df(
+        spark, merges, "rank long, left string, right string, merged string"
     )
 
 
@@ -2395,7 +2396,8 @@ def unigram_lm_learn(
 
     rows = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(p, round(lp, 9), i + 1) for i, (p, lp) in enumerate(rows)],
         "piece string, logprob double, rank long",
     )

@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import local_rows_df
+
 
 def _bucket(ts: Column, origin: str, grain_seconds: int) -> Column:
     """Integer bucket index of ``ts`` relative to ``origin`` (a
@@ -386,7 +388,7 @@ def interval_concurrency(
         offsets.append((pid, acc))
         acc += int(psums[pid])
     off_df = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        local_rows_df(spark, offsets or [(0, 0)], "_pid int, _off long")
     )
     w = (
         Window.partitionBy("_pid")
@@ -1675,7 +1677,7 @@ def pacf(
                 ] + [phi_kk]
             out.append((k, round(phi_kk, 9)))
             phi_prev = phi_cur
-    return spark.createDataFrame(out, "lag long, pacf double")
+    return local_rows_df(spark, out, "lag long, pacf double")
 
 
 def durbin_watson(

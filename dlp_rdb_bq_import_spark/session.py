@@ -34,6 +34,20 @@ def get_spark(
         # number); at 100 TB you set the *initial* partition count high
         # (e.g. 2000+) and let adaptive coalescing right-size each stage.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Shuffle writer: always the sort-based writer. The bypass-merge
+        # writer (default below 200 reduce partitions when there is no
+        # map-side combine) opens one file stream PER REDUCER PER MAP
+        # TASK — measured here (r15 stage metrics, dedup_clusters_exact
+        # at local[32]): ~100 ms of Shuffle Write Time per map task for
+        # 16 KB of data, 3-8 s of executor time per KB-scale exchange,
+        # and the cost grows with core count (R tracks parallelism) —
+        # the source of the r14 verdict's 8-core-faster-than-32
+        # anti-scaling. The sort writer pays one data+index file per
+        # map task regardless of R; on the 5 MB/518k-row exchange of
+        # the same query both writers measured equal. At cluster scale
+        # R exceeds the 200 default anyway, so forcing the sort writer
+        # is the scale-consistent posture, not a local tune.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -49,6 +63,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Deployment-parameterised overrides (cluster posture differs from
+    # the local default): JSON dict of spark conf key -> value, applied
+    # after the defaults so a cluster/experiment can retune without
+    # code edits. Unset = local defaults, so the bench contract
+    # ($SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS) is unchanged.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

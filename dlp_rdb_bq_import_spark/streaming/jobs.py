@@ -19,6 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import local_rows_df
+
 
 def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """readStream over the events fixture (file or directory), with the
@@ -75,7 +77,7 @@ class _VersionedState:
         """Current state, or an empty frame of ``schema`` before the
         first write."""
         if self._v == 0:
-            return spark.createDataFrame([], schema)
+            return local_rows_df(spark, [], schema)
         return spark.read.parquet(self.current)
 
     def write(self, df: DataFrame) -> None:
@@ -392,8 +394,8 @@ def stream_stream_left_join(
         batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
     max_ts = batch.agg(F.max("ts")).first()[0]
     if max_ts is None:
-        return spark.createDataFrame(
-            [], "user_id long, left_event long, right_event long, right_value double"
+        return local_rows_df(
+            spark, [], "user_id long, left_event long, right_event long, right_value double"
         )
 
     stage = os.path.join(tempfile.mkdtemp(prefix="left_join_stream_"), "staged")
@@ -514,7 +516,8 @@ def stateful_sessionize(
     if max_ts is None:
         # Empty input: no sentinel timestamp to derive, and nothing to
         # sessionize — return an empty frame with the output schema.
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [],
             "user_id long, session_start timestamp, session_end timestamp, "
             "n_events long, first_event long",
@@ -1310,7 +1313,7 @@ def streaming_ewma(
         batch_out = (
             spark.read.parquet(*new_files)
             if new_files
-            else spark.createDataFrame([], out_schema)
+            else local_rows_df(spark, [], out_schema)
         )
         last = batch_out.groupBy("k").agg(
             F.max_by("ewma", F.struct("ts", "eid")).alias("ewma")

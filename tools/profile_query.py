@@ -27,7 +27,8 @@ from dlp_rdb_bq_import_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--tag", default=None, help="dump plan to plans/r14/<name>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="dump plan to plans/<round>/<name>_<tag>.txt")
+    ap.add_argument("--round", default="r15", help="plans/ subdirectory for --tag dumps")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--count", action="store_true",
                     help="materialize with .count() (bench methodology) instead of noop")
@@ -39,7 +40,7 @@ def main() -> None:
     qs = harness.queries()
     spark.range(1000).count()  # warm codegen path
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                             "plans", "r14")
+                             "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.names:
