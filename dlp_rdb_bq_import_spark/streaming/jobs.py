@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 from ..operators import local_rows_df
 
 
+def _stream_scratch(prefix: str) -> str:
+    """Micro-batch scratch root (staged slices, versioned state, output
+    appends, the stream's checkpoint): the fastest writable local dir.
+
+    Defaults to tmpfs (/dev/shm) when present: every micro-batch pays
+    offset/commit-log and state-parquet writes here, and on a
+    disk-backed /tmp those fsync-bound metadata writes are a measured
+    ~10-15% of each streaming twin's wall (r15). The scratch is
+    per-run, deleted in the operator's ``finally`` — nothing crosses
+    runs. Deployment-parameterised via $SPARK_GRAFT_STREAM_SCRATCH
+    (point it at fast local NVMe on a cluster; per-key-scalar state
+    here is MB-scale, but a corpus whose state exceeds RAM needs a
+    disk-backed path)."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """readStream over the events fixture (file or directory), with the
     TIMESTAMP(NANOS)-as-long conversion the batch reader applies."""
@@ -75,10 +94,13 @@ class _VersionedState:
 
     def read(self, spark: SparkSession, schema: str) -> DataFrame:
         """Current state, or an empty frame of ``schema`` before the
-        first write."""
+        first write. The schema is SUPPLIED to the reader: state is
+        read once per micro-batch, and letting the reader re-infer it
+        from parquet footers paid a driver-side metadata pass per
+        batch for a schema the fold already declares (r15, guide §5)."""
         if self._v == 0:
             return local_rows_df(spark, [], schema)
-        return spark.read.parquet(self.current)
+        return spark.read.schema(schema).parquet(self.current)
 
     def write(self, df: DataFrame) -> None:
         """Materialize ``df`` as the next state generation (ONE job),
@@ -93,7 +115,7 @@ class _VersionedState:
 
 def _stage_ordered_slices(
     src: DataFrame, stage: str, slice_id, n_slices: int
-) -> None:
+):
     """Stage ``src`` into ``n_slices`` ordered parquet slice files in
     ONE pass (the first cut filtered + wrote per slice — n_slices full
     scans): ``slice_id`` (int Column in [0, n_slices)) routes each row,
@@ -135,6 +157,16 @@ def _stage_ordered_slices(
         src.limit(0).coalesce(1).write.mode("append").parquet(stage)
         for name in os.listdir(stage):
             os.utime(os.path.join(stage, name), (base_mtime, base_mtime))
+    # The staged files carry exactly src's columns (the _slice routing
+    # column lands in directory names and is stripped by the moves), so
+    # the caller can hand this schema to readStream instead of paying a
+    # footer-inference read of the freshly staged directory (r15). All-
+    # nullable to match what parquet inference would have reported.
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in src.schema.fields]
+    )
 
 
 def _range_slice_id(col, cuts: list):
@@ -398,7 +430,7 @@ def stream_stream_left_join(
             spark, [], "user_id long, left_event long, right_event long, right_value double"
         )
 
-    stage = os.path.join(tempfile.mkdtemp(prefix="left_join_stream_"), "staged")
+    stage = os.path.join(_stream_scratch("left_join_stream_"), "staged")
     far = max_ts + pd.Timedelta(days=3650)
     sentinels = spark.createDataFrame(
         [(-1, far, -1, left_type, 0.0), (-2, far, -1, right_type, 0.0)],
@@ -524,7 +556,7 @@ def stateful_sessionize(
         )
 
     stage = os.path.join(
-        tempfile.mkdtemp(prefix="sessionize_stream_"), "staged"
+        _stream_scratch("sessionize_stream_"), "staged"
     )
     sentinel = spark.createDataFrame(
         [(-1, max_ts + pd.Timedelta(days=3650), -1)], "event_id long, ts timestamp, user_id long"
@@ -648,7 +680,7 @@ def streaming_incremental_neardup(
             f"corpus_signatures must carry mh_* columns with k a multiple of "
             f"bands; got k={k}, bands={bands}"
         )
-    root = tempfile.mkdtemp(prefix="neardup_stream_")
+    root = _stream_scratch("neardup_stream_")
     stage = os.path.join(root, "staged")
     out_dir = os.path.join(root, "flagged")
     src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
@@ -664,7 +696,9 @@ def streaming_incremental_neardup(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(flag_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(flag_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -707,7 +741,7 @@ def streaming_decontam(
             f"bench_index must be a bench_gram_index result; got "
             f"{bench_index.columns}"
         )
-    root = tempfile.mkdtemp(prefix="decontam_stream_")
+    root = _stream_scratch("decontam_stream_")
     stage = os.path.join(root, "staged")
     out_dir = os.path.join(root, "flagged")
     src = new_docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
@@ -724,7 +758,9 @@ def streaming_decontam(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(flag_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(flag_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -789,7 +825,7 @@ def streaming_curation(
     ):
         if not cols <= set(d.columns):
             raise ValueError(f"{need} must carry {sorted(cols)}; got {d.columns}")
-    root = tempfile.mkdtemp(prefix="curation_stream_")
+    root = _stream_scratch("curation_stream_")
     stage = os.path.join(root, "staged")
     out_dir = os.path.join(root, "survivors")
     fp_dir = os.path.join(root, "admitted_fingerprints")
@@ -852,7 +888,9 @@ def streaming_curation(
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(curate_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(curate_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -877,7 +915,7 @@ def streaming_dedup_events(
     event regardless of delivery count.
     """
     batch = spark.read.parquet(source_dir).select(key, "user_id", "event_type")
-    stage = os.path.join(tempfile.mkdtemp(prefix="dedup_stream_"), "staged")
+    stage = os.path.join(_stream_scratch("dedup_stream_"), "staged")
     for _ in range(replays):
         batch.write.parquet(stage, mode="append")
     try:
@@ -929,7 +967,7 @@ def streaming_url_frontier(
 
     if "canon" not in seen.columns:
         raise ValueError(f"seen must carry a 'canon' column; got {seen.columns}")
-    root = _tempfile.mkdtemp(prefix="frontier_stream_")
+    root = _stream_scratch("frontier_stream_")
     stage = _os.path.join(root, "staged")
     out_dir = _os.path.join(root, "scheduled")
     emitted_dir = _os.path.join(root, "emitted_canon")
@@ -968,7 +1006,9 @@ def streaming_url_frontier(
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(schedule_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(schedule_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -999,7 +1039,7 @@ def streaming_cms(
     """
     from ..operators import profiling as prof
 
-    root = tempfile.mkdtemp(prefix="cms_stream_")
+    root = _stream_scratch("cms_stream_")
     stage = os.path.join(root, "staged")
     src = values.select(F.col(col).cast("string").alias(col))
     src.write.parquet(stage)
@@ -1016,7 +1056,9 @@ def streaming_cms(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1051,7 +1093,7 @@ def streaming_anchor_index(
     from ..operators.html_extract import extract_links_with_text
     from ..operators.urls import anchor_text_index, merge_anchor_index
 
-    root = tempfile.mkdtemp(prefix="anchor_stream_")
+    root = _stream_scratch("anchor_stream_")
     stage = os.path.join(root, "staged")
     src = pages.select(F.col(id_col), F.col(html_col))
     src.write.parquet(stage)
@@ -1070,7 +1112,9 @@ def streaming_anchor_index(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1100,7 +1144,7 @@ def streaming_bottomk(
     estimator."""
     from ..operators import sampling as samp
 
-    root = tempfile.mkdtemp(prefix="bottomk_stream_")
+    root = _stream_scratch("bottomk_stream_")
     stage = os.path.join(root, "staged")
     src = values
     src.write.parquet(stage)
@@ -1117,7 +1161,9 @@ def streaming_bottomk(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1163,7 +1209,7 @@ def streaming_linkage_probe(
             f"variant_index must be a fastss_variant_index result; got "
             f"{variant_index.columns}"
         )
-    root = tempfile.mkdtemp(prefix="linkage_stream_")
+    root = _stream_scratch("linkage_stream_")
     stage = os.path.join(root, "staged")
     out_dir = os.path.join(root, "verified")
     src = new_records.select(
@@ -1186,7 +1232,9 @@ def streaming_linkage_probe(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(probe_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(probe_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1236,7 +1284,7 @@ def streaming_ewma(
         raise ValueError(f"streaming_ewma: n_slices must be >= 1, got {n_slices}")
     import pandas as pd
 
-    root = tempfile.mkdtemp(prefix="ewma_stream_")
+    root = _stream_scratch("ewma_stream_")
     stage = os.path.join(root, "staged")
     out_dir = os.path.join(root, "out")
     os.makedirs(stage)
@@ -1265,7 +1313,7 @@ def streaming_ewma(
     else:
         cuts = []
     # one-pass ordered staging (mtime-pinned slices, see the helper)
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, _range_slice_id(F.col("tsl"), cuts), n_slices
     )
 
@@ -1311,7 +1359,7 @@ def streaming_ewma(
             if f.endswith(".parquet")
         ]
         batch_out = (
-            spark.read.parquet(*new_files)
+            spark.read.schema(out_schema).parquet(*new_files)
             if new_files
             else local_rows_df(spark, [], out_schema)
         )
@@ -1324,13 +1372,14 @@ def streaming_ewma(
         sd.write(new_state)
 
     try:
-        batch0 = spark.read.parquet(stage)
         raw = (
-            spark.readStream.schema(batch0.schema)
+            spark.readStream.schema(staged_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1376,13 +1425,13 @@ def streaming_quantile_digest(
     from ..operators.rollup import digest_merge, quantile_digest
 
     keys = group_cols or []
-    root = tempfile.mkdtemp(prefix="qdigest_stream_")
+    root = _stream_scratch("qdigest_stream_")
     stage = os.path.join(root, "staged")
     os.makedirs(stage)
     src = values.select(
         *keys, F.col(value_col).cast("double").alias("_v")
     ).where(F.col("_v").isNotNull())
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, F.pmod(F.xxhash64("_v"), F.lit(n_slices)), n_slices
     )
     sd = _VersionedState(root, "digest")
@@ -1406,7 +1455,9 @@ def streaming_quantile_digest(
             .option("maxFilesPerTrigger", "1")
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1436,7 +1487,7 @@ def streaming_skyline(
     contract, like every fold in this module)."""
     from ..operators.sampling import skyline
 
-    root = tempfile.mkdtemp(prefix="skyline_stream_")
+    root = _stream_scratch("skyline_stream_")
     stage = os.path.join(root, "staged")
     rows.write.parquet(stage)
     sd = _VersionedState(root, "skyline")
@@ -1456,7 +1507,9 @@ def streaming_skyline(
 
     try:
         raw = spark.readStream.schema(rows.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1486,7 +1539,7 @@ def streaming_connected_components(
     edges, never the full history."""
     from ..operators.graph import connected_components
 
-    root = tempfile.mkdtemp(prefix="cc_stream_")
+    root = _stream_scratch("cc_stream_")
     stage = os.path.join(root, "staged")
     src = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -1508,7 +1561,9 @@ def streaming_connected_components(
 
     try:
         raw = spark.readStream.schema(src.schema).parquet(stage)
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1552,7 +1607,7 @@ def streaming_twap(
     if n_slices < 1:
         raise ValueError(f"streaming_twap: n_slices must be >= 1, got {n_slices}")
 
-    root = tempfile.mkdtemp(prefix="twap_stream_")
+    root = _stream_scratch("twap_stream_")
     stage = os.path.join(root, "staged")
     os.makedirs(stage)
 
@@ -1574,7 +1629,7 @@ def streaming_twap(
         )
     else:
         cuts = []
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, _range_slice_id(F.col("t"), cuts), n_slices
     )
 
@@ -1644,13 +1699,14 @@ def streaming_twap(
         sd.write(new_state)
 
     try:
-        batch0 = spark.read.parquet(stage)
         raw = (
-            spark.readStream.schema(batch0.schema)
+            spark.readStream.schema(staged_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1710,7 +1766,7 @@ def streaming_ols_trend(
         raise ValueError(
             f"streaming_ols_trend: n_slices must be >= 1, got {n_slices}"
         )
-    root = tempfile.mkdtemp(prefix="ols_stream_")
+    root = _stream_scratch("ols_stream_")
     stage = os.path.join(root, "staged")
     os.makedirs(stage)
 
@@ -1731,7 +1787,7 @@ def streaming_ols_trend(
         )
     else:
         cuts = []
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
     )
 
@@ -1755,13 +1811,14 @@ def streaming_ols_trend(
         sd.write(merged)
 
     try:
-        batch0 = spark.read.parquet(stage)
         raw = (
-            spark.readStream.schema(batch0.schema)
+            spark.readStream.schema(staged_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1836,7 +1893,7 @@ def streaming_max_drawdown(
         raise ValueError(
             f"streaming_max_drawdown: n_slices must be >= 1, got {n_slices}"
         )
-    root = tempfile.mkdtemp(prefix="dd_stream_")
+    root = _stream_scratch("dd_stream_")
     stage = os.path.join(root, "staged")
     os.makedirs(stage)
 
@@ -1855,7 +1912,7 @@ def streaming_max_drawdown(
         )
     else:
         cuts = []
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
     )
 
@@ -1879,13 +1936,14 @@ def streaming_max_drawdown(
         sd.write(merged)
 
     try:
-        batch0 = spark.read.parquet(stage)
         raw = (
-            spark.readStream.schema(batch0.schema)
+            spark.readStream.schema(staged_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
@@ -1959,7 +2017,7 @@ def streaming_mase(
         raise ValueError(f"streaming_mase: n_slices must be >= 1, got {n_slices}")
     if season < 2:
         raise ValueError(f"streaming_mase: season must be >= 2, got {season}")
-    root = tempfile.mkdtemp(prefix="mase_stream_")
+    root = _stream_scratch("mase_stream_")
     stage = os.path.join(root, "staged")
     os.makedirs(stage)
 
@@ -1978,7 +2036,7 @@ def streaming_mase(
         )
     else:
         cuts = []
-    _stage_ordered_slices(
+    staged_schema = _stage_ordered_slices(
         src, stage, _range_slice_id(F.unix_date(F.col("day")), cuts), n_slices
     )
 
@@ -2002,13 +2060,14 @@ def streaming_mase(
         sd.write(merged)
 
     try:
-        batch0 = spark.read.parquet(stage)
         raw = (
-            spark.readStream.schema(batch0.schema)
+            spark.readStream.schema(staged_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        q = raw.writeStream.foreachBatch(fold_batch).start()
+        q = raw.writeStream.option(
+            "checkpointLocation", os.path.join(root, "_ckpt")
+        ).foreachBatch(fold_batch).start()
         try:
             q.processAllAvailable()
         finally:
