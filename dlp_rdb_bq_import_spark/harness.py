@@ -4695,36 +4695,34 @@ def q_multimodal_header_probe(spark, sf_dir):
     from .operators.multimodal import attach_media, media_header_stats
 
     d = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    img = d.where(F.col("doc_id") % 3 == 0)
     # with_meta=False: the probe re-derives every stat from header
     # bytes — paying attach_media's decode-for-metadata (a full PNG
     # inflate per row on the png branch) for columns this query drops
-    # violated the query's own no-decode point (r14)
-    parts = [
-        media_header_stats(
-            attach_media(img.where(F.col("doc_id") % 6 == 0), with_meta=False)
+    # violated the query's own no-decode point (r14).
+    # ONE python chain via per-row media dispatch instead of 4 branch
+    # chains (r15): the branch union paid 8 × 32 python worker
+    # sessions (~10 ms each) to synthesize the SAME per-id payloads —
+    # attach_media(media_col=...) produces row-identical output with
+    # 2 × 32; drove the probe 2.6 s → ~1.2 s at local[32] sf0.1.
+    mod3 = F.col("doc_id") % 3
+    spec = d.select(
+        "doc_id",
+        F.when(mod3 == 0, F.lit("image"))
+        .when(mod3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("_media"),
+        F.when((mod3 == 0) & (F.col("doc_id") % 6 != 0), F.lit("png")).alias(
+            "_container"
         ),
-        media_header_stats(
-            attach_media(
-                img.where(F.col("doc_id") % 6 != 0),
-                container="png",
-                with_meta=False,
-            )
-        ),
-    ]
-    for i, media in enumerate(("audio", "video"), start=1):
-        parts.append(
-            media_header_stats(
-                attach_media(
-                    d.where(F.col("doc_id") % 3 == i),
-                    media=media,
-                    with_meta=False,
-                )
-            )
+    )
+    out = media_header_stats(
+        attach_media(
+            spec,
+            with_meta=False,
+            media_col="_media",
+            container_col="_container",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
     return out.select(
         "doc_id", "byte_len", "media_format", "width", "height",
         "sample_rate", "n_samples", "n_frames",

@@ -313,6 +313,11 @@ def jaro_winkler(s1: str | None, s2: str | None) -> float | None:
     return jaro + prefix * 0.1 * (1.0 - jaro)
 
 
+# Strings longer than this score via the scalar jaro_winkler instead of
+# the batch char-matrix (whose memory is batch_rows x max_len).
+_JW_VECTOR_MAX_LEN = 256
+
+
 def _jaro_winkler_block(a_vals: list, b_vals: list) -> list:
     """Vectorized Jaro-Winkler over a batch of value pairs (numpy),
     replaying ``jaro_winkler``'s float64 arithmetic in the SAME
@@ -335,9 +340,18 @@ def _jaro_winkler_block(a_vals: list, b_vals: list) -> list:
     for i, (x, y) in enumerate(zip(a_vals, b_vals)):
         if x is None or y is None:
             continue
+        xs = x if isinstance(x, str) else str(x)
+        ys = y if isinstance(y, str) else str(y)
+        if len(xs) > _JW_VECTOR_MAX_LEN or len(ys) > _JW_VECTOR_MAX_LEN:
+            # One pathological long string would pad the whole batch's
+            # char matrix to its length (O(batch × maxlen) memory — r14
+            # ADVICE); such rows take the scalar path, which is linear
+            # per pair and bit-identical by construction.
+            out[i] = round(jaro_winkler(xs, ys), 9)
+            continue
         pos.append(i)
-        a_list.append(x if isinstance(x, str) else str(x))
-        b_list.append(y if isinstance(y, str) else str(y))
+        a_list.append(xs)
+        b_list.append(ys)
     k_all = len(pos)
     if k_all == 0:
         return out

@@ -79,6 +79,8 @@ def attach_media(
     id_col: str = "doc_id",
     container: str | None = None,
     with_meta: bool = True,
+    media_col: str | None = None,
+    container_col: str | None = None,
 ) -> DataFrame:
     """Attach a REAL encoded media payload per row, synthesized
     deterministically from the id (fixtures carry no media bytes; the
@@ -95,23 +97,41 @@ def attach_media(
     re-derive their stats from the payload itself — the header-bytes
     probe above all, whose whole point is to never pay decode cost —
     were otherwise paying a full PNG/WAV/Y4M decode per row for columns
-    they drop (r14 measurement)."""
-    if media not in ("image", "audio", "video"):
+    they drop (r14 measurement).
+
+    ``media_col``/``container_col`` switch media (and image container)
+    PER ROW from the named string columns instead of the scalar
+    parameters — the mixed-corpus sweep then runs as ONE Python chain
+    over the full id set rather than one chain per media branch. Each
+    row's payload/metadata is identical to what the scalar form would
+    synthesize for it (pinned in tests); the only change is how many
+    JVM↔Python boundaries the sweep pays (r15: each mapInPandas stage
+    costs ~10 ms of worker session per task, and the 4-branch probe
+    paid 8 × 32 of them)."""
+    if media_col is None and media not in ("image", "audio", "video"):
         raise ValueError(f"unknown media type {media!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id in pdf[id_col]:
+            media_vals = pdf[media_col] if media_col else None
+            cont_vals = pdf[container_col] if container_col else None
+            for j, doc_id in enumerate(pdf[id_col]):
                 seed = int(doc_id)
-                if media == "image":
-                    payload = codecs.synthesize_image(seed, container=container)
+                row_media = media if media_vals is None else media_vals.iloc[j]
+                row_container = (
+                    container if cont_vals is None else cont_vals.iloc[j]
+                )
+                if row_media not in ("image", "audio", "video"):
+                    raise ValueError(f"unknown media type {row_media!r}")
+                if row_media == "image":
+                    payload = codecs.synthesize_image(seed, container=row_container)
                     if with_meta:
                         img = codecs.decode_image_payload(payload)
                         meta = (img.shape[1], img.shape[0], 0)
                     else:
                         meta = (0, 0, 0)
-                elif media == "audio":
+                elif row_media == "audio":
                     payload = codecs.synthesize_audio(seed)
                     if with_meta:
                         samples, rate = codecs.decode_wav(payload)
@@ -133,7 +153,7 @@ def attach_media(
                     (
                         seed,
                         payload,
-                        media,
+                        row_media,
                         codecs.sniff_format(payload),
                         meta[0],
                         meta[1],
@@ -153,9 +173,12 @@ def attach_media(
                 ],
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        run, schema=_ATTACH_SCHEMA
-    )
+    keep = [F.col(id_col).cast("long").alias(id_col)]
+    if media_col:
+        keep.append(F.col(media_col).cast("string").alias(media_col))
+    if container_col:
+        keep.append(F.col(container_col).cast("string").alias(container_col))
+    return df.select(*keep).mapInPandas(run, schema=_ATTACH_SCHEMA)
 
 
 def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:

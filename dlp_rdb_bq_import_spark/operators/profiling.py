@@ -2951,20 +2951,27 @@ def g_test_independence(
     )
 
 
-def _avg_rank_2x(df: DataFrame, value_col: str) -> DataFrame:
+def _avg_rank_2x(
+    df: DataFrame, value_col: str, weight_col: str | None = None
+) -> DataFrame:
     """Average (midrank) tie-handling ranks over the DISTINCT quantized
     values of ``value_col``, in 2× units so ties stay integer: a value
     with count c and exclusive-preceding count p occupies ranks
     p+1..p+c, whose mean is p + (c+1)/2 — i.e. ``2p + c + 1`` in 2×
     units. Returns ``(value_col, _cnt, _r2)`` — one row per distinct
     value, the :func:`classifier_auc` contract (the ordered window
-    runs over the quantized VALUE DOMAIN, never over rows)."""
+    runs over the quantized VALUE DOMAIN, never over rows).
+
+    ``weight_col``: when the input is ALREADY grouped (e.g. a joint
+    (x, y) distinct table carrying a per-pair count), rank over the
+    weighted counts instead of row counts — ``Σ weight`` replaces
+    ``count(*)``, everything else identical."""
     from pyspark.sql import Window
 
-    per = (
-        df.groupBy(value_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    cnt = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
     )
+    per = df.groupBy(value_col).agg(cnt.cast("long").alias("_cnt"))
     w = Window.orderBy(F.col(value_col).asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -3020,27 +3027,42 @@ def spearman_correlation(
     base = df.select(xq.alias("_x"), yq.alias("_y")).where(
         F.col("_x").isNotNull() & F.col("_y").isNotNull()
     )
-    rx = _avg_rank_2x(base.select("_x"), "_x").withColumnRenamed("_r2", "_ra")
-    ry = _avg_rank_2x(base.select("_y"), "_y").withColumnRenamed("_r2", "_rb")
+    # ONE row-grain pass (r15; guide §2.4): group rows to the JOINT
+    # (x, y) distinct table first — the prior shape scanned the source
+    # three times (per-x ranks, per-y ranks, the moment fold over
+    # rows). Ranks derive from the joint table's weighted counts
+    # (Σ_cxy over y ≡ count of rows per x — exact integers), and every
+    # moment is the count-weighted fold of the same products, so the
+    # sums — and the one IEEE chain below — are bit-identical.
+    joint = base.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_cxy")
+    )
+    rx = _avg_rank_2x(
+        joint.select("_x", "_cxy"), "_x", weight_col="_cxy"
+    ).withColumnRenamed("_r2", "_ra")
+    ry = _avg_rank_2x(
+        joint.select("_y", "_cxy"), "_y", weight_col="_cxy"
+    ).withColumnRenamed("_r2", "_rb")
     joined = (
-        base.join(rx.select("_x", "_ra"), "_x")
+        joint.join(rx.select("_x", "_ra"), "_x")
         .join(ry.select("_y", "_rb"), "_y")
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cw = dec("_cxy")
     sums = joined.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum(dec("_ra")), F.lit(0).cast("decimal(38,0)")).alias("_sa"),
-        F.coalesce(F.sum(dec("_rb")), F.lit(0).cast("decimal(38,0)")).alias("_sb"),
+        F.coalesce(F.sum("_cxy"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(cw * dec("_ra")), F.lit(0).cast("decimal(38,0)")).alias("_sa"),
+        F.coalesce(F.sum(cw * dec("_rb")), F.lit(0).cast("decimal(38,0)")).alias("_sb"),
         F.coalesce(
-            F.sum((F.col("_ra") * F.col("_rb")).cast("decimal(38,0)")),
+            F.sum(cw * (F.col("_ra") * F.col("_rb")).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_sab"),
         F.coalesce(
-            F.sum((F.col("_ra") * F.col("_ra")).cast("decimal(38,0)")),
+            F.sum(cw * (F.col("_ra") * F.col("_ra")).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_saa"),
         F.coalesce(
-            F.sum((F.col("_rb") * F.col("_rb")).cast("decimal(38,0)")),
+            F.sum(cw * (F.col("_rb") * F.col("_rb")).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("_sbb"),
     )

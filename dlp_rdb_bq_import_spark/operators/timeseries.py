@@ -581,8 +581,16 @@ def holt_linear(
         f"{key_schema}, `{ts_col}` {dt[ts_col]}, `{id_col}` {dt[id_col]}, "
         "value double, level double, trend double, forecast_next double"
     )
+    # Float/double key columns: Arrow delivers SQL NULL to pandas as
+    # NaN, so the fold's group key could not tell a NULL-key group
+    # from a NaN-key group (r14 ADVICE — groupBy keeps them distinct).
+    # An engine-side isnull flag per float key restores the
+    # distinction; non-float keys need none (None survives Arrow).
+    float_keys = [c for c in key_cols if dt[c] in ("float", "double")]
+    null_flags = [F.isnull(F.col(c)).alias(f"_knull_{c}") for c in float_keys]
     base = df.select(
         *key_cols,
+        *null_flags,
         F.col(ts_col),
         F.col(id_col),
         F.col(value_col).cast("double").alias("_y"),
@@ -605,10 +613,13 @@ def holt_linear(
 
         carry_key, level, trend = None, None, None
         started = False
+        flag_cols = [f"_knull_{c}" for c in float_keys]
         for pdf in batches:
             if pdf.empty:
                 continue
-            key_lists = [pdf[c].tolist() for c in key_cols]
+            key_lists = [pdf[c].tolist() for c in key_cols] + [
+                pdf[c].tolist() for c in flag_cols
+            ]
             levels, trends = [], []
             for i, y in enumerate(pdf["_y"]):
                 k = tuple(norm(kl[i]) for kl in key_lists)
@@ -633,7 +644,13 @@ def holt_linear(
 
     return (
         base.repartition(*key_cols)
-        .sortWithinPartitions(*key_cols, ts_col, id_col)
+        # id ASC NULLS LAST: the pre-r14 pandas sort used
+        # na_position='last' (and DuckDB ORDER BY defaults NULLS LAST),
+        # so a NULL id tying with a non-null id on ts must fold AFTER
+        # it — Spark's default asc() is NULLS FIRST, which silently
+        # reordered that tie (r14 ADVICE). ts is filtered non-null
+        # above, so only the id key needs the explicit null placement.
+        .sortWithinPartitions(*key_cols, ts_col, F.col(id_col).asc_nulls_last())
         .mapInPandas(fold_iter, out_schema)
     )
 

@@ -110,3 +110,47 @@ def test_local_rows_df_empty_matches_schema(spark):
     # and the empty frame is JVM-only: at most one (empty) partition
     # (Spark collapses the empty range to a zero-partition local scan)
     assert fast.rdd.getNumPartitions() <= 1
+
+
+def test_attach_media_per_row_dispatch_matches_scalar(spark):
+    # the mixed-corpus per-row dispatch must synthesize byte-identical
+    # payloads/metadata to the per-branch scalar form
+    from pyspark.sql import functions as F
+
+    from dlp_rdb_bq_import_spark.operators.multimodal import attach_media
+
+    d = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    mod3 = F.col("doc_id") % 3
+    spec = d.select(
+        "doc_id",
+        F.when(mod3 == 0, F.lit("image"))
+        .when(mod3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("_media"),
+        F.when((mod3 == 0) & (F.col("doc_id") % 6 != 0), F.lit("png")).alias(
+            "_container"
+        ),
+    )
+    mixed = attach_media(spec, media_col="_media", container_col="_container")
+    parts = [
+        attach_media(d.where((mod3 == 0) & (F.col("doc_id") % 6 == 0))),
+        attach_media(
+            d.where((mod3 == 0) & (F.col("doc_id") % 6 != 0)), container="png"
+        ),
+        attach_media(d.where(mod3 == 1), media="audio"),
+        attach_media(d.where(mod3 == 2), media="video"),
+    ]
+    ref = parts[0]
+    for p in parts[1:]:
+        ref = ref.unionByName(p)
+    a = sorted((r["doc_id"], bytes(r["payload"]), r["media_type"], r["format"],
+                r["width"], r["height"], r["duration_ms"]) for r in mixed.collect())
+    b = sorted((r["doc_id"], bytes(r["payload"]), r["media_type"], r["format"],
+                r["width"], r["height"], r["duration_ms"]) for r in ref.collect())
+    assert a == b
+    import pytest
+
+    with pytest.raises(Exception):
+        attach_media(
+            spec.withColumn("_media", F.lit("hologram")), media_col="_media"
+        ).collect()
