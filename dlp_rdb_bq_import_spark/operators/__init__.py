@@ -140,3 +140,23 @@ def _local_rows_arrow_ok(rows, struct) -> bool:
                 if type(v) is not bool:
                     return False
     return True
+
+
+# (operator, branch) -> count of fixpoint invocations this process.
+# The soak asserts every fixpoint operator exercised its DISTRIBUTED
+# branch at least once at sf1 (r14 verdict: after the measured-size
+# driver fast paths landed, no *timed* run covered the distributed
+# loops at sf0.1 — a regression there could hide behind the driver
+# path; this counter plus one stderr line per invocation makes which
+# branch ran visible and assertable).
+FIXPOINT_BRANCHES: dict[tuple[str, str], int] = {}
+
+
+def note_fixpoint_branch(op: str, branch: str) -> None:
+    """Record + log that measured-size fixpoint ``op`` took ``branch``
+    ('driver' or 'distributed') for this invocation."""
+    import sys
+
+    key = (op, branch)
+    FIXPOINT_BRANCHES[key] = FIXPOINT_BRANCHES.get(key, 0) + 1
+    print(f"# fixpoint-branch {op}={branch}", file=sys.stderr)

@@ -785,12 +785,18 @@ def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+# Default driver_threshold for duplicate_clusters — module-level so a
+# soak/harness can lower it to force the distributed propagation path
+# (the r15 fixpoint-branch telemetry contract).
+_DRIVER_PAIR_THRESHOLD = 1_000_000
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     where cluster_id is the minimum doc id in the component. Pair lists
@@ -812,6 +818,8 @@ def duplicate_clusters(
     Only ids that appear in some pair are emitted; singletons are their
     own implicit cluster (callers: see ``dedup_keep_representative``).
     """
+    if driver_threshold is None:
+        driver_threshold = _DRIVER_PAIR_THRESHOLD
     if max_iterations < 1:
         raise ValueError(
             f"max_iterations must be >= 1, got {max_iterations} — the "
@@ -826,8 +834,9 @@ def duplicate_clusters(
     ).localCheckpoint()
     if plain.count() <= driver_threshold:
         labels = _union_find_labels([(r["src"], r["dst"]) for r in plain.collect()])
-        from . import local_rows_df
+        from . import local_rows_df, note_fixpoint_branch
 
+        note_fixpoint_branch("duplicate_clusters", "driver")
         return local_rows_df(
             plain.sparkSession, list(labels.items()), "doc_id long, cluster_id long"
         )
@@ -835,8 +844,10 @@ def duplicate_clusters(
     # reuses the edge partitioning and shuffles only the |V|-sized
     # label table (graph._stage_edges: cached repartition survives AQE
     # where a checkpoint's partitioning does not)
+    from . import note_fixpoint_branch
     from .graph import _stage_edges
 
+    note_fixpoint_branch("duplicate_clusters", "distributed")
     edges = _stage_edges(
         plain.union(
             plain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import local_rows_df
+from . import local_rows_df, note_fixpoint_branch
 
 
 # Above this many nodes the per-round score table stops being a safe
@@ -324,6 +324,7 @@ def kcore(
     ):
         rows = _collect_clean_edges(canon, 2)
         if rows is not None:
+            note_fixpoint_branch("kcore", "driver")
             import numpy as np
 
             from pyspark.sql import types as T
@@ -366,6 +367,7 @@ def kcore(
     # set; the surviving-edge _v semi-join is the round's one edge
     # exchange. The previous round's cache unpins once its successor
     # materializes.
+    note_fixpoint_branch("kcore", "distributed")
     live = _stage_edges(canon, "_u", precounted=m)
 
     deg = None
@@ -446,6 +448,7 @@ def label_propagation(
     ):
         rows = _collect_clean_edges(canon, 2)
         if rows is not None:
+            note_fixpoint_branch("label_propagation", "driver")
             import numpy as np
 
             from pyspark.sql import types as T
@@ -489,6 +492,7 @@ def label_propagation(
     # adjacency in both directions: (node, _nbr) — staged on _nbr, the
     # per-round label-join key, so each round shuffles only the
     # |V|-sized label table (module docstring)
+    note_fixpoint_branch("label_propagation", "distributed")
     adj = _stage_edges(
         canon.select(F.col("_u").alias("node"), F.col("_v").alias("_nbr"))
         .unionByName(
@@ -583,6 +587,7 @@ def pagerank(
     if m <= _DRIVER_FIXPOINT_EDGE_BOUND:
         rows = _collect_clean_edges(e0, 3)
         if rows is not None:
+            note_fixpoint_branch("pagerank", "driver")
             import numpy as np
 
             spark = edges.sparkSession
@@ -615,6 +620,7 @@ def pagerank(
             )
     # staged on src — the per-round rank join key — so iterations
     # shuffle only the |V|-sized rank table (module docstring)
+    note_fixpoint_branch("pagerank", "distributed")
     e = _stage_edges(e0, "src")
 
     nodes = (
@@ -710,6 +716,7 @@ def hits(
     if e0.count() <= _DRIVER_FIXPOINT_EDGE_BOUND:
         rows = _collect_clean_edges(e0, 2)
         if rows is not None:
+            note_fixpoint_branch("hits", "driver")
             import numpy as np
 
             spark = edges.sparkSession
@@ -750,6 +757,7 @@ def hits(
     # DIFFERENT edge endpoint, so one copy per key keeps both joins
     # edge-shuffle-free across all rounds (2·|E| cached once vs
     # 2·iterations·|E| shuffled)
+    note_fixpoint_branch("hits", "distributed")
     e = _stage_edges(e0, "src")
     e_dst = _stage_edges(e, "dst")
     nodes = (
@@ -1064,6 +1072,7 @@ def personalized_pagerank(
     if e0.count() <= _DRIVER_FIXPOINT_EDGE_BOUND:
         rows = _collect_clean_edges(e0, 2)
         if rows is not None:
+            note_fixpoint_branch("personalized_pagerank", "driver")
             import numpy as np
 
             spark = edges.sparkSession
@@ -1111,6 +1120,7 @@ def personalized_pagerank(
                 [(node_list[i], float(r)) for i, r in enumerate(ranks)],
                 schema,
             ).select("node", F.round("rank", 9).alias("rank"))
+    note_fixpoint_branch("personalized_pagerank", "distributed")
     e = _stage_edges(e0, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1238,6 +1248,7 @@ def connected_components(
     ):
         rows = _collect_clean_edges(e, 2)
         if rows is not None:
+            note_fixpoint_branch("connected_components", "driver")
             import numpy as np
 
             from pyspark.sql import types as T
@@ -1306,6 +1317,7 @@ def connected_components(
                 "indicates a bug or an adversarial id space, not normal "
                 "data)"
             )
+    note_fixpoint_branch("connected_components", "distributed")
     # self-loop-only nodes: the _u < _v canonicalization discards
     # self-loops (they carry no connectivity), but a node whose only
     # incident edge is a self-loop must still appear — as its own

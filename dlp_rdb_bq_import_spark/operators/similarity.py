@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from . import local_rows_df
+from . import local_rows_df, note_fixpoint_branch
 
 QUANT_SCALE = 10_000_000  # 1e7: float32 has ~7 significant digits
 
@@ -183,10 +183,12 @@ def kcenter_sample(
     # bound — same discipline as graph._BROADCAST_NODE_BOUND.
     picks = _kcenter_driver_picks(cur, id_col, k)
     if picks is not None:
+        note_fixpoint_branch("kcenter_sample", "driver")
         return local_rows_df(
             df.sparkSession, picks, f"{id_col} long, pick_order long"
         )
 
+    note_fixpoint_branch("kcenter_sample", "distributed")
     first = (
         cur.withColumn("_n2", _int_dot(F.col("_qv"), F.col("_qv")))
         .orderBy(F.col("_n2").desc(), F.col(id_col).asc())

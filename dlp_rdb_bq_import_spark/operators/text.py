@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import local_rows_df
+from . import local_rows_df, note_fixpoint_branch
 # Tiny deterministic marker-word lists per language for the n-gram/
 # stopword language-ID heuristic. The point is a deterministic,
 # SQL-expressible scorer, not linguistic accuracy.
@@ -784,6 +784,7 @@ def bpe_learn(
     if meas["n"] <= _BPE_DRIVER_VOCAB_ROWS and (
         meas["chars"] or 0
     ) <= _BPE_DRIVER_VOCAB_CHARS:
+        note_fixpoint_branch("bpe_learn_merges", "driver")
         local = [
             (r["word"], int(r["freq"]), list(r["word"]))
             for r in vocab.select("word", "freq").collect()
@@ -820,6 +821,7 @@ def bpe_learn(
         return local_rows_df(
             spark, merges_l, "rank long, left string, right string, merged string"
         )
+    note_fixpoint_branch("bpe_learn_merges", "distributed")
     merges: list[tuple[int, str, str, str]] = []
     for rank in range(1, num_merges + 1):
         pairs = (

@@ -154,3 +154,21 @@ def test_attach_media_per_row_dispatch_matches_scalar(spark):
         attach_media(
             spec.withColumn("_media", F.lit("hologram")), media_col="_media"
         ).collect()
+
+
+def test_fixpoint_branch_telemetry(spark, monkeypatch):
+    from dlp_rdb_bq_import_spark import operators as ops
+    from dlp_rdb_bq_import_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    before = dict(ops.FIXPOINT_BRANCHES)
+    dedup.duplicate_clusters(pairs).collect()
+    assert ops.FIXPOINT_BRANCHES.get(("duplicate_clusters", "driver"), 0) > before.get(
+        ("duplicate_clusters", "driver"), 0
+    )
+    monkeypatch.setattr(dedup, "_DRIVER_PAIR_THRESHOLD", 0)
+    before = dict(ops.FIXPOINT_BRANCHES)
+    dedup.duplicate_clusters(pairs).collect()
+    assert ops.FIXPOINT_BRANCHES.get(
+        ("duplicate_clusters", "distributed"), 0
+    ) > before.get(("duplicate_clusters", "distributed"), 0)

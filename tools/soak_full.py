@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--sf", default=".scratch/sf1")
     ap.add_argument("--out", default=".scratch/soak_full.json")
     ap.add_argument(
+        "--fixpoint-bound", type=int, default=0,
+        help="override the measured-size driver-fixpoint bounds "
+        "(graph/k-center/BPE/union-find) so the soak TIMES the "
+        "distributed loops (default 0 = always distributed; pass -1 "
+        "to keep production bounds, in which case the branch guard "
+        "may fire)")
+    ap.add_argument(
         "--rethreshold",
         type=float,
         default=3.0,
@@ -61,6 +68,21 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="soak_full")
+    if args.fixpoint_bound >= 0:
+        from dlp_rdb_bq_import_spark.operators import (
+            dedup as _dd,
+            graph as _g,
+            similarity as _sim,
+            text as _tx,
+        )
+
+        _g._DRIVER_FIXPOINT_EDGE_BOUND = args.fixpoint_bound
+        _sim._KCENTER_DRIVER_ROWS = args.fixpoint_bound
+        _sim._KCENTER_DRIVER_CELLS = args.fixpoint_bound
+        _tx._BPE_DRIVER_VOCAB_ROWS = args.fixpoint_bound
+        _tx._BPE_DRIVER_VOCAB_CHARS = args.fixpoint_bound
+        _dd._DRIVER_PAIR_THRESHOLD = args.fixpoint_bound
+        print(f"fixpoint driver bounds overridden to {args.fixpoint_bound}")
     spark.range(1000).count()  # JVM/codegen warmup
     qs = harness.queries()
     results: dict[str, dict] = {}
@@ -147,12 +169,33 @@ def main() -> None:
             f"FAIL registry-count guard: swept {len(results)} != "
             f"{registered} registered"
         )
+    # Fixpoint-branch telemetry (r14 verdict task 6): the measured-size
+    # driver fast paths mean sf0.1 bench runs may never execute the
+    # DISTRIBUTED loops; the sf1 soak is where they must run. Record
+    # the per-operator branch counts and FAIL the soak if any fixpoint
+    # operator that ran at all never took its distributed branch here
+    # (lower its bound for the soak or grow the fixture if this fires).
+    from dlp_rdb_bq_import_spark.operators import FIXPOINT_BRANCHES
+
+    branch_counts = {f"{op}:{br}": n for (op, br), n in sorted(FIXPOINT_BRANCHES.items())}
+    fixpoint_ops = {op for (op, _br) in FIXPOINT_BRANCHES}
+    never_distributed = sorted(
+        op for op in fixpoint_ops if FIXPOINT_BRANCHES.get((op, "distributed"), 0) == 0
+    )
+    for op in never_distributed:
+        errors[f"__fixpoint_branch_guard__{op}"] = {
+            "status": "error",
+            "sec": 0.0,
+            "err": f"fixpoint {op} never took its distributed branch at sf1",
+        }
+        print(f"FAIL fixpoint-branch guard: {op} ran driver-only at sf1")
     out = {
         "sf_dir": args.sf,
         "queries": len(results),
         "registered": registered,
         "errors": len(errors),
         "total_sec": round(sum(v["sec"] for v in results.values()), 1),
+        "fixpoint_branches": branch_counts,
         "results": results,
     }
     # MERGE with any existing artifact: auxiliary certified blocks
