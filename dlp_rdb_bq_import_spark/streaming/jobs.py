@@ -474,7 +474,13 @@ def stream_stream_left_join(
         "right_event",
         "right_value",
     )
-    out = _run_to_memory(joined, "append")
+    try:
+        out = _run_to_memory(joined, "append")
+    finally:
+        # the memory sink holds the materialized result; the staged
+        # scratch (tmpfs) is dead weight after the stream drains (r15 —
+        # this operator previously leaked its per-run staging dir)
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
     return out.where(F.col("user_id") >= 0)
 
 
